@@ -1,0 +1,81 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + collect-to-count) —
+a foreachPartition-style count() action so results are materialized
+but never shipped to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# headline set: aggregation core, joins, windows, custom streaming
+# reducer, and the LLM ops — the queries whose plans matter at scale.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_wordcount",
+    "q04_topk_orders",
+    "q06_first_order_per_customer",
+    "q07_join_nway_revenue",
+    "q08_join_optional_fill",
+    "q09_broadcast_region_rollup",
+    "q14_rollup",
+    "q15_window_lag",
+    "q16_sessionize",
+    "q17_sessionize_stream",
+    "q18_json_extract",
+    "q20_asof_join",
+    "q21_dedup_exact",
+    "q22_token_counts",
+    "q25_ann_bruteforce",
+    "q26_minhash_pairs",
+    "q27_simhash_pairs",
+    "q28_lsh_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from hadron_spark import get_spark
+    from hadron_spark.queries import QUERIES
+
+    spark = get_spark("hadron_spark_bench")
+
+    # one warm-up action so JVM/codegen startup isn't billed to q01
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

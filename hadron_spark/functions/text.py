@@ -1,0 +1,89 @@
+"""Text analysis functions — tokenization, n-grams, quality features.
+
+Mirrors the reference's flagship text workload (word tokenization via
+B.words, examples/WordCount.hs:21-29) and extends it with the
+text-analysis ops a training-data pipeline needs (language ID
+heuristics, quality scoring, token counting, fingerprinting).
+
+All functions are Catalyst expressions (split/transform/filter/
+aggregate on arrays) — whole-stage-codegen'd, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small built-in english stopword list for ratio features (public domain)
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "be", "this", "that",
+]
+
+
+def tokenize(col: Column | str) -> Column:
+    """Whitespace tokenization (B.words analog) → array<string>,
+    empties removed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokenize(col))
+
+
+def ngrams(tokens: Column, n: int) -> Column:
+    """Word n-grams from a token array (joined with single space).
+    Expression-only: index-aware transform, nulls filtered."""
+    return F.filter(
+        F.transform(
+            tokens,
+            lambda _t, i: F.when(
+                i <= F.size(tokens) - n, F.concat_ws(" ", F.slice(tokens, i + 1, n))
+            ),
+        ),
+        lambda g: g.isNotNull(),
+    )
+
+
+def char_shingles(col: Column | str, k: int = 5) -> Column:
+    """Character k-shingles → array<string> (substrate for MinHash)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    return F.when(n < k, F.array(c)).otherwise(
+        F.transform(F.sequence(F.lit(1), n - k + 1), lambda i: c.substr(i, F.lit(k)))
+    )
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    toks = F.transform(tokenize(col), lambda t: F.lower(t))
+    hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Deterministic quality features for document scoring:
+    n_tokens, n_chars, mean token length, stopword ratio."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokenize(c)
+    n_tok = F.size(toks)
+    total_tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    return {
+        "n_tokens": n_tok,
+        "n_chars": F.length(c),
+        "mean_token_len": F.when(
+            n_tok > 0, total_tok_chars.cast("double") / n_tok
+        ).otherwise(F.lit(0.0)),
+        "stopword_ratio": stopword_ratio(c),
+    }
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Normalized document fingerprint: lowercase, collapse whitespace,
+    sort unique tokens, md5 — a deterministic key for exact-ish dedup
+    (case/word-order insensitive)."""
+    toks = F.transform(tokenize(col), lambda t: F.lower(t))
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+    return F.md5(canon.cast("binary"))

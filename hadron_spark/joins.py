@@ -1,0 +1,188 @@
+"""Joins: monoidal n-way equi-joins + the join taxonomy Spark adds.
+
+Reference parity: hadron's join surface (src/Hadron/Join.hs) is a
+reduce-side n-way equi-join where each input is mapped into a common
+monoid; `JRequired` datasets must be present for a key to emit,
+`JOptional` datasets contribute `mempty` when absent
+(Join.hs:48-49, 81-158). `joinStep` wires the tagging/secondary-sort
+(Controller.hs:1157-1221), `joinMR` is the 2-way inner special case
+(Controller.hs:1316-1354).
+
+Spark-first: native joins ARE the streaming reduce-side join the
+reference hand-rolls (SortMergeJoin buffers one side per key —
+exactly Join.hs:60-110's Buffering/Streaming accumulator), so the
+monoidal semantics become join-type selection + null-fill:
+
+- all-required            → chained inner joins
+- required + optional     → inner core, then left joins, mempty fill
+- all-optional            → chained full-outer joins, mempty fill
+
+At scale: small sides get `broadcast()` (true map-side join — the
+reference's README claims map-side but implements reduce-side,
+README.md:20-25 vs Join.hs:121-195; we deliver the real thing);
+big-big joins stay SMJ with AQE skew splitting.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+REQUIRED = "required"  # JRequired (Join.hs:48)
+OPTIONAL = "optional"  # JOptional (Join.hs:49)
+
+
+@dataclass
+class JoinSide:
+    """One dataset entering the n-way join — the (Tap, JoinType, Mapper)
+    triple of the reference's joinStep (Controller.hs:1157-1165), with
+    the Mapper already applied (the df should expose the key columns +
+    its monoid-value columns)."""
+
+    df: DataFrame
+    how: str = REQUIRED
+    broadcast: bool = False  # hint: small dim → map-side hash join
+
+    def resolved(self) -> DataFrame:
+        return F.broadcast(self.df) if self.broadcast else self.df
+
+
+def monoidal_join(
+    on: Sequence[str],
+    sides: Sequence[JoinSide],
+    fill: dict | None = None,
+) -> DataFrame:
+    """n-way equi-join with required/optional semantics (reference
+    joinStep + bufToStr + joinFinalize, Controller.hs:1157-1221,
+    Join.hs:81-158).
+
+    Emission rule (Join.hs:81-104): a key produces output iff every
+    REQUIRED side has ≥1 row; OPTIONAL sides absent at that key are
+    replaced by `mempty` — expressed here as `fill` defaults applied
+    to their null columns. Output is the cross product of each side's
+    rows per key (native join semantics), matching the reference's
+    `sequence` over per-dataset buffers.
+
+    Shuffle plan: one hash exchange per non-broadcast side on `on`;
+    Catalyst reorders and collapses same-key exchanges so the chain
+    reuses one partitioning across stages.
+    """
+    if not sides:
+        raise ValueError("monoidal_join: no sides")
+    on = list(on)
+    required = [s for s in sides if s.how == REQUIRED]
+    optional = [s for s in sides if s.how == OPTIONAL]
+
+    if required:
+        out = required[0].resolved()
+        for s in required[1:]:
+            out = out.join(s.resolved(), on=on, how="inner")
+        for s in optional:
+            out = out.join(s.resolved(), on=on, how="left")
+    else:
+        # all-optional edge case: a key existing in ANY side emits,
+        # others mempty-filled (Join.hs:138-158 joinFinalize).
+        out = optional[0].resolved()
+        for s in optional[1:]:
+            # `on` as a name list makes full-outer coalesce the key cols.
+            out = out.join(s.resolved(), on=on, how="full_outer")
+
+    if fill:
+        out = out.fillna(fill)
+    return out
+
+
+def join_mr(
+    left: DataFrame, right: DataFrame, on: Sequence[str], merge: Sequence
+) -> DataFrame:
+    """2-way inner monoidal join (reference joinMR,
+    Controller.hs:1316-1354: caches Lefts, streams Rights emitting
+    `a <> b`). `merge` is a list of already-`.alias()`ed Columns
+    combining both sides' columns (the `<>`)."""
+    return left.join(right, on=list(on), how="inner").select(*on, *merge)
+
+
+# ---------------------------------------------------------------------------
+# beyond-reference join taxonomy (SURVEY §2.5: hadron has equi
+# inner/outer only; semi/anti/range/as-of declared free capability)
+# ---------------------------------------------------------------------------
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """EXISTS — rows of left with a match; right never materialized
+    into the output (no wide row, no dup explosion)."""
+    return left.join(right, on=list(on), how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """NOT EXISTS."""
+    return left.join(right, on=list(on), how="left_anti")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point,
+    right_lo,
+    right_hi,
+    equi_on: Sequence[str] | None = None,
+) -> DataFrame:
+    """point-in-interval join: equi keys first (hash exchange), range
+    predicate as join condition. With equi keys Catalyst plans SMJ on
+    the keys + filter; without, it would be a cartesian — callers at
+    scale must bucketize (bucketize_range_join)."""
+    cond = (left_point >= right_lo) & (left_point <= right_hi)
+    if equi_on:
+        for c in equi_on:
+            cond = cond & (left[c] == right[c])
+    return left.join(right, on=cond)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_vals: Sequence[str],
+) -> DataFrame:
+    """as-of (backward) join: for each left row, the latest right row
+    with right_ts <= left_ts per key — Spark has no native as-of, so
+    this is the scalable union+window composition (no Pandas UDF, one
+    shuffle on keys):
+
+      union(tagged left, tagged right)
+        → window last_value(right_vals, ignorenulls) ordered by ts
+        → keep left rows.
+
+    Ties (equal ts): right row sorts before left so it IS visible to
+    the left row at the same instant (merge_asof 'backward' semantics).
+    """
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    lcols = [c for c in left.columns]
+    tagged_l = left.withColumn("_ts", F.col(left_ts)).withColumn("_src", F.lit(1))
+    for v in right_vals:
+        tagged_l = tagged_l.withColumn(v, F.lit(None).cast(right.schema[v].dataType))
+    tagged_r = (
+        right.select(*keys, F.col(right_ts).alias("_ts"), *right_vals)
+        .withColumn("_src", F.lit(0))
+    )
+    for c in lcols:
+        if c not in keys and c not in tagged_r.columns:
+            tagged_r = tagged_r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    unioned = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ts").asc(), F.col("_src").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = unioned
+    for v in right_vals:
+        out = out.withColumn(v, F.last(v, ignorenulls=True).over(w))
+    return out.filter(F.col("_src") == 1).select(*lcols, *right_vals)

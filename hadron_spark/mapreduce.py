@@ -1,0 +1,160 @@
+"""Typed map/reduce/combiner surface over DataFrames.
+
+Reference parity: hadron's core types (src/Hadron/Types.hs:30-53) —
+``Mapper a k b`` (arbitrary conduit → (key, value) stream) and
+``Reducer k a r`` (stateful conduit over one key's sorted stream,
+fresh instance per key, group splitter Basic.hs:231-269) — plus the
+combiner (Basic.hs:163-174) and ReduceErrorStrategy
+(Types.hs:56-60; only ReThrow was wired in the reference,
+Controller.hs:1115-1141 — we wire SkipKey too).
+
+Spark-first mapping:
+- relational mappers/reducers → users should use DataFrame ops / ops.py
+  (JVM codegen — these wrappers are the ARBITRARY-CODE escape hatch).
+- map_step      → mapInPandas (Arrow batches, 1→N rows)
+- reduce_step   → groupBy().applyInPandas (whole group per call —
+  the memory contract most users want; documents the tradeoff)
+- reduce_stream_sorted → secondary-sort + mapInPandas with a
+  cross-batch group splitter: TRUE constant-space streaming over a
+  key's sorted rows, for the "huge single key" case the reference's
+  conduit reducers handle (SURVEY §7 'What's hard').
+- combiners are automatic for algebraic aggs (HashAggregateExec
+  partial/final); for custom monoids use `monoid_reduce`.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ReduceErrorStrategy (Types.hs:56-60)
+RETHROW = "rethrow"
+SKIP_KEY = "skip_key"
+
+
+def map_step(
+    df: DataFrame,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str,
+) -> DataFrame:
+    """Arbitrary 1→N row transform (reference Mapper, Types.hs:36).
+    `fn` sees Arrow-sized pandas batches; emit any number of rows.
+    Narrow — no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = fn(pdf)
+            if out is not None and len(out):
+                yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def reduce_step(
+    df: DataFrame,
+    keys: Sequence[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str,
+    sort_within: Sequence[str] | None = None,
+    on_error: str = RETHROW,
+) -> DataFrame:
+    """Per-key arbitrary reducer (reference Reducer, Types.hs:39-53):
+    one fresh `fn` invocation per distinct key, whole group as a
+    pandas DataFrame (sorted by `sort_within` if given — the
+    secondary-sort contract of Run/Hadoop.hs:129-166).
+
+    Memory contract: the full group must fit in one python worker —
+    use reduce_stream_sorted for unbounded groups.
+
+    on_error=SKIP_KEY implements the reference's declared-but-unwired
+    SkipKey strategy (Types.hs:56-60): a key whose reducer raises is
+    dropped, not fatal."""
+    sort_cols = list(sort_within or [])
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        if sort_cols:
+            pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        try:
+            return fn(pdf)
+        except Exception:
+            if on_error == SKIP_KEY:
+                return pd.DataFrame()
+            raise
+
+    return df.groupBy(*keys).applyInPandas(run, schema=schema)
+
+
+def reduce_stream_sorted(
+    df: DataFrame,
+    partition_keys: Sequence[str],
+    sort_keys: Sequence[str],
+    fn: Callable[[tuple, Iterator[pd.DataFrame]], Iterator[pd.DataFrame]],
+    schema: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Constant-space streaming reducer over each key's sorted rows —
+    the faithful analog of the reference's group splitter `sameKey`
+    (Basic.hs:231-269): partition on `partition_keys`, sort within
+    partitions on (partition_keys + sort_keys), then stream batches
+    through `fn(key, batch_iterator)` with group boundaries cut when
+    the key changes — including ACROSS Arrow batches, so a single
+    key larger than memory still streams.
+
+    `fn` receives (key_tuple, iterator of pandas DataFrames all
+    belonging to that key, in sort order) and yields output frames.
+    """
+    from hadron_spark.ops import secondary_sort
+
+    pkeys = list(partition_keys)
+    sorted_df = secondary_sort(df, pkeys, list(sort_keys), num_partitions)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pending: list[pd.DataFrame] = []  # chunks of the current group
+        cur_key: tuple | None = None
+
+        def flush(key: tuple, chunks: list[pd.DataFrame]):
+            yield from fn(key, iter(chunks))
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # split this batch at key-change boundaries
+            grp_ids = (pdf[pkeys] != pdf[pkeys].shift()).any(axis=1).cumsum()
+            for _, chunk in pdf.groupby(grp_ids, sort=False):
+                key = tuple(chunk.iloc[0][k] for k in pkeys)
+                if cur_key is None or key == cur_key:
+                    cur_key = key
+                    pending.append(chunk)
+                else:
+                    yield from flush(cur_key, pending)
+                    cur_key, pending = key, [chunk]
+        if cur_key is not None:
+            yield from flush(cur_key, pending)
+
+    return sorted_df.mapInPandas(run, schema=schema)
+
+
+def monoid_reduce(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_aggs: Sequence,
+) -> DataFrame:
+    """Monoidal fold per key with map-side combine (reference combiner
+    wiring, Basic.hs:163-174 + Controller.hs:1111-1113; generic fold
+    mapReduce sketch Controller.hs:1224-1253).
+
+    For algebraic aggregates, groupBy().agg() IS the
+    mapper+combiner+reducer pipeline: Catalyst plans partial
+    aggregation before the exchange and final after — identical
+    network profile to a Hadoop combiner, no user wiring."""
+    return df.groupBy(*keys).agg(*value_aggs)
+
+
+def counter(df: DataFrame, name: str, *metrics) -> DataFrame:
+    """Job counters (reference `reporter:counter:...` stderr protocol,
+    Basic.hs:95-119) → `df.observe`: metrics accumulate during the
+    action with zero extra passes."""
+    return df.observe(name, *metrics)

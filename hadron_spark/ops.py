@@ -1,0 +1,176 @@
+"""Relational operator surface.
+
+The reference has no SQL layer — users compose map/shuffle/reduce by
+hand (SURVEY §2.3-2.7). This module declares the equivalent relational
+surface as thin, Catalyst-friendly DataFrame combinators so every
+capability is a named, testable operator. Nothing here materializes;
+everything stays in the lazy plan for whole-stage codegen.
+
+Scale notes are attached per-op: which ones shuffle, which broadcast,
+which are narrow.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# map-side ops (narrow — no shuffle; reference Mapper conduits, Types.hs:30-36)
+# ---------------------------------------------------------------------------
+
+
+def project(df: DataFrame, *cols: str | Column) -> DataFrame:
+    """Column pruning reaches the parquet scan (ReadSchema)."""
+    return df.select(*cols)
+
+
+def filter_rows(df: DataFrame, pred: Column | str) -> DataFrame:
+    """Predicate pushes into the scan (PushedFilters) when it is a
+    simple comparison on a scanned column."""
+    return df.filter(pred)
+
+
+def flat_map_explode(df: DataFrame, array_col: Column | str, alias: str) -> DataFrame:
+    """1→N row fan-out (reference Mapper 1→N emission, Types.hs:36) —
+    JVM-side explode, not a Python flatMap."""
+    return df.select("*", F.explode(array_col).alias(alias))
+
+
+# ---------------------------------------------------------------------------
+# aggregation (one shuffle on the group keys; partial agg is automatic —
+# HashAggregateExec partial/final replaces the reference combiner,
+# Basic.hs:163-174)
+# ---------------------------------------------------------------------------
+
+
+def group_agg(
+    df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]
+) -> DataFrame:
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def distinct_rows(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """Dedup (reference commented firstBy 'first per key wins',
+    Controller.hs:1257-1274). dropDuplicates = one shuffle with
+    map-side partial dedup."""
+    return df.dropDuplicates(list(subset)) if subset else df.distinct()
+
+
+def first_by(
+    df: DataFrame, keys: Sequence[str], order: Sequence[Column]
+) -> DataFrame:
+    """Deterministic 'first object per key wins' — the exact semantics
+    of the reference's firstBy (Controller.hs:1257-1274): one shuffle,
+    per-key sort, row_number()==1. Prefer over dropDuplicates when the
+    winner must be deterministic."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sorts / limits / top-k (reference has none built in — users folded in
+# reducers; SURVEY §2.6 'No limit / top-k / global sort operator exists')
+# ---------------------------------------------------------------------------
+
+
+def top_k(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
+    """Global top-k: Spark plans orderBy+limit as TakeOrderedAndProject —
+    per-partition heap + driver merge of k rows, NOT a global sort.
+    Scales to any partition count."""
+    return df.orderBy(*order).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame, keys: Sequence[str], order: Sequence[Column], k: int
+) -> DataFrame:
+    """One shuffle on keys; rank inside each group. AQE handles skew."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def global_sort(df: DataFrame, order: Sequence[Column]) -> DataFrame:
+    """Range-partitioned total order (sampling + range exchange)."""
+    return df.orderBy(*order)
+
+
+# ---------------------------------------------------------------------------
+# secondary sort (reference PartitionStrategy: partition on first
+# partSegs key segments, sort on all keySegs — Run/Hadoop.hs:129-166)
+# ---------------------------------------------------------------------------
+
+
+def secondary_sort(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    sort_cols: Sequence[Column | str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """repartition(partition_cols) + sortWithinPartitions(partition_cols
+    + sort_cols): every row of one key lands in one partition, ordered
+    by the sort columns — exactly Hadoop's partitioner + comparator
+    contract the reference drives via -partitioner/-D flags.
+
+    This is the substrate for streaming per-key reducers
+    (mapreduce.reduce_stream_sorted) that must see rows in order
+    without holding a group in memory."""
+    parts = [F.col(c) for c in partition_cols]
+    rep = (
+        df.repartition(num_partitions, *parts)
+        if num_partitions
+        else df.repartition(*parts)
+    )
+    sort_exprs = [F.col(c) if isinstance(c, str) else c for c in sort_cols]
+    return rep.sortWithinPartitions(*parts, *sort_exprs)
+
+
+# ---------------------------------------------------------------------------
+# set ops (reference: union only, Controller.hs:364-439; intersect /
+# except declared as free Spark capability per SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+def union_all(*dfs: DataFrame) -> DataFrame:
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def intersect(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.intersect(b)
+
+
+def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.exceptAll(b)
+
+
+# ---------------------------------------------------------------------------
+# windows (reference: none — per-key sorted stream was the substrate,
+# SURVEY §2.7; declared as first-class here)
+# ---------------------------------------------------------------------------
+
+
+def with_window(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[Column],
+    exprs: dict[str, "Column | None"],
+) -> DataFrame:
+    """Attach window expressions over partitionBy(keys).orderBy(order).
+    exprs maps output column name → window function (applied .over(w))."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    out = df
+    for name, expr in exprs.items():
+        out = out.withColumn(name, expr.over(w))
+    return out

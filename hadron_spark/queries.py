@@ -1,0 +1,734 @@
+"""Query registry: every implemented operator from SURVEY.md §2 (plus
+the LLM-pipeline extensions) exercised as a named query with a DuckDB
+oracle where SQL-expressible.
+
+Each entry: name → (builder(spark, sf_dir) → DataFrame, oracle SQL | None).
+Builders go through the engine modules (ops/joins/mapreduce/llm) so
+the registry doubles as the engine's integration surface.
+
+Determinism contract with the oracle (driver hashes values):
+- double SUM/AVG go through DECIMAL(18,4) accumulation then cast back
+  to double — decimal addition is exact + associative, so both
+  engines produce bit-identical doubles regardless of row order.
+- every computed column is aliased identically in Spark and SQL.
+- top-k / first-per-key queries carry a unique tie-break column.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadron_spark import joins, ops
+from hadron_spark.llm import dedup, similarity, textstats
+from hadron_spark.taps import Tap, concat_taps, merge_taps
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    df = Tap([f"{sf_dir}/{table}.parquet"]).read(spark)
+    # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it reads
+    # as bigint nanos — normalize to a micros timestamp (matches
+    # DuckDB's nanos→micros truncation). `div` keeps it integer math.
+    from pyspark.sql.types import LongType
+
+    if table == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _dec(c) -> F.Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(18,4)")
+
+
+def dsum(c, alias: str) -> F.Column:
+    """Deterministic double sum via exact decimal accumulation."""
+    return F.sum(_dec(c)).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# A. aggregation core (SURVEY §2.4: A1-A4 reducer/combiner folds)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+           * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+        AS sum_disc_price,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf_dir):
+    """TPC-H-Q1-style pricing summary — the reference's reducer-fold
+    archetype (examples/WordCount.hs:26-29 generalized; combiner =
+    automatic partial agg). groupBy two low-cardinality keys: partial
+    agg shrinks 100 TB of lineitem to |groups|·|partitions| rows
+    before the exchange."""
+    li = load(spark, sf_dir, "lineitem")
+    from hadron_spark.mapreduce import monoid_reduce
+
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    return monoid_reduce(
+        li.filter(F.col("l_shipdate") <= "1998-09-02"),
+        ["l_returnflag", "l_linestatus"],
+        [
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        ],
+    )
+
+
+@_register(
+    "q02_wordcount",
+    """
+    SELECT word, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def q02(spark, sf_dir):
+    """The reference's flagship example (examples/WordCount.hs:21-29):
+    tokenize → explode → count."""
+    return textstats.word_count(load(spark, sf_dir, "documents"))
+
+
+@_register(
+    "q03_filter_project",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0
+    """,
+)
+def q03(spark, sf_dir):
+    """Map-side filter+project (M1) — predicate and column pruning
+    reach the parquet scan (PushedFilters/ReadSchema)."""
+    c = load(spark, sf_dir, "customer")
+    return ops.project(
+        ops.filter_rows(c, (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 1000.0)),
+        "c_custkey", "c_name", "c_acctbal",
+    )
+
+
+@_register(
+    "q04_topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q04(spark, sf_dir):
+    """Global top-k (SURVEY §2.6 gap, declared free capability):
+    TakeOrderedAndProject — per-partition heap, no global sort."""
+    o = load(spark, sf_dir, "orders")
+    return ops.top_k(
+        o.select("o_orderkey", "o_custkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        10,
+    )
+
+
+@_register("q05_distinct_parts", "SELECT DISTINCT p_brand, p_type FROM part")
+def q05(spark, sf_dir):
+    """distinct/dedup (A5) — one shuffle, map-side partial distinct."""
+    return ops.distinct_rows(load(spark, sf_dir, "part").select("p_brand", "p_type"))
+
+
+@_register(
+    "q06_first_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn = 1
+    """,
+)
+def q06(spark, sf_dir):
+    """firstBy 'first object per key wins' (Controller.hs:1257-1274)
+    with a deterministic winner."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    return ops.first_by(o, ["o_custkey"], [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()])
+
+
+# ---------------------------------------------------------------------------
+# B. joins (SURVEY §2.5: J1-J9 monoidal n-way, broadcast, semi/anti, as-of)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q07_join_nway_revenue",
+    """
+    SELECT c_custkey, c_name,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+           * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+        AS revenue,
+      COUNT(*) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def q07(spark, sf_dir):
+    """n-way required (inner) monoidal join (joinStep,
+    Controller.hs:1157-1221) + revenue fold. Shuffles: lineitem⋈orders
+    on orderkey, then re-key to custkey for customer ⋈ + agg."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name"
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), F.col("o_custkey").alias("custkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_extendedprice", "l_discount"
+    )
+    ol = joins.monoidal_join(["orderkey"], [joins.JoinSide(o), joins.JoinSide(li)])
+    col = joins.monoidal_join(["custkey"], [joins.JoinSide(c), joins.JoinSide(ol)])
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    return col.groupBy(F.col("custkey").alias("c_custkey"), "c_name").agg(
+        F.sum(disc_price).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@_register(
+    "q08_join_optional_fill",
+    """
+    SELECT c_custkey, c_name,
+      CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+      COALESCE(spent, 0.0) AS spent
+    FROM customer
+    LEFT JOIN (
+      SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spent
+      FROM orders GROUP BY o_custkey) o
+      ON c_custkey = o_custkey
+    """,
+)
+def q08(spark, sf_dir):
+    """required + optional monoidal join with mempty fill (JOptional,
+    Join.hs:49, 81-104): customers without orders emit the monoid
+    identity (0, 0.0) instead of disappearing."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name"
+    )
+    o_agg = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "spent"))
+    )
+    out = joins.monoidal_join(
+        ["custkey"],
+        [joins.JoinSide(c, joins.REQUIRED), joins.JoinSide(o_agg, joins.OPTIONAL)],
+        fill={"n_orders": 0, "spent": 0.0},
+    )
+    return out.select(
+        F.col("custkey").alias("c_custkey"), "c_name", "n_orders", "spent"
+    )
+
+
+@_register(
+    "q09_broadcast_region_rollup",
+    """
+    SELECT r_name, n_name, COUNT(*) AS n_customers,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q09(spark, sf_dir):
+    """Small-dim broadcast joins (J9 — the true map-side join the
+    reference only claims): nation+region broadcast to every
+    executor; the only shuffle is the final agg."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", "total_acctbal"),
+        )
+    )
+
+
+@_register(
+    "q10_semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+    """,
+)
+def q10(spark, sf_dir):
+    """left-semi join (EXISTS) — beyond-reference taxonomy."""
+    c = load(spark, sf_dir, "customer")
+    big = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000.0)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return joins.semi_join(c, big, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+@_register(
+    "q11_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q11(spark, sf_dir):
+    """left-anti join (NOT EXISTS)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return joins.anti_join(c, o, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+@_register(
+    "q12_union_taps",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n FROM (
+      SELECT * FROM customer UNION ALL SELECT * FROM customer) t
+    GROUP BY c_mktsegment
+    """,
+)
+def q12(spark, sf_dir):
+    """concatTaps (S2, Controller.hs:364-376): union of same-typed
+    taps, then aggregate."""
+    t = Tap([f"{sf_dir}/customer.parquet"])
+    u = concat_taps(spark, [t, Tap(list(t.paths))])
+    return u.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register(
+    "q13_merge_taps",
+    """
+    SELECT 'left' AS side, COUNT(*) AS n,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+    FROM customer
+    UNION ALL
+    SELECT 'right' AS side, COUNT(*) AS n,
+      CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+    FROM supplier
+    """,
+)
+def q13(spark, sf_dir):
+    """mergeTaps (S3, Controller.hs:422-439): two differently-typed
+    taps unioned as a tagged sum (Either a b → `_side` tag +
+    null-fill), then per-side aggregate."""
+    m = merge_taps(
+        spark,
+        Tap([f"{sf_dir}/customer.parquet"]),
+        Tap([f"{sf_dir}/supplier.parquet"]),
+    )
+    bal = F.coalesce(F.col("c_acctbal"), F.col("s_acctbal"))
+    return m.groupBy(F.col("_side").alias("side")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(bal.cast("decimal(18,4)")).cast("double").alias("total_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C. sorts / windows / composite keys (SURVEY §2.6-2.7, O1-O2, A2)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q14_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q14(spark, sf_dir):
+    """rollup grouping sets (declared free capability, SURVEY §2.4
+    note: 'Spark gives these free')."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@_register(
+    "q15_window_lag",
+    """
+    SELECT event_id, user_id,
+      value - lag(value) OVER w AS delta,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS running_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q15(spark, sf_dir):
+    """Window functions over the per-key sorted stream (SURVEY §2.7:
+    the reference's A2 substrate, hand-rolled lag/lead → native
+    window). Running sum accumulates in decimal for determinism."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        F.sum(_dec("value")).over(wr).cast("double").alias("running_value"),
+    )
+
+
+@_register(
+    "q16_sessionize",
+    """
+    SELECT user_id,
+      CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_sessions,
+      COUNT(*) AS n_events
+    FROM (SELECT user_id,
+            epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id) AS gap
+          FROM events) t
+    GROUP BY user_id
+    """,
+)
+def q16(spark, sf_dir):
+    """Sessionization via window (gap > 30 min ⇒ new session) — the
+    classic per-key sorted-stream fold (A1/A2)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1000 * 1000), 1).otherwise(0)
+    return (
+        e.withColumn("_ns", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("_ns").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@_register(
+    "q17_sessionize_stream",
+    # same oracle as q16 — proves the custom streaming reducer
+    """
+    SELECT user_id,
+      CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_sessions,
+      COUNT(*) AS n_events
+    FROM (SELECT user_id,
+            epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id) AS gap
+          FROM events) t
+    GROUP BY user_id
+    """,
+)
+def q17(spark, sf_dir):
+    """Same sessionization through the CUSTOM constant-space streaming
+    reducer (mapreduce.reduce_stream_sorted — the faithful analog of
+    the reference's per-key conduit reducers + group splitter,
+    Basic.hs:231-269): secondary sort, then stream each user's events
+    in ts order counting gap>30min boundaries, state carried across
+    Arrow batches."""
+    import pandas as pd
+
+    from hadron_spark.mapreduce import reduce_stream_sorted
+
+    # epoch-micros as int64 up front: integer math end-to-end, no
+    # pandas datetime-unit ambiguity inside the reducer
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+
+    def sessions(key, chunks):
+        user_id = key[0]
+        n_sessions = 0
+        n_events = 0
+        last_us = None
+        for pdf in chunks:
+            us = pdf["ts_us"]
+            for v in us:
+                if last_us is None or v - last_us > 1800 * 1000 * 1000:
+                    n_sessions += 1
+                last_us = v
+                n_events += 1
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    return reduce_stream_sorted(
+        e,
+        partition_keys=["user_id"],
+        sort_keys=["ts_us", "event_id"],
+        fn=sessions,
+        schema="user_id bigint, n_sessions bigint, n_events bigint",
+    )
+
+
+@_register(
+    "q18_json_extract",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q18(spark, sf_dir):
+    """JSON scalar extraction from the props column (schema-on-read —
+    the Protocol/codec spirit of Protocol.hs, as a column op)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+    )
+
+
+@_register(
+    "q19_month_agg",
+    """
+    SELECT date_trunc('month', o_orderdate) AS month,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q19(spark, sf_dir):
+    """Timestamp grouping keys (MRKey UTCTime analog,
+    Controller.hs:254-266 — Spark sorts timestamps natively, no
+    text-sortability hack)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "revenue")
+    )
+
+
+@_register(
+    "q20_asof_join",
+    """
+    SELECT e.event_id, e.user_id, o.o_totalprice AS last_order_price
+    FROM events e
+    ASOF LEFT JOIN (
+      SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS o_totalprice
+      FROM orders GROUP BY o_custkey, o_orderdate) o
+      ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    """,
+)
+def q20(spark, sf_dir):
+    """as-of (backward) join — custom operator Spark lacks natively,
+    composed as union+window (joins.asof_join; no UDF, one shuffle).
+    Right side pre-aggregated to one row per (key, ts) so the match
+    is deterministic."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id"), F.col("ts")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("order_ts"),
+        )
+        .agg(F.max("o_totalprice").alias("last_order_price"))
+    )
+    return joins.asof_join(
+        e,
+        o,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="order_ts",
+        right_vals=["last_order_price"],
+    ).select("event_id", "user_id", "last_order_price")
+
+
+# ---------------------------------------------------------------------------
+# D. LLM-pipeline operators (BASELINE.json north_star)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q21_dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id,
+      COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def q21(spark, sf_dir):
+    """Exact dedup: hash-groupBy with deterministic keeper."""
+    return dedup.exact_dedup_stats(load(spark, sf_dir, "documents"))
+
+
+@_register(
+    "q22_token_counts",
+    """
+    SELECT source,
+      CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS BIGINT)
+        AS total_tokens,
+      COUNT(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def q22(spark, sf_dir):
+    """Token counting per source (BPE-ish regex tokenizer = whitespace
+    regex here; array size per row — no explode)."""
+    return textstats.token_counts(load(spark, sf_dir, "documents"))
+
+
+@_register(
+    "q23_quality_scores",
+    """
+    SELECT doc_id,
+      CAST(len(toks) AS INT) AS n_tokens,
+      CAST(length(text) AS INT) AS n_chars,
+      CASE WHEN len(toks) > 0
+           THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+           ELSE 0.0 END AS mean_token_len,
+      CASE WHEN len(toks) > 0
+           THEN CAST(len(list_filter(toks, t -> list_contains(
+                ['the','a','an','and','or','of','to','in','is','it',
+                 'for','on','with','as','at','by','be','this','that'], lower(t)))) AS DOUBLE)
+                / len(toks)
+           ELSE 0.0 END AS stopword_ratio
+    FROM (SELECT doc_id, text,
+            list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+          FROM documents) t
+    """,
+)
+def q23(spark, sf_dir):
+    """Per-document quality features (length/stopword/token stats)."""
+    out = textstats.quality_scores(load(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_chars").cast("int").alias("n_chars"),
+        "mean_token_len",
+        "stopword_ratio",
+    )
+
+
+@_register(
+    "q24_fingerprint",
+    """
+    SELECT doc_id,
+      md5(array_to_string(list_sort(list_distinct(
+        list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))), ' ')) AS fp
+    FROM documents
+    """,
+)
+def q24(spark, sf_dir):
+    """Document fingerprinting: canonical token-set md5."""
+    return textstats.fingerprints(load(spark, sf_dir, "documents"))
+
+
+@_register(
+    "q25_ann_bruteforce",
+    """
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        row_number() OVER (
+          PARTITION BY q.vec_id
+          ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC, c.vec_id)
+          AS rank
+      FROM embeddings c
+      CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+      WHERE c.vec_id <> q.vec_id) t
+    WHERE rank <= 10
+    """,
+)
+def q25(spark, sf_dir):
+    """Exact cosine top-k similarity search (brute-force baseline):
+    broadcast query set, expression-level dot product, window top-k."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(emb, q, k=10).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+# --- rows-only checks (non-SQL-expressible / approximate operators) --------
+
+
+@_register("q26_minhash_pairs", None)
+def q26(spark, sf_dir):
+    """MinHash-LSH near-dup candidate pairs (signature→band→bucket
+    join — never n²). Approximate by construction → rows-only check."""
+    return dedup.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), num_hashes=16, bands=4, shingle_k=5
+    )
+
+
+@_register("q27_simhash_pairs", None)
+def q27(spark, sf_dir):
+    """SimHash near-dup pairs via pigeonhole block equi-join + exact
+    hamming filter."""
+    return dedup.simhash_near_pairs(
+        load(spark, sf_dir, "documents"), max_hamming=12, blocks=4
+    )
+
+
+@_register("q28_lsh_topk", None)
+def q28(spark, sf_dir):
+    """Approximate ANN via hyperplane-LSH bucket join (the scale path
+    for q25)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return similarity.lsh_topk(emb, q, k=10, n_planes=6, multiprobe=2).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+@_register("q29_language_id", None)
+def q29(spark, sf_dir):
+    """Heuristic language ID distribution (marker-lexicon scoring)."""
+    out = textstats.language_id(load(spark, sf_dir, "documents"))
+    return out.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register("q30_embedding_dup_pairs", None)
+def q30(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via hyperplane-LSH candidate
+    buckets + exact cosine filter."""
+    return dedup.embedding_dup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.8, n_planes=6
+    )

@@ -1,0 +1,42 @@
+"""Fan-out sink (SURVEY §2.1 S7-S9, Run/FanOut.hs)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hadron_spark.fanout import fan_out_by, fan_out_write, partitioned_write
+from hadron_spark.taps import tap
+
+
+def test_fan_out_write_routes_and_stats(spark, sf_dir, tmp_path):
+    li = tap(f"{sf_dir}/lineitem.parquet").read(spark)
+    out = str(tmp_path / "by_flag")
+    stats = fan_out_write(li, out, "l_returnflag")
+    stat_map = {r["route"]: r["rows"] for r in stats.collect()}
+    assert sum(stat_map.values()) == li.count()
+    # hive-style dirs exist per route value
+    dirs = {d for d in os.listdir(out) if d.startswith("_route=")}
+    assert dirs == {f"_route={k}" for k in stat_map}
+    # read back one route
+    one = spark.read.parquet(f"{out}/_route=A")
+    assert one.count() == stat_map["A"]
+
+
+def test_fan_out_computed_route_sequential(spark, sf_dir, tmp_path):
+    orders = tap(f"{sf_dir}/orders.parquet").read(spark)
+    out = str(tmp_path / "by_year")
+    stats = fan_out_by(
+        orders, out, lambda df: F.year("o_orderdate").cast("string"),
+        sequential=True,
+    )
+    assert stats.count() > 1
+
+
+def test_partitioned_write(spark, sf_dir, tmp_path):
+    c = tap(f"{sf_dir}/customer.parquet").read(spark)
+    out = str(tmp_path / "by_seg")
+    partitioned_write(c, out, ["c_mktsegment"])
+    back = spark.read.parquet(out)
+    assert back.count() == c.count()

@@ -1,0 +1,102 @@
+"""Monoidal join semantics (SURVEY §2.5, Join.hs:81-158 edge cases):
+required-missing ⇒ emit nothing; optional-missing ⇒ mempty fill;
+all-optional keys emit."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadron_spark.joins import (
+    OPTIONAL,
+    REQUIRED,
+    JoinSide,
+    anti_join,
+    asof_join,
+    monoidal_join,
+    range_join,
+    semi_join,
+)
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_required_missing_emits_nothing(spark):
+    a = _df(spark, [(1, "a1"), (2, "a2")], "k int, va string")
+    b = _df(spark, [(2, "b2"), (3, "b3")], "k int, vb string")
+    out = monoidal_join(["k"], [JoinSide(a, REQUIRED), JoinSide(b, REQUIRED)])
+    assert [tuple(r) for r in out.orderBy("k").collect()] == [(2, "a2", "b2")]
+
+
+def test_optional_mempty_fill(spark):
+    a = _df(spark, [(1, 10), (2, 20)], "k int, va int")
+    b = _df(spark, [(2, 200)], "k int, vb int")
+    out = monoidal_join(
+        ["k"], [JoinSide(a, REQUIRED), JoinSide(b, OPTIONAL)], fill={"vb": 0}
+    )
+    assert [tuple(r) for r in out.orderBy("k").collect()] == [(1, 10, 0), (2, 20, 200)]
+
+
+def test_all_optional_full_outer(spark):
+    # key present in ANY optional side emits (Join.hs:138-158)
+    a = _df(spark, [(1, 10)], "k int, va int")
+    b = _df(spark, [(2, 200)], "k int, vb int")
+    out = monoidal_join(
+        ["k"], [JoinSide(a, OPTIONAL), JoinSide(b, OPTIONAL)], fill={"va": 0, "vb": 0}
+    )
+    assert [tuple(r) for r in out.orderBy("k").collect()] == [(1, 10, 0), (2, 0, 200)]
+
+
+def test_cross_product_per_key(spark):
+    # reference emits the cartesian of per-dataset buffers (Join.hs:81-104)
+    a = _df(spark, [(1, "x"), (1, "y")], "k int, va string")
+    b = _df(spark, [(1, "p"), (1, "q")], "k int, vb string")
+    out = monoidal_join(["k"], [JoinSide(a), JoinSide(b)])
+    assert out.count() == 4
+
+
+def test_broadcast_hint_in_plan(spark):
+    a = _df(spark, [(i, i) for i in range(100)], "k int, va int")
+    b = _df(spark, [(1, 1)], "k int, vb int")
+    out = monoidal_join(["k"], [JoinSide(a), JoinSide(b, broadcast=True)])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+
+
+def test_semi_anti(spark):
+    a = _df(spark, [(1,), (2,), (3,)], "k int")
+    b = _df(spark, [(2,), (3,)], "k int")
+    assert sorted(r["k"] for r in semi_join(a, b, ["k"]).collect()) == [2, 3]
+    assert sorted(r["k"] for r in anti_join(a, b, ["k"]).collect()) == [1]
+
+
+def test_range_join(spark):
+    pts = _df(spark, [(1, 5), (2, 15)], "pid int, x int")
+    iv = _df(spark, [(100, 0, 10), (200, 10, 20)], "iid int, lo int, hi int")
+    out = range_join(pts, iv, pts["x"], iv["lo"], iv["hi"])
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    assert got == [(1, 100), (2, 200)]
+
+
+def test_asof_join_backward(spark):
+    import datetime as dt
+
+    ts = lambda s: dt.datetime.fromisoformat(s)
+    left = _df(
+        spark,
+        [(1, 1, ts("2024-01-01 10:00")), (2, 1, ts("2024-01-01 12:00")),
+         (3, 2, ts("2024-01-01 09:00"))],
+        "id int, k int, t timestamp",
+    )
+    right = _df(
+        spark,
+        [(1, ts("2024-01-01 09:30"), 100.0), (1, ts("2024-01-01 11:00"), 200.0),
+         (2, ts("2024-01-01 09:00"), 300.0)],
+        "k int, rt timestamp, price double",
+    )
+    out = asof_join(left, right, ["k"], "t", "rt", ["price"])
+    got = {r["id"]: r["price"] for r in out.collect()}
+    # id=1: latest right ≤10:00 is 09:30→100; id=2: 11:00→200;
+    # id=3: right at exactly 09:00 visible (ties: right before left)
+    assert got == {1: 100.0, 2: 200.0, 3: 300.0}

@@ -1,0 +1,134 @@
+"""LLM-pipeline operators: dedup / similarity / multimodal / text."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadron_spark.llm import dedup, multimodal, similarity, textstats
+from hadron_spark.taps import tap
+
+
+def test_exact_dedup_drops_copies(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    kept = dedup.exact_dedup(df)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 3]  # keeper = lowest id
+
+
+def test_minhash_detects_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about spark engines and parquet files " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    pairs = dedup.minhash_lsh_pairs(df, num_hashes=32, bands=8).collect()
+    m = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    assert (1, 2) in m and m[(1, 2)] > 0.5
+    assert m.get((1, 3), 0.0) < 0.5 and m.get((2, 3), 0.0) < 0.5
+
+
+def test_minhash_dedup_removes_higher_id(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 10
+    df = spark.createDataFrame(
+        [(1, base), (2, base + "iota"), (3, "unrelated words entirely here " * 10)],
+        "doc_id long, text string",
+    )
+    kept = dedup.minhash_dedup(df, threshold=0.7, num_hashes=32, bands=8)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 3]
+
+
+def test_simhash_identical_zero_distance(spark):
+    df = spark.createDataFrame(
+        [(1, "spark engine parquet shuffle"), (2, "spark engine parquet shuffle"),
+         (3, "totally different wording here")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.simhash_near_pairs(df, max_hamming=0)
+    got = [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs.collect()]
+    assert got == [(1, 2, 0)]
+
+
+def test_ngram_jaccard_exact_verification(spark):
+    a = "one two three four five six"
+    df = spark.createDataFrame([(1, a), (2, a), (3, "x y z")], "doc_id long, text string")
+    cand = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs(df, cand, n=2).collect()}
+    assert out[(1, 2)] == 1.0
+    assert out[(1, 3)] == 0.0
+
+
+def test_brute_force_topk_self_similarity(spark, sf_dir):
+    emb = tap(f"{sf_dir}/embeddings.parquet").read(spark)
+    q = emb.filter(F.col("vec_id") < 2)
+    out = similarity.brute_force_topk(emb, q, k=5)
+    rows = out.collect()
+    assert len(rows) == 10  # 2 queries × 5
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q_id, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["rank"])
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r["neighbor_id"] != q_id for r in rs)
+
+
+def test_lsh_topk_overlaps_bruteforce(spark, sf_dir):
+    emb = tap(f"{sf_dir}/embeddings.parquet").read(spark)
+    q = emb.filter(F.col("vec_id") == 0)
+    exact = {r["neighbor_id"] for r in similarity.brute_force_topk(emb, q, k=10).collect()}
+    approx = {r["neighbor_id"] for r in
+              similarity.lsh_topk(emb, q, k=10, n_planes=4, multiprobe=2).collect()}
+    # recall need not be perfect, but buckets must surface real neighbors
+    assert len(exact & approx) >= 3
+
+
+def test_media_meta_extraction(spark, tmp_path):
+    (tmp_path / "img1.png").write_bytes(b"\x89PNG" + b"x" * 100)
+    (tmp_path / "img2.jpg").write_bytes(b"\xff\xd8\xff" + b"y" * 50)
+    df = multimodal.ingest_binary_dir(spark, str(tmp_path))
+    meta = multimodal.extract_media_meta(df)
+    rows = {r["format"]: r for r in meta.collect()}
+    assert set(rows) == {"png", "jpeg"}
+    assert rows["png"]["byte_len"] == 104
+    assert rows["png"]["width"] > 0
+
+
+def test_frame_sample_explodes(spark, tmp_path):
+    (tmp_path / "vid.gif").write_bytes(b"GIF8" + bytes(range(200)))
+    df = multimodal.ingest_binary_dir(spark, str(tmp_path))
+    frames = multimodal.frame_sample(df, every_n=2)
+    rows = frames.collect()
+    assert len(rows) >= 1
+    assert all(r["frame_idx"] % 2 == 0 for r in rows)
+
+
+def test_resize_stub_raises(spark, tmp_path):
+    (tmp_path / "img.png").write_bytes(b"\x89PNG" + b"z" * 10)
+    df = multimodal.ingest_binary_dir(spark, str(tmp_path))
+    with pytest.raises(Exception, match="NotImplementedError|image library"):
+        multimodal.resize_stub(df, 32, 32).collect()
+
+
+def test_language_id_prefers_marked_language(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of the house"),
+         (2, "der hund und die katze ist das")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in textstats.language_id(df).collect()}
+    assert out[1] == "en" and out[2] == "de"
+
+
+def test_quality_scores_ranges(spark, sf_dir):
+    docs = tap(f"{sf_dir}/documents.parquet").read(spark).limit(50)
+    out = textstats.quality_scores(docs)
+    for r in out.collect():
+        assert r["n_tokens"] >= 0
+        assert 0.0 <= r["stopword_ratio"] <= 1.0

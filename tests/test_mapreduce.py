@@ -1,0 +1,131 @@
+"""map/reduce surface (SURVEY §2.3-2.4: M1-M7, A1-A3) including the
+constant-space streaming reducer and error strategies."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hadron_spark.mapreduce import (
+    RETHROW,
+    SKIP_KEY,
+    map_step,
+    monoid_reduce,
+    reduce_step,
+    reduce_stream_sorted,
+)
+from hadron_spark.taps import tap
+
+
+def test_map_step_flatmap(spark, sf_dir):
+    docs = tap(f"{sf_dir}/documents.parquet").read(spark).limit(10)
+
+    def explode_words(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = [
+            {"doc_id": d, "word": w}
+            for d, t in zip(pdf["doc_id"], pdf["text"])
+            for w in t.split()
+        ]
+        return pd.DataFrame(rows, columns=["doc_id", "word"])
+
+    out = map_step(docs, explode_words, "doc_id bigint, word string")
+    n_words = out.count()
+    expected = docs.select(F.sum(F.size(F.split("text", r"\s+"))).alias("n")).collect()[0]["n"]
+    assert n_words == expected
+
+
+def test_reduce_step_per_key(spark, sf_dir):
+    orders = tap(f"{sf_dir}/orders.parquet").read(spark)
+
+    def span(pdf: pd.DataFrame) -> pd.DataFrame:
+        # sorted by o_orderdate per the sort_within contract
+        assert list(pdf["o_orderdate"]) == sorted(pdf["o_orderdate"])
+        return pd.DataFrame(
+            {
+                "o_custkey": [pdf["o_custkey"].iloc[0]],
+                "n": [len(pdf)],
+                "first_price": [pdf["o_totalprice"].iloc[0]],
+            }
+        )
+
+    out = reduce_step(
+        orders,
+        ["o_custkey"],
+        span,
+        "o_custkey bigint, n bigint, first_price double",
+        sort_within=["o_orderdate"],
+    )
+    total = out.agg(F.sum("n")).collect()[0][0]
+    assert total == orders.count()
+
+
+def test_reduce_step_skip_key(spark, sf_dir):
+    orders = tap(f"{sf_dir}/orders.parquet").read(spark)
+
+    def explode_on_small_keys(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf["o_custkey"].iloc[0] < 10:
+            raise ValueError("boom")
+        return pd.DataFrame({"o_custkey": [pdf["o_custkey"].iloc[0]]})
+
+    ok = reduce_step(
+        orders, ["o_custkey"], explode_on_small_keys, "o_custkey bigint",
+        on_error=SKIP_KEY,
+    )
+    keys = [r[0] for r in ok.collect()]
+    assert keys and all(k >= 10 for k in keys)
+
+    bad = reduce_step(
+        orders, ["o_custkey"], explode_on_small_keys, "o_custkey bigint",
+        on_error=RETHROW,
+    )
+    with pytest.raises(Exception):
+        bad.collect()
+
+
+def test_reduce_stream_sorted_matches_groupby(spark, sf_dir):
+    """Streaming reducer (A2 sameKey splitter) == plain groupBy agg."""
+    li = tap(f"{sf_dir}/lineitem.parquet").read(spark).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+    def fold(key, chunks):
+        n = 0
+        qty = 0.0
+        last_ln = None
+        for pdf in chunks:
+            # secondary-sort contract: linenumbers arrive ordered
+            for ln in pdf["l_linenumber"]:
+                assert last_ln is None or ln >= last_ln
+                last_ln = ln
+            n += len(pdf)
+            qty += float(pdf["l_quantity"].sum())
+        yield pd.DataFrame(
+            {"l_orderkey": [key[0]], "n": [n], "total_qty": [qty]}
+        )
+
+    out = reduce_stream_sorted(
+        li, ["l_orderkey"], ["l_linenumber"], fold,
+        "l_orderkey bigint, n bigint, total_qty double",
+    ).collect()
+    expect = {
+        r["l_orderkey"]: (r["n"], r["q"])
+        for r in li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+        .collect()
+    }
+    assert len(out) == len(expect)
+    for r in out:
+        n, q = expect[r["l_orderkey"]]
+        assert r["n"] == n and abs(r["total_qty"] - q) < 1e-6
+
+
+def test_monoid_reduce_partial_agg_plan(spark, sf_dir):
+    """Combiner semantics (A3): the physical plan must contain partial
+    aggregation before the exchange (HashAggregate → Exchange →
+    HashAggregate)."""
+    li = tap(f"{sf_dir}/lineitem.parquet").read(spark)
+    out = monoid_reduce(li, ["l_returnflag"], [F.sum("l_quantity").alias("q")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan

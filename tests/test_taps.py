@@ -1,0 +1,90 @@
+"""Tap surface (SURVEY §2.1-2.2: S1-S6, P1-P11)."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+from pyspark.sql import functions as F
+
+from hadron_spark.taps import (
+    Tap,
+    binary_dir_tap,
+    concat_taps,
+    file_list_tap,
+    merge_taps,
+    read_tap,
+    tap,
+)
+
+
+def test_tap_read_parquet(spark, sf_dir):
+    t = tap(f"{sf_dir}/region.parquet")
+    assert t.read(spark).count() == 5
+
+
+def test_tap_roundtrip_csv(spark, sf_dir, tmp_path):
+    src = tap(f"{sf_dir}/region.parquet").read(spark)
+    out = Tap([str(tmp_path / "region_csv")], "csv", options={"header": "true"})
+    out.write(src, mode="overwrite")
+    back = out.read(spark)
+    assert back.count() == 5
+    assert set(back.columns) == {"r_regionkey", "r_name"}
+
+
+def test_tap_equality_by_location():
+    assert tap("/a/b.parquet") == tap("/a/b.parquet", fmt="csv")
+    assert tap("/a/b.parquet") != tap("/a/c.parquet")
+
+
+def test_concat_taps(spark, sf_dir):
+    t = tap(f"{sf_dir}/nation.parquet")
+    df = concat_taps(spark, [t, tap(f"{sf_dir}/nation.parquet")])
+    assert df.count() == 50
+
+
+def test_merge_taps_tags_sides(spark, sf_dir):
+    m = merge_taps(
+        spark, tap(f"{sf_dir}/customer.parquet"), tap(f"{sf_dir}/supplier.parquet")
+    )
+    by_side = {r["_side"]: r["n"] for r in m.groupBy("_side").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_side["left"] > 0 and by_side["right"] > 0
+    # left rows have customer cols, null supplier cols
+    left_row = m.filter(F.col("_side") == "left").first()
+    assert left_row["c_custkey"] is not None and left_row["s_suppkey"] is None
+
+
+def test_binary_dir_tap_and_glob(spark, tmp_path):
+    (tmp_path / "a.bin").write_bytes(b"\x89PNGxxxx")
+    (tmp_path / "b.txt").write_bytes(b"hello")
+    all_files = binary_dir_tap(spark, str(tmp_path))
+    assert all_files.count() == 2
+    only_bin = binary_dir_tap(spark, str(tmp_path), glob="*.bin")
+    rows = only_bin.collect()
+    assert len(rows) == 1 and rows[0]["content"] == b"\x89PNGxxxx"
+
+
+def test_file_list_tap(spark, tmp_path):
+    f1 = tmp_path / "one.txt"
+    f1.write_bytes(b"first")
+    f2 = tmp_path / "two.txt"
+    f2.write_bytes(b"second")
+    listing = tmp_path / "paths.txt"
+    listing.write_text(f"{f1}\n{f2}\n")
+    df = file_list_tap(spark, str(listing))
+    contents = sorted(r["content"] for r in df.collect())
+    assert contents == [b"first", b"second"]
+
+
+def test_gzip_text_read(spark, tmp_path):
+    # gzipProtocol analog: .gz read transparently (Protocol.hs:164-165)
+    p = tmp_path / "lines.txt.gz"
+    with gzip.open(p, "wt") as fh:
+        fh.write("alpha\nbeta\n")
+    df = tap(str(p), "lines").read(spark)
+    assert sorted(r["value"] for r in df.collect()) == ["alpha", "beta"]
+
+
+def test_read_tap_collects(spark, sf_dir):
+    rows = read_tap(spark, tap(f"{sf_dir}/region.parquet"))
+    assert len(rows) == 5
