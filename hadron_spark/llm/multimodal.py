@@ -33,7 +33,7 @@ MEDIA_META_SCHEMA = (
 def ingest_binary_dir(spark: SparkSession, directory: str, glob: str | None = None) -> DataFrame:
     """Directory of media files → (path, content binary, length) rows,
     split per-file across executors."""
-    from hadron_spark.taps import binary_dir_tap
+    from hadron_spark.sources.taps import binary_dir_tap
 
     return binary_dir_tap(spark, directory, glob).select(
         "path", "content", F.col("length").alias("byte_len")

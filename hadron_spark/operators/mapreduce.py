@@ -106,7 +106,7 @@ def reduce_stream_sorted(
     `fn` receives (key_tuple, iterator of pandas DataFrames all
     belonging to that key, in sort order) and yields output frames.
     """
-    from hadron_spark.ops import secondary_sort
+    from hadron_spark.operators.ops import secondary_sort
 
     pkeys = list(partition_keys)
     sorted_df = secondary_sort(df, pkeys, list(sort_keys), num_partitions)

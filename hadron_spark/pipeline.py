@@ -30,7 +30,7 @@ from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from hadron_spark.taps import Tap
+from hadron_spark.sources.taps import Tap
 
 # RerunStrategy (Controller.hs:914-921) → SaveMode + existence check
 RS_FAIL = "fail"  # output exists → error        (SaveMode errorifexists)

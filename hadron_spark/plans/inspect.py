@@ -1,0 +1,70 @@
+"""Physical-plan introspection over DataFrames.
+
+All helpers parse the executed-plan string — the same text
+`.explain("formatted")` prints — so they see exactly what will run
+(post-AQE initial plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """The explain output as a string (what .explain() prints)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def _plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of exchanges in the physical plan. Every one is a full
+    network/disk round of the data — the unit of cost at 100 TB."""
+    return _plan(df).count("Exchange")
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Number of whole-stage-codegen spans. More rows of the plan
+    inside fewer spans = more of the query runs as generated JVM
+    loops rather than interpreted operators."""
+    return _plan(df).count("WholeStageCodegen")
+
+
+def assert_pushed_filters(df: DataFrame, *fragments: str) -> None:
+    """Assert the parquet scan received pushed-down predicates
+    mentioning each fragment (column name etc.)."""
+    plan = _plan(df)
+    if "PushedFilters: []" in plan or "PushedFilters" not in plan:
+        raise AssertionError(f"no pushed filters in plan:\n{plan}")
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    for frag in fragments:
+        if frag not in pushed:
+            raise AssertionError(f"filter on {frag!r} not pushed: {pushed}")
+
+
+def assert_broadcast_join(df: DataFrame, expected: int = 1) -> None:
+    """Assert at least `expected` broadcast joins (true map-side
+    joins; the reference could only claim these, README.md:20-25)."""
+    n = _plan(df).count("BroadcastHashJoin") + _plan(df).count("BroadcastNestedLoopJoin")
+    if n < expected:
+        raise AssertionError(f"expected ≥{expected} broadcast joins, found {n}")
+
+
+def assert_partial_aggregation(df: DataFrame) -> None:
+    """Assert map-side partial aggregation precedes the exchange —
+    the automatic 'combiner' (reference Basic.hs:163-174)."""
+    plan = _plan(df)
+    if plan.count("HashAggregate") < 2 and plan.count("SortAggregate") < 2:
+        raise AssertionError(f"no partial+final aggregation pair:\n{plan}")
+
+
+def assert_no_shuffle(df: DataFrame) -> None:
+    """Assert the plan is narrow (map-only job — reference
+    Controller.hs:902-906 numReduce=0 path)."""
+    n = shuffle_count(df)
+    if n:
+        raise AssertionError(f"expected narrow plan, found {n} exchanges")

@@ -21,9 +21,9 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hadron_spark import joins, ops
+from hadron_spark.operators import joins, ops
 from hadron_spark.llm import dedup, similarity, textstats
-from hadron_spark.taps import Tap, concat_taps, merge_taps
+from hadron_spark.sources.taps import Tap, concat_taps, merge_taps
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -89,7 +89,7 @@ def q01(spark, sf_dir):
     agg shrinks 100 TB of lineitem to |groups|·|partitions| rows
     before the exchange."""
     li = load(spark, sf_dir, "lineitem")
-    from hadron_spark.mapreduce import monoid_reduce
+    from hadron_spark.operators.mapreduce import monoid_reduce
 
     disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
     return monoid_reduce(
@@ -470,7 +470,7 @@ def q17(spark, sf_dir):
     Arrow batches."""
     import pandas as pd
 
-    from hadron_spark.mapreduce import reduce_stream_sorted
+    from hadron_spark.operators.mapreduce import reduce_stream_sorted
 
     # epoch-micros as int64 up front: integer math end-to-end, no
     # pandas datetime-unit ambiguity inside the reducer
@@ -731,4 +731,261 @@ def q30(spark, sf_dir):
     buckets + exact cosine filter."""
     return dedup.embedding_dup_pairs(
         load(spark, sf_dir, "embeddings"), threshold=0.8, n_planes=6
+    )
+
+
+# ---------------------------------------------------------------------------
+# E. streaming + further relational breadth
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q31_stream_window",
+    """
+    SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS win_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q31(spark, sf_dir):
+    """Structured Streaming 5-minute tumbling window aggregation,
+    driven to completion (availableNow) against the memory sink and
+    verified against the batch oracle — batch/stream parity is the
+    core argument for the Spark-first architecture (the reference has
+    no streaming at all, SURVEY §2.7)."""
+    import os
+    import tempfile
+
+    from hadron_spark.streaming import run_stream_to_memory, stream_tap, windowed_agg
+
+    d = tempfile.mkdtemp(prefix="q31_events_")
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    raw = stream_tap(
+        spark,
+        d,
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = windowed_agg(
+        ev,
+        "ts",
+        "5 minutes",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n"), dsum("value", "total_value")],
+    )
+    out = run_stream_to_memory(agg, "q31_win", output_mode="complete")
+    return out.select("win_start", "event_type", "n", "total_value")
+
+
+@_register(
+    "q32_set_ops",
+    """
+    SELECT c_nationkey FROM customer WHERE c_acctbal > 5000.0
+    INTERSECT
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def q32(spark, sf_dir):
+    """intersect/except set ops (SURVEY §2.7: union-only in the
+    reference; the rest declared free capability)."""
+    c = load(spark, sf_dir, "customer")
+    rich = c.filter(F.col("c_acctbal") > 5000.0).select("c_nationkey")
+    bld = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    return ops.intersect(rich, bld)
+
+
+@_register(
+    "q33_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q33(spark, sf_dir):
+    """cube grouping sets."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@_register(
+    "q34_pivot",
+    """
+    SELECT l_returnflag,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS F,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q34(spark, sf_dir):
+    """pivot (wide aggregation) with an explicit value list — at scale
+    always pass the values to avoid the extra distinct scan."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(_dec("l_quantity")).cast("double"))
+    )
+
+
+@_register(
+    "q35_count_distinct",
+    """
+    SELECT n_name,
+      COUNT(DISTINCT s_suppkey) AS n_suppliers,
+      COUNT(DISTINCT c_mktsegment) AS n_segments
+    FROM nation
+    LEFT JOIN supplier ON s_nationkey = n_nationkey
+    LEFT JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q35(spark, sf_dir):
+    """multi count-distinct over joined dims (expand-based distinct
+    aggregation — each distinct adds one expand branch, not one extra
+    scan)."""
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    return (
+        n.join(s, s.s_nationkey == n.n_nationkey, "left")
+        .join(c, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+    )
+
+
+@_register(
+    "q36_jaccard_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+               AS t
+      FROM documents WHERE doc_id < 40)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      CASE WHEN len(list_distinct(a.t || b.t)) > 0
+           THEN CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                / len(list_distinct(a.t || b.t))
+           ELSE 0.0 END AS jaccard
+    FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    """,
+)
+def q36(spark, sf_dir):
+    """Exact token-set Jaccard on candidate pairs (the verification
+    stage of the LSH dedup funnel) — SQL-oracled on a bounded
+    candidate set."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    ids = docs.select("doc_id")
+    cand = (
+        ids.select(F.col("doc_id").alias("id_a"))
+        .crossJoin(ids.select(F.col("doc_id").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    return dedup.ngram_jaccard_pairs(docs, cand, n=1)
+
+
+@_register(
+    "q37_doc_frequency",
+    """
+    SELECT word, COUNT(DISTINCT doc_id) AS df FROM (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+      FROM documents) t
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def q37(spark, sf_dir):
+    """Document frequency per term (IDF substrate for quality/TF-IDF
+    scoring): explode + distinct count; partial agg bounds the shuffle
+    at |vocab| per partition."""
+    from hadron_spark.functions.text import tokenize
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+
+
+@_register(
+    "q38_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def q38(spark, sf_dir):
+    """explicit grouping sets via the SQL API (same Catalyst plan as
+    the DataFrame route — exercised through spark.sql on a temp
+    view)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("q38_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM q38_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@_register("q39_multimodal_meta", None)
+def q39(spark, sf_dir):
+    """Multimodal binary-column pipeline: deterministic media files
+    derived from documents (idempotent staging), distributed
+    binaryFile ingestion (S4 binaryDirTap analog), metadata extraction
+    via the Arrow-batched decode stub. Rows-only check (binary I/O is
+    not SQL-expressible)."""
+    import os
+
+    from hadron_spark.llm import multimodal
+
+    media_dir = os.path.join("/tmp", f"q39_media_{os.path.basename(sf_dir.rstrip('/'))}")
+    if not os.path.isdir(media_dir) or not os.listdir(media_dir):
+        os.makedirs(media_dir, exist_ok=True)
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text").limit(32).collect()
+        for r in docs:
+            payload = b"\x89PNG" + r["text"].encode("utf-8")[:256]
+            with open(os.path.join(media_dir, f"doc_{r['doc_id']:05d}.png"), "wb") as fh:
+                fh.write(payload)
+    ingested = multimodal.ingest_binary_dir(spark, media_dir, glob="*.png")
+    return multimodal.extract_media_meta(ingested).select(
+        "path", "format", "byte_len", "width", "height"
+    )
+
+
+@_register(
+    "q40_quantiles",
+    """
+    SELECT o_orderpriority,
+      quantile_cont(o_totalprice, 0.5) AS median_price,
+      quantile_cont(o_totalprice, 0.9) AS p90_price,
+      COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q40(spark, sf_dir):
+    """Exact continuous quantiles per group (percentile — sort-based
+    exact; for the 100 TB path swap to approx_percentile, a one-word
+    change with a t-digest sketch plan)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("median_price"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90_price"),
+        F.count(F.lit(1)).alias("n"),
     )

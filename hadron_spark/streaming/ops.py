@@ -1,0 +1,128 @@
+"""Streaming operators: file-source taps, watermarked windows,
+session windows, and memory-sink test drivers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_tap(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    fmt: str = "parquet",
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Unbounded read of a directory (new files become micro-batches).
+    Streaming sources require an explicit schema — no inference race
+    at 100 TB. `maxFilesPerTrigger` caps per-batch work."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def windowed_agg(
+    events: DataFrame,
+    ts_col: str,
+    window: str,
+    keys: list[str],
+    aggs: list,
+    watermark: str = "10 minutes",
+    slide: str | None = None,
+) -> DataFrame:
+    """Watermarked tumbling/sliding event-time window aggregation.
+    The watermark bounds state: late rows beyond it are dropped, so
+    state size is O(windows in flight), not O(stream)."""
+    w = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    agged = (
+        events.withWatermark(ts_col, watermark).groupBy(w, *keys).agg(*aggs)
+    )
+    agg_cols = [c for c in agged.columns if c not in ("window", *keys)]
+    return agged.select(
+        F.col("window.start").alias("win_start"),
+        F.col("window.end").alias("win_end"),
+        *keys,
+        *agg_cols,
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based sessionization via the native session_window — the
+    streaming analog of queries.q16 (state = open sessions per key,
+    closed by watermark passage)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("sess"), *key_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *key_cols,
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            "n_events",
+        )
+    )
+
+
+def stateful_running_totals(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-key running (total, count) maintained across micro-batches —
+    the streaming analog of the reference's per-key stateful Reducer
+    conduits (Types.hs:39-53), with explicit managed state instead of
+    a sorted stream.
+
+    Emits one row per key per micro-batch in `update` mode. State is
+    two scalars per key — O(|keys|), watermark-free."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_type = dict(events.dtypes)[key_col]
+    out_schema = f"{key_col} {key_type}, total double, n bigint"
+    state_schema = "total double, n bigint"
+
+    def fn(key, pdfs, state: GroupState):
+        total, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            total += float(pdf[value_col].sum())
+            n += len(pdf)
+        state.update((total, n))
+        yield pd.DataFrame({key_col: [key[0]], "total": [total], "n": [n]})
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+_MEMORY_SINK_SEQ = [0]
+
+
+def run_stream_to_memory(
+    df: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drive a streaming frame to completion against the memory sink
+    (test/dev harness): processes everything currently available,
+    stops, and returns the materialized result as a batch frame.
+    Sink names are uniquified so repeated runs don't collide."""
+    _MEMORY_SINK_SEQ[0] += 1
+    qname = f"{name}_{_MEMORY_SINK_SEQ[0]}"
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.sql(f"SELECT * FROM {qname}")

@@ -6,8 +6,8 @@ import os
 
 from pyspark.sql import functions as F
 
-from hadron_spark.fanout import fan_out_by, fan_out_write, partitioned_write
-from hadron_spark.taps import tap
+from hadron_spark.sources.fanout import fan_out_by, fan_out_write, partitioned_write
+from hadron_spark.sources.taps import tap
 
 
 def test_fan_out_write_routes_and_stats(spark, sf_dir, tmp_path):

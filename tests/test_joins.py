@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from hadron_spark.joins import (
+from hadron_spark.operators.joins import (
     OPTIONAL,
     REQUIRED,
     JoinSide,

@@ -6,7 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from hadron_spark.llm import dedup, multimodal, similarity, textstats
-from hadron_spark.taps import tap
+from hadron_spark.sources.taps import tap
 
 
 def test_exact_dedup_drops_copies(spark):

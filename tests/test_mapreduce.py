@@ -7,7 +7,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from hadron_spark.mapreduce import (
+from hadron_spark.operators.mapreduce import (
     RETHROW,
     SKIP_KEY,
     map_step,
@@ -15,7 +15,7 @@ from hadron_spark.mapreduce import (
     reduce_step,
     reduce_stream_sorted,
 )
-from hadron_spark.taps import tap
+from hadron_spark.sources.taps import tap
 
 
 def test_map_step_flatmap(spark, sf_dir):

@@ -11,8 +11,8 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-from hadron_spark import ops
-from hadron_spark.taps import tap
+from hadron_spark.operators import ops
+from hadron_spark.sources.taps import tap
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):

@@ -10,7 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from hadron_spark.pipeline import RS_FAIL, RS_RERUN, RS_SKIP, Pipeline
-from hadron_spark.taps import Tap, tap
+from hadron_spark.sources.taps import Tap, tap
 
 
 def _wordcount_pipeline(spark, sf_dir, workdir, rerun):

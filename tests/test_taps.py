@@ -7,7 +7,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from hadron_spark.taps import (
+from hadron_spark.sources.taps import (
     Tap,
     binary_dir_tap,
     concat_taps,
