@@ -39,6 +39,11 @@ HEADLINE = [
     "q26_minhash_pairs",
     "q27_simhash_pairs",
     "q28_lsh_topk",
+    "q31_stream_window",
+    "q33_cube",
+    "q36_jaccard_pairs",
+    "q37_doc_frequency",
+    "q40_quantiles",
 ]
 
 

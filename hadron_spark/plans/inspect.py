@@ -22,16 +22,25 @@ def _plan(df: DataFrame) -> str:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Number of exchanges in the physical plan. Every one is a full
-    network/disk round of the data — the unit of cost at 100 TB."""
-    return _plan(df).count("Exchange")
+    """Number of SHUFFLE exchanges in the physical plan (broadcast
+    exchanges excluded — they move only the small side). Every one is
+    a full network/disk round of the data — the unit of cost at
+    100 TB."""
+    plan = _plan(df)
+    return plan.count("Exchange ") - plan.count("BroadcastExchange ")
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    """Number of whole-stage-codegen spans. More rows of the plan
-    inside fewer spans = more of the query runs as generated JVM
-    loops rather than interpreted operators."""
-    return _plan(df).count("WholeStageCodegen")
+    """Number of whole-stage-codegen subtrees (from the codegen
+    explain, which reports them pre-execution even under AQE). More
+    of the plan inside fewer spans = more generated JVM loops,
+    fewer interpreted operators."""
+    text = explain_str(df, "codegen")
+    # header: "Found N WholeStageCodegen subtrees."
+    for line in text.splitlines():
+        if "WholeStageCodegen subtrees" in line:
+            return int(line.split("Found")[1].split("WholeStageCodegen")[0].strip())
+    return 0
 
 
 def assert_pushed_filters(df: DataFrame, *fragments: str) -> None:

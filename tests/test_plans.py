@@ -1,0 +1,89 @@
+"""Plan-shape contracts for the headline queries — the scale
+properties that must survive a 100× data increase, asserted on the
+physical plan rather than eyeballed (SURVEY §4: the reference's
+hand-set physical knobs become Catalyst obligations we verify)."""
+
+from __future__ import annotations
+
+import pytest
+
+from hadron_spark.plans import (
+    assert_broadcast_join,
+    assert_no_shuffle,
+    assert_partial_aggregation,
+    assert_pushed_filters,
+    codegen_stage_count,
+    shuffle_count,
+)
+from hadron_spark.queries import QUERIES
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def build(name):
+        return QUERIES[name](spark, sf_dir)
+
+    return build
+
+
+def test_q01_single_shuffle_partial_agg(q):
+    df = q("q01_pricing_summary")
+    assert shuffle_count(df) == 1  # one exchange on the group keys
+    assert_partial_aggregation(df)  # combiner before it
+
+
+def test_q01_whole_stage_codegen(spark, sf_dir):
+    # AQE finalizes codegen lazily; toggle it off to see the spans
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = QUERIES["q01_pricing_summary"](spark, sf_dir)
+        assert codegen_stage_count(df) >= 2  # scan+partial, final agg
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q03_narrow_with_pushdown(q):
+    df = q("q03_filter_project")
+    assert_no_shuffle(df)  # map-only job (M5)
+    assert_pushed_filters(df, "c_acctbal")  # predicate reaches the scan
+
+
+def test_q04_topk_no_global_sort(q):
+    df = q("q04_topk_orders")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert shuffle_count(df) == 0  # per-partition heaps + driver merge
+
+
+def test_q07_join_chain_bounded_shuffles(q):
+    df = q("q07_join_nway_revenue")
+    # 3 table reads + agg may never exceed one exchange per shuffle
+    # boundary: li⋈o key, re-key to custkey, final agg
+    assert shuffle_count(df) <= 3
+    assert_partial_aggregation(df)
+
+
+def test_q09_dims_broadcast_one_shuffle(q):
+    df = q("q09_broadcast_region_rollup")
+    assert_broadcast_join(df, expected=2)  # nation AND region map-side
+    assert shuffle_count(df) == 1  # only the final agg exchanges data
+
+
+def test_q25_corpus_never_shuffled_for_scoring(q):
+    df = q("q25_ann_bruteforce")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # query set broadcast → scoring is narrow over the corpus scan;
+    # the only shuffle is the per-query top-k window
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert shuffle_count(df) <= 1
+
+
+def test_q21_dedup_partial_agg(q):
+    df = q("q21_dedup_exact")
+    assert shuffle_count(df) == 1
+    assert_partial_aggregation(df)
+
+
+def test_q15_window_single_shuffle(q):
+    df = q("q15_window_lag")
+    assert shuffle_count(df) == 1  # one hash exchange on user_id
