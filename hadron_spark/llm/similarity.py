@@ -92,6 +92,93 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    max_train_rows: int = 100_000,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer → corpus
+    partitioned by nearest centroid → queries probe their `n_probe`
+    nearest cells only.
+
+    Scale path: training samples ≤ max_train_rows (driver-coordinated
+    k-means over a bounded sample); cell assignment is one JVM-side
+    model.transform pass; the search is a centroid-cell equi-join —
+    compare cost drops by ~n_centroids/n_probe vs brute force, and
+    the join partitions cleanly. Recall is tunable via n_probe."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fc = F.col(vec_col).cast("array<double>")
+    corpus_feat = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        array_to_vector(fc).alias("features"),
+    )
+    n_rows = corpus_feat.count()
+    train = (
+        corpus_feat.sample(fraction=min(1.0, max_train_rows / max(n_rows, 1)), seed=seed)
+        if n_rows > max_train_rows
+        else corpus_feat
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(train)
+    assigned = model.transform(corpus_feat).select(
+        "neighbor_id", "cvec", F.col("prediction").alias("cell")
+    )
+
+    # query-side probes: distance to every centroid as an expression
+    # over the (tiny, literal) centroid matrix → top n_probe cells
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def sq_dist(vec, center):
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(x) for x in center]),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dists = F.array(
+        *[
+            F.struct(sq_dist(F.col(vec_col), c).alias("d"), F.lit(i).alias("cell"))
+            for i, c in enumerate(centers)
+        ]
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(dists), 1, n_probe), lambda s: s["cell"]
+                )
+            ).alias("cell"),
+        )
+    )
+    scored = (
+        assigned.join(q, on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("cvec"), F.col("qvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

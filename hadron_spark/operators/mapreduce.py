@@ -30,9 +30,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# ReduceErrorStrategy (Types.hs:56-60)
+# ReduceErrorStrategy (Types.hs:56-60). The reference declared all
+# three but wired only ReThrow (Controller.hs:1115-1141); all three
+# work here.
 RETHROW = "rethrow"
 SKIP_KEY = "skip_key"
+RETRY = "retry"
 
 
 def map_step(
@@ -60,6 +63,7 @@ def reduce_step(
     schema: str,
     sort_within: Sequence[str] | None = None,
     on_error: str = RETHROW,
+    retries: int = 2,
 ) -> DataFrame:
     """Per-key arbitrary reducer (reference Reducer, Types.hs:39-53):
     one fresh `fn` invocation per distinct key, whole group as a
@@ -69,20 +73,25 @@ def reduce_step(
     Memory contract: the full group must fit in one python worker —
     use reduce_stream_sorted for unbounded groups.
 
-    on_error=SKIP_KEY implements the reference's declared-but-unwired
-    SkipKey strategy (Types.hs:56-60): a key whose reducer raises is
-    dropped, not fatal."""
+    on_error=SKIP_KEY drops a key whose reducer raises instead of
+    failing the job; on_error=RETRY re-invokes the reducer up to
+    `retries` times (transient-failure contract) then rethrows —
+    the full ReduceErrorStrategy surface (Types.hs:56-60)."""
     sort_cols = list(sort_within or [])
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         if sort_cols:
             pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        try:
-            return fn(pdf)
-        except Exception:
-            if on_error == SKIP_KEY:
-                return pd.DataFrame()
-            raise
+        attempts = 1 + (retries if on_error == RETRY else 0)
+        for i in range(attempts):
+            try:
+                return fn(pdf)
+            except Exception:
+                if i + 1 < attempts:
+                    continue
+                if on_error == SKIP_KEY:
+                    return pd.DataFrame()
+                raise
 
     return df.groupBy(*keys).applyInPandas(run, schema=schema)
 

@@ -38,12 +38,15 @@ RS_RERUN = "rerun"  # output exists → overwrite    (SaveMode overwrite)
 RS_SKIP = "skip"  # output exists → skip compute (memoized restart)
 
 
-def _output_exists(path: str) -> bool:
-    # local/posix check; on HDFS/S3 the committer's _SUCCESS marker is
-    # the contract — same rule, different FS client.
-    return os.path.exists(os.path.join(path, "_SUCCESS")) or (
-        os.path.exists(path) and bool(os.listdir(path)) if os.path.isdir(path) else False
-    )
+def _output_exists(spark: SparkSession, path: str) -> bool:
+    """Committed-output check via the Hadoop FileSystem client (works
+    for file://, hdfs://, s3a:// alike): the committer's _SUCCESS
+    marker, or a non-empty directory."""
+    from hadron_spark.sources import fs
+
+    if fs.exists(spark, os.path.join(path, "_SUCCESS")):
+        return True
+    return fs.exists(spark, path) and bool(fs.ls(spark, path))
 
 
 @dataclass
@@ -115,7 +118,7 @@ class Pipeline:
         out = output or self.make_tap(f"{len(self.steps):02d}_{name}")
         out_path = out.paths[0]
 
-        if _output_exists(out_path):
+        if _output_exists(self.spark, out_path):
             if self.rerun == RS_FAIL:
                 raise FileExistsError(f"step {name}: output exists: {out_path}")
             if self.rerun == RS_SKIP:

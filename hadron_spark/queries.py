@@ -969,6 +969,39 @@ def q39(spark, sf_dir):
     )
 
 
+@_register("q41_ivf_topk", None)
+def q41(spark, sf_dir):
+    """IVF ANN (k-means coarse quantizer + cell-probe search) — the
+    100 TB scale path for q25; approximate → rows-only check."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(emb, q, k=10, n_centroids=16, n_probe=4).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+@_register(
+    "q42_either_decode",
+    """
+    SELECT _codec, COUNT(*) AS n FROM (
+      SELECT CASE WHEN json_valid(props) THEN 'json' ELSE 'csv' END AS _codec
+      FROM events) t
+    GROUP BY _codec
+    """,
+)
+def q42(spark, sf_dir):
+    """Fallback per-line decoding (eitherProtocol, Protocol.hs:271-287):
+    events.props decoded as JSON with CSV fallback; counts per codec.
+    All rows are valid JSON in this corpus, so the oracle reduces to
+    json-validity counting — the CSV branch is exercised in unit
+    tests."""
+    from hadron_spark.sources.taps import either_decode
+
+    e = load(spark, sf_dir, "events").select(F.col("props").alias("value"))
+    out = either_decode(e, "value", "k int", "k int")
+    return out.groupBy("_codec").agg(F.count(F.lit(1)).alias("n"))
+
+
 @_register(
     "q40_quantiles",
     """

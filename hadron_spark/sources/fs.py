@@ -1,0 +1,119 @@
+"""Filesystem utility ops (reference S10: hdfsLs / hdfsPut / hdfsGet /
+hdfsCat / exists / delete / mkdir / chmod / tmp paths, shelled out to
+`hadoop fs` in src/Hadron/Run.hs:122-261 and Run/Hadoop.hs:313-461).
+
+Spark-first: go through the JVM Hadoop FileSystem API already inside
+the SparkSession — the same client executors use, so every scheme
+Spark can read (file://, hdfs://, s3a://, ...) works here with no
+subprocess and no extra dependency.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+
+@dataclass
+class FileStat:
+    """The reference's `File` record (Utils.hs: size/path + perms)."""
+
+    path: str
+    size: int
+    is_dir: bool
+    mtime: int
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    uri = jvm.java.net.URI.create(path)
+    return jvm.org.apache.hadoop.fs.FileSystem.get(uri, conf)
+
+
+def _jpath(spark: SparkSession, path: str):
+    return spark.sparkContext._jvm.org.apache.hadoop.fs.Path(path)
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    """hdfsFileExists (Run/Hadoop.hs)."""
+    return _fs(spark, path).exists(_jpath(spark, path))
+
+
+def ls(spark: SparkSession, path: str) -> list[FileStat]:
+    """hdfsLs (Run/Hadoop.hs:313-340) — non-recursive listing."""
+    fs = _fs(spark, path)
+    statuses = fs.listStatus(_jpath(spark, path))
+    return [
+        FileStat(
+            path=s.getPath().toString(),
+            size=s.getLen(),
+            is_dir=s.isDirectory(),
+            mtime=s.getModificationTime(),
+        )
+        for s in statuses
+    ]
+
+
+def mkdir(spark: SparkSession, path: str) -> bool:
+    """hdfsMkdir."""
+    return _fs(spark, path).mkdirs(_jpath(spark, path))
+
+
+def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    """hdfsDeletePath."""
+    fs = _fs(spark, path)
+    p = _jpath(spark, path)
+    if not fs.exists(p):
+        return False
+    return fs.delete(p, recursive)
+
+
+def put(spark: SparkSession, local_path: str, dest_path: str) -> None:
+    """hdfsPut (copy from local)."""
+    _fs(spark, dest_path).copyFromLocalFile(
+        _jpath(spark, local_path), _jpath(spark, dest_path)
+    )
+
+
+def get(spark: SparkSession, src_path: str, local_path: str) -> None:
+    """hdfsGet (copy to local)."""
+    _fs(spark, src_path).copyToLocalFile(
+        _jpath(spark, src_path), _jpath(spark, local_path)
+    )
+
+
+def cat(spark: SparkSession, path: str, max_bytes: int = 1 << 26) -> bytes:
+    """hdfsCat — driver-side read of one file's bytes (debug/config
+    use; bounded by max_bytes so a fat-fingered path can't OOM the
+    driver). Unlike the reference's `hadoop fs -cat` subprocess there
+    is no header-bytes quirk (Run/Hadoop.hs:423-437)."""
+    fs = _fs(spark, path)
+    p = _jpath(spark, path)
+    size = fs.getFileStatus(p).getLen()
+    if size > max_bytes:
+        raise ValueError(f"cat: {path} is {size} bytes > max_bytes={max_bytes}")
+    stream = fs.open(p)
+    try:
+        jvm = spark.sparkContext._jvm
+        out = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, out, 65536, False)
+        return bytes(out.toByteArray())
+    finally:
+        stream.close()
+
+
+def mv(spark: SparkSession, src: str, dest: str) -> bool:
+    """rename/move (the tmp-then-rename finalize primitive the
+    reference's FanOut used, FanOut.hs:118-133 — Spark's committers
+    do this internally; exposed for pipeline bookkeeping)."""
+    return _fs(spark, src).rename(_jpath(spark, src), _jpath(spark, dest))
+
+
+def random_tmp_path(spark: SparkSession, base: str, prefix: str = "hadron_tmp") -> str:
+    """randomRemoteFile analog (Run/Hadoop.hs): a fresh path under
+    `base` (not created)."""
+    import secrets
+
+    return f"{base.rstrip('/')}/{prefix}_{secrets.token_hex(8)}"

@@ -159,6 +159,43 @@ def file_list_tap(spark: SparkSession, list_file: str) -> DataFrame:
     )
 
 
+def either_decode(
+    lines: DataFrame,
+    value_col: str,
+    json_schema: str,
+    csv_schema: str,
+    csv_options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Per-line fallback decoding (reference eitherProtocol /
+    eitherPrism, Protocol.hs:271-287: try codec A, then codec B).
+
+    Primary codec is JSON — failure detected via the corrupt-record
+    column (PERMISSIVE mode yields a null-filled struct, not NULL, so
+    coalesce alone can't see the failure). Fallback is CSV, which is
+    a total codec (any line parses, uncastable cells become NULL) —
+    matching the reference, where the csv-conduit side accepts any
+    line. `_codec` records which codec decoded each row."""
+    c = F.col(value_col)
+    a_full = F.from_json(
+        c,
+        json_schema + ", _corrupt string",
+        {"columnNameOfCorruptRecord": "_corrupt", "mode": "PERMISSIVE"},
+    )
+    json_ok = a_full["_corrupt"].isNull() & c.isNotNull()
+    a = a_full.dropFields("_corrupt")
+    b = F.from_csv(c, csv_schema, csv_options or {})
+    return lines.withColumn("decoded", F.when(json_ok, a).otherwise(b)).withColumn(
+        "_codec", F.when(json_ok, F.lit("json")).otherwise(F.lit("csv"))
+    )
+
+
+def with_input_file(df: DataFrame, col_name: str = "input_file") -> DataFrame:
+    """Current input filename per row (reference getFileName via the
+    mapreduce_map_input_file env var, Basic.hs:122-126 — it drives
+    joins and merged-tap dispatch there). Narrow metadata column."""
+    return df.withColumn(col_name, F.input_file_name())
+
+
 def read_tap(spark: SparkSession, t: Tap) -> list:
     """Collect a whole tap into driver memory (reference readTap,
     Controller.hs:383-412 — its concurrency/retry machinery is

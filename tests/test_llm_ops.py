@@ -79,6 +79,20 @@ def test_brute_force_topk_self_similarity(spark, sf_dir):
         assert all(r["neighbor_id"] != q_id for r in rs)
 
 
+def test_ivf_topk_overlaps_bruteforce(spark, sf_dir):
+    emb = tap(f"{sf_dir}/embeddings.parquet").read(spark)
+    q = emb.filter(F.col("vec_id") < 2)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, q, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(emb, q, k=10, n_centroids=8, n_probe=3).collect()
+    }
+    assert len(exact & approx) >= 8  # probing 3/8 cells keeps recall high
+
+
 def test_lsh_topk_overlaps_bruteforce(spark, sf_dir):
     emb = tap(f"{sf_dir}/embeddings.parquet").read(spark)
     q = emb.filter(F.col("vec_id") == 0)
