@@ -135,6 +135,57 @@ def secondary_sort(
 
 
 # ---------------------------------------------------------------------------
+# skew handling (AQE skew-join splitting is on by default; explicit
+# salting is for the pathological single-hot-key aggregations AQE
+# can't split — the 100 TB escape hatch)
+# ---------------------------------------------------------------------------
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    partial_aggs: Sequence[Column],
+    final_aggs: Sequence[Column],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation for a skewed key: stage 1 groups by
+    (keys + random salt) so one hot key spreads over `salt_buckets`
+    reducers; stage 2 re-aggregates the per-salt partials on the true
+    keys (now ≤ salt_buckets rows per key).
+
+    `partial_aggs` run in stage 1 and must be re-aggregable by
+    `final_aggs` over the stage-1 output (sum→sum, count→sum,
+    min→min, ...). For plain algebraic aggs Catalyst's own partial
+    aggregation usually suffices — use this when a single key's
+    partials still overwhelm one task."""
+    salted = df.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    stage1 = salted.groupBy(*keys, "_salt").agg(*partial_aggs)
+    return stage1.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skewed equi-join: salt the big side's key randomly, replicate
+    the small side across all salt values, join on (keys + salt). A
+    hot key's rows spread over `salt_buckets` tasks instead of one.
+    Cost: |small| × salt_buckets replication — keep the small side
+    small or the bucket count low."""
+    on = list(on)
+    big_s = big.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    small_s = small.crossJoin(
+        F.broadcast(
+            big.sparkSession.range(salt_buckets).select(F.col("id").cast("int").alias("_salt"))
+        )
+    )
+    return big_s.join(small_s, on=on + ["_salt"], how=how).drop("_salt")
+
+
+# ---------------------------------------------------------------------------
 # set ops (reference: union only, Controller.hs:364-439; intersect /
 # except declared as free Spark capability per SURVEY §2.7)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,79 @@
+"""Counters/observability (M7 performEvery, C10 reporter counters) and
+skew-handling utilities."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadron_spark.operators.mapreduce import counter
+from hadron_spark.operators.ops import salted_agg, salted_join
+from hadron_spark.sources.taps import Tap, tap
+
+
+def test_counter_observes_metrics(spark, sf_dir):
+    # reference counters go to stderr as 'reporter:counter:...'
+    # (Basic.hs:95-119); here they ride the action via observe() —
+    # zero extra passes, metrics readable after the action
+    from pyspark.sql import Observation
+
+    li = tap(f"{sf_dir}/lineitem.parquet").read(spark)
+    n = li.count()
+    obs = Observation("li_obs")
+    li.observe(obs, F.count(F.lit(1)).alias("rows")).count()
+    assert obs.get["rows"] == n
+    # the string-named counter() wrapper must not change results
+    observed = counter(
+        li, "li_metrics", F.count(F.lit(1)).alias("rows"), F.sum("l_quantity").alias("qty")
+    )
+    assert observed.count() == n
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    li = tap(f"{sf_dir}/lineitem.parquet").read(spark)
+    plain = {
+        r["l_returnflag"]: (r["n"], round(r["q"], 4))
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("q"))
+        .collect()
+    }
+    salted = {
+        r["l_returnflag"]: (r["n"], round(r["q"], 4))
+        for r in salted_agg(
+            li,
+            ["l_returnflag"],
+            partial_aggs=[
+                F.count(F.lit(1)).alias("_n"),
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("_q"),
+            ],
+            final_aggs=[
+                F.sum("_n").alias("n"),
+                F.sum("_q").cast("double").alias("q"),
+            ],
+            salt_buckets=8,
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    orders = tap(f"{sf_dir}/orders.parquet").read(spark).select("o_orderkey", "o_custkey")
+    cust = tap(f"{sf_dir}/customer.parquet").read(spark).select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    plain = orders.join(cust, "o_custkey").count()
+    assert salted_join(orders, cust, ["o_custkey"], salt_buckets=4).count() == plain
+
+
+def test_compression_option_roundtrip(spark, sf_dir, tmp_path):
+    # O5 mroCompress/gzipCodec → writer compression option
+    src = tap(f"{sf_dir}/nation.parquet").read(spark)
+    out = Tap(
+        [str(tmp_path / "nation_gz_csv")],
+        "csv",
+        options={"header": "true", "compression": "gzip"},
+    )
+    out.write(src, mode="overwrite")
+    import glob
+
+    assert glob.glob(str(tmp_path / "nation_gz_csv" / "*.csv.gz"))
+    assert out.read(spark).count() == 25
