@@ -482,14 +482,18 @@ def q17(spark, sf_dir):
         user_id = key[0]
         n_sessions = 0
         n_events = 0
-        last_us = None
+        last_us = None  # carry across chunk boundary
+        gap_us = 1800 * 1000 * 1000
         for pdf in chunks:
-            us = pdf["ts_us"]
-            for v in us:
-                if last_us is None or v - last_us > 1800 * 1000 * 1000:
-                    n_sessions += 1
-                last_us = v
-                n_events += 1
+            us = pdf["ts_us"].to_numpy()
+            if not len(us):
+                continue
+            # vectorized: a session boundary is a gap > 30 min to the
+            # predecessor; the first row compares to the carried last_us
+            first_is_boundary = last_us is None or us[0] - last_us > gap_us
+            n_sessions += int((us[1:] - us[:-1] > gap_us).sum()) + int(first_is_boundary)
+            n_events += len(us)
+            last_us = int(us[-1])
         yield pd.DataFrame(
             {"user_id": [user_id], "n_sessions": [n_sessions], "n_events": [n_events]}
         )
@@ -1000,6 +1004,76 @@ def q42(spark, sf_dir):
     e = load(spark, sf_dir, "events").select(F.col("props").alias("value"))
     out = either_decode(e, "value", "k int", "k int")
     return out.groupBy("_codec").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register(
+    "q43_range_join",
+    """
+    SELECT b.bucket_name, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN (VALUES ('small', 0.0, 100000.0),
+                 ('medium', 100000.0, 300000.0),
+                 ('large', 300000.0, 600000.0)) b(bucket_name, lo, hi)
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.bucket_name
+    """,
+)
+def q43(spark, sf_dir):
+    """Point-in-interval range join (beyond-reference taxonomy,
+    joins.range_join): orders bucketed by broadcast interval table.
+    The interval side is tiny → BroadcastNestedLoopJoin; big-big
+    range joins must bucketize first (see range_join docstring)."""
+    o = load(spark, sf_dir, "orders")
+    buckets = spark.createDataFrame(
+        [("small", 0.0, 100000.0), ("medium", 100000.0, 300000.0),
+         ("large", 300000.0, 600000.0)],
+        "bucket_name string, lo double, hi double",
+    )
+    joined = joins.range_join(
+        o, F.broadcast(buckets), o["o_totalprice"], buckets["lo"], buckets["hi"]
+    ).filter(F.col("o_totalprice") < F.col("hi"))  # half-open [lo, hi)
+    return joined.groupBy("bucket_name").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "revenue")
+    )
+
+
+@_register(
+    "q44_topk_per_group",
+    """
+    SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rk
+      FROM customer) t
+    WHERE rk <= 3
+    """,
+)
+def q44(spark, sf_dir):
+    """Top-k per group (ops.top_k_per_group): one shuffle on the group
+    key, rank window, deterministic tie-break."""
+    c = load(spark, sf_dir, "customer").select("c_mktsegment", "c_custkey", "c_acctbal")
+    return ops.top_k_per_group(
+        c, ["c_mktsegment"], [F.col("c_acctbal").desc(), F.col("c_custkey").asc()], 3
+    )
+
+
+@_register(
+    "q45_except_all",
+    """
+    SELECT o_custkey FROM orders
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q45(spark, sf_dir):
+    """exceptAll (multiset difference — preserves multiplicity, unlike
+    EXCEPT DISTINCT)."""
+    o = load(spark, sf_dir, "orders")
+    return ops.except_all(
+        o.select("o_custkey"),
+        o.filter(F.col("o_orderstatus") == "F").select("o_custkey"),
+    )
 
 
 @_register(
