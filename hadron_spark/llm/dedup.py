@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from hadron_spark.functions.text import char_shingles, ngrams, tokenize
+from hadron_spark.functions.text import ngrams, tokenize
 
 
 # ---------------------------------------------------------------------------
@@ -56,25 +56,36 @@ def minhash_signature(
     num_hashes: int = 16,
     shingle_k: int = 5,
     id_col: str = "doc_id",
+    max_chars: int = 100_000,
 ) -> DataFrame:
     """`sig: array<bigint>` per id — MinHash over character
     k-shingles. Returns (id_col, sig).
 
     Permutation family: xxhash64(shingle, seed=i) for i in 0..n-1;
-    min per seed. Plan shape: shingles hashed to longs once (one
-    higher-order transform), EXPLODED, then the n mins computed as a
-    single codegen'd hash aggregate — min() over xxhash64(long, seed)
-    stays inside whole-stage codegen, and map-side partial
-    aggregation shrinks the shuffle to |docs|·n longs. (The
-    expression-only alternative — n array_min/transform passes — runs
-    ~8× slower because higher-order lambdas are interpreted per
-    element, outside codegen.)"""
-    sh = char_shingles(F.col(text_col), shingle_k)
-    exploded = df.select(
-        id_col, F.explode(F.transform(sh, lambda s: F.xxhash64(s))).alias("_h")
+    min per seed. Plan shape: shingle POSITIONS are exploded
+    (`explode(sequence(...))`) and the shingle string is materialized
+    by a codegen'd `substring` on the exploded row — never an
+    interpreted array lambda — then the n mins are one codegen'd hash
+    aggregate; min() over xxhash64(long, seed) is a cheap fixed-width
+    hash, and map-side partial aggregation shrinks the shuffle to
+    |docs|·n longs. Expressions are built as SQL strings (F.expr):
+    building n aggregates through the Python Column DSL costs
+    hundreds of py4j round-trips of driver latency.
+
+    `max_chars` bounds the per-document explode (a pathological
+    multi-GB document would otherwise own a partition's worth of
+    rows by itself); shingling the first 100k chars is standard
+    web-dedup practice."""
+    pos = F.expr(
+        f"explode(sequence(1, greatest(least(length({text_col}), {max_chars})"
+        f" - {shingle_k - 1}, 1))) AS _pos"
+    )
+    exploded = df.select(id_col, pos, text_col).select(
+        id_col,
+        F.xxhash64(F.expr(f"substring({text_col}, _pos, {shingle_k})")).alias("_h"),
     )
     mins = exploded.groupBy(id_col).agg(
-        *[F.min(F.xxhash64("_h", F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)]
+        *[F.expr(f"min(xxhash64(_h, {i}))").alias(f"_m{i}") for i in range(num_hashes)]
     )
     return mins.select(
         id_col, F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig")
@@ -119,36 +130,46 @@ def minhash_lsh_pairs(
     sigged = minhash_signature(df, text_col, num_hashes, shingle_k, id_col).select(
         F.col(id_col).alias("_id"), "sig"
     )
+    # The signature table feeds FOUR consumers (bucket-size guard,
+    # anti-join probe, and both sides of the self-join); without a
+    # persist the shingle-explode + hash-agg pipeline runs 4×
+    # (exchange reuse does not cross the guard's aggregation). The
+    # table is |docs| × (id + n longs) — a few hundred bytes per doc,
+    # negligible next to the corpus — so MEMORY_AND_DISK is the
+    # standard trade at any scale.
+    from pyspark import StorageLevel
+
+    sigged = sigged.persist(StorageLevel.MEMORY_AND_DISK)
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bkey', md5(concat_ws(',', {cells})))".format(
+            b=b,
+            cells=", ".join(
+                f"sig[{b * rows_per_band + r}]" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     banded = sigged.select(
-        "_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[b * rows_per_band + r]
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bkey"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bs"),
-    ).select("_id", "sig", "bs.band", "bs.bkey")
+        "_id", "sig", F.expr(f"inline(array({band_structs}))")
+    )
 
     if max_bucket_size:
         banded = _drop_oversized_buckets(banded, ["band", "bkey"], max_bucket_size)
 
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    # est_jaccard is computed inside the join projection so the wide
+    # signature arrays never enter the dedup shuffle — the distinct
+    # runs over (long, long, double) rows only. The SQL-lambda match
+    # count is fine here: it runs once per CANDIDATE pair, not per
+    # corpus row.
+    est = (
+        F.expr(
+            "size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), m -> m))"
+        ).cast("double")
+        / F.lit(num_hashes)
+    )
+    return (
         a.join(
             b,
             on=[
@@ -160,18 +181,10 @@ def minhash_lsh_pairs(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            est.alias("est_jaccard"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-            lambda m: m,
-        )
-    ).cast("double") / F.lit(num_hashes)
-    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
 
 
 def minhash_dedup(
@@ -204,36 +217,46 @@ def simhash(
     1-grams: for each bit b, sign(Σ_tokens ±1) where the ± is bit b
     of xxhash64(token). Returns (id_col, simhash).
 
-    Plan shape: tokens hashed to longs (one higher-order transform),
-    EXPLODED, then the per-bit votes are `bits` codegen'd SUM
-    aggregates with map-side partial agg — same rationale as
-    minhash_signature (interpreted HOF folds are ~5× slower).
+    Plan shape: tokens are EXPLODED as strings and hashed by a
+    codegen'd xxhash64 on the exploded row (never inside an
+    interpreted array lambda), then the per-bit ±1 votes are packed
+    FOUR COUNTERS PER LONG (16-bit fields) so the hash aggregate has
+    bits/4 + 1 buffers instead of `bits` — 4× less generated code
+    (faster whole-stage-codegen compile, smaller partial-agg shuffle
+    rows). vote_b = 2·popcount_b − n, so only the set-bit counts are
+    accumulated. All aggregate expressions are SQL strings (F.expr):
+    the Column-DSL equivalent costs hundreds of py4j round-trips.
+
+    Packing contract: per-doc token count must stay < 2^16 for the
+    packed counters not to bleed into the neighbouring field —
+    enforced by slicing to `max_tokens` (simhash over a 65k-token
+    prefix is an accepted approximation for monster documents).
     Token-less documents have no fingerprint (absent from output)."""
+    assert bits % 4 == 0, "bits must be divisible by 4 (16-bit field packing)"
+    max_tokens = 65_535
+    groups = bits // 4
     toks = tokenize(F.col(text_col))
     exploded = df.select(
-        id_col, F.explode(F.transform(toks, lambda t: F.xxhash64(t))).alias("_h")
+        id_col, F.explode(F.slice(toks, 1, max_tokens)).alias("_t")
+    ).select(id_col, F.xxhash64("_t").alias("_h"))
+    packed_aggs = [
+        F.expr(
+            "sum("
+            + " | ".join(
+                f"(((_h >> {j + groups * s}) & 1) << {16 * s})" for s in range(4)
+            )
+            + ")"
+        ).alias(f"_p{j}")
+        for j in range(groups)
+    ] + [F.expr("count(1)").alias("_n")]
+    votes = exploded.groupBy(id_col).agg(*packed_aggs)
+    # bit b lives in aggregate _p{b % groups}, field b // groups
+    fingerprint = " | ".join(
+        f"shiftleft(CAST(2 * ((_p{b % groups} >> {16 * (b // groups)}) & 65535)"
+        f" - _n > 0 AS LONG), {b})"
+        for b in range(bits)
     )
-    votes = exploded.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright("_h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"_v{b}")
-            for b in range(bits)
-        ]
-    )
-    bit_cols = []
-    for b in range(bits):
-        vote = F.col(f"_v{b}")
-        bit_cols.append(
-            F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-            * F.lit(2 ** b).cast("long")
-            if b < 63
-            else F.when(vote > 0, F.lit(-(2 ** 63))).otherwise(F.lit(0).cast("long"))
-        )
-    out = bit_cols[0]
-    for c in bit_cols[1:]:
-        out = out + c
-    return votes.select(id_col, out.alias("simhash"))
+    return votes.select(id_col, F.expr(fingerprint).alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -252,6 +275,12 @@ def simhash_near_pairs(
     h = simhash(df, text_col, id_col=id_col).select(
         F.col(id_col).alias("_id"), "simhash"
     )
+    # same rationale as minhash_lsh_pairs: the fingerprint table is
+    # tiny (id + one long per doc) but feeds 4 consumers — persist so
+    # the token-explode + packed-vote aggregate runs once.
+    from pyspark import StorageLevel
+
+    h = h.persist(StorageLevel.MEMORY_AND_DISK)
     chunked = h.select(
         "_id",
         "simhash",
