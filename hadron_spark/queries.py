@@ -722,9 +722,38 @@ def q28(spark, sf_dir):
     )
 
 
-@_register("q29_language_id", None)
+@_register(
+    "q29_language_id",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> ''),
+               t -> lower(t)) AS toks
+      FROM documents),
+    scores AS (
+      SELECT doc_id, m.lang,
+             CAST(len(list_filter(toks, t -> list_contains(m.markers, t))) AS DOUBLE)
+               / greatest(len(toks), 1) AS score
+      FROM toks, (VALUES
+        ('de', ['der','die','und','das','ist']),
+        ('en', ['the','and','of','to','in']),
+        ('es', ['el','la','los','que','de']),
+        ('fr', ['le','la','et','les','des'])) m(lang, markers)),
+    best AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang DESC) AS rk
+      FROM scores)
+    SELECT lang AS lang_pred, COUNT(*) AS n FROM best WHERE rk = 1
+    GROUP BY lang_pred
+    """,
+)
 def q29(spark, sf_dir):
-    """Heuristic language ID distribution (marker-lexicon scoring)."""
+    """Heuristic language ID distribution (marker-lexicon scoring).
+    Tie-break contract: argmax is array_max over (score, lang) structs
+    = highest score, then lexicographically-highest language code —
+    the oracle mirrors it with ORDER BY score DESC, lang DESC."""
     out = textstats.language_id(load(spark, sf_dir, "documents"))
     return out.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n"))
 
@@ -1095,4 +1124,105 @@ def q40(spark, sf_dir):
         F.percentile("o_totalprice", F.lit(0.5)).alias("median_price"),
         F.percentile("o_totalprice", F.lit(0.9)).alias("p90_price"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
+    "q46_pipeline_wordcount",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents),
+    wc AS (
+      SELECT word, COUNT(*) AS cnt FROM toks WHERE word <> '' GROUP BY word)
+    SELECT substring(word, 1, 5) AS prefix,
+           CAST(SUM(cnt) AS BIGINT) AS total
+    FROM wc GROUP BY prefix
+    """,
+)
+def q46(spark, sf_dir):
+    """The reference's flagship 3-stage pipeline
+    (examples/WordCountLocal.hs:86-92) run through the Controller
+    analog: stage 1 word frequency (shuffle agg) → stage 2 MAP-ONLY
+    truncation to a 5-char prefix (no shuffle, numReduce=0 path,
+    Controller.hs:902-906) → stage 3 re-aggregate per prefix. Each
+    stage writes a parquet tap and the next reads it back —
+    exercising connect/makeTap/RerunStrategy (C1/C2/C8) inside the
+    correctness gate, not just unit tests."""
+    import shutil
+    import tempfile
+
+    from hadron_spark.pipeline import RS_RERUN, Pipeline
+    from hadron_spark.sources.taps import Tap
+
+    workdir = tempfile.mkdtemp(prefix="hadron_q46_")
+    pipe = Pipeline(spark, rerun=RS_RERUN, workdir=workdir)
+    docs_tap = Tap([f"{sf_dir}/documents.parquet"], "parquet")
+
+    wc = pipe.connect("wordcount", lambda df: textstats.word_count(df), [docs_tap])
+    truncated = pipe.connect(
+        "truncate",  # map-only: narrow select, no exchange in the plan
+        lambda df: df.select(
+            F.col("word").substr(1, 5).alias("prefix"), F.col("cnt")
+        ),
+        [wc],
+    )
+    totals = pipe.connect(
+        "totals",
+        lambda df: df.groupBy("prefix").agg(F.sum("cnt").alias("total")),
+        [truncated],
+    )
+    out = totals.read(spark)
+    # the result is materialized on disk; hand the driver an in-memory
+    # copy so the temp workdir can be removed eagerly
+    result = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return result
+
+
+@_register(
+    "q47_reduce_step_gaps",
+    """
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_days
+    FROM (
+      SELECT o_custkey,
+             date_diff('day',
+               lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate),
+               o_orderdate) AS gap
+      FROM orders)
+    GROUP BY o_custkey
+    """,
+)
+def q47(spark, sf_dir):
+    """Arbitrary per-key reducer (reference Reducer conduit,
+    Types.hs:39-53) through reduce_step/applyInPandas: per customer,
+    order count and the maximum day-gap between consecutive orders.
+    The gap multiset depends only on the sorted dates, so date ties
+    need no secondary tie-break. Whole-group-in-memory contract —
+    groups here are per-customer order lists (bounded); unbounded
+    keys go through reduce_stream_sorted instead (q17)."""
+    import pandas as pd
+
+    from hadron_spark.operators.mapreduce import reduce_step
+
+    def gaps(pdf: pd.DataFrame) -> pd.DataFrame:
+        dates = pd.to_datetime(pdf["o_orderdate"]).sort_values()
+        max_gap = (
+            int(dates.diff().dt.days.max()) if len(dates) > 1 else None
+        )
+        return pd.DataFrame(
+            {
+                "o_custkey": [int(pdf["o_custkey"].iloc[0])],
+                "n_orders": [len(pdf)],
+                "max_gap_days": [max_gap],
+            }
+        )
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    return reduce_step(
+        o,
+        ["o_custkey"],
+        gaps,
+        "o_custkey long, n_orders long, max_gap_days long",
     )
