@@ -225,3 +225,59 @@ def with_window(
     for name, expr in exprs.items():
         out = out.withColumn(name, expr.over(w))
     return out
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / dataset splits (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+
+def hash_bucket(key: Column | str, n_buckets: int = 100) -> Column:
+    """Deterministic bucket 0..n_buckets-1 from a key column via the
+    first 8 hex chars of md5 — engine-portable (md5 is bit-identical
+    everywhere, unlike xxhash64/murmur seeds) and stable across runs,
+    partitionings, and cluster sizes. The standard primitive for
+    reproducible train/val/test splits and fractional sampling at any
+    scale: no RNG state, no seed-per-partition coupling, rows keep
+    their assignment when the corpus is re-sharded or appended to."""
+    c = F.col(key) if isinstance(key, str) else key
+    return (
+        F.conv(F.substring(F.md5(c.cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % n_buckets
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key: Column | str,
+    fractions: dict[str, float],
+    n_buckets: int = 100,
+) -> DataFrame:
+    """Assign each row to a named split by hash bucket, e.g.
+    fractions={"train": 0.9, "val": 0.05, "test": 0.05}. Appends a
+    `split` column; filter on it downstream (the narrow filter pushes
+    into the scan). Fractions are mapped onto contiguous bucket
+    ranges, so fractions must sum to ≤ 1."""
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    b = hash_bucket(key, n_buckets)
+    expr = None
+    lo = 0
+    for name, frac in fractions.items():
+        hi = lo + int(round(frac * n_buckets))
+        cond = (b >= lo) & (b < hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    return df.withColumn("split", expr)
+
+
+def sample_fraction(
+    df: DataFrame, key: Column | str, fraction: float, n_buckets: int = 10_000
+) -> DataFrame:
+    """Deterministic, re-shard-stable fractional sample: keeps rows
+    whose hash bucket falls below fraction·n_buckets. Unlike
+    DataFrame.sample, membership is a pure function of the key — the
+    same rows are kept on every run and every cluster."""
+    return df.filter(hash_bucket(key, n_buckets) < int(round(fraction * n_buckets)))

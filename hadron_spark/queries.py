@@ -1226,3 +1226,27 @@ def q47(spark, sf_dir):
         gaps,
         "o_custkey long, n_orders long, max_gap_days long",
     )
+
+
+@_register(
+    "q48_hash_split",
+    """
+    WITH b AS (
+      SELECT (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)
+        AS bkt FROM documents)
+    SELECT CASE WHEN bkt < 90 THEN 'train'
+                WHEN bkt < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n
+    FROM b GROUP BY split
+    """,
+)
+def q48(spark, sf_dir):
+    """Deterministic train/val/test split (ops.hash_split): bucket =
+    first 8 md5 hex chars of the key — engine-portable, RNG-free, and
+    re-shard-stable, so the assignment survives corpus growth and
+    cluster changes (the property DataFrame.sample lacks). Narrow —
+    no shuffle before the count."""
+    docs = load(spark, sf_dir, "documents")
+    out = ops.hash_split(docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))

@@ -146,3 +146,41 @@ def test_quality_scores_ranges(spark, sf_dir):
     for r in out.collect():
         assert r["n_tokens"] >= 0
         assert 0.0 <= r["stopword_ratio"] <= 1.0
+
+
+def test_embedding_dup_pairs_finds_identical(spark):
+    base = [0.1 * i for i in range(8)]
+    far = [1.0, -1.0] * 4
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, far)],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = dedup.embedding_dup_pairs(
+        df, id_col="vec_id", vec_col="embedding", threshold=0.99, n_planes=4
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["cosine"] > 0.999
+
+
+def test_hash_split_deterministic_and_partitioning_stable(spark):
+    from hadron_spark.operators import ops
+
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    s1 = ops.hash_split(df, "k", {"train": 0.8, "test": 0.2})
+    s2 = ops.hash_split(df.repartition(7), "k", {"train": 0.8, "test": 0.2})
+    m1 = {r["k"]: r["split"] for r in s1.collect()}
+    m2 = {r["k"]: r["split"] for r in s2.collect()}
+    assert m1 == m2  # assignment is a pure function of the key
+    n_train = sum(1 for v in m1.values() if v == "train")
+    assert 700 < n_train < 900  # roughly the requested fraction
+
+
+def test_sample_fraction_subset_of_key_space(spark):
+    from hadron_spark.operators import ops
+
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    kept = ops.sample_fraction(df, "k", 0.1)
+    n = kept.count()
+    assert 100 < n < 300
+    # idempotent: sampling again keeps exactly the same rows
+    assert kept.exceptAll(ops.sample_fraction(df, "k", 0.1)).count() == 0
