@@ -56,23 +56,25 @@ def main() -> None:
 
     spark = get_spark("hadron_spark_bench")
 
-    # JMH-style warm-up: run every headline query once at the smallest
-    # SF so whole-stage-codegen compilation and JVM JIT are not billed
-    # to the timed sf0.1 runs — the timed numbers measure steady-state
-    # throughput (what a long-lived cluster session sees), not
-    # cold-JVM compile latency. Warm-up input is sf0.001 (~100× less
-    # data) so the warm-up itself stays cheap.
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir):
-        for name in HEADLINE:
-            try:
-                QUERIES[name](spark, warm_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-            except Exception:
-                pass
-    else:
-        spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # JMH-style warm-up: one full UNTIMED iteration at the measured SF
+    # (iteration 0 discarded), so whole-stage-codegen compilation and
+    # JVM JIT are not billed to the timed pass — the reported numbers
+    # measure steady-state throughput, which is what a long-lived
+    # cluster session sees. Warming at the same SF matters: AQE picks
+    # different physical strategies (broadcast vs SMJ) at different
+    # data sizes, so smaller-SF warm-up would compile the wrong plans.
+    for name in HEADLINE:
+        try:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass
+    spark.catalog.clearCache()  # drop warm-up persists; keep JIT/codegen
+    # settle before the timed pass so warm-up garbage isn't collected
+    # in the middle of the first timed query
+    spark._jvm.System.gc()
+    time.sleep(1.0)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

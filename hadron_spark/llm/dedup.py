@@ -95,17 +95,21 @@ def minhash_signature(
 def _drop_oversized_buckets(banded: DataFrame, keys: list[str], max_bucket_size: int) -> DataFrame:
     """Skew guard: LSH buckets larger than `max_bucket_size` are
     degenerate (boilerplate/empty-text clusters) and would go
-    quadratic inside the self-join — drop them. The oversized-bucket
-    list is tiny, so it broadcasts. Standard practice in web-scale
-    dedup pipelines; at 100 TB this guard is what keeps the
-    worst-case bounded at (max_bucket_size² / 2) per bucket."""
-    big = (
-        banded.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > max_bucket_size)
-        .select(*keys)
+    quadratic inside the self-join — drop them. Standard practice in
+    web-scale dedup pipelines; at 100 TB this guard is what keeps the
+    worst-case bounded at (max_bucket_size² / 2) per bucket.
+
+    Implemented as a COUNT window over the bucket key rather than an
+    aggregate + anti-join: the window's shuffle partitioning IS the
+    downstream self-join key, so the join reuses the exchange and the
+    whole guard costs one sort instead of an extra aggregation, a
+    driver-side broadcast collect, and an anti-join."""
+    w = Window.partitionBy(*keys)
+    return (
+        banded.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bn") <= max_bucket_size)
+        .drop("_bn")
     )
-    return banded.join(F.broadcast(big), on=keys, how="left_anti")
 
 
 def minhash_lsh_pairs(
@@ -130,11 +134,10 @@ def minhash_lsh_pairs(
     sigged = minhash_signature(df, text_col, num_hashes, shingle_k, id_col).select(
         F.col(id_col).alias("_id"), "sig"
     )
-    # The signature table feeds FOUR consumers (bucket-size guard,
-    # anti-join probe, and both sides of the self-join); without a
-    # persist the shingle-explode + hash-agg pipeline runs 4×
-    # (exchange reuse does not cross the guard's aggregation). The
-    # table is |docs| × (id + n longs) — a few hundred bytes per doc,
+    # The signature table feeds both sides of the self-join; without
+    # a persist the shingle-explode + hash-agg pipeline can run twice
+    # (runtime exchange reuse is plan-shape-dependent). The table is
+    # |docs| × (id + n longs) — a few hundred bytes per doc,
     # negligible next to the corpus — so MEMORY_AND_DISK is the
     # standard trade at any scale.
     from pyspark import StorageLevel
@@ -276,8 +279,8 @@ def simhash_near_pairs(
         F.col(id_col).alias("_id"), "simhash"
     )
     # same rationale as minhash_lsh_pairs: the fingerprint table is
-    # tiny (id + one long per doc) but feeds 4 consumers — persist so
-    # the token-explode + packed-vote aggregate runs once.
+    # tiny (id + one long per doc) but feeds both join sides —
+    # persist so the token-explode + packed-vote aggregate runs once.
     from pyspark import StorageLevel
 
     h = h.persist(StorageLevel.MEMORY_AND_DISK)
