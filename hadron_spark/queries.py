@@ -1250,3 +1250,34 @@ def q48(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     out = ops.hash_split(docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
     return out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register(
+    "q49_fanout_stats",
+    """
+    SELECT concat('status=', o_orderstatus) AS route, COUNT(*) AS rows
+    FROM orders GROUP BY route
+    """,
+)
+def q49(spark, sf_dir):
+    """Dynamic fan-out sink (fanOutTap, Controller.hs:479-514): routes
+    orders into one directory per status and returns the per-route
+    stats frame as the step's official output (fanStats semantics,
+    Run/FanOut.hs:93-146). The write really happens (to a temp dir,
+    removed after) — the oracle checks the stats the sink reports."""
+    import shutil
+    import tempfile
+
+    from hadron_spark.sources.fanout import fan_out_write
+
+    out_dir = tempfile.mkdtemp(prefix="hadron_q49_")
+    o = load(spark, sf_dir, "orders")
+    stats = fan_out_write(
+        o,
+        out_dir,
+        F.concat(F.lit("status="), F.col("o_orderstatus")),
+        sequential=True,
+    )
+    result = spark.createDataFrame(stats.collect(), stats.schema)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return result
