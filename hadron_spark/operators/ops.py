@@ -281,3 +281,34 @@ def sample_fraction(
     DataFrame.sample, membership is a pure function of the key — the
     same rows are kept on every run and every cluster."""
     return df.filter(hash_bucket(key, n_buckets) < int(round(fraction * n_buckets)))
+
+
+# ---------------------------------------------------------------------------
+# dataset profiling (training-data pipeline QA)
+# ---------------------------------------------------------------------------
+
+
+def profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Per-column data-quality profile: row count, null count, exact
+    distinct count, min/max (as strings for type-uniform output).
+    One wide aggregate — a single pass over the data; swap
+    count_distinct for approx_count_distinct on the 100 TB path
+    (exact distinct over many columns multiplies shuffle volume)."""
+    rows = []
+    n = F.count(F.lit(1))
+    for c in cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                n.alias("n_rows"),
+                F.sum(F.col(c).isNull().cast("long")).alias("n_null"),
+                F.count_distinct(F.col(c)).alias("n_distinct"),
+                F.min(F.col(c)).cast("string").alias("min_val"),
+                F.max(F.col(c)).cast("string").alias("max_val"),
+            ).alias(f"_{c}")
+        )
+    wide = df.agg(*rows)
+    stacked = wide.select(
+        F.explode(F.array(*[f"_{c}" for c in cols])).alias("p")
+    )
+    return stacked.select("p.*")

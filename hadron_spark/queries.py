@@ -1281,3 +1281,34 @@ def q49(spark, sf_dir):
     result = spark.createDataFrame(stats.collect(), stats.schema)
     shutil.rmtree(out_dir, ignore_errors=True)
     return result
+
+
+@_register(
+    "q50_profile",
+    """
+    SELECT 'o_orderstatus' AS column, COUNT(*) AS n_rows,
+           SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS n_null,
+           COUNT(DISTINCT o_orderstatus) AS n_distinct,
+           CAST(MIN(o_orderstatus) AS VARCHAR) AS min_val,
+           CAST(MAX(o_orderstatus) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*),
+           SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT o_totalprice),
+           CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*),
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    """,
+)
+def q50(spark, sf_dir):
+    """Single-pass multi-column data-quality profile (ops.profile):
+    nulls, exact distincts, min/max per column — the QA step before a
+    training corpus ships."""
+    o = load(spark, sf_dir, "orders")
+    return ops.profile(o, ["o_orderstatus", "o_totalprice", "o_custkey"])

@@ -87,3 +87,35 @@ def test_q21_dedup_partial_agg(q):
 def test_q15_window_single_shuffle(q):
     df = q("q15_window_lag")
     assert shuffle_count(df) == 1  # one hash exchange on user_id
+
+
+def test_bucketed_join_plans_no_exchange(spark, sf_dir, tmp_path):
+    """Co-located big-big join: both sides bucketed+sorted on the join
+    key → SortMergeJoin with zero exchanges (the 100 TB fact-join
+    path; SURVEY §2.6 O1/O4 persistent form)."""
+    from hadron_spark.plans.inspect import shuffle_count
+    from hadron_spark.sources.bucketing import bucketed_join, bucketed_write
+    from hadron_spark.sources.taps import tap
+
+    spark.sql("DROP TABLE IF EXISTS t_orders_b")
+    spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+    orders = tap(f"{sf_dir}/orders.parquet").read(spark).select(
+        "o_orderkey", "o_totalprice"
+    )
+    lineitem = tap(f"{sf_dir}/lineitem.parquet").read(spark).select(
+        "l_orderkey", "l_quantity"
+    )
+    bucketed_write(orders, "t_orders_b", ["o_orderkey"], 4, sort_cols=["o_orderkey"])
+    bucketed_write(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "t_lineitem_b",
+        ["o_orderkey"],
+        4,
+        sort_cols=["o_orderkey"],
+    )
+    joined = bucketed_join(spark, "t_orders_b", "t_lineitem_b", ["o_orderkey"])
+    assert shuffle_count(joined) == 0, joined._jdf.queryExecution().executedPlan().toString()
+    # and it actually computes
+    assert joined.count() > 0
+    spark.sql("DROP TABLE t_orders_b")
+    spark.sql("DROP TABLE t_lineitem_b")

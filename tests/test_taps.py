@@ -88,3 +88,16 @@ def test_gzip_text_read(spark, tmp_path):
 def test_read_tap_collects(spark, sf_dir):
     rows = read_tap(spark, tap(f"{sf_dir}/region.parquet"))
     assert len(rows) == 5
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC is the second columnar format the engine supports natively
+    (P4/P5 class: typed columnar storage replaces base64-wrapped
+    binary lines)."""
+    from hadron_spark.sources.taps import Tap
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    t = Tap([str(tmp_path / "orc_out")], "orc")
+    t.write(df, mode="overwrite")
+    back = t.read(spark)
+    assert sorted((r["k"], r["v"]) for r in back.collect()) == [(1, "a"), (2, "b")]
