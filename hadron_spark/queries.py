@@ -1312,3 +1312,41 @@ def q50(spark, sf_dir):
     training corpus ships."""
     o = load(spark, sf_dir, "orders")
     return ops.profile(o, ["o_orderstatus", "o_totalprice", "o_custkey"])
+
+
+@_register(
+    "q51_quality_rules",
+    """
+    WITH t AS (
+      SELECT text,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents),
+    m AS (
+      SELECT length(text) AS n_chars,
+             len(list_filter(list_transform(toks, x -> lower(x)),
+                 x -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+                                     'for','on','with','as','at','by','be','this','that'], x)))
+               AS stop_hits,
+             CAST(coalesce(list_aggregate(list_transform(toks, x -> length(x)), 'sum'), 0)
+                  AS DOUBLE) / greatest(len(toks), 1) AS mean_len,
+             CAST(len(list_filter(toks, x -> x LIKE '#%' OR x LIKE '@%')) AS DOUBLE)
+               / greatest(len(toks), 1) AS sym_ratio
+      FROM t)
+    SELECT 'too_short' AS rule,
+           CAST(SUM(CASE WHEN n_chars < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations FROM m
+    UNION ALL SELECT 'too_long',
+           CAST(SUM(CASE WHEN n_chars > 100000 THEN 1 ELSE 0 END) AS BIGINT) FROM m
+    UNION ALL SELECT 'low_stopword',
+           CAST(SUM(CASE WHEN stop_hits < 2 THEN 1 ELSE 0 END) AS BIGINT) FROM m
+    UNION ALL SELECT 'word_len_out_of_range',
+           CAST(SUM(CASE WHEN mean_len < 3.0 OR mean_len > 12.0 THEN 1 ELSE 0 END) AS BIGINT) FROM m
+    UNION ALL SELECT 'high_symbol_ratio',
+           CAST(SUM(CASE WHEN sym_ratio > 0.1 THEN 1 ELSE 0 END) AS BIGINT) FROM m
+    """,
+)
+def q51(spark, sf_dir):
+    """C4/Gopher-style quality-rule monitoring (llm.filters): per-rule
+    violation counts over the corpus in one wide aggregate pass."""
+    from hadron_spark.llm.filters import rule_violation_counts
+
+    return rule_violation_counts(load(spark, sf_dir, "documents"))

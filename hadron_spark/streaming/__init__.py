@@ -17,12 +17,14 @@ from hadron_spark.streaming.ops import (
     run_stream_to_memory,
     sessionize_stream,
     stateful_running_totals,
+    stream_dedup,
     stream_tap,
     windowed_agg,
 )
 
 __all__ = [
     "stream_tap",
+    "stream_dedup",
     "windowed_agg",
     "sessionize_stream",
     "stateful_running_totals",

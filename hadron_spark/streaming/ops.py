@@ -126,3 +126,20 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return df.sparkSession.sql(f"SELECT * FROM {qname}")
+
+
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose `keys` were already seen.
+    With `ts_col`, uses dropDuplicatesWithinWatermark — state for a key
+    is dropped once the watermark passes it, so state size is bounded
+    by (arrival rate × watermark), not by stream history. Without a
+    timestamp the state grows forever (documented trade — only for
+    bounded key domains)."""
+    if ts_col is not None:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)

@@ -184,3 +184,20 @@ def test_sample_fraction_subset_of_key_space(spark):
     assert 100 < n < 300
     # idempotent: sampling again keeps exactly the same rows
     assert kept.exceptAll(ops.sample_fraction(df, "k", 0.1)).count() == 0
+
+
+def test_quality_filter_flags_bad_docs(spark):
+    from hadron_spark.llm.filters import apply_quality_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumped over the lazy dog and ran to town"),
+            (2, "x"),  # too short, low stopword
+            (3, "#tag " * 40),  # symbol-heavy, no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in apply_quality_filter(df).collect()}
+    assert out[1]["keep"] is True and out[1]["drop_reasons"] == []
+    assert out[2]["keep"] is False and "too_short" in out[2]["drop_reasons"]
+    assert out[3]["keep"] is False and "high_symbol_ratio" in out[3]["drop_reasons"]

@@ -91,3 +91,17 @@ def test_stateful_running_totals(spark, sf_dir):
     for k, r in rows.items():
         assert r["n"] == batch[k]["n"]
         assert abs(r["total"] - batch[k]["total"]) < 1e-6
+
+
+def test_stream_dedup_drops_duplicate_keys(spark, sf_dir):
+    from hadron_spark.streaming import stream_dedup
+
+    ev = _events_stream(spark, sf_dir)
+    # duplicate every event id by unioning the stream with itself,
+    # then dedup within the watermark
+    doubled = ev.union(ev)
+    deduped = stream_dedup(doubled, ["event_id"], ts_col="ts", watermark="10 minutes")
+    out = run_stream_to_memory(deduped, "dedup_test")
+    n = out.count()
+    total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert n == total  # every event exactly once
