@@ -44,6 +44,9 @@ HEADLINE = [
     "q36_jaccard_pairs",
     "q37_doc_frequency",
     "q40_quantiles",
+    "q48_hash_split",
+    "q51_quality_rules",
+    "q52_contamination",
 ]
 
 

@@ -401,3 +401,56 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# train/eval contamination check
+# ---------------------------------------------------------------------------
+
+
+def contamination_pairs(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination check: (train_id, eval_id, n_common)
+    for every train/eval document pair sharing ≥1 distinct word
+    n-gram. The join key is the n-gram itself — an equi-join that
+    bucket-partitions cleanly; n ≥ 5 keeps gram frequency (and thus
+    bucket size) low. At 100 TB, join on xxhash64(gram) instead of
+    the string to shrink shuffle rows ~10× (same pairs, cheaper key);
+    the string form is kept here for engine-portable verification.
+
+    Plan shape: gram POSITIONS are exploded and the gram string is a
+    codegen'd slice+concat on the exploded row (the array-building
+    `ngrams` HOF runs interpreted per element — measured ~5× slower
+    here), sides are NOT pre-deduplicated (that would need the HOF
+    array), and n_common = COUNT(DISTINCT g) per pair, which counts
+    each shared distinct gram once regardless of within-doc
+    multiplicity — same result, one less pass."""
+
+    def grams(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias(alias), tokenize(F.col(text_col)).alias("_l")
+            )
+            .select(
+                alias,
+                "_l",
+                F.expr(
+                    f"explode(CASE WHEN size(_l) >= {n} THEN"
+                    f" sequence(1, size(_l) - {n - 1}) ELSE array() END) AS _i"
+                ),
+            )
+            .select(alias, F.expr(f"concat_ws(' ', slice(_l, _i, {n}))").alias("g"))
+        )
+
+    t = grams(train, "train_id")
+    e = grams(evalset, "eval_id")
+    return (
+        t.join(e, "g")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count_distinct("g").alias("n_common"))
+    )

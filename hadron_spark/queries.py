@@ -1350,3 +1350,38 @@ def q51(spark, sf_dir):
     from hadron_spark.llm.filters import rule_violation_counts
 
     return rule_violation_counts(load(spark, sf_dir, "documents"))
+
+
+@_register(
+    "q52_contamination",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)
+               AS bkt
+      FROM documents),
+    grams AS (
+      SELECT doc_id, bkt,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(l) - 4, 0) + 1),
+               i -> array_to_string(l[i:i+4], ' ')))) AS g
+      FROM toks)
+    SELECT t.doc_id AS train_id, e.doc_id AS eval_id, COUNT(*) AS n_common
+    FROM grams t JOIN grams e ON t.g = e.g
+    WHERE t.bkt < 90 AND e.bkt >= 90
+    GROUP BY train_id, eval_id
+    """,
+)
+def q52(spark, sf_dir):
+    """Train/eval contamination: hash_split the corpus 90/10, then
+    n-gram-overlap join between the splits (dedup.contamination_pairs).
+    The split and the grams are both deterministic, so the pair list
+    is oracle-checkable."""
+    docs = load(spark, sf_dir, "documents")
+    split = ops.hash_split(docs, "doc_id", {"train": 0.9, "eval": 0.1})
+    return dedup.contamination_pairs(
+        split.filter(F.col("split") == "train"),
+        split.filter(F.col("split") == "eval"),
+        n=5,
+    )
