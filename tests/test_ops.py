@@ -95,3 +95,16 @@ def test_window_ops(spark, sf_dir):
     )
     first = out.filter(F.col("rn") == 1).collect()
     assert all(r["prev"] is None for r in first)
+
+
+def test_profile_counts_nulls_and_distincts(spark):
+    from hadron_spark.operators.ops import profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "b")], "k long, v string"
+    )
+    rows = {r["column"]: r for r in profile(df, ["k", "v"]).collect()}
+    assert rows["k"]["n_rows"] == 4 and rows["k"]["n_null"] == 0
+    assert rows["k"]["n_distinct"] == 4
+    assert rows["v"]["n_null"] == 1 and rows["v"]["n_distinct"] == 2
+    assert rows["v"]["min_val"] == "a" and rows["v"]["max_val"] == "b"

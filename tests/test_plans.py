@@ -6,6 +6,7 @@ hand-set physical knobs become Catalyst obligations we verify)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from hadron_spark.plans import (
     assert_broadcast_join,
@@ -119,3 +120,20 @@ def test_bucketed_join_plans_no_exchange(spark, sf_dir, tmp_path):
     assert joined.count() > 0
     spark.sql("DROP TABLE t_orders_b")
     spark.sql("DROP TABLE t_lineitem_b")
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-partitioned layout + partition-predicate ⇒ the scan lists
+    only the matching directory (PartitionFilters, not a full scan) —
+    the partition-pruning leg of SURVEY §4."""
+    from hadron_spark.sources.fanout import partitioned_write
+    from hadron_spark.sources.taps import tap
+
+    orders = tap(f"{sf_dir}/orders.parquet").read(spark)
+    out = str(tmp_path / "orders_by_status")
+    partitioned_write(orders, out, ["o_orderstatus"])
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters", 1)[1][:200]
+    n_f = back.count()
+    assert n_f == orders.filter(F.col("o_orderstatus") == "F").count()
