@@ -1385,3 +1385,56 @@ def q52(spark, sf_dir):
         split.filter(F.col("split") == "eval"),
         n=5,
     )
+
+
+@_register(
+    "q53_input_file_routing",
+    """
+    SELECT 'nation' AS src, COUNT(*) AS n FROM nation
+    UNION ALL
+    SELECT 'region' AS src, COUNT(*) AS n FROM region
+    """,
+)
+def q53(spark, sf_dir):
+    """getFileName parity (M6, Basic.hs:122-126): per-record input-file
+    identity via F.input_file_name drives routing — here rows of a
+    two-path tap are counted per source file (the mechanism behind
+    mergeTaps' per-file decode dispatch, Controller.hs:422-439)."""
+    from hadron_spark.sources.taps import taps, with_input_file
+
+    df = taps([f"{sf_dir}/nation.parquet", f"{sf_dir}/region.parquet"]).read(spark)
+    tagged = with_input_file(df)
+    src = F.regexp_extract(F.col("input_file"), r"([a-z]+)\.parquet", 1)
+    return tagged.groupBy(src.alias("src")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register(
+    "q54_join_mr_monoid",
+    """
+    SELECT c.nationkey, c.n_cust + s.n_supp AS total_accounts
+    FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+          FROM customer GROUP BY 1) c
+    JOIN (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+          FROM supplier GROUP BY 1) s
+    USING (nationkey)
+    """,
+)
+def q54(spark, sf_dir):
+    """2-way inner monoidal join (joinMR, Controller.hs:1316-1354):
+    both sides pre-reduced per key, then merged with the monoid's <>
+    (here: +). The reference caches Lefts and streams Rights; Spark's
+    SMJ/BHJ does the same buffering under the hood."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return joins.join_mr(
+        c, s, ["nationkey"],
+        [(F.col("n_cust") + F.col("n_supp")).alias("total_accounts")],
+    )
