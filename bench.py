@@ -86,6 +86,10 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # untimed GC between queries: a query's garbage (esp. the
+        # streaming micro-batch driver's) must not be collected inside
+        # the NEXT query's timed window — isolates per-query cost
+        spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(
