@@ -10,6 +10,12 @@ Determinism contract with the oracle (driver hashes values):
 - double SUM/AVG go through DECIMAL(18,4) accumulation then cast back
   to double — decimal addition is exact + associative, so both
   engines produce bit-identical doubles regardless of row order.
+- the exact decimal sum is RE-ROUNDED to DECIMAL(18,4) before the
+  double cast: a scale-8 product sum whose scaled integer exceeds
+  2^53 converts to double with TWO roundings in one engine and one
+  in the other (1-ulp divergence, observed at sf0.1); at scale 4 the
+  scaled integer stays under 2^53 so both engines perform a single
+  correctly-rounded division and agree bit-for-bit.
 - every computed column is aliased identically in Spark and SQL.
 - top-k / first-per-key queries carry a unique tie-break column.
 """
@@ -58,7 +64,7 @@ def _dec(c) -> F.Column:
 
 def dsum(c, alias: str) -> F.Column:
     """Deterministic double sum via exact decimal accumulation."""
-    return F.sum(_dec(c)).cast("double").alias(alias)
+    return F.sum(_dec(c)).cast("decimal(18,4)").cast("double").alias(alias)
 
 
 # ---------------------------------------------------------------------------
@@ -70,12 +76,12 @@ def dsum(c, alias: str) -> F.Column:
     "q01_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-           * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_base_price,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+           * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS DOUBLE)
         AS sum_disc_price,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) / COUNT(*) AS avg_qty,
       COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -98,8 +104,8 @@ def q01(spark, sf_dir):
         [
             dsum("l_quantity", "sum_qty"),
             dsum("l_extendedprice", "sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.sum(disc_price).cast("decimal(18,4)").cast("double").alias("sum_disc_price"),
+            (F.sum(_dec("l_quantity")).cast("decimal(18,4)").cast("double") / F.count(F.lit(1))).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         ],
     )
@@ -191,8 +197,8 @@ def q06(spark, sf_dir):
     "q07_join_nway_revenue",
     """
     SELECT c_custkey, c_name,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-           * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+           * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS DOUBLE)
         AS revenue,
       COUNT(*) AS n_items
     FROM customer
@@ -218,7 +224,7 @@ def q07(spark, sf_dir):
     col = joins.monoidal_join(["custkey"], [joins.JoinSide(c), joins.JoinSide(ol)])
     disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
     return col.groupBy(F.col("custkey").alias("c_custkey"), "c_name").agg(
-        F.sum(disc_price).cast("double").alias("revenue"),
+        F.sum(disc_price).cast("decimal(18,4)").cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -233,7 +239,7 @@ def q07(spark, sf_dir):
     LEFT JOIN (
       SELECT o_custkey,
              CAST(COUNT(*) AS BIGINT) AS n_orders,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spent
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS spent
       FROM orders GROUP BY o_custkey) o
       ON c_custkey = o_custkey
     """,
@@ -264,7 +270,7 @@ def q08(spark, sf_dir):
     "q09_broadcast_region_rollup",
     """
     SELECT r_name, n_name, COUNT(*) AS n_customers,
-      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+      CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS total_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -342,11 +348,11 @@ def q12(spark, sf_dir):
     "q13_merge_taps",
     """
     SELECT 'left' AS side, COUNT(*) AS n,
-      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+      CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS total_bal
     FROM customer
     UNION ALL
     SELECT 'right' AS side, COUNT(*) AS n,
-      CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+      CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS total_bal
     FROM supplier
     """,
 )
@@ -362,7 +368,7 @@ def q13(spark, sf_dir):
     bal = F.coalesce(F.col("c_acctbal"), F.col("s_acctbal"))
     return m.groupBy(F.col("_side").alias("side")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(bal.cast("decimal(18,4)")).cast("double").alias("total_bal"),
+        F.sum(bal.cast("decimal(18,4)")).cast("decimal(18,4)").cast("double").alias("total_bal"),
     )
 
 
@@ -375,7 +381,7 @@ def q13(spark, sf_dir):
     "q14_rollup",
     """
     SELECT l_returnflag, l_linestatus,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty,
       COUNT(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -395,7 +401,7 @@ def q14(spark, sf_dir):
     """
     SELECT event_id, user_id,
       value - lag(value) OVER w AS delta,
-      CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS running_value
+      CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(18,4)) AS DOUBLE) AS running_value
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
@@ -411,7 +417,7 @@ def q15(spark, sf_dir):
         "event_id",
         "user_id",
         (F.col("value") - F.lag("value").over(w)).alias("delta"),
-        F.sum(_dec("value")).over(wr).cast("double").alias("running_value"),
+        F.sum(_dec("value")).over(wr).cast("decimal(18,4)").cast("double").alias("running_value"),
     )
 
 
@@ -512,7 +518,7 @@ def q17(spark, sf_dir):
     """
     SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
       COUNT(*) AS n,
-      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1
     """,
@@ -533,7 +539,7 @@ def q18(spark, sf_dir):
     """
     SELECT date_trunc('month', o_orderdate) AS month,
       COUNT(*) AS n_orders,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
     FROM orders
     GROUP BY 1
     """,
@@ -777,7 +783,7 @@ def q30(spark, sf_dir):
     """
     SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS win_start,
            event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -835,7 +841,7 @@ def q32(spark, sf_dir):
     "q33_cube",
     """
     SELECT l_returnflag, l_linestatus,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty,
       COUNT(*) AS n
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -853,8 +859,8 @@ def q33(spark, sf_dir):
     "q34_pivot",
     """
     SELECT l_returnflag,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS F,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS O
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_linestatus = 'F') AS DECIMAL(18,4)) AS DOUBLE) AS F,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_linestatus = 'O') AS DECIMAL(18,4)) AS DOUBLE) AS O
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -865,7 +871,7 @@ def q34(spark, sf_dir):
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
-        .agg(F.sum(_dec("l_quantity")).cast("double"))
+        .agg(F.sum(_dec("l_quantity")).cast("decimal(18,4)").cast("double"))
     )
 
 
@@ -957,7 +963,7 @@ def q37(spark, sf_dir):
     "q38_grouping_sets",
     """
     SELECT l_returnflag, l_linestatus,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
     """,
@@ -970,7 +976,7 @@ def q38(spark, sf_dir):
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty
         FROM q38_lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """
@@ -1039,7 +1045,7 @@ def q42(spark, sf_dir):
     "q43_range_join",
     """
     SELECT b.bucket_name, COUNT(*) AS n_orders,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
     FROM orders o
     JOIN (VALUES ('small', 0.0, 100000.0),
                  ('medium', 100000.0, 300000.0),
