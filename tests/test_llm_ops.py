@@ -201,3 +201,21 @@ def test_quality_filter_flags_bad_docs(spark):
     assert out[1]["keep"] is True and out[1]["drop_reasons"] == []
     assert out[2]["keep"] is False and "too_short" in out[2]["drop_reasons"]
     assert out[3]["keep"] is False and "high_symbol_ratio" in out[3]["drop_reasons"]
+
+
+def test_signatures_deterministic_across_partitionings(spark, sf_dir):
+    """MinHash/SimHash signatures are pure functions of the text —
+    identical across runs and partition layouts (the reproducibility
+    contract for incremental dedup at scale)."""
+    from hadron_spark.sources.taps import tap
+
+    docs = tap(f"{sf_dir}/documents.parquet").read(spark).limit(100)
+    a = {r["doc_id"]: r["sig"] for r in dedup.minhash_signature(docs).collect()}
+    b = {
+        r["doc_id"]: r["sig"]
+        for r in dedup.minhash_signature(docs.repartition(7)).collect()
+    }
+    assert a == b
+    sa = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    sb = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs.repartition(5)).collect()}
+    assert sa == sb
