@@ -117,6 +117,88 @@ def _drop_oversized_buckets(banded: DataFrame, keys: list[str], max_bucket_size:
     )
 
 
+def band_signatures(
+    sigged: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Explode a signature table (`_id`, `sig: array<bigint>`) into
+    `bands` rows per doc with an md5 bucket key per band — the LSH
+    banding step, shared by self-join dedup and incremental
+    (new-batch-vs-corpus) dedup. One `inline(array(named_struct))`
+    SQL expression: band structs built Python-side cost a py4j
+    round-trip per field."""
+    rows_per_band = num_hashes // bands
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bkey', md5(concat_ws(',', {cells})))".format(
+            b=b,
+            cells=", ".join(
+                f"sig[{b * rows_per_band + r}]" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return sigged.select("_id", "sig", F.expr(f"inline(array({band_structs}))"))
+
+
+def minhash_dedup_incremental(
+    new_docs: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    max_bucket_size: int | None = 500,
+) -> DataFrame:
+    """Dedup a NEW batch against an existing corpus signature store
+    (`corpus_sigs` = a saved `minhash_signature` output) — the
+    incremental-ingest pattern: the corpus is never re-shingled, only
+    its banded signature table is joined. Drops new docs whose
+    estimated Jaccard against ANY corpus doc ≥ threshold, then
+    self-dedups the surviving batch. Returns the kept new rows.
+
+    At 100 TB the signature store is the only corpus-derived state
+    (~1% of corpus size); re-banding it is a narrow map over a
+    parquet scan, and the candidate join shuffles |batch|·bands +
+    |corpus|·bands rows on the bucket key."""
+    from pyspark import StorageLevel
+
+    new_sigs = (
+        minhash_signature(new_docs, text_col, num_hashes, shingle_k, id_col)
+        .select(F.col(id_col).alias("_id"), "sig")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nb = band_signatures(new_sigs, num_hashes, bands)
+    cb = band_signatures(corpus_sigs.select("_id", "sig"), num_hashes, bands)
+    if max_bucket_size:
+        cb = _drop_oversized_buckets(cb, ["band", "bkey"], max_bucket_size)
+    est = (
+        F.expr(
+            "size(filter(zip_with(n.sig, c.sig, (x, y) -> x = y), m -> m))"
+        ).cast("double")
+        / F.lit(num_hashes)
+    )
+    dup_new_ids = (
+        nb.alias("n")
+        .join(cb.alias("c"), on=["band", "bkey"])
+        .select(F.col("n._id").alias(id_col), est.alias("_est"))
+        .filter(F.col("_est") >= threshold)
+        .select(id_col)
+        .distinct()
+    )
+    survivors = new_docs.join(dup_new_ids, on=id_col, how="left_anti")
+    return minhash_dedup(
+        survivors,
+        id_col,
+        text_col,
+        threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        max_bucket_size=max_bucket_size,
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -135,7 +217,6 @@ def minhash_lsh_pairs(
     pairs. The shuffle key is the band hash; degenerate buckets
     (boilerplate/empty text) are dropped by the guard, bounding the
     self-join at max_bucket_size² per bucket."""
-    rows_per_band = num_hashes // bands
     sigged = minhash_signature(df, text_col, num_hashes, shingle_k, id_col).select(
         F.col(id_col).alias("_id"), "sig"
     )
@@ -148,18 +229,7 @@ def minhash_lsh_pairs(
     from pyspark import StorageLevel
 
     sigged = sigged.persist(StorageLevel.MEMORY_AND_DISK)
-    band_structs = ", ".join(
-        "named_struct('band', {b}, 'bkey', md5(concat_ws(',', {cells})))".format(
-            b=b,
-            cells=", ".join(
-                f"sig[{b * rows_per_band + r}]" for r in range(rows_per_band)
-            ),
-        )
-        for b in range(bands)
-    )
-    banded = sigged.select(
-        "_id", "sig", F.expr(f"inline(array({band_structs}))")
-    )
+    banded = band_signatures(sigged, num_hashes, bands)
 
     if max_bucket_size:
         banded = _drop_oversized_buckets(banded, ["band", "bkey"], max_bucket_size)

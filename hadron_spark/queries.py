@@ -1444,3 +1444,19 @@ def q54(spark, sf_dir):
         c, s, ["nationkey"],
         [(F.col("n_cust") + F.col("n_supp")).alias("total_accounts")],
     )
+
+
+@_register(
+    "q55_dedup_stats",
+    """
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY text_hash
+    """,
+)
+def q55(spark, sf_dir):
+    """Exact-dedup stats view (llm.dedup.exact_dedup_stats): one row
+    per distinct text with the deterministic keeper and copy count —
+    the monitoring output of the dedup stage (md5 is engine-portable,
+    so the whole frame is oracle-checkable)."""
+    return dedup.exact_dedup_stats(load(spark, sf_dir, "documents"))

@@ -219,3 +219,25 @@ def test_signatures_deterministic_across_partitionings(spark, sf_dir):
     sa = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
     sb = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs.repartition(5)).collect()}
     assert sa == sb
+
+
+def test_incremental_dedup_against_corpus_store(spark):
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog every single day"),
+         (2, "an entirely different document about spark and distributed joins")],
+        "doc_id long, text string",
+    )
+    store = dedup.minhash_signature(corpus).select(
+        F.col("doc_id").alias("_id"), "sig"
+    )
+    new = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog every single day"),  # dup of corpus 1
+         (11, "completely novel content that matches nothing in the corpus at all"),
+         (12, "completely novel content that matches nothing in the corpus at all")],  # dup of 11
+        "doc_id long, text string",
+    )
+    kept = dedup.minhash_dedup_incremental(new, store, threshold=0.8)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [11]  # 10 dropped vs corpus; 12 dropped vs 11; 11 kept
