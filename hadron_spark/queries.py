@@ -1460,3 +1460,38 @@ def q55(spark, sf_dir):
     the monitoring output of the dedup stage (md5 is engine-portable,
     so the whole frame is oracle-checkable)."""
     return dedup.exact_dedup_stats(load(spark, sf_dir, "documents"))
+
+
+@_register(
+    "q56_window_suite",
+    """
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS rn,
+           ntile(4) OVER w AS quartile,
+           CAST(percent_rank() OVER w AS DOUBLE) AS pct_rank,
+           CAST(cume_dist() OVER w AS DOUBLE) AS cdist,
+           lead(o_orderkey) OVER w AS next_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q56(spark, sf_dir):
+    """Window-function breadth (SURVEY §2.7 — the reference's per-key
+    sorted stream hand-rolls these): rank/ntile/percent_rank/
+    cume_dist/lead in ONE window spec = one shuffle + one sort.
+    percent_rank and cume_dist are exact small-integer ratios, so the
+    doubles are engine-identical without decimal staging."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    )
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).cast("double").alias("pct_rank"),
+        F.cume_dist().over(w).cast("double").alias("cdist"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
