@@ -1495,3 +1495,35 @@ def q56(spark, sf_dir):
         F.cume_dist().over(w).cast("double").alias("cdist"),
         F.lead("o_orderkey").over(w).alias("next_orderkey"),
     )
+
+
+@_register(
+    "q57_salted_agg",
+    """
+    SELECT l_returnflag,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE)
+        AS sum_qty,
+      COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q57(spark, sf_dir):
+    """Skew-safe two-stage aggregation (ops.salted_agg): group by
+    (key, random salt) then re-aggregate on the key — the result is
+    salt-invariant (decimal partials are exact + associative), which
+    is exactly what this oracle checks. Use when a single hot key's
+    partial-agg rows still overwhelm one reducer."""
+    li = load(spark, sf_dir, "lineitem")
+    return ops.salted_agg(
+        li,
+        ["l_returnflag"],
+        [
+            F.sum(_dec("l_quantity")).alias("_q"),
+            F.count(F.lit(1)).alias("_n"),
+        ],
+        [
+            F.sum("_q").cast("decimal(18,4)").cast("double").alias("sum_qty"),
+            F.sum("_n").alias("n"),
+        ],
+        salt_buckets=8,
+    )
