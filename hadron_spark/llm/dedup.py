@@ -308,13 +308,16 @@ def simhash(
     accumulated. All aggregate expressions are SQL strings (F.expr):
     the Column-DSL equivalent costs hundreds of py4j round-trips.
 
-    Packing contract: per-doc token count must stay < 2^16 for the
-    packed counters not to bleed into the neighbouring field —
-    enforced by slicing to `max_tokens` (simhash over a 65k-token
-    prefix is an accepted approximation for monster documents).
-    Token-less documents have no fingerprint (absent from output)."""
+    Packing contract: the four 16-bit count fields share one signed
+    long, so the WORST-CASE sum is max_tokens·(2^48+2^32+2^16+1);
+    max_tokens = 32 000 keeps that at 9.01e18 < 2^63−1 (ANSI mode
+    would raise on overflow — the cap is load-bearing, and
+    test_simhash_token_cap_contract pins it). Simhash over a
+    32k-token prefix is an accepted approximation for monster
+    documents. Token-less documents have no fingerprint (absent
+    from output)."""
     assert bits % 4 == 0, "bits must be divisible by 4 (16-bit field packing)"
-    max_tokens = 65_535
+    max_tokens = 32_000
     groups = bits // 4
     packed_aggs = ", ".join(
         "sum("

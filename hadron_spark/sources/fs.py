@@ -117,3 +117,29 @@ def random_tmp_path(spark: SparkSession, base: str, prefix: str = "hadron_tmp") 
     import secrets
 
     return f"{base.rstrip('/')}/{prefix}_{secrets.token_hex(8)}"
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Compact a directory of small files into ~target-sized files —
+    the operational fix for the small-files problem that kills scan
+    throughput at scale (every file costs a task + an open/footer
+    read). Rewrites via tmp-dir + atomic rename (the reference's
+    FanOut tmp-then-move contract, Run/FanOut.hs:120-146). Returns
+    the new file count.
+
+    Sizing uses the CURRENT on-disk bytes, so compression ratio is
+    preserved; coalesce(n) avoids a shuffle (task-side concatenation
+    only)."""
+    total = sum(f.size for f in ls(spark, path) if not f.is_dir)
+    n_files = max(1, -(-total // target_file_bytes))  # ceil
+    df = spark.read.format(fmt).load(path)
+    tmp = random_tmp_path(spark, path.rstrip("/") + "_compact")
+    df.coalesce(n_files).write.format(fmt).mode("overwrite").save(tmp)
+    delete(spark, path)
+    mv(spark, tmp, path)
+    return len([f for f in ls(spark, path) if f.path.endswith(tuple([".parquet", ".orc", ".csv", ".json"])) or not f.is_dir])

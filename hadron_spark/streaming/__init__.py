@@ -14,6 +14,7 @@ execution machinery.
 """
 
 from hadron_spark.streaming.ops import (
+    enrich,
     run_stream_to_memory,
     sessionize_stream,
     stateful_running_totals,
@@ -25,6 +26,7 @@ from hadron_spark.streaming.ops import (
 __all__ = [
     "stream_tap",
     "stream_dedup",
+    "enrich",
     "windowed_agg",
     "sessionize_stream",
     "stateful_running_totals",

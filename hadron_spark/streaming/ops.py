@@ -143,3 +143,12 @@ def stream_dedup(
     if ts_col is not None:
         return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
     return events.dropDuplicates(keys)
+
+
+def enrich(stream: DataFrame, static: DataFrame, on: list[str], how: str = "left") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against
+    the CURRENT state of the static frame (re-read per batch for file
+    sources — dimension updates are picked up without restarting the
+    query). The static side should be broadcast-sized or pre-bucketed
+    on the join key; stream-stream joins need watermarks instead."""
+    return stream.join(static, on=on, how=how)

@@ -84,3 +84,18 @@ def test_join_mr_two_way_monoid(spark):
         left, right, ["k"], [(F.col("a") + F.col("b")).alias("merged")]
     )
     assert [tuple(r) for r in out.collect()] == [(1, 110)]  # inner ∘ <>
+
+
+def test_compact_merges_small_files(spark, tmp_path):
+    from hadron_spark.sources import fs
+
+    out = str(tmp_path / "many_small")
+    spark.range(10_000).repartition(20).write.parquet(out)
+    import glob
+
+    before = len(glob.glob(out + "/*.parquet"))
+    assert before == 20
+    fs.compact(spark, out, target_file_bytes=1 << 30)
+    after = len(glob.glob(out + "/*.parquet"))
+    assert after == 1
+    assert spark.read.parquet(out).count() == 10_000

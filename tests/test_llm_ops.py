@@ -241,3 +241,18 @@ def test_incremental_dedup_against_corpus_store(spark):
     kept = dedup.minhash_dedup_incremental(new, store, threshold=0.8)
     ids = sorted(r["doc_id"] for r in kept.collect())
     assert ids == [11]  # 10 dropped vs corpus; 12 dropped vs 11; 11 kept
+
+
+def test_simhash_token_cap_contract(spark):
+    """Docs beyond the 32 000-token packing cap hash identically to
+    their 32 000-token prefix, and the packed vote sum never
+    overflows the signed long under ANSI mode (the cap is sized so
+    worst-case = max_tokens·(2^48+2^32+2^16+1) < 2^63−1)."""
+    base = "alpha beta gamma delta " * 10000  # 40k tokens
+    toks = base.split()
+    prefix = " ".join(toks[:32000])
+    df = spark.createDataFrame(
+        [(1, base), (2, prefix)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    assert out[1] == out[2]

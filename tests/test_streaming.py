@@ -105,3 +105,16 @@ def test_stream_dedup_drops_duplicate_keys(spark, sf_dir):
     n = out.count()
     total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert n == total  # every event exactly once
+
+
+def test_stream_static_enrich(spark, sf_dir):
+    from hadron_spark.streaming import enrich
+
+    ev = _events_stream(spark, sf_dir)
+    users = spark.createDataFrame(
+        [(i, f"tier_{i % 3}") for i in range(1, 51)], "user_id long, tier string"
+    )
+    joined = enrich(ev, users, on=["user_id"])
+    out = run_stream_to_memory(joined.groupBy("tier").count(), "enrich_t", output_mode="complete")
+    rows = {r["tier"]: r["count"] for r in out.collect() if r["tier"] is not None}
+    assert len(rows) >= 1
