@@ -108,3 +108,25 @@ def test_profile_counts_nulls_and_distincts(spark):
     assert rows["k"]["n_distinct"] == 4
     assert rows["v"]["n_null"] == 1 and rows["v"]["n_distinct"] == 2
     assert rows["v"]["min_val"] == "a" and rows["v"]["max_val"] == "b"
+
+
+def test_vector_functions(spark):
+    from hadron_spark.functions.vectors import (
+        cosine_similarity,
+        euclidean_distance,
+        l2_normalize,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [([3.0, 4.0], [3.0, 4.0]), ([1.0, 0.0], [0.0, 1.0])],
+        "a array<double>, b array<double>",
+    )
+    rows = df.select(
+        cosine_similarity(F.col("a"), F.col("b")).alias("cos"),
+        euclidean_distance(F.col("a"), F.col("b")).alias("dist"),
+        l2_normalize(F.col("a")).alias("unit"),
+    ).collect()
+    assert abs(rows[0]["cos"] - 1.0) < 1e-12 and rows[0]["dist"] == 0.0
+    assert abs(rows[1]["cos"]) < 1e-12 and abs(rows[1]["dist"] - 2 ** 0.5) < 1e-12
+    assert abs(sum(x * x for x in rows[0]["unit"]) - 1.0) < 1e-12
