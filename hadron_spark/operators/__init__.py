@@ -1,6 +1,7 @@
 """Operators: relational surface (SURVEY §2.3-2.7), typed map/reduce
-(§2.3-2.4), and the join family (§2.5)."""
+(§2.3-2.4), the join family (§2.5), graph resolution, and table
+maintenance (merge/CDC)."""
 
-from hadron_spark.operators import joins, mapreduce, ops
+from hadron_spark.operators import graph, joins, maintenance, mapreduce, ops
 
-__all__ = ["joins", "mapreduce", "ops"]
+__all__ = ["graph", "joins", "maintenance", "mapreduce", "ops"]

@@ -1,0 +1,113 @@
+"""Distributed connected components — the cluster-resolution stage of
+the dedup funnel (pair generation → components → keeper election).
+
+The reference resolves duplicate groups per-key inside one reducer
+(Controller.hs joinStep / reduce folds), which caps a cluster at one
+node's memory and cannot follow transitive links across keys. Here we
+use the alternating large-star/small-star algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14 — also the
+basis of GraphFrames' implementation), which converges in
+O(log^2 n) rounds on any graph shape (chains included), each round
+being two shuffles on the node id.
+
+Scale notes:
+- State per round is the edge list only (no adjacency collection —
+  high-degree nodes never materialize a neighbor array; mins come
+  from a groupBy, so partial aggregation bounds every reducer).
+- `localCheckpoint` each round truncates lineage: without it the
+  plan doubles per iteration and the driver OOMs on plan size long
+  before data is a problem.
+- Convergence is detected with a cheap invariant (edge count + sum of
+  endpoint ids, both monotone under the star operations) instead of a
+  full except() diff — one extra tiny agg per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (src > dst), no self-loops, distinct."""
+    e = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    return e.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    return edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: link every strictly-larger neighbor v to
+    m = min(N(u) ∪ {u})."""
+    nbrs = _sym(edges)
+    mins = nbrs.groupBy("src").agg(F.min("dst").alias("mn"))
+    return (
+        nbrs.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(
+            F.col("dst").alias("src"),
+            F.least("mn", F.col("src")).alias("dst"),
+        )
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each node u: link every smaller-or-equal neighbor (and u
+    itself) to m = min of those neighbors."""
+    le = _canon(edges)  # src > dst ⇒ dst side is the "smaller neighbors of src"
+    mins = le.groupBy("src").agg(F.min("dst").alias("mn"))
+    linked = le.join(mins, "src")
+    return linked.select(F.col("dst").alias("src"), F.col("mn").alias("dst")).unionByName(
+        linked.select("src", F.col("mn").alias("dst"))
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) where component = min node id reachable.
+
+    edges: undirected edge list (either orientation, duplicates ok).
+    nodes: optional 1-column frame of node ids — include it to get
+    rows for isolated nodes (no incident edges).
+    """
+    e = _canon(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    e = e.localCheckpoint(eager=True)
+    prev = None
+    for _ in range(max_iter):
+        e = _canon(_small_star(_large_star(e)))
+        e = e.localCheckpoint(eager=True)
+        stat = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("src") + F.col("dst")).alias("s"),
+        ).first()
+        cur = (stat["n"], stat["s"])
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+
+    # converged edges form stars src→component-min
+    comp = e.groupBy("src").agg(F.min("dst").alias("component"))
+    members = comp.select(F.col("src").alias("node"), "component").unionByName(
+        comp.select(F.col("component").alias("node"), "component")
+    ).distinct()
+    if nodes is not None:
+        node_col = nodes.columns[0]
+        all_nodes = nodes.select(F.col(node_col).alias("node")).distinct()
+        members = (
+            all_nodes.join(members, "node", "left")
+            .select("node", F.coalesce("component", "node").alias("component"))
+        )
+    return members

@@ -1,0 +1,113 @@
+"""Table maintenance: merge/upsert and CDC apply.
+
+The reference's pipelines rebuild outputs from scratch each run
+(Controller.hs RerunStrategy governs *whether* a stage reruns, not
+*how much*); incremental maintenance of a big table against a small
+batch of changes is left to the user. These operators provide the
+delta-style MERGE patterns a 100 TB training-data store needs,
+expressed as plain joins so Catalyst can pick the physical strategy.
+
+Scale notes:
+- `merge_upsert` is target ⟕anti updates ∪ updates. With a small
+  update batch, the anti join BROADCASTS the batch — the 100 TB
+  target is never shuffled, the whole merge is one narrow pass plus
+  a union. (A full-outer-join formulation would shuffle the target
+  on the key; avoid it.)
+- `cdc_apply` first collapses the change log to the latest change
+  per key (one shuffle of the SMALL change set), then applies the
+  same anti-join+union plan.
+- Both return a DataFrame; writing back is the caller's choice of
+  sink (fan_out_write / Tap.write), typically partition-by so only
+  touched partitions rewrite.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    broadcast_updates: bool = True,
+) -> DataFrame:
+    """MERGE: rows of `updates` replace same-key rows of `target`;
+    unmatched update rows are inserted. Schemas must match."""
+    upd = F.broadcast(updates) if broadcast_updates else updates
+    kept = target.join(upd, list(keys), "left_anti")
+    return kept.unionByName(updates)
+
+
+def cdc_apply(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+    delete_op: str = "D",
+    broadcast_changes: bool = True,
+) -> DataFrame:
+    """Apply a change log (op ∈ {I,U,D}, monotone seq per key) to a
+    snapshot: latest change per key wins; D deletes, I/U upsert.
+
+    Ties on (key, seq) break on op descending so a delete-then-insert
+    at the same seq resolves deterministically (insert wins: 'D' < 'I'
+    < 'U' lexicographically, we take the max op)."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc()
+    )
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    ch = F.broadcast(latest) if broadcast_changes else latest
+    kept = target.join(ch.select(*keys), list(keys), "left_anti")
+    upserts = latest.filter(F.col(op_col) != delete_op).drop(op_col, seq_col)
+    return kept.unionByName(upserts)
+
+
+def scd2_close_out(
+    history: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_flag: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: close current rows that have
+    a newer version in `updates` (valid_to ← update ts, is_current ←
+    false) and append the updates as new current rows.
+
+    updates must carry `keys` + attribute columns + ts_col. One
+    broadcast join against the (big) history; no history shuffle."""
+    upd_ts = updates.select(
+        *keys, F.col(ts_col).alias("_new_ts")
+    )
+    closed = (
+        history.join(F.broadcast(upd_ts), list(keys), "left")
+        .withColumn(
+            valid_to,
+            F.when(
+                F.col(current_flag) & F.col("_new_ts").isNotNull(), F.col("_new_ts")
+            ).otherwise(F.col(valid_to)),
+        )
+        .withColumn(
+            current_flag,
+            F.col(current_flag) & F.col("_new_ts").isNull(),
+        )
+        .drop("_new_ts")
+    )
+    fresh = (
+        updates.withColumn(valid_from, F.col(ts_col))
+        .withColumn(valid_to, F.lit(None).cast(history.schema[valid_to].dataType))
+        .withColumn(current_flag, F.lit(True))
+        .drop(ts_col)
+        .select(*history.columns)
+    )
+    return closed.unionByName(fresh)

@@ -1527,3 +1527,119 @@ def q57(spark, sf_dir):
         ],
         salt_buckets=8,
     )
+
+
+_ORDER_COLS = (
+    "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+)
+
+
+@_register(
+    "q58_merge_upsert",
+    f"""
+    WITH upd AS (
+      SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 100 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT {_ORDER_COLS} FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = o.o_orderkey)
+    UNION ALL
+    SELECT {_ORDER_COLS} FROM upd
+    """,
+)
+def q58(spark, sf_dir):
+    """MERGE/upsert (operators.maintenance.merge_upsert): a small
+    update batch replaces matching keys and inserts new ones. The
+    batch is BROADCAST into an anti join, so the (100 TB) target is
+    never shuffled — one narrow pass + union. Doubles pass through
+    unchanged, so the full frame is oracle-checkable."""
+    from hadron_spark.operators.maintenance import merge_upsert
+
+    o = load(spark, sf_dir, "orders")
+    upd = (
+        o.filter(F.col("o_orderkey") % 100 == 0)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+            )
+        )
+    )
+    return merge_upsert(o, upd, ["o_orderkey"])
+
+
+@_register(
+    "q59_cdc_apply",
+    f"""
+    SELECT {_ORDER_COLS} FROM orders
+    WHERE o_orderkey % 40 <> 0 AND o_orderkey % 30 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+           '9-CDC' AS o_orderpriority
+    FROM orders WHERE o_orderkey % 30 = 0 AND o_orderkey % 40 <> 0
+    UNION ALL
+    SELECT o_orderkey + 200000000, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+)
+def q59(spark, sf_dir):
+    """CDC apply (operators.maintenance.cdc_apply): a change log with
+    op ∈ {{I,U,D}} and per-key sequence collapses to latest-change-
+    per-key, then deletes/upserts against the snapshot. The log here
+    has superseded changes (U seq=1 then D seq=2 on the same key) to
+    exercise the sequencing; the oracle states the FINAL table
+    analytically, independent of the log mechanics."""
+    from hadron_spark.operators.maintenance import cdc_apply
+
+    o = load(spark, sf_dir, "orders")
+
+    def ch(pred, op, seq, **edits):
+        d = o.filter(pred)
+        for c, v in edits.items():
+            d = d.withColumn(c, v)
+        return d.withColumn("op", F.lit(op)).withColumn("seq", F.lit(seq))
+
+    k = F.col("o_orderkey")
+    changes = (
+        ch(k % 40 == 0, "U", 1, o_orderpriority=F.lit("1-OLD"))
+        .unionByName(ch(k % 40 == 0, "D", 2))
+        .unionByName(
+            ch((k % 30 == 0) & (k % 40 != 0), "U", 1, o_orderpriority=F.lit("9-CDC"))
+        )
+        .unionByName(ch(k % 97 == 0, "I", 1, o_orderkey=k + F.lit(200000000)))
+    )
+    return cdc_apply(o, changes, ["o_orderkey"])
+
+
+@_register(
+    "q60_connected_components",
+    """
+    SELECT o_orderkey AS node,
+           MIN(o_orderkey) OVER (PARTITION BY o_custkey) AS component
+    FROM orders
+    """,
+)
+def q60(spark, sf_dir):
+    """Connected components (operators.graph, large-star/small-star —
+    Kiveris et al. SoCC'14): the cluster-resolution stage the
+    reference cannot express across reducer keys. Input: chain edges
+    linking each customer's consecutive orders — the worst case for
+    naive min-propagation (diameter = chain length), converged here
+    in O(log^2) rounds. The oracle states components analytically
+    (min orderkey per customer)."""
+    from hadron_spark.operators.graph import connected_components
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    edges = (
+        o.withColumn("prev", F.lag("o_orderkey").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("o_orderkey").alias("src"), F.col("prev").alias("dst"))
+    )
+    return connected_components(edges, nodes=o.select("o_orderkey"))

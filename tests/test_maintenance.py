@@ -1,0 +1,103 @@
+"""Table maintenance (merge/CDC/SCD2) and connected components."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from hadron_spark.operators.graph import connected_components
+from hadron_spark.operators.maintenance import cdc_apply, merge_upsert, scd2_close_out
+
+
+def test_merge_upsert_replaces_and_inserts(spark):
+    target = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+    )
+    updates = spark.createDataFrame([Row(k=2, v="B2"), Row(k=9, v="new")])
+    out = {r.k: r.v for r in merge_upsert(target, updates, ["k"]).collect()}
+    assert out == {1: "a", 2: "B2", 3: "c", 9: "new"}
+
+
+def test_merge_upsert_broadcasts_batch(spark):
+    target = spark.createDataFrame([Row(k=i, v=str(i)) for i in range(100)])
+    updates = spark.createDataFrame([Row(k=1, v="x")])
+    plan = merge_upsert(target, updates, ["k"])._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_cdc_apply_latest_wins(spark):
+    target = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+    )
+    changes = spark.createDataFrame(
+        [
+            Row(k=1, v="a1", op="U", seq=1),
+            Row(k=1, v=None, op="D", seq=2),  # delete wins (later seq)
+            Row(k=2, v="old", op="U", seq=1),
+            Row(k=2, v="b2", op="U", seq=5),  # latest update wins
+            Row(k=7, v="ins", op="I", seq=1),
+        ]
+    )
+    out = {r.k: r.v for r in cdc_apply(target, changes, ["k"]).collect()}
+    assert out == {2: "b2", 3: "c", 7: "ins"}
+
+
+def test_cdc_same_seq_tiebreak(spark):
+    target = spark.createDataFrame([Row(k=1, v="a")])
+    changes = spark.createDataFrame(
+        [Row(k=1, v=None, op="D", seq=1), Row(k=1, v="re", op="U", seq=1)]
+    )
+    out = cdc_apply(target, changes, ["k"]).collect()
+    assert [(r.k, r.v) for r in out] == [(1, "re")]
+
+
+def test_scd2_close_out(spark):
+    hist = spark.createDataFrame(
+        [
+            Row(k=1, v="a", valid_from="2020", valid_to=None, is_current=True),
+            Row(k=1, v="a0", valid_from="2010", valid_to="2020", is_current=False),
+            Row(k=2, v="b", valid_from="2020", valid_to=None, is_current=True),
+        ]
+    )
+    upd = spark.createDataFrame([Row(k=1, v="a2", ts="2024")])
+    out = scd2_close_out(hist, upd, ["k"], "ts").collect()
+    rows = {(r.k, r.v): r for r in out}
+    assert len(out) == 4
+    closed = rows[(1, "a")]
+    assert closed.valid_to == "2024" and closed.is_current is False
+    untouched = rows[(1, "a0")]
+    assert untouched.valid_to == "2020" and untouched.is_current is False
+    fresh = rows[(1, "a2")]
+    assert fresh.valid_from == "2024" and fresh.valid_to is None and fresh.is_current
+    assert rows[(2, "b")].is_current
+
+
+def edges_df(spark, pairs):
+    return spark.createDataFrame([Row(src=a, dst=b) for a, b in pairs])
+
+
+def test_cc_chain_and_clique(spark):
+    # chain 1-2-3-4-5 (worst case), clique {10,11,12}, pair {20,21}
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (21, 20)]
+    out = {r.node: r.component for r in connected_components(edges_df(spark, pairs)).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_cc_isolated_nodes_and_self_loops(spark):
+    pairs = [(1, 2), (3, 3)]
+    nodes = spark.range(1, 6).select(F.col("id").alias("node"))
+    out = {
+        r.node: r.component
+        for r in connected_components(edges_df(spark, pairs), nodes=nodes).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 3, 4: 4, 5: 5}
+
+
+def test_cc_long_chain_converges_log_rounds(spark):
+    n = 200
+    pairs = [(i, i + 1) for i in range(1, n)]
+    out = connected_components(edges_df(spark, pairs), max_iter=25)
+    comps = {r.component for r in out.collect()}
+    assert comps == {1}
+    assert out.count() == n
