@@ -55,6 +55,28 @@ def char_shingles(col: Column | str, k: int = 5) -> Column:
     )
 
 
+# GPT-2-style pretokenizer pattern (simplified; public knowledge —
+# Radford et al. 2019 / tiktoken): contraction suffixes, space-prefixed
+# letter runs, digit runs, punctuation runs. Restricted to constructs
+# with identical semantics in Java regex (Spark) and RE2 (DuckDB) so
+# token counts are oracle-portable.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_ish_tokenize(col: Column | str) -> Column:
+    """BPE-style pretokenization (the unit a GPT-2-family tokenizer
+    would merge within) → array<string>. Codegen'd regexp_extract_all,
+    no Python in the loop; the realistic token-budget estimator for
+    training-data accounting, vs the whitespace lower bound of
+    `tokenize`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    return F.size(bpe_ish_tokenize(col))
+
+
 def stopword_ratio(col: Column | str) -> Column:
     toks = F.transform(tokenize(col), lambda t: F.lower(t))
     hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))

@@ -545,3 +545,35 @@ def contamination_pairs(
         .groupBy("train_id", "eval_id")
         .agg(F.count_distinct("g").alias("n_common"))
     )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 2,
+) -> DataFrame:
+    """Blocked edit-distance record linkage: candidate pairs share
+    `block_cols` (an equi self-join, so the quadratic cross-product is
+    confined to blocks — the standard blocking strategy; pick keys
+    that bound block size), scored with codegen'd levenshtein and cut
+    at `max_dist`. Returns (id_a, id_b, dist), id_a < id_b.
+
+    Scale: one shuffle on the block key; per-block cost is
+    |block|²·|s|² — keep blocks ≤ a few thousand rows and strings
+    short, or pre-cut candidates with MinHash (minhash_lsh_pairs)
+    and use this as the verify stage."""
+    a = df.select(
+        *block_cols, F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta")
+    )
+    b = df.select(
+        *block_cols, F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb")
+    )
+    return (
+        a.join(b, list(block_cols))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("_ta", "_tb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from hadron_spark.functions.text import (
     fingerprint,
+    ngrams,
     quality_features,
     token_count,
     tokenize,
@@ -79,6 +80,167 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     best = F.array_max(scores)
     return df.withColumn("lang_pred", best["lang"]).withColumn(
         "lang_score", best["score"]
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    idf is the LINEAR variant N/df rather than ln(N/df): tf·N and df
+    are exact integers, so score = double(tf·N)/df is ONE correctly
+    rounded IEEE division and therefore bit-identical across engines
+    (ln is not correctly rounded — a 1-ulp divergence near a rank
+    boundary would flip the top-k). For the log-weighted scorer see
+    `bm25_topk`.
+
+    Scale: two hash aggregations (tf keyed on (doc, term), df keyed
+    on term — df is derived from the tf frame, so the expensive
+    tokenize+explode runs once) + one shuffle join on term; the
+    1-row corpus count is broadcast. Output is capped at k rows per
+    document by a window over the doc key."""
+    from pyspark.sql import Window
+
+    tok = df.select(id_col, F.explode(tokenize(F.col(text_col))).alias("word"))
+    tf = tok.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.persist()  # feeds both the df-aggregate and the join probe side
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "word")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score_lin",
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_lin").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "word", "tf", "df", "score_lin", "rn")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k document retrieval for a bag of query terms.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl)),
+    idf(t) = ln(1 + (N−df+0.5)/(df+0.5)) (the Lucene form — always
+    positive). All per-term math is a Catalyst expression; the only
+    driver-side values are the scalar N and avgdl, folded in via a
+    broadcast 1-row frame.
+
+    ln() is not correctly rounded, so scores are float-deterministic
+    within one engine but not bit-portable across engines — verified
+    in tests against a Python reference, registered rows-only with
+    the oracle driver (row count = min(k, matching docs) is exact).
+
+    Scale: the term filter cuts the exploded token stream to query
+    terms BEFORE any shuffle (predicate on the generator output), so
+    tf/df aggregate over |matches|, not |tokens|; doc lengths are a
+    separate narrow aggregate joined on the doc key."""
+    from pyspark.sql import Window
+
+    tok = df.select(id_col, F.explode(tokenize(F.col(text_col))).alias("word"))
+    qtok = tok.filter(F.col("word").isin(query_terms))
+    tf = qtok.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    dl = df.select(id_col, token_count(F.col(text_col)).alias("dl"))
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(token_count(F.col(text_col))).alias("avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    term_score = idf * (F.col("tf") * (k1 + 1)) / (F.col("tf") + norm)
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(dl, id_col)
+        .join(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.sum(term_score).alias("score"))
+    )
+    # global top-k via orderBy+limit = TakeOrderedAndProject (per-
+    # partition heaps, no single-partition window shuffle); the rank
+    # window then runs over only the k survivors.
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.withColumn("rn", F.row_number().over(w)).select(id_col, "score", "rn")
+
+
+def collocations_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-k bigram collocations ranked by lift = P(ab)/(P(a)·P(b)) =
+    n_ab·T / (n_a·n_b).
+
+    Lift is exp(PMI) — exp is monotone, so the ranking is identical to
+    PMI's — but unlike PMI it needs no ln(): numerator and denominator
+    are exact integers (< 2^53), so the score is one correctly-rounded
+    IEEE division and bit-identical across engines (oracle-checkable).
+
+    Scale: unigram and bigram counts are two hash aggregations over
+    the exploded token stream (partial agg bounds shuffle at |vocab| /
+    |bigram vocab|); min_count prunes the bigram tail BEFORE the two
+    dictionary joins; the global top-k is orderBy+limit =
+    TakeOrderedAndProject (per-partition heaps, no single-partition
+    window)."""
+    from pyspark.sql import Window
+
+    toks = df.select(tokenize(F.col(text_col)).alias("toks"))
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    uni = uni.persist()  # feeds the total and both sides of the dictionary join
+    total = uni.agg(F.sum("c").alias("t"))
+    bg = (
+        toks.select(F.explode(ngrams(F.col("toks"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    parts = F.split(F.col("bigram"), " ")
+    u1 = uni.select(F.col("w").alias("_w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("_w2"), F.col("c").alias("c2"))
+    scored = (
+        bg.withColumn("_w1", parts[0])
+        .withColumn("_w2", parts[1])
+        .join(u1, "_w1")
+        .join(u2, "_w2")
+        .join(F.broadcast(total))
+        .withColumn(
+            "lift",
+            (F.col("n_ab") * F.col("t")).cast("double")
+            / (F.col("c1") * F.col("c2")),
+        )
+    )
+    top = scored.orderBy(F.col("lift").desc(), F.col("bigram").asc()).limit(k)
+    w = Window.orderBy(F.col("lift").desc(), F.col("bigram").asc())
+    return top.withColumn("rn", F.row_number().over(w)).select(
+        "bigram", "n_ab", "c1", "c2", "lift", "rn"
     )
 
 

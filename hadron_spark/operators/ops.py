@@ -283,6 +283,60 @@ def sample_fraction(
     return df.filter(hash_bucket(key, n_buckets) < int(round(fraction * n_buckets)))
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata: Column | str,
+    key: Column | str,
+    fractions: dict[str, float],
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — DataFrame.sampleBy with
+    the RNG replaced by the md5 hash bucket of `key`: a row survives
+    iff bucket(key) < fraction(stratum)·n_buckets. Membership is a
+    pure function of (key, stratum), so the sample is reproducible
+    across runs, re-shards, and appends, and downsampling ratios per
+    class (the usual data-mixing knob) are exact in expectation.
+    Strata missing from `fractions` are dropped. Narrow — the filter
+    pushes to the scan; no shuffle."""
+    s = F.col(strata) if isinstance(strata, str) else strata
+    thresh = None
+    for name, frac in fractions.items():
+        t = int(round(frac * n_buckets))
+        thresh = F.when(s == name, t) if thresh is None else thresh.when(s == name, t)
+    return df.filter(hash_bucket(key, n_buckets) < thresh.otherwise(0))
+
+
+def gap_fill(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    step: str = "1 month",
+    fills: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Time-series densification (resample/gap-fill — the hypertable
+    rollup companion): expand each key's observed [min(ts), max(ts)]
+    span to every `step` boundary with sequence()+explode (codegen'd,
+    no UDF, no driver loop), then left-join the observations back and
+    fill absent metrics from `fills`.
+
+    Scale: one partial-agg shuffle for the spans (output |keys| rows),
+    one join shuffle of |keys|·(span/step) generated rows against the
+    observations — both keyed identically, and AQE broadcasts the span
+    side when small. Assumes ts values are already aligned to step
+    boundaries (pre-truncate with date_trunc)."""
+    spans = df.groupBy(*key_cols).agg(
+        F.min(ts_col).alias("_mn"), F.max(ts_col).alias("_mx")
+    )
+    grid = spans.select(
+        *key_cols,
+        F.explode(F.expr(f"sequence(_mn, _mx, interval {step})")).alias(ts_col),
+    )
+    out = grid.join(df, [*key_cols, ts_col], "left")
+    for c, v in (fills or {}).items():
+        out = out.withColumn(c, F.coalesce(F.col(c), v))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # dataset profiling (training-data pipeline QA)
 # ---------------------------------------------------------------------------

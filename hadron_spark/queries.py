@@ -1643,3 +1643,323 @@ def q60(spark, sf_dir):
         .select(F.col("o_orderkey").alias("src"), F.col("prev").alias("dst"))
     )
     return connected_components(edges, nodes=o.select("o_orderkey"))
+
+
+@_register(
+    "q61_tfidf_topk",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf FROM tok
+      WHERE word <> '' GROUP BY doc_id, word
+    ), dfreq AS (
+      SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.word, tf.tf, dfreq.df,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS score_lin
+      FROM tf JOIN dfreq USING (word) CROSS JOIN n
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score_lin DESC, word) AS rn
+      FROM scored
+    )
+    SELECT doc_id, word, tf, df, score_lin, rn FROM ranked WHERE rn <= 5
+    """,
+)
+def q61(spark, sf_dir):
+    """Top-5 TF-IDF terms per document (llm.textstats.tfidf_topk).
+    The linear-idf score double(tf·N)/df is a single correctly-rounded
+    IEEE division of exact integers, so ranks AND score doubles are
+    bit-identical cross-engine — the whole frame is oracle-checkable
+    (the ln-weighted scorer, bm25_topk/q62, is not bit-portable and
+    is checked rows-only)."""
+    return textstats.tfidf_topk(load(spark, sf_dir, "documents"), k=5)
+
+
+@_register("q62_bm25_topk", None)
+def q62(spark, sf_dir):
+    """Okapi BM25 top-10 retrieval (llm.textstats.bm25_topk) for a
+    fixed stopword-free query. ln() is not correctly rounded across
+    engines, so this is a rows-only driver check (row count = min(k,
+    matching docs) is deterministic); numeric agreement with a pure
+    Python reference is asserted in tests/test_llm_ops.py."""
+    return textstats.bm25_topk(
+        load(spark, sf_dir, "documents"),
+        ["data", "model", "learning"],
+        k=10,
+    )
+
+
+@_register(
+    "q63_stream_static_join",
+    """
+    SELECT make_timestamp((epoch_us(e.ts) // 600000000) * 600000000) AS win_start,
+           c.c_mktsegment AS segment, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE)
+             AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q63(spark, sf_dir):
+    """Stream-static enrichment join (streaming.enrich): the events
+    stream joins the customer dimension per micro-batch, then a
+    10-minute windowed aggregation per market segment — driven to
+    completion with availableNow and verified against the batch
+    oracle (batch/stream parity). The static side is re-read each
+    batch, so dimension updates are picked up without restarting;
+    at scale it should be broadcast-sized or bucketed on the key."""
+    import os
+    import tempfile
+
+    from hadron_spark.streaming import (
+        enrich,
+        run_stream_to_memory,
+        stream_tap,
+        windowed_agg,
+    )
+
+    d = tempfile.mkdtemp(prefix="q63_events_")
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    raw = stream_tap(
+        spark,
+        d,
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    agg = windowed_agg(
+        enrich(ev, dim, on=["user_id"], how="inner"),
+        "ts",
+        "10 minutes",
+        ["segment"],
+        [F.count(F.lit(1)).alias("n"), dsum("value", "total_value")],
+    )
+    out = run_stream_to_memory(agg, "q63_win", output_mode="complete")
+    return out.select("win_start", "segment", "n", "total_value")
+
+
+@_register(
+    "q64_gap_fill",
+    """
+    WITH m AS (
+      SELECT c_nationkey AS nationkey, date_trunc('month', o_orderdate) AS month,
+             COUNT(*) AS n_orders,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4))
+                  AS DOUBLE) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ), spans AS (
+      SELECT nationkey, MIN(month) AS mn, MAX(month) AS mx FROM m GROUP BY 1
+    ), grid AS (
+      SELECT nationkey, unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS month
+      FROM spans
+    )
+    SELECT g.nationkey, g.month,
+           COALESCE(m.n_orders, 0) AS n_orders,
+           COALESCE(m.revenue, 0.0) AS revenue
+    FROM grid g LEFT JOIN m ON g.nationkey = m.nationkey AND g.month = m.month
+    """,
+)
+def q64(spark, sf_dir):
+    """Time-series gap fill (ops.gap_fill): nation-level monthly
+    revenue densified to EVERY month in each nation's observed span,
+    absent months zero-filled — sequence()+explode generates the
+    grid engine-side (no driver loop), one join keyed like the grid.
+    The reference cannot express this (no generator source)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "revenue"))
+    )
+    return ops.gap_fill(
+        monthly,
+        ["nationkey"],
+        "month",
+        "1 month",
+        fills={"n_orders": F.lit(0), "revenue": F.lit(0.0)},
+    )
+
+
+@_register(
+    "q65_stratified_sample",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n, SUM(o_orderkey) AS key_sum
+    FROM orders
+    WHERE (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 10000)
+          < CASE o_orderpriority
+              WHEN '1-URGENT' THEN 5000
+              WHEN '2-HIGH' THEN 2500
+              WHEN '3-MEDIUM' THEN 1000
+              WHEN '4-NOT SPECIFIED' THEN 500
+              WHEN '5-LOW' THEN 100
+              ELSE 0 END
+    GROUP BY o_orderpriority
+    """,
+)
+def q65(spark, sf_dir):
+    """Deterministic stratified sampling (ops.stratified_sample):
+    per-class downsampling ratios (the data-mixing knob) applied via
+    the md5 hash bucket of the key — RNG-free, re-shard-stable, and
+    therefore exactly reproducible by the oracle. key_sum checksums
+    row identity, not just counts. Narrow: filter pushes to the scan."""
+    o = load(spark, sf_dir, "orders")
+    sampled = ops.stratified_sample(
+        o,
+        "o_orderpriority",
+        "o_orderkey",
+        {
+            "1-URGENT": 0.5,
+            "2-HIGH": 0.25,
+            "3-MEDIUM": 0.1,
+            "4-NOT SPECIFIED": 0.05,
+            "5-LOW": 0.01,
+        },
+    )
+    return sampled.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("key_sum")
+    )
+
+
+@_register(
+    "q66_collocations",
+    """
+    WITH tok AS (
+      SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), uni AS (
+      SELECT unnest(toks) AS w FROM tok
+    ), ucnt AS (
+      SELECT w, COUNT(*) AS c FROM uni GROUP BY w
+    ), tot AS (SELECT COUNT(*) AS t FROM uni),
+    bg AS (
+      SELECT unnest(list_transform(list_zip(toks, toks[2:]),
+                                   p -> p[1] || ' ' || p[2])) AS bigram
+      FROM tok
+    ), bcnt AS (
+      SELECT bigram, COUNT(*) AS n_ab FROM bg WHERE bigram IS NOT NULL
+      GROUP BY bigram HAVING COUNT(*) >= 5
+    ), scored AS (
+      SELECT b.bigram, b.n_ab, a.c AS c1, z.c AS c2,
+             CAST(b.n_ab * tot.t AS DOUBLE) / (a.c * z.c) AS lift
+      FROM bcnt b
+      JOIN ucnt a ON a.w = string_split(b.bigram, ' ')[1]
+      JOIN ucnt z ON z.w = string_split(b.bigram, ' ')[2]
+      CROSS JOIN tot
+    )
+    SELECT bigram, n_ab, c1, c2, lift,
+           row_number() OVER (ORDER BY lift DESC, bigram) AS rn
+    FROM scored ORDER BY lift DESC, bigram LIMIT 20
+    """,
+)
+def q66(spark, sf_dir):
+    """Bigram collocation mining (llm.textstats.collocations_topk):
+    top-20 bigrams by lift = n_ab·T/(n_a·n_b) — exp(PMI), rank-
+    identical to PMI but exactly computable (one IEEE division of
+    exact integers), so scores hash-match the oracle bit-for-bit."""
+    return textstats.collocations_topk(
+        load(spark, sf_dir, "documents"), k=20, min_count=5
+    )
+
+
+@_register(
+    "q67_window_frames",
+    """
+    SELECT o_custkey, o_orderkey,
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w3 AS DECIMAL(18,4))
+           AS DOUBLE) / COUNT(*) OVER w3 AS ma3,
+      COUNT(*) OVER wr AS n_trailing_30d
+    FROM orders
+    WINDOW
+      w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+      wr AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate) // 1000000
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q67(spark, sf_dir):
+    """Explicit window FRAMES (rows + range — q15/q56 cover only
+    unframed windows): 3-row trailing moving average and a 30-day
+    trailing event count per customer. Decimal accumulation inside
+    the frame keeps the moving average bit-portable; the range frame
+    orders on integer epoch seconds so both engines build identical
+    peer groups. One shuffle on the partition key serves both frames."""
+    o = load(spark, sf_dir, "orders")
+    w3 = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(-2, 0)
+    )
+    # NTZ won't cast to long directly; via LTZ is exact under the
+    # engine-portable UTC session timezone (session.py)
+    epoch_s = F.col("o_orderdate").cast("timestamp_ltz").cast("long")
+    wr = Window.partitionBy("o_custkey").orderBy(epoch_s).rangeBetween(-2592000, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(_dec("o_totalprice")).over(w3).cast("decimal(18,4)").cast("double")
+            / F.count(F.lit(1)).over(w3)
+        ).alias("ma3"),
+        F.count(F.lit(1)).over(wr).alias("n_trailing_30d"),
+    )
+
+
+@_register(
+    "q68_fuzzy_pairs",
+    """
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM part a JOIN part b ON a.p_brand = b.p_brand
+    WHERE a.p_partkey < b.p_partkey
+      AND levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def q68(spark, sf_dir):
+    """Blocked edit-distance linkage (llm.dedup.fuzzy_pairs): within-
+    brand part-name pairs at levenshtein ≤ 3 — the verify stage of a
+    fuzzy-dedup funnel (blocking confines the quadratic cross-product;
+    levenshtein is an integer, so exact cross-engine)."""
+    p = load(spark, sf_dir, "part")
+    return dedup.fuzzy_pairs(
+        p, ["p_brand"], id_col="p_partkey", text_col="p_name", max_dist=3
+    )
+
+
+@_register(
+    "q69_bpe_token_counts",
+    """
+    SELECT source,
+      CAST(SUM(len(regexp_extract_all(text,
+        '''(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+')))
+        AS BIGINT) AS total_bpe_tokens,
+      COUNT(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def q69(spark, sf_dir):
+    """Token-budget accounting with a BPE-style pretokenizer
+    (functions.text.bpe_ish_tokenize — GPT-2-family pattern restricted
+    to constructs with identical Java-regex/RE2 semantics): per-source
+    totals. No explode — array length per row, then a partial-agg'd
+    sum (shuffle = |sources| rows)."""
+    from hadron_spark.functions.text import bpe_token_count
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(bpe_token_count(F.col("text"))).alias("total_bpe_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )

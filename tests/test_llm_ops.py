@@ -256,3 +256,90 @@ def test_simhash_token_cap_contract(spark):
     )
     out = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
     assert out[1] == out[2]
+
+
+def test_tfidf_topk_scores_and_cap(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "apple cherry cherry date"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textstats.tfidf_topk(df, k=2)
+    rows = {(r["doc_id"], r["word"]): r for r in out.collect()}
+    # doc 1: apple tf=2 df=2 → 2*3/2=3.0 ; banana tf=1 df=2 → 1.5
+    assert rows[(1, "apple")]["score_lin"] == 3.0
+    assert rows[(1, "banana")]["score_lin"] == 1.5
+    # date: tf=1 df=1 → 3.0, unique to doc 3
+    assert rows[(3, "date")]["score_lin"] == 3.0
+    # k caps rows per doc even though doc 3 has 3 distinct terms
+    assert max(r["rn"] for r in rows.values()) <= 2
+    assert sum(1 for (d, _w) in rows if d == 3) == 2
+
+
+def test_bm25_matches_python_reference(spark, sf_dir):
+    import math
+
+    from collections import Counter
+
+    query = ["data", "model", "learning"]
+    k1, b = 1.2, 0.75
+    docs = tap(f"{sf_dir}/documents.parquet").read(spark)
+    pdf = docs.select("doc_id", "text").toPandas()
+    toks = {r.doc_id: [t for t in r.text.split() if t] for r in pdf.itertuples()}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfreq = Counter(w for t in toks.values() for w in set(t) if w in query)
+    expected = {}
+    for did, t in toks.items():
+        tf = Counter(w for w in t if w in query)
+        score = 0.0
+        for w, f in tf.items():
+            idf = math.log(1 + (n - dfreq[w] + 0.5) / (dfreq[w] + 0.5))
+            score += idf * f * (k1 + 1) / (f + k1 * (1 - b + b * len(t) / avgdl))
+        if score > 0:
+            expected[did] = score
+    top = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = textstats.bm25_topk(docs, query, k=10, k1=k1, b=b).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in top]
+    for r, (_, s) in zip(got, top):
+        assert abs(r["score"] - s) < 1e-9 * max(1.0, abs(s))
+
+
+def test_collocations_lift(spark):
+    df = spark.createDataFrame(
+        [(i, "new york is big and new york is old") for i in range(3)],
+        "doc_id long, text string",
+    )
+    out = textstats.collocations_topk(df, k=5, min_count=2)
+    rows = {r["bigram"]: r for r in out.collect()}
+    # "new york": n_ab=6, c(new)=6, c(york)=6, T=27 → lift = 6*27/36 = 4.5
+    assert rows["new york"]["lift"] == 4.5
+    # "york is" co-occurs as often but 'is' also appears after... same counts
+    assert rows["new york"]["n_ab"] == 6
+    assert all(r["rn"] >= 1 for r in rows.values())
+
+
+def test_fuzzy_pairs_blocked(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "small bolt", "A"),
+            (2, "small bolts", "A"),
+            (3, "small bolt", "B"),   # same text, different block → no pair
+            (4, "totally different", "A"),
+        ],
+        "id long, name string, blk string",
+    )
+    out = dedup.fuzzy_pairs(df, ["blk"], id_col="id", text_col="name", max_dist=2)
+    pairs = {(r["id_a"], r["id_b"]): r["dist"] for r in out.collect()}
+    assert pairs == {(1, 2): 1}
+
+
+def test_bpe_ish_tokenize(spark):
+    from hadron_spark.functions.text import bpe_ish_tokenize
+
+    df = spark.createDataFrame([("It's 42 degrees, isn't it?",)], "t string")
+    toks = df.select(bpe_ish_tokenize(F.col("t")).alias("x")).collect()[0]["x"]
+    assert toks == ["It", "'s", " 42", " degrees", ",", " isn", "'t", " it", "?"]

@@ -130,3 +130,42 @@ def test_vector_functions(spark):
     assert abs(rows[0]["cos"] - 1.0) < 1e-12 and rows[0]["dist"] == 0.0
     assert abs(rows[1]["cos"]) < 1e-12 and abs(rows[1]["dist"] - 2 ** 0.5) < 1e-12
     assert abs(sum(x * x for x in rows[0]["unit"]) - 1.0) < 1e-12
+
+
+def test_stratified_sample_deterministic_subset(spark, sf_dir):
+    o = tap(f"{sf_dir}/orders.parquet").read(spark)
+    fr = {"1-URGENT": 0.5, "5-LOW": 0.0}
+    s1 = ops.stratified_sample(o, "o_orderpriority", "o_orderkey", fr)
+    s2 = ops.stratified_sample(
+        o.repartition(7), "o_orderpriority", "o_orderkey", fr
+    )
+    keys1 = sorted(r["o_orderkey"] for r in s1.select("o_orderkey").collect())
+    keys2 = sorted(r["o_orderkey"] for r in s2.select("o_orderkey").collect())
+    # pure function of the key: identical under any partitioning
+    assert keys1 == keys2 and keys1
+    # unlisted strata and 0-fraction strata are dropped entirely
+    kept = {r["o_orderpriority"] for r in s1.select("o_orderpriority").distinct().collect()}
+    assert kept == {"1-URGENT"}
+    n_urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert abs(len(keys1) / n_urgent - 0.5) < 0.1
+
+
+def test_gap_fill_fills_missing_steps(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-01", 1),
+            ("a", "2024-04-01", 4),
+            ("b", "2024-02-01", 2),
+        ],
+        "k string, month string, v int",
+    ).withColumn("month", F.to_timestamp("month"))
+    out = ops.gap_fill(df, ["k"], "month", "1 month", fills={"v": F.lit(0)})
+    rows = {(r["k"], str(r["month"])[:7]): r["v"] for r in out.collect()}
+    # a: 4 months (Jan..Apr) with Feb/Mar zero-filled; b: its single month
+    assert rows == {
+        ("a", "2024-01"): 1,
+        ("a", "2024-02"): 0,
+        ("a", "2024-03"): 0,
+        ("a", "2024-04"): 4,
+        ("b", "2024-02"): 2,
+    }
