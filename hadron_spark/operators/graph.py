@@ -111,3 +111,65 @@ def connected_components(
             .select("node", F.coalesce("component", "node").alias("component"))
         )
     return members
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 10,
+) -> DataFrame:
+    """PageRank (Brin/Page '98, simple directed form): rank(v) =
+    (1−d)/N + d·Σ_{u→v} rank(u)/outdeg(u), iterated a fixed number of
+    rounds. Dangling-node mass is dropped (the usual simplification);
+    fixed iteration count keeps the result deterministic.
+
+    Scale notes (same discipline as connected_components):
+    - Each round is exactly two shuffles — contributions join on the
+      source id, re-aggregate on the destination id — over the edge
+      list; no adjacency lists are ever collected, so high-degree
+      nodes cost only their edge rows.
+    - edges and out-degrees are persisted once and reused every round;
+      ranks are localCheckpoint'ed per round to truncate lineage
+      (otherwise the plan doubles per iteration and the driver dies
+      on plan size long before data volume matters).
+    - Iterative algorithms are inherently outside the reference's
+      single-pass MapReduce surface (SURVEY §2.10: the Controller can
+      chain jobs but each stage re-reads HDFS; here intermediate state
+      stays in executor memory)."""
+    from pyspark import StorageLevel
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -111,3 +111,23 @@ def scd2_close_out(
         .select(*history.columns)
     )
     return closed.unionByName(fresh)
+
+
+def incremental_rollup(
+    prev: DataFrame,
+    batch_agg: DataFrame,
+    keys: Sequence[str],
+    merge_aggs: Sequence,
+) -> DataFrame:
+    """Continuous-aggregate maintenance (the hypertable-rollup
+    pattern): merge an existing rollup with a new batch's partial
+    rollup by re-aggregating their union on the same keys with the
+    monoid's merge expressions (counts: sum of counts; sums: sum of
+    partial sums — keep partials in DECIMAL so the merge is exact and
+    associative, i.e. merged-incremental ≡ recomputed-from-scratch).
+
+    Cost is O(|prev rollup| + |batch|): the raw history is never
+    rescanned — the whole point at 100 TB, where the fact table is
+    append-only and the rollup is small. Schemas of `prev` and
+    `batch_agg` must match."""
+    return prev.unionByName(batch_agg).groupBy(*keys).agg(*merge_aggs)

@@ -366,3 +366,32 @@ def profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         F.explode(F.array(*[f"_{c}" for c in cols])).alias("p")
     )
     return stacked.select("p.*")
+
+
+def sketch_profile(
+    df: DataFrame,
+    keys: Sequence[str],
+    distinct_cols: Sequence[str] = (),
+    quantile_cols: Sequence[str] = (),
+    rsd: float = 0.05,
+    quantiles: Sequence[float] = (0.5, 0.9),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Sketch-based profiling for the 100 TB path: HyperLogLog++
+    approximate distinct counts and an approximate-quantile digest per
+    group — single pass, fixed memory per group (the sketches are
+    mergeable, so partial aggregation works and the shuffle carries
+    |groups|·sketch_size, never rows). The exact companions
+    (countDistinct / percentile) are `profile` and q35/q40; use this
+    form when the exact sort/distinct would dominate the job."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in distinct_cols:
+        aggs.append(F.approx_count_distinct(c, rsd).alias(f"apx_nd_{c}"))
+    for c in quantile_cols:
+        for q in quantiles:
+            aggs.append(
+                F.percentile_approx(c, F.lit(q), F.lit(accuracy)).alias(
+                    f"apx_p{int(q * 100)}_{c}"
+                )
+            )
+    return df.groupBy(*keys).agg(*aggs)

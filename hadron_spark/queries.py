@@ -1963,3 +1963,90 @@ def q69(spark, sf_dir):
         F.sum(bpe_token_count(F.col("text"))).alias("total_bpe_tokens"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+@_register(
+    "q70_incremental_rollup",
+    """
+    SELECT date_trunc('month', o_orderdate) AS month,
+      COUNT(*) AS n_orders,
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE)
+        AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def q70(spark, sf_dir):
+    """Continuous-aggregate maintenance (maintenance.incremental_
+    rollup): history rolled up once, a new batch rolled up alone,
+    the two MERGED by monoid re-aggregation — never rescanning the
+    history. Partial sums stay in DECIMAL (exact + associative), so
+    the oracle can state the result as a from-scratch aggregation:
+    merged-incremental ≡ recomputed is precisely the property being
+    verified."""
+    from hadron_spark.operators.maintenance import incremental_rollup
+
+    o = load(spark, sf_dir, "orders")
+    cutoff = "1997-01-01"
+
+    def partial(frame):
+        return frame.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month")
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).alias("rev_partial"),
+        )
+
+    prev = partial(o.filter(F.col("o_orderdate") < cutoff))
+    batch = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    merged = incremental_rollup(
+        prev,
+        batch,
+        ["month"],
+        [
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("rev_partial").alias("rev_partial"),
+        ],
+    )
+    return merged.select(
+        "month",
+        "n_orders",
+        F.col("rev_partial").cast("decimal(18,4)").cast("double").alias("revenue"),
+    )
+
+
+@_register("q71_pagerank", None)
+def q71(spark, sf_dir):
+    """PageRank (operators.graph.pagerank, 5 fixed rounds) over the
+    customer→nation→region containment DAG (ids offset into one
+    space). Iterative double arithmetic isn't bit-portable across
+    engines, so this is a rows-only check (row count = |nodes| is
+    deterministic); convergence behavior is asserted in
+    tests/test_maintenance.py."""
+    from hadron_spark.operators.graph import pagerank
+
+    c = load(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") + 100000).alias("src"),
+        (F.col("c_nationkey") + 100).cast("long").alias("dst"),
+    )
+    n = load(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey") + 100).cast("long").alias("src"),
+        F.col("n_regionkey").cast("long").alias("dst"),
+    )
+    return pagerank(c.unionByName(n), iters=5)
+
+
+@_register("q72_sketch_profile", None)
+def q72(spark, sf_dir):
+    """Sketch-tier profiling (ops.sketch_profile): HyperLogLog++
+    approximate distincts + approximate-quantile digests per group,
+    single pass, mergeable state — the 100 TB companion to the exact
+    q35/q40/q50. Sketch estimates aren't cross-engine, so rows-only
+    (row count = |groups| is deterministic); estimate-vs-exact error
+    bounds are asserted in tests/test_ops.py."""
+    o = load(spark, sf_dir, "orders")
+    return ops.sketch_profile(
+        o,
+        ["o_orderpriority"],
+        distinct_cols=["o_custkey"],
+        quantile_cols=["o_totalprice"],
+    )

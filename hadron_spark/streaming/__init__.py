@@ -19,6 +19,7 @@ from hadron_spark.streaming.ops import (
     sessionize_stream,
     stateful_running_totals,
     stream_dedup,
+    stream_stream_join,
     stream_tap,
     windowed_agg,
 )
@@ -26,6 +27,7 @@ from hadron_spark.streaming.ops import (
 __all__ = [
     "stream_tap",
     "stream_dedup",
+    "stream_stream_join",
     "enrich",
     "windowed_agg",
     "sessionize_stream",

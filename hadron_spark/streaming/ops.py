@@ -152,3 +152,41 @@ def enrich(stream: DataFrame, static: DataFrame, on: list[str], how: str = "left
     query). The static side should be broadcast-sized or pre-bucketed
     on the join key; stream-stream joins need watermarks instead."""
     return stream.join(static, on=on, how=how)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    bound: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with an event-time band: right rows
+    match left rows with |right_ts − left_ts| ≤ bound. BOTH sides are
+    watermarked and the time band is part of the join condition —
+    that pair is what lets the engine expire buffered state (a
+    stream-stream join without a time constraint buffers both streams
+    forever). State per key ≈ arrival rate × (watermark + bound)."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = F.expr(
+        " AND ".join(
+            [f"l.{k} = r.{k}" for k in keys]
+            + [
+                f"r.{right_ts} >= l.{left_ts} - interval {bound}",
+                f"r.{right_ts} <= l.{left_ts} + interval {bound}",
+            ]
+        )
+    )
+    dup = [c for c in right.columns if c in left.columns]
+    out = l.join(r, cond, how)
+    # disambiguate: keep left's copy of join keys, prefix right dups
+    keep = [F.col(f"l.{c}").alias(c) for c in left.columns] + [
+        F.col(f"r.{c}").alias(f"r_{c}" if c in dup else c)
+        for c in right.columns
+        if c not in keys
+    ]
+    return out.select(*keep)

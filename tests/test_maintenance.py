@@ -101,3 +101,46 @@ def test_cc_long_chain_converges_log_rounds(spark):
     comps = {r.component for r in out.collect()}
     assert comps == {1}
     assert out.count() == n
+
+
+def test_pagerank_star_graph(spark):
+    from hadron_spark.operators.graph import pagerank
+
+    # star: every leaf points at hub 0 → hub accumulates rank
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)], "src long, dst long"
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, iters=10).collect()}
+    assert len(ranks) == 6
+    assert ranks[0] > max(v for k, v in ranks.items() if k != 0)
+    # leaves have no in-edges → exactly the teleport mass (1-d)/N
+    assert abs(ranks[1] - 0.15 / 6) < 1e-12
+    # ranks are a probability-ish distribution (dangling hub leaks mass)
+    assert 0 < sum(ranks.values()) <= 1.0 + 1e-9
+
+
+def test_incremental_rollup_equals_full(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hadron_spark.operators.maintenance import incremental_rollup
+    from hadron_spark.sources.taps import tap
+
+    o = tap(f"{sf_dir}/orders.parquet").read(spark)
+
+    def part(frame):
+        return frame.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("s"),
+        )
+
+    k = F.col("o_orderkey")
+    merged = incremental_rollup(
+        part(o.filter(k % 3 == 0)),
+        part(o.filter(k % 3 != 0)),
+        ["o_orderpriority"],
+        [F.sum("n").alias("n"), F.sum("s").alias("s")],
+    )
+    full = part(o)
+    m = {r["o_orderpriority"]: (r["n"], r["s"]) for r in merged.collect()}
+    f = {r["o_orderpriority"]: (r["n"], r["s"]) for r in full.collect()}
+    assert m == f

@@ -169,3 +169,24 @@ def test_gap_fill_fills_missing_steps(spark):
         ("a", "2024-04"): 4,
         ("b", "2024-02"): 2,
     }
+
+
+def test_sketch_profile_error_bounds(spark, sf_dir):
+    o = tap(f"{sf_dir}/orders.parquet").read(spark)
+    out = ops.sketch_profile(
+        o, ["o_orderpriority"], distinct_cols=["o_custkey"],
+        quantile_cols=["o_totalprice"],
+    ).collect()
+    exact = {
+        r["o_orderpriority"]: (r["nd"], r["p50"])
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("nd"),
+            F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        )
+        .collect()
+    }
+    for r in out:
+        nd, p50 = exact[r["o_orderpriority"]]
+        assert abs(r["apx_nd_o_custkey"] - nd) / nd < 0.15
+        assert abs(r["apx_p50_o_totalprice"] - p50) / p50 < 0.05

@@ -118,3 +118,38 @@ def test_stream_static_enrich(spark, sf_dir):
     out = run_stream_to_memory(joined.groupBy("tier").count(), "enrich_t", output_mode="complete")
     rows = {r["tier"]: r["count"] for r in out.collect() if r["tier"] is not None}
     assert len(rows) >= 1
+
+
+def test_stream_stream_join_time_band(spark, sf_dir):
+    import os
+    import tempfile
+
+    from hadron_spark.streaming import run_stream_to_memory, stream_stream_join, stream_tap
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="ss_join_")
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(d, "events.parquet"))
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+
+    def src():
+        raw = stream_tap(spark, d, schema)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    left = src().select("user_id", F.col("ts").alias("l_ts"), "event_id")
+    right = src().select(
+        "user_id", F.col("ts").alias("r_ts"), F.col("event_id").alias("r_id")
+    )
+    joined = stream_stream_join(
+        left, right, ["user_id"], "l_ts", "r_ts", bound="5 minutes"
+    )
+    out = run_stream_to_memory(joined, "ss_join")
+    n = out.count()
+    # self-join within ±5min: at least the |events| self-pairs exist
+    ev_n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert n >= ev_n
+    # band respected
+    bad = out.filter(F.abs(F.col("l_ts").cast("long") - F.col("r_ts").cast("long")) > 300).count()
+    assert bad == 0
