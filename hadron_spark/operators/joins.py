@@ -148,21 +148,26 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_vals: Sequence[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """as-of (backward) join: for each left row, the latest right row
-    with right_ts <= left_ts per key — Spark has no native as-of, so
-    this is the scalable union+window composition (no Pandas UDF, one
+    """as-of join: for each left row, the nearest right row per key —
+    backward (latest right_ts <= left_ts, the default) or forward
+    (earliest right_ts >= left_ts). Spark has no native as-of, so this
+    is the scalable union+window composition (no Pandas UDF, one
     shuffle on keys):
 
       union(tagged left, tagged right)
-        → window last_value(right_vals, ignorenulls) ordered by ts
+        → window last/first_value(right_vals, ignorenulls) over the
+          preceding/following frame ordered by ts
         → keep left rows.
 
-    Ties (equal ts): right row sorts before left so it IS visible to
-    the left row at the same instant (merge_asof 'backward' semantics).
-    """
+    Ties (equal ts): the right row is ordered to be visible to the
+    left row at the same instant in either direction (merge_asof
+    semantics)."""
     from pyspark.sql import Window
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
     keys = list(keys)
     lcols = [c for c in left.columns]
     tagged_l = left.withColumn("_ts", F.col(left_ts)).withColumn("_src", F.lit(1))
@@ -177,12 +182,23 @@ def asof_join(
             tagged_r = tagged_r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     unioned = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
 
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("_ts").asc(), F.col("_src").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    if direction == "backward":
+        # right (src 0) sorts before left at equal ts → inside the frame
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_ts").asc(), F.col("_src").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        pick = lambda v: F.last(v, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        # left (src 1) sorts before right at equal ts → right in frame
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_ts").asc(), F.col("_src").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        pick = lambda v: F.first(v, ignorenulls=True).over(w)  # noqa: E731
     out = unioned
     for v in right_vals:
-        out = out.withColumn(v, F.last(v, ignorenulls=True).over(w))
+        out = out.withColumn(v, pick(v))
     return out.filter(F.col("_src") == 1).select(*lcols, *right_vals)

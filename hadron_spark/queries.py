@@ -2050,3 +2050,107 @@ def q72(spark, sf_dir):
         distinct_cols=["o_custkey"],
         quantile_cols=["o_totalprice"],
     )
+
+
+@_register(
+    "q73_outlier_trim",
+    """
+    WITH b AS (
+      SELECT o_orderpriority,
+             quantile_disc(o_totalprice, 0.1) AS p10,
+             quantile_disc(o_totalprice, 0.9) AS p90
+      FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderpriority, COUNT(*) AS n_outliers,
+           SUM(o.o_orderkey) AS key_sum
+    FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority
+    WHERE o.o_totalprice < b.p10 OR o.o_totalprice > b.p90
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q73(spark, sf_dir):
+    """Quantile-based outlier trimming (data-QA stage): per-group
+    DISCRETE p10/p90 bounds (percentile_disc returns an actual data
+    element — no interpolation arithmetic, hence bit-portable, unlike
+    continuous quantiles), broadcast back, rows outside the band
+    counted with a key checksum. The bounds frame is |groups| rows →
+    broadcast join; the big side is never shuffled."""
+    o = load(spark, sf_dir, "orders")
+    bounds = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY o_totalprice)").alias("p10"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").alias("p90"),
+    )
+    return (
+        o.join(F.broadcast(bounds), "o_orderpriority")
+        .filter((F.col("o_totalprice") < F.col("p10")) | (F.col("o_totalprice") > F.col("p90")))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_outliers"), F.sum("o_orderkey").alias("key_sum"))
+    )
+
+
+@_register(
+    "q74_unpivot",
+    """
+    SELECT l_returnflag, metric,
+      CAST(CAST(SUM(CAST(val AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS total,
+      COUNT(*) AS n
+    FROM (
+      SELECT l_returnflag, l_quantity, l_extendedprice, l_discount, l_tax
+      FROM lineitem
+    ) UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
+    GROUP BY l_returnflag, metric
+    """,
+)
+def q74(spark, sf_dir):
+    """unpivot/melt (inverse of q34's pivot — wide metric columns to
+    long key/value rows): native DataFrame.unpivot is an Expand node,
+    narrow (no shuffle until the aggregation), vs the explode-of-
+    structs workaround. Decimal-staged sums keep the totals
+    oracle-exact."""
+    li = load(spark, sf_dir, "lineitem")
+    melted = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+    return melted.groupBy("l_returnflag", "metric").agg(
+        dsum("val", "total"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@_register(
+    "q75_asof_forward",
+    """
+    SELECT e.event_id, e.user_id, o.o_totalprice AS next_order_price
+    FROM events e
+    ASOF LEFT JOIN (
+      SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS o_totalprice
+      FROM orders GROUP BY o_custkey, o_orderdate) o
+      ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
+    """,
+)
+def q75(spark, sf_dir):
+    """FORWARD as-of join (joins.asof_join direction='forward'): for
+    each event, the customer's EARLIEST order at-or-after the event —
+    the lookahead companion of q20's backward as-of, same union+window
+    plan mirrored (first_value over the following frame), one shuffle,
+    no UDF."""
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("order_ts"),
+        )
+        .agg(F.max("o_totalprice").alias("next_order_price"))
+    )
+    return joins.asof_join(
+        e,
+        o,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="order_ts",
+        right_vals=["next_order_price"],
+        direction="forward",
+    ).select("event_id", "user_id", "next_order_price")

@@ -100,3 +100,19 @@ def test_asof_join_backward(spark):
     # id=1: latest right ≤10:00 is 09:30→100; id=2: 11:00→200;
     # id=3: right at exactly 09:00 visible (ties: right before left)
     assert got == {1: 100.0, 2: 200.0, 3: 300.0}
+
+
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 30, "e2"), (2, 5, "e3")], "k long, ts long, ev string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0), (2, 1, 50.0)], "k long, rts long, price double"
+    )
+    out = asof_join(
+        left, right, ["k"], "ts", "rts", ["price"], direction="forward"
+    )
+    got = {r["ev"]: r["price"] for r in out.collect()}
+    # e1: tie at ts=10 → visible (100.0); e2: nothing at/after 30 → null
+    # e3: right row is strictly before → null (forward never looks back)
+    assert got == {"e1": 100.0, "e2": None, "e3": None}
