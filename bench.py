@@ -47,6 +47,11 @@ HEADLINE = [
     "q48_hash_split",
     "q51_quality_rules",
     "q52_contamination",
+    # round-1 late additions (BASELINE.md records the set change)
+    "q61_tfidf_topk",
+    "q66_collocations",
+    "q68_fuzzy_pairs",
+    "q70_incremental_rollup",
 ]
 
 

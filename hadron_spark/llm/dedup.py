@@ -564,16 +564,28 @@ def fuzzy_pairs(
     |block|²·|s|² — keep blocks ≤ a few thousand rows and strings
     short, or pre-cut candidates with MinHash (minhash_lsh_pairs)
     and use this as the verify stage."""
+    # Spread the probe side: a small dimension arrives as ONE parquet
+    # split, and with a broadcast build side the whole |block|² scoring
+    # loop would run in that single task (measured 8 s → 0.x s at
+    # sf0.1). Round-robin repartition costs one tiny shuffle and buys
+    # full parallelism; the build side stays broadcast.
+    n_tasks = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     a = df.select(
         *block_cols, F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta")
-    )
+    ).repartition(n_tasks)
     b = df.select(
         *block_cols, F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb")
     )
+    # cheap prechecks ordered BEFORE the O(|s|²) levenshtein in one
+    # conjunction: id order halves the pairs, and edit distance ≥
+    # length difference, so the length band is semantics-preserving
     return (
         a.join(b, list(block_cols))
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.length("_ta") - F.length("_tb")) <= max_dist)
+            & (F.levenshtein("_ta", "_tb") <= max_dist)
+        )
         .withColumn("dist", F.levenshtein("_ta", "_tb"))
-        .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
