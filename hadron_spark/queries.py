@@ -2154,3 +2154,87 @@ def q75(spark, sf_dir):
         right_vals=["next_order_price"],
         direction="forward",
     ).select("event_id", "user_id", "next_order_price")
+
+
+@_register(
+    "q76_histogram",
+    """
+    WITH c AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ), span AS (
+      SELECT MIN(cents) AS mn, MAX(cents) AS mx FROM c
+    )
+    SELECT LEAST(CAST(((cents - mn) * 20) // (mx - mn) AS INT), 19) AS bucket,
+           COUNT(*) AS n
+    FROM c CROSS JOIN span
+    GROUP BY 1
+    """,
+)
+def q76(spark, sf_dir):
+    """Equal-width histogram (profiling primitive): prices become
+    integer cents, bucket = ((x−min)·20) intdiv (max−min) — all-
+    integer math, exact in any engine. Neither double NOR decimal
+    division is safe here: double flips edge rows by 1 ulp, and
+    decimal÷decimal returns different types per engine (Spark keeps
+    DECIMAL, DuckDB produces DOUBLE — measured), so floor() would
+    disagree. The 1-row span aggregate is broadcast; the scan stays
+    narrow until the |buckets|-row aggregation."""
+    o = load(spark, sf_dir, "orders")
+    cents = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    span = cents.agg(F.min("cents").alias("mn"), F.max("cents").alias("mx"))
+    bucket = F.least(
+        F.expr("((cents - mn) * 20) div (mx - mn)").cast("int"), F.lit(19)
+    )
+    return (
+        cents.join(F.broadcast(span))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_register(
+    "q77_referential_integrity",
+    """
+    SELECT 'orders_without_customer' AS check_name, COUNT(*) AS n_violations
+    FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_without_order', COUNT(*)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'customer_without_nation', COUNT(*)
+    FROM customer c WHERE NOT EXISTS
+      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    """,
+)
+def q77(spark, sf_dir):
+    """Referential-integrity audit (pipeline QA stage): orphan counts
+    via LEFT ANTI joins — each check is one broadcast-able anti join
+    (the key side is just the distinct FK column), unioned into a
+    single conformance report. At 100 TB the anti join's build side
+    is the dimension's key column only — prune before broadcast."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+
+    def orphans(name, child, fk, parent, pk):
+        keys = parent.select(F.col(pk).alias(fk)).distinct()
+        return (
+            child.join(F.broadcast(keys), fk, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_violations"))
+            .select(F.lit(name).alias("check_name"), "n_violations")
+        )
+
+    return (
+        orphans("orders_without_customer", o, "o_custkey", c, "c_custkey")
+        .unionByName(
+            orphans("lineitem_without_order", li, "l_orderkey", o, "o_orderkey")
+        )
+        .unionByName(
+            orphans("customer_without_nation", c, "c_nationkey", n, "n_nationkey")
+        )
+    )

@@ -15,6 +15,7 @@ execution machinery.
 
 from hadron_spark.streaming.ops import (
     enrich,
+    foreach_batch_upsert,
     run_stream_to_memory,
     sessionize_stream,
     stateful_running_totals,
@@ -29,6 +30,7 @@ __all__ = [
     "stream_dedup",
     "stream_stream_join",
     "enrich",
+    "foreach_batch_upsert",
     "windowed_agg",
     "sessionize_stream",
     "stateful_running_totals",

@@ -190,3 +190,51 @@ def stream_stream_join(
         if c not in keys
     ]
     return out.select(*keep)
+
+
+def foreach_batch_upsert(
+    stream: DataFrame,
+    target_path: str,
+    keys: list[str],
+    checkpoint: str | None = None,
+):
+    """foreachBatch sink: MERGE each micro-batch into a plain-parquet
+    target by key (streaming upsert). Pair with an `update`-mode
+    aggregation — each batch then carries the new running value for
+    every changed key, and merge-replace semantics land the correct
+    final state.
+
+    Each batch rewrites target+batch to a tmp dir and swaps it in
+    (the reference FanOut's tmp-then-rename contract, FanOut.hs:93-146
+    — crash mid-batch leaves the old target intact). The full-target
+    rewrite is the plain-parquet price: at 100 TB use a transactional
+    format (Delta/Iceberg MERGE) or partition the target and rewrite
+    only touched partitions; the foreachBatch wiring is identical.
+
+    Returns the started StreamingQuery (availableNow trigger)."""
+    from hadron_spark.operators.maintenance import merge_upsert
+    from hadron_spark.sources import fs
+
+    def apply(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)  # detach from stream plan
+        if fs.exists(spark, target_path):
+            target = spark.read.parquet(target_path)
+            merged = merge_upsert(target, batch_df, keys)
+        else:
+            merged = batch_df
+        tmp = target_path + f"._tmp_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = target_path + f"._old_{batch_id}"
+        if fs.exists(spark, target_path):
+            fs.mv(spark, target_path, old)
+        fs.mv(spark, tmp, target_path)
+        if fs.exists(spark, old):
+            fs.delete(spark, old)
+
+    writer = stream.writeStream.foreachBatch(apply).outputMode("update").trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

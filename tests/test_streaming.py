@@ -153,3 +153,35 @@ def test_stream_stream_join_time_band(spark, sf_dir):
     # band respected
     bad = out.filter(F.abs(F.col("l_ts").cast("long") - F.col("r_ts").cast("long")) > 300).count()
     assert bad == 0
+
+
+def test_foreach_batch_upsert(spark, sf_dir, tmp_path):
+    import os
+
+    from hadron_spark.streaming import foreach_batch_upsert, stream_tap
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(d, "events.parquet"))
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    counts = stream_tap(spark, d, schema).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    target = str(tmp_path / "target")
+    q = foreach_batch_upsert(
+        counts, target, ["user_id"], checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    got = {r["user_id"]: r["n"] for r in spark.read.parquet(target).collect()}
+    want = {
+        r["user_id"]: r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
