@@ -2238,3 +2238,31 @@ def q77(spark, sf_dir):
             orphans("customer_without_nation", c, "c_nationkey", n, "n_nationkey")
         )
     )
+
+
+def _q78_zsql():
+    from hadron_spark.sources.layout import zorder_sql
+
+    return zorder_sql(["c_custkey", "c_nationkey"], bits=10)
+
+
+@_register(
+    "q78_zorder_value",
+    f"""
+    SELECT c_custkey, {_q78_zsql()} AS zval FROM customer
+    """,
+)
+def q78(spark, sf_dir):
+    """Z-order (Morton) clustering value (sources.layout): the bit-
+    interleave that zorder_write range-sorts on so row-group min/max
+    stats prune filters on ANY participating dimension. Pure bitwise
+    integer math — the SAME generated SQL string runs on Spark and
+    the oracle (one F.expr parse, no per-term py4j round-trips).
+    Layout locality (disjoint per-file ranges) is asserted in
+    tests/test_plans.py."""
+    from hadron_spark.sources.layout import zorder_value
+
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey", zorder_value(["c_custkey", "c_nationkey"], bits=10).alias("zval")
+    )

@@ -137,3 +137,29 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters", 1)[1][:200]
     n_f = back.count()
     assert n_f == orders.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_zorder_write_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hadron_spark.sources.layout import zorder_value, zorder_write
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = str(tmp_path / "zorded")
+    zorder_write(c, out, ["c_custkey", "c_nationkey"], num_files=4)
+    back = spark.read.parquet(out)
+    # same rows survive the layout rewrite
+    assert back.count() == c.count()
+    # range partitioning on the Morton code ⇒ per-file z ranges are
+    # disjoint — the property that makes row-group min/max stats prune
+    spans = (
+        back.withColumn("_z", zorder_value(["c_custkey", "c_nationkey"], bits=10))
+        .withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min("_z").alias("lo"), F.max("_z").alias("hi"))
+        .collect()
+    )
+    ivals = sorted((r["lo"], r["hi"]) for r in spans)
+    assert len(ivals) >= 2
+    for (l1, h1), (l2, h2) in zip(ivals, ivals[1:]):
+        assert h1 <= l2
