@@ -101,3 +101,26 @@ def test_orc_roundtrip(spark, tmp_path):
     t.write(df, mode="overwrite")
     back = t.read(spark)
     assert sorted((r["k"], r["v"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    # P5 parity (base64SafeCopyProtocol = versioned records): parquet
+    # schema evolution via mergeSchema replaces version-tagged codecs
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v1 string").write.parquet(f"{d}/gen=1")
+    spark.createDataFrame([(2, "b", 9.5)], "id long, v1 string, v2 double").write.parquet(
+        f"{d}/gen=2"
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert {f.name for f in merged.schema} >= {"id", "v1", "v2"}
+    rows = {r["id"]: r["v2"] for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
+
+
+def test_register_views_and_cli_sql(spark, sf_dir):
+    from hadron_spark.cli import register_views
+
+    bound = register_views(spark, sf_dir)
+    assert "lineitem" in bound and "documents" in bound
+    n = spark.sql("SELECT COUNT(*) AS n FROM lineitem").collect()[0]["n"]
+    assert n > 0
