@@ -2266,3 +2266,41 @@ def q78(spark, sf_dir):
     return c.select(
         "c_custkey", zorder_value(["c_custkey", "c_nationkey"], bits=10).alias("zval")
     )
+
+
+@_register(
+    "q79_share_of_total",
+    """
+    WITH nat AS (
+      SELECT c_nationkey AS nationkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1
+    )
+    SELECT nationkey, CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE) AS share
+    FROM nat
+    """,
+)
+def q79(spark, sf_dir):
+    """Share-of-total (ratio_to_report): per-nation revenue over the
+    grand total via an unpartitioned window SUM over the |groups|-row
+    aggregate (cheap — the global window runs on 25 rows, never on
+    the fact table). Division is double(decimal)/double(decimal) —
+    both operands exact, one IEEE division — because decimal÷decimal
+    result types differ per engine (q76's lesson)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    nat = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.sum(_dec("o_totalprice")).cast("decimal(18,4)").alias("rev"))
+    )
+    w = Window.partitionBy()
+    return nat.select(
+        "nationkey",
+        F.col("rev").cast("double").alias("revenue"),
+        (
+            F.col("rev").cast("double") / F.sum("rev").over(w).cast("double")
+        ).alias("share"),
+    )

@@ -47,7 +47,10 @@ def main() -> int:
     from hadron_spark import get_spark
     from hadron_spark.queries import ORACLES, QUERIES
 
-    spark = get_spark("verify_oracle")
+    # no console progress bar: its \r rewrites swallow OK/FAIL lines
+    spark = get_spark(
+        "verify_oracle", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
