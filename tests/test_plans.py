@@ -163,3 +163,31 @@ def test_zorder_write_disjoint_file_ranges(spark, sf_dir, tmp_path):
     assert len(ivals) >= 2
     for (l1, h1), (l2, h2) in zip(ivals, ivals[1:]):
         assert h1 <= l2
+
+
+def test_new_query_plan_shapes(spark, sf_dir):
+    """Pin the plan properties of the round-1 late additions (the
+    shapes PLANS.md documents); a regression that reintroduces a
+    global-sort top-k or un-broadcasts the bounds shows up here."""
+    from hadron_spark.plans.inspect import explain_str
+    from hadron_spark.queries import QUERIES
+
+    # q61: per-doc top-k pushed into the window, not a full rank+filter
+    p61 = explain_str(QUERIES["q61_tfidf_topk"](spark, sf_dir))
+    assert "WindowGroupLimit" in p61
+
+    # q66/q62: global top-k = TakeOrderedAndProject, never a 1-partition sort
+    p66 = explain_str(QUERIES["q66_collocations"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p66
+    p62 = explain_str(QUERIES["q62_bm25_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p62
+
+    # q73: quantile bounds broadcast back at the fact table
+    p73 = explain_str(QUERIES["q73_outlier_trim"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p73
+
+    # q74: unpivot is an Expand node (narrow), not a union of scans
+    # (simple mode: formatted explain repeats each node in the details)
+    p74 = explain_str(QUERIES["q74_unpivot"](spark, sf_dir), mode="simple")
+    assert "Expand" in p74
+    assert p74.count("FileScan parquet") == 1
