@@ -38,6 +38,19 @@ SKIP_KEY = "skip_key"
 RETRY = "retry"
 
 
+def map_step_arrow(
+    df: DataFrame,
+    fn,
+    schema: str,
+) -> DataFrame:
+    """Arrow-level map (iterator of pyarrow.RecordBatch -> iterator of
+    RecordBatch): map_step without the pandas conversion. Use for
+    byte-dense payloads (multimodal binary columns) where
+    Arrow->pandas->Arrow copying dominates -- the batches stay in
+    Arrow memory end to end. Narrow -- no shuffle."""
+    return df.mapInArrow(fn, schema)
+
+
 def map_step(
     df: DataFrame,
     fn: Callable[[pd.DataFrame], pd.DataFrame],

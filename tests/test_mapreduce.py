@@ -129,3 +129,20 @@ def test_monoid_reduce_partial_agg_plan(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan
+
+
+def test_map_step_arrow(spark):
+    import pyarrow as pa
+
+    from hadron_spark.operators.mapreduce import map_step_arrow
+
+    df = spark.createDataFrame([(1, b"ab"), (2, b"cdef")], "id long, payload binary")
+
+    def add_len(batches):
+        for b in batches:
+            ids = b.column("id")
+            lens = pa.compute.binary_length(b.column("payload"))
+            yield pa.RecordBatch.from_arrays([ids, lens], ["id", "n_bytes"])
+
+    out = {r["id"]: r["n_bytes"] for r in map_step_arrow(df, add_len, "id long, n_bytes int").collect()}
+    assert out == {1: 2, 2: 4}
