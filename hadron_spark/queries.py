@@ -2304,3 +2304,26 @@ def q79(spark, sf_dir):
             F.col("rev").cast("double") / F.sum("rev").over(w).cast("double")
         ).alias("share"),
     )
+
+
+@_register(
+    "q80_group_concat",
+    """
+    SELECT n_regionkey AS regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n
+    FROM nation GROUP BY 1
+    """,
+)
+def q80(spark, sf_dir):
+    """Ordered string aggregation (listagg/group_concat): collect_list
+    is order-nondeterministic under parallelism, so the list is
+    array_sort'ed before joining — the only way a concatenated string
+    is reproducible on ANY cluster (and hash-comparable to the
+    oracle's ORDER BY form). Keep groups bounded: the result row
+    carries the whole group in one value."""
+    n = load(spark, sf_dir, "nation")
+    return n.groupBy(F.col("n_regionkey").alias("regionkey")).agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        F.count(F.lit(1)).alias("n"),
+    )
