@@ -2327,3 +2327,147 @@ def q80(spark, sf_dir):
         F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@_register(
+    "q81_sequence_packing",
+    """
+    WITH toks AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+               AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT source, doc_id, n_tokens,
+        CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+             AS INT) AS pack_id
+      FROM toks
+    )
+    SELECT source, pack_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM packed GROUP BY source, pack_id
+    """,
+)
+def q81(spark, sf_dir):
+    """Sequence packing for pretraining batches: documents are packed
+    in deterministic (source, doc_id) order into ~512-token bins —
+    pack_id = tokens-before-this-doc intdiv budget (budget-quantized
+    packing: no doc is split, a bin may overrun by one doc's tail).
+    All-integer window math, so the assignment is engine-exact; the
+    per-source window parallelizes (one shuffle on source). True
+    greedy packing needs a sequential scan — this quantized form is
+    the distributed-friendly equivalent."""
+    from hadron_spark.functions.text import token_count
+
+    docs = load(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = docs.select(
+        "source", "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = toks.withColumn(
+        "_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).withColumn("pack_id", F.expr("CAST(_before div 512 AS INT)"))
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+    )
+
+
+@_register(
+    "q82_nullsafe_join",
+    """
+    WITH l AS (
+      SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                  ELSE o_orderkey % 97 END AS k, o_orderkey
+      FROM orders
+    ), r AS (
+      SELECT CASE WHEN g % 5 = 0 THEN NULL ELSE g END AS k, g
+      FROM (SELECT unnest(range(0, 97)) AS g)
+    )
+    SELECT l.k, COUNT(*) AS n, SUM(l.o_orderkey) AS key_sum
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY l.k
+    """,
+)
+def q82(spark, sf_dir):
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the join semantics CDC
+    and dimension pipelines need when NULL is a legitimate key value.
+    Spark plans <=> as a regular hash join (NULL hashes like a
+    value), not a nested loop."""
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    left = o.select(
+        F.when(k % 5 == 0, F.lit(None)).otherwise(k % 97).alias("k"), "o_orderkey"
+    )
+    right = spark.range(0, 97).select(
+        F.when(F.col("id") % 5 == 0, F.lit(None)).otherwise(F.col("id")).alias("k")
+    )
+    return (
+        left.join(right, left["k"].eqNullSafe(right["k"]))
+        .groupBy(left["k"].alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("key_sum"))
+    )
+
+
+@_register(
+    "q83_time_weighted_avg",
+    """
+    WITH seg AS (
+      SELECT user_id,
+        CAST(ROUND(value * 10000) AS BIGINT) AS v4,
+        epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+          - epoch_us(ts) AS dt_us
+      FROM events
+    )
+    SELECT user_id,
+      (CAST(CAST(SUM(CAST(v4 AS DECIMAL(38,0)) * dt_us) AS DECIMAL(38,0)) AS DOUBLE)
+        / CAST(SUM(dt_us) AS DOUBLE)) / 10000.0 AS twa,
+      COUNT(*) AS n_segments
+    FROM seg WHERE dt_us IS NOT NULL AND dt_us > 0
+    GROUP BY user_id
+    """,
+)
+def q83(spark, sf_dir):
+    """Time-weighted average per key (the hypertable `time_weight`
+    analog): each observation weighted by how long it was current
+    (lead(ts) − ts in µs). Values are scaled to integers (×10⁴) so
+    the Σ value·Δt accumulates as a SCALE-0 decimal — exact and
+    associative, and its double conversion is a SINGLE int→double
+    rounding in any engine (a scale-4 sum above 2⁵³ double-rounds
+    differently per engine — measured here). Finish: one division by
+    the exact Δt sum, one descale — identical op sequence both sides.
+    One shuffle serves both the window and the aggregation."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # unix_micros, not cast-to-long: the long cast truncates to whole
+    # seconds and would diverge from the oracle's epoch_us
+    seg = e.select(
+        "user_id",
+        F.round(F.col("value") * 10000).cast("bigint").alias("v4"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))).alias(
+            "dt_us"
+        ),
+    )
+    return (
+        seg.filter(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+        .groupBy("user_id")
+        .agg(
+            (
+                (
+                    F.sum(F.col("v4").cast("decimal(38,0)") * F.col("dt_us"))
+                    .cast("decimal(38,0)")
+                    .cast("double")
+                    / F.sum("dt_us").cast("double")
+                )
+                / 10000.0
+            ).alias("twa"),
+            F.count(F.lit(1)).alias("n_segments"),
+        )
+    )
