@@ -2471,3 +2471,99 @@ def q83(spark, sf_dir):
             F.count(F.lit(1)).alias("n_segments"),
         )
     )
+
+
+@_register(
+    "q84_funnel",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+        MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+        MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+      COUNT(first_view) AS n_viewed,
+      CAST(SUM(CASE WHEN last_purchase > first_view THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_converted
+    FROM per_user
+    """,
+)
+def q84(spark, sf_dir):
+    """Conversion funnel (view → later purchase): per-user MIN/MAX
+    conditional timestamps in ONE aggregation pass — no self-join,
+    no explode; the sequence condition is a comparison of the two
+    aggregates. Shuffle carries |users| rows."""
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "last_purchase"
+        ),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_view").alias("n_viewed"),
+        F.sum(
+            F.when(F.col("last_purchase") > F.col("first_view"), 1).otherwise(0)
+        ).cast("bigint").alias("n_converted"),
+    )
+
+
+@_register(
+    "q85_copurchase_pairs",
+    """
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q85(spark, sf_dir):
+    """Market-basket co-occurrence: part pairs appearing in the same
+    order ≥ 2 times — the candidate-pair stage of frequent-itemset
+    mining. Self-join keyed on the order id: per-order fan-out is
+    |items|² but orders are small (≤7 items), so the join output is
+    ~|lineitem|·avg_items — linear-ish, and the pair aggregation's
+    partial agg bounds the shuffle."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+@_register(
+    "q86_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS cohort
+      FROM orders GROUP BY 1
+    )
+    SELECT f.cohort, date_trunc('month', o.o_orderdate) AS activity_month,
+           COUNT(DISTINCT o.o_custkey) AS active_customers
+    FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q86(spark, sf_dir):
+    """Cohort retention grid: customers bucketed by first-order month,
+    counted distinct in every later activity month. The firsts table
+    is |customers| rows keyed like the fact join — one shuffle
+    produces it, the join reuses the key, and the distinct count's
+    partial aggregation bounds the final exchange."""
+    o = load(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort")
+    )
+    return (
+        o.join(firsts, "o_custkey")
+        .groupBy("cohort", F.date_trunc("month", "o_orderdate").alias("activity_month"))
+        .agg(F.countDistinct("o_custkey").alias("active_customers"))
+    )
