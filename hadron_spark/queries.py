@@ -2567,3 +2567,44 @@ def q86(spark, sf_dir):
         .groupBy("cohort", F.date_trunc("month", "o_orderdate").alias("activity_month"))
         .agg(F.countDistinct("o_custkey").alias("active_customers"))
     )
+
+
+@_register(
+    "q87_stateful_running_totals",
+    """
+    SELECT user_id,
+      CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0
+        AS total,
+      COUNT(*) AS n
+    FROM events GROUP BY user_id
+    """,
+)
+def q87(spark, sf_dir):
+    """Custom stateful streaming operator under the oracle gate:
+    applyInPandasWithState running (total, n) per user, driven to
+    completion (single availableNow batch over the fixture file) and
+    compared against the batch aggregate. int_scale accumulation
+    makes the totals bit-exact — float Σ inside the state function
+    would depend on row arrival order."""
+    import os
+    import tempfile
+
+    from hadron_spark.streaming import (
+        run_stream_to_memory,
+        stateful_running_totals,
+        stream_tap,
+    )
+
+    d = tempfile.mkdtemp(prefix="q87_events_")
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    raw = stream_tap(
+        spark,
+        d,
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    totals = stateful_running_totals(raw, "user_id", "value", int_scale=10000)
+    out = run_stream_to_memory(totals, "q87_totals", output_mode="update")
+    return out.select("user_id", "total", "n")

@@ -76,6 +76,7 @@ def stateful_running_totals(
     events: DataFrame,
     key_col: str,
     value_col: str,
+    int_scale: int | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     per-key running (total, count) maintained across micro-batches —
@@ -84,21 +85,39 @@ def stateful_running_totals(
     a sorted stream.
 
     Emits one row per key per micro-batch in `update` mode. State is
-    two scalars per key — O(|keys|), watermark-free."""
+    two scalars per key — O(|keys|), watermark-free.
+
+    `int_scale`: accumulate round(value·scale) as integers instead of
+    floats — float Σ depends on the arrival order of rows within the
+    batch, so set this whenever the totals must be reproducible
+    (bit-exact) run to run."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     key_type = dict(events.dtypes)[key_col]
     out_schema = f"{key_col} {key_type}, total double, n bigint"
-    state_schema = "total double, n bigint"
+    state_schema = ("total bigint, n bigint" if int_scale else "total double, n bigint")
 
     def fn(key, pdfs, state: GroupState):
-        total, n = state.get if state.exists else (0.0, 0)
+        total, n = state.get if state.exists else (0 if int_scale else 0.0, 0)
         for pdf in pdfs:
-            total += float(pdf[value_col].sum())
+            if int_scale:
+                # floor(x+0.5), not .round(): pandas rounds half-to-even,
+                # SQL engines round half-away — floor+0.5 is identical
+                # everywhere
+                import numpy as np
+
+                total += int(
+                    np.floor(pdf[value_col].to_numpy() * int_scale + 0.5)
+                    .astype("int64")
+                    .sum()
+                )
+            else:
+                total += float(pdf[value_col].sum())
             n += len(pdf)
         state.update((total, n))
-        yield pd.DataFrame({key_col: [key[0]], "total": [total], "n": [n]})
+        out_total = total / int_scale if int_scale else total
+        yield pd.DataFrame({key_col: [key[0]], "total": [out_total], "n": [n]})
 
     return events.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
