@@ -2608,3 +2608,38 @@ def q87(spark, sf_dir):
     totals = stateful_running_totals(raw, "user_id", "value", int_scale=10000)
     out = run_stream_to_memory(totals, "q87_totals", output_mode="update")
     return out.select("user_id", "total", "n")
+
+
+@_register(
+    "q88_sliding_window",
+    """
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS t FROM events
+    ), w AS (
+      SELECT event_type, t,
+             unnest([ (t // 300000000) * 300000000,
+                      (t // 300000000) * 300000000 - 300000000 ]) AS win_start
+      FROM e
+    )
+    SELECT make_timestamp(win_start) AS win_start, event_type, COUNT(*) AS n
+    FROM w
+    WHERE t >= win_start AND t < win_start + 600000000
+    GROUP BY 1, 2
+    """,
+)
+def q88(spark, sf_dir):
+    """Sliding (hopping) windows in BATCH: 10-minute windows every 5
+    minutes — F.window(size, slide) assigns each event to its
+    size/slide overlapping windows (an Expand, narrow). The oracle
+    derives the same assignment from integer epoch arithmetic
+    (unnest of the 2 candidate starts + containment filter) — exact.
+    Same expression works under readStream: batch/stream parity."""
+    e = load(spark, sf_dir, "events")
+    win = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        e.groupBy(win, "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("win_start"), "event_type", "n"
+        )
+    )
