@@ -2643,3 +2643,70 @@ def q88(spark, sf_dir):
             F.col("window.start").alias("win_start"), "event_type", "n"
         )
     )
+
+
+@_register(
+    "q89_event_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, COUNT(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q89(spark, sf_dir):
+    """Event-transition matrix (path/Markov analysis): per-user
+    chronological lead() pairs each event with its successor, then a
+    global count per (from, to). One shuffle for the per-user window;
+    the |types|² aggregation rides partial agg. The per-key ordered
+    stream is exactly the reference's secondary-sorted reducer input
+    (O1) — here one window function."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_register(
+    "q90_mom_growth",
+    """
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT month, CAST(rev AS DOUBLE) AS revenue,
+      (CAST(rev AS DOUBLE) - CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE))
+        / CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE) AS mom_growth
+    FROM m
+    """,
+)
+def q90(spark, sf_dir):
+    """Month-over-month growth: lag() over the |months|-row monthly
+    aggregate (the global window runs on ~80 rows, never the fact
+    table). Numerator and denominator are exact decimal sums cast to
+    double; subtraction and division are the identical op sequence in
+    both engines, so the ratio doubles hash-match."""
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum(_dec("o_totalprice")).cast("decimal(18,4)").alias("rev")
+    )
+    w = Window.partitionBy().orderBy("month")
+    rev_d = F.col("rev").cast("double")
+    prev_d = F.lag("rev").over(w).cast("double")
+    return m.select(
+        "month",
+        rev_d.alias("revenue"),
+        ((rev_d - prev_d) / prev_d).alias("mom_growth"),
+    )
