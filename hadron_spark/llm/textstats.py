@@ -248,3 +248,54 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     """Per-document canonical fingerprint (order/case-insensitive md5
     — functions.text.fingerprint)."""
     return df.select(id_col, fingerprint(F.col(text_col)).alias("fp"))
+
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    len_col: str = "n_chars",
+    chunk_chars: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into fixed-width character chunks with overlap
+    (the context-window pre-tokenization step of a pretraining
+    pipeline). One row per chunk: (id, chunk_no, start, chunk_len,
+    chunk_md5).
+
+    Plan: `sequence(1, len, step)` + posexplode is a NARROW fan-out —
+    no shuffle, chunks stay on the partition that holds the document,
+    and downstream tokenize/pack stages consume them in place. The
+    md5 stands in for shipping chunk text through the oracle compare
+    (identical hex in Spark and DuckDB).
+
+    Note on positional extraction at scale: `substring` on UTF8
+    strings is O(start) per call; for many chunks per very large doc,
+    slice `cast(text as binary)` instead (O(1) byte offsets) when the
+    corpus is known single-byte, as `functions.text` does for
+    fingerprint shingles.
+    """
+    step = chunk_chars - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    n = (
+        F.col(len_col)
+        if len_col in df.columns
+        else F.length(F.col(text_col))
+    )
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(step))
+    chunk = F.substring(F.col(text_col), F.col("start"), chunk_chars)
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(starts).alias("chunk_no", "start"),
+            F.col(text_col),
+        )
+        .select(
+            id_col,
+            "chunk_no",
+            "start",
+            F.length(chunk).alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )

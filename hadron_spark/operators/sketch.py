@@ -1,0 +1,124 @@
+"""Count-min sketch: mergeable frequency sketch as a distributed
+operator (the reference's monoid-aggregation idiom applied to a
+sub-linear summary; complements the built-in HLL/quantile sketches
+q72 uses).
+
+Shape: one Arrow-batched pass builds a per-partition (depth × width)
+integer sketch plus a local candidate list (mapInPandas — partition
+sketches are tiny, ~depth·width longs); the partials merge by SLOT
+with an ordinary groupBy-sum (partial agg applies — the merge is the
+monoid sum of sketches); estimates come from a broadcast join of the
+candidates' probe slots against the merged sketch. Nothing returns to
+the driver; the sketch itself is a DataFrame.
+
+Hash family: row i probes slot md5(key ":" i) — computed with
+hashlib in the build pass and the IDENTICAL md5 expression in the
+probe query, so build and probe always agree (and both engines would,
+for an oracle on collision-free keys).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _slot(key: str, row: int, width: int) -> int:
+    h = hashlib.md5(f"{key}:{row}".encode()).hexdigest()[:15]
+    return int(h, 16) % width
+
+
+def _slot_expr(key_col, row: int, width: int):
+    # first 15 hex chars < 2^60: conv() to decimal stays exact in a long
+    h = F.conv(
+        F.substring(F.md5(F.concat(key_col, F.lit(f":{row}"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return h % width
+
+
+def count_min_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    candidates_per_partition: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the merged sketch. Returns (sketch, candidates):
+    sketch = (slot, cnt) with slot = row * width + probe column —
+    at most depth·width rows regardless of input size; candidates =
+    distinct keys that were a local top-`candidates_per_partition`
+    frequency in ≥1 partition (every global heavy hitter is a local
+    one in some partition by pigeonhole)."""
+    d, w = depth, width
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for pdf in batches:
+            counts.update(pdf[key_col].dropna().astype(str))
+        slots: Counter = Counter()
+        for k, n in counts.items():
+            for i in range(d):
+                slots[i * w + _slot(k, i, w)] += n
+        cand = [k for k, _ in counts.most_common(candidates_per_partition)]
+        yield pd.DataFrame(
+            {
+                "slot": list(slots.keys()) + [-1] * len(cand),
+                "cnt": list(slots.values()) + [0] * len(cand),
+                "key": [None] * len(slots) + cand,
+            }
+        )
+
+    parts = df.select(key_col).mapInPandas(
+        build, "slot long, cnt long, key string"
+    )
+    sketch = (
+        parts.filter(F.col("slot") >= 0)
+        .groupBy("slot")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    candidates = (
+        parts.filter(F.col("slot") == -1).select("key").distinct()
+    )
+    return sketch, candidates
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    threshold: int,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """(key, est) for every candidate whose count-min estimate ≥
+    threshold. est = min over the depth probe rows (classic CMS upper
+    bound: est ≥ true count, with equality when the key's slots are
+    collision-free — guaranteed-ish for small key domains vs width).
+    The merged sketch is ≤ depth·width rows → broadcast side of the
+    probe join."""
+    sketch, candidates = count_min_sketch(df, key_col, depth, width)
+    probes = candidates.select(
+        F.col("key"),
+        F.explode(
+            F.array(
+                *[
+                    (F.lit(i * width) + _slot_expr(F.col("key"), i, width))
+                    for i in range(depth)
+                ]
+            )
+        ).alias("slot"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), "slot")
+        .groupBy("key")
+        .agg(F.min("cnt").alias("est"))
+        .filter(F.col("est") >= threshold)
+    )

@@ -2941,3 +2941,100 @@ def q95(spark, sf_dir):
         F.col("node").alias("doc_id"),
         F.col("component").alias("canonical_id"),
     )
+
+
+@_register(
+    "q96_chunk_text",
+    """
+    WITH s AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(n_chars, 1), 448)) AS start
+      FROM documents
+    )
+    SELECT doc_id,
+           (start - 1) // 448 AS chunk_no,
+           start,
+           CAST(length(substring(text, CAST(start AS INTEGER), 512)) AS BIGINT)
+             AS chunk_len,
+           md5(substring(text, CAST(start AS INTEGER), 512)) AS chunk_md5
+    FROM s
+    """,
+)
+def q96(spark, sf_dir):
+    """Fixed-width chunking with overlap (512 chars, 64 overlap) —
+    the context-window pre-tokenization step. sequence+posexplode is
+    a narrow fan-out: zero shuffles, chunks stay co-located with
+    their document. The md5 column proxies the chunk text through the
+    value-hash compare."""
+    docs = load(spark, sf_dir, "documents")
+    c = textstats.chunk_text(docs, chunk_chars=512, overlap=64)
+    return c.select(
+        "doc_id",
+        F.col("chunk_no").cast("long").alias("chunk_no"),
+        F.col("start").cast("long").alias("start"),
+        F.col("chunk_len").cast("long").alias("chunk_len"),
+        "chunk_md5",
+    )
+
+
+@_register(
+    "q97_weighted_median",
+    """
+    WITH t AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag ORDER BY l_extendedprice
+             ) AS cum,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+             ) AS total
+      FROM lineitem
+    )
+    SELECT l_returnflag, CAST(MIN(v) AS DOUBLE) AS weighted_median
+    FROM t WHERE 2 * cum >= total GROUP BY l_returnflag
+    """,
+)
+def q97(spark, sf_dir):
+    """Quantity-weighted median price per return flag: smallest value
+    whose RANGE-framed cumulative weight reaches half the total. The
+    default window frame (RANGE UNBOUNDED..CURRENT) includes all
+    peers of a tied value in both engines, so the selected value is
+    order-independent; weights are exact integer sums and the chosen
+    value is copied, never computed — bit-portable with no decimal
+    detour."""
+    li = load(spark, sf_dir, "lineitem")
+    w_ord = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    w_all = Window.partitionBy("l_returnflag")
+    qty = F.col("l_quantity").cast("long")
+    t = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.sum(qty).over(w_ord).alias("cum"),
+        F.sum(qty).over(w_all).alias("total"),
+    )
+    return (
+        t.filter(2 * F.col("cum") >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(F.min("v").cast("double").alias("weighted_median"))
+    )
+
+
+@_register(
+    "q98_cms_heavy_hitters",
+    """
+    SELECT event_type AS key, COUNT(*) AS est
+    FROM events GROUP BY event_type HAVING COUNT(*) >= 2
+    """,
+)
+def q98(spark, sf_dir):
+    """Count-min-sketch heavy hitters (operators.sketch): partition
+    sketches built Arrow-batched, merged by slot with an ordinary
+    partial-agg groupBy (the sketch is a monoid), probed via a
+    broadcast join. With |event_type| ≪ width the probe slots are
+    collision-free, so the CMS upper bound is EXACT and the sketch
+    path reproduces the exact GROUP BY oracle — the point of the
+    demo: same answer, sub-linear state."""
+    from hadron_spark.operators.sketch import heavy_hitters
+
+    e = load(spark, sf_dir, "events")
+    return heavy_hitters(e, "event_type", threshold=2)

@@ -343,3 +343,46 @@ def test_bpe_ish_tokenize(spark):
     df = spark.createDataFrame([("It's 42 degrees, isn't it?",)], "t string")
     toks = df.select(bpe_ish_tokenize(F.col("t")).alias("x")).collect()[0]["x"]
     assert toks == ["It", "'s", " 42", " degrees", ",", " isn", "'t", " it", "?"]
+
+
+def test_chunk_text_boundaries(spark):
+    from hadron_spark.llm.textstats import chunk_text
+    from hadron_spark.plans.inspect import assert_no_shuffle
+
+    text = "abcdefghij" * 130  # 1300 chars
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = chunk_text(df, chunk_chars=512, overlap=64)  # step 448
+    assert_no_shuffle(out)
+    rows = sorted(out.collect(), key=lambda r: r["chunk_no"])
+    assert [r["start"] for r in rows] == [1, 449, 897]
+    assert [r["chunk_len"] for r in rows] == [512, 512, 404]
+    # consecutive chunks share exactly `overlap` chars
+    assert text[448:512] == text[448:512]  # sanity on slicing below
+    a, b = text[0:512], text[448:960]
+    assert a[-64:] == b[:64]
+    # empty doc still yields one (empty) chunk row
+    e = chunk_text(
+        spark.createDataFrame([(2, "")], "doc_id long, text string"),
+        chunk_chars=512,
+        overlap=64,
+    ).collect()
+    assert len(e) == 1 and e[0]["chunk_len"] == 0
+
+
+def test_count_min_heavy_hitters(spark):
+    from hadron_spark.operators.sketch import heavy_hitters
+
+    rows = [("a",)] * 50 + [("b",)] * 20 + [("c",)] * 3 + [("d",)] * 1
+    df = spark.createDataFrame(rows, "k string").repartition(4)
+    out = {r["key"]: r["est"] for r in heavy_hitters(df, "k", threshold=2).collect()}
+    # wide sketch → collision-free → exact counts; d misses threshold
+    assert out == {"a": 50, "b": 20, "c": 3}
+
+    # narrow sketch under collisions: estimate is still an upper bound
+    truth = {"a": 50, "b": 20, "c": 3, "d": 1}
+    tight = {
+        r["key"]: r["est"]
+        for r in heavy_hitters(df, "k", threshold=1, depth=2, width=2).collect()
+    }
+    assert set(tight) == set(truth)
+    assert all(tight[k] >= truth[k] for k in truth)
