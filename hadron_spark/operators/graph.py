@@ -173,3 +173,55 @@ def pagerank(
         )
         ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle count via DEGREE-ORDERED edge orientation
+    (Cohen's MapReduce formulation / Schank-Wagner): orient every
+    undirected edge from its (degree, id)-smaller endpoint to the
+    larger, enumerate wedges only from orientation sources, close
+    them with an equi-join. Orientation bounds each node's out-degree
+    by O(√m), so the wedge fan-out — the term that explodes on skewed
+    graphs if you orient by raw id — stays sub-quadratic at any
+    scale: the hot celebrity node never fans out its full adjacency.
+    Any total order counts each triangle exactly once, so an oracle
+    using plain id order agrees on the count.
+
+    One row: (triangles). Degree table is |V| rows → broadcast onto
+    the edge list; the wedge and closing joins shuffle on node keys.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    # undirected: normalize + dedup, then degrees over both endpoints
+    und = e.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("degb"))
+    with_deg = und.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    lower = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(lower, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    # the oriented list feeds all three join legs — materialize once
+    # instead of recomputing the edge build per leg (at scale this is
+    # the difference between 1× and 3× the base shuffle)
+    oriented = oriented.localCheckpoint(eager=True)
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
+        F.col("e1.u").alias("x"), F.col("e2.v").alias("z")
+    )
+    closed = wedges.join(
+        e3, (F.col("x") == F.col("e3.u")) & (F.col("z") == F.col("e3.v"))
+    )
+    return closed.agg(F.count(F.lit(1)).alias("triangles"))

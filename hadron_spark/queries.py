@@ -3038,3 +3038,45 @@ def q98(spark, sf_dir):
 
     e = load(spark, sf_dir, "events")
     return heavy_hitters(e, "event_type", threshold=2)
+
+
+@_register(
+    "q99_triangle_count",
+    """
+    WITH p AS (
+      SELECT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT COUNT(*) AS triangles
+    FROM p e1
+    JOIN p e2 ON e1.b = e2.a
+    JOIN p e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def q99(spark, sf_dir):
+    """Triangle count of the co-purchase graph (parts sharing an
+    order). The Spark side runs the degree-ordered orientation
+    (operators.graph.triangle_count — wedge fan-out bounded O(√m) on
+    skewed graphs); the oracle runs the naive id-orientation 3-way
+    join. Any total order counts each triangle once, so the two
+    different algorithms must produce the identical count — an
+    algebraic cross-check, not just a reimplementation echo."""
+    from hadron_spark.operators.graph import triangle_count
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("src"),
+            F.col("y.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return triangle_count(edges)

@@ -255,3 +255,14 @@ def test_sequence_packing_conserves_tokens(spark, sf_dir):
         rows.sort(key=lambda r: r["pack_id"])
         for r in rows[:-1]:
             assert r["pack_tokens"] >= 1
+
+
+def test_triangle_count_known_graph(spark):
+    from hadron_spark.operators.graph import triangle_count
+
+    # K4 (4 triangles) + a pendant path that adds none; duplicate and
+    # reversed edges must not double-count
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6), (2, 1), (3, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    assert triangle_count(df).collect()[0]["triangles"] == 4
