@@ -3080,3 +3080,88 @@ def q99(spark, sf_dir):
         .distinct()
     )
     return triangle_count(edges)
+
+
+@_register(
+    "q100_corpus_prep",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '')
+               AS rawtoks
+      FROM documents),
+    q AS (
+      SELECT doc_id, text, rawtoks FROM toks
+      WHERE length(text) >= 200 AND len(rawtoks) >= 30),
+    d AS (
+      SELECT doc_id, rawtoks,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      FROM q),
+    kept AS (SELECT doc_id, rawtoks FROM d WHERE doc_id = keeper),
+    scores AS (
+      SELECT kept.doc_id, m.lang,
+             CAST(len(list_filter(
+                    list_transform(kept.rawtoks, t -> lower(t)),
+                    t -> list_contains(m.markers, t))) AS DOUBLE)
+               / greatest(len(kept.rawtoks), 1) AS score
+      FROM kept, (VALUES
+        ('de', ['der','die','und','das','ist']),
+        ('en', ['the','and','of','to','in']),
+        ('es', ['el','la','los','que','de']),
+        ('fr', ['le','la','et','les','des'])) m(lang, markers)),
+    best AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang DESC) AS rk
+      FROM scores),
+    lab AS (
+      SELECT kept.doc_id, len(kept.rawtoks) AS ntok, b.lang
+      FROM kept JOIN best b ON kept.doc_id = b.doc_id AND b.rk = 1),
+    sp AS (
+      SELECT lang, ntok,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 100) AS bkt
+      FROM lab)
+    SELECT CASE WHEN bkt < 90 THEN 'train'
+                WHEN bkt < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           lang AS lang_pred,
+           COUNT(*) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS total_tokens
+    FROM sp GROUP BY 1, 2
+    """,
+)
+def q100(spark, sf_dir):
+    """Capstone: the full corpus-preparation pipeline as ONE lazy
+    plan — quality gate (integer thresholds) → exact dedup (min-id
+    per text hash) → language ID (marker argmax) → deterministic
+    hash split → per-(split, lang) doc/token budget. Every stage is
+    an engine operator (functions.text / llm.textstats / ops); the
+    oracle re-states all five stages as a CTE chain. Catalyst fuses
+    the narrow stages into single codegen spans; the only shuffles
+    are the dedup hash-window and the final 12-row aggregate. All
+    output columns are copies or integer sums — bit-portable."""
+    from hadron_spark.functions.text import quality_features, tokenize
+    from hadron_spark.operators.ops import hash_split
+
+    docs = load(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    kept = docs.filter(
+        (feats["n_chars"] >= 200) & (feats["n_tokens"] >= 30)
+    )
+    wdup = Window.partitionBy(F.md5("text"))
+    deduped = (
+        kept.withColumn("keeper", F.min("doc_id").over(wdup))
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .drop("keeper")
+    )
+    lang = textstats.language_id(deduped)
+    split = hash_split(
+        lang, "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05}
+    )
+    return split.groupBy("split", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokenize(F.col("text"))))
+        .cast("bigint")
+        .alias("total_tokens"),
+    )
