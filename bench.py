@@ -52,6 +52,12 @@ HEADLINE = [
     "q66_collocations",
     "q68_fuzzy_pairs",
     "q70_incremental_rollup",
+    # third-session additions (set change #2, BASELINE.md): the
+    # streak/sweep/capstone trio exercises window-reuse, the
+    # partitioned interval sweep, and the fused 5-stage pipeline
+    "q91_order_streaks",
+    "q92_max_concurrency",
+    "q100_corpus_prep",
 ]
 
 
