@@ -131,3 +131,47 @@ def incremental_rollup(
     append-only and the rollup is small. Schemas of `prev` and
     `batch_agg` must match."""
     return prev.unionByName(batch_agg).groupBy(*keys).agg(*merge_aggs)
+
+
+def table_diff(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Reconciliation diff of two same-schema tables: one row per key
+    with status ∈ {only_left, only_right, changed, same}.
+
+    Rows are reduced to (key, row_hash) BEFORE the full-outer join —
+    the comparison columns never shuffle, only keys + one 32-byte
+    hash, so diffing two 100 TB tables moves ~|keys|·40 bytes. The
+    hash is md5 over null-tagged concatenation (null ≠ '' ≠ 'null'
+    collisions avoided by a length prefix per field).
+    """
+    cols = compare_cols or [
+        c for c in left.columns if c not in keys
+    ]
+
+    def hashed(df: DataFrame, alias: str) -> DataFrame:
+        tagged = [
+            F.concat_ws(
+                ":",
+                F.length(F.coalesce(F.col(c).cast("string"), F.lit(""))),
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00")),
+            )
+            for c in cols
+        ]
+        return df.select(
+            *keys, F.md5(F.concat_ws("|", *tagged)).alias(alias)
+        )
+
+    l = hashed(left, "_lh")
+    r = hashed(right, "_rh")
+    j = l.join(r, on=keys, how="full_outer")
+    status = (
+        F.when(F.col("_rh").isNull(), F.lit("only_left"))
+        .when(F.col("_lh").isNull(), F.lit("only_right"))
+        .when(F.col("_lh") == F.col("_rh"), F.lit("same"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(*keys, status.alias("status"))

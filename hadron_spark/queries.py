@@ -3165,3 +3165,53 @@ def q100(spark, sf_dir):
         .cast("bigint")
         .alias("total_tokens"),
     )
+
+
+@_register(
+    "q101_table_diff",
+    """
+    WITH b AS (
+      SELECT o_orderkey, o_totalprice,
+             (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+               % 20) AS bkt
+      FROM orders),
+    l AS (SELECT o_orderkey, o_totalprice FROM b WHERE bkt <> 2),
+    r AS (SELECT o_orderkey,
+                 CASE WHEN bkt = 0 THEN o_totalprice + 1
+                      ELSE o_totalprice END AS o_totalprice
+          FROM b WHERE bkt <> 1),
+    j AS (SELECT l.o_totalprice AS lv, r.o_totalprice AS rv,
+                 l.o_orderkey IS NULL AS lnull,
+                 r.o_orderkey IS NULL AS rnull
+          FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey)
+    SELECT CASE WHEN rnull THEN 'only_left'
+                WHEN lnull THEN 'only_right'
+                WHEN lv = rv THEN 'same'
+                ELSE 'changed' END AS status,
+           COUNT(*) AS n
+    FROM j GROUP BY 1
+    """,
+)
+def q101(spark, sf_dir):
+    """Table reconciliation (maintenance.table_diff): two 100 TB
+    tables diff by reducing every row to (key, md5 row-hash) BEFORE
+    the full-outer join — comparison columns never shuffle. The test
+    harness derives left/right from orders with deterministic
+    hash-bucket edits (5% changed, 5% dropped each side); the oracle
+    classifies by direct value comparison — hash-classification and
+    value-classification must agree on every key."""
+    from hadron_spark.operators.maintenance import table_diff
+    from hadron_spark.operators.ops import hash_bucket
+
+    o = load(spark, sf_dir, "orders").withColumn(
+        "bkt", hash_bucket("o_orderkey", 20)
+    )
+    left = o.filter(F.col("bkt") != 2).select("o_orderkey", "o_totalprice")
+    right = o.filter(F.col("bkt") != 1).select(
+        "o_orderkey",
+        F.when(F.col("bkt") == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    d = table_diff(left, right, ["o_orderkey"])
+    return d.groupBy("status").agg(F.count(F.lit(1)).alias("n"))

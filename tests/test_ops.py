@@ -266,3 +266,66 @@ def test_triangle_count_known_graph(spark):
              (4, 5), (5, 6), (2, 1), (3, 1)]
     df = spark.createDataFrame(edges, "src long, dst long")
     assert triangle_count(df).collect()[0]["triangles"] == 4
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_triangle_count_matches_naive(spark, edge_list):
+    """Degree-ordered orientation must count exactly what brute-force
+    enumeration counts, on arbitrary small graphs (self-loops and
+    duplicate/reversed edges included)."""
+    from itertools import combinations
+
+    from hadron_spark.operators.graph import triangle_count
+
+    und = {tuple(sorted(e)) for e in edge_list if e[0] != e[1]}
+    nodes = {n for e in und for n in e}
+    expected = sum(
+        1
+        for a, b, c in combinations(sorted(nodes), 3)
+        if {(a, b), (a, c), (b, c)} <= und
+    )
+    df = spark.createDataFrame(
+        edge_list or [(0, 0)], "src long, dst long"
+    )
+    assert triangle_count(df).collect()[0]["triangles"] == expected
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.sampled_from("abcdef"), min_size=1, max_size=60),
+    st.integers(1, 3),
+    st.sampled_from([2, 4, 512]),
+)
+def test_cms_upper_bound_property(spark, keys, depth, width):
+    """CMS invariants under any collision regime: every reported
+    estimate ≥ the true count, and with threshold=1 every key is
+    reported (candidates cover the full small domain)."""
+    from collections import Counter
+
+    from hadron_spark.operators.sketch import heavy_hitters
+
+    truth = Counter(keys)
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {
+        r["key"]: r["est"]
+        for r in heavy_hitters(
+            df, "k", threshold=1, depth=depth, width=width
+        ).collect()
+    }
+    assert set(got) == set(truth)
+    assert all(got[k] >= truth[k] for k in truth)
