@@ -3215,3 +3215,32 @@ def q101(spark, sf_dir):
     )
     d = table_diff(left, right, ["o_orderkey"])
     return d.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register(
+    "q102_salted_join_rollup",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+                AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q102(spark, sf_dir):
+    """Skew-proof fact⋈dim rollup through ops.salted_join: the fact
+    side's key is salted so a hot user spreads across salt_buckets
+    tasks; the dim replicates ×buckets (broadcast of a range spine).
+    The oracle is the PLAIN join — salting must be invisible in the
+    result. Decimal-accumulated sum for the cross-engine hash."""
+    from hadron_spark.operators.ops import salted_join
+
+    e = load(spark, sf_dir, "events").select("user_id", "value")
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    j = salted_join(e, c, ["user_id"], salt_buckets=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", "total_value"),
+    )
