@@ -3244,3 +3244,61 @@ def q102(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         dsum("value", "total_value"),
     )
+
+
+@_register(
+    "q103_share_of_parent",
+    """
+    WITH n AS (
+      SELECT r.r_name, nt.n_name,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                  AS DECIMAL(18,4)) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nt ON c.c_nationkey = nt.n_nationkey
+      JOIN region r ON nt.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, nt.n_name
+    )
+    SELECT r_name, n_name, CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev AS DOUBLE)
+             / CAST(CAST(SUM(rev) OVER (PARTITION BY r_name)
+                         AS DECIMAL(18,4)) AS DOUBLE) AS share_of_region,
+           CAST(rev AS DOUBLE)
+             / CAST(CAST(SUM(rev) OVER () AS DECIMAL(18,4)) AS DOUBLE)
+               AS share_of_total
+    FROM n
+    """,
+)
+def q103(spark, sf_dir):
+    """Hierarchical percent-of-parent: nation revenue as a share of
+    its region and of the grand total, computed over the |nations|-row
+    aggregate (the windows never see the fact table). nation/region
+    broadcast; customer is fact-sized at scale so its join is left to
+    AQE (shuffle join is the 100 TB-correct default — at test SFs AQE
+    converts it to broadcast at runtime). Parent sums are exact
+    decimal re-aggregations so the two divisions hash-match."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nt = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    n = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nt), c.c_nationkey == nt.n_nationkey)
+        .join(F.broadcast(r), nt.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(_dec("o_totalprice")).cast("decimal(18,4)").alias("rev"))
+    )
+    wr = Window.partitionBy("r_name")
+    wt = Window.partitionBy()
+    rev_d = F.col("rev").cast("double")
+    parent = F.sum("rev").over(wr).cast("decimal(18,4)").cast("double")
+    total = F.sum("rev").over(wt).cast("decimal(18,4)").cast("double")
+    return n.select(
+        "r_name",
+        "n_name",
+        rev_d.alias("revenue"),
+        (rev_d / parent).alias("share_of_region"),
+        (rev_d / total).alias("share_of_total"),
+    )
