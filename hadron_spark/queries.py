@@ -3302,3 +3302,35 @@ def q103(spark, sf_dir):
         (rev_d / parent).alias("share_of_region"),
         (rev_d / total).alias("share_of_total"),
     )
+
+
+@_register(
+    "q104_custdist",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q104(spark, sf_dir):
+    """Distribution-of-counts (TPC-H Q13 motif): orders per customer,
+    then customers per order-count. The LEFT join keeps zero-order
+    customers (COUNT of a null key = 0 — the monoid mempty the
+    reference's optional-join fill encodes, joins.py J5). Both
+    aggregations ride partial agg; the second groups ~|distinct
+    counts| rows."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
