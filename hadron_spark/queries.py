@@ -3334,3 +3334,54 @@ def q104(spark, sf_dir):
     return per_cust.groupBy("c_count").agg(
         F.count(F.lit(1)).alias("custdist")
     )
+
+
+@_register(
+    "q105_session_window_batch",
+    """
+    WITH t AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                       >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, new_s DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS sid
+      FROM t
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+                AS DOUBLE) AS session_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q105(spark, sf_dir):
+    """Native session_window in BATCH mode (the same expression the
+    streaming path uses — batch/stream parity like q88's hopping
+    windows): per-session rows with [start, last+gap) bounds. The
+    oracle hand-rolls sessionization from first principles (lag-gap
+    flags + running session ids), so Spark's built-in session merge
+    semantics (new session iff diff ≥ gap) are cross-checked, not
+    assumed. Decimal-accumulated session values for the hash."""
+    e = load(spark, sf_dir, "events")
+    g = e.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "session_value"),
+    )
+    return g.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+        "session_value",
+    )
