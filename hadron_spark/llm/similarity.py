@@ -228,3 +228,62 @@ def lsh_topk(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def kmeans(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column:
+    (id, cluster, sq_dist). Deterministic init (first k vectors by
+    id).
+
+    Scale contract: the DATA never reaches the driver — assignment is
+    a codegen'd expression scoring each row against k centroid
+    literals (centroids are MODEL STATE, k·dim floats, the one thing
+    that legitimately rides the driver loop, exactly like PageRank's
+    per-round ranks stay distributed while the loop counter doesn't).
+    Per iteration: one narrow assignment pass + one groupBy(cluster)
+    mean — the posexplode path aggregates (cluster, dim) cells so the
+    centroid update is a |k·dim|-row result, partial-agg'd map-side.
+    """
+    centroids = [
+        [float(x) for x in r[vec_col]]
+        for r in df.orderBy(id_col).limit(k).collect()
+    ]
+
+    def dist_expr(c: list[float]) -> str:
+        lit = "array(" + ",".join(f"{x!r}D" for x in c) + ")"
+        return (
+            f"aggregate(zip_with({vec_col}, {lit}, (x, y) -> "
+            "(double(x) - y) * (double(x) - y)), 0D, (a, x) -> a + x)"
+        )
+
+    assigned = None
+    for _ in range(iters):
+        dists = "array(" + ",".join(dist_expr(c) for c in centroids) + ")"
+        assigned = df.selectExpr(
+            f"{id_col}",
+            f"{vec_col}",
+            f"array_min({dists}) as sq_dist",
+            # array_position is 1-based; ties break to the lowest
+            # cluster id (position of the first minimum)
+            f"int(array_position({dists}, array_min({dists})) - 1) as cluster",
+        )
+        cells = assigned.select(
+            "cluster", F.posexplode(vec_col).alias("pos", "x")
+        )
+        means = (
+            cells.groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("s"))
+            .select("cluster", F.col("s.m").alias("c"))
+            .collect()
+        )
+        new_c = {r["cluster"]: [float(x) for x in r["c"]] for r in means}
+        centroids = [new_c.get(i, centroids[i]) for i in range(k)]
+    return assigned.select(id_col, "cluster", "sq_dist")

@@ -3385,3 +3385,18 @@ def q105(spark, sf_dir):
         "n_events",
         "session_value",
     )
+
+
+@_register("q106_kmeans_clusters", None)
+def q106(spark, sf_dir):
+    """Lloyd's k-means over the embeddings table (llm.similarity):
+    per-cluster sizes and mean within-cluster squared distance after
+    5 rounds. Iterative floating-point refinement → rows-only check
+    (FP sum order varies per partitioning; the per-round contract is
+    pinned by tests instead)."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = similarity.kmeans(emb, k=8, iters=5)
+    return a.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("sq_dist").alias("mean_sq_dist"),
+    )

@@ -386,3 +386,20 @@ def test_count_min_heavy_hitters(spark):
     }
     assert set(tight) == set(truth)
     assert all(tight[k] >= truth[k] for k in truth)
+
+
+def test_kmeans_inertia_monotone(spark, sf_dir):
+    from hadron_spark.llm.similarity import kmeans
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def inertia(iters):
+        a = kmeans(emb, k=4, iters=iters)
+        return a.agg(F.sum("sq_dist").alias("s")).collect()[0]["s"]
+
+    i1, i3 = inertia(1), inertia(3)
+    assert i3 <= i1 * (1 + 1e-9)
+    # every vector assigned to a valid cluster
+    a = kmeans(emb, k=4, iters=2)
+    assert a.filter((F.col("cluster") < 0) | (F.col("cluster") >= 4)).count() == 0
+    assert a.count() == emb.count()
