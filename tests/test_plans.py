@@ -231,3 +231,28 @@ def test_analytics_batch5_plan_shapes(spark, sf_dir):
     # q95: canonical ids are always smaller than the doc they replace
     q95 = QUERIES["q95_dedup_canonical"](spark, sf_dir)
     assert all(r["canonical_id"] < r["doc_id"] for r in q95.collect())
+
+
+def test_analytics_batch6_plan_shapes(spark, sf_dir):
+    """q100-q105 pins: fused pipeline stays at 2 shuffles, salted
+    join keeps its broadcasts, session_window is a single user-key
+    shuffle."""
+    from hadron_spark.plans.inspect import shuffle_count
+    from hadron_spark.queries import QUERIES
+
+    # q100: quality→dedup→lang→split→budget fused over ONE scan;
+    # only the dedup window + final agg may shuffle
+    assert shuffle_count(QUERIES["q100_corpus_prep"](spark, sf_dir)) == 2
+
+    # q102: salt spine and dim replicate via broadcast — exactly one
+    # real (agg) exchange
+    q102 = QUERIES["q102_salted_join_rollup"](spark, sf_dir)
+    assert shuffle_count(q102) == 1
+
+    # q104: left join + two partial-agg'd aggregations
+    assert shuffle_count(QUERIES["q104_custdist"](spark, sf_dir)) == 2
+
+    # q105: native session_window = one shuffle on the session key
+    assert shuffle_count(
+        QUERIES["q105_session_window_batch"](spark, sf_dir)
+    ) == 1
