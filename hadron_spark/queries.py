@@ -3400,3 +3400,106 @@ def q106(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.avg("sq_dist").alias("mean_sq_dist"),
     )
+
+
+@_register(
+    "q107_growth_accounting",
+    """
+    WITH am AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS m FROM events
+    ), hist AS (
+      SELECT user_id, m,
+             lag(m) OVER (PARTITION BY user_id ORDER BY m) AS prev_m,
+             min(m) OVER (PARTITION BY user_id) AS first_m
+      FROM am
+    )
+    SELECT m AS day,
+           CAST(SUM(CASE WHEN m = first_m THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST(SUM(CASE WHEN m <> first_m
+                          AND prev_m = m - INTERVAL 1 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+           CAST(SUM(CASE WHEN m <> first_m
+                          AND prev_m < m - INTERVAL 1 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+    FROM hist GROUP BY m
+    """,
+)
+def q107(spark, sf_dir):
+    """Growth accounting (new / retained / resurrected per day —
+    the standard DAU/MAU decomposition): distinct user-months, then
+    ONE per-user window pass computes both the previous active month
+    and the first-ever month, and a conditional aggregation
+    classifies. The user-key shuffle is shared by lag and min
+    windows; the month rollup is partial-agg'd. Integer counts —
+    bit-portable."""
+    e = load(spark, sf_dir, "events")
+    am = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("m")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("m")
+    wall = Window.partitionBy("user_id")
+    hist = am.select(
+        "user_id",
+        "m",
+        F.lag("m").over(w).alias("prev_m"),
+        F.min("m").over(wall).alias("first_m"),
+    )
+    is_new = F.col("m") == F.col("first_m")
+    consec = F.col("prev_m") == F.col("m") - F.expr("INTERVAL 1 DAY")
+    gap = F.col("prev_m") < F.col("m") - F.expr("INTERVAL 1 DAY")
+    return hist.groupBy(F.col("m").alias("day")).agg(
+        F.sum(F.when(is_new, 1).otherwise(0)).cast("long").alias("new_users"),
+        F.sum(F.when(~is_new & consec, 1).otherwise(0))
+        .cast("long")
+        .alias("retained"),
+        F.sum(F.when(~is_new & gap, 1).otherwise(0))
+        .cast("long")
+        .alias("resurrected"),
+    )
+
+
+@_register(
+    "q108_cumulative_distinct_customers",
+    """
+    WITH fm AS (
+      SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS first_m
+      FROM orders GROUP BY o_custkey
+    ), per AS (
+      SELECT first_m AS month, COUNT(*) AS new_customers FROM fm GROUP BY 1
+    )
+    SELECT month, new_customers,
+           CAST(SUM(new_customers) OVER (
+             ORDER BY month
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cumulative_customers
+    FROM per
+    """,
+)
+def q108(spark, sf_dir):
+    """Cumulative distinct customers per month via the
+    first-appearance trick: COUNT(DISTINCT) over an expanding window
+    re-scans O(n·months) naively, but each customer contributes
+    exactly at their first month, so a per-customer min + per-month
+    count + prefix sum over the ~|months|-row spine gives the
+    identical series with two ordinary partial-agg'd aggregations and
+    one tiny global window."""
+    o = load(spark, sf_dir, "orders")
+    fm = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("first_m")
+    )
+    per = fm.groupBy(F.col("first_m").alias("month")).agg(
+        F.count(F.lit(1)).alias("new_customers")
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per.select(
+        "month",
+        "new_customers",
+        F.sum("new_customers").over(w).cast("long").alias(
+            "cumulative_customers"
+        ),
+    )
