@@ -3503,3 +3503,51 @@ def q108(spark, sf_dir):
             "cumulative_customers"
         ),
     )
+
+
+@_register(
+    "q109_max_drawdown",
+    """
+    WITH b AS (
+      SELECT o_custkey, o_orderdate, o_orderkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS DECIMAL(18,4)) AS bal
+      FROM orders
+    ), r AS (
+      SELECT o_custkey, bal,
+             CAST(MAX(bal) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS DECIMAL(18,4)) AS peak
+      FROM b
+    )
+    SELECT o_custkey,
+           CAST(MAX(peak - bal) AS DOUBLE) AS max_drawdown
+    FROM r GROUP BY o_custkey
+    """,
+)
+def q109(spark, sf_dir):
+    """Max drawdown per customer: running balance (cumulative spend),
+    its running peak, and the largest peak-to-current gap — three
+    stacked computations over ONE window spec, so the per-customer
+    shuffle+sort happens once and the final rollup reuses the same
+    clustering (no second exchange for the groupBy). Every step
+    (cumsum, max, subtraction) is exact decimal arithmetic; the lone
+    double cast is last."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bal = F.sum(_dec("o_totalprice")).over(w).cast("decimal(18,4)")
+    r = o.select(
+        "o_custkey",
+        bal.alias("bal"),
+        F.max(bal).over(w).cast("decimal(18,4)").alias("peak"),
+    )
+    return r.groupBy("o_custkey").agg(
+        F.max(F.col("peak") - F.col("bal"))
+        .cast("double")
+        .alias("max_drawdown")
+    )
