@@ -403,3 +403,21 @@ def test_kmeans_inertia_monotone(spark, sf_dir):
     a = kmeans(emb, k=4, iters=2)
     assert a.filter((F.col("cluster") < 0) | (F.col("cluster") >= 4)).count() == 0
     assert a.count() == emb.count()
+
+
+def test_brute_force_backends_agree(spark, sf_dir):
+    """The Arrow/numpy scorer and the codegen'd expression must rank
+    identically (scores may differ in the last ulp; neighbor sets and
+    order may not)."""
+    from hadron_spark.llm.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+
+    def ranking(backend):
+        rows = brute_force_topk(emb, q, k=5, backend=backend).collect()
+        return {
+            (r["query_id"], r["rank"]): r["neighbor_id"] for r in rows
+        }
+
+    assert ranking("expr") == ranking("pandas")
