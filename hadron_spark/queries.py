@@ -3551,3 +3551,79 @@ def q109(spark, sf_dir):
         .cast("double")
         .alias("max_drawdown")
     )
+
+
+@_register(
+    "q110_topk_with_ties",
+    """
+    WITH r AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             rank() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC) AS rk
+      FROM orders
+    )
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rk
+    FROM r WHERE rk <= 3
+    """,
+)
+def q110(spark, sf_dir):
+    """Top-k per group WITH ties (rank(), not row_number()): a price
+    tie at rank 3 keeps every tied order, so the output cardinality
+    is data-dependent — the semantic q44's row_number() variant
+    deliberately avoids. Catalyst still prunes with WindowGroupLimit
+    (rank-based running-limit pushdown), so partitions never
+    materialize full groups."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc()
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@_register(
+    "q111_mad_outliers",
+    """
+    WITH med AS (
+      SELECT l_returnflag,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+               AS m
+      FROM lineitem GROUP BY l_returnflag
+    ), dev AS (
+      SELECT l.l_returnflag, abs(l.l_extendedprice - med.m) AS d
+      FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag
+    )
+    SELECT l_returnflag,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY d) AS mad
+    FROM dev GROUP BY l_returnflag
+    """,
+)
+def q111(spark, sf_dir):
+    """Median absolute deviation per group — the robust dispersion
+    statistic: inner median (percentile_disc: an ACTUAL element, no
+    interpolation → bit-portable) broadcasts back onto the fact scan,
+    |x − m| is one IEEE subtraction both engines perform identically,
+    outer median again copies an element. The two-level
+    quantile-broadcast shape is q73's outlier trim generalized to a
+    derived statistic."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+        .alias("m")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        F.abs(F.col("l_extendedprice") - F.col("m")).alias("d"),
+    )
+    return dev.groupBy("l_returnflag").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY d)").alias("mad")
+    )
