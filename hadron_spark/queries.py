@@ -3627,3 +3627,58 @@ def q111(spark, sf_dir):
     return dev.groupBy("l_returnflag").agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY d)").alias("mad")
     )
+
+
+@_register(
+    "q112_impute_missing",
+    """
+    WITH masked AS (
+      SELECT event_id, event_type,
+             CASE WHEN (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                         ::BIGINT % 10) = 0
+                  THEN NULL ELSE value END AS value
+      FROM events
+    ), med AS (
+      SELECT event_type,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS m
+      FROM masked WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT masked.event_id, masked.event_type,
+           COALESCE(masked.value, med.m) AS value,
+           masked.value IS NULL AS imputed
+    FROM masked JOIN med ON masked.event_type = med.event_type
+    """,
+)
+def q112(spark, sf_dir):
+    """Missing-value imputation by group median — the data-prep
+    staple: a deterministic 10% of readings are masked (hash bucket,
+    so both engines mask identical rows), per-type medians are
+    computed over the survivors (percentile_disc copies an element —
+    portable) and broadcast back to COALESCE the holes. Same
+    quantile-broadcast shape as q73/q111; the `imputed` flag makes
+    the fill auditable downstream."""
+    from hadron_spark.operators.ops import hash_bucket
+
+    e = load(spark, sf_dir, "events")
+    masked = e.select(
+        "event_id",
+        "event_type",
+        F.when(hash_bucket("event_id", 10) == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    med = (
+        masked.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY value)"
+            ).alias("m")
+        )
+    )
+    return masked.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        F.coalesce(F.col("value"), F.col("m")).alias("value"),
+        F.col("value").isNull().alias("imputed"),
+    )
