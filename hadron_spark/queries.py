@@ -3682,3 +3682,46 @@ def q112(spark, sf_dir):
         F.coalesce(F.col("value"), F.col("m")).alias("value"),
         F.col("value").isNull().alias("imputed"),
     )
+
+
+@_register(
+    "q113_rolling_active_users",
+    """
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+    SELECT d,
+           (SELECT COUNT(DISTINCT e.user_id) FROM events e
+            WHERE CAST(e.ts AS DATE) BETWEEN days.d - 6 AND days.d)
+             AS active_7d
+    FROM days
+    """,
+)
+def q113(spark, sf_dir):
+    """Trailing-7-day distinct active users per day. Rolling DISTINCT
+    cannot ride an ordinary window frame (distinct state doesn't
+    merge), and a range join re-scans the fact per day; instead each
+    (user, day) contributes itself to the ≤7 spine days it can serve
+    — a BOUNDED explode fan-out (×7) followed by one distinct-count,
+    which scales linearly at any corpus size. The oracle computes the
+    same series the naive way (correlated COUNT DISTINCT per day) —
+    another two-algorithms-one-answer cross-check."""
+    e = load(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.date_add("day", 6),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d"),
+    )
+    spine = ud.select("day").distinct().withColumnRenamed("day", "d")
+    return (
+        contrib.join(spine, "d")
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+        .select(F.col("d").cast("timestamp").alias("d"), "active_7d")
+    )
