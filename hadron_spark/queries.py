@@ -3725,3 +3725,57 @@ def q113(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("active_7d"))
         .select(F.col("d").cast("timestamp").alias("d"), "active_7d")
     )
+
+
+@_register(
+    "q114_price_trend_slope",
+    """
+    WITH p AS (
+      SELECT o_custkey,
+             CAST(datediff('day', DATE '1992-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(round(o_totalprice * 10000) AS BIGINT) AS y
+      FROM orders
+    ), s AS (
+      SELECT o_custkey, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM p GROUP BY o_custkey
+    )
+    SELECT o_custkey, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+    FROM s WHERE n >= 2 AND n * sxx - sx * sx <> 0
+    """,
+)
+def q114(spark, sf_dir):
+    """Per-customer OLS price-trend slope as ONE exact aggregation:
+    x = days since epoch (int), y = price scaled to integer cents●4,
+    and slope = (nΣxy − ΣxΣy)/(nΣxx − ΣxΣx) where every sum and
+    product stays in exact int64 (bounds documented: |x|≤~2.5e3,
+    |y|≤~6e9 ⇒ Σxy per customer ≤ ~5e14 ≪ 2^63; a 100 TB deployment
+    with >~1e4 rows per key moves the sums to DECIMAL(38,0)). The
+    ONLY floating-point op is the final division of two exact
+    integers — one correctly-rounded IEEE op, so both engines agree
+    bit-for-bit. Regression-as-aggregation: no ML library, partial
+    aggs do the work map-side."""
+    o = load(spark, sf_dir, "orders")
+    x = F.datediff(
+        F.to_date("o_orderdate"), F.to_date(F.lit("1992-01-01"))
+    ).cast("long")
+    y = F.round(F.col("o_totalprice") * 10000).cast("long")
+    p = o.select("o_custkey", x.alias("x"), y.alias("y"))
+    s = p.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.filter((F.col("n") >= 2) & (den != 0)).select(
+        "o_custkey",
+        "n",
+        (num.cast("double") / den.cast("double")).alias("slope"),
+    )
