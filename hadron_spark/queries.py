@@ -3779,3 +3779,88 @@ def q114(spark, sf_dir):
         "n",
         (num.cast("double") / den.cast("double")).alias("slope"),
     )
+
+
+@_register(
+    "q115_ab_welch_t",
+    """
+    WITH p AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS sy,
+             SUM(CAST(round(value * 100) AS BIGINT)
+                 * CAST(round(value * 100) AS BIGINT)) AS syy
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY event_type
+    ), w AS (
+      SELECT
+        MAX(CASE WHEN event_type = 'click' THEN n END) AS n1,
+        MAX(CASE WHEN event_type = 'click' THEN sy END) AS sy1,
+        MAX(CASE WHEN event_type = 'click' THEN syy END) AS syy1,
+        MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n2,
+        MAX(CASE WHEN event_type = 'purchase' THEN sy END) AS sy2,
+        MAX(CASE WHEN event_type = 'purchase' THEN syy END) AS syy2
+      FROM p
+    )
+    SELECT n1, n2,
+           CAST(sy1 AS DOUBLE) / n1 AS mean1,
+           CAST(sy2 AS DOUBLE) / n2 AS mean2,
+           (CAST(sy1 AS DOUBLE) / n1 - CAST(sy2 AS DOUBLE) / n2)
+             / sqrt(
+                 (CAST(n1 * syy1 - sy1 * sy1 AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) * (n1 - 1))) / n1
+               + (CAST(n2 * syy2 - sy2 * sy2 AS DOUBLE)
+                   / (CAST(n2 AS DOUBLE) * (n2 - 1))) / n2
+               ) AS t_welch
+    FROM w
+    """,
+)
+def q115(spark, sf_dir):
+    """Welch's t-statistic (A/B test: click vs purchase values) with
+    NO floating-point aggregation: counts and first/second moments
+    accumulate as exact int64 (values quantized to cents — a defined
+    metric, applied identically in both engines), variance numerators
+    are exact integer algebra (n·Σy² − (Σy)²), and the only FP ops
+    are the final divisions and one sqrt — an IDENTICAL, correctly
+    rounded op sequence in Spark and DuckDB, so even the t-statistic
+    double hash-matches. The usual var_samp() is NOT portable
+    (engine-internal summation order); exact moments are."""
+    e = load(spark, sf_dir, "events")
+    y = F.round(F.col("value") * 100).cast("long")
+    p = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+
+    def pick(col, t):
+        return F.max(F.when(F.col("event_type") == t, F.col(col)))
+
+    w = p.agg(
+        pick("n", "click").alias("n1"),
+        pick("sy", "click").alias("sy1"),
+        pick("syy", "click").alias("syy1"),
+        pick("n", "purchase").alias("n2"),
+        pick("sy", "purchase").alias("sy2"),
+        pick("syy", "purchase").alias("syy2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    mean1 = F.col("sy1").cast("double") / n1
+    mean2 = F.col("sy2").cast("double") / n2
+    v1 = (n1 * F.col("syy1") - F.col("sy1") * F.col("sy1")).cast(
+        "double"
+    ) / (n1.cast("double") * (n1 - 1))
+    v2 = (n2 * F.col("syy2") - F.col("sy2") * F.col("sy2")).cast(
+        "double"
+    ) / (n2.cast("double") * (n2 - 1))
+    return w.select(
+        "n1",
+        "n2",
+        mean1.alias("mean1"),
+        mean2.alias("mean2"),
+        ((mean1 - mean2) / F.sqrt(v1 / n1 + v2 / n2)).alias("t_welch"),
+    )
