@@ -329,3 +329,41 @@ def test_cms_upper_bound_property(spark, keys, depth, width):
     }
     assert set(got) == set(truth)
     assert all(got[k] >= truth[k] for k in truth)
+
+
+def test_interval_sweep_carry_in_across_months(spark, tmp_path):
+    """q92's month-partitioned sweep must equal the naive global
+    sweep when intervals span several month boundaries — the carry-in
+    spine is the part the oracle data barely stresses (orders are
+    30-day intervals; here one interval covers 3 months)."""
+    import datetime as dt
+
+    from hadron_spark.queries import QUERIES
+
+    rows = [
+        # long interval: Jan 15 -> Feb 14 (+30d), present in Jan+Feb
+        (1, 1, "O", 1.0, dt.datetime(1995, 1, 15), "x"),
+        # cluster inside February only
+        (2, 1, "O", 1.0, dt.datetime(1995, 2, 1), "x"),
+        (3, 1, "O", 1.0, dt.datetime(1995, 2, 10), "x"),
+        # isolated in April (gap month March has zero concurrency)
+        (4, 1, "O", 1.0, dt.datetime(1995, 4, 20), "x"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    d = tmp_path / "sf"
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "orders.parquet"))
+    out = {
+        r["month"].date().isoformat(): r["max_concurrent"]
+        for r in QUERIES["q92_max_concurrency"](spark, str(d)).collect()
+    }
+    # Jan: only order 1 open. Feb: orders 1+2+3 overlap on Feb 10-13.
+    # Mar: order 3 (from Feb 10) is open until Mar 12 -> carry-in 1.
+    # Apr/May: single isolated interval opens and closes.
+    assert out["1995-01-01"] == 1
+    assert out["1995-02-01"] == 3
+    assert out["1995-03-01"] == 1
+    assert out["1995-04-01"] == 1
