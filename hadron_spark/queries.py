@@ -47,14 +47,52 @@ def _register(name: str, oracle: str | None):
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     df = Tap([f"{sf_dir}/{table}.parquet"]).read(spark)
-    # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it reads
-    # as bigint nanos — normalize to a micros timestamp (matches
-    # DuckDB's nanos→micros truncation). `div` keeps it integer math.
+    # events.ts arrives as either parquet TIMESTAMP(NANOS) (read as
+    # bigint nanos under nanosAsLong — normalize via integer `div`,
+    # matching DuckDB's nanos→micros truncation) or TIMESTAMP(MICROS)
+    # (read as TIMESTAMP_NTZ — cast to TIMESTAMP; the session tz is
+    # pinned UTC so the cast is value-preserving). Downstream code
+    # always sees a plain TIMESTAMP.
+    from pyspark.sql.types import LongType, TimestampType
+
+    if table == "events":
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif not isinstance(dt, TimestampType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def events_stream(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
+    """Stage events.parquet behind a directory symlink (file-stream
+    sources need a directory) and return it as an unbounded stream.
+
+    The stream schema is probed from the batch footer rather than
+    hard-coded, so the source works whether the file stores ts as
+    TIMESTAMP(NANOS) (read as bigint under nanosAsLong) or
+    TIMESTAMP(MICROS); either way `ts` is normalized to a timestamp.
+    """
+    import os
+    import tempfile
+
     from pyspark.sql.types import LongType
 
-    if table == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    from hadron_spark.streaming import stream_tap
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = stream_tap(spark, d, schema)
+    if isinstance(schema["ts"].dataType, LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # watermarks require TIMESTAMP (with tz); the session tz is
+        # pinned to UTC so the NTZ→TIMESTAMP cast is value-preserving
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def _dec(c) -> F.Column:
@@ -793,22 +831,9 @@ def q31(spark, sf_dir):
     verified against the batch oracle — batch/stream parity is the
     core argument for the Spark-first architecture (the reference has
     no streaming at all, SURVEY §2.7)."""
-    import os
-    import tempfile
+    from hadron_spark.streaming import run_stream_to_memory, windowed_agg
 
-    from hadron_spark.streaming import run_stream_to_memory, stream_tap, windowed_agg
-
-    d = tempfile.mkdtemp(prefix="q31_events_")
-    link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
-    raw = stream_tap(
-        spark,
-        d,
-        "event_id bigint, ts bigint, user_id bigint, "
-        "event_type string, value double, props string",
-    )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = events_stream(spark, sf_dir, "q31_events_")
     agg = windowed_agg(
         ev,
         "ts",
@@ -1712,27 +1737,9 @@ def q63(spark, sf_dir):
     oracle (batch/stream parity). The static side is re-read each
     batch, so dimension updates are picked up without restarting;
     at scale it should be broadcast-sized or bucketed on the key."""
-    import os
-    import tempfile
+    from hadron_spark.streaming import enrich, run_stream_to_memory, windowed_agg
 
-    from hadron_spark.streaming import (
-        enrich,
-        run_stream_to_memory,
-        stream_tap,
-        windowed_agg,
-    )
-
-    d = tempfile.mkdtemp(prefix="q63_events_")
-    link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
-    raw = stream_tap(
-        spark,
-        d,
-        "event_id bigint, ts bigint, user_id bigint, "
-        "event_type string, value double, props string",
-    )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = events_stream(spark, sf_dir, "q63_events_")
     dim = load(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
     )
@@ -2586,25 +2593,9 @@ def q87(spark, sf_dir):
     compared against the batch aggregate. int_scale accumulation
     makes the totals bit-exact — float Σ inside the state function
     would depend on row arrival order."""
-    import os
-    import tempfile
+    from hadron_spark.streaming import run_stream_to_memory, stateful_running_totals
 
-    from hadron_spark.streaming import (
-        run_stream_to_memory,
-        stateful_running_totals,
-        stream_tap,
-    )
-
-    d = tempfile.mkdtemp(prefix="q87_events_")
-    link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
-    raw = stream_tap(
-        spark,
-        d,
-        "event_id bigint, ts bigint, user_id bigint, "
-        "event_type string, value double, props string",
-    )
+    raw = events_stream(spark, sf_dir, "q87_events_")
     totals = stateful_running_totals(raw, "user_id", "value", int_scale=10000)
     out = run_stream_to_memory(totals, "q87_totals", output_mode="update")
     return out.select("user_id", "total", "n")
@@ -3863,4 +3854,111 @@ def q115(spark, sf_dir):
         mean1.alias("mean1"),
         mean2.alias("mean2"),
         ((mean1 - mean2) / F.sqrt(v1 / n1 + v2 / n2)).alias("t_welch"),
+    )
+
+
+@_register(
+    "q116_gini_impurity",
+    """
+    WITH c AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+      FROM customer GROUP BY 1, 2
+    ), g AS (
+      SELECT c_nationkey, SUM(n) AS n_customers, SUM(n * n) AS ss
+      FROM c GROUP BY 1
+    )
+    SELECT c_nationkey, n_customers,
+           1 - CAST(ss AS DOUBLE)
+                 / (CAST(n_customers AS DOUBLE) * n_customers) AS gini
+    FROM g
+    """,
+)
+def q116(spark, sf_dir):
+    """Gini impurity of the market-segment mix per nation — the
+    class-balance health check a training-data pipeline runs on every
+    stratified source. Entropy needs ln() (library-dependent last
+    ulp); Gini = 1 − Σnᵢ²/N² is an EXACT integer ratio until one
+    final double division, so it hash-matches across engines. Two
+    partial-aggregated shuffles on shrinking keys (nation×segment,
+    then nation) — at 100 TB nothing but counts ever moves."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    g = c.groupBy("c_nationkey").agg(
+        F.sum("n").alias("n_customers"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    return g.select(
+        "c_nationkey",
+        "n_customers",
+        (
+            F.lit(1)
+            - F.col("ss").cast("double")
+            / (F.col("n_customers").cast("double") * F.col("n_customers"))
+        ).alias("gini"),
+    )
+
+
+@_register(
+    "q117_cooccurrence_jaccard",
+    """
+    WITH ue AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), sz AS (
+      SELECT event_type, COUNT(*) AS n FROM ue GROUP BY 1
+    ), pair AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_both
+      FROM ue a JOIN ue b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_both,
+           CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) AS jaccard
+    FROM pair
+    JOIN sz sa ON pair.type_a = sa.event_type
+    JOIN sz sb ON pair.type_b = sb.event_type
+    """,
+)
+def q117(spark, sf_dir):
+    """Audience-overlap Jaccard between event types: |users(A) ∩
+    users(B)| / |users(A) ∪ users(B)|, all three terms exact integers
+    (union by inclusion-exclusion — never materialized), one final
+    division. The self-join runs on the DEDUPLICATED (user, type)
+    set, so per-user fan-out is bounded by (#types per user)², not
+    by event count — the co-occurrence shape that stays safe at
+    100 TB where a raw-events self-join would explode. Type-level
+    set sizes are a tiny broadcast back onto the pair counts."""
+    ue = load(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    sz = ue.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ue.alias("a")
+    b = ue.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sz.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        pair.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_both"))
+            ).alias("jaccard"),
+        )
     )
