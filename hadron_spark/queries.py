@@ -3962,3 +3962,175 @@ def q117(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+@_register(
+    "q118_decile_lift",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4))
+               AS s
+      FROM orders GROUP BY 1
+    ), d AS (
+      SELECT o_custkey, s,
+             ntile(10) OVER (ORDER BY s DESC, o_custkey) AS decile
+      FROM spend
+    ), t AS (
+      SELECT decile, COUNT(*) AS n_customers,
+             CAST(SUM(s) AS DECIMAL(18,4)) AS rev
+      FROM d GROUP BY 1
+    )
+    SELECT decile, n_customers, CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE)
+             AS rev_share,
+           CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE)
+             * CAST(SUM(n_customers) OVER () AS DOUBLE) / n_customers
+             AS lift
+    FROM t
+    """,
+)
+def q118(spark, sf_dir):
+    """Decile lift table (model-eval / campaign-targeting staple):
+    customers ranked by total spend into ntile(10) buckets, each
+    decile's revenue share against the 10%-of-customers baseline.
+    ntile is deterministic because the ORDER BY is a total order
+    (spend DESC, then key). The global ranking window runs over the
+    PER-CUSTOMER aggregate — |customers| rows, not |orders| — which
+    is what makes a single-partition window tolerable here; at
+    100 TB swap it for percent_rank bucketing over a range exchange.
+    Revenue stays DECIMAL until one final double cast; share and
+    lift are identical left-associated double op chains in both
+    engines."""
+    spend = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(_dec(F.sum(_dec("o_totalprice"))).alias("s"))
+    )
+    d = spend.select(
+        "o_custkey",
+        "s",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("s").desc(), F.col("o_custkey")))
+        .alias("decile"),
+    )
+    t = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        _dec(F.sum("s")).alias("rev"),
+    )
+    w = Window.partitionBy()
+    rev_d = F.col("rev").cast("double")
+    tot_rev = F.sum("rev").over(w).cast("double")
+    tot_n = F.sum("n_customers").over(w).cast("double")
+    return t.select(
+        "decile",
+        "n_customers",
+        rev_d.alias("revenue"),
+        (rev_d / tot_rev).alias("rev_share"),
+        (rev_d / tot_rev * tot_n / F.col("n_customers")).alias("lift"),
+    )
+
+
+@_register(
+    "q119_zscore_outliers",
+    """
+    WITH q AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ), m AS (
+      SELECT event_type, COUNT(*) AS n, SUM(y) AS sy, SUM(y * y) AS syy
+      FROM q GROUP BY 1
+    )
+    SELECT event_id, event_type, z FROM (
+      SELECT q.event_id, q.event_type,
+             (CAST(q.y AS DOUBLE) - CAST(m.sy AS DOUBLE) / m.n)
+               / sqrt((CAST(m.syy AS DOUBLE)
+                        - CAST(m.sy AS DOUBLE) * m.sy / m.n)
+                      / (m.n - 1)) AS z
+      FROM q JOIN m ON q.event_type = m.event_type
+    ) WHERE abs(z) > 3
+    """,
+)
+def q119(spark, sf_dir):
+    """Per-group z-score anomaly flagging: every event scored against
+    its event_type's mean/stddev, |z| > 3 kept. Moments accumulate
+    as EXACT int64 (cents quantization), then convert to double ONCE
+    — a correctly-rounded op both engines perform identically — and
+    every subsequent op (two divisions, one subtraction, one sqrt)
+    is the same IEEE sequence, so even the z values hash-match.
+    Doing the algebra in doubles-from-exact-moments (not n·Σy²−(Σy)²
+    integer form) keeps it overflow-free at any scale. The tiny
+    per-type moment table broadcasts back onto the event scan —
+    one partial-agg shuffle total."""
+    q = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    m = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    mean = F.col("sy").cast("double") / n
+    var = (
+        F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / n
+    ) / (n - 1)
+    z = (F.col("y").cast("double") - mean) / F.sqrt(var)
+    return (
+        q.join(F.broadcast(m), "event_type")
+        .select("event_id", "event_type", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 3)
+    )
+
+
+@_register(
+    "q120_topn_other_rollup",
+    """
+    WITH rev AS (
+      SELECT c_nationkey, o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4))
+               AS r
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ), rk AS (
+      SELECT *, row_number() OVER (PARTITION BY c_nationkey
+                                   ORDER BY r DESC, o_custkey) AS rn
+      FROM rev
+    )
+    SELECT c_nationkey,
+           CASE WHEN rn <= 3 THEN CAST(o_custkey AS VARCHAR)
+                ELSE 'OTHER' END AS who,
+           CAST(CAST(SUM(r) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+    FROM rk GROUP BY 1, 2
+    """,
+)
+def q120(spark, sf_dir):
+    """Top-N per group WITH an 'Other' rollup bucket — the dashboard
+    shape (top 3 customers per nation, rest folded into one row) that
+    naive top-k drops on the floor. Unlike q44/q110 the non-top rows
+    are NOT discarded, so no WindowGroupLimit pruning applies; the
+    window ranks the per-(nation, customer) AGGREGATE (small), and
+    the re-aggregation groups on (nation, label). Deterministic
+    label: row_number over a total order (revenue DESC, key)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(_dec(F.sum(_dec("o_totalprice"))).alias("r"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("r").desc(), F.col("o_custkey")
+    )
+    rk = rev.withColumn("rn", F.row_number().over(w))
+    who = F.when(
+        F.col("rn") <= 3, F.col("o_custkey").cast("string")
+    ).otherwise(F.lit("OTHER"))
+    return (
+        rk.select("c_nationkey", who.alias("who"), "r")
+        .groupBy("c_nationkey", "who")
+        .agg(_dec(F.sum("r")).cast("double").alias("revenue"))
+    )
