@@ -337,6 +337,33 @@ def gap_fill(
     return out
 
 
+def forward_fill(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    cols: Sequence[str],
+) -> DataFrame:
+    """LOCF (last observation carried forward): replace NULLs in
+    `cols` with the most recent non-null value per key in `order_col`
+    order — the standard companion to `gap_fill` for sensor/price
+    series where an absent reading means "unchanged", not zero.
+
+    One window pass (running `last(ignorenulls)`, default unbounded-
+    preceding→current frame) shares a single shuffle on the key for
+    every filled column; when the input comes straight from
+    `gap_fill` the partitioning matches the join that built it, so
+    AQE elides the exchange entirely."""
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    return df.select(
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(c)
+            if c in set(cols)
+            else c
+            for c in df.columns
+        ]
+    )
+
+
 # ---------------------------------------------------------------------------
 # dataset profiling (training-data pipeline QA)
 # ---------------------------------------------------------------------------

@@ -122,3 +122,46 @@ def heavy_hitters(
         .agg(F.min("cnt").alias("est"))
         .filter(F.col("est") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch rollup — incremental distinct-count maintenance
+# ---------------------------------------------------------------------------
+
+
+def hll_rollup(
+    df: DataFrame,
+    key_cols,
+    col: str,
+    lg_k: int = 12,
+    sketch_col: str = "hll",
+) -> DataFrame:
+    """Per-key HyperLogLog sketches (Apache DataSketches HllSketch,
+    Spark's hll_sketch_agg): one partial-aggregated shuffle produces
+    a ~2^lg_k-byte binary sketch per key, the PERSISTED form of a
+    distinct count. Because HLL union is lossless (register-wise
+    max), yesterday's per-day sketches never need recomputing: any
+    rollup (day→month→all-time) is `hll_union` over stored sketches
+    — the continuous-aggregate pattern that makes "distinct users
+    ever" an O(sketch) nightly merge at 100 TB instead of an
+    O(data) rescan."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(col, F.lit(lg_k)).alias(sketch_col)
+    )
+
+
+def hll_merge(
+    df: DataFrame, group_cols, sketch_col: str = "hll"
+) -> DataFrame:
+    """Merge stored sketches up a hierarchy (register-wise max —
+    associative, commutative, idempotent: re-merging overlapping
+    spans never double-counts)."""
+    keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    agg = F.hll_union_agg(sketch_col).alias(sketch_col)
+    return df.groupBy(*keys).agg(agg) if keys else df.agg(agg)
+
+
+def hll_estimate(df: DataFrame, sketch_col: str = "hll", out: str = "est"):
+    """Read a stored sketch back as a distinct-count estimate."""
+    return df.withColumn(out, F.hll_sketch_estimate(sketch_col))

@@ -4134,3 +4134,88 @@ def q120(spark, sf_dir):
         .groupBy("c_nationkey", "who")
         .agg(_dec(F.sum("r")).cast("double").alias("revenue"))
     )
+
+
+@_register(
+    "q121_locf_resample",
+    """
+    WITH ranked AS (
+      SELECT user_id, date_trunc('day', ts) AS d,
+             CAST(round(value * 100) AS BIGINT) AS y,
+             row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ), daily AS (
+      SELECT user_id, d, y FROM ranked WHERE rn = 1
+    ), spans AS (
+      SELECT user_id, min(d) AS mn, max(d) AS mx FROM daily GROUP BY 1
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS d
+      FROM spans
+    )
+    SELECT g.user_id, g.d,
+           last_value(daily.y IGNORE NULLS)
+             OVER (PARTITION BY g.user_id ORDER BY g.d) AS y_filled,
+           daily.y IS NULL AS filled
+    FROM grid g
+    LEFT JOIN daily ON g.user_id = daily.user_id AND g.d = daily.d
+    """,
+)
+def q121(spark, sf_dir):
+    """Daily resample + LOCF forward fill (ops.gap_fill →
+    ops.forward_fill): each user's last reading per day (row_number
+    over a total order — deterministic), densified to every day in
+    the user's span, gaps carrying the previous reading forward with
+    an auditable `filled` flag (the sensor/price-series semantic
+    where absent means unchanged, vs q64's fill-with-constant and
+    q112's fill-with-statistic). The LOCF window orders by the SAME
+    key the grid join partitioned on, so the fill pass adds no new
+    exchange. Readings quantized to integer cents — carried values
+    hash-match exactly."""
+    wd = Window.partitionBy("user_id", "d").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.date_trunc("day", F.col("ts")).alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("y"),
+        )
+        .withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "d", "y")
+    )
+    grid = ops.gap_fill(daily, ["user_id"], "d", step="1 day")
+    flagged = grid.withColumn("filled", F.col("y").isNull())
+    out = ops.forward_fill(flagged, ["user_id"], "d", ["y"])
+    return out.select(
+        "user_id", "d", F.col("y").alias("y_filled"), "filled"
+    )
+
+
+@_register("q122_hll_incremental_distinct", None)
+def q122(spark, sf_dir):
+    """Incremental distinct-user maintenance via stored HLL sketches
+    (operators.sketch.hll_rollup/hll_merge/hll_estimate): per-day
+    DataSketches HLL sketches roll up to per-month estimates by
+    LOSSLESS register-max union — the continuous-aggregate form
+    where month (or all-time) distincts are an O(sketch-count) merge
+    of persisted state, never an O(data) rescan. Approximate by
+    design (no SQL oracle); tests/test_maintenance.py asserts
+    merge-vs-direct equality (union of the parts == sketch of the
+    whole, exactly) and the estimate's error bound vs exact."""
+    from hadron_spark.operators.sketch import hll_estimate, hll_merge, hll_rollup
+
+    e = load(spark, sf_dir, "events").withColumn(
+        "d", F.date_trunc("day", F.col("ts"))
+    )
+    day = hll_rollup(e, "d", "user_id", lg_k=12)
+    month = hll_merge(
+        day.withColumn("m", F.date_trunc("month", F.col("d"))), "m"
+    )
+    return hll_estimate(month).select(
+        "m", F.col("est").cast("long").alias("est_users")
+    )

@@ -144,3 +144,30 @@ def test_incremental_rollup_equals_full(spark, sf_dir):
     m = {r["o_orderpriority"]: (r["n"], r["s"]) for r in merged.collect()}
     f = {r["o_orderpriority"]: (r["n"], r["s"]) for r in full.collect()}
     assert m == f
+
+
+def test_hll_rollup_merge_lossless_and_bounded(spark, sf_dir):
+    """Union of the per-day sketches must equal the sketch of the
+    whole dataset EXACTLY (register-max merge is lossless), and the
+    estimate must sit within HLL's error envelope of the exact
+    distinct (lg_k=12 -> rsd ~1.6%, allow 5%)."""
+    from pyspark.sql import functions as F
+
+    from hadron_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_rollup,
+    )
+    from hadron_spark.sources.taps import tap
+
+    e = tap(f"{sf_dir}/events.parquet").read(spark).withColumn(
+        "d", F.date_trunc("day", F.col("ts").cast("timestamp"))
+    )
+    day = hll_rollup(e, "d", "user_id", lg_k=12)
+    merged = hll_estimate(hll_merge(day, [])).collect()[0]["est"]
+    direct = hll_estimate(
+        hll_rollup(e.withColumn("g", F.lit(1)), "g", "user_id", lg_k=12)
+    ).collect()[0]["est"]
+    assert merged == direct  # lossless union, not approximately
+    exact = e.select("user_id").distinct().count()
+    assert abs(merged - exact) <= max(1, 0.05 * exact)

@@ -367,3 +367,15 @@ def test_interval_sweep_carry_in_across_months(spark, tmp_path):
     assert out["1995-02-01"] == 3
     assert out["1995-03-01"] == 1
     assert out["1995-04-01"] == 1
+
+
+def test_forward_fill_locf(spark):
+    df = spark.createDataFrame(
+        [(1, 1, None), (1, 2, 10.0), (1, 3, None), (1, 4, None),
+         (2, 1, None), (2, 2, 5.0)],
+        "k int, t int, v double",
+    )
+    out = ops.forward_fill(df, ["k"], "t", ["v"]).orderBy("k", "t").collect()
+    assert [r["v"] for r in out] == [None, 10.0, 10.0, 10.0, None, 5.0]
+    # untouched columns survive
+    assert [r["t"] for r in out] == [1, 2, 3, 4, 1, 2]
