@@ -4219,3 +4219,140 @@ def q122(spark, sf_dir):
     return hll_estimate(month).select(
         "m", F.col("est").cast("long").alias("est_users")
     )
+
+
+@_register(
+    "q123_below_avg_quantity",
+    """
+    WITH pa AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*)
+               AS avg_qty
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_partkey, COUNT(*) AS n_small,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+                     AS DECIMAL(18,4)) AS DOUBLE) AS small_revenue
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE l.l_quantity < CAST(0.2 AS DOUBLE) * pa.avg_qty
+    GROUP BY 1
+    """,
+)
+def q123(spark, sf_dir):
+    """TPC-H Q17 motif — rows compared against THEIR OWN group's
+    average ("small" lineitems below 20% of the part's mean
+    quantity). The correlated scalar subquery decorrelates into a
+    per-part aggregate joined back onto the fact scan — written
+    explicitly as that join (the plan Catalyst's subquery
+    decorrelation would produce), with the per-part side
+    partial-aggregated and broadcast when small. Quantities are
+    integral doubles → exact int64 sum → ONE division for the mean;
+    the 0.2·avg threshold is the same two IEEE ops in both engines,
+    so even boundary rows filter identically."""
+    li = load(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("long")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(pa), "l_partkey")
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            _dec(F.sum(_dec("l_extendedprice"))).cast("double").alias("small_revenue"),
+        )
+    )
+
+
+@_register(
+    "q124_conversion_latency",
+    """
+    WITH g AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'click' THEN ts END)
+               AS first_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase
+      FROM events GROUP BY 1
+    ), lat AS (
+      SELECT epoch_us(first_purchase) - epoch_us(first_click) AS lat_us
+      FROM g
+      WHERE first_click IS NOT NULL AND first_purchase >= first_click
+    )
+    SELECT COUNT(*) AS n_converted,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_us)
+             AS median_latency_us,
+           percentile_disc(0.9) WITHIN GROUP (ORDER BY lat_us)
+             AS p90_latency_us
+    FROM lat
+    """,
+)
+def q124(spark, sf_dir):
+    """Click→purchase conversion latency (funnel timing): first click
+    and first purchase per user come from ONE conditional-min pass
+    over the event scan — a single partial-aggregated shuffle, where
+    the naive two-CTE formulation scans and shuffles twice. Latency
+    is exact integer micros; the median/p90 use percentile_disc
+    (actual elements, no interpolation) so they hash-match."""
+    e = load(spark, sf_dir, "events")
+    g = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).alias("first_click"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    lat = g.filter(
+        F.col("first_click").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_click"))
+    ).select(
+        (
+            F.unix_micros("first_purchase") - F.unix_micros("first_click")
+        ).alias("lat_us")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_us)").alias(
+            "median_latency_us"
+        ),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lat_us)").alias(
+            "p90_latency_us"
+        ),
+    )
+
+
+@_register(
+    "q125_relational_division",
+    """
+    WITH np AS (
+      SELECT COUNT(DISTINCT o_orderpriority) AS n_total FROM orders
+    ), cu AS (
+      SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS n_priorities
+      FROM orders GROUP BY 1
+    )
+    SELECT cu.o_custkey, cu.n_priorities
+    FROM cu, np WHERE cu.n_priorities = np.n_total
+    """,
+)
+def q125(spark, sf_dir):
+    """Relational division ("for all"): customers who have placed
+    orders in EVERY priority class that exists. Division via
+    cardinality match — per-customer distinct-priority counts against
+    the global distinct count, the set-cover formulation that needs
+    no per-element anti-join. The global count is a 1-row broadcast;
+    per-customer distinct-counts partial-aggregate (two-phase
+    distinct) on the customer key."""
+    o = load(spark, sf_dir, "orders")
+    np_ = o.agg(F.count_distinct("o_orderpriority").alias("n_total"))
+    cu = o.groupBy("o_custkey").agg(
+        F.count_distinct("o_orderpriority").alias("n_priorities")
+    )
+    return (
+        cu.crossJoin(F.broadcast(np_))
+        .filter(F.col("n_priorities") == F.col("n_total"))
+        .select("o_custkey", "n_priorities")
+    )
