@@ -4356,3 +4356,127 @@ def q125(spark, sf_dir):
         .filter(F.col("n_priorities") == F.col("n_total"))
         .select("o_custkey", "n_priorities")
     )
+
+
+@_register(
+    "q126_benford_audit",
+    """
+    WITH d AS (
+      SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS digit
+      FROM orders WHERE o_totalprice > 0
+    )
+    SELECT digit, COUNT(*) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS share
+    FROM d GROUP BY digit
+    """,
+)
+def q126(spark, sf_dir):
+    """Benford first-digit audit (fraud/data-quality screen): the
+    leading digit of every order total, counted and shared against
+    the whole. Digit extraction goes through integer cents → string
+    (bigint-to-decimal-string is identical in every engine — float
+    formatting is NOT), so the grouping is bit-portable; shares are
+    exact int ratios. One partial-agg shuffle over 9 keys; the
+    window total is 9 rows."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        ).alias("digit")
+    )
+    t = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    return t.select(
+        "digit",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy()).cast("double")
+        ).alias("share"),
+    )
+
+
+@_register(
+    "q127_first_touch_attribution",
+    """
+    WITH ft AS (
+      SELECT user_id, event_type AS first_touch FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events) t
+      WHERE rn = 1
+    )
+    SELECT ft.first_touch,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS attributed_revenue
+    FROM events e JOIN ft ON e.user_id = ft.user_id
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q127(spark, sf_dir):
+    """First-touch attribution: every purchase's value credited to
+    the channel (event_type) of the user's FIRST event. The
+    first-touch map is one ranked-window pass (total order → 
+    deterministic) producing |users| rows that broadcast back onto
+    the purchase scan — no per-purchase backward search. Revenue
+    accumulates as exact integer cents; /100 at the end is one
+    IEEE division."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ft = (
+        e.select(
+            "user_id", "event_type", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_touch"))
+    )
+    return (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(ft), "user_id")
+        .groupBy("first_touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / 100
+            ).alias("attributed_revenue"),
+        )
+    )
+
+
+@_register(
+    "q128_ship_latency_histogram",
+    """
+    SELECT CAST(floor(date_diff('day', o_orderdate, l_shipdate) / 7)
+                AS BIGINT) AS week_bucket,
+           COUNT(*) AS n_lineitems
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def q128(spark, sf_dir):
+    """Order→ship latency histogram in week buckets: the fulfilment
+    SLA distribution. The day difference is exact integer calendar
+    math (date_diff on timestamps — no epoch division ambiguity),
+    bucketed by integer floor-division. The fact⋈fact join shuffles
+    both sides on orderkey once; the histogram itself
+    partial-aggregates to a handful of buckets."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    days = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    return (
+        j.select(
+            F.floor(days / 7).cast("long").alias("week_bucket")
+        )
+        .groupBy("week_bucket")
+        .agg(F.count(F.lit(1)).alias("n_lineitems"))
+    )
