@@ -256,3 +256,37 @@ def test_analytics_batch6_plan_shapes(spark, sf_dir):
     assert shuffle_count(
         QUERIES["q105_session_window_batch"](spark, sf_dir)
     ) == 1
+
+
+def test_analytics_batch7_plan_shapes(spark, sf_dir):
+    """q116-q128 pins: broadcast-back statistics stay broadcast,
+    shrinking-key aggregations stay at their shuffle budget."""
+    from hadron_spark.plans.inspect import (
+        assert_broadcast_join,
+        shuffle_count,
+    )
+    from hadron_spark.queries import QUERIES
+
+    # q116: two partial-agg shuffles on shrinking keys, nothing else
+    assert shuffle_count(QUERIES["q116_gini_impurity"](spark, sf_dir)) == 2
+
+    # q119: per-type moments broadcast back onto the event scan —
+    # exactly one real (agg) exchange
+    q119 = QUERIES["q119_zscore_outliers"](spark, sf_dir)
+    assert_broadcast_join(q119)
+    assert shuffle_count(q119) == 1
+
+    # q123: per-part average broadcast back, agg shuffles only
+    q123 = QUERIES["q123_below_avg_quantity"](spark, sf_dir)
+    assert_broadcast_join(q123)
+
+    # q124: ONE conditional-min pass over the scan (the naive
+    # two-CTE form would need two), plus the 1-row final agg
+    assert shuffle_count(QUERIES["q124_conversion_latency"](spark, sf_dir)) == 2
+
+    # q127: first-touch map broadcast onto the purchase scan
+    assert_broadcast_join(QUERIES["q127_first_touch_attribution"](spark, sf_dir))
+
+    # q121: grid join + LOCF window reuse the user-key partitioning;
+    # span agg, grid join, window, and nothing more
+    assert shuffle_count(QUERIES["q121_locf_resample"](spark, sf_dir)) <= 4
