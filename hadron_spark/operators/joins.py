@@ -202,3 +202,88 @@ def asof_join(
     for v in right_vals:
         out = out.withColumn(v, pick(v))
     return out.filter(F.col("_src") == 1).select(*lcols, *right_vals)
+
+
+def _bloom_pos(key_col, salt: int, m_bits: int):
+    # first 15 md5 hex chars < 2^60 — conv() stays exact in a long
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(key_col.cast("string"), F.lit(f"#{salt}"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % m_bits
+
+
+def bloom_prefilter_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int = 1 << 22,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with a Bloom-filter pre-pass: fact rows that cannot
+    match any dim key are dropped AT THE SCAN, before the join
+    shuffle ever sees them — the runtime-filter pattern that decides
+    selective fact⋈dim joins at 100 TB (AQE injects these
+    automatically when `spark.sql.optimizer.runtime.bloomFilter.
+    enabled` is on; this is the explicit, engine-independent form,
+    usable when the dim side is itself a subquery AQE won't cover).
+
+    The filter is a SPARSE bitmap DataFrame, not a binary blob:
+    2 salted md5 positions per distinct dim key, OR-merged into
+    (word, mask) rows by a partial-aggregated groupBy — ≤ m_bits/64
+    rows (~KBs for the default 4M bits), broadcast twice onto the
+    fact side as plain left joins + bitwise probes. False positives
+    only waste a row in the REAL join that follows, so results are
+    exactly the plain join's (the oracle for q129 is that plain
+    join); false-negative-free because every dim key set its bits.
+
+    Results identical to `fact.join(dim, ...)` for inner/semi joins
+    of non-null keys."""
+    fk, dk = F.col(fact_key), F.col(dim_key)
+    keys = dim.select(dk.alias("_k")).distinct()
+    bits = keys.select(
+        F.explode(
+            F.array(
+                _bloom_pos(F.col("_k"), 0, m_bits),
+                _bloom_pos(F.col("_k"), 1, m_bits),
+            )
+        ).alias("_pos")
+    )
+    bitmap = (
+        bits.select(
+            F.expr("_pos div 64").alias("_word"),
+            F.expr("shiftleft(1L, CAST(_pos % 64 AS INT))").alias("_m1"),
+        )
+        .groupBy("_word")
+        .agg(F.bit_or("_m1").alias("_mask"))
+    )
+    probed = fact
+    for salt in (0, 1):
+        pos = _bloom_pos(fk, salt, m_bits)
+        probed = (
+            probed.withColumn(f"_p{salt}", pos)
+            .withColumn(f"_w{salt}", F.expr(f"_p{salt} div 64"))
+            .join(
+                F.broadcast(
+                    bitmap.select(
+                        F.col("_word").alias(f"_w{salt}"),
+                        F.col("_mask").alias(f"_mk{salt}"),
+                    )
+                ),
+                f"_w{salt}",
+                "left",
+            )
+            .filter(
+                F.col(f"_mk{salt}").isNotNull()
+                & F.expr(
+                    f"(shiftright(_mk{salt}, CAST(_p{salt} % 64 AS INT)) % 2)"
+                    " != 0"
+                )
+            )
+        )
+    probed = probed.drop("_p0", "_w0", "_mk0", "_p1", "_w1", "_mk1")
+    return probed.join(dim, fk == dk, how)

@@ -4480,3 +4480,35 @@ def q128(spark, sf_dir):
         .groupBy("week_bucket")
         .agg(F.count(F.lit(1)).alias("n_lineitems"))
     )
+
+
+@_register(
+    "q129_bloom_prefilter_join",
+    """
+    SELECT p.p_brand,
+           COUNT(*) AS n_items,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+                     AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN (SELECT * FROM part WHERE p_size <= 2) p
+      ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+)
+def q129(spark, sf_dir):
+    """Selective fact⋈dim join behind a Bloom pre-filter
+    (joins.bloom_prefilter_join): 2-hash sparse-bitmap words built
+    from the filtered dim's keys broadcast onto the lineitem scan,
+    dropping non-matching fact rows BEFORE the join — the
+    runtime-filter pattern that, at 100 TB, turns a full fact
+    shuffle into a shuffle of only plausible matches. False
+    positives are re-checked by the real join, so the oracle is the
+    PLAIN join — the bloom pass must be invisible in the results,
+    exactly like q102's salting."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 2)
+    j = joins.bloom_prefilter_join(li, p, "l_partkey", "p_partkey")
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dec(F.sum(_dec("l_extendedprice"))).cast("double").alias("revenue"),
+    )

@@ -116,3 +116,26 @@ def test_asof_join_forward(spark):
     # e1: tie at ts=10 → visible (100.0); e2: nothing at/after 30 → null
     # e3: right row is strictly before → null (forward never looks back)
     assert got == {"e1": 100.0, "e2": None, "e3": None}
+
+
+def test_bloom_prefilter_join_equals_plain(spark, sf_dir):
+    """Bloom pre-pass must be invisible: identical rows to the plain
+    join, and the bitmap probes ride broadcast joins (no extra
+    exchange on the fact side before the real join)."""
+    from pyspark.sql import functions as F
+
+    from hadron_spark.operators.joins import bloom_prefilter_join
+    from hadron_spark.plans.inspect import explain_str
+    from hadron_spark.sources.taps import tap
+
+    li = tap(f"{sf_dir}/lineitem.parquet").read(spark)
+    part = tap(f"{sf_dir}/part.parquet").read(spark).filter(F.col("p_size") <= 2)
+    got = bloom_prefilter_join(li, part, "l_partkey", "p_partkey").select(
+        "l_orderkey", "l_linenumber", "p_partkey"
+    )
+    want = li.join(part, li.l_partkey == part.p_partkey).select(
+        "l_orderkey", "l_linenumber", "p_partkey"
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert "BroadcastHashJoin" in explain_str(got)
