@@ -4512,3 +4512,82 @@ def q129(spark, sf_dir):
         F.count(F.lit(1)).alias("n_items"),
         _dec(F.sum(_dec("l_extendedprice"))).cast("double").alias("revenue"),
     )
+
+
+@_register(
+    "q130_stream_stream_join",
+    """
+    SELECT c.user_id, COUNT(*) AS n_pairs
+    FROM (SELECT user_id, ts AS c_ts FROM events
+          WHERE event_type = 'click') c
+    JOIN (SELECT user_id, ts AS p_ts FROM events
+          WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.p_ts >= c.c_ts - INTERVAL 30 MINUTE
+     AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE
+    GROUP BY 1
+    """,
+)
+def q130(spark, sf_dir):
+    """Stream-stream interval join (streaming.stream_stream_join):
+    clicks joined to purchases by the same user within ±30 minutes,
+    BOTH sides watermarked with the band in the join condition so
+    buffered state expires (without it a stream-stream join holds
+    both streams forever). One availableNow pass lands every pair in
+    one micro-batch — nothing is watermark-dropped — so the appended
+    output equals the BATCH band join and the oracle is plain SQL:
+    the strongest batch/stream-parity statement in the suite (q31/
+    q63 check windowed aggregates; this checks join semantics)."""
+    from hadron_spark.streaming import run_stream_to_memory, stream_stream_join
+
+    ev = events_stream(spark, sf_dir, "q130_events_")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    joined = stream_stream_join(
+        clicks,
+        purch,
+        ["user_id"],
+        "c_ts",
+        "p_ts",
+        bound="30 minutes",
+        watermark="2 hours",
+    )
+    pairs = run_stream_to_memory(joined, "q130_pairs", output_mode="append")
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@_register(
+    "q131_stream_dedup",
+    """
+    SELECT event_type, COUNT(*) AS n_unique_users
+    FROM (SELECT DISTINCT event_type, user_id FROM events)
+    GROUP BY 1
+    """,
+)
+def q131(spark, sf_dir):
+    """Streaming exact dedup with BOUNDED state
+    (streaming.stream_dedup → dropDuplicatesWithinWatermark): first
+    (event_type, user_id) sighting survives, duplicates within the
+    watermark horizon drop, and a key's state is freed once the
+    watermark passes it — state ∝ arrival rate × watermark, not
+    stream history. Over the whole file in one availableNow batch
+    nothing expires mid-run, so the surviving set equals batch
+    DISTINCT and the oracle is plain SQL (batch/stream dedup
+    parity)."""
+    from hadron_spark.streaming import run_stream_to_memory, stream_dedup
+
+    ev = events_stream(spark, sf_dir, "q131_events_")
+    uniq = stream_dedup(
+        ev.select("event_type", "user_id", "ts"),
+        ["event_type", "user_id"],
+        ts_col="ts",
+        watermark="1 hour",
+    )
+    got = run_stream_to_memory(uniq, "q131_uniq", output_mode="append")
+    return got.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_unique_users")
+    )
