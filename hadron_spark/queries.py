@@ -4591,3 +4591,61 @@ def q131(spark, sf_dir):
     return got.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_unique_users")
     )
+
+
+@_register(
+    "q132_chi2_contingency",
+    """
+    WITH o AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS obs
+      FROM customer GROUP BY 1, 2
+    ), r AS (
+      SELECT c_nationkey, SUM(obs) AS rt FROM o GROUP BY 1
+    ), c AS (
+      SELECT c_mktsegment, SUM(obs) AS ct FROM o GROUP BY 1
+    ), n AS (
+      SELECT SUM(obs) AS tot FROM o
+    )
+    SELECT o.c_nationkey, o.c_mktsegment, o.obs,
+           CAST(r.rt AS DOUBLE) * c.ct / n.tot AS expected,
+           (o.obs - CAST(r.rt AS DOUBLE) * c.ct / n.tot)
+             * (o.obs - CAST(r.rt AS DOUBLE) * c.ct / n.tot)
+             / (CAST(r.rt AS DOUBLE) * c.ct / n.tot) AS chi2_term
+    FROM o
+    JOIN r ON o.c_nationkey = r.c_nationkey
+    JOIN c ON o.c_mktsegment = c.c_mktsegment
+    CROSS JOIN n
+    """,
+)
+def q132(spark, sf_dir):
+    """Chi-square contingency table (nation × market segment):
+    observed counts, independence-expected counts, and each cell's
+    (O−E)²/E contribution. Everything derives from ONE aggregated
+    pass (marginals re-aggregate the tiny cell table, then broadcast
+    back); expected = double(R)·C/N avoids the R·C int64 overflow a
+    4B-row margin would hit. Per-CELL statistics are each an
+    independent exact-int→IEEE chain, so every row hash-matches —
+    the grand χ² total is deliberately left to the reader because a
+    parallel SUM of doubles is order-dependent (the same reason
+    q115 rejects var_samp)."""
+    cu = load(spark, sf_dir, "customer")
+    o = cu.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    r = o.groupBy("c_nationkey").agg(F.sum("obs").alias("rt"))
+    c = o.groupBy("c_mktsegment").agg(F.sum("obs").alias("ct"))
+    n = o.agg(F.sum("obs").alias("tot"))
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("tot")
+    d = F.col("obs") - e
+    return (
+        o.join(F.broadcast(r), "c_nationkey")
+        .join(F.broadcast(c), "c_mktsegment")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "obs",
+            e.alias("expected"),
+            (d * d / e).alias("chi2_term"),
+        )
+    )
