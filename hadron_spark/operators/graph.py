@@ -225,3 +225,55 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         e3, (F.col("x") == F.col("e3.u")) & (F.col("z") == F.col("e3.v"))
     )
     return closed.agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def tree_depth(
+    df: DataFrame,
+    node: str = "node",
+    parent: str = "parent",
+    max_iter: int = 40,
+) -> DataFrame:
+    """(node, depth) for a forest given child→parent pointers (roots:
+    parent IS NULL) — the distributed answer to a recursive CTE,
+    which Spark SQL lacks (DuckDB's WITH RECURSIVE is the oracle for
+    q133).
+
+    Pointer doubling, not parent-walking: every round each node's
+    ancestor pointer is rewired to its ancestor's pointer and the
+    walked distance accumulates, so a height-h forest converges in
+    ⌈log₂ h⌉ self-joins instead of h frontier expansions — at 100 TB
+    that's ~5 key-partitioned shuffles for a billion-node hierarchy,
+    each localCheckpoint'ed to truncate lineage (same discipline as
+    connected_components above). Roots self-loop with distance 0, so
+    Σd is monotone and stalls exactly at convergence."""
+    st = df.select(
+        F.col(node).alias("node"),
+        F.coalesce(F.col(parent), F.col(node)).alias("anc"),
+        F.when(F.col(parent).isNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("d"),
+    ).localCheckpoint(eager=True)
+    prev = None
+    for _ in range(max_iter):
+        hop = st.select(
+            F.col("node").alias("anc"),
+            F.col("anc").alias("anc2"),
+            F.col("d").alias("d2"),
+        )
+        st = (
+            st.join(hop, "anc")
+            .select(
+                "node",
+                F.col("anc2").alias("anc"),
+                (F.col("d") + F.col("d2")).alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur = st.agg(F.sum("d")).first()[0]
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"tree_depth: no convergence in {max_iter} rounds")
+    return st.select("node", F.col("d").alias("depth"))

@@ -4649,3 +4649,58 @@ def q132(spark, sf_dir):
             (d * d / e).alias("chi2_term"),
         )
     )
+
+
+@_register(
+    "q133_hierarchy_depth",
+    """
+    WITH RECURSIVE e AS (
+      SELECT c_custkey AS node,
+             CASE WHEN c_custkey = 0 THEN NULL
+                  ELSE (('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                                        1, 8))::BIGINT % c_custkey)
+             END AS parent
+      FROM customer
+    ), walk AS (
+      SELECT node, 0 AS depth FROM e WHERE parent IS NULL
+      UNION ALL
+      SELECT e.node, w.depth + 1
+      FROM e JOIN walk w ON e.parent = w.node
+    )
+    SELECT depth, COUNT(*) AS n_nodes, SUM(node) AS key_sum
+    FROM walk GROUP BY 1
+    """,
+)
+def q133(spark, sf_dir):
+    """Recursive hierarchy traversal — the org-chart/BOM closure
+    Spark SQL has no WITH RECURSIVE for. A deterministic forest is
+    derived over the customer keys (parent(k) = md5-hash(k) mod k,
+    root 0 — the identical expression in both engines, like q48's
+    hash split) and per-node depth computed by POINTER DOUBLING
+    (operators.graph.tree_depth): ⌈log₂ height⌉ key-partitioned
+    self-joins instead of height frontier rounds, lineage truncated
+    per round. The oracle walks the same forest with DuckDB's
+    recursive CTE; depths, node counts and key sums must agree
+    exactly."""
+    from hadron_spark.operators.graph import tree_depth
+
+    k = F.col("c_custkey")
+    e = load(spark, sf_dir, "customer").select(
+        k.alias("node"),
+        F.when(k == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.conv(F.substring(F.md5(k.cast("string")), 1, 8), 16, 10).cast(
+                "long"
+            )
+            % k
+        )
+        .alias("parent"),
+    )
+    return (
+        tree_depth(e)
+        .groupBy("depth")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("node").alias("key_sum"),
+        )
+    )

@@ -171,3 +171,23 @@ def test_hll_rollup_merge_lossless_and_bounded(spark, sf_dir):
     assert merged == direct  # lossless union, not approximately
     exact = e.select("user_id").distinct().count()
     assert abs(merged - exact) <= max(1, 0.05 * exact)
+
+
+def test_tree_depth_pointer_doubling(spark):
+    """Chain + star + forest: depths match hand computation, and a
+    500-node chain converges in O(log n) doubling rounds (the walk
+    formulation would need 500)."""
+    from hadron_spark.operators.graph import tree_depth
+
+    df = spark.createDataFrame(
+        [(0, None), (1, 0), (2, 0), (3, 1), (4, 3), (10, None), (11, 10)],
+        "node long, parent long",
+    )
+    got = {r["node"]: r["depth"] for r in tree_depth(df).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3, 10: 0, 11: 1}
+
+    chain = spark.createDataFrame(
+        [(i, i - 1 if i else None) for i in range(500)], "node long, parent long"
+    )
+    out = tree_depth(chain, max_iter=12)  # 2^9 > 500 -> must converge
+    assert out.agg({"depth": "max"}).first()[0] == 499
