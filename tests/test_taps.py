@@ -124,3 +124,18 @@ def test_register_views_and_cli_sql(spark, sf_dir):
     assert "lineitem" in bound and "documents" in bound
     n = spark.sql("SELECT COUNT(*) AS n FROM lineitem").collect()[0]["n"]
     assert n > 0
+
+
+def test_tap_orc_roundtrip(spark, sf_dir, tmp_path):
+    """Tap's format field is pass-through to the DataSource registry,
+    so every built-in columnar/row format works unmodified — ORC
+    here (the reference's protocol list stops at csv/gzip/base64,
+    SURVEY §2.2)."""
+    from hadron_spark.sources.taps import Tap
+
+    src = Tap(f"{sf_dir}/region.parquet").read(spark)
+    d = str(tmp_path / "region_orc")
+    Tap(d, fmt="orc").write(src)
+    back = Tap(d, fmt="orc").read(spark)
+    assert back.count() == src.count()
+    assert set(back.columns) == set(src.columns)
