@@ -422,3 +422,44 @@ def sketch_profile(
                 )
             )
     return df.groupBy(*keys).agg(*aggs)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: Column | str,
+    weight: Column | str,
+    k: int,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic:
+    Efraimidis–Spirakis A-ES — each row draws u from its md5-hashed
+    key (uniform in (0,1], a pure function of the key like
+    `hash_split`), is ranked by ln(u)/w (monotone transform of
+    u^(1/w) — numerically safer), and the top-k per group survive.
+    Inclusion probability is proportional to weight (exactly the
+    successive-weighted-draw process), yet the sample is
+    reproducible across runs, re-shards, and cluster sizes — the
+    quality-weighted subsampling a training-data mix needs, with
+    none of `DataFrame.sample`'s RNG non-determinism.
+
+    One window pass: ungrouped, rank is a TakeOrderedAndProject-
+    style top-k; grouped, the shuffle is on the group key.
+    Weights must be > 0."""
+    kc = F.col(key) if isinstance(key, str) else key
+    wc = F.col(weight) if isinstance(weight, str) else weight
+    # 15 hex chars → uniform integer in [0, 2^60); +1 shifts to (0, 2^60]
+    u = (
+        F.conv(F.substring(F.md5(kc.cast("string")), 1, 15), 16, 10).cast(
+            "double"
+        )
+        + 1.0
+    ) / float(1 << 60)
+    score = F.log(u) / wc  # in (-inf, 0]; larger (closer to 0) wins
+    w = (
+        Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
+    ).orderBy(F.desc(score), kc)
+    return (
+        df.withColumn("_ws_rn", F.row_number().over(w))
+        .filter(F.col("_ws_rn") <= k)
+        .drop("_ws_rn")
+    )

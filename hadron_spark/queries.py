@@ -4704,3 +4704,24 @@ def q133(spark, sf_dir):
             F.sum("node").alias("key_sum"),
         )
     )
+
+
+@_register("q134_weighted_sample", None)
+def q134(spark, sf_dir):
+    """Quality-weighted corpus subsample (ops.weighted_sample):
+    Efraimidis–Spirakis A-ES over the documents table, 50 docs per
+    source weighted by length — inclusion probability ∝ weight, yet
+    fully deterministic (u derives from the md5 of the doc key, as
+    in hash_split), so the mix is reproducible across runs and
+    re-shards. No SQL oracle: the selection depends on ln(u)/w
+    ranking, which has no portable cross-engine form (pow/ln differ
+    in the last ulp); determinism + proportionality are pinned in
+    tests/test_ops.py instead. One group-keyed window shuffle."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    samp = ops.weighted_sample(
+        d, "doc_id", F.col("n_chars").cast("double"), 50, ["source"]
+    )
+    return samp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").alias("sampled_chars"),
+    )

@@ -379,3 +379,21 @@ def test_forward_fill_locf(spark):
     assert [r["v"] for r in out] == [None, 10.0, 10.0, 10.0, None, 5.0]
     # untouched columns survive
     assert [r["t"] for r in out] == [1, 2, 3, 4, 1, 2]
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    """A-ES: inclusion rate tracks weight (9:1 weights -> heavy rows
+    strongly overrepresented), selection is a pure function of the
+    keys (two runs identical), and exactly k rows survive."""
+    rows = [(i, 9.0 if i < 100 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got1 = ops.weighted_sample(df, "id", "w", 100)
+    got2 = ops.weighted_sample(df, "id", "w", 100)
+    s1 = sorted(r["id"] for r in got1.collect())
+    assert s1 == sorted(r["id"] for r in got2.collect())
+    assert len(s1) == 100
+    heavy = sum(1 for i in s1 if i < 100)
+    # heavy rows are 10% of the pool with 9x weight; uniform sampling
+    # would pick ~10, proportional-to-weight ~50. Require a wide
+    # margin that only weight-awareness can reach.
+    assert heavy >= 30
