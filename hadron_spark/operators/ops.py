@@ -463,3 +463,30 @@ def weighted_sample(
         .filter(F.col("_ws_rn") <= k)
         .drop("_ws_rn")
     )
+
+
+def pseudonymize(
+    df: DataFrame,
+    cols: Sequence[str],
+    pepper: str,
+    token_len: int = 16,
+) -> DataFrame:
+    """Deterministic PII tokenization: replace each named column with
+    a keyed md5 token (`md5(value || ':' || pepper)` truncated). The
+    same value always maps to the same token, so joins, group-bys
+    and dedup keep working on the masked data — the referential
+    consistency that random tokens destroy — while the pepper keeps
+    tokens non-invertible without it (rotate the pepper, rotate the
+    pseudonyms). Narrow projection: no shuffle, pushes nothing off
+    the scan. NULLs stay NULL (no token leaks presence)."""
+    out = df
+    for c in cols:
+        tok = F.substring(
+            F.md5(F.concat(F.col(c).cast("string"), F.lit(f":{pepper}"))),
+            1,
+            token_len,
+        )
+        out = out.withColumn(
+            c, F.when(F.col(c).isNotNull(), tok)
+        )
+    return out

@@ -4725,3 +4725,36 @@ def q134(spark, sf_dir):
         F.count(F.lit(1)).alias("n_sampled"),
         F.sum("n_chars").alias("sampled_chars"),
     )
+
+
+@_register(
+    "q135_pseudonymize",
+    """
+    SELECT c_custkey,
+           substr(md5(c_name || ':pepper42'), 1, 16) AS c_name,
+           c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 100) * 100 AS BIGINT) AS acctbal_band
+    FROM customer
+    """,
+)
+def q135(spark, sf_dir):
+    """De-identification for training/analytics hand-off
+    (ops.pseudonymize): names replaced by keyed md5 tokens —
+    deterministic, so joins/group-bys/dedup still work on masked
+    data, non-invertible without the pepper — and the quasi-
+    identifier acctbal generalized to a 100-unit band (coarse
+    binning, the k-anonymity lever). All narrow projection work: the
+    masking pass adds zero shuffles at any scale, and md5 is the
+    identical function in both engines so even the tokens
+    hash-match."""
+    c = load(spark, sf_dir, "customer")
+    masked = ops.pseudonymize(c, ["c_name"], "pepper42")
+    return masked.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        (F.floor(F.col("c_acctbal") / 100) * 100)
+        .cast("long")
+        .alias("acctbal_band"),
+    )

@@ -397,3 +397,17 @@ def test_weighted_sample_proportional_and_deterministic(spark):
     # would pick ~10, proportional-to-weight ~50. Require a wide
     # margin that only weight-awareness can reach.
     assert heavy >= 30
+
+
+def test_pseudonymize_referential_and_null_safe(spark):
+    df = spark.createDataFrame(
+        [(1, "alice"), (2, "alice"), (3, "bob"), (4, None)],
+        "id int, name string",
+    )
+    out = {r["id"]: r["name"] for r in ops.pseudonymize(df, ["name"], "pep").collect()}
+    assert out[1] == out[2] != out[3]          # same value -> same token
+    assert out[4] is None                      # NULL stays NULL
+    assert out[1] != "alice" and len(out[1]) == 16
+    # a different pepper rotates every token
+    out2 = {r["id"]: r["name"] for r in ops.pseudonymize(df, ["name"], "pep2").collect()}
+    assert out2[1] != out[1]
