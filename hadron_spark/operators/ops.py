@@ -490,3 +490,16 @@ def pseudonymize(
             c, F.when(F.col(c).isNotNull(), tok)
         )
     return out
+
+
+def partition_stats(df: DataFrame) -> DataFrame:
+    """Physical-partition skew diagnostic: rows per task partition
+    (spark_partition_id), the first thing to look at when one task
+    straggles. Returns (partition_id, n_rows) — feed the max/median
+    ratio into a salting or AQE-threshold decision. The aggregation
+    itself is a narrow per-partition count plus a tiny final
+    combine; it never re-shuffles the data it is diagnosing."""
+    return (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

@@ -77,3 +77,13 @@ def test_compression_option_roundtrip(spark, sf_dir, tmp_path):
 
     assert glob.glob(str(tmp_path / "nation_gz_csv" / "*.csv.gz"))
     assert out.read(spark).count() == 25
+
+
+def test_partition_stats_counts_every_row(spark, sf_dir):
+    from hadron_spark.operators import ops
+    from hadron_spark.sources.taps import tap
+
+    o = tap(f"{sf_dir}/orders.parquet").read(spark).repartition(8)
+    st = ops.partition_stats(o).collect()
+    assert sum(r["n_rows"] for r in st) == o.count()
+    assert len(st) <= 8
