@@ -165,3 +165,59 @@ def hll_merge(
 def hll_estimate(df: DataFrame, sketch_col: str = "hll", out: str = "est"):
     """Read a stored sketch back as a distinct-count estimate."""
     return df.withColumn(out, F.hll_sketch_estimate(sketch_col))
+
+
+def frequent_items_exact(
+    df: DataFrame,
+    key_col: str,
+    threshold: int,
+    depth: int = 4,
+    width: int = 4096,
+) -> DataFrame:
+    """EXACT frequent items (count ≥ threshold) with a CMS pre-pass:
+    the merged sketch screens every distinct key (est = min over
+    probe rows, est ≥ true count — CMS never under-counts, so no
+    true heavy hitter can be screened out), and only the surviving
+    candidates get an exact re-count. Result is bit-identical to the
+    naive GROUP BY … HAVING — the sketch is pure optimization,
+    invisible in the output (q136's oracle is that naive form, the
+    same invisibility contract as q102's salting and q129's bloom).
+
+    Scale shape: sketch = one mapInPandas pass + a ≤ depth·width-row
+    merge; screening probes |distinct keys| rows against a broadcast
+    sketch; the exact pass re-aggregates ONLY candidate rows (a
+    broadcast semi-join prunes the rest at the scan). At 100 TB with
+    a selective threshold the candidate set is orders of magnitude
+    smaller than the key domain, so the expensive exact shuffle
+    carries a sliver of the data."""
+    sketch, _ = count_min_sketch(df, key_col, depth, width)
+    keys = df.select(F.col(key_col).cast("string").alias("key")).distinct()
+    probes = keys.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    (F.lit(i * width) + _slot_expr(F.col("key"), i, width))
+                    for i in range(depth)
+                ]
+            )
+        ).alias("slot"),
+    )
+    cand = (
+        probes.join(F.broadcast(sketch), "slot")
+        .groupBy("key")
+        .agg(F.min("cnt").alias("est"))
+        .filter(F.col("est") >= threshold)
+        .select("key")
+    )
+    exact = (
+        df.join(
+            F.broadcast(cand),
+            df[key_col].cast("string") == cand["key"],
+            "left_semi",
+        )
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= threshold)
+    )
+    return exact

@@ -4758,3 +4758,26 @@ def q135(spark, sf_dir):
         .cast("long")
         .alias("acctbal_band"),
     )
+
+
+@_register(
+    "q136_sketch_guided_frequent",
+    """
+    SELECT l_partkey, COUNT(*) AS cnt
+    FROM lineitem GROUP BY 1 HAVING COUNT(*) >= 40
+    """,
+)
+def q136(spark, sf_dir):
+    """Exact frequent-part mining behind a count-min screen
+    (sketch.frequent_items_exact): the CMS estimate upper-bounds
+    every key's count, so screening at the threshold keeps a
+    candidate superset — never drops a true frequent item — and the
+    exact re-count runs over candidate rows only. The oracle is the
+    naive GROUP BY … HAVING: like salting (q102) and the bloom
+    pre-filter (q129), the sketch must be invisible in the results.
+    At 100 TB the exact shuffle carries only the candidate sliver
+    instead of the full key domain."""
+    from hadron_spark.operators.sketch import frequent_items_exact
+
+    li = load(spark, sf_dir, "lineitem")
+    return frequent_items_exact(li.select("l_partkey"), "l_partkey", 40)
