@@ -4781,3 +4781,212 @@ def q136(spark, sf_dir):
 
     li = load(spark, sf_dir, "lineitem")
     return frequent_items_exact(li.select("l_partkey"), "l_partkey", 40)
+
+
+@_register(
+    "q137_hhi_concentration",
+    """
+    WITH r AS (
+      SELECT c_nationkey,
+             o_custkey,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ), g AS (
+      SELECT c_nationkey,
+             COUNT(*) AS n_customers,
+             SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS ss,
+             SUM(cents) AS tot
+      FROM r GROUP BY 1
+    )
+    SELECT c_nationkey, n_customers,
+           CAST(ss AS DOUBLE)
+             / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) AS hhi
+    FROM g
+    """,
+)
+def q137(spark, sf_dir):
+    """Herfindahl–Hirschman concentration of revenue per nation: HHI
+    = Σ(shareᵢ²) computed as Σcentsᵢ²/ (Σcents)² — numerator and
+    denominator each one EXACT integer/decimal aggregate (cents² in
+    DECIMAL(38,0): overflow-free where bigint is not), then two
+    double conversions and one division, identical in both engines.
+    Summing squared double shares directly would be order-dependent
+    across partitions — the q115/q132 lesson applied to a market-
+    structure metric. Shuffles shrink: orders⋈customer, per-customer
+    agg, per-nation agg."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cents = F.sum(
+        F.round(F.col("o_totalprice") * 100).cast("long")
+    ).alias("cents")
+    r = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(cents)
+    )
+    g = r.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+            "ss"
+        ),
+        F.sum("cents").alias("tot"),
+    )
+    return g.select(
+        "c_nationkey",
+        "n_customers",
+        (
+            F.col("ss").cast("double")
+            / (F.col("tot").cast("double") * F.col("tot").cast("double"))
+        ).alias("hhi"),
+    )
+
+
+@_register(
+    "q138_trending_rank_delta",
+    """
+    WITH wk AS (
+      SELECT date_trunc('week', ts) AS week, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), rk AS (
+      SELECT week, event_type, n,
+             rank() OVER (PARTITION BY week ORDER BY n DESC, event_type)
+               AS rnk
+      FROM wk
+    )
+    SELECT week, event_type, n, rnk,
+           rnk - lag(rnk) OVER (PARTITION BY event_type ORDER BY week)
+             AS rank_delta
+    FROM rk
+    """,
+)
+def q138(spark, sf_dir):
+    """Weekly trending: event types ranked by volume within each
+    week, with the rank movement vs the prior week (negative delta =
+    climbing). Two window passes on DIFFERENT keys — rank within
+    week, lag within type — is the irreducible shape; both run over
+    the tiny (week × type) aggregate, never the raw events. Ranks
+    are total-ordered (count DESC, then name) so ties are
+    deterministic in both engines."""
+    e = load(spark, sf_dir, "events")
+    wk = (
+        e.select(F.date_trunc("week", F.col("ts")).alias("week"), "event_type")
+        .groupBy("week", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_rank = Window.partitionBy("week").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    rk = wk.withColumn("rnk", F.rank().over(w_rank))
+    w_lag = Window.partitionBy("event_type").orderBy("week")
+    return rk.select(
+        "week",
+        "event_type",
+        "n",
+        "rnk",
+        (F.col("rnk") - F.lag("rnk").over(w_lag)).alias("rank_delta"),
+    )
+
+
+@_register(
+    "q139_rfm_segments",
+    """
+    WITH base AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             COUNT(*) AS frequency,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+      FROM orders GROUP BY 1
+    ), scored AS (
+      SELECT o_custkey, frequency,
+             CAST(monetary_cents AS DOUBLE) / 100 AS monetary,
+             ntile(4) OVER (ORDER BY last_order, o_custkey) AS r_score,
+             ntile(4) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             ntile(4) OVER (ORDER BY monetary_cents, o_custkey) AS m_score
+      FROM base
+    )
+    SELECT r_score, f_score, m_score,
+           COUNT(*) AS n_customers,
+           SUM(frequency) AS total_orders
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def q139(spark, sf_dir):
+    """RFM segmentation (recency/frequency/monetary quartiles — the
+    classic CRM grid): per-customer aggregates scored by three
+    ntile(4) windows, then the 4×4×4 cell census. Every ntile ORDER
+    BY ends with the key, so quartile assignment is a total order —
+    deterministic and engine-portable (same discipline as q118's
+    deciles). The three global windows run over the per-customer
+    aggregate (|customers| rows); at 100 TB swap for percent_rank
+    over a range exchange, same results."""
+    o = load(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    def q4(order):
+        return F.ntile(4).over(Window.orderBy(*order, F.col("o_custkey")))
+
+    scored = base.select(
+        "o_custkey",
+        "frequency",
+        q4([F.col("last_order")]).alias("r_score"),
+        q4([F.col("frequency")]).alias("f_score"),
+        q4([F.col("monetary_cents")]).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("frequency").alias("total_orders"),
+    )
+
+
+@_register(
+    "q140_duplicate_payment_scan",
+    """
+    SELECT a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           a.o_custkey,
+           CAST(floor(a.o_totalprice / 1000) AS BIGINT) AS amount_band,
+           date_diff('day', a.o_orderdate, b.o_orderdate) AS gap_days
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND floor(a.o_totalprice / 1000) = floor(b.o_totalprice / 1000)
+     AND a.o_orderkey < b.o_orderkey
+    """,
+)
+def q140(spark, sf_dir):
+    """Duplicate-payment screen: candidate pairs where the same
+    customer has two orders in the same $1000 amount band — the
+    blocking-key self-join every fraud/dedup pipeline starts from.
+    BOTH blocking attributes ride the shuffle key (custkey + banded
+    amount: floor(x/1000) is one IEEE division+floor, bit-identical
+    in both engines), so fan-out is quadratic only WITHIN a
+    (customer, band) collision cluster — the suspicious signal
+    itself — never across the table. The day gap comes out for
+    triage ordering downstream; the key inequality halves the pairs
+    and de-dups mirror matches."""
+    o = load(spark, sf_dir, "orders")
+    band = lambda side: F.floor(F.col(f"{side}.o_totalprice") / 1000)  # noqa: E731
+    a = o.alias("a")
+    b = o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (band("a") == band("b"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .select(
+            F.col("a.o_orderkey").alias("order_a"),
+            F.col("b.o_orderkey").alias("order_b"),
+            F.col("a.o_custkey").alias("o_custkey"),
+            band("a").cast("long").alias("amount_band"),
+            F.datediff(
+                F.col("b.o_orderdate").cast("date"),
+                F.col("a.o_orderdate").cast("date"),
+            ).alias("gap_days"),
+        )
+    )
