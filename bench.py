@@ -58,6 +58,14 @@ HEADLINE = [
     "q91_order_streaks",
     "q92_max_concurrency",
     "q100_corpus_prep",
+    # set change #3 (round-1 close, BASELINE.md): the invisible-
+    # optimization tier (bloom pre-filter, CMS-screened exact
+    # frequents), the broadcast-moments statistics shape, and the
+    # densify+LOCF fill
+    "q119_zscore_outliers",
+    "q121_locf_resample",
+    "q129_bloom_prefilter_join",
+    "q136_sketch_guided_frequent",
 ]
 
 

@@ -205,15 +205,11 @@ def asof_join(
 
 
 def _bloom_pos(key_col, salt: int, m_bits: int):
-    # first 15 md5 hex chars < 2^60 — conv() stays exact in a long
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(key_col.cast("string"), F.lit(f"#{salt}"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
-    return h % m_bits
+    # xxhash64, not md5: the bloom pass is invisible in results (the
+    # real join re-checks), so it needs only within-engine
+    # determinism — take the cheap native hash. pmod: xxhash64 spans
+    # the full signed range.
+    return F.pmod(F.xxhash64(key_col, F.lit(salt)), F.lit(m_bits))
 
 
 def bloom_prefilter_join(
@@ -260,6 +256,10 @@ def bloom_prefilter_join(
         )
         .groupBy("_word")
         .agg(F.bit_or("_m1").alias("_mask"))
+        # materialize once: the bitmap feeds TWO broadcast probes, and
+        # without this the dim-distinct + explode + OR-merge would run
+        # once per probe (it is ≤ m_bits/64 rows — checkpoint is ~free)
+        .localCheckpoint(eager=True)
     )
     probed = fact
     for salt in (0, 1):
