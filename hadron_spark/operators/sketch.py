@@ -183,41 +183,49 @@ def frequent_items_exact(
     invisible in the output (q136's oracle is that naive form, the
     same invisibility contract as q102's salting and q129's bloom).
 
-    Scale shape: sketch = one mapInPandas pass + a ≤ depth·width-row
-    merge; screening probes |distinct keys| rows against a broadcast
-    sketch; the exact pass re-aggregates ONLY candidate rows (a
-    broadcast semi-join prunes the rest at the scan). At 100 TB with
-    a selective threshold the candidate set is orders of magnitude
-    smaller than the key domain, so the expensive exact shuffle
-    carries a sliver of the data."""
-    sketch, _ = count_min_sketch(df, key_col, depth, width)
-    keys = df.select(F.col(key_col).cast("string").alias("key")).distinct()
-    probes = keys.select(
-        "key",
-        F.explode(
+    Scale shape: sketch = a codegen'd explode of depth probe slots
+    per row, partial-aggregated to ≤ depth·width rows (never leaves
+    the JVM); screening probes |distinct keys| rows against the
+    broadcast sketch; the exact pass re-aggregates ONLY candidate
+    rows (a broadcast semi-join prunes the rest at the scan). At
+    100 TB with a selective threshold the candidate set is orders of
+    magnitude smaller than the key domain, so the expensive exact
+    shuffle carries a sliver of the data."""
+    # The sketch here is pure codegen'd SQL (explode d probe slots per
+    # row → partial-agg'd count per slot), NOT count_min_sketch's
+    # Python pass — that pass exists to gather per-partition candidate
+    # lists, which this exact path never uses. Probe hashing is native
+    # xxhash64: the screen is invisible in results (the exact re-count
+    # decides), so it needs only within-engine determinism — same
+    # reasoning as joins.bloom_prefilter_join.
+    def probe_slots(key_col_expr):
+        return F.explode(
             F.array(
                 *[
-                    (F.lit(i * width) + _slot_expr(F.col("key"), i, width))
+                    F.lit(i * width)
+                    + F.pmod(F.xxhash64(key_col_expr, F.lit(i)), F.lit(width))
                     for i in range(depth)
                 ]
             )
-        ).alias("slot"),
+        ).alias("slot")
+
+    sketch = (
+        df.select(probe_slots(F.col(key_col)))
+        .groupBy("slot")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    keys = df.select(key_col).distinct()
     cand = (
-        probes.join(F.broadcast(sketch), "slot")
-        .groupBy("key")
+        keys.select(key_col, probe_slots(F.col(key_col)))
+        .join(F.broadcast(sketch), "slot")
+        .groupBy(key_col)
         .agg(F.min("cnt").alias("est"))
         .filter(F.col("est") >= threshold)
-        .select("key")
+        .select(key_col)
     )
-    exact = (
-        df.join(
-            F.broadcast(cand),
-            df[key_col].cast("string") == cand["key"],
-            "left_semi",
-        )
+    return (
+        df.join(F.broadcast(cand), [key_col], "left_semi")
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= threshold)
     )
-    return exact
