@@ -4990,3 +4990,105 @@ def q140(spark, sf_dir):
             ).alias("gap_days"),
         )
     )
+
+
+@_register(
+    "q141_wilson_return_rate",
+    """
+    WITH b AS (
+      SELECT p_brand,
+             COUNT(*) AS n,
+             SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1
+    )
+    SELECT p_brand, n, r,
+           CAST(r AS DOUBLE) / n AS p_hat,
+           (CAST(r AS DOUBLE) / n + 1.92199044 / n
+             - 1.959964 * sqrt((CAST(r AS DOUBLE) / n
+                                * (1 - CAST(r AS DOUBLE) / n)
+                                + 0.96099522 / n) / n))
+             / (1 + 3.84398088 / n) AS wilson_lower
+    FROM b
+    """,
+)
+def q141(spark, sf_dir):
+    """Return-rate ranking by Wilson lower bound — the statistically
+    honest way to rank proportions (a brand with 2/2 returns must
+    not outrank one with 90/100): n and r are exact integer
+    aggregates, and the Wilson score is one identical IEEE chain in
+    both engines (z and z²/2, z²/4, z² folded to double literals so
+    neither engine's constant-folder can reassociate differently).
+    Shape: fact⋈dim join, partial-agg to |brands| rows, scalar math
+    on the tiny aggregate."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("r"),
+        )
+    )
+    n = F.col("n")
+    ph = F.col("r").cast("double") / n
+    wilson = (
+        ph
+        + F.lit(1.92199044) / n
+        - F.lit(1.959964)
+        * F.sqrt((ph * (F.lit(1) - ph) + F.lit(0.96099522) / n) / n)
+    ) / (F.lit(1) + F.lit(3.84398088) / n)
+    return b.select("p_brand", "n", "r", ph.alias("p_hat"), wilson.alias("wilson_lower"))
+
+
+@_register(
+    "q142_seasonality_index",
+    """
+    WITH m AS (
+      SELECT event_type, CAST(month(ts) AS BIGINT) AS month,
+             COUNT(*) AS n,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT event_type, SUM(n) AS tn, SUM(cents) AS tcents
+      FROM m GROUP BY 1
+    )
+    SELECT m.event_type, m.month, m.n,
+           (CAST(m.cents AS DOUBLE) / m.n)
+             / (CAST(t.tcents AS DOUBLE) / t.tn) AS seasonality
+    FROM m JOIN t ON m.event_type = t.event_type
+    """,
+)
+def q142(spark, sf_dir):
+    """Seasonality index: each (event type, calendar month)'s mean
+    value relative to the type's overall mean — the ratio every
+    demand-planning pipeline normalizes by. Both means derive from
+    exact integer (cents) sums; the index is two divisions of one
+    exact-int-sourced double each, the same chain in both engines.
+    The per-type totals re-aggregate the tiny month table (no second
+    scan) and broadcast back onto it."""
+    e = load(spark, sf_dir, "events")
+    m = (
+        e.select(
+            "event_type",
+            F.month("ts").cast("long").alias("month"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "month")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+    )
+    t = m.groupBy("event_type").agg(
+        F.sum("n").alias("tn"), F.sum("cents").alias("tcents")
+    )
+    return m.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "month",
+        "n",
+        (
+            (F.col("cents").cast("double") / F.col("n"))
+            / (F.col("tcents").cast("double") / F.col("tn"))
+        ).alias("seasonality"),
+    )
