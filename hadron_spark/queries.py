@@ -5092,3 +5092,65 @@ def q142(spark, sf_dir):
             / (F.col("tcents").cast("double") / F.col("tn"))
         ).alias("seasonality"),
     )
+
+
+@_register(
+    "q143_skyline_orders",
+    """
+    WITH lat AS (
+      SELECT o_orderkey, o_totalprice,
+             CAST(min(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT)
+               AS latency_days
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+    ), sk AS (
+      SELECT o_orderkey, o_totalprice, latency_days,
+             max(o_totalprice) OVER (
+               ORDER BY latency_days
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS best_faster
+      FROM lat
+    )
+    SELECT o_orderkey, o_totalprice, latency_days
+    FROM sk
+    WHERE best_faster IS NULL OR o_totalprice > best_faster
+    """,
+)
+def q143(spark, sf_dir):
+    """2-D skyline (Pareto frontier): orders not STRICTLY dominated
+    on (faster first-ship, higher value) — the multi-objective
+    shortlist query. The classic O(n²) dominance test collapses to
+    ONE ordered window: a row survives iff its price beats the best
+    price among all strictly-faster orders, expressed as a RANGE
+    frame ending 1 before the current latency (integer day units
+    make the frame exact; ties stay mutually non-dominating). The
+    window runs over the per-order aggregate, and at 100 TB the
+    range-partitioned sort carries only (key, price, latency)
+    triples."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lat = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.min(
+                F.datediff(
+                    F.col("l_shipdate").cast("date"),
+                    F.col("o_orderdate").cast("date"),
+                )
+            )
+            .cast("long")
+            .alias("latency_days")
+        )
+    )
+    w = (
+        Window.orderBy("latency_days")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    sk = lat.withColumn("best_faster", F.max("o_totalprice").over(w))
+    return sk.filter(
+        F.col("best_faster").isNull()
+        | (F.col("o_totalprice") > F.col("best_faster"))
+    ).select("o_orderkey", "o_totalprice", "latency_days")
