@@ -5154,3 +5154,60 @@ def q143(spark, sf_dir):
         F.col("best_faster").isNull()
         | (F.col("o_totalprice") > F.col("best_faster"))
     ).select("o_orderkey", "o_totalprice", "latency_days")
+
+
+@_register(
+    "q144_new_vs_repeat_mix",
+    """
+    WITH f AS (
+      SELECT o_custkey, min(o_orderdate) AS first_dt FROM orders GROUP BY 1
+    ), lab AS (
+      SELECT date_trunc('month', o.o_orderdate) AS month,
+             CASE WHEN o.o_orderdate = f.first_dt
+                  THEN 'new' ELSE 'repeat' END AS cohort,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+    ), m AS (
+      SELECT month, cohort, COUNT(*) AS n_orders, SUM(cents) AS cents
+      FROM lab GROUP BY 1, 2
+    )
+    SELECT month, cohort, n_orders,
+           CAST(cents AS DOUBLE) / 100 AS revenue,
+           CAST(cents AS DOUBLE)
+             / CAST(SUM(cents) OVER (PARTITION BY month) AS DOUBLE)
+             AS revenue_share
+    FROM m
+    """,
+)
+def q144(spark, sf_dir):
+    """New-vs-repeat revenue mix by month — the acquisition-health
+    readout: each order labeled against its customer's FIRST order
+    date (per-customer min broadcast back, one extra shuffle, no
+    window over the fact), then monthly cohort shares from exact
+    cents sums. The share window partitions by month over the tiny
+    (month × cohort) aggregate. An order on the exact first date
+    counts as 'new' — including same-day repeat orders, a stated
+    tie rule both engines apply identically."""
+    o = load(spark, sf_dir, "orders")
+    f = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
+    lab = o.join(F.broadcast(f), "o_custkey").select(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        F.when(F.col("o_orderdate") == F.col("first_dt"), "new")
+        .otherwise("repeat")
+        .alias("cohort"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    m = lab.groupBy("month", "cohort").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("cents").alias("cents")
+    )
+    w = Window.partitionBy("month")
+    return m.select(
+        "month",
+        "cohort",
+        "n_orders",
+        (F.col("cents").cast("double") / 100).alias("revenue"),
+        (
+            F.col("cents").cast("double")
+            / F.sum("cents").over(w).cast("double")
+        ).alias("revenue_share"),
+    )
