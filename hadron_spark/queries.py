@@ -5211,3 +5211,93 @@ def q144(spark, sf_dir):
             / F.sum("cents").over(w).cast("double")
         ).alias("revenue_share"),
     )
+
+
+@_register(
+    "q145_session_funnel",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id, event_type,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, event_type,
+             SUM(CASE WHEN gap IS NULL OR gap > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+      FROM g
+    ), f AS (
+      SELECT user_id, sess_id,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase,
+             COUNT(*) AS n_events
+      FROM s GROUP BY 1, 2
+    )
+    SELECT COUNT(*) AS n_sessions,
+           SUM(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END)
+             AS sessions_with_click,
+           SUM(CASE WHEN first_click IS NOT NULL
+                     AND first_purchase >= first_click
+                    THEN 1 ELSE 0 END) AS converted_sessions,
+           SUM(n_events) AS total_events
+    FROM f
+    """,
+)
+def q145(spark, sf_dir):
+    """In-session conversion funnel: sessionize (30-min gap rule —
+    the q16 boundary-flag running sum) and measure click→purchase
+    WITHIN each session, not across a user's whole history (q124's
+    scope). The lag window and the session-id running sum share one
+    user-key shuffle (same partition key, nested ordering), the
+    funnel per session is conditional-min aggregation (no per-stage
+    rescans), and the final readout is a 1-row summary. All integer
+    micros — exact everywhere."""
+    e = load(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        (
+            F.unix_micros("ts")
+            - F.lag(F.unix_micros("ts")).over(wo)
+        ).alias("gap"),
+    )
+    s = g.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(
+            F.when(
+                F.col("gap").isNull() | (F.col("gap") > 1_800_000_000), 1
+            ).otherwise(0)
+        )
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sess_id"),
+    )
+    f = s.groupBy("user_id", "sess_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "first_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return f.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(
+            F.when(F.col("first_click").isNotNull(), 1).otherwise(0)
+        ).alias("sessions_with_click"),
+        F.sum(
+            F.when(
+                F.col("first_click").isNotNull()
+                & (F.col("first_purchase") >= F.col("first_click")),
+                1,
+            ).otherwise(0)
+        ).alias("converted_sessions"),
+        F.sum("n_events").alias("total_events"),
+    )
