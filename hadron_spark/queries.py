@@ -5301,3 +5301,39 @@ def q145(spark, sf_dir):
         ).alias("converted_sessions"),
         F.sum("n_events").alias("total_events"),
     )
+
+
+@_register(
+    "q146_discount_band_response",
+    """
+    WITH b AS (
+      SELECT CAST(round(l_discount * 100) AS BIGINT) AS discount_pct,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    )
+    SELECT discount_pct, COUNT(*) AS n,
+           CAST(SUM(qty) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(cents) AS DOUBLE) / (100 * COUNT(*)) AS avg_price
+    FROM b GROUP BY 1
+    """,
+)
+def q146(spark, sf_dir):
+    """Demand response by discount band (the pricing-analytics read
+    behind TPC-H Q6's revenue-change question): average quantity and
+    ticket per integer discount percent. Discounts and prices
+    quantize to exact integers at the scan, so each band's means are
+    one division of exact sums — and the whole query is a single
+    partial-aggregated shuffle over ~12 bands."""
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.round(F.col("l_discount") * 100).cast("long").alias("discount_pct"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    n = F.count(F.lit(1))
+    return b.groupBy("discount_pct").agg(
+        n.alias("n"),
+        (F.sum("qty").cast("double") / n).alias("avg_qty"),
+        (F.sum("cents").cast("double") / (F.lit(100) * n)).alias("avg_price"),
+    )
