@@ -5337,3 +5337,90 @@ def q146(spark, sf_dir):
         (F.sum("qty").cast("double") / n).alias("avg_qty"),
         (F.sum("cents").cast("double") / (F.lit(100) * n)).alias("avg_price"),
     )
+
+
+@_register(
+    "q147_scd2_as_of",
+    """
+    WITH hist AS (
+      SELECT o_custkey, o_orderpriority,
+             o_orderdate AS valid_from,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey)
+               AS valid_to,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey)
+               IS NULL AS is_current
+      FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    ), upd AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate FROM (
+        SELECT o_custkey, o_orderpriority, o_orderdate,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01') t
+      WHERE rn = 1
+    ), merged AS (
+      SELECT h.o_custkey, h.o_orderpriority, h.valid_from,
+             CASE WHEN h.is_current AND u.o_orderdate IS NOT NULL
+                  THEN u.o_orderdate ELSE h.valid_to END AS valid_to,
+             h.is_current AND u.o_orderdate IS NULL AS is_current
+      FROM hist h LEFT JOIN upd u ON h.o_custkey = u.o_custkey
+      UNION ALL
+      SELECT o_custkey, o_orderpriority, o_orderdate AS valid_from,
+             NULL AS valid_to, TRUE AS is_current
+      FROM upd
+    )
+    SELECT o_orderpriority, COUNT(*) AS n_customers
+    FROM merged
+    WHERE valid_from <= TIMESTAMP '1998-01-01'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '1998-01-01')
+    GROUP BY 1
+    """,
+)
+def q147(spark, sf_dir):
+    """SCD2 maintenance + time-travel read
+    (operators.maintenance.scd2_close_out in the oracle gate): a
+    type-2 dimension of each customer's order priority is built from
+    pre-1997 orders (lead() closes each version), the first 1997+
+    order per customer arrives as an update batch — close-out flips
+    the current rows and appends new versions via one broadcast join,
+    no history shuffle — and the result is read AS OF 1998-01-01
+    (versions are non-overlapping by construction, so the as-of
+    predicate picks exactly one version per customer). The oracle
+    replays the identical algebra in SQL."""
+    from hadron_spark.operators.maintenance import scd2_close_out
+
+    o = load(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp")
+    as_of = F.lit("1998-01-01").cast("timestamp")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    hist = (
+        o.filter(F.col("o_orderdate") < cut)
+        .select(
+            "o_custkey",
+            "o_orderpriority",
+            F.col("o_orderdate").alias("valid_from"),
+            F.lead("o_orderdate").over(w).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+    upd = (
+        o.filter(F.col("o_orderdate") >= cut)
+        .select(
+            "o_custkey",
+            "o_orderpriority",
+            "o_orderdate",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    merged = scd2_close_out(hist, upd, ["o_custkey"], "o_orderdate")
+    return (
+        merged.filter(
+            (F.col("valid_from") <= as_of)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > as_of))
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
