@@ -290,3 +290,34 @@ def test_analytics_batch7_plan_shapes(spark, sf_dir):
     # q121: grid join + LOCF window reuse the user-key partitioning;
     # span agg, grid join, window, and nothing more
     assert shuffle_count(QUERIES["q121_locf_resample"](spark, sf_dir)) <= 4
+
+
+def test_analytics_batch8_plan_shapes(spark, sf_dir):
+    """q137-q147 pins: broadcast-backs stay broadcast, shrinking-key
+    aggregations stay in budget, shared-shuffle windows don't split."""
+    from hadron_spark.plans.inspect import (
+        assert_broadcast_join,
+        shuffle_count,
+    )
+    from hadron_spark.queries import QUERIES
+
+    # q137: join + two shrinking aggs (customer, then nation)
+    assert shuffle_count(QUERIES["q137_hhi_concentration"](spark, sf_dir)) <= 3
+
+    # q142: per-type totals broadcast back onto the month table
+    assert_broadcast_join(QUERIES["q142_seasonality_index"](spark, sf_dir))
+
+    # q144: first-order map broadcast back; no window over the fact
+    assert_broadcast_join(QUERIES["q144_new_vs_repeat_mix"](spark, sf_dir))
+
+    # q145: lag + session-id windows share ONE user-key shuffle;
+    # funnel agg + final 1-row agg complete the budget
+    assert shuffle_count(QUERIES["q145_session_funnel"](spark, sf_dir)) <= 3
+
+    # q146: single partial-agg'd shuffle over the discount bands
+    assert shuffle_count(
+        QUERIES["q146_discount_band_response"](spark, sf_dir)
+    ) == 1
+
+    # q147: close-out join is broadcast — history never re-shuffles
+    assert_broadcast_join(QUERIES["q147_scd2_as_of"](spark, sf_dir))
