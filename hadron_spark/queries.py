@@ -5424,3 +5424,247 @@ def q147(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+@_register(
+    "q148_qty_discount_corr",
+    """
+    WITH b AS (
+      SELECT p_brand,
+             CAST(l_quantity AS BIGINT) AS q,
+             CAST(round(l_discount * 100) AS BIGINT) AS d
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), s AS (
+      SELECT p_brand, COUNT(*) AS n,
+             SUM(q) AS sq, SUM(d) AS sd,
+             SUM(q * q) AS sqq, SUM(d * d) AS sdd, SUM(q * d) AS sqd
+      FROM b GROUP BY 1
+    )
+    SELECT p_brand, n,
+           CAST(n * sqd - sq * sd AS DOUBLE)
+             / (sqrt(CAST(n * sqq - sq * sq AS DOUBLE))
+                * sqrt(CAST(n * sdd - sd * sd AS DOUBLE)))
+             AS corr_qty_discount
+    FROM s
+    """,
+)
+def q148(spark, sf_dir):
+    """Pearson correlation of quantity vs discount depth per brand
+    ('do bigger orders get deeper discounts?') with NO floating-point
+    aggregation: both variables quantize to exact small integers at
+    the scan (qty ≤ 50, discount 0–10 pct-points), the five moment
+    sums accumulate as exact int64, and — because those bounded
+    ranges keep every derived integer below 2^53 through ~sf1 — the
+    final casts are EXACT in both engines, sidestepping DuckDB's
+    double-rounding int128→double cast that breaks 1-ulp parity on
+    cent-scaled variables. The only FP ops are two sqrts, one
+    multiply, one divide — identical correctly-rounded sequences, so
+    the r double hash-matches. corr()/covar_samp() built-ins are NOT
+    cross-engine portable (internal summation order); exact moments
+    are. Scale shape: broadcast part join, then ONE partial-aggregated
+    shuffle onto ~25 brand keys — only 6 numbers per brand ever move."""
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey).select(
+        "p_brand",
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+    )
+    s = b.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("q") * F.col("d")).alias("sqd"),
+    )
+    n = F.col("n")
+    num = (n * F.col("sqd") - F.col("sq") * F.col("sd")).cast("double")
+    dq = F.sqrt((n * F.col("sqq") - F.col("sq") * F.col("sq")).cast("double"))
+    dd = F.sqrt((n * F.col("sdd") - F.col("sd") * F.col("sd")).cast("double"))
+    return s.select(
+        "p_brand", "n", (num / (dq * dd)).alias("corr_qty_discount")
+    )
+
+
+@_register(
+    "q149_revenue_bridge",
+    """
+    WITH m AS (
+      SELECT p_brand, date_trunc('month', l_shipdate) AS month,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev,
+             SUM(CAST(l_quantity AS BIGINT)) AS qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    ), l AS (
+      SELECT p_brand, month, rev, qty,
+             lag(rev) OVER (PARTITION BY p_brand ORDER BY month) AS rev_p,
+             lag(qty) OVER (PARTITION BY p_brand ORDER BY month) AS qty_p
+      FROM m
+    )
+    SELECT p_brand, month,
+           CAST(rev - rev_p AS BIGINT) AS rev_delta_cents,
+           CAST(qty - qty_p AS DOUBLE) * (CAST(rev_p AS DOUBLE) / qty_p)
+             AS volume_effect_cents,
+           CAST(qty AS DOUBLE)
+             * (CAST(rev AS DOUBLE) / qty - CAST(rev_p AS DOUBLE) / qty_p)
+             AS price_effect_cents
+    FROM l WHERE rev_p IS NOT NULL
+    """,
+)
+def q149(spark, sf_dir):
+    """Revenue bridge (price/volume decomposition) — the FP&A
+    waterfall explaining month-over-month revenue change per brand:
+    volume effect = Δqty × prior unit price, price effect = current
+    qty × Δunit price; the two sum to ΔRev up to one rounding. Sums
+    stay exact cents until the final, identically-ordered double
+    expressions. Scale shape: the 100 TB lineitem scan partial-
+    aggregates onto brand×month (~2k rows); the lag window then
+    re-shuffles only those pre-aggregated rows by brand."""
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    m = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(
+            "p_brand", F.date_trunc("month", "l_shipdate").alias("month")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("rev"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy("month")
+    l = m.select(
+        "p_brand",
+        "month",
+        "rev",
+        "qty",
+        F.lag("rev").over(w).alias("rev_p"),
+        F.lag("qty").over(w).alias("qty_p"),
+    ).filter(F.col("rev_p").isNotNull())
+    rev, qty = F.col("rev"), F.col("qty")
+    rev_p, qty_p = F.col("rev_p"), F.col("qty_p")
+    unit_p = rev_p.cast("double") / qty_p
+    return l.select(
+        "p_brand",
+        "month",
+        (rev - rev_p).alias("rev_delta_cents"),
+        ((qty - qty_p).cast("double") * unit_p).alias("volume_effect_cents"),
+        (qty.cast("double") * (rev.cast("double") / qty - unit_p)).alias(
+            "price_effect_cents"
+        ),
+    )
+
+
+@_register(
+    "q150_rank_stability",
+    """
+    WITH m AS (
+      SELECT p_brand, date_trunc('month', l_shipdate) AS month,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    ), r AS (
+      SELECT p_brand, month,
+             row_number() OVER (PARTITION BY month
+                                ORDER BY rev DESC, p_brand) AS rk
+      FROM m
+    ), pr AS (
+      SELECT month, p_brand, rk,
+             lag(rk) OVER (PARTITION BY p_brand ORDER BY month) AS rk_prev,
+             lag(month) OVER (PARTITION BY p_brand ORDER BY month)
+               AS month_prev
+      FROM r
+    ), p2 AS (
+      SELECT month, p_brand, rk, rk_prev FROM pr
+      WHERE rk_prev IS NOT NULL
+        AND datediff('month', month_prev, month) = 1
+    ), pairs AS (
+      SELECT a.month,
+             COUNT(*) AS n_pairs,
+             SUM(CASE WHEN (a.rk - b.rk) * (a.rk_prev - b.rk_prev) > 0
+                      THEN 1 ELSE 0 END) AS concordant
+      FROM p2 a JOIN p2 b
+        ON a.month = b.month AND a.p_brand < b.p_brand
+      GROUP BY 1
+    )
+    SELECT month, n_pairs, concordant,
+           CAST(2 * concordant - n_pairs AS DOUBLE) / n_pairs AS tau
+    FROM pairs
+    """,
+)
+def q150(spark, sf_dir):
+    """Kendall tau-a rank stability of the brand revenue leaderboard
+    between consecutive months — the 'did the market reorder or just
+    wiggle' read. Ranks are row_number over exact-cents revenue
+    (deterministic tie-break by brand), restricted to brands present
+    in both months; tau = (C − D)/pairs stays exact integers until
+    one final division. Scale shape: the lineitem scan partial-
+    aggregates onto brand×month; ranks, lags, and the within-month
+    pair self-join all run on that ~2k-row frame (pairs are bounded
+    by brands², ~300/month) — quadratic work on an aggregate, never
+    on raw data."""
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    m = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(
+            "p_brand", F.date_trunc("month", "l_shipdate").alias("month")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("rev")
+        )
+    )
+    wm = Window.partitionBy("month").orderBy(F.desc("rev"), "p_brand")
+    wb = Window.partitionBy("p_brand").orderBy("month")
+    p2 = (
+        m.select(
+            "p_brand", "month", F.row_number().over(wm).alias("rk")
+        )
+        .select(
+            "month",
+            "p_brand",
+            "rk",
+            F.lag("rk").over(wb).alias("rk_prev"),
+            F.lag("month").over(wb).alias("month_prev"),
+        )
+        .filter(
+            F.col("rk_prev").isNotNull()
+            & (F.months_between(F.col("month"), F.col("month_prev")) == 1)
+        )
+        .drop("month_prev")
+    )
+    a = p2.alias("a")
+    b = p2.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.month") == F.col("b.month"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(F.col("a.month").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.when(
+                    (F.col("a.rk") - F.col("b.rk"))
+                    * (F.col("a.rk_prev") - F.col("b.rk_prev"))
+                    > 0,
+                    1,
+                ).otherwise(0)
+            ).alias("concordant"),
+        )
+    )
+    return pairs.select(
+        "month",
+        "n_pairs",
+        "concordant",
+        (
+            (2 * F.col("concordant") - F.col("n_pairs")).cast("double")
+            / F.col("n_pairs")
+        ).alias("tau"),
+    )

@@ -321,3 +321,34 @@ def test_analytics_batch8_plan_shapes(spark, sf_dir):
 
     # q147: close-out join is broadcast — history never re-shuffles
     assert_broadcast_join(QUERIES["q147_scd2_as_of"](spark, sf_dir))
+
+
+def test_analytics_batch9_plan_shapes(spark, sf_dir):
+    """q148-q150 pins: dimension joins stay broadcast; moment/agg
+    shuffles stay on shrinking keys; windows and pair joins run on
+    the pre-aggregated frame only."""
+    from hadron_spark.plans.inspect import (
+        assert_broadcast_join,
+        assert_partial_aggregation,
+        shuffle_count,
+    )
+    from hadron_spark.queries import QUERIES
+
+    # q148: broadcast part join, ONE partial-agg'd shuffle onto brands
+    df = QUERIES["q148_qty_discount_corr"](spark, sf_dir)
+    assert_broadcast_join(df)
+    assert shuffle_count(df) == 1
+    assert_partial_aggregation(df)
+
+    # q149: broadcast join + brand×month agg + brand lag window
+    df = QUERIES["q149_revenue_bridge"](spark, sf_dir)
+    assert_broadcast_join(df)
+    assert shuffle_count(df) <= 2
+
+    # q150: everything past the partial-agg'd brand×month shuffle
+    # (rank window, lag window, month pair join, tau agg) moves only
+    # the tiny aggregate; the raw-fact subtree appears twice via the
+    # self-join, hence the doubled budget
+    df = QUERIES["q150_rank_stability"](spark, sf_dir)
+    assert_broadcast_join(df, expected=2)
+    assert shuffle_count(df) <= 10
