@@ -5668,3 +5668,225 @@ def q150(spark, sf_dir):
             / F.col("n_pairs")
         ).alias("tau"),
     )
+
+
+@_register(
+    "q151_sla_compliance",
+    """
+    SELECT o_orderpriority,
+           date_trunc('month', o_orderdate) AS month,
+           COUNT(*) AS n_lines,
+           SUM(CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30
+                    THEN 1 ELSE 0 END) AS n_ontime,
+           CAST(SUM(CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS ontime_rate
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def q151(spark, sf_dir):
+    """Shipping-SLA compliance: share of lineitems shipped within 30
+    days of order placement, by order priority and month — the ops
+    dashboard number behind TPC-H Q4's 'late orders' question. The
+    day difference is integer calendar days in both engines (Spark
+    datediff truncates timestamps to dates; DuckDB datediff('day')
+    counts day boundaries — same function on this data), so the rate
+    is an exact small-int ratio with one final division. Scale
+    shape: the one fact⋈fact join shuffles both sides on orderkey —
+    the canonical candidate for co-bucketing both tables on
+    l_orderkey/o_orderkey at write time (sources.bucketing), which
+    deletes both exchanges; the group-by then partial-aggregates
+    onto ~60 priority×month keys."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    ontime = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) <= 30, 1
+    ).otherwise(0)
+    g = j.groupBy(
+        "o_orderpriority",
+        F.date_trunc("month", "o_orderdate").alias("month"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(ontime).alias("n_ontime"),
+    )
+    return g.select(
+        "o_orderpriority",
+        "month",
+        "n_lines",
+        "n_ontime",
+        (F.col("n_ontime").cast("double") / F.col("n_lines")).alias(
+            "ontime_rate"
+        ),
+    )
+
+
+@_register(
+    "q152_activity_heatmap",
+    """
+    WITH g AS (
+      SELECT isodow(ts) - 1 AS dow, hour(ts) AS hr, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT dow, hr, n,
+           CAST(n AS DOUBLE) / SUM(n) OVER () AS share
+    FROM g
+    """,
+)
+def q152(spark, sf_dir):
+    """Weekday×hour activity heatmap (the traffic-shape read behind
+    capacity planning and anomaly baselines): event counts per
+    (day-of-week, hour) cell plus each cell's share of the total.
+    Day numbering is pinned to Monday=0 explicitly — Spark weekday()
+    vs DuckDB isodow()−1 — because default dayofweek disagrees
+    between engines. Scale shape: one partial-aggregated shuffle
+    onto ≤168 cells; the share window runs single-partition over
+    those 168 rows only. The grouped timestamp-field extraction
+    stays in whole-stage codegen — no UDF."""
+    e = load(spark, sf_dir, "events")
+    g = e.groupBy(
+        F.expr("weekday(ts)").alias("dow"),
+        F.hour("ts").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()
+    return g.select(
+        "dow",
+        "hr",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w)).alias("share"),
+    )
+
+
+@_register(
+    "q153_largest_remainder",
+    """
+    WITH c AS (
+      SELECT c_nationkey, COUNT(*) AS n FROM customer GROUP BY 1
+    ), t AS (
+      SELECT c_nationkey, n, SUM(n) OVER () AS total FROM c
+    ), b AS (
+      SELECT c_nationkey, n,
+             (10000 * n) // total AS base,
+             (10000 * n) % total AS rem
+      FROM t
+    ), s AS (
+      SELECT c_nationkey, n, base, rem,
+             10000 - SUM(base) OVER () AS k,
+             row_number() OVER (ORDER BY rem DESC, c_nationkey) AS rn
+      FROM b
+    )
+    SELECT c_nationkey, n AS n_customers,
+           CAST(base + CASE WHEN rn <= k THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc
+    FROM s
+    """,
+)
+def q153(spark, sf_dir):
+    """Largest-remainder (Hamilton) apportionment: split a fixed
+    10000-unit budget across nations proportionally to customer
+    count so the parts sum EXACTLY to the budget — the quota /
+    seat-allocation / sampling-budget primitive naive rounding gets
+    wrong. Everything is integer arithmetic (integral div + mod,
+    remainder ranking with a total-order tie-break); no floating
+    point anywhere, so cross-engine parity is trivial. Scale shape:
+    the 100 TB customer scan partial-aggregates onto ~25 nation
+    keys; every window after that runs on 25 rows."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wall = Window.partitionBy()
+    t = c.select(
+        "c_nationkey", "n", F.sum("n").over(wall).alias("total")
+    )
+    b = t.select(
+        "c_nationkey",
+        "n",
+        F.expr("(10000 * n) div total").alias("base"),
+        F.expr("(10000 * n) % total").alias("rem"),
+    )
+    s = b.select(
+        "c_nationkey",
+        "n",
+        "base",
+        (F.lit(10000) - F.sum("base").over(wall)).alias("k"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("rem"), "c_nationkey"))
+        .alias("rn"),
+    )
+    return s.select(
+        "c_nationkey",
+        F.col("n").alias("n_customers"),
+        (
+            F.col("base")
+            + F.when(F.col("rn") <= F.col("k"), 1).otherwise(0)
+        ).alias("alloc"),
+    )
+
+
+@_register(
+    "q154_segment_migration",
+    """
+    WITH a AS (
+      SELECT o_custkey,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS s
+      FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1
+    ), b AS (
+      SELECT o_custkey,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS s
+      FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+    ), qa AS (
+      SELECT o_custkey,
+             ntile(4) OVER (ORDER BY s DESC, o_custkey) AS seg
+      FROM a
+    ), qb AS (
+      SELECT o_custkey,
+             ntile(4) OVER (ORDER BY s DESC, o_custkey) AS seg
+      FROM b
+    )
+    SELECT qa.seg AS seg_1995, qb.seg AS seg_1996,
+           COUNT(*) AS n_customers
+    FROM qa JOIN qb ON qa.o_custkey = qb.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q154(spark, sf_dir):
+    """Customer segment migration matrix: spend-quartile in 1995 vs
+    1996 for customers active in both years — the churn/upgrade flow
+    behind retention planning (which quartile feeds which). ntile is
+    deterministic under the total order (exact-cents spend DESC,
+    then key), and both rankings run over the PER-CUSTOMER aggregate,
+    not raw orders — the q118 rationale: tolerable single-partition
+    windows; at 100 TB swap ntile for approx-quantile cutpoint
+    banding. Output is a ≤16-cell integer matrix — exact everywhere."""
+    o = load(spark, sf_dir, "orders")
+
+    def yearly(year):
+        return (
+            o.filter(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                ).alias("s")
+            )
+            .select(
+                "o_custkey",
+                F.ntile(4)
+                .over(Window.orderBy(F.desc("s"), "o_custkey"))
+                .alias("seg"),
+            )
+        )
+
+    qa = yearly(1995).withColumnRenamed("seg", "seg_1995")
+    qb = yearly(1996).withColumnRenamed("seg", "seg_1996")
+    return (
+        qa.join(qb, "o_custkey")
+        .groupBy("seg_1995", "seg_1996")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )

@@ -352,3 +352,34 @@ def test_analytics_batch9_plan_shapes(spark, sf_dir):
     df = QUERIES["q150_rank_stability"](spark, sf_dir)
     assert_broadcast_join(df, expected=2)
     assert shuffle_count(df) <= 10
+
+
+def test_analytics_batch10_plan_shapes(spark, sf_dir):
+    """q151-q154 pins: the fact join partial-aggregates onto tiny
+    key spaces; apportionment/heatmap/migration windows run on
+    aggregates only."""
+    from hadron_spark.plans.inspect import (
+        assert_partial_aggregation,
+        shuffle_count,
+    )
+    from hadron_spark.queries import QUERIES
+
+    # q151: fact⋈fact shuffle join (2) + priority×month agg (1)
+    df = QUERIES["q151_sla_compliance"](spark, sf_dir)
+    assert shuffle_count(df) <= 3
+    assert_partial_aggregation(df)
+
+    # q152: one partial-agg'd shuffle onto ≤168 cells + share window
+    df = QUERIES["q152_activity_heatmap"](spark, sf_dir)
+    assert shuffle_count(df) <= 2
+    assert_partial_aggregation(df)
+
+    # q153: nation agg + three single-partition windows on 25 rows
+    assert shuffle_count(
+        QUERIES["q153_largest_remainder"](spark, sf_dir)
+    ) <= 4
+
+    # q154: two per-customer aggs + ntile windows + key join
+    assert shuffle_count(
+        QUERIES["q154_segment_migration"](spark, sf_dir)
+    ) <= 8
