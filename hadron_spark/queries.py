@@ -5890,3 +5890,189 @@ def q154(spark, sf_dir):
         .groupBy("seg_1995", "seg_1996")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+@_register(
+    "q155_revenue_autocorr",
+    """
+    WITH d AS (
+      SELECT date_trunc('day', l_shipdate) AS day,
+             CAST(round(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        / 100000.0) AS BIGINT) AS x
+      FROM lineitem GROUP BY 1
+    ), p AS (
+      SELECT x, lag(x) OVER (ORDER BY day) AS y FROM d
+    ), s AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM p WHERE y IS NOT NULL
+    )
+    SELECT n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             AS autocorr_lag1
+    FROM s
+    """,
+)
+def q155(spark, sf_dir):
+    """Lag-1 autocorrelation of the daily revenue series — the 'is
+    today like yesterday' persistence read behind forecasting and
+    anomaly baselining. Daily revenue is quantized to exact $1000
+    units (a defined metric: round(cents/1e5); one correctly-rounded
+    division in both engines), which keeps every moment product
+    below 2^53 well past sf1 so the final casts are exact — the same
+    bounded-range discipline as q148. The day series is tiny (~2.4k
+    rows), so the ordering window and moment aggregation cost
+    nothing; the only real work is the partial-aggregated shuffle of
+    the 100 TB fact onto day keys."""
+    li = load(spark, sf_dir, "lineitem")
+    d = (
+        li.groupBy(F.date_trunc("day", "l_shipdate").alias("day"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("cents")
+        )
+        .select(
+            "day",
+            F.round(F.col("cents") / 100000.0).cast("long").alias("x"),
+        )
+    )
+    p = d.select(
+        "x", F.lag("x").over(Window.orderBy("day")).alias("y")
+    ).filter(F.col("y").isNotNull())
+    s = p.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    dy = F.sqrt((n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return s.select("n", (num / (dx * dy)).alias("autocorr_lag1"))
+
+
+@_register(
+    "q156_churn_hazard",
+    """
+    WITH last AS (
+      SELECT o_custkey, MAX(date_trunc('month', o_orderdate)) AS m
+      FROM orders GROUP BY 1
+    ), d AS (
+      SELECT m, COUNT(*) AS n_last FROM last GROUP BY 1
+    ), r AS (
+      SELECT m, n_last,
+             SUM(n_last) OVER (ORDER BY m DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS n_at_risk
+      FROM d
+    )
+    SELECT m AS month, n_last AS n_churned, n_at_risk,
+           CAST(n_last AS DOUBLE) / n_at_risk AS hazard
+    FROM r
+    """,
+)
+def q156(spark, sf_dir):
+    """Monthly churn hazard table (discrete survival analysis on
+    customer lifetimes): of customers still active entering month m
+    — i.e. whose LAST order lands in m or later — the fraction whose
+    last order is exactly m. The at-risk denominator is a reverse
+    cumulative sum over the month aggregate, so the full
+    Kaplan-Meier-style table needs no per-customer windows: one
+    per-customer max, one count-by-month, one ~80-row window. Exact
+    integer counts with a single final division per row. (The
+    right-censoring caveat — recent months conflate 'churned' with
+    'not yet reordered' — is inherent to the metric, not the
+    engine.)"""
+    o = load(spark, sf_dir, "orders")
+    last = o.groupBy("o_custkey").agg(
+        F.max(F.date_trunc("month", "o_orderdate")).alias("m")
+    )
+    d = last.groupBy("m").agg(F.count(F.lit(1)).alias("n_last"))
+    w = (
+        Window.orderBy(F.desc("m"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = d.select(
+        "m", "n_last", F.sum("n_last").over(w).alias("n_at_risk")
+    )
+    return r.select(
+        F.col("m").alias("month"),
+        F.col("n_last").alias("n_churned"),
+        "n_at_risk",
+        (F.col("n_last").cast("double") / F.col("n_at_risk")).alias(
+            "hazard"
+        ),
+    )
+
+
+@_register(
+    "q157_spend_gini",
+    """
+    WITH s AS (
+      SELECT o_custkey,
+             CAST(round(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        / 100.0) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ), r AS (
+      SELECT x,
+             row_number() OVER (ORDER BY x, o_custkey) AS i
+      FROM s
+    ), t AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(i * x) AS six FROM r
+    )
+    SELECT n,
+           CAST(2 * six - (n + 1) * sx AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) AS gini
+    FROM t
+    """,
+)
+def q157(spark, sf_dir):
+    """Gini coefficient of customer spend concentration (Lorenz-curve
+    inequality — 'do 20% of customers carry 80% of revenue?'), via
+    the rank-weighted identity G = (2·Σi·xᵢ − (n+1)·Σxᵢ)/(n·Σxᵢ)
+    over spend sorted ascending with a total-order tie-break. Spend
+    is quantized to whole dollars (defined metric, one
+    correctly-rounded division) so the rank-weighted sum stays below
+    2^53 through ~sf10 and the final casts are exact; the result is
+    pure integer algebra until one multiply and one divide. The
+    ranking window is single-partition but runs over the
+    PER-CUSTOMER aggregate (q118 rationale); at 100 TB swap
+    row_number for a range-exchange rank."""
+    o = load(spark, sf_dir, "orders")
+    s = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("cents")
+        )
+        .select(
+            "o_custkey",
+            F.round(F.col("cents") / 100.0).cast("long").alias("x"),
+        )
+    )
+    r = s.select(
+        "x",
+        F.row_number()
+        .over(Window.orderBy("x", "o_custkey"))
+        .alias("i"),
+    )
+    t = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    n, sx, six = F.col("n"), F.col("sx"), F.col("six")
+    return t.select(
+        "n",
+        (
+            (2 * six - (n + 1) * sx).cast("double")
+            / (n.cast("double") * sx.cast("double"))
+        ).alias("gini"),
+    )

@@ -383,3 +383,28 @@ def test_analytics_batch10_plan_shapes(spark, sf_dir):
     assert shuffle_count(
         QUERIES["q154_segment_migration"](spark, sf_dir)
     ) <= 8
+
+
+def test_analytics_batch11_plan_shapes(spark, sf_dir):
+    """q155-q157 pins: fact scans partial-aggregate before any
+    window; ordering windows run on day/month/customer aggregates."""
+    from hadron_spark.plans.inspect import (
+        assert_partial_aggregation,
+        shuffle_count,
+    )
+    from hadron_spark.queries import QUERIES
+
+    # q155: day agg + ordering window + final 1-row moment agg
+    df = QUERIES["q155_revenue_autocorr"](spark, sf_dir)
+    assert shuffle_count(df) <= 3
+    assert_partial_aggregation(df)
+
+    # q156: per-customer max + month count + ~80-row at-risk window
+    df = QUERIES["q156_churn_hazard"](spark, sf_dir)
+    assert shuffle_count(df) <= 4
+    assert_partial_aggregation(df)
+
+    # q157: customer agg + rank window + 1-row reduction
+    df = QUERIES["q157_spend_gini"](spark, sf_dir)
+    assert shuffle_count(df) <= 3
+    assert_partial_aggregation(df)
