@@ -6076,3 +6076,115 @@ def q157(spark, sf_dir):
             / (n.cast("double") * sx.cast("double"))
         ).alias("gini"),
     )
+
+
+@_register(
+    "q158_return_rate_ztest",
+    """
+    WITH f AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'rushed' ELSE 'standard' END AS grp,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), s AS (
+      SELECT grp, COUNT(*) AS n, SUM(ret) AS x FROM f GROUP BY 1
+    ), w AS (
+      SELECT
+        MAX(CASE WHEN grp = 'rushed' THEN n END) AS n1,
+        MAX(CASE WHEN grp = 'rushed' THEN x END) AS x1,
+        MAX(CASE WHEN grp = 'standard' THEN n END) AS n2,
+        MAX(CASE WHEN grp = 'standard' THEN x END) AS x2
+      FROM s
+    )
+    SELECT n1, x1, n2, x2,
+           CAST(x1 AS DOUBLE) / n1 AS p1,
+           CAST(x2 AS DOUBLE) / n2 AS p2,
+           (CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+             / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                    * (1 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                    * (CAST(1 AS DOUBLE) / n1 + CAST(1 AS DOUBLE) / n2))
+             AS z
+    FROM w
+    """,
+)
+def q158(spark, sf_dir):
+    """Two-proportion z-test: do rushed orders (URGENT/HIGH priority)
+    get returned more than standard ones? The q115 discipline applied
+    to proportions: counts and successes accumulate exactly, the
+    pivot to one row is a conditional-max, and the pooled-variance z
+    is a fixed chain of correctly-rounded double ops written
+    IDENTICALLY in both engines — so even the test statistic
+    hash-matches. Scale shape: the orderkey fact⋈fact join (again
+    the co-bucketing candidate), then a partial-aggregated shuffle
+    onto TWO keys; the z algebra runs on one row."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    f = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "rushed"
+        )
+        .otherwise("standard")
+        .alias("grp"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+    )
+    s = f.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("ret").alias("x")
+    )
+
+    def pick(col, g):
+        return F.max(F.when(F.col("grp") == g, F.col(col)))
+
+    w = s.agg(
+        pick("n", "rushed").alias("n1"),
+        pick("x", "rushed").alias("x1"),
+        pick("n", "standard").alias("n2"),
+        pick("x", "standard").alias("x2"),
+    )
+    n1, x1 = F.col("n1"), F.col("x1")
+    n2, x2 = F.col("n2"), F.col("x2")
+    p1 = x1.cast("double") / n1
+    p2 = x2.cast("double") / n2
+    pp = (x1 + x2).cast("double") / (n1 + n2)
+    se = F.sqrt(
+        pp * (F.lit(1) - pp)
+        * (F.lit(1).cast("double") / n1 + F.lit(1).cast("double") / n2)
+    )
+    return w.select(
+        "n1", "x1", "n2", "x2",
+        p1.alias("p1"), p2.alias("p2"),
+        ((p1 - p2) / se).alias("z"),
+    )
+
+
+@_register(
+    "q159_multi_sourcing",
+    """
+    WITH pn AS (
+      SELECT DISTINCT l_partkey, s_nationkey
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    ), x AS (
+      SELECT l_partkey, COUNT(*) AS n_nations FROM pn GROUP BY 1
+    )
+    SELECT n_nations, COUNT(*) AS n_parts
+    FROM x GROUP BY 1
+    """,
+)
+def q159(spark, sf_dir):
+    """Multi-sourcing exposure: for each part, how many distinct
+    supplier NATIONS actually shipped it — then the distribution of
+    parts over that count (procurement's single-source-risk
+    histogram). The supplier dim broadcasts onto the fact scan; the
+    distinct collapses part×nation BEFORE any counting, so the heavy
+    shuffle carries at most |parts|×|nations| rows with partial
+    (map-side) dedup; the two counting shuffles after it shrink to
+    |parts| and then ~25 rows. Pure integer output — trivially
+    portable."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    pn = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .select("l_partkey", "s_nationkey")
+        .distinct()
+    )
+    x = pn.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_nations"))
+    return x.groupBy("n_nations").agg(F.count(F.lit(1)).alias("n_parts"))

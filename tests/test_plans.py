@@ -408,3 +408,27 @@ def test_analytics_batch11_plan_shapes(spark, sf_dir):
     df = QUERIES["q157_spend_gini"](spark, sf_dir)
     assert shuffle_count(df) <= 3
     assert_partial_aggregation(df)
+
+
+def test_analytics_batch12_plan_shapes(spark, sf_dir):
+    """q158-q159 pins: the statistic runs on one row after the fact
+    join aggregates to two keys; the sourcing dedup collapses
+    map-side before its shuffle."""
+    from hadron_spark.plans.inspect import (
+        assert_broadcast_join,
+        assert_partial_aggregation,
+        shuffle_count,
+    )
+    from hadron_spark.queries import QUERIES
+
+    # q158: orderkey join (2) + two-key agg (1) + one-row pivot (1)
+    df = QUERIES["q158_return_rate_ztest"](spark, sf_dir)
+    assert shuffle_count(df) <= 4
+    assert_partial_aggregation(df)
+
+    # q159: supplier dim broadcast; part×nation distinct dedups
+    # map-side; counting shuffles shrink to |parts| then ~25 rows
+    df = QUERIES["q159_multi_sourcing"](spark, sf_dir)
+    assert_broadcast_join(df)
+    assert shuffle_count(df) <= 3
+    assert_partial_aggregation(df)
