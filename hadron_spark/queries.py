@@ -6188,3 +6188,187 @@ def q159(spark, sf_dir):
     )
     x = pn.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_nations"))
     return x.groupBy("n_nations").agg(F.count(F.lit(1)).alias("n_parts"))
+
+
+@_register(
+    "q160_bollinger_bands",
+    """
+    WITH d AS (
+      SELECT date_trunc('day', l_shipdate) AS day,
+             CAST(round(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        / 100000.0) AS BIGINT) AS x
+      FROM lineitem GROUP BY 1
+    ), w AS (
+      SELECT day, x,
+             COUNT(*) OVER win AS n,
+             CAST(SUM(x) OVER win AS BIGINT) AS s,
+             CAST(SUM(x * x) OVER win AS BIGINT) AS ss
+      FROM d
+      WINDOW win AS (ORDER BY day ROWS BETWEEN 19 PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT day, x,
+           CAST(s AS DOUBLE) / n AS mid,
+           CAST(s AS DOUBLE) / n
+             + 2 * sqrt(CAST(n * ss - s * s AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * n)) AS band_hi,
+           CAST(s AS DOUBLE) / n
+             - 2 * sqrt(CAST(n * ss - s * s AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * n)) AS band_lo
+    FROM w WHERE n = 20
+    """,
+)
+def q160(spark, sf_dir):
+    """Bollinger bands (20-day rolling mean ± 2 population σ) over
+    the daily revenue series — the rolling control-chart read behind
+    'is today out of band'. Rolling mean AND σ come from integer
+    window sums of $1000-quantized revenue (Σx, Σx² over a ROWS
+    frame stay exact int64 far past sf1), so the per-row band math
+    is a fixed correctly-rounded chain — engine-internal sliding-sum
+    algebra (Spark's running frame vs DuckDB's segment tree) never
+    touches a double. Warm-up rows (frame < 20) are excluded by the
+    exact COUNT. The ordering window is single-partition but runs on
+    the ~2.4k-row DAY aggregate, not the fact."""
+    li = load(spark, sf_dir, "lineitem")
+    d = (
+        li.groupBy(F.date_trunc("day", "l_shipdate").alias("day"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("cents")
+        )
+        .select(
+            "day",
+            F.round(F.col("cents") / 100000.0).cast("long").alias("x"),
+        )
+    )
+    win = Window.orderBy("day").rowsBetween(-19, 0)
+    w = d.select(
+        "day",
+        "x",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("x").over(win).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(win).alias("ss"),
+    ).filter(F.col("n") == 20)
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    mid = s.cast("double") / n
+    band = F.lit(2) * F.sqrt(
+        (n * ss - s * s).cast("double") / (n.cast("double") * n)
+    )
+    return w.select(
+        "day",
+        "x",
+        mid.alias("mid"),
+        (mid + band).alias("band_hi"),
+        (mid - band).alias("band_lo"),
+    )
+
+
+@_register(
+    "q161_peak_detection",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), l AS (
+      SELECT event_type, n,
+             lag(n) OVER w AS prev, lead(n) OVER w AS next
+      FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+    )
+    SELECT event_type,
+           COUNT(*) AS n_hours,
+           SUM(CASE WHEN prev IS NOT NULL AND next IS NOT NULL
+                     AND n > prev AND n > next THEN 1 ELSE 0 END)
+             AS n_peaks,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND next IS NOT NULL
+                          AND n > prev AND n > next THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS peak_rate
+    FROM l GROUP BY 1
+    """,
+)
+def q161(spark, sf_dir):
+    """Local-maximum (peak) detection on each event type's hourly
+    volume series — the signal-shape primitive under alerting and
+    burst analysis: an observed hour is a peak when it strictly
+    exceeds both neighboring observed hours (series endpoints are
+    not peaks). Pure integer compares over lag/lead — trivially
+    portable. Scale shape: the fact partial-aggregates onto
+    type×hour; lag and lead share ONE window over the per-type
+    partitions of that aggregate; the summary shuffles onto ~6 type
+    keys."""
+    e = load(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    l = h.select(
+        "event_type",
+        "n",
+        F.lag("n").over(w).alias("prev"),
+        F.lead("n").over(w).alias("next"),
+    )
+    is_peak = F.when(
+        F.col("prev").isNotNull()
+        & F.col("next").isNotNull()
+        & (F.col("n") > F.col("prev"))
+        & (F.col("n") > F.col("next")),
+        1,
+    ).otherwise(0)
+    g = l.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(is_peak).alias("n_peaks"),
+    )
+    return g.select(
+        "event_type",
+        "n_hours",
+        "n_peaks",
+        (F.col("n_peaks").cast("double") / F.col("n_hours")).alias(
+            "peak_rate"
+        ),
+    )
+
+
+@_register(
+    "q162_effective_tax_rate",
+    """
+    WITH m AS (
+      SELECT date_trunc('month', l_shipdate) AS month,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS base_cents,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round(l_tax * 100) AS BIGINT)) AS tax_weighted
+      FROM lineitem GROUP BY 1
+    )
+    SELECT month,
+           CAST(base_cents AS BIGINT) AS base_cents,
+           CAST(tax_weighted AS DOUBLE) / (100 * base_cents)
+             AS effective_tax_rate
+    FROM m
+    """,
+)
+def q162(spark, sf_dir):
+    """Revenue-weighted effective tax rate by ship month — the
+    finance roll-up where the naive avg(l_tax) is WRONG (it ignores
+    line value). Numerator and denominator accumulate as exact
+    integer products (cents × integer tax points), so the rate is
+    one final division of exact sums; both stay below 2^53 through
+    ~sf10, keeping the casts exact. ONE partial-aggregated shuffle
+    onto ~84 month keys — two extra multiply columns ride the same
+    aggregate, no second pass."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    taxpct = F.round(F.col("l_tax") * 100).cast("long")
+    m = li.groupBy(
+        F.date_trunc("month", "l_shipdate").alias("month")
+    ).agg(
+        F.sum(cents).alias("base_cents"),
+        F.sum(cents * taxpct).alias("tax_weighted"),
+    )
+    return m.select(
+        "month",
+        "base_cents",
+        (
+            F.col("tax_weighted").cast("double")
+            / (F.lit(100) * F.col("base_cents"))
+        ).alias("effective_tax_rate"),
+    )

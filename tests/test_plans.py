@@ -432,3 +432,31 @@ def test_analytics_batch12_plan_shapes(spark, sf_dir):
     assert_broadcast_join(df)
     assert shuffle_count(df) <= 3
     assert_partial_aggregation(df)
+
+
+def test_analytics_batch13_plan_shapes(spark, sf_dir):
+    """q160-q162 pins: rolling/neighbor windows run on day/hour
+    aggregates; weighted-rate columns ride one aggregate pass."""
+    from hadron_spark.plans.inspect import (
+        assert_partial_aggregation,
+        shuffle_count,
+    )
+    from hadron_spark.queries import QUERIES
+
+    # q160: day agg + one ordering window on the day frame
+    df = QUERIES["q160_bollinger_bands"](spark, sf_dir)
+    assert shuffle_count(df) <= 2
+    assert_partial_aggregation(df)
+
+    # q161: type×hour agg; lag+lead share ONE window; ~6-key summary
+    df = QUERIES["q161_peak_detection"](spark, sf_dir)
+    assert shuffle_count(df) <= 3
+    assert_partial_aggregation(df)
+    # one Window node — lag and lead did not split the pass
+    from hadron_spark.plans.inspect import _plan
+    assert _plan(df).count("Window") - _plan(df).count("WindowGroupLimit") == 1
+
+    # q162: numerator and denominator in the SAME single shuffle
+    df = QUERIES["q162_effective_tax_rate"](spark, sf_dir)
+    assert shuffle_count(df) == 1
+    assert_partial_aggregation(df)
