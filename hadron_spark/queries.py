@@ -6372,3 +6372,67 @@ def q162(spark, sf_dir):
             / (F.lit(100) * F.col("base_cents"))
         ).alias("effective_tax_rate"),
     )
+
+
+@_register(
+    "q163_minmax_scaling",
+    """
+    WITH c AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+      FROM customer
+    ), nk AS (
+      SELECT c_nationkey, MIN(bal) AS mn, MAX(bal) AS mx
+      FROM c GROUP BY 1
+    ), g AS (
+      SELECT c.c_nationkey, c.c_mktsegment,
+             COUNT(*) AS n, SUM(c.bal) AS sb,
+             MAX(nk.mn) AS mn, MAX(nk.mx) AS mx
+      FROM c JOIN nk ON c.c_nationkey = nk.c_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT c_nationkey, c_mktsegment, n,
+           CAST(sb - n * mn AS DOUBLE)
+             / (CAST(n AS DOUBLE) * (mx - mn)) AS avg_scaled
+    FROM g
+    """,
+)
+def q163(spark, sf_dir):
+    """Min-max feature scaling, the training-data normalization
+    staple, done without ever materializing a scaled double: the
+    per-nation-scaled account balance's SEGMENT MEAN collapses
+    algebraically to (Σx − n·min)/(n·(max − min)) — exact integer
+    sums, one final division — so the result hash-matches where a
+    naive avg((x−mn)/(mx−mn)) would drift with engine summation
+    order. Scale shape: one aggregate builds the ~25-row nation
+    min/max table, which BROADCASTS back onto the scan (the q73/q119
+    broadcast-moments pattern); the only real shuffle is the
+    partial-aggregated nation×segment rollup."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+    )
+    nk = c.groupBy("c_nationkey").agg(
+        F.min("bal").alias("mn"), F.max("bal").alias("mx")
+    )
+    g = (
+        c.join(F.broadcast(nk), "c_nationkey")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("bal").alias("sb"),
+            F.max("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    n = F.col("n")
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n",
+        (
+            (F.col("sb") - n * F.col("mn")).cast("double")
+            / (n.cast("double") * (F.col("mx") - F.col("mn")))
+        ).alias("avg_scaled"),
+    )

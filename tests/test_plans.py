@@ -460,3 +460,19 @@ def test_analytics_batch13_plan_shapes(spark, sf_dir):
     df = QUERIES["q162_effective_tax_rate"](spark, sf_dir)
     assert shuffle_count(df) == 1
     assert_partial_aggregation(df)
+
+
+def test_analytics_batch14_plan_shapes(spark, sf_dir):
+    """q163 pin: nation min/max broadcasts back onto the scan; the
+    only real shuffle is the nation×segment rollup."""
+    from hadron_spark.plans.inspect import (
+        assert_broadcast_join,
+        assert_partial_aggregation,
+        shuffle_count,
+    )
+    from hadron_spark.queries import QUERIES
+
+    df = QUERIES["q163_minmax_scaling"](spark, sf_dir)
+    assert_broadcast_join(df)
+    assert shuffle_count(df) <= 2
+    assert_partial_aggregation(df)
