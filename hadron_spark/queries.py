@@ -6436,3 +6436,147 @@ def q163(spark, sf_dir):
             / (n.cast("double") * (F.col("mx") - F.col("mn")))
         ).alias("avg_scaled"),
     )
+
+
+@_register(
+    "q164_cohort_ltv_curve",
+    """
+    WITH f AS (
+      SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS cohort
+      FROM orders GROUP BY 1
+    ), r AS (
+      SELECT f.cohort,
+             datediff('month', f.cohort,
+                      date_trunc('month', o.o_orderdate)) AS age,
+             SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS rev
+      FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    ), c AS (
+      SELECT cohort, age,
+             CAST(SUM(rev) OVER (PARTITION BY cohort ORDER BY age
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cum_rev
+      FROM r
+    ), sz AS (
+      SELECT cohort, COUNT(*) AS n_customers FROM f GROUP BY 1
+    )
+    SELECT c.cohort, c.age, sz.n_customers, c.cum_rev,
+           CAST(c.cum_rev AS DOUBLE) / (100 * sz.n_customers)
+             AS ltv_per_customer
+    FROM c JOIN sz ON c.cohort = sz.cohort
+    """,
+)
+def q164(spark, sf_dir):
+    """Cohort LTV curve: cumulative revenue per acquisition cohort by
+    month-age, divided by cohort size — the payback-period read that
+    extends the q86 retention grid from counts to dollars. Revenue
+    stays exact cents through the running sum; the only double is
+    the final per-customer division. Scale shape: the first-order
+    cohort map broadcasts back onto orders (q144 pattern; at 100 TB
+    this becomes the co-bucketed customer-key join), the running
+    window and cohort-size join then run on the cohort×age
+    aggregate — ~84×84 rows at most."""
+    o = load(spark, sf_dir, "orders")
+    f = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort")
+    )
+    r = (
+        o.join(F.broadcast(f), "o_custkey")
+        .groupBy(
+            "cohort",
+            F.months_between(
+                F.date_trunc("month", "o_orderdate"), F.col("cohort")
+            )
+            .cast("long")
+            .alias("age"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("rev")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = r.select(
+        "cohort", "age", F.sum("rev").over(w).alias("cum_rev")
+    )
+    sz = f.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    return c.join(F.broadcast(sz), "cohort").select(
+        "cohort",
+        "age",
+        "n_customers",
+        "cum_rev",
+        (
+            F.col("cum_rev").cast("double")
+            / (F.lit(100) * F.col("n_customers"))
+        ).alias("ltv_per_customer"),
+    )
+
+
+@_register(
+    "q165_reorder_gap_median",
+    """
+    WITH g AS (
+      SELECT o_custkey,
+             datediff('day',
+                      lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate,
+                                                      o_orderkey),
+                      o_orderdate) AS gap
+      FROM orders
+    ), gg AS (
+      SELECT o_custkey, gap FROM g WHERE gap IS NOT NULL
+    ), rk AS (
+      SELECT o_custkey, gap,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY gap) AS rn,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS n
+      FROM gg
+    ), med AS (
+      SELECT o_custkey, gap AS med_gap FROM rk
+      WHERE rn = (n + 1) // 2
+    )
+    SELECT med_gap // 7 AS gap_weeks, COUNT(*) AS n_customers
+    FROM med GROUP BY 1
+    """,
+)
+def q165(spark, sf_dir):
+    """Reorder-cadence profile: each customer's MEDIAN gap between
+    consecutive orders (lower median — the ((n+1) div 2)-th smallest
+    gap, an exact integer order statistic that needs no
+    interpolation and is therefore bit-portable where
+    percentile_cont is not), rolled into a week-bucket histogram.
+    The kth-order-statistic value is deterministic even with tied
+    gaps. Scale shape: the gap lag and the median-selection rank
+    share the SAME customer-key partitioning — one shuffle does both
+    windows — and the histogram shuffles only |customers| medians."""
+    o = load(spark, sf_dir, "orders")
+    wg = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    g = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(wg)
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    wr = Window.partitionBy("o_custkey").orderBy("gap")
+    wn = Window.partitionBy("o_custkey")
+    rk = g.select(
+        "o_custkey",
+        "gap",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = rk.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        F.col("gap").alias("med_gap")
+    )
+    return med.groupBy(
+        F.expr("med_gap div 7").alias("gap_weeks")
+    ).agg(F.count(F.lit(1)).alias("n_customers"))

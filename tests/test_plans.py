@@ -476,3 +476,23 @@ def test_analytics_batch14_plan_shapes(spark, sf_dir):
     assert_broadcast_join(df)
     assert shuffle_count(df) <= 2
     assert_partial_aggregation(df)
+
+
+def test_analytics_batch15_plan_shapes(spark, sf_dir):
+    """q164-q165 pins: cohort maps broadcast back; both gap windows
+    reuse one customer-key exchange."""
+    from hadron_spark.plans.inspect import (
+        assert_broadcast_join,
+        shuffle_count,
+    )
+    from hadron_spark.queries import QUERIES
+
+    # q164: cohort map + cohort sizes both broadcast back
+    df = QUERIES["q164_cohort_ltv_curve"](spark, sf_dir)
+    assert_broadcast_join(df, expected=2)
+    assert shuffle_count(df) <= 6
+
+    # q165: lag, rank, and count windows share the customer-key
+    # exchange; only the week-bucket histogram adds one more
+    df = QUERIES["q165_reorder_gap_median"](spark, sf_dir)
+    assert shuffle_count(df) <= 2
