@@ -6580,3 +6580,97 @@ def q165(spark, sf_dir):
     return med.groupBy(
         F.expr("med_gap div 7").alias("gap_weeks")
     ).agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@_register(
+    "q166_trade_corridors",
+    """
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS rev_cents
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def q166(spark, sf_dir):
+    """Trade-corridor matrix (the TPC-H Q7 'volume shipping' motif):
+    revenue between every customer nation and supplier nation — the
+    5-table star-snowflake join that exercises Catalyst's join
+    ordering. Exact-cents revenue; pure integers out. Scale shape:
+    ONE fact⋈fact shuffle on orderkey; customer, supplier, and both
+    nation aliases all broadcast (customer is the largest dim — at
+    true 100 TB it graduates to a co-bucketed custkey join); the
+    final aggregate partial-aggregates onto ≤625 corridor cells."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("cnk"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("snk"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+    )
+    return j.groupBy("cust_nation", "supp_nation").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).alias("rev_cents")
+    )
+
+
+@_register(
+    "q167_feature_hashing",
+    """
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ), b AS (
+      SELECT w,
+             (('0x' || substr(md5(w), 1, 8))::BIGINT % 64) AS bucket
+      FROM tok
+    )
+    SELECT bucket, COUNT(*) AS n_tokens,
+           COUNT(DISTINCT w) AS n_distinct_tokens
+    FROM b GROUP BY 1
+    """,
+)
+def q167(spark, sf_dir):
+    """Feature hashing (the 'hashing trick' that replaces unbounded
+    vocabularies with a fixed feature space): every whitespace token
+    maps to one of 64 slots via the same first-8-md5-hex-chars
+    primitive as ops.hash_bucket — engine-portable and
+    re-shard-stable, so train-time and serve-time hashing agree.
+    Output is the per-slot load census: total hits plus distinct
+    tokens (the collision count ML debugging actually needs). Scale
+    shape: tokenize+hash is a narrow fan-out; the count-distinct
+    partial-deduplicates (bucket, w) map-side, then shrinks to 64
+    slots."""
+    from hadron_spark.operators.ops import hash_bucket
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split("text", r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    b = tok.select("w", hash_bucket(F.col("w"), 64).alias("bucket"))
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("w").alias("n_distinct_tokens"),
+    )

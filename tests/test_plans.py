@@ -496,3 +496,26 @@ def test_analytics_batch15_plan_shapes(spark, sf_dir):
     # exchange; only the week-bucket histogram adds one more
     df = QUERIES["q165_reorder_gap_median"](spark, sf_dir)
     assert shuffle_count(df) <= 2
+
+
+def test_analytics_batch16_plan_shapes(spark, sf_dir):
+    """q166-q167 pins: the 5-table star keeps every dim broadcast
+    around one fact⋈fact shuffle; hashing stays narrow until the
+    64-slot census."""
+    from hadron_spark.plans.inspect import (
+        assert_broadcast_join,
+        assert_partial_aggregation,
+        shuffle_count,
+    )
+    from hadron_spark.queries import QUERIES
+
+    # q166: 4 broadcasts (customer, supplier, nation ×2); the only
+    # real shuffles are the orderkey join + corridor aggregate
+    df = QUERIES["q166_trade_corridors"](spark, sf_dir)
+    assert_broadcast_join(df, expected=4)
+    assert shuffle_count(df) <= 3
+
+    # q167: narrow tokenize+hash; count-distinct dedups map-side
+    df = QUERIES["q167_feature_hashing"](spark, sf_dir)
+    assert shuffle_count(df) <= 2
+    assert_partial_aggregation(df)
