@@ -6674,3 +6674,119 @@ def q167(spark, sf_dir):
         F.count(F.lit(1)).alias("n_tokens"),
         F.countDistinct("w").alias("n_distinct_tokens"),
     )
+
+
+@_register(
+    "q168_vocab_growth",
+    """
+    WITH d AS (
+      SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS pos,
+             COUNT(*) OVER () AS n_docs
+      FROM documents
+    ), tok AS (
+      SELECT d.pos, d.n_docs,
+             unnest(list_filter(string_split_regex(doc.text, '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents doc JOIN d ON doc.doc_id = d.doc_id
+    ), fs AS (
+      SELECT w, MIN(pos) AS first_pos, MAX(n_docs) AS n_docs
+      FROM tok GROUP BY w
+    ), dec AS (
+      SELECT ((first_pos - 1) * 10) // n_docs AS decile,
+             COUNT(*) AS new_tokens
+      FROM fs GROUP BY 1
+    )
+    SELECT decile, new_tokens,
+           CAST(SUM(new_tokens) OVER (ORDER BY decile
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT)
+             AS cum_vocab
+    FROM dec
+    """,
+)
+def q168(spark, sf_dir):
+    """Vocabulary growth curve (the Heaps-law saturation read a
+    corpus-curation pipeline uses to decide 'is more data still
+    adding new tokens?'): distinct-token count at each decile of the
+    corpus in doc_id order, from each token's FIRST-SEEN position.
+    All integer: position, min-reduction, decile bucketing
+    (integral-div), running sum. Scale shape: the position map is a
+    window over doc_id ONLY (the text column never enters the
+    single-partition sort) and broadcasts back onto the scan;
+    first-seen is a partial-aggregated min onto token keys; the
+    decile table is 10 rows."""
+    docs = load(spark, sf_dir, "documents")
+    wall = Window.partitionBy()
+    ids = docs.select("doc_id").select(
+        "doc_id",
+        F.row_number().over(Window.orderBy("doc_id")).alias("pos"),
+        F.count(F.lit(1)).over(wall).alias("n_docs"),
+    )
+    tok = (
+        docs.join(F.broadcast(ids), "doc_id")
+        .select(
+            "pos",
+            "n_docs",
+            F.explode(F.split("text", r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    fs = tok.groupBy("w").agg(
+        F.min("pos").alias("first_pos"), F.max("n_docs").alias("n_docs")
+    )
+    dec = fs.groupBy(
+        F.expr("((first_pos - 1) * 10) div n_docs").alias("decile")
+    ).agg(F.count(F.lit(1)).alias("new_tokens"))
+    wc = (
+        Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dec.select(
+        "decile",
+        "new_tokens",
+        F.sum("new_tokens").over(wc).alias("cum_vocab"),
+    )
+
+
+@_register(
+    "q169_burstiness_fano",
+    """
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS x
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
+      FROM d GROUP BY 1
+    )
+    SELECT event_type, n,
+           CAST(sx AS DOUBLE) / n AS mean_daily,
+           (CAST(n * sxx - sx * sx AS DOUBLE)
+              / (CAST(n AS DOUBLE) * n))
+             / (CAST(sx AS DOUBLE) / n) AS fano
+    FROM s
+    """,
+)
+def q169(spark, sf_dir):
+    """Burstiness via the Fano factor (variance-to-mean ratio of
+    daily event counts per type): ≈1 = Poisson-like arrivals, >1 =
+    bursty — the dispersion read behind rate-limit and capacity
+    models. Daily counts are exact integers, population variance
+    comes from exact moments (the q148 discipline; counts are small
+    so everything is far below 2^53), and mean and Fano are fixed
+    correctly-rounded chains. Two partial-aggregated shuffles on
+    shrinking keys (type×day, then type)."""
+    e = load(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    mean = sx.cast("double") / n
+    var = (n * sxx - sx * sx).cast("double") / (n.cast("double") * n)
+    return s.select(
+        "event_type", "n", mean.alias("mean_daily"), (var / mean).alias("fano")
+    )

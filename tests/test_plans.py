@@ -519,3 +519,27 @@ def test_analytics_batch16_plan_shapes(spark, sf_dir):
     df = QUERIES["q167_feature_hashing"](spark, sf_dir)
     assert shuffle_count(df) <= 2
     assert_partial_aggregation(df)
+
+
+def test_analytics_batch17_plan_shapes(spark, sf_dir):
+    """q168-q169 pins: the position map broadcasts back (text never
+    enters the global sort); dispersion moments ride shrinking-key
+    aggregates."""
+    from hadron_spark.plans.inspect import (
+        assert_broadcast_join,
+        assert_partial_aggregation,
+        shuffle_count,
+    )
+    from hadron_spark.queries import QUERIES
+
+    # q168: doc_id-only position window + broadcast-back; token
+    # first-seen min partial-aggregates; 10-row decile frame after
+    df = QUERIES["q168_vocab_growth"](spark, sf_dir)
+    assert_broadcast_join(df)
+    assert shuffle_count(df) <= 4
+    assert_partial_aggregation(df)
+
+    # q169: type×day then type — two shrinking-key shuffles
+    df = QUERIES["q169_burstiness_fano"](spark, sf_dir)
+    assert shuffle_count(df) <= 2
+    assert_partial_aggregation(df)
