@@ -6790,3 +6790,58 @@ def q169(spark, sf_dir):
     return s.select(
         "event_type", "n", mean.alias("mean_daily"), (var / mean).alias("fano")
     )
+
+
+@_register(
+    "q170_sequence_audit",
+    """
+    WITH g AS (
+      SELECT l_orderkey, COUNT(*) AS n_lines,
+             MIN(l_linenumber) AS mn, MAX(l_linenumber) AS mx,
+             COUNT(DISTINCT l_linenumber) AS n_distinct
+      FROM lineitem GROUP BY 1
+    )
+    SELECT
+      COUNT(*) AS n_orders,
+      SUM(CASE WHEN mn = 1 AND mx = n_lines AND n_distinct = n_lines
+               THEN 0 ELSE 1 END) AS n_violations,
+      SUM(CASE WHEN mn <> 1 THEN 1 ELSE 0 END) AS n_bad_start,
+      SUM(CASE WHEN mx <> n_lines THEN 1 ELSE 0 END) AS n_gapped,
+      SUM(CASE WHEN n_distinct <> n_lines THEN 1 ELSE 0 END)
+        AS n_duplicated
+    FROM g
+    """,
+)
+def q170(spark, sf_dir):
+    """Dense-sequence integrity audit: every order's line numbers
+    must be exactly 1..n with no gaps or duplicates — the
+    child-record completeness check (the sibling of q77's
+    foreign-key audit) that catches partial writes and replayed
+    appends. min=1 ∧ max=count ∧ distinct=count is a complete dense
+    test, all computed in ONE partial-aggregated pass per order plus
+    a one-row rollup — no sorting, no self-join, no windows. Pure
+    integer output."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    g = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min("l_linenumber").alias("mn"),
+        F.max("l_linenumber").alias("mx"),
+        F.countDistinct("l_linenumber").alias("n_distinct"),
+    )
+    ok = (
+        (F.col("mn") == 1)
+        & (F.col("mx") == F.col("n_lines"))
+        & (F.col("n_distinct") == F.col("n_lines"))
+    )
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(ok, 0).otherwise(1)).alias("n_violations"),
+        flag(F.col("mn") != 1).alias("n_bad_start"),
+        flag(F.col("mx") != F.col("n_lines")).alias("n_gapped"),
+        flag(F.col("n_distinct") != F.col("n_lines")).alias(
+            "n_duplicated"
+        ),
+    )

@@ -543,3 +543,18 @@ def test_analytics_batch17_plan_shapes(spark, sf_dir):
     df = QUERIES["q169_burstiness_fano"](spark, sf_dir)
     assert shuffle_count(df) <= 2
     assert_partial_aggregation(df)
+
+
+def test_analytics_batch18_plan_shapes(spark, sf_dir):
+    """q170 pin: the dense-sequence audit is one partial-aggregated
+    order-key pass plus a one-row rollup — no window, no join."""
+    from hadron_spark.plans.inspect import (
+        assert_partial_aggregation,
+        shuffle_count,
+    )
+    from hadron_spark.queries import QUERIES
+
+    df = QUERIES["q170_sequence_audit"](spark, sf_dir)
+    assert shuffle_count(df) <= 3
+    assert_partial_aggregation(df)
+    assert "Window" not in df._jdf.queryExecution().executedPlan().toString()
