@@ -371,21 +371,42 @@ def forward_fill(
 
 def profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """Per-column data-quality profile: row count, null count, exact
-    distinct count, min/max (as strings for type-uniform output).
-    One wide aggregate — a single pass over the data; swap
-    count_distinct for approx_count_distinct on the 100 TB path
-    (exact distinct over many columns multiplies shuffle volume)."""
+    distinct count, min/max. Min/max are *typed*: float/double columns
+    land in ``min_num``/``max_num`` (double — the parquet value passes
+    through bit-identical, no decimal formatting involved), everything
+    else is stringified into ``min_str``/``max_str`` (int/string/date
+    → string is format-stable across engines; double → string is NOT —
+    scientific-notation thresholds and shortest-digit selection differ
+    between JVM and C printf, which is exactly the q50 hash-portability
+    bug this split fixes). One wide aggregate — a single pass over the
+    data; swap count_distinct for approx_count_distinct on the 100 TB
+    path (exact distinct over many columns multiplies shuffle volume)."""
+    float_types = {"float", "double"}
+    dtypes = dict(df.dtypes)
     rows = []
     n = F.count(F.lit(1))
     for c in cols:
+        is_float = dtypes.get(c) in float_types
+        if is_float:
+            min_num = F.min(F.col(c)).cast("double")
+            max_num = F.max(F.col(c)).cast("double")
+            min_str = F.lit(None).cast("string")
+            max_str = F.lit(None).cast("string")
+        else:
+            min_num = F.lit(None).cast("double")
+            max_num = F.lit(None).cast("double")
+            min_str = F.min(F.col(c)).cast("string")
+            max_str = F.max(F.col(c)).cast("string")
         rows.append(
             F.struct(
                 F.lit(c).alias("column"),
                 n.alias("n_rows"),
                 F.sum(F.col(c).isNull().cast("long")).alias("n_null"),
                 F.count_distinct(F.col(c)).alias("n_distinct"),
-                F.min(F.col(c)).cast("string").alias("min_val"),
-                F.max(F.col(c)).cast("string").alias("max_val"),
+                min_num.alias("min_num"),
+                max_num.alias("max_num"),
+                min_str.alias("min_str"),
+                max_str.alias("max_str"),
             ).alias(f"_{c}")
         )
     wide = df.agg(*rows)

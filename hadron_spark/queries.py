@@ -1320,19 +1320,22 @@ def q49(spark, sf_dir):
     SELECT 'o_orderstatus' AS column, COUNT(*) AS n_rows,
            SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS n_null,
            COUNT(DISTINCT o_orderstatus) AS n_distinct,
-           CAST(MIN(o_orderstatus) AS VARCHAR) AS min_val,
-           CAST(MAX(o_orderstatus) AS VARCHAR) AS max_val
+           CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           CAST(MIN(o_orderstatus) AS VARCHAR) AS min_str,
+           CAST(MAX(o_orderstatus) AS VARCHAR) AS max_str
     FROM orders
     UNION ALL
     SELECT 'o_totalprice', COUNT(*),
            SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
            COUNT(DISTINCT o_totalprice),
-           CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+           MIN(o_totalprice), MAX(o_totalprice),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
     FROM orders
     UNION ALL
     SELECT 'o_custkey', COUNT(*),
            SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
            COUNT(DISTINCT o_custkey),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
            CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
     FROM orders
     """,
@@ -1340,7 +1343,9 @@ def q49(spark, sf_dir):
 def q50(spark, sf_dir):
     """Single-pass multi-column data-quality profile (ops.profile):
     nulls, exact distincts, min/max per column — the QA step before a
-    training corpus ships."""
+    training corpus ships. Min/max are typed (double columns stay
+    double) so the driver's value hash never depends on double→string
+    formatting, which is not bit-portable between the JVM and DuckDB."""
     o = load(spark, sf_dir, "orders")
     return ops.profile(o, ["o_orderstatus", "o_totalprice", "o_custkey"])
 

@@ -101,13 +101,20 @@ def test_profile_counts_nulls_and_distincts(spark):
     from hadron_spark.operators.ops import profile
 
     df = spark.createDataFrame(
-        [(1, "a"), (2, None), (3, "a"), (4, "b")], "k long, v string"
+        [(1, "a", 1.5), (2, None, 0.25), (3, "a", -3.0), (4, "b", None)],
+        "k long, v string, x double",
     )
-    rows = {r["column"]: r for r in profile(df, ["k", "v"]).collect()}
+    rows = {r["column"]: r for r in profile(df, ["k", "v", "x"]).collect()}
     assert rows["k"]["n_rows"] == 4 and rows["k"]["n_null"] == 0
     assert rows["k"]["n_distinct"] == 4
     assert rows["v"]["n_null"] == 1 and rows["v"]["n_distinct"] == 2
-    assert rows["v"]["min_val"] == "a" and rows["v"]["max_val"] == "b"
+    assert rows["v"]["min_str"] == "a" and rows["v"]["max_str"] == "b"
+    assert rows["v"]["min_num"] is None and rows["v"]["max_num"] is None
+    # float/double min/max stay typed — never routed through a string
+    # cast (double->string formatting is not portable across engines)
+    assert rows["x"]["min_num"] == -3.0 and rows["x"]["max_num"] == 1.5
+    assert rows["x"]["min_str"] is None and rows["x"]["max_str"] is None
+    assert rows["x"]["n_null"] == 1
 
 
 def test_vector_functions(spark):
