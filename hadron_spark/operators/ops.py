@@ -524,3 +524,159 @@ def partition_stats(df: DataFrame) -> DataFrame:
         df.groupBy(F.spark_partition_id().alias("partition_id"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+# ---------------------------------------------------------------------------
+# scale-safe global ranking (no single-partition window anywhere)
+# ---------------------------------------------------------------------------
+
+
+def spine_running(
+    df: DataFrame,
+    order_col: str,
+    agg_col: str,
+    out_col: str,
+    fn: str = "sum",
+    inclusive: bool = True,
+) -> DataFrame:
+    """Running aggregate over a TINY keyed spine frame (months,
+    deciles, distinct latencies — cardinality bounded by the domain,
+    not the data volume) WITHOUT an unpartitioned window: triangular
+    broadcast self-join `b.order <= a.order` (or `<` when
+    exclusive) + re-group. An unpartitioned `F.sum().over(Window
+    .orderBy(...))` would plan an `Exchange SinglePartition`; the
+    triangular join plans a BroadcastNestedLoopJoin over |spine|²
+    pairs, which for a spine is trivial and fully parallel.
+    `order_col` must be unique per row (a spine key). With
+    ``inclusive=False`` the first row's aggregate is NULL (no
+    strictly-preceding rows) — the caller decides the fill."""
+    agg_fn = getattr(F, fn)
+    a = df.alias("_sa")
+    b = df.select(order_col, agg_col).alias("_sb")
+    op = F.col(f"_sb.{order_col}") <= F.col(f"_sa.{order_col}")
+    if not inclusive:
+        op = F.col(f"_sb.{order_col}") < F.col(f"_sa.{order_col}")
+    keep = [F.col(f"_sa.{c}").alias(c) for c in df.columns]
+    return (
+        a.join(F.broadcast(b), op, "left")
+        .groupBy(*keep)
+        .agg(agg_fn(F.col(f"_sb.{agg_col}")).alias(out_col))
+    )
+
+
+def range_rank(
+    df: DataFrame,
+    key: Column,
+    order: Sequence[Column],
+    rank_col: str = "rn",
+    ntile: int | None = None,
+    ntile_col: str = "tile",
+    total_col: str | None = None,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Global row_number / ntile over an arbitrarily large frame with
+    NO single-partition window — the scale-safe replacement for
+    `F.row_number().over(Window.orderBy(...))`.
+
+    Mechanics (the q92 carry-in trick generalized to ranking):
+      1. exact min/max of `key` (one tiny 1-row agg, broadcast) band
+         rows into `buckets` equi-width ordered buckets. The band id
+         is a monotone PURE FUNCTION of the row value and the
+         min/max pair — and min/max are exactly commutative
+         aggregates, so every re-evaluation of the 1-row frame is
+         bit-identical. Contrast the two rejected alternatives:
+         `spark_partition_id()` after `repartitionByRange` (bounds
+         re-sampled per subtree — the count branch and the rank
+         branch can silently disagree) and approx-quantile cutpoints
+         (better balanced, but sketch merges are fetch-order
+         sensitive, so two evaluations need not agree bit-for-bit).
+         Equi-width banding trades balance on heavy-tailed keys for
+         unconditional determinism; pass a variance-stabilized `key`
+         (log, unix_date, …) when the raw key is heavy-tailed.
+      2. partition-local row_number per band (hash exchange on the
+         band id — parallel).
+      3. exclusive prefix counts over the |buckets|-row spine via
+         triangular broadcast join (no window), broadcast back.
+      global rank = band offset + local rank. Ordering across bands
+    is correct because banding depends only on `key`: rows equal on
+    `key` land in the same band, and `order` must refine `key` to a
+    total order (so local row_number is deterministic).
+
+    `key` is a NUMERIC ascending sort key consistent with `order`
+    (negate for descending; `F.unix_date` for dates; nulls are not
+    supported — band rows with null keys first yourself). `ntile=k`
+    adds standard SQL ntile semantics (first N mod k buckets one row
+    larger) computed algebraically from the global rank — matches
+    `F.ntile`/DuckDB `ntile` exactly. `total_col` exposes the total
+    row count (replaces `F.count().over(Window.partitionBy())`).
+
+    Cost at 100 TB: one pruned pass for min/max, one pruned pass
+    for band counts, one full pass + one hash shuffle for the rank —
+    the heavy exchange below `df` is reused across branches (AQE
+    stage reuse), and nothing ever funnels through one task."""
+    spark = df.sparkSession
+    nb = buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if nb > 1:
+        mm = df.agg(
+            F.min(key).cast("double").alias("_lo"),
+            F.max(key).cast("double").alias("_hi"),
+        )
+        kd = key.cast("double")
+        width = (F.col("_hi") - F.col("_lo")) / F.lit(float(nb))
+        bkt = F.when(
+            (F.col("_hi") <= F.col("_lo")) | F.col("_lo").isNull(),
+            F.lit(0),
+        ).otherwise(
+            F.least(
+                F.lit(nb - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((kd - F.col("_lo")) / width).cast("int"),
+                ),
+            )
+        )
+        banded = (
+            df.crossJoin(F.broadcast(mm))
+            .withColumn("_bkt", bkt)
+            .drop("_lo", "_hi")
+        )
+    else:
+        banded = df.withColumn("_bkt", F.lit(0))
+    counts = banded.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+    ca, cb = counts.alias("_ca"), counts.alias("_cb")
+    offsets = (
+        ca.crossJoin(F.broadcast(cb))
+        .groupBy(F.col("_ca._bkt").alias("_bkt"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("_cb._bkt") < F.col("_ca._bkt"),
+                    F.col("_cb._cnt"),
+                ).otherwise(F.lit(0))
+            ).alias("_off"),
+            F.sum("_cb._cnt").alias("_tot"),
+        )
+    )
+    w = Window.partitionBy("_bkt").orderBy(*order)
+    rn = F.col("_off") + F.col("_lrn")
+    out = (
+        banded.withColumn("_lrn", F.row_number().over(w))
+        .join(F.broadcast(offsets), "_bkt")
+        .withColumn(rank_col, rn.cast("long"))
+    )
+    if ntile is not None:
+        n = F.lit(ntile)
+        tot = F.col("_tot")
+        q = F.floor(tot / n)
+        r = tot % n
+        thresh = r * (q + 1)
+        # standard SQL ntile: first (tot mod n) tiles get ceil(tot/n)
+        # rows; q == 0 (tot < n) always takes the when-branch, so the
+        # otherwise-branch's /0 (NULL under non-ANSI) is never used.
+        tile = F.when(
+            rn <= thresh, F.floor((rn - 1) / (q + 1)) + 1
+        ).otherwise(r + F.floor((rn - thresh - 1) / q) + 1)
+        out = out.withColumn(ntile_col, tile.cast("int"))
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col("_tot"))
+    return out.drop("_bkt", "_lrn", "_off", "_tot")

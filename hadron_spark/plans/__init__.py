@@ -13,11 +13,13 @@ instead of eyeballing `.explain()` output.
 from hadron_spark.plans.inspect import (
     assert_broadcast_join,
     assert_no_shuffle,
+    assert_no_unpartitioned_window,
     assert_partial_aggregation,
     assert_pushed_filters,
     codegen_stage_count,
     explain_str,
     shuffle_count,
+    unpartitioned_window_count,
 )
 
 __all__ = [
@@ -28,4 +30,6 @@ __all__ = [
     "assert_broadcast_join",
     "assert_partial_aggregation",
     "assert_no_shuffle",
+    "assert_no_unpartitioned_window",
+    "unpartitioned_window_count",
 ]

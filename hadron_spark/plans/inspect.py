@@ -77,3 +77,43 @@ def assert_no_shuffle(df: DataFrame) -> None:
     n = shuffle_count(df)
     if n:
         raise AssertionError(f"expected narrow plan, found {n} exchanges")
+
+
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """Number of WindowExec nodes with an EMPTY partitionSpec — each
+    one funnels its whole input through a single task (`WindowExec:
+    No Partition Defined` at runtime), the per-operator scale killer
+    VERDICT r1 flagged. Counted from the plan JSON, which exposes
+    partitionSpec structurally (string matching can't see it)."""
+    import json
+
+    plan = json.loads(df._jdf.queryExecution().executedPlan().toJSON())
+    bad = 0
+
+    def walk(node):
+        nonlocal bad
+        if isinstance(node, dict):
+            cls = node.get("class", "")
+            if cls.endswith("WindowExec") or cls.endswith(
+                "WindowGroupLimitExec"
+            ):
+                if not node.get("partitionSpec", []):
+                    bad += 1
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, list):
+            for v in node:
+                walk(v)
+
+    walk(plan)
+    return bad
+
+
+def assert_no_unpartitioned_window(df: DataFrame) -> None:
+    """Assert the plan contains no single-partition window — the
+    contract ops.range_rank / ops.spine_running exist to satisfy."""
+    n = unpartitioned_window_count(df)
+    if n:
+        raise AssertionError(
+            f"{n} unpartitioned Window node(s) in plan:\n{_plan(df)}"
+        )

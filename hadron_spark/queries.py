@@ -4000,39 +4000,49 @@ def q118(spark, sf_dir):
     customers ranked by total spend into ntile(10) buckets, each
     decile's revenue share against the 10%-of-customers baseline.
     ntile is deterministic because the ORDER BY is a total order
-    (spend DESC, then key). The global ranking window runs over the
-    PER-CUSTOMER aggregate — |customers| rows, not |orders| — which
-    is what makes a single-partition window tolerable here; at
-    100 TB swap it for percent_rank bucketing over a range exchange.
-    Revenue stays DECIMAL until one final double cast; share and
-    lift are identical left-associated double op chains in both
-    engines."""
+    (spend DESC, then key). The decile assignment runs through
+    ops.range_rank — cutpoint-banded global ranking, NO
+    single-partition window even though the input is only the
+    per-customer aggregate — and the grand totals come from a 1-row
+    cross-joined aggregate instead of `SUM OVER ()`. Revenue stays
+    DECIMAL until one final double cast; share and lift are
+    identical left-associated double op chains in both engines."""
+    from hadron_spark.operators.ops import range_rank
+
     spend = (
         load(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(_dec(F.sum(_dec("o_totalprice"))).alias("s"))
     )
-    d = spend.select(
-        "o_custkey",
-        "s",
-        F.ntile(10)
-        .over(Window.orderBy(F.col("s").desc(), F.col("o_custkey")))
-        .alias("decile"),
+    d = range_rank(
+        spend,
+        -F.col("s"),
+        [F.col("s").desc(), F.col("o_custkey")],
+        ntile=10,
+        ntile_col="decile",
     )
     t = d.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         _dec(F.sum("s")).alias("rev"),
     )
-    w = Window.partitionBy()
+    # grand totals from `spend` directly (Σ per-decile rev == Σ s) —
+    # the totals branch must NOT hang off `t`, or it would recompute
+    # the whole ranking; off `spend` it shares the one heavy
+    # per-customer exchange via AQE stage reuse.
+    tot = spend.agg(
+        _dec(F.sum("s")).cast("double").alias("_tot_rev"),
+        F.count(F.lit(1)).cast("double").alias("_tot_n"),
+    )
     rev_d = F.col("rev").cast("double")
-    tot_rev = F.sum("rev").over(w).cast("double")
-    tot_n = F.sum("n_customers").over(w).cast("double")
-    return t.select(
+    return t.crossJoin(F.broadcast(tot)).select(
         "decile",
         "n_customers",
         rev_d.alias("revenue"),
-        (rev_d / tot_rev).alias("rev_share"),
-        (rev_d / tot_rev * tot_n / F.col("n_customers")).alias("lift"),
+        (rev_d / F.col("_tot_rev")).alias("rev_share"),
+        (
+            rev_d / F.col("_tot_rev") * F.col("_tot_n")
+            / F.col("n_customers")
+        ).alias("lift"),
     )
 
 
@@ -4922,9 +4932,13 @@ def q139(spark, sf_dir):
     ntile(4) windows, then the 4×4×4 cell census. Every ntile ORDER
     BY ends with the key, so quartile assignment is a total order —
     deterministic and engine-portable (same discipline as q118's
-    deciles). The three global windows run over the per-customer
-    aggregate (|customers| rows); at 100 TB swap for percent_rank
-    over a range exchange, same results."""
+    deciles). All three quartile assignments run through
+    ops.range_rank (cutpoint-banded, no single-partition window):
+    three band shuffles of the slim per-customer aggregate instead
+    of three everything-through-one-task sorts — the 100 TB form
+    the old docstring only promised. Dates band via unix_date."""
+    from hadron_spark.operators.ops import range_rank
+
     o = load(spark, sf_dir, "orders")
     base = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -4933,15 +4947,35 @@ def q139(spark, sf_dir):
             "monetary_cents"
         ),
     )
-    def q4(order):
-        return F.ntile(4).over(Window.orderBy(*order, F.col("o_custkey")))
 
-    scored = base.select(
-        "o_custkey",
-        "frequency",
-        q4([F.col("last_order")]).alias("r_score"),
-        q4([F.col("frequency")]).alias("f_score"),
-        q4([F.col("monetary_cents")]).alias("m_score"),
+    def q4(key, first, col):
+        # rank from `base` directly (not chained) — three shallow
+        # independent rank plans joined on the key; AQE reuses the
+        # one heavy per-customer exchange under all three.
+        return range_rank(
+            base,
+            key,
+            [first, F.col("o_custkey")],
+            rank_col=f"_rn_{col}",
+            ntile=4,
+            ntile_col=col,
+        ).select("o_custkey", col)
+
+    scored = (
+        base.select("o_custkey", "frequency")
+        .join(
+            q4(
+                F.unix_date(F.to_date("last_order")),
+                F.col("last_order"),
+                "r_score",
+            ),
+            "o_custkey",
+        )
+        .join(q4(F.col("frequency"), F.col("frequency"), "f_score"), "o_custkey")
+        .join(
+            q4(F.col("monetary_cents"), F.col("monetary_cents"), "m_score"),
+            "o_custkey",
+        )
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -5124,14 +5158,18 @@ def q142(spark, sf_dir):
 def q143(spark, sf_dir):
     """2-D skyline (Pareto frontier): orders not STRICTLY dominated
     on (faster first-ship, higher value) — the multi-objective
-    shortlist query. The classic O(n²) dominance test collapses to
-    ONE ordered window: a row survives iff its price beats the best
-    price among all strictly-faster orders, expressed as a RANGE
-    frame ending 1 before the current latency (integer day units
-    make the frame exact; ties stay mutually non-dominating). The
-    window runs over the per-order aggregate, and at 100 TB the
-    range-partitioned sort carries only (key, price, latency)
-    triples."""
+    shortlist query. The classic O(n²) dominance test needs only
+    best_faster(l) = max price over latencies < l, which is a
+    function of the LATENCY SPINE (distinct integer day counts —
+    bounded by the date domain, not the order count): per-latency
+    max price, exclusive prefix max over the spine via
+    ops.spine_running (triangular broadcast join, no
+    single-partition window anywhere), broadcast back onto the
+    per-order frame. The |orders|-sized frame is never globally
+    sorted — the old RANGE-frame window funneled every (key, price,
+    latency) triple through one task."""
+    from hadron_spark.operators.ops import spine_running
+
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderdate"
     )
@@ -5150,15 +5188,21 @@ def q143(spark, sf_dir):
             .alias("latency_days")
         )
     )
-    w = (
-        Window.orderBy("latency_days")
-        .rangeBetween(Window.unboundedPreceding, -1)
+    per_lat = lat.groupBy("latency_days").agg(
+        F.max("o_totalprice").alias("_best_here")
     )
-    sk = lat.withColumn("best_faster", F.max("o_totalprice").over(w))
-    return sk.filter(
-        F.col("best_faster").isNull()
-        | (F.col("o_totalprice") > F.col("best_faster"))
-    ).select("o_orderkey", "o_totalprice", "latency_days")
+    spine = spine_running(
+        per_lat, "latency_days", "_best_here", "best_faster",
+        fn="max", inclusive=False,
+    ).drop("_best_here")
+    return (
+        lat.join(F.broadcast(spine), "latency_days")
+        .filter(
+            F.col("best_faster").isNull()
+            | (F.col("o_totalprice") > F.col("best_faster"))
+        )
+        .select("o_orderkey", "o_totalprice", "latency_days")
+    )
 
 
 @_register(
@@ -5865,14 +5909,18 @@ def q154(spark, sf_dir):
     1996 for customers active in both years — the churn/upgrade flow
     behind retention planning (which quartile feeds which). ntile is
     deterministic under the total order (exact-cents spend DESC,
-    then key), and both rankings run over the PER-CUSTOMER aggregate,
-    not raw orders — the q118 rationale: tolerable single-partition
-    windows; at 100 TB swap ntile for approx-quantile cutpoint
-    banding. Output is a ≤16-cell integer matrix — exact everywhere."""
+    then key). Both rankings run through ops.range_rank — the
+    approx-quantile cutpoint banding the old docstring promised for
+    100 TB is now the actual implementation (cutpoints only BAND;
+    the exact within-band row_number keeps ntile assignment
+    bit-identical to the oracle). Output is a ≤16-cell integer
+    matrix — exact everywhere."""
+    from hadron_spark.operators.ops import range_rank
+
     o = load(spark, sf_dir, "orders")
 
     def yearly(year):
-        return (
+        spend = (
             o.filter(F.year("o_orderdate") == year)
             .groupBy("o_custkey")
             .agg(
@@ -5880,13 +5928,14 @@ def q154(spark, sf_dir):
                     F.round(F.col("o_totalprice") * 100).cast("long")
                 ).alias("s")
             )
-            .select(
-                "o_custkey",
-                F.ntile(4)
-                .over(Window.orderBy(F.desc("s"), "o_custkey"))
-                .alias("seg"),
-            )
         )
+        return range_rank(
+            spend,
+            -F.col("s"),
+            [F.desc("s"), F.col("o_custkey")],
+            ntile=4,
+            ntile_col="seg",
+        ).select("o_custkey", "seg")
 
     qa = yearly(1995).withColumnRenamed("seg", "seg_1995")
     qb = yearly(1996).withColumnRenamed("seg", "seg_1996")
@@ -6046,9 +6095,11 @@ def q157(spark, sf_dir):
     correctly-rounded division) so the rank-weighted sum stays below
     2^53 through ~sf10 and the final casts are exact; the result is
     pure integer algebra until one multiply and one divide. The
-    ranking window is single-partition but runs over the
-    PER-CUSTOMER aggregate (q118 rationale); at 100 TB swap
-    row_number for a range-exchange rank."""
+    ranking runs through ops.range_rank (cutpoint-banded global
+    row_number — no single-partition window), so the rank-weighted
+    sum parallelizes at any scale."""
+    from hadron_spark.operators.ops import range_rank
+
     o = load(spark, sf_dir, "orders")
     s = (
         o.groupBy("o_custkey")
@@ -6062,12 +6113,9 @@ def q157(spark, sf_dir):
             F.round(F.col("cents") / 100.0).cast("long").alias("x"),
         )
     )
-    r = s.select(
-        "x",
-        F.row_number()
-        .over(Window.orderBy("x", "o_custkey"))
-        .alias("i"),
-    )
+    r = range_rank(
+        s, F.col("x"), [F.col("x"), F.col("o_custkey")], rank_col="i"
+    ).select("x", "i")
     t = r.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
@@ -6715,20 +6763,25 @@ def q168(spark, sf_dir):
     adding new tokens?'): distinct-token count at each decile of the
     corpus in doc_id order, from each token's FIRST-SEEN position.
     All integer: position, min-reduction, decile bucketing
-    (integral-div), running sum. Scale shape: the position map is a
-    window over doc_id ONLY (the text column never enters the
-    single-partition sort) and broadcasts back onto the scan;
-    first-seen is a partial-aggregated min onto token keys; the
-    decile table is 10 rows."""
+    (integral-div), running sum. Scale shape: the position map
+    ranks doc_id ONLY (the text column never enters the sort)
+    through ops.range_rank — cutpoint-banded, no single-partition
+    window — and joins back onto the scan (AQE picks broadcast
+    while the id map is small); first-seen is a partial-aggregated
+    min onto token keys; the 10-row decile running sum goes through
+    ops.spine_running (triangular join, windowless)."""
+    from hadron_spark.operators.ops import range_rank, spine_running
+
     docs = load(spark, sf_dir, "documents")
-    wall = Window.partitionBy()
-    ids = docs.select("doc_id").select(
-        "doc_id",
-        F.row_number().over(Window.orderBy("doc_id")).alias("pos"),
-        F.count(F.lit(1)).over(wall).alias("n_docs"),
+    ids = range_rank(
+        docs.select("doc_id"),
+        F.col("doc_id"),
+        [F.col("doc_id")],
+        rank_col="pos",
+        total_col="n_docs",
     )
     tok = (
-        docs.join(F.broadcast(ids), "doc_id")
+        docs.join(ids, "doc_id")
         .select(
             "pos",
             "n_docs",
@@ -6742,15 +6795,7 @@ def q168(spark, sf_dir):
     dec = fs.groupBy(
         F.expr("((first_pos - 1) * 10) div n_docs").alias("decile")
     ).agg(F.count(F.lit(1)).alias("new_tokens"))
-    wc = (
-        Window.orderBy("decile")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return dec.select(
-        "decile",
-        "new_tokens",
-        F.sum("new_tokens").over(wc).alias("cum_vocab"),
-    )
+    return spine_running(dec, "decile", "new_tokens", "cum_vocab")
 
 
 @_register(

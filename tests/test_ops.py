@@ -418,3 +418,117 @@ def test_pseudonymize_referential_and_null_safe(spark):
     # a different pepper rotates every token
     out2 = {r["id"]: r["name"] for r in ops.pseudonymize(df, ["name"], "pep2").collect()}
     assert out2[1] != out[1]
+
+
+def test_range_rank_matches_builtin_window(spark):
+    """ops.range_rank (equi-width banded global ranking, no
+    single-partition window) must agree exactly with the built-in
+    unpartitioned row_number/ntile it replaces — asc, desc via
+    negated key, heavy-tailed keys, N < ntile, and constant keys."""
+    import random
+
+    from pyspark.sql import Window
+
+    from hadron_spark.operators.ops import range_rank
+
+    random.seed(11)
+    rows = [
+        (i, random.randint(0, 50), random.random() ** 4)
+        for i in range(601)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, g long, v double"
+    ).repartition(8)
+
+    exp = df.select(
+        "id",
+        F.row_number().over(Window.orderBy("v", "id")).alias("rn"),
+        F.ntile(7).over(Window.orderBy("v", "id")).alias("t"),
+    )
+    got = range_rank(
+        df,
+        F.col("v"),
+        [F.col("v"), F.col("id")],
+        rank_col="rn",
+        ntile=7,
+        ntile_col="t",
+        buckets=13,
+    ).select("id", "rn", "t")
+    assert (
+        exp.alias("e")
+        .join(got.alias("g"), "id")
+        .filter(
+            (F.col("e.rn") != F.col("g.rn"))
+            | (F.col("e.t") != F.col("g.t"))
+        )
+        .count()
+        == 0
+    )
+
+    exp2 = df.select(
+        "id",
+        F.row_number().over(Window.orderBy(F.desc("g"), "id")).alias("rn"),
+    )
+    got2 = range_rank(
+        df,
+        -F.col("g"),
+        [F.desc("g"), F.col("id")],
+        rank_col="rn",
+        buckets=5,
+    ).select("id", "rn")
+    assert (
+        exp2.alias("e")
+        .join(got2.alias("g"), "id")
+        .filter(F.col("e.rn") != F.col("g.rn"))
+        .count()
+        == 0
+    )
+
+    # N < ntile and the hi == lo degenerate band
+    small = spark.createDataFrame([(i,) for i in range(3)], "id long")
+    out = (
+        range_rank(
+            small,
+            F.col("id"),
+            [F.col("id")],
+            ntile=8,
+            ntile_col="t",
+            buckets=4,
+            total_col="tot",
+        )
+        .orderBy("id")
+        .collect()
+    )
+    assert [(r.rn, r.t, r.tot) for r in out] == [
+        (1, 1, 3),
+        (2, 2, 3),
+        (3, 3, 3),
+    ]
+    const = spark.createDataFrame([(i, 5) for i in range(20)], "id long, k long")
+    ranks = [
+        r.rn
+        for r in range_rank(
+            const, F.col("k"), [F.col("k"), F.col("id")], buckets=4
+        )
+        .orderBy("id")
+        .collect()
+    ]
+    assert ranks == list(range(1, 21))
+
+
+def test_spine_running_inclusive_exclusive(spark):
+    from hadron_spark.operators.ops import spine_running
+
+    sp = spark.createDataFrame(
+        [(1, 10), (2, 5), (3, 20), (4, 1)], "k int, x int"
+    )
+    inc = {
+        r.k: r.c
+        for r in spine_running(sp, "k", "x", "c", "sum", True).collect()
+    }
+    assert inc == {1: 10, 2: 15, 3: 35, 4: 36}
+    exc = {
+        r.k: r.m
+        for r in spine_running(sp, "k", "x", "m", "max", False).collect()
+    }
+    assert exc == {1: None, 2: 10, 3: 10, 4: 20}

@@ -558,3 +558,21 @@ def test_analytics_batch18_plan_shapes(spark, sf_dir):
     assert shuffle_count(df) <= 3
     assert_partial_aggregation(df)
     assert "Window" not in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_range_rank_queries_no_single_partition_window(spark, sf_dir):
+    """VERDICT r1 #4: the six queries that ranked a per-entity
+    aggregate through an unpartitioned window now run through
+    ops.range_rank / ops.spine_running — pin that no WindowExec in
+    their plans funnels everything into one task."""
+    from hadron_spark.plans import assert_no_unpartitioned_window
+
+    for name in [
+        "q118_decile_lift",
+        "q139_rfm_segments",
+        "q143_skyline_orders",
+        "q154_segment_migration",
+        "q157_spend_gini",
+        "q168_vocab_growth",
+    ]:
+        assert_no_unpartitioned_window(QUERIES[name](spark, sf_dir))
