@@ -127,6 +127,12 @@ def reduce_stream_sorted(
 
     `fn` receives (key_tuple, iterator of pandas DataFrames all
     belonging to that key, in sort order) and yields output frames.
+    The group iterator is LAZY: at most two chunks of a group are
+    ever resident (the one `fn` holds plus the one-chunk lookahead
+    that detects the key boundary) — a single key larger than
+    executor memory streams through, which is the whole point of the
+    sameKey splitter. If `fn` returns without exhausting its
+    iterator, the remainder of the group is drained and discarded.
     """
     from hadron_spark.operators.ops import secondary_sort
 
@@ -134,29 +140,59 @@ def reduce_stream_sorted(
     sorted_df = secondary_sort(df, pkeys, list(sort_keys), num_partitions)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pending: list[pd.DataFrame] = []  # chunks of the current group
-        cur_key: tuple | None = None
+        yield from _stream_sorted_groups(batches, pkeys, fn)
 
-        def flush(key: tuple, chunks: list[pd.DataFrame]):
-            yield from fn(key, iter(chunks))
+    return sorted_df.mapInPandas(run, schema=schema)
 
+
+def _stream_sorted_groups(
+    batches: Iterator[pd.DataFrame],
+    pkeys: Sequence[str],
+    fn: Callable[[tuple, Iterator[pd.DataFrame]], Iterator[pd.DataFrame]],
+) -> Iterator[pd.DataFrame]:
+    """Pure-python core of reduce_stream_sorted: split a key-sorted
+    stream of pandas chunks into per-key lazy sub-iterators. Unit-
+    tested directly (test_mapreduce pins the ≤ 1-chunk-lookahead
+    memory contract without a Spark round trip)."""
+
+    def key_chunks() -> Iterator[tuple[tuple, pd.DataFrame]]:
         for pdf in batches:
             if not len(pdf):
                 continue
-            # split this batch at key-change boundaries
-            grp_ids = (pdf[pkeys] != pdf[pkeys].shift()).any(axis=1).cumsum()
+            # split each Arrow batch at key-change boundaries
+            grp_ids = (
+                (pdf[list(pkeys)] != pdf[list(pkeys)].shift())
+                .any(axis=1)
+                .cumsum()
+            )
             for _, chunk in pdf.groupby(grp_ids, sort=False):
                 key = tuple(chunk.iloc[0][k] for k in pkeys)
-                if cur_key is None or key == cur_key:
-                    cur_key = key
-                    pending.append(chunk)
-                else:
-                    yield from flush(cur_key, pending)
-                    cur_key, pending = key, [chunk]
-        if cur_key is not None:
-            yield from flush(cur_key, pending)
+                yield key, chunk
 
-    return sorted_df.mapInPandas(run, schema=schema)
+    stream = key_chunks()
+    state: dict = {"item": None, "done": False}
+
+    def advance() -> None:
+        try:
+            state["item"] = next(stream)
+        except StopIteration:
+            state["item"] = None
+            state["done"] = True
+
+    advance()
+    while not state["done"]:
+        cur_key = state["item"][0]
+
+        def group_iter(cur_key: tuple = cur_key) -> Iterator[pd.DataFrame]:
+            while not state["done"] and state["item"][0] == cur_key:
+                chunk = state["item"][1]
+                advance()  # lookahead: pull the boundary before yielding
+                yield chunk
+
+        g = group_iter()
+        yield from fn(cur_key, g)
+        for _ in g:  # drain whatever fn left unconsumed
+            pass
 
 
 def monoid_reduce(
