@@ -40,3 +40,34 @@ def test_partitioned_write(spark, sf_dir, tmp_path):
     partitioned_write(c, out, ["c_mktsegment"])
     back = spark.read.parquet(out)
     assert back.count() == c.count()
+
+
+def test_fan_out_stats_do_not_rescan_source(spark, tmp_path):
+    """VERDICT r1 #3: fanStats must come from the committed output
+    (parquet footers), not a second pass over the input lineage.
+    Pin: delete the SOURCE after the write — the stats must still
+    collect, which the old lazy groupBy-over-source could not do."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, "ab"[i % 2]) for i in range(100)], "id long, r string"
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+    out = str(tmp_path / "out")
+    stats = fan_out_write(df, out, "r")
+    shutil.rmtree(src)  # source gone — only the written output remains
+    got = {r["route"]: r["rows"] for r in stats.collect()}
+    assert got == {"a": 50, "b": 50}
+
+
+def test_fan_out_stats_null_and_escaped_routes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "x=1"), (2, None), (3, "x=1"), (4, "plain")],
+        "id long, r string",
+    )
+    out = str(tmp_path / "esc")
+    stats = fan_out_write(df, out, "r")
+    got = {r["route"]: r["rows"] for r in stats.collect()}
+    # percent-encoded dir names decode back; hive null sentinel -> None
+    assert got == {"x=1": 2, None: 1, "plain": 1}
