@@ -2,13 +2,14 @@
 metadata, with the decode/feature steps as Arrow-batched Pandas UDFs.
 
 The Spark-side plumbing (schema, ingestion, partitioning, UDF batch
-shape) is real and tested; the actual media decode is STUBBED — the
-image/audio libraries are not in this container — behind
-`_decode_image_stub`, a deterministic fake that parses only what a
-real decoder would (magic bytes → format; fixed fake dimensions).
-Swap `_decode_image_stub` for a PIL/ffmpeg call in production; the
-operator contract (mapInPandas over binary batches, metadata struct
-out) does not change.
+shape) is real and tested; the actual media decode is PLUGGABLE —
+every operator takes a `decode_fn` / `resize_fn` callable, defaulting
+to `decode_image_stub` / `resize_bytes_stub`, deterministic fakes that
+parse only what a real decoder would (magic bytes → format; fixed
+fake dimensions). Production swap-in needs no code change in the
+operators: pass `decode_fn=pil_decode` (a callable closed over PIL /
+ffmpeg) and the same mapInPandas plan runs it — the callable is
+pickled to executors like any pandas-UDF closure.
 
 Ingestion matches the reference's whole-file binary taps
 (binaryDirTap Controller.hs:700-707, fileListTap Controller.hs:463-471)
@@ -17,7 +18,7 @@ via the distributed `binaryFile` source.
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -28,6 +29,11 @@ MEDIA_META_SCHEMA = (
     "path string, media_type string, byte_len bigint, "
     "format string, width int, height int, n_frames int"
 )
+
+# content bytes -> (format, width, height, n_frames)
+DecodeFn = Callable[[bytes | None], tuple[str, int, int, int]]
+# (content bytes, width, height) -> resized bytes
+ResizeFn = Callable[[bytes | None, int, int], bytes]
 
 
 def ingest_binary_dir(spark: SparkSession, directory: str, glob: str | None = None) -> DataFrame:
@@ -58,11 +64,12 @@ def _sniff_format(content: bytes | None) -> str:
     return "unknown"
 
 
-def _decode_image_stub(content: bytes | None) -> tuple[str, int, int, int]:
-    """STUB decoder — deterministic fake in place of PIL/ffmpeg (libs
-    not in this container). Returns (format, width, height, n_frames);
-    dimensions are derived from the byte length so tests are stable.
-    Production: replace body with e.g. PIL.Image.open(BytesIO(...))."""
+def decode_image_stub(content: bytes | None) -> tuple[str, int, int, int]:
+    """Default STUB decoder — deterministic fake in place of
+    PIL/ffmpeg (libs not in this container). Returns (format, width,
+    height, n_frames); dimensions are derived from the byte length so
+    tests are stable. Production: pass `decode_fn=` a callable that
+    does e.g. PIL.Image.open(BytesIO(...))."""
     fmt = _sniff_format(content)
     if fmt in ("empty",):
         return fmt, 0, 0, 0
@@ -71,19 +78,37 @@ def _decode_image_stub(content: bytes | None) -> tuple[str, int, int, int]:
     return fmt, 64 + n % 512, 64 + (n // 7) % 512, 1 + n % 16
 
 
-def extract_media_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
+# backwards-compatible alias (pre-r2 name)
+_decode_image_stub = decode_image_stub
+
+
+def resize_bytes_stub(content: bytes | None, width: int, height: int) -> bytes:
+    """Default STUB resize — deterministic fake: tags the payload with
+    the target geometry so tests can assert the bytes went through the
+    transform. Production: PIL open→resize→save to bytes."""
+    head = b"RSZ:%dx%d:" % (width, height)
+    return head + (bytes(content[:16]) if content else b"")
+
+
+def extract_media_meta(
+    df: DataFrame,
+    content_col: str = "content",
+    decode_fn: DecodeFn = decode_image_stub,
+    media_type: str = "image",
+) -> DataFrame:
     """(path, content, ...) → typed metadata rows (MEDIA_META_SCHEMA).
 
     mapInPandas: Arrow-batched, per-partition — the decode cost
-    parallelizes with the scan; no shuffle."""
+    parallelizes with the scan; no shuffle. `decode_fn` is the
+    production seam (default: deterministic stub)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [_decode_image_stub(c) for c in pdf[content_col]]
+            metas = [decode_fn(c) for c in pdf[content_col]]
             yield pd.DataFrame(
                 {
                     "path": pdf["path"],
-                    "media_type": ["image"] * len(pdf),
+                    "media_type": [media_type] * len(pdf),
                     "byte_len": [len(c) if c is not None else 0 for c in pdf[content_col]],
                     "format": [m[0] for m in metas],
                     "width": [m[1] for m in metas],
@@ -95,23 +120,33 @@ def extract_media_meta(df: DataFrame, content_col: str = "content") -> DataFrame
     return df.mapInPandas(run, schema=MEDIA_META_SCHEMA)
 
 
-def frame_sample(df: DataFrame, every_n: int = 2, content_col: str = "content") -> DataFrame:
+def frame_sample(
+    df: DataFrame,
+    every_n: int = 2,
+    content_col: str = "content",
+    decode_fn: DecodeFn = decode_image_stub,
+    frame_fn: Callable[[bytes | None, int], bytes] | None = None,
+) -> DataFrame:
     """Video-style frame sampling plumbing: 1→N explode of sampled
-    frame indices per media row, frame payload STUBBED as a slice of
-    the source bytes (real impl: ffmpeg seek+decode). Output:
-    (path, frame_idx, frame_bytes)."""
+    frame indices per media row. `decode_fn` supplies the frame count;
+    `frame_fn(content, idx)` extracts one frame's payload (default
+    stub: deterministic byte slice; production: ffmpeg seek+decode).
+    Output: (path, frame_idx, frame_bytes)."""
+
+    def default_frame(content: bytes | None, i: int) -> bytes:
+        return bytes(content[i : i + 16]) if content else b""
+
+    ff = frame_fn or default_frame
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_path, out_idx, out_bytes = [], [], []
             for path, content in zip(pdf["path"], pdf[content_col]):
-                _, _, _, n_frames = _decode_image_stub(content)
+                _, _, _, n_frames = decode_fn(content)
                 for i in range(0, n_frames, every_n):
                     out_path.append(path)
                     out_idx.append(i)
-                    # stub frame payload: deterministic byte slice
-                    sl = bytes(content[i : i + 16]) if content else b""
-                    out_bytes.append(sl)
+                    out_bytes.append(ff(content, i))
             yield pd.DataFrame(
                 {"path": out_path, "frame_idx": out_idx, "frame_bytes": out_bytes}
             )
@@ -119,17 +154,32 @@ def frame_sample(df: DataFrame, every_n: int = 2, content_col: str = "content") 
     return df.mapInPandas(run, schema="path string, frame_idx int, frame_bytes binary")
 
 
-def resize_stub(df: DataFrame, width: int, height: int, content_col: str = "content") -> DataFrame:
-    """Resize plumbing: passes bytes through a Pandas-UDF stage with
-    target geometry attached (real impl: PIL resize). Demonstrates the
-    batch-shape contract for transform-in-place media ops."""
+def resize(
+    df: DataFrame,
+    width: int,
+    height: int,
+    content_col: str = "content",
+    resize_fn: ResizeFn = resize_bytes_stub,
+) -> DataFrame:
+    """Transform-in-place media op: every row's payload through
+    `resize_fn(content, width, height)` (default: deterministic stub;
+    production: PIL resize), Arrow-batched, no shuffle. Output keeps
+    (path, content, width, height) — the batch-shape contract for all
+    byte→byte media transforms."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            raise NotImplementedError(
-                "media resize requires an image library not present in "
-                "this container; plumbing contract is exercised by "
-                "extract_media_meta/frame_sample"
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    content_col: [
+                        resize_fn(c, width, height) for c in pdf[content_col]
+                    ],
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                }
             )
 
-    return df.mapInPandas(run, schema=f"path string, {content_col} binary, width int, height int")
+    return df.mapInPandas(
+        run, schema=f"path string, {content_col} binary, width int, height int"
+    )

@@ -123,11 +123,51 @@ def test_frame_sample_explodes(spark, tmp_path):
     assert all(r["frame_idx"] % 2 == 0 for r in rows)
 
 
-def test_resize_stub_raises(spark, tmp_path):
+def test_resize_runs_with_default_stub(spark, tmp_path):
     (tmp_path / "img.png").write_bytes(b"\x89PNG" + b"z" * 10)
     df = multimodal.ingest_binary_dir(spark, str(tmp_path))
-    with pytest.raises(Exception, match="NotImplementedError|image library"):
-        multimodal.resize_stub(df, 32, 32).collect()
+    rows = multimodal.resize(df, 32, 24).collect()
+    assert len(rows) == 1
+    assert rows[0]["width"] == 32 and rows[0]["height"] == 24
+    assert bytes(rows[0]["content"]).startswith(b"RSZ:32x24:")
+
+
+def test_decoder_seam_is_pluggable(spark, tmp_path):
+    """VERDICT r1 #5: production decoder swap-in must need no operator
+    change — a custom decode_fn/resize_fn callable flows through the
+    mapInPandas plumbing to executors."""
+    (tmp_path / "a.png").write_bytes(b"\x89PNG" + b"q" * 40)
+    (tmp_path / "b.jpg").write_bytes(b"\xff\xd8\xff" + b"r" * 7)
+    df = multimodal.ingest_binary_dir(spark, str(tmp_path))
+
+    def fake_decoder(content):
+        # a "real" decoder stand-in: geometry from the first byte
+        return ("custom", content[0], 2 * content[0], 3)
+
+    meta = {
+        r["path"].rsplit("/", 1)[-1]: r
+        for r in multimodal.extract_media_meta(
+            df, decode_fn=fake_decoder, media_type="probe"
+        ).collect()
+    }
+    assert meta["a.png"]["format"] == "custom"
+    assert meta["a.png"]["width"] == 0x89 and meta["a.png"]["height"] == 2 * 0x89
+    assert meta["a.png"]["media_type"] == "probe"
+
+    frames = multimodal.frame_sample(
+        df,
+        every_n=1,
+        decode_fn=fake_decoder,
+        frame_fn=lambda content, i: b"F%d" % i,
+    ).collect()
+    # fake decoder reports 3 frames per file, custom frame payloads
+    assert sorted({r["frame_idx"] for r in frames}) == [0, 1, 2]
+    assert all(bytes(r["frame_bytes"]) == b"F%d" % r["frame_idx"] for r in frames)
+
+    out = multimodal.resize(
+        df, 8, 8, resize_fn=lambda c, w, h: bytes([c[0], w, h])
+    ).collect()
+    assert all(bytes(r["content"])[1:] == bytes([8, 8]) for r in out)
 
 
 def test_language_id_prefers_marked_language(spark):
