@@ -149,6 +149,7 @@ def asof_join(
     right_ts: str,
     right_vals: Sequence[str],
     direction: str = "backward",
+    tiebreak: Sequence[str] | None = None,
 ) -> DataFrame:
     """as-of join: for each left row, the nearest right row per key —
     backward (latest right_ts <= left_ts, the default) or forward
@@ -163,12 +164,22 @@ def asof_join(
 
     Ties (equal ts): the right row is ordered to be visible to the
     left row at the same instant in either direction (merge_asof
-    semantics)."""
+    semantics). MULTIPLE right rows at the same (key, ts) resolve
+    deterministically: `tiebreak` columns (default: the right_vals
+    themselves, ascending nulls-first) extend the window order, so
+    the winner is a pure function of the data, stable across
+    partitionings and reruns — without this, the picked row depended
+    on shuffle arrival order (VERDICT r1 #5, hash-stability risk).
+    Pass explicit `tiebreak` when a right_val is unorderable (map)."""
     from pyspark.sql import Window
 
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
     keys = list(keys)
+    tb = [
+        F.col(c).asc_nulls_first()
+        for c in (tiebreak if tiebreak is not None else right_vals)
+    ]
     lcols = [c for c in left.columns]
     tagged_l = left.withColumn("_ts", F.col(left_ts)).withColumn("_src", F.lit(1))
     for v in right_vals:
@@ -186,7 +197,7 @@ def asof_join(
         # right (src 0) sorts before left at equal ts → inside the frame
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col("_ts").asc(), F.col("_src").asc())
+            .orderBy(F.col("_ts").asc(), F.col("_src").asc(), *tb)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         pick = lambda v: F.last(v, ignorenulls=True).over(w)  # noqa: E731
@@ -194,7 +205,7 @@ def asof_join(
         # left (src 1) sorts before right at equal ts → right in frame
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col("_ts").asc(), F.col("_src").desc())
+            .orderBy(F.col("_ts").asc(), F.col("_src").desc(), *tb)
             .rowsBetween(0, Window.unboundedFollowing)
         )
         pick = lambda v: F.first(v, ignorenulls=True).over(w)  # noqa: E731

@@ -139,3 +139,40 @@ def test_bloom_prefilter_join_equals_plain(spark, sf_dir):
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
     assert "BroadcastHashJoin" in explain_str(got)
+
+
+def test_asof_join_duplicate_ts_deterministic(spark):
+    """Multiple right rows at the same (key, ts) must pick the same
+    winner under any partitioning / input order (VERDICT r1 #5)."""
+    import random
+
+    from hadron_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 10), ("k", 20), ("z", 15)], "k string, ts long"
+    )
+    dup_rows = [("k", 10, v) for v in [7, 3, 9, 5]] + [
+        ("k", 18, 2),
+        ("z", 15, 1),
+        ("z", 15, 4),
+    ]
+    random.seed(3)
+
+    def run(rows, nparts):
+        right = spark.createDataFrame(
+            rows, "k string, ts long, v long"
+        ).repartition(nparts)
+        out = asof_join(
+            left.repartition(nparts), right, ["k"], "ts", "ts", ["v"]
+        )
+        return sorted((r["k"], r["ts"], r["v"]) for r in out.collect())
+
+    base = run(dup_rows, 1)
+    for nparts in (3, 7):
+        shuffled = dup_rows[:]
+        random.shuffle(shuffled)
+        assert run(shuffled, nparts) == base
+    # backward tiebreak: greatest value-tuple among equal ts wins
+    got = dict(((k, t), v) for k, t, v in base)
+    assert got[("k", 10)] == 9 and got[("z", 15)] == 4
+    assert got[("k", 20)] == 2
