@@ -240,7 +240,7 @@ def bloom_prefilter_join(
     usable when the dim side is itself a subquery AQE won't cover).
 
     The filter is a SPARSE bitmap DataFrame, not a binary blob:
-    2 salted md5 positions per distinct dim key, OR-merged into
+    2 salted xxhash64 positions per distinct dim key, OR-merged into
     (word, mask) rows by a partial-aggregated groupBy — ≤ m_bits/64
     rows (~KBs for the default 4M bits), broadcast twice onto the
     fact side as plain left joins + bitwise probes. False positives
@@ -249,7 +249,16 @@ def bloom_prefilter_join(
     join); false-negative-free because every dim key set its bits.
 
     Results identical to `fact.join(dim, ...)` for inner/semi joins
-    of non-null keys."""
+    of non-null keys — and ONLY those: the pre-pass drops unmatched
+    fact rows before the final join, so an outer/anti join here would
+    silently lose rows that must survive with NULLs. Enforced."""
+    allowed = {"inner", "semi", "left_semi", "leftsemi"}
+    if how not in allowed:
+        raise ValueError(
+            f"bloom_prefilter_join only preserves {sorted(allowed)} "
+            f"semantics (the pre-pass drops non-matching fact rows); "
+            f"got how={how!r}"
+        )
     fk, dk = F.col(fact_key), F.col(dim_key)
     keys = dim.select(dk.alias("_k")).distinct()
     bits = keys.select(

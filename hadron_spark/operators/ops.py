@@ -490,16 +490,22 @@ def pseudonymize(
     df: DataFrame,
     cols: Sequence[str],
     pepper: str,
-    token_len: int = 16,
+    token_len: int = 32,
 ) -> DataFrame:
     """Deterministic PII tokenization: replace each named column with
-    a keyed md5 token (`md5(value || ':' || pepper)` truncated). The
-    same value always maps to the same token, so joins, group-bys
-    and dedup keep working on the masked data — the referential
-    consistency that random tokens destroy — while the pepper keeps
-    tokens non-invertible without it (rotate the pepper, rotate the
+    a keyed md5 token (`md5(value || ':' || pepper)`). The same value
+    always maps to the same token, so joins, group-bys and dedup keep
+    working on the masked data — the referential consistency that
+    random tokens destroy — while the pepper keeps tokens
+    non-invertible without it (rotate the pepper, rotate the
     pseudonyms). Narrow projection: no shuffle, pushes nothing off
-    the scan. NULLs stay NULL (no token leaks presence)."""
+    the scan. NULLs stay NULL (no token leaks presence).
+
+    token_len defaults to the FULL 32-hex digest: a truncated 16-hex
+    (64-bit) token hits birthday collisions around ~2^32 distinct
+    values — i.e. silently merged identities at exactly the
+    billions-of-rows scale this engine targets. Shorten only for
+    domains provably far below that."""
     out = df
     for c in cols:
         tok = F.substring(

@@ -223,8 +223,15 @@ def frequent_items_exact(
         .filter(F.col("est") >= threshold)
         .select(key_col)
     )
+    # null-safe semi join: a plain `[key_col]` semi join never matches
+    # NULL keys, so a NULL group meeting the threshold would vanish
+    # while the naive GROUP BY ... HAVING oracle keeps it (ADVICE r1)
     return (
-        df.join(F.broadcast(cand), [key_col], "left_semi")
+        df.join(
+            F.broadcast(cand.withColumnRenamed(key_col, "_cand_k")),
+            F.col(key_col).eqNullSafe(F.col("_cand_k")),
+            "left_semi",
+        )
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= threshold)

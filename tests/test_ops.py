@@ -414,7 +414,9 @@ def test_pseudonymize_referential_and_null_safe(spark):
     out = {r["id"]: r["name"] for r in ops.pseudonymize(df, ["name"], "pep").collect()}
     assert out[1] == out[2] != out[3]          # same value -> same token
     assert out[4] is None                      # NULL stays NULL
-    assert out[1] != "alice" and len(out[1]) == 16
+    # full 32-hex digest by default: a 64-bit truncation collides at
+    # ~2^32 distinct values (ADVICE r1)
+    assert out[1] != "alice" and len(out[1]) == 32
     # a different pepper rotates every token
     out2 = {r["id"]: r["name"] for r in ops.pseudonymize(df, ["name"], "pep2").collect()}
     assert out2[1] != out[1]
