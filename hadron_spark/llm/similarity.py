@@ -229,6 +229,15 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate cosine top-k via hyperplane-LSH buckets.
 
+    NOT the default approximate tier — `ivf_topk` is. Measured on the
+    driver fixtures (RECALL.md): sign-LSH recall@10 is 0.07–0.12 on
+    i.i.d.-noise embeddings (its theoretical worst case — recall
+    degenerates to the probed corpus fraction) vs IVF's 0.88, and on
+    CLUSTERED fixtures (real embedding distributions) LSH recovers
+    because same-bucket probability concentrates on true neighbors.
+    Reach for LSH when the corpus is strongly clustered AND the
+    one-time k-means pass of IVF is unaffordable; otherwise use IVF.
+
     Corpus is bucketed once (narrow); queries probe their own bucket
     plus `multiprobe` single-bit-flip neighbors (recall knob). The
     compare set shrinks by ~2^n_planes; the join is a plain bucket

@@ -768,8 +768,11 @@ def q27(spark, sf_dir):
 
 @_register("q28_lsh_topk", None)
 def q28(spark, sf_dir):
-    """Approximate ANN via hyperplane-LSH bucket join (the scale path
-    for q25)."""
+    """Approximate ANN via hyperplane-LSH bucket join. NOT the default
+    approximate tier — q41's IVF is (recall 0.88 vs LSH's 0.07–0.12 on
+    these noise fixtures, RECALL.md); LSH is exercised here as the
+    clustered-corpus alternative whose per-query cost needs no
+    quantizer training pass."""
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     return similarity.lsh_topk(emb, q, k=10, n_planes=6, multiprobe=2).select(
