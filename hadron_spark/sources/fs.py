@@ -104,6 +104,18 @@ def cat(spark: SparkSession, path: str, max_bytes: int = 1 << 26) -> bytes:
         stream.close()
 
 
+def chmod(spark: SparkSession, path: str, mode: str) -> None:
+    """hdfsChmod (Run/Hadoop.hs:313-461, the last unported S10 op):
+    set POSIX permissions via the JVM FileSystem — `mode` is octal
+    text like \"755\" or \"640\", same as the `hadoop fs -chmod` the
+    reference shelled out to."""
+    jvm = spark.sparkContext._jvm
+    perm = jvm.org.apache.hadoop.fs.permission.FsPermission(
+        int(mode, 8)
+    )
+    _fs(spark, path).setPermission(_jpath(spark, path), perm)
+
+
 def mv(spark: SparkSession, src: str, dest: str) -> bool:
     """rename/move (the tmp-then-rename finalize primitive the
     reference's FanOut used, FanOut.hs:118-133 — Spark's committers

@@ -207,3 +207,35 @@ def test_stream_sorted_groups_constant_space():
 
     out2 = list(_stream_sorted_groups(batches_b(), ["k"], fn_partial))
     assert len(out2) == 1  # remainder drained, no crash, no dup group
+
+
+def test_perform_every_fires_executor_side(spark):
+    """performEvery parity (Utils.hs:23-38): callback every n rows
+    with the running count, executor-side — observed through a Spark
+    accumulator, pass-through rows unchanged."""
+    from hadron_spark.operators.mapreduce import perform_every
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(i):
+        acc.add(1)
+
+    df = spark.range(0, 100, 1, 2)  # 2 partitions x 50 rows
+    out = perform_every(df, 20, bump)
+    assert out.count() == 100
+    # per task: floor(50/20) = 2 ticks -> 4 total
+    assert acc.value == 4
+
+
+def test_chmod_sets_permissions(spark, tmp_path):
+    import os
+    import stat
+
+    from hadron_spark.sources import fs
+
+    p = tmp_path / "f.txt"
+    p.write_text("x")
+    fs.chmod(spark, str(p), "600")
+    assert stat.S_IMODE(os.stat(p).st_mode) == 0o600
+    fs.chmod(spark, str(p), "754")
+    assert stat.S_IMODE(os.stat(p).st_mode) == 0o754
