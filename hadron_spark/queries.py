@@ -6909,3 +6909,40 @@ def q170(spark, sf_dir):
             "n_duplicated"
         ),
     )
+
+
+@_register(
+    "q171_fanout_arbitrary",
+    """
+    SELECT o_orderpriority || '.jsonl' AS path, COUNT(*) AS n_rows
+    FROM orders GROUP BY 1
+    """,
+)
+def q171(spark, sf_dir):
+    """TRUE arbitrary record→path fan-out (fan_out_arbitrary — the
+    full fanOutTap semantic, Controller.hs:479-514 + Run/FanOut.hs
+    handle cache / tmp-then-rename): orders routed to literally
+    computed file paths, per-path fanStats as the official output.
+    The write really happens to a temp dir (removed after); the
+    oracle checks the reported stats with the dynamic prefix
+    stripped."""
+    import shutil
+    import tempfile
+
+    from hadron_spark.sources.fanout import fan_out_arbitrary
+
+    out_dir = tempfile.mkdtemp(prefix="hadron_q171_")
+    o = load(spark, sf_dir, "orders")
+    stats = fan_out_arbitrary(
+        o,
+        F.concat(F.lit(out_dir + "/"), F.col("o_orderpriority"), F.lit(".jsonl")),
+    )
+    result = stats.select(
+        F.replace(
+            F.col("path"), F.lit(out_dir + "/"), F.lit("")
+        ).alias("path"),
+        F.col("rows").alias("n_rows"),
+    )
+    result = spark.createDataFrame(result.collect(), result.schema)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return result

@@ -71,3 +71,62 @@ def test_fan_out_stats_null_and_escaped_routes(spark, tmp_path):
     got = {r["route"]: r["rows"] for r in stats.collect()}
     # percent-encoded dir names decode back; hive null sentinel -> None
     assert got == {"x=1": 2, None: 1, "plain": 1}
+
+
+def test_fan_out_arbitrary_paths(spark, tmp_path):
+    """S7 full semantics: records land at literally computed absolute
+    paths (nested dirs created, tmp-then-rename finalize), stats =
+    fanStats per-path counts."""
+    import json
+
+    from hadron_spark.sources.fanout import fan_out_arbitrary
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "x"), (3, "a", "y"), (4, "a", "x")],
+        "id long, g string, sub string",
+    )
+    base = str(tmp_path)
+    stats = fan_out_arbitrary(
+        df, F.format_string(base + "/%s/part-%s.jsonl", "g", "sub")
+    )
+    got = {r["path"]: r["rows"] for r in stats.collect()}
+    assert got == {
+        f"{base}/a/part-x.jsonl": 2,
+        f"{base}/a/part-y.jsonl": 1,
+        f"{base}/b/part-x.jsonl": 1,
+    }
+    lines = [
+        json.loads(line)
+        for line in open(f"{base}/a/part-x.jsonl")
+        if line.strip()
+    ]
+    assert sorted(r["id"] for r in lines) == [1, 4]
+    assert set(lines[0]) == {"id", "g", "sub"}  # no _path leakage
+    # no tmp droppings left behind
+    import glob
+
+    assert not glob.glob(base + "/**/._hadron_fan_*", recursive=True)
+
+
+def test_fan_out_arbitrary_sharded_and_csv(spark, tmp_path):
+    from hadron_spark.sources.fanout import fan_out_arbitrary
+
+    base = str(tmp_path)
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2]) for i in range(40)], "id long, g string"
+    ).repartition(4)
+    stats = fan_out_arbitrary(
+        df,
+        F.concat(F.lit(base + "/"), "g", F.lit(".csv")),
+        fmt="csv",
+        single_writer=False,
+    )
+    got = {r["path"]: r["rows"] for r in stats.collect()}
+    # shard stats roll up to the logical path
+    assert got == {f"{base}/a.csv": 20, f"{base}/b.csv": 20}
+    import glob
+
+    shards = glob.glob(base + "/a.csv.part-*")
+    assert shards  # per-task shard files exist
+    n = sum(len(open(s).read().strip().splitlines()) for s in shards)
+    assert n == 20
