@@ -537,6 +537,32 @@ def partition_stats(df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _materialize_once(df: DataFrame, mode: str) -> DataFrame:
+    """Pin a frame that feeds MULTIPLE plan branches so its upstream
+    (often a full fact scan + shuffle) runs exactly once.
+
+    Catalyst's ReuseExchange/AQE stage reuse only collapses branches
+    whose canonicalized subtrees are bit-identical; the fan-out frames
+    here feed branches with *different* projections (a 1-row min/max
+    agg, a per-band count, the full windowed pass), so reuse is not
+    guaranteed — and measured plans for q154 showed the upstream
+    evaluated once per branch. At 100 TB "evaluate the aggregate
+    3×" means three full fact scans; an eager localCheckpoint caps
+    it at one, truncates the lineage (the downstream plan starts at
+    a compact materialized RDD), and makes every branch read the
+    SAME bytes — determinism by construction rather than by the
+    re-evaluation-stability argument. Storage is MEMORY_AND_DISK on
+    the executors; Spark's ContextCleaner unpersists the blocks when
+    the result frame is dropped. On a real cluster a reliable
+    `checkpoint()` (replicated) is the durable variant; local is the
+    right default for the single-app lifetime these frames have."""
+    if mode == "local_checkpoint":
+        return df.localCheckpoint(eager=True)
+    if mode == "none":
+        return df
+    raise ValueError(f"materialize must be local_checkpoint|none, got {mode!r}")
+
+
 def spine_running(
     df: DataFrame,
     order_col: str,
@@ -544,6 +570,7 @@ def spine_running(
     out_col: str,
     fn: str = "sum",
     inclusive: bool = True,
+    materialize: str = "local_checkpoint",
 ) -> DataFrame:
     """Running aggregate over a TINY keyed spine frame (months,
     deciles, distinct latencies — cardinality bounded by the domain,
@@ -555,7 +582,12 @@ def spine_running(
     pairs, which for a spine is trivial and fully parallel.
     `order_col` must be unique per row (a spine key). With
     ``inclusive=False`` the first row's aggregate is NULL (no
-    strictly-preceding rows) — the caller decides the fill."""
+    strictly-preceding rows) — the caller decides the fill.
+
+    The spine itself is tiny but its DERIVATION (usually an agg over
+    the fact) is not, and it feeds both join sides — materialized
+    once up front (see _materialize_once)."""
+    df = _materialize_once(df, materialize)
     agg_fn = getattr(F, fn)
     a = df.alias("_sa")
     b = df.select(order_col, agg_col).alias("_sb")
@@ -579,6 +611,7 @@ def range_rank(
     ntile_col: str = "tile",
     total_col: str | None = None,
     buckets: int | None = None,
+    materialize: str = "local_checkpoint",
 ) -> DataFrame:
     """Global row_number / ntile over an arbitrarily large frame with
     NO single-partition window — the scale-safe replacement for
@@ -616,73 +649,67 @@ def range_rank(
     `F.ntile`/DuckDB `ntile` exactly. `total_col` exposes the total
     row count (replaces `F.count().over(Window.partitionBy())`).
 
-    Cost at 100 TB: one pruned pass for min/max, one pruned pass
-    for band counts, one full pass + one hash shuffle for the rank —
-    the heavy exchange below `df` is reused across branches (AQE
-    stage reuse), and nothing ever funnels through one task."""
+    Cost at 100 TB: the input frame is MATERIALIZED ONCE up front
+    (eager localCheckpoint — see _materialize_once; relying on AQE
+    stage reuse across the three differently-projected branches was
+    measured NOT to hold, which meant one upstream fact scan per
+    branch), then one cheap pass over the compact materialized rows
+    for min/max, one for band counts, and one hash shuffle for the
+    rank — nothing ever funnels through one task. Pass
+    materialize="none" only when the input is itself a cheap scan."""
+    df = _materialize_once(df, materialize)
     spark = df.sparkSession
     nb = buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    if nb > 1:
-        mm = df.agg(
-            F.min(key).cast("double").alias("_lo"),
-            F.max(key).cast("double").alias("_hi"),
-        )
-        kd = key.cast("double")
-        width = (F.col("_hi") - F.col("_lo")) / F.lit(float(nb))
-        bkt = F.when(
-            (F.col("_hi") <= F.col("_lo")) | F.col("_lo").isNull(),
-            F.lit(0),
-        ).otherwise(
-            F.least(
-                F.lit(nb - 1),
-                F.greatest(
-                    F.lit(0),
-                    F.floor((kd - F.col("_lo")) / width).cast("int"),
-                ),
-            )
-        )
-        banded = (
-            df.crossJoin(F.broadcast(mm))
-            .withColumn("_bkt", bkt)
-            .drop("_lo", "_hi")
+    kd = key.cast("double")
+    lo, hi = df.agg(F.min(kd).alias("_lo"), F.max(kd).alias("_hi")).first()
+    if nb > 1 and lo is not None and hi > lo:
+        width = (hi - lo) / float(nb)
+        bkt = F.least(
+            F.lit(nb - 1),
+            F.greatest(
+                F.lit(0), F.floor((kd - F.lit(lo)) / F.lit(width)).cast("int")
+            ),
         )
     else:
-        banded = df.withColumn("_bkt", F.lit(0))
-    counts = banded.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
-    ca, cb = counts.alias("_ca"), counts.alias("_cb")
-    offsets = (
-        ca.crossJoin(F.broadcast(cb))
-        .groupBy(F.col("_ca._bkt").alias("_bkt"))
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("_cb._bkt") < F.col("_ca._bkt"),
-                    F.col("_cb._cnt"),
-                ).otherwise(F.lit(0))
-            ).alias("_off"),
-            F.sum("_cb._cnt").alias("_tot"),
-        )
+        # empty frame, all-equal keys, or single bucket: one band.
+        # (All-equal keys cannot be distributed by any value banding;
+        # `order` still totalizes within the single band.)
+        nb, bkt = 1, F.lit(0)
+    banded = df.withColumn("_bkt", bkt)
+    per_band = {
+        r["_bkt"]: r["_cnt"]
+        for r in banded.groupBy("_bkt")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .collect()
+    }
+    total = sum(per_band.values())
+    offs, running = [], 0
+    for b in range(nb):
+        offs.append(running)
+        running += per_band.get(b, 0)
+    # band offsets ride in the plan as a dense nb-int ARRAY literal
+    # indexed by the band id — no join, no broadcast, no second
+    # exchange; codegen sees a constant array lookup.
+    off_expr = F.element_at(
+        F.array(*[F.lit(o).cast("long") for o in offs]), F.col("_bkt") + 1
     )
     w = Window.partitionBy("_bkt").orderBy(*order)
-    rn = F.col("_off") + F.col("_lrn")
-    out = (
-        banded.withColumn("_lrn", F.row_number().over(w))
-        .join(F.broadcast(offsets), "_bkt")
-        .withColumn(rank_col, rn.cast("long"))
+    rn = off_expr + F.col("_lrn")
+    out = banded.withColumn("_lrn", F.row_number().over(w)).withColumn(
+        rank_col, rn.cast("long")
     )
     if ntile is not None:
-        n = F.lit(ntile)
-        tot = F.col("_tot")
-        q = F.floor(tot / n)
-        r = tot % n
+        # standard SQL ntile from the global rank, with q/r/thresh as
+        # PYTHON ints (total is known on the driver): first (total
+        # mod n) tiles get ceil(total/n) rows. q == 0 (total < n)
+        # always takes the when-branch, so the otherwise-branch's /0
+        # (NULL under non-ANSI) is never selected.
+        q, r = divmod(total, ntile)
         thresh = r * (q + 1)
-        # standard SQL ntile: first (tot mod n) tiles get ceil(tot/n)
-        # rows; q == 0 (tot < n) always takes the when-branch, so the
-        # otherwise-branch's /0 (NULL under non-ANSI) is never used.
         tile = F.when(
             rn <= thresh, F.floor((rn - 1) / (q + 1)) + 1
-        ).otherwise(r + F.floor((rn - thresh - 1) / q) + 1)
+        ).otherwise(r + F.floor((rn - thresh - 1) / max(q, 1)) + 1)
         out = out.withColumn(ntile_col, tile.cast("int"))
     if total_col is not None:
-        out = out.withColumn(total_col, F.col("_tot"))
-    return out.drop("_bkt", "_lrn", "_off", "_tot")
+        out = out.withColumn(total_col, F.lit(total).cast("long"))
+    return out.drop("_bkt", "_lrn")
