@@ -563,6 +563,22 @@ def _materialize_once(df: DataFrame, mode: str) -> DataFrame:
     raise ValueError(f"materialize must be local_checkpoint|none, got {mode!r}")
 
 
+def pin(df: DataFrame, materialize: str = "local_checkpoint") -> DataFrame:
+    """Public fan-out pin: evaluate `df` exactly once (eager
+    localCheckpoint) before it feeds multiple plan branches.
+
+    Use whenever a derived frame (an aggregate, a distinct, a
+    windowed filter) is consumed by 2+ downstream branches of the
+    same query: Catalyst does NOT guarantee subtree reuse across
+    differently-projected branches (measured — see
+    _materialize_once), so without the pin each branch re-runs the
+    derivation, i.e. re-scans the fact table at 100 TB. The pinned
+    frame trades one executor-storage write for N-1 repeated
+    upstream evaluations. Do NOT pin frames used once, frames that
+    are themselves cheap scans, or streaming frames."""
+    return _materialize_once(df, materialize)
+
+
 def spine_running(
     df: DataFrame,
     order_col: str,

@@ -1614,6 +1614,10 @@ def q58(spark, sf_dir):
             )
         )
     )
+    # the batch is derived from the target here (fixture); pin it so
+    # merge_upsert's two consumers (broadcast anti-join probe +
+    # union) don't each re-scan orders to rebuild it.
+    upd = ops.pin(upd)
     return merge_upsert(o, upd, ["o_orderkey"])
 
 
@@ -1658,6 +1662,10 @@ def q59(spark, sf_dir):
         )
         .unionByName(ch(k % 97 == 0, "I", 1, o_orderkey=k + F.lit(200000000)))
     )
+    # the change log is derived from the snapshot here (fixture);
+    # pin it so cdc_apply's two consumers (latest-change anti-join
+    # probe + upsert rows) don't each re-scan orders to rebuild it.
+    changes = ops.pin(changes)
     return cdc_apply(o, changes, ["o_orderkey"])
 
 
@@ -2813,6 +2821,10 @@ def q92(spark, sf_dir):
             "o_orderkey",
         )
     ).withColumn("month", F.date_trunc("month", "t"))
+    # the ±1 event stream feeds BOTH the carry-in totals and the
+    # within-month sweep — pinned so the orders scan + union runs
+    # once, not once per branch (ops.pin rationale).
+    ev = ops.pin(ev)
     # carry-in per month: prefix sum of month delta totals (tiny).
     totals = ev.groupBy("month").agg(F.sum("delta").alias("msum"))
     wm = Window.partitionBy().orderBy("month")
@@ -3950,7 +3962,12 @@ def q117(spark, sf_dir):
     by event count — the co-occurrence shape that stays safe at
     100 TB where a raw-events self-join would explode. Type-level
     set sizes are a tiny broadcast back onto the pair counts."""
-    ue = load(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    # the deduplicated (user, type) set feeds the self-join's two
+    # sides AND the size table — pinned so the events scan + distinct
+    # shuffle runs once instead of three times (ops.pin rationale).
+    ue = ops.pin(
+        load(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    )
     sz = ue.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     a = ue.alias("a")
     b = ue.alias("b")
@@ -4658,8 +4675,13 @@ def q132(spark, sf_dir):
     parallel SUM of doubles is order-dependent (the same reason
     q115 rejects var_samp)."""
     cu = load(spark, sf_dir, "customer")
-    o = cu.groupBy("c_nationkey", "c_mktsegment").agg(
-        F.count(F.lit(1)).alias("obs")
+    # the ≤|nations|×|segments| cell table feeds four branches (cells,
+    # row margins, column margins, grand total) — pinned so the
+    # customer scan + cell aggregation runs once, not four times.
+    o = ops.pin(
+        cu.groupBy("c_nationkey", "c_mktsegment").agg(
+            F.count(F.lit(1)).alias("obs")
+        )
     )
     r = o.groupBy("c_nationkey").agg(F.sum("obs").alias("rt"))
     c = o.groupBy("c_mktsegment").agg(F.sum("obs").alias("ct"))
@@ -5478,6 +5500,10 @@ def q147(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+    # scd2_close_out consumes `updates` twice (close-out keys +
+    # appended fresh versions); upd is a windowed derivation of the
+    # fact, so pin it to one evaluation.
+    upd = ops.pin(upd)
     merged = scd2_close_out(hist, upd, ["o_custkey"], "o_orderdate")
     return (
         merged.filter(
@@ -6544,8 +6570,12 @@ def q164(spark, sf_dir):
     window and cohort-size join then run on the cohort×age
     aggregate — ~84×84 rows at most."""
     o = load(spark, sf_dir, "orders")
-    f = o.groupBy("o_custkey").agg(
-        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort")
+    # the first-order cohort map feeds both the broadcast-back join
+    # and the cohort-size aggregate — pinned to one derivation.
+    f = ops.pin(
+        o.groupBy("o_custkey").agg(
+            F.min(F.date_trunc("month", "o_orderdate")).alias("cohort")
+        )
     )
     r = (
         o.join(F.broadcast(f), "o_custkey")
