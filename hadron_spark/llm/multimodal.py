@@ -183,3 +183,36 @@ def resize(
     return df.mapInPandas(
         run, schema=f"path string, {content_col} binary, width int, height int"
     )
+
+
+def repartition_by_bytes(
+    df: DataFrame,
+    target_bytes: int = 128 * 1024 * 1024,
+    size_col: str | None = None,
+    key_col: str = "path",
+) -> DataFrame:
+    """Right-size partitions for variable-size binary rows so each
+    task decodes ~`target_bytes` of payload.
+
+    Row-count partitioning is the wrong unit for media: one 4 GB
+    video and ten thousand 40 KB thumbnails are the "same" row count
+    but 100 000× different task cost, and the upstream scan's
+    `spark.sql.files.maxPartitionBytes` only governs FILE splits —
+    after any shuffle/transform the blobs redistribute by row. This
+    computes total payload bytes (one agg job — eager, like ops.pin),
+    sizes the partition count as ceil(total/target), and hash-
+    repartitions on `key_col` (NOT on the size — hashing a quantity
+    correlated with cost would cluster the big blobs together).
+
+    Bytes per partition ≈ total/n IN EXPECTATION — hash placement
+    concentrates around the mean as rows-per-partition grows (at the
+    target 128 MB with ≤ few-MB blobs that's hundreds of rows per
+    partition; tail bounded by Chernoff), plus at most one
+    largest-blob excess since a row never splits. Pick target_bytes
+    ≥ a few × the max expected blob. Deterministic: partition count
+    derives from data totals, assignment from hash-partitioning on
+    the key."""
+    sc = F.col(size_col) if size_col else F.length(F.col("content"))
+    total = df.agg(F.sum(sc.cast("long")).alias("b")).first()["b"] or 0
+    n = max(1, -(-int(total) // int(target_bytes)))
+    return df.repartition(n, F.col(key_col))

@@ -481,3 +481,32 @@ def test_lsh_recall_floor_on_clustered_fixture(spark):
     ).collect()
     rec = recall_at_k(approx, exact, 10)
     assert rec >= 0.5, f"clustered LSH recall {rec:.3f} below floor"
+
+
+def test_repartition_by_bytes_budget(spark):
+    """Partition count derives from total payload / target; blobs
+    spread hash-balanced (≈ total/n in expectation, +max_blob since
+    a row never splits). Skewed fixture: one 64 KB blob among 4 KB
+    blobs; the bound allows small-fixture hash variance."""
+    from hadron_spark.llm.multimodal import repartition_by_bytes
+
+    rows = [(f"f{i:03d}", bytes([i % 251]) * (65536 if i == 0 else 4096))
+            for i in range(64)]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    total = 65536 + 63 * 4096
+    target = 64 * 1024
+    out = repartition_by_bytes(df, target_bytes=target)
+    n_expected = -(-total // target)
+    assert out.rdd.getNumPartitions() == n_expected
+
+    sizes = (
+        out.select(F.spark_partition_id().alias("pid"), F.length("content").alias("b"))
+        .groupBy("pid").agg(F.sum("b").alias("bytes")).collect()
+    )
+    max_blob = 65536
+    bound = 2 * (total / n_expected) + max_blob
+    assert max(r["bytes"] for r in sizes) <= bound
+    # the giant blob did not drag neighbours with it: its partition
+    # holds fewer than half the rows
+    counts = out.select(F.spark_partition_id().alias("pid")).groupBy("pid").count().collect()
+    assert max(r["count"] for r in counts) < 32
