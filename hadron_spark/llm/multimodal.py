@@ -2,14 +2,16 @@
 metadata, with the decode/feature steps as Arrow-batched Pandas UDFs.
 
 The Spark-side plumbing (schema, ingestion, partitioning, UDF batch
-shape) is real and tested; the actual media decode is PLUGGABLE —
-every operator takes a `decode_fn` / `resize_fn` callable, defaulting
-to `decode_image_stub` / `resize_bytes_stub`, deterministic fakes that
-parse only what a real decoder would (magic bytes → format; fixed
-fake dimensions). Production swap-in needs no code change in the
-operators: pass `decode_fn=pil_decode` (a callable closed over PIL /
-ffmpeg) and the same mapInPandas plan runs it — the callable is
-pickled to executors like any pandas-UDF closure.
+shape) is real and tested, and METADATA extraction is real too:
+`parse_media_header` (the default decode_fn) reads PNG IHDR, GIF
+screen descriptor, JPEG SOF, and WAV fmt/frames with stdlib byte
+inspection — no media libraries needed. Only PIXEL-level work (full
+decode, resize, frame extraction) stays behind the PLUGGABLE seam:
+every operator takes a `decode_fn` / `resize_fn` callable, so
+production swap-in needs no code change — pass `decode_fn=pil_decode`
+(a callable closed over PIL / ffmpeg) and the same mapInPandas plan
+runs it; the callable is pickled to executors like any pandas-UDF
+closure.
 
 Ingestion matches the reference's whole-file binary taps
 (binaryDirTap Controller.hs:700-707, fileListTap Controller.hs:463-471)
@@ -64,6 +66,72 @@ def _sniff_format(content: bytes | None) -> str:
     return "unknown"
 
 
+def _jpeg_dims(content: bytes) -> tuple[int, int]:
+    """Walk JPEG segments to the first SOF marker and read the frame
+    header's height/width (ITU T.81 B.2.2). Raises on malformed input."""
+    i = 2
+    n = len(content)
+    while i + 9 < n:
+        if content[i] != 0xFF:
+            break
+        marker = content[i + 1]
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = int.from_bytes(content[i + 2 : i + 4], "big")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h = int.from_bytes(content[i + 5 : i + 7], "big")
+            w = int.from_bytes(content[i + 7 : i + 9], "big")
+            return w, h
+        i += 2 + seg_len
+    raise ValueError("no SOF segment")
+
+
+def parse_media_header(content: bytes | None) -> tuple[str, int, int, int]:
+    """REAL metadata extraction from media headers using nothing but
+    stdlib byte inspection — the default decode_fn:
+
+    - PNG: width/height from the IHDR chunk (8-byte signature + first
+      chunk is IHDR per the spec)
+    - GIF: logical screen descriptor (little-endian u16 pair at 6..10)
+    - JPEG: SOF segment walk (_jpeg_dims)
+    - WAV (RIFF): channels/sample-rate/frame count via the stdlib
+      `wave` module; audio frames land in n_frames, width carries
+      channels and height the sample rate (documented overload of the
+      fixed meta schema)
+
+    Only PIXEL-level work (full decode, resize, frame extraction)
+    still needs external media libs and stays behind the stub/
+    pluggable seam. Malformed or unknown payloads degrade to the
+    sniffed format with zero dimensions — never raise inside the
+    Arrow batch loop."""
+    fmt = _sniff_format(content)
+    try:
+        if fmt == "png" and content[:8] == b"\x89PNG\r\n\x1a\n":
+            import struct
+
+            w, h = struct.unpack(">II", content[16:24])
+            return "png", w, h, 1
+        if fmt == "gif":
+            w = int.from_bytes(content[6:8], "little")
+            h = int.from_bytes(content[8:10], "little")
+            return "gif", w, h, 1
+        if fmt == "jpeg":
+            w, h = _jpeg_dims(content)
+            return "jpeg", w, h, 1
+        if fmt == "riff" and content[8:12] == b"WAVE":
+            import io
+            import wave
+
+            with wave.open(io.BytesIO(content)) as wf:
+                return "wav", wf.getnchannels(), wf.getframerate(), wf.getnframes()
+        if fmt == "riff":
+            return "avi" if content[8:12] == b"AVI " else "riff", 0, 0, 1
+    except Exception:
+        pass
+    return fmt, 0, 0, 0 if fmt == "empty" else 1
+
+
 def decode_image_stub(content: bytes | None) -> tuple[str, int, int, int]:
     """Default STUB decoder — deterministic fake in place of
     PIL/ffmpeg (libs not in this container). Returns (format, width,
@@ -93,14 +161,15 @@ def resize_bytes_stub(content: bytes | None, width: int, height: int) -> bytes:
 def extract_media_meta(
     df: DataFrame,
     content_col: str = "content",
-    decode_fn: DecodeFn = decode_image_stub,
+    decode_fn: DecodeFn = parse_media_header,
     media_type: str = "image",
 ) -> DataFrame:
     """(path, content, ...) → typed metadata rows (MEDIA_META_SCHEMA).
 
     mapInPandas: Arrow-batched, per-partition — the decode cost
     parallelizes with the scan; no shuffle. `decode_fn` is the
-    production seam (default: deterministic stub)."""
+    production seam (default: parse_media_header — real stdlib
+    header parsing; pass a PIL/ffmpeg closure for pixel work)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -124,7 +193,7 @@ def frame_sample(
     df: DataFrame,
     every_n: int = 2,
     content_col: str = "content",
-    decode_fn: DecodeFn = decode_image_stub,
+    decode_fn: DecodeFn = parse_media_header,
     frame_fn: Callable[[bytes | None, int], bytes] | None = None,
 ) -> DataFrame:
     """Video-style frame sampling plumbing: 1→N explode of sampled

@@ -1024,12 +1024,16 @@ def q38(spark, sf_dir):
 
 @_register("q39_multimodal_meta", None)
 def q39(spark, sf_dir):
-    """Multimodal binary-column pipeline: deterministic media files
-    derived from documents (idempotent staging), distributed
-    binaryFile ingestion (S4 binaryDirTap analog), metadata extraction
-    via the Arrow-batched decode stub. Rows-only check (binary I/O is
+    """Multimodal binary-column pipeline: deterministic VALID media
+    files derived from documents (idempotent staging; real PNG
+    signature + IHDR chunk with per-doc dimensions), distributed
+    binaryFile ingestion (S4 binaryDirTap analog), REAL header
+    parsing via the Arrow-batched default decode_fn
+    (multimodal.parse_media_header). Rows-only check (binary I/O is
     not SQL-expressible)."""
     import os
+    import struct
+    import zlib
 
     from hadron_spark.llm import multimodal
 
@@ -1038,7 +1042,16 @@ def q39(spark, sf_dir):
         os.makedirs(media_dir, exist_ok=True)
         docs = load(spark, sf_dir, "documents").select("doc_id", "text").limit(32).collect()
         for r in docs:
-            payload = b"\x89PNG" + r["text"].encode("utf-8")[:256]
+            w, h = 16 + (r["doc_id"] % 1024), 16 + (len(r["text"]) % 1024)
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            payload = (
+                b"\x89PNG\r\n\x1a\n"
+                + struct.pack(">I", 13)
+                + b"IHDR"
+                + ihdr
+                + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+                + r["text"].encode("utf-8")[:256]
+            )
             with open(os.path.join(media_dir, f"doc_{r['doc_id']:05d}.png"), "wb") as fh:
                 fh.write(payload)
     ingested = multimodal.ingest_binary_dir(spark, media_dir, glob="*.png")

@@ -103,15 +103,73 @@ def test_lsh_topk_overlaps_bruteforce(spark, sf_dir):
     assert len(exact & approx) >= 3
 
 
+def _tiny_png(w, h):
+    import struct, zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    chunk = struct.pack(">I", 13) + b"IHDR" + ihdr
+    crc = struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    return b"\x89PNG\r\n\x1a\n" + chunk + crc
+
+
+def _tiny_jpeg(w, h):
+    # SOI + APP0 (to exercise the segment walk) + SOF0 + EOI
+    # APP0 length counts itself: 2 + 14-byte payload = 16
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof = (
+        b"\xff\xc0"
+        + (11).to_bytes(2, "big")
+        + b"\x08"
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + b"\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+def _tiny_wav(n_frames, rate=8000, channels=1):
+    import io, wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(b"\x01\x02" * channels * n_frames)
+    return buf.getvalue()
+
+
 def test_media_meta_extraction(spark, tmp_path):
-    (tmp_path / "img1.png").write_bytes(b"\x89PNG" + b"x" * 100)
-    (tmp_path / "img2.jpg").write_bytes(b"\xff\xd8\xff" + b"y" * 50)
+    """The default decode_fn does REAL header parsing (stdlib only):
+    exact PNG IHDR / JPEG SOF / GIF descriptor / WAV frame values."""
+    (tmp_path / "img1.png").write_bytes(_tiny_png(640, 480))
+    (tmp_path / "img2.jpg").write_bytes(_tiny_jpeg(123, 77))
+    (tmp_path / "anim.gif").write_bytes(
+        b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" * 6
+    )
+    (tmp_path / "clip.wav").write_bytes(_tiny_wav(1000, rate=16000, channels=2))
     df = multimodal.ingest_binary_dir(spark, str(tmp_path))
     meta = multimodal.extract_media_meta(df)
     rows = {r["format"]: r for r in meta.collect()}
-    assert set(rows) == {"png", "jpeg"}
-    assert rows["png"]["byte_len"] == 104
-    assert rows["png"]["width"] > 0
+    assert set(rows) == {"png", "jpeg", "gif", "wav"}
+    assert (rows["png"]["width"], rows["png"]["height"]) == (640, 480)
+    assert (rows["jpeg"]["width"], rows["jpeg"]["height"]) == (123, 77)
+    assert (rows["gif"]["width"], rows["gif"]["height"]) == (320, 200)
+    # wav: width=channels, height=sample rate, n_frames=audio frames
+    assert rows["wav"]["width"] == 2
+    assert rows["wav"]["height"] == 16000
+    assert rows["wav"]["n_frames"] == 1000
+
+
+def test_media_meta_malformed_degrades(spark, tmp_path):
+    """Truncated/garbage payloads keep the sniffed format and zero
+    dims — the batch loop never raises."""
+    (tmp_path / "trunc.png").write_bytes(b"\x89PNG" + b"x" * 4)
+    (tmp_path / "junk.bin").write_bytes(b"\x00\x01\x02\x03")
+    df = multimodal.ingest_binary_dir(spark, str(tmp_path))
+    rows = {r["format"]: r for r in multimodal.extract_media_meta(df).collect()}
+    assert rows["png"]["width"] == 0
+    assert rows["unknown"]["width"] == 0
 
 
 def test_frame_sample_explodes(spark, tmp_path):
