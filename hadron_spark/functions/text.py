@@ -109,3 +109,64 @@ def fingerprint(col: Column | str) -> Column:
     toks = F.transform(tokenize(col), lambda t: F.lower(t))
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
     return F.md5(canon.cast("binary"))
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate stripping (web-crawl → pretraining text)
+# ---------------------------------------------------------------------------
+
+# entity → replacement, applied after tag removal; ordered so '&amp;'
+# unescapes LAST (otherwise '&amp;lt;' would double-unescape).
+_HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Web-crawl HTML → training text, entirely in Catalyst regexps
+    (codegen'd JVM — the hot path of a crawl-cleaning pipeline must
+    never drop into Python):
+
+      1. drop <script>/<style> elements INCLUDING their content
+         (case-insensitive, dot-matches-newline) — their text is code,
+         not language
+      2. drop HTML comments <!-- ... -->
+      3. block-level close tags → newline (paragraph structure
+         survives tag removal)
+      4. strip every remaining tag
+      5. unescape the common entities (ordered, '&amp;' last)
+      6. collapse runs of blank lines / spaces, trim
+
+    The regexes are conservative POSIX-ish patterns that behave
+    identically under Java regex and RE2-style engines — no
+    backreferences, no lookaround — so the op stays oracle-checkable.
+    Malformed HTML degrades gracefully: an unclosed <script> swallows
+    to end-of-string (same as browsers' CDATA handling); stray '<'
+    without a matching '>' survives as text."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(
+        c,
+        r"(?is)<script[^>]*>.*?(</script\s*>|$)|<style[^>]*>.*?(</style\s*>|$)",
+        " ",
+    )
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(
+        out, r"(?i)</(p|div|br|h[1-6]|li|tr|table|blockquote)\s*>|<br\s*/?>", "\n"
+    )
+    # a tag starts with a letter, '/', or '!' — a stray '<' followed
+    # by space/digit is TEXT (browser tokenizer rule) and survives
+    out = F.regexp_replace(out, r"(?s)<[a-zA-Z/!][^>]*>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    out = F.regexp_replace(out, r"[ \t\x0b\r\f]+", " ")
+    out = F.regexp_replace(out, r" ?\n ?", "\n")
+    out = F.regexp_replace(out, r"\n{2,}", "\n")
+    # regexp trim, not F.trim: SQL trim strips ASCII spaces only —
+    # a trailing newline from the last block close would survive it
+    return F.regexp_replace(out, r"^\s+|\s+$", "")

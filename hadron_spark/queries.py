@@ -6989,3 +6989,71 @@ def q171(spark, sf_dir):
     result = spark.createDataFrame(result.collect(), result.schema)
     shutil.rmtree(out_dir, ignore_errors=True)
     return result
+
+
+@_register(
+    "q172_html_clean",
+    r"""
+    WITH h AS (
+      SELECT doc_id,
+             '<html><head><script type="text/javascript">var x = 1 < 2;'
+             || '</script><style>p { color: red; }</style></head><body>'
+             || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>'
+             || text
+             || ' &amp; more &lt;tail&gt;</p><!-- footer --></body></html>'
+             AS html
+      FROM documents
+    ), s1 AS (
+      SELECT doc_id, regexp_replace(html,
+        '(?is)<script[^>]*>.*?(</script\s*>|$)|<style[^>]*>.*?(</style\s*>|$)',
+        ' ', 'g') AS t FROM h
+    ), s2 AS (
+      SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1
+    ), s3 AS (
+      SELECT doc_id, regexp_replace(t,
+        '(?i)</(p|div|br|h[1-6]|li|tr|table|blockquote)\s*>|<br\s*/?>',
+        chr(10), 'g') AS t FROM s2
+    ), s4 AS (
+      SELECT doc_id, regexp_replace(t, '(?s)<[a-zA-Z/!][^>]*>', ' ', 'g') AS t FROM s3
+    ), s5 AS (
+      SELECT doc_id,
+             replace(replace(replace(replace(replace(replace(replace(t,
+               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&apos;', ''''), '&amp;', '&') AS t
+      FROM s4
+    ), s6 AS (
+      SELECT doc_id, regexp_replace(t, '[ \t\x0b\r\f]+', ' ', 'g') AS t FROM s5
+    ), s7 AS (
+      SELECT doc_id, regexp_replace(t, ' ?\n ?', chr(10), 'g') AS t FROM s6
+    ), s8 AS (
+      SELECT doc_id, regexp_replace(t, '\n{2,}', chr(10), 'g') AS t FROM s7
+    )
+    SELECT doc_id, regexp_replace(t, '^\s+|\s+$', '', 'g') AS clean_text FROM s8
+    """,
+)
+def q172(spark, sf_dir):
+    """Web-crawl boilerplate stripping (functions.text.html_to_text):
+    documents wrapped in deterministic HTML chrome (script + style +
+    headings + entities + comments), cleaned back to training text
+    entirely in codegen'd JVM regexps. The oracle replays the exact
+    regexp/replace chain in DuckDB — the patterns are deliberately
+    RE2-compatible (no backreferences, no lookaround), so the SAME
+    pattern strings run in both engines and the full cleaned string
+    hash-matches. Narrow one-pass projection: no shuffle, no Python."""
+    from hadron_spark.functions.text import html_to_text
+
+    docs = load(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            '<html><head><script type="text/javascript">var x = 1 < 2;'
+            "</script><style>p { color: red; }</style></head><body>"
+            "<h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(" &amp; more &lt;tail&gt;</p><!-- footer --></body></html>"),
+    )
+    return docs.select(
+        "doc_id", html_to_text(html).alias("clean_text")
+    )

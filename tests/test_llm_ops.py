@@ -568,3 +568,27 @@ def test_repartition_by_bytes_budget(spark):
     # holds fewer than half the rows
     counts = out.select(F.spark_partition_id().alias("pid")).groupBy("pid").count().collect()
     assert max(r["count"] for r in counts) < 32
+
+
+def test_html_to_text_edges(spark):
+    """Boilerplate stripping edge cases: script/style content dropped
+    (not just tags), double-escaped entities unescape exactly one
+    level, block closes become newlines, unclosed script swallows to
+    EOS, stray '<' survives as text."""
+    from hadron_spark.functions.text import html_to_text
+
+    cases = [
+        ("<p>a</p><p>b</p>", "a\nb"),
+        ("<script>ignore<b>this</b></script>kept", "kept"),
+        ("<style a=b>x{}</style>kept", "kept"),
+        ("&amp;lt; stays escaped", "&lt; stays escaped"),
+        ("5 < 6 and <b>bold</b>", "5 < 6 and bold"),
+        ("<SCRIPT>upper</SCRIPT>ok", "ok"),
+        ("<script>never closed", ""),
+        ("a<br>b<br/>c", "a\nb\nc"),
+        ("x &nbsp;&quot;q&quot;&#39;", 'x "q"\''),
+    ]
+    df = spark.createDataFrame([(i, h) for i, (h, _) in enumerate(cases)], "i int, h string")
+    got = {r["i"]: r["t"] for r in df.select("i", html_to_text("h").alias("t")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
