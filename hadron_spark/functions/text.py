@@ -170,3 +170,68 @@ def html_to_text(col: Column | str) -> Column:
     # regexp trim, not F.trim: SQL trim strips ASCII spaces only —
     # a trailing newline from the last block close would survive it
     return F.regexp_replace(out, r"^\s+|\s+$", "")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (pretraining-corpus scrubbing)
+# ---------------------------------------------------------------------------
+
+# (pattern, replacement) in application order. URL before EMAIL so
+# 'http://u@host' redacts as one URL, EMAIL before PHONE so digits
+# inside an address never half-match. Patterns are RE2-compatible
+# (no lookaround/backreferences) so the DuckDB oracle can replay
+# them verbatim; \b is supported by both engines.
+PII_PATTERNS = [
+    (r"\bhttps?://[^\s<>\"]+", "<URL>"),
+    (r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b", "<EMAIL>"),
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d ()-]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Scrub emails / URLs / IPv4s / phone-shaped digit runs to typed
+    placeholder tokens — the corpus-release hygiene pass. Codegen'd
+    JVM regexps (no Python); deliberately HIGH-RECALL (a phone
+    pattern that also eats a serial number is the right trade for
+    training data; precision-critical redaction belongs in a
+    reviewed pipeline, not a regex). Order matters and is fixed by
+    PII_PATTERNS: URL ⊃ EMAIL ⊃ PHONE overlaps resolve to the
+    outermost entity."""
+    out = F.col(col) if isinstance(col, str) else col
+    for pat, rep in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-row counts of each PII entity (pre-redaction audit):
+    {url, email, ip, phone} → int Column, via the same patterns that
+    redact — count == 0 after redact_pii by construction."""
+    c = F.col(col) if isinstance(col, str) else col
+    names = {"<URL>": "url", "<EMAIL>": "email", "<IP>": "ip", "<PHONE>": "phone"}
+    return {
+        names[rep]: F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        for pat, rep in PII_PATTERNS
+    }
+
+
+def dedup_lines(col: Column | str) -> Column:
+    """C4-style per-document line deduplication: drop every repeat of
+    an exact line, keeping the FIRST occurrence in document order —
+    the boilerplate-kill (nav menus, cookie banners, repeated
+    headers) applied inside each document before corpus-level dedup.
+
+    Pure array expressions — split, indexed filter on
+    array_position(lines, x) == i+1 (first-occurrence test),
+    re-join — so the op is a narrow zero-shuffle projection; the
+    first-occurrence scan is O(lines²) per document, fine for the
+    ≤10³-line documents this targets (a 10⁶-line 'document' is a
+    concatenation bug, not a document). Order-preserving where a
+    groupBy-min-position rewrite would need two shuffles per doc."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, "\n")
+    kept = F.filter(
+        lines, lambda x, i: F.array_position(lines, x) == i + F.lit(1)
+    )
+    return F.array_join(kept, "\n")

@@ -7057,3 +7057,125 @@ def q172(spark, sf_dir):
     return docs.select(
         "doc_id", html_to_text(html).alias("clean_text")
     )
+
+
+@_register(
+    "q173_pii_redaction",
+    r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' Contact user' || CAST(doc_id AS VARCHAR)
+             || '@example.com or call +1 (415) 555-01' || tail
+             || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7; see'
+             || ' https://docs.example.com/p/' || CAST(doc_id AS VARCHAR)
+             AS text
+      FROM (SELECT doc_id, text,
+                   lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS tail
+            FROM documents)
+    ), counted AS (
+      SELECT doc_id, text,
+             len(regexp_extract_all(text, '\bhttps?://[^\s<>"]+', 0)) AS n_url,
+             len(regexp_extract_all(text,
+                 '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b', 0)) AS n_email,
+             len(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b', 0)) AS n_ip,
+             len(regexp_extract_all(text, '\+?\d[\d ()-]{7,}\d', 0)) AS n_phone
+      FROM seeded
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '\bhttps?://[^\s<>"]+', '<URL>', 'g'),
+                 '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b', '<EMAIL>', 'g'),
+               '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+             '\+?\d[\d ()-]{7,}\d', '<PHONE>', 'g') AS redacted,
+           CAST(n_url AS INT) AS n_url, CAST(n_email AS INT) AS n_email,
+           CAST(n_ip AS INT) AS n_ip, CAST(n_phone AS INT) AS n_phone
+    FROM counted
+    """,
+)
+def q173(spark, sf_dir):
+    """PII scrubbing for corpus release (functions.text.redact_pii +
+    pii_counts): deterministic synthetic PII (email, phone, IPv4, URL
+    derived from doc_id) appended to each document, then audited and
+    redacted to typed placeholders. The DuckDB oracle replays the
+    IDENTICAL RE2-compatible patterns, so the fully-redacted string
+    AND the per-entity counts hash-match byte-for-byte. Narrow
+    single-pass projection — the scrub adds zero shuffles to a
+    corpus-export plan."""
+    from hadron_spark.functions.text import pii_counts, redact_pii
+
+    docs = load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call +1 (415) 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7; see https://docs.example.com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    counts = pii_counts("text")
+    return seeded.select(
+        "doc_id",
+        redact_pii("text").alias("redacted"),
+        counts["url"].alias("n_url"),
+        counts["email"].alias("n_email"),
+        counts["ip"].alias("n_ip"),
+        counts["phone"].alias("n_phone"),
+    )
+
+
+@_register(
+    "q174_line_dedup",
+    r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             'ACCEPT COOKIES' || chr(10) || text || chr(10)
+             || 'ACCEPT COOKIES' || chr(10) || 'Footer (c) Example'
+             || chr(10) || 'ACCEPT COOKIES' AS text
+      FROM documents
+    ), arr AS (
+      SELECT doc_id, string_split(text, chr(10)) AS lines FROM seeded
+    )
+    SELECT doc_id,
+           array_to_string(
+             list_filter(lines, (x, i) -> list_position(lines, x) = i),
+             chr(10)) AS deduped,
+           CAST(len(lines) AS INT) AS n_before,
+           CAST(len(list_filter(lines,
+                (x, i) -> list_position(lines, x) = i)) AS INT) AS n_after
+    FROM arr
+    """,
+)
+def q174(spark, sf_dir):
+    """Per-document line dedup (functions.text.dedup_lines — the C4
+    boilerplate-kill): repeated nav/banner lines seeded around each
+    document collapse to their first occurrence, order preserved.
+    Zero-shuffle narrow projection (indexed array filter, no
+    groupBy); the oracle replays the identical first-occurrence
+    lambda in DuckDB and the full deduped string hash-matches."""
+    from hadron_spark.functions.text import dedup_lines
+
+    docs = load(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("ACCEPT COOKIES"), nl, F.col("text"), nl,
+            F.lit("ACCEPT COOKIES"), nl, F.lit("Footer (c) Example"),
+            nl, F.lit("ACCEPT COOKIES"),
+        ).alias("text"),
+    )
+    lines = F.split(F.col("text"), "\n")
+    return seeded.select(
+        "doc_id",
+        dedup_lines("text").alias("deduped"),
+        F.size(lines).cast("int").alias("n_before"),
+        F.size(F.split(dedup_lines("text"), "\n")).cast("int").alias("n_after"),
+    )

@@ -592,3 +592,44 @@ def test_html_to_text_edges(spark):
     got = {r["i"]: r["t"] for r in df.select("i", html_to_text("h").alias("t")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+def test_redact_pii_entities(spark):
+    """Each entity type redacts to its typed token; overlaps resolve
+    to the outermost entity (URL with userinfo never leaves an email
+    behind); pii_counts agrees with what redaction removes."""
+    from hadron_spark.functions.text import pii_counts, redact_pii
+
+    cases = [
+        ("mail me at bob.smith+x@corp.example.org today",
+         "mail me at <EMAIL> today"),
+        ("server 192.168.0.1 and 10.0.0.7 up", "server <IP> and <IP> up"),
+        ("call +1 (415) 555-0123 now", "call <PHONE> now"),
+        ("see https://example.com/a?b=1&c=2 ok", "see <URL> ok"),
+        ("creds http://user@host.example.com/x", "creds <URL>"),
+        ("no pii here", "no pii here"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, (t, _) in enumerate(cases)], "i int, t string")
+    got = {r["i"]: r["r"] for r in df.select("i", redact_pii("t").alias("r")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+    counts = pii_counts("t")
+    row = (
+        df.filter(F.col("i") == 1)
+        .select(*[v.alias(k) for k, v in counts.items()])
+        .first()
+    )
+    assert row["ip"] == 2 and row["email"] == 0
+
+
+def test_dedup_lines_keeps_first_in_order(spark):
+    from hadron_spark.functions.text import dedup_lines
+
+    text = "nav\nalpha\nnav\nbeta\nalpha\nnav\ngamma"
+    df = spark.createDataFrame([(text,)], "t string")
+    out = df.select(dedup_lines("t").alias("d")).first()["d"]
+    assert out == "nav\nalpha\nbeta\ngamma"
+    # no duplicates: idempotent
+    df2 = spark.createDataFrame([(out,)], "t string")
+    assert df2.select(dedup_lines("t").alias("d")).first()["d"] == out
