@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hadron_spark.functions.text import STOPWORDS, tokenize
+from hadron_spark.functions.text import ngrams as _ngrams
 
 
 def quality_rules(
@@ -86,3 +87,148 @@ def rule_violation_counts(df: DataFrame, text_col: str = "text", **thresholds) -
         ).alias("p")
     )
     return stacked.select("p.*")
+
+
+def repetition_features(
+    text_col: Column | str = "text", sep: str = "\n"
+) -> dict[str, Column]:
+    """Gopher repetition metrics (Rae et al. 2021, Table A1 — public):
+    per-document fractions measuring self-repetition, all pure array
+    expressions (zero shuffle; the O(lines²)/O(grams²) first-
+    occurrence scans run inside codegen per row and documents are
+    small relative to the corpus — this stage stays scan-bound).
+
+    - dup_line_frac: repeated exact lines / lines (the same rule with
+      sep="\\n\\n" is Gopher's duplicate-paragraph fraction)
+    - dup_line_char_frac: characters inside repeated lines / chars
+    - top{2,3,4}gram_char_frac: chars covered by the most frequent
+      word n-gram (count × gram length; ties resolve to the longest
+      gram — deterministic in both engines)
+    - bullet_line_frac / ellipsis_line_frac: layout-noise shares
+    - alpha_word_frac: words containing ≥1 ASCII letter / words
+
+    Fractions are exact-int ratios → one IEEE division, so every
+    metric hash-matches a DuckDB replay (same discipline as q115)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    lines = F.split(c, sep)
+    n_lines = F.size(lines)
+    first_occ = F.filter(
+        lines, lambda x, i: F.array_position(lines, x) == i + F.lit(1)
+    )
+    line_chars = F.aggregate(
+        F.transform(lines, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    first_chars = F.aggregate(
+        F.transform(first_occ, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    toks = tokenize(c)
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+
+    def top_gram_frac(n: int) -> Column:
+        # most frequent n-gram via SORT + RUN-LENGTH scan: equal
+        # grams are adjacent after array_sort, so one linear
+        # aggregate pass finds (max run, longest gram among max
+        # runs). The naive distinct×filter formulation is O(G²)
+        # per document (and O(G³) if the max re-derives per
+        # element) — a 10⁴-token document would stall the scan
+        # stage; this is O(G log G).
+        grams = F.array_sort(_ngrams(toks, n))
+        st = F.aggregate(
+            grams,
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+                F.lit(0).alias("blen"),
+            ),
+            lambda a, x: F.struct(
+                x.alias("prev"),
+                F.when(x == a["prev"], a["run"] + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                F.greatest(
+                    a["best"],
+                    F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+                F.when(
+                    F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1))
+                    > a["best"],
+                    F.length(x),
+                )
+                .when(
+                    F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1))
+                    == a["best"],
+                    F.greatest(a["blen"], F.length(x)),
+                )
+                .otherwise(a["blen"])
+                .alias("blen"),
+            ),
+        )
+        # overlapping occurrences ('spam spam spam' → every bigram
+        # identical) can cover more chars than the doc has; capped at
+        # 1.0 so the metric stays a fraction (Gopher compares against
+        # thresholds ≤0.20, unaffected by the cap). A top count of 1
+        # is NO repetition — without the ≥2 guard every short
+        # document flags on its longest (unique) n-gram, a degenerate
+        # artifact of the count×len formula.
+        return F.when(
+            (st["best"] >= 2) & (n_chars > 0),
+            F.least(
+                F.lit(1.0),
+                (st["best"] * st["blen"]).cast("double") / n_chars,
+            ),
+        ).otherwise(F.lit(0.0))
+
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda x: x.startswith("- ") | x.startswith("* ") | x.startswith("•"),
+        )
+    )
+    ellipsis = F.size(
+        F.filter(lines, lambda x: x.endswith("...") | x.endswith("…"))
+    )
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    nz = F.greatest(n_lines, F.lit(1))
+    nzt = F.greatest(n_tok, F.lit(1))
+    return {
+        "dup_line_frac": (n_lines - F.size(first_occ)).cast("double") / nz,
+        "dup_line_char_frac": F.when(
+            line_chars > 0,
+            (line_chars - first_chars).cast("double") / line_chars,
+        ).otherwise(F.lit(0.0)),
+        "top2gram_char_frac": top_gram_frac(2),
+        "top3gram_char_frac": top_gram_frac(3),
+        "top4gram_char_frac": top_gram_frac(4),
+        "bullet_line_frac": bullet.cast("double") / nz,
+        "ellipsis_line_frac": ellipsis.cast("double") / nz,
+        "alpha_word_frac": alpha.cast("double") / nzt,
+    }
+
+
+def gopher_rules(
+    text_col: Column | str = "text",
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top2gram_char_frac: float = 0.20,
+    max_top3gram_char_frac: float = 0.18,
+    max_top4gram_char_frac: float = 0.16,
+    max_bullet_line_frac: float = 0.90,
+    max_ellipsis_line_frac: float = 0.30,
+    min_alpha_word_frac: float = 0.80,
+) -> dict[str, Column]:
+    """Repetition/layout violation predicates with the published
+    Gopher thresholds (Rae et al. 2021 A1.1) — compose with
+    quality_rules via apply_quality_filter-style reason arrays."""
+    f = repetition_features(text_col)
+    return {
+        "dup_lines": f["dup_line_frac"] > max_dup_line_frac,
+        "dup_line_chars": f["dup_line_char_frac"] > max_dup_line_char_frac,
+        "top2gram": f["top2gram_char_frac"] > max_top2gram_char_frac,
+        "top3gram": f["top3gram_char_frac"] > max_top3gram_char_frac,
+        "top4gram": f["top4gram_char_frac"] > max_top4gram_char_frac,
+        "bullet_lines": f["bullet_line_frac"] > max_bullet_line_frac,
+        "ellipsis_lines": f["ellipsis_line_frac"] > max_ellipsis_line_frac,
+        "low_alpha": f["alpha_word_frac"] < min_alpha_word_frac,
+    }

@@ -7179,3 +7179,99 @@ def q174(spark, sf_dir):
         F.size(lines).cast("int").alias("n_before"),
         F.size(F.split(dedup_lines("text"), "\n")).cast("int").alias("n_after"),
     )
+
+
+@_register(
+    "q175_gopher_repetition",
+    r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || chr(10) || 'Subscribe now' || chr(10) || 'Subscribe now'
+             || chr(10) || '- bullet item' || chr(10) || 'trailing thoughts...'
+             AS text
+      FROM documents
+    ), base AS (
+      SELECT doc_id, text,
+             string_split(text, chr(10)) AS lines,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+             length(text) AS n_chars
+      FROM seeded
+    ), firsts AS (
+      SELECT *, list_filter(lines, (x, i) -> list_position(lines, x) = i) AS first_occ
+      FROM base
+    ), grams AS (
+      SELECT *,
+        list_transform(range(1, greatest(len(toks) - 2 + 2, 1)),
+                       i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+        list_transform(range(1, greatest(len(toks) - 3 + 2, 1)),
+                       i -> array_to_string(toks[i:i+2], ' ')) AS g3,
+        list_transform(range(1, greatest(len(toks) - 4 + 2, 1)),
+                       i -> array_to_string(toks[i:i+3], ' ')) AS g4
+      FROM firsts
+    ), gr AS (
+      SELECT doc_id, 2 AS n, unnest(g2) AS g FROM grams
+      UNION ALL SELECT doc_id, 3, unnest(g3) FROM grams
+      UNION ALL SELECT doc_id, 4, unnest(g4) FROM grams
+    ), c AS (
+      SELECT doc_id, n, g, COUNT(*) AS m FROM gr GROUP BY 1, 2, 3
+    ), w AS (
+      SELECT doc_id, n, m, length(g) AS lg,
+             max(m) OVER (PARTITION BY doc_id, n) AS mm
+      FROM c
+    ), a AS (
+      SELECT doc_id, n, any_value(mm) AS m,
+             max(lg) FILTER (WHERE m = mm) AS l
+      FROM w GROUP BY 1, 2
+    ), p AS (
+      SELECT doc_id,
+             max(m) FILTER (WHERE n = 2) AS m2, max(l) FILTER (WHERE n = 2) AS l2,
+             max(m) FILTER (WHERE n = 3) AS m3, max(l) FILTER (WHERE n = 3) AS l3,
+             max(m) FILTER (WHERE n = 4) AS m4, max(l) FILTER (WHERE n = 4) AS l4
+      FROM a GROUP BY 1
+    )
+    SELECT g.doc_id,
+      CAST(len(g.lines) - len(g.first_occ) AS DOUBLE) / greatest(len(g.lines), 1) AS dup_line_frac,
+      CASE WHEN list_sum(list_transform(g.lines, x -> length(x))) > 0
+           THEN CAST(list_sum(list_transform(g.lines, x -> length(x)))
+                     - list_sum(list_transform(g.first_occ, x -> length(x))) AS DOUBLE)
+                / list_sum(list_transform(g.lines, x -> length(x)))
+           ELSE 0.0 END AS dup_line_char_frac,
+      CASE WHEN p.m2 >= 2 AND g.n_chars > 0
+           THEN least(1.0, CAST(p.m2 * p.l2 AS DOUBLE) / g.n_chars) ELSE 0.0 END AS top2gram_char_frac,
+      CASE WHEN p.m3 >= 2 AND g.n_chars > 0
+           THEN least(1.0, CAST(p.m3 * p.l3 AS DOUBLE) / g.n_chars) ELSE 0.0 END AS top3gram_char_frac,
+      CASE WHEN p.m4 >= 2 AND g.n_chars > 0
+           THEN least(1.0, CAST(p.m4 * p.l4 AS DOUBLE) / g.n_chars) ELSE 0.0 END AS top4gram_char_frac,
+      CAST(len(list_filter(g.lines, x -> starts_with(x, '- ') OR starts_with(x, '* ')
+                                          OR starts_with(x, '•'))) AS DOUBLE)
+        / greatest(len(g.lines), 1) AS bullet_line_frac,
+      CAST(len(list_filter(g.lines, x -> ends_with(x, '...') OR ends_with(x, '…'))) AS DOUBLE)
+        / greatest(len(g.lines), 1) AS ellipsis_line_frac,
+      CAST(len(list_filter(g.toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+        / greatest(len(g.toks), 1) AS alpha_word_frac
+    FROM grams g LEFT JOIN p ON g.doc_id = p.doc_id
+    """,
+)
+def q175(spark, sf_dir):
+    """Gopher repetition/layout metrics (llm.filters.repetition_
+    features — Rae et al. 2021 A1, public): documents seeded with
+    repeated boilerplate lines, bullets, and an ellipsis line; all
+    eight per-doc fractions computed as zero-shuffle array
+    expressions and hash-matched against a full DuckDB replay of the
+    same list algebra (exact-int ratios → one IEEE division each).
+    The scan stays the only stage — the quality pass adds no
+    exchange at any scale."""
+    from hadron_spark.llm.filters import repetition_features
+
+    docs = load(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), nl, F.lit("Subscribe now"), nl,
+            F.lit("Subscribe now"), nl, F.lit("- bullet item"), nl,
+            F.lit("trailing thoughts..."),
+        ).alias("text"),
+    )
+    feats = repetition_features("text")
+    return seeded.select("doc_id", *[v.alias(k) for k, v in feats.items()])

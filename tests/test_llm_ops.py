@@ -633,3 +633,40 @@ def test_dedup_lines_keeps_first_in_order(spark):
     # no duplicates: idempotent
     df2 = spark.createDataFrame([(out,)], "t string")
     assert df2.select(dedup_lines("t").alias("d")).first()["d"] == out
+
+
+def test_gopher_repetition_rules(spark):
+    """Gopher A1 rules fire on crafted pathologies and stay quiet on
+    normal prose; top-gram run-length scan agrees with the naive
+    count on a known fixture."""
+    from hadron_spark.llm.filters import gopher_rules, repetition_features
+
+    prose = ("the quick brown fox jumps over the lazy dog while data "
+             "engines stream shuffled partitions across the cluster")
+    cases = [
+        (0, "nav\n" * 9 + "real content here please"),        # dup lines
+        (1, ("buy now " * 30).strip()),                        # top2gram
+        (2, "- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j"),  # bullets
+        (3, "1 2 3 4 5 6 7 8 9 10 11 12"),                     # low alpha
+        (4, prose),                                            # clean
+    ]
+    df = spark.createDataFrame(cases, "i int, text string")
+    rules = gopher_rules("text")
+    out = {
+        r["i"]: {k: r[k] for k in rules}
+        for r in df.select("i", *[v.alias(k) for k, v in rules.items()]).collect()
+    }
+    assert out[0]["dup_lines"] and out[0]["dup_line_chars"]
+    assert out[1]["top2gram"]
+    assert out[2]["bullet_lines"]
+    assert out[3]["low_alpha"]
+    assert not any(out[4].values()), f"clean prose flagged: {out[4]}"
+
+    # run-length top-gram equals the hand-counted value: 'buy now'
+    # repeats 30x overlapping with 'now buy' 29x -> top bigram count
+    # 30, len 7; doc chars = 8*30-1
+    feats = repetition_features("text")
+    r1 = df.filter(F.col("i") == 1).select(
+        feats["top2gram_char_frac"].alias("f")
+    ).first()["f"]
+    assert abs(r1 - min(1.0, 30 * 7 / (8 * 30 - 1))) < 1e-12
