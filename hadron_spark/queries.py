@@ -7275,3 +7275,109 @@ def q175(spark, sf_dir):
     )
     feats = repetition_features("text")
     return seeded.select("doc_id", *[v.alias(k) for k, v in feats.items()])
+
+
+@_register(
+    "q176_crawl_pipeline",
+    r"""
+    WITH seeded AS (
+      SELECT doc_id, source,
+             '<html><head><script>var t = 1;</script></head><body><p>'
+             || text || '</p><p>Subscribe now</p><p>Subscribe now</p>'
+             || '<p>Contact crawl' || CAST(doc_id AS VARCHAR)
+             || '@example.net</p></body></html>' AS html
+      FROM documents
+    ), clean AS (
+      SELECT doc_id, source,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          replace(replace(replace(replace(replace(replace(replace(
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+              '(?is)<script[^>]*>.*?(</script\s*>|$)|<style[^>]*>.*?(</style\s*>|$)',
+              ' ', 'g'),
+              '(?s)<!--.*?-->', ' ', 'g'),
+              '(?i)</(p|div|br|h[1-6]|li|tr|table|blockquote)\s*>|<br\s*/?>',
+              chr(10), 'g'),
+              '(?s)<[a-zA-Z/!][^>]*>', ' ', 'g'),
+            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+            '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
+          '[ \t\x0b\r\f]+', ' ', 'g'),
+          ' ?\n ?', chr(10), 'g'),
+          '\n{2,}', chr(10), 'g'),
+          '^\s+|\s+$', '', 'g') AS text
+      FROM seeded
+    ), deduped AS (
+      SELECT doc_id, source,
+             array_to_string(
+               list_filter(string_split(text, chr(10)),
+                           (x, i) -> list_position(string_split(text, chr(10)), x) = i),
+               chr(10)) AS text
+      FROM clean
+    ), redacted AS (
+      SELECT doc_id, source,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+          '\bhttps?://[^\s<>"]+', '<URL>', 'g'),
+          '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b', '<EMAIL>', 'g'),
+          '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+          '\+?\d[\d ()-]{7,}\d', '<PHONE>', 'g') AS text
+      FROM deduped
+    ), gated AS (
+      SELECT doc_id, source, text,
+             string_split(text, chr(10)) AS lines,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      FROM redacted
+    ), kept AS (
+      SELECT source, text, toks FROM gated
+      WHERE length(text) >= 50
+        AND CAST(len(lines) - len(list_filter(lines,
+              (x, i) -> list_position(lines, x) = i)) AS DOUBLE)
+            / greatest(len(lines), 1) <= 0.3
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM kept GROUP BY source
+    """,
+)
+def q176(spark, sf_dir):
+    """Crawl-cleaning capstone: the full web→corpus hygiene chain —
+    HTML boilerplate strip (html_to_text) → per-doc line dedup
+    (dedup_lines kills the seeded 'Subscribe now' repeats) → PII
+    redaction (redact_pii catches the seeded emails) → repetition +
+    length gate → per-source corpus accounting — FUSED into one
+    narrow projection chain plus ONE aggregation shuffle on ~|sources|
+    keys. At 100 TB this is the shape that matters: every hygiene
+    stage is codegen'd expression work inside the scan stage, nothing
+    materializes between stages, and the only exchange carries a few
+    grouped rows per source. The oracle replays the entire chain in
+    DuckDB and the final accounting hash-matches."""
+    from hadron_spark.functions.text import (
+        dedup_lines,
+        html_to_text,
+        redact_pii,
+        tokenize,
+    )
+    from hadron_spark.llm.filters import repetition_features
+
+    docs = load(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><script>var t = 1;</script></head><body><p>"),
+        F.col("text"),
+        F.lit("</p><p>Subscribe now</p><p>Subscribe now</p><p>Contact crawl"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.net</p></body></html>"),
+    )
+    cleaned = docs.select(
+        "doc_id",
+        "source",
+        redact_pii(dedup_lines(html_to_text(html))).alias("text"),
+    )
+    dup_line_frac = repetition_features("text")["dup_line_frac"]
+    kept = cleaned.filter(
+        (F.length("text") >= 50) & (dup_line_frac <= 0.3)
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokenize(F.col("text")))).alias("total_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )

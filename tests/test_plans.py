@@ -576,3 +576,18 @@ def test_range_rank_queries_no_single_partition_window(spark, sf_dir):
         "q168_vocab_growth",
     ]:
         assert_no_unpartitioned_window(QUERIES[name](spark, sf_dir))
+
+
+def test_crawl_pipeline_single_shuffle(spark, sf_dir):
+    """q176 capstone pin: the whole HTML→dedup→redact→gate hygiene
+    chain fuses into the scan stage; the ONLY exchange is the final
+    per-source accounting aggregate (partial-agg'd)."""
+    from hadron_spark.plans.inspect import (
+        assert_partial_aggregation,
+        shuffle_count,
+    )
+    from hadron_spark.queries import QUERIES
+
+    df = QUERIES["q176_crawl_pipeline"](spark, sf_dir)
+    assert shuffle_count(df) == 1
+    assert_partial_aggregation(df)
