@@ -534,3 +534,23 @@ def test_spine_running_inclusive_exclusive(spark):
         for r in spine_running(sp, "k", "x", "m", "max", False).collect()
     }
     assert exc == {1: None, 2: 10, 3: 10, 4: 20}
+
+
+def test_pin_evaluates_once_and_preserves_rows(spark):
+    """ops.pin: same rows out, lineage truncated (no parquet/agg
+    subtree left in the plan), so N consuming branches cannot re-run
+    the derivation."""
+    from hadron_spark.operators.ops import pin
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    agg = df.groupBy((F.col("k") % 10).alias("g")).agg(F.sum("k").alias("s"))
+    pinned = pin(agg)
+    assert sorted(r["s"] for r in pinned.collect()) == sorted(
+        r["s"] for r in agg.collect()
+    )
+    plan = pinned._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in plan  # derivation happened pre-pin
+    # two branches over the pinned frame share the one materialization
+    j = pinned.alias("a").join(pinned.alias("b"), "g")
+    jp = j._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in jp
