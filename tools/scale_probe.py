@@ -1,0 +1,104 @@
+"""Empirical scaling probe: blow the documents corpus up k× and
+measure the LLM-op headliners at each size. The 100 TB argument is a
+design argument (banded joins, bucket guards, partial aggs) — this
+records the measurable part locally: near-linear wall-clock in input
+size, no quadratic blowup as duplicate density grows.
+
+Each replica r gets doc_id + r·10⁹ and a ' v<r>' text suffix, so
+replicas are NEAR-duplicates (minhash/simhash candidate load grows
+with k — the adversarial direction for banded dedup) while exact
+dedup still sees distinct texts.
+
+Run: python tools/scale_probe.py [sf_dir] [k1,k2,...]
+Writes SCALE.md at the repo root.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def blow_up(docs, k: int):
+    parts = []
+    for r in range(k):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(r * 1_000_000_000)).alias("doc_id"),
+                "source",
+                F.concat(F.col("text"), F.lit(f" v{r}")).alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main() -> None:
+    from hadron_spark import get_spark
+    from hadron_spark.functions.text import dedup_lines, html_to_text, redact_pii, tokenize
+    from hadron_spark.llm.dedup import exact_dedup, minhash_lsh_pairs, simhash_near_pairs
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    ks = [int(x) for x in (sys.argv[2].split(",") if len(sys.argv) > 2 else ["1", "4", "16"])]
+    spark = get_spark("scale_probe")
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    n_base = base.count()
+
+    OPS = {
+        "exact_dedup": lambda d: exact_dedup(d).count(),
+        "minhash_pairs": lambda d: minhash_lsh_pairs(
+            d, num_hashes=32, bands=8
+        ).count(),
+        "simhash_pairs": lambda d: simhash_near_pairs(d, max_hamming=3).count(),
+        "hygiene_chain": lambda d: d.select(
+            redact_pii(dedup_lines(html_to_text(F.concat(
+                F.lit("<p>"), F.col("text"), F.lit("</p><p>Subscribe</p>")
+            )))).alias("t")
+        ).agg(F.sum(F.size(tokenize(F.col("t"))))).collect(),
+    }
+
+    results: dict[str, dict[int, float]] = {op: {} for op in OPS}
+    for k in ks:
+        d = blow_up(base, k).repartition(32).localCheckpoint()  # fix input layout
+        for op, fn in OPS.items():
+            t0 = time.time()
+            fn(d)
+            results[op][k] = round(time.time() - t0, 2)
+        d.unpersist()
+
+    lines = [
+        "# SCALE — measured scaling of the LLM-op headliners",
+        "",
+        f"Corpus: `{sf_dir}/documents.parquet` ({n_base} docs) replicated",
+        f"k× with near-duplicate variation (see tools/scale_probe.py);",
+        "local[32]. Wall seconds per op; `×` column = t(k_max)/t(k_min)",
+        f"vs the ideal {max(ks)//min(ks)}× for linear scaling (sub-linear",
+        "ratios = fixed overhead amortizing; super-linear = blowup).",
+        "",
+        "| op | " + " | ".join(f"k={k} ({k*n_base} docs)" for k in ks) + " | × |",
+        "|---|" + "---|" * (len(ks) + 1),
+    ]
+    for op, times in results.items():
+        ratio = times[max(ks)] / max(times[min(ks)], 0.01)
+        lines.append(
+            f"| {op} | "
+            + " | ".join(f"{times[k]:.2f}s" for k in ks)
+            + f" | {ratio:.1f}× |"
+        )
+    lines.append("")
+    open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"), "w").write("\n".join(lines))
+    print("\n".join(lines))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
