@@ -107,7 +107,14 @@ def tfidf_topk(
 
     tok = df.select(id_col, F.explode(tokenize(F.col(text_col))).alias("word"))
     tf = tok.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
-    tf = tf.persist()  # feeds both the df-aggregate and the join probe side
+    # feeds both the df-aggregate and the join probe side — EAGER pin
+    # (not lazy persist): within one action the two branch stages can
+    # be submitted concurrently, and a lazy cache dedupes only after
+    # the first materialization finishes; ops.pin guarantees the
+    # tokenize+explode+agg runs exactly once at any scale
+    from hadron_spark.operators.ops import pin as _pin
+
+    tf = _pin(tf)
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -214,7 +221,11 @@ def collocations_topk(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    uni = uni.persist()  # feeds the total and both sides of the dictionary join
+    # feeds the total and both sides of the dictionary join — eager
+    # pin for the same once-only guarantee as tfidf_topk's tf table
+    from hadron_spark.operators.ops import pin as _pin
+
+    uni = _pin(uni)
     total = uni.agg(F.sum("c").alias("t"))
     bg = (
         toks.select(F.explode(ngrams(F.col("toks"), 2)).alias("bigram"))
