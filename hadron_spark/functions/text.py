@@ -179,12 +179,16 @@ def html_to_text(col: Column | str) -> Column:
 # (pattern, replacement) in application order. URL before EMAIL so
 # 'http://u@host' redacts as one URL, EMAIL before PHONE so digits
 # inside an address never half-match. Patterns are RE2-compatible
-# (no lookaround/backreferences) so the DuckDB oracle can replay
-# them verbatim; \b is supported by both engines.
+# (no lookaround/backreferences) and deliberately avoid \b: Java's
+# \b is Unicode-aware (a word boundary does NOT exist between 'z'
+# and 'Ü') while RE2's is ASCII-only (it does) — found by the
+# cross-engine fuzz test; unanchored patterns match identically in
+# both engines and are simply more aggressive, which is the right
+# direction for a high-recall scrub.
 PII_PATTERNS = [
-    (r"\bhttps?://[^\s<>\"]+", "<URL>"),
-    (r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b", "<EMAIL>"),
-    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"https?://[^\s<>\"]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"(\d{1,3}\.){3}\d{1,3}", "<IP>"),
     (r"\+?\d[\d ()-]{7,}\d", "<PHONE>"),
 ]
 

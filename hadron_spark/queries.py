@@ -7074,10 +7074,10 @@ def q172(spark, sf_dir):
             FROM documents)
     ), counted AS (
       SELECT doc_id, text,
-             len(regexp_extract_all(text, '\bhttps?://[^\s<>"]+', 0)) AS n_url,
+             len(regexp_extract_all(text, 'https?://[^\s<>"]+', 0)) AS n_url,
              len(regexp_extract_all(text,
-                 '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b', 0)) AS n_email,
-             len(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b', 0)) AS n_ip,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0)) AS n_email,
+             len(regexp_extract_all(text, '(\d{1,3}\.){3}\d{1,3}', 0)) AS n_ip,
              len(regexp_extract_all(text, '\+?\d[\d ()-]{7,}\d', 0)) AS n_phone
       FROM seeded
     )
@@ -7085,9 +7085,9 @@ def q172(spark, sf_dir):
            regexp_replace(
              regexp_replace(
                regexp_replace(
-                 regexp_replace(text, '\bhttps?://[^\s<>"]+', '<URL>', 'g'),
-                 '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b', '<EMAIL>', 'g'),
-               '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                 regexp_replace(text, 'https?://[^\s<>"]+', '<URL>', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '(\d{1,3}\.){3}\d{1,3}', '<IP>', 'g'),
              '\+?\d[\d ()-]{7,}\d', '<PHONE>', 'g') AS redacted,
            CAST(n_url AS INT) AS n_url, CAST(n_email AS INT) AS n_email,
            CAST(n_ip AS INT) AS n_ip, CAST(n_phone AS INT) AS n_phone
@@ -7315,9 +7315,9 @@ def q175(spark, sf_dir):
     ), redacted AS (
       SELECT doc_id, source,
         regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
-          '\bhttps?://[^\s<>"]+', '<URL>', 'g'),
-          '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b', '<EMAIL>', 'g'),
-          '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+          'https?://[^\s<>"]+', '<URL>', 'g'),
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '(\d{1,3}\.){3}\d{1,3}', '<IP>', 'g'),
           '\+?\d[\d ()-]{7,}\d', '<PHONE>', 'g') AS text
       FROM deduped
     ), gated AS (

@@ -670,3 +670,79 @@ def test_gopher_repetition_rules(spark):
         feats["top2gram_char_frac"].alias("f")
     ).first()["f"]
     assert abs(r1 - min(1.0, 30 * 7 / (8 * 30 - 1))) < 1e-12
+
+
+def test_text_ops_cross_engine_fuzz(spark):
+    """Cross-engine equivalence fuzz for the hygiene ops: on a batch
+    of adversarial HTML-ish / PII-ish strings, Spark html_to_text /
+    redact_pii / dedup_lines agree byte-for-byte with the DuckDB
+    replay of the identical patterns (the q172/q173/q174 oracle
+    chains, exercised beyond the seeded corpus shapes). One Spark job
+    and one DuckDB query for the whole batch."""
+    import random
+    import duckdb
+
+    from hadron_spark.functions.text import dedup_lines, html_to_text, redact_pii
+
+    rng = random.Random(42)
+    frags = [
+        "<p>", "</p>", "<div >", "</div>", "<br/>", "<script>",
+        "</script>", "<style>", "</style>", "<!--", "-->", "&amp;",
+        "&lt;", "&nbsp;", "x@y.zz", "http://a.b/c", "10.0.0.1",
+        "+1 (202) 555-0134", "5 < 6", "plain words", "\n", "  ",
+        "<SCRIPT a=b>", "<h2>", "</h2>", "<b", "•", "...", "-- ", "<",
+        ">", "repeat line", "Ünïcødé tëxt", "&amp;lt;",
+    ]
+    cases = [
+        (i, "".join(rng.choice(frags) for _ in range(rng.randint(1, 25))))
+        for i in range(60)
+    ]
+
+    df = spark.createDataFrame(cases, "i int, t string")
+    got = {
+        r["i"]: (r["h"], r["p"], r["d"])
+        for r in df.select(
+            "i",
+            html_to_text("t").alias("h"),
+            redact_pii("t").alias("p"),
+            dedup_lines("t").alias("d"),
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c (i INT, t VARCHAR)")
+    con.executemany("INSERT INTO c VALUES (?, ?)", cases)
+    oracle = con.execute(r"""
+      WITH s1 AS (SELECT i, regexp_replace(t,
+        '(?is)<script[^>]*>.*?(</script\s*>|$)|<style[^>]*>.*?(</style\s*>|$)',
+        ' ', 'g') AS t FROM c),
+      s2 AS (SELECT i, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1),
+      s3 AS (SELECT i, regexp_replace(t,
+        '(?i)</(p|div|br|h[1-6]|li|tr|table|blockquote)\s*>|<br\s*/?>',
+        chr(10), 'g') AS t FROM s2),
+      s4 AS (SELECT i, regexp_replace(t, '(?s)<[a-zA-Z/!][^>]*>', ' ', 'g') AS t FROM s3),
+      s5 AS (SELECT i,
+             replace(replace(replace(replace(replace(replace(replace(t,
+               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&apos;', ''''), '&amp;', '&') AS t FROM s4),
+      s6 AS (SELECT i, regexp_replace(t, '[ \t\x0b\r\f]+', ' ', 'g') AS t FROM s5),
+      s7 AS (SELECT i, regexp_replace(t, ' ?\n ?', chr(10), 'g') AS t FROM s6),
+      s8 AS (SELECT i, regexp_replace(t, '\n{2,}', chr(10), 'g') AS t FROM s7),
+      h AS (SELECT i, regexp_replace(t, '^\s+|\s+$', '', 'g') AS h FROM s8),
+      p AS (SELECT i,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+          'https?://[^\s<>"]+', '<URL>', 'g'),
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '(\d{1,3}\.){3}\d{1,3}', '<IP>', 'g'),
+          '\+?\d[\d ()-]{7,}\d', '<PHONE>', 'g') AS p FROM c),
+      d AS (SELECT i, array_to_string(
+              list_filter(string_split(t, chr(10)),
+                          (x, j) -> list_position(string_split(t, chr(10)), x) = j),
+              chr(10)) AS d FROM c)
+      SELECT h.i, h.h, p.p, d.d FROM h JOIN p ON h.i = p.i JOIN d ON h.i = d.i
+    """).fetchall()
+    for i, h, pp, dd in oracle:
+        assert got[i] == (h, pp, dd), (
+            f"case {i} diverged\nspark={got[i]!r}\nduck ={(h, pp, dd)!r}\n"
+            f"input={dict(cases)[i]!r}"
+        )
