@@ -729,3 +729,61 @@ def range_rank(
     if total_col is not None:
         out = out.withColumn(total_col, F.lit(total).cast("long"))
     return out.drop("_bkt", "_lrn")
+
+
+def grouping_sets_from_cells(
+    df: DataFrame,
+    dims: Sequence[str],
+    partial_aggs: Sequence[Column],
+    merge_aggs: Sequence[Column],
+    final_cols: "dict[str, Column]",
+    mode: str = "rollup",
+) -> DataFrame:
+    """ROLLUP/CUBE for LOW-CARDINALITY dimensions without the Expand
+    blowup: Spark's native rollup/cube plans an Expand that replicates
+    EVERY fact row once per grouping set (3× the map-side volume for a
+    2-dim rollup, 4× for a 2-dim cube) before the shuffle. When the
+    dims are low-cardinality — flags, statuses, categories — the
+    scale-right plan aggregates the fact ONCE onto the finest cells
+    (one partial-agg'd shuffle of the full data), pins the tiny cell
+    table (ops.pin), and derives every coarser grouping set by
+    re-aggregating CELLS, which costs nothing. Identical results to
+    native rollup/cube (subtotal rows carry NULL dims, NULL dim
+    values group together, exactly the SQL semantics) as long as
+    `merge_aggs` re-aggregate `partial_aggs` associatively (sum→sum,
+    count→sum, min→min; keep decimal partials exact so two-level
+    aggregation is bit-identical to one-level).
+
+    partial_aggs: aggs over raw rows → cell columns (aliased).
+    merge_aggs:   aggs over cell columns, same aliases.
+    final_cols:   output name → expression over merged aliases.
+    mode:         'rollup' (dim prefixes) or 'cube' (all subsets)."""
+    from itertools import combinations
+
+    dims = list(dims)
+    if mode == "rollup":
+        sets = [tuple(dims[:i]) for i in range(len(dims), -1, -1)]
+    elif mode == "cube":
+        sets = [
+            t
+            for r in range(len(dims), -1, -1)
+            for t in combinations(dims, r)
+        ]
+    else:
+        raise ValueError(f"mode must be rollup|cube, got {mode!r}")
+    dim_types = {f.name: f.dataType for f in df.select(*dims).schema.fields}
+    cells = pin(df.groupBy(*dims).agg(*partial_aggs))
+    levels = []
+    for g in sets:
+        lvl = cells.groupBy(*g).agg(*merge_aggs) if g else cells.agg(*merge_aggs)
+        proj = [
+            (F.col(d) if d in g else F.lit(None).cast(dim_types[d])).alias(d)
+            for d in dims
+        ]
+        levels.append(
+            lvl.select(*proj, *[v.alias(k) for k, v in final_cols.items()])
+        )
+    out = levels[0]
+    for l in levels[1:]:
+        out = out.unionByName(l)
+    return out

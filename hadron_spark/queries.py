@@ -437,11 +437,25 @@ def q13(spark, sf_dir):
     """,
 )
 def q14(spark, sf_dir):
-    """rollup grouping sets (declared free capability, SURVEY §2.4
-    note: 'Spark gives these free')."""
+    """rollup grouping sets — via ops.grouping_sets_from_cells, not
+    native `.rollup()`: the native plan's Expand replicates every
+    fact row once per grouping set (3× map-side volume here) before
+    the shuffle; the cells form aggregates the fact ONCE onto the
+    tiny (flag,status) cell table and derives the subtotal levels by
+    re-aggregating cells. Decimal partials stay exact so the
+    two-level sum is bit-identical to the native/oracle one-level
+    form."""
     li = load(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n")
+    return ops.grouping_sets_from_cells(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [F.sum(_dec("l_quantity")).alias("_q"), F.count(F.lit(1)).alias("_n")],
+        [F.sum("_q").alias("_q"), F.sum("_n").alias("_n")],
+        {
+            "sum_qty": F.col("_q").cast("decimal(18,4)").cast("double"),
+            "n": F.col("_n"),
+        },
+        mode="rollup",
     )
 
 
@@ -887,10 +901,21 @@ def q32(spark, sf_dir):
     """,
 )
 def q33(spark, sf_dir):
-    """cube grouping sets."""
+    """cube grouping sets — cells form (see q14): one fact shuffle
+    onto the finest cells instead of the native Expand's 4× map-side
+    replication; all four cube levels derive from the pinned cell
+    table."""
     li = load(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n")
+    return ops.grouping_sets_from_cells(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [F.sum(_dec("l_quantity")).alias("_q"), F.count(F.lit(1)).alias("_n")],
+        [F.sum("_q").alias("_q"), F.sum("_n").alias("_n")],
+        {
+            "sum_qty": F.col("_q").cast("decimal(18,4)").cast("double"),
+            "n": F.col("_n"),
+        },
+        mode="cube",
     )
 
 

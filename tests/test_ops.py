@@ -554,3 +554,39 @@ def test_pin_evaluates_once_and_preserves_rows(spark):
     j = pinned.alias("a").join(pinned.alias("b"), "g")
     jp = j._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" not in jp
+
+
+def test_grouping_sets_from_cells_matches_native(spark):
+    """Cells-form rollup/cube == native .rollup()/.cube() row-for-row,
+    including the tricky case where a dim VALUE is NULL (groups with
+    the subtotal rows' NULL markers exactly like SQL does)."""
+    from hadron_spark.operators.ops import grouping_sets_from_cells
+
+    df = spark.createDataFrame(
+        [("A", "x", 1), ("A", "y", 2), ("B", "x", 4), (None, "y", 8),
+         ("A", "x", 16), (None, None, 32)],
+        "d1 string, d2 string, v int",
+    )
+    partials = [F.sum("v").alias("_s"), F.count(F.lit(1)).alias("_n")]
+    merges = [F.sum("_s").alias("_s"), F.sum("_n").alias("_n")]
+    finals = {"s": F.col("_s"), "n": F.col("_n")}
+
+    def key(rows):
+        return sorted(
+            [(r["d1"], r["d2"], r["s"], r["n"]) for r in rows],
+            key=lambda t: tuple(str(x) for x in t),
+        )
+
+    for mode, native in (
+        ("rollup", df.rollup("d1", "d2")),
+        ("cube", df.cube("d1", "d2")),
+    ):
+        want = key(
+            native.agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")).collect()
+        )
+        got = key(
+            grouping_sets_from_cells(
+                df, ["d1", "d2"], partials, merges, finals, mode=mode
+            ).collect()
+        )
+        assert got == want, f"{mode}: {got} != {want}"
