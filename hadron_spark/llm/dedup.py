@@ -221,14 +221,14 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("_id"), "sig"
     )
     # The signature table feeds both sides of the self-join; without
-    # a persist the shingle-explode + hash-agg pipeline can run twice
-    # (runtime exchange reuse is plan-shape-dependent). The table is
+    # a pin the shingle-explode + hash-agg pipeline can run twice
+    # (runtime exchange reuse is plan-shape-dependent, and a lazy
+    # persist only dedupes after first materialization). The table is
     # |docs| × (id + n longs) — a few hundred bytes per doc,
-    # negligible next to the corpus — so MEMORY_AND_DISK is the
-    # standard trade at any scale.
-    from pyspark import StorageLevel
+    # negligible next to the corpus. EAGER ops.pin.
+    from hadron_spark.operators.ops import pin as _pin
 
-    sigged = sigged.persist(StorageLevel.MEMORY_AND_DISK)
+    sigged = _pin(sigged)
     banded = band_signatures(sigged, num_hashes, bands)
 
     if max_bucket_size:
@@ -370,11 +370,14 @@ def simhash_near_pairs(
         F.col(id_col).alias("_id"), "simhash"
     )
     # same rationale as minhash_lsh_pairs: the fingerprint table is
-    # tiny (id + one long per doc) but feeds both join sides —
-    # persist so the token-explode + packed-vote aggregate runs once.
-    from pyspark import StorageLevel
+    # tiny (id + one long per doc) but feeds both join sides — EAGER
+    # pin (ops.pin): a lazy persist still recomputes the token
+    # explode + packed-vote aggregate when concurrent branch stages
+    # race the first materialization, and leaves the full pipeline in
+    # the plan for every downstream branch.
+    from hadron_spark.operators.ops import pin as _pin
 
-    h = h.persist(StorageLevel.MEMORY_AND_DISK)
+    h = _pin(h)
     chunked = h.select(
         "_id",
         "simhash",
