@@ -136,3 +136,34 @@ def test_foreach_batch_upsert(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_hygiene_ops_stream_batch_parity(spark, sf_dir, tmp_path):
+    """The crawl-hygiene chain (html_to_text → dedup_lines →
+    redact_pii) is stateless expression work, so the SAME code runs
+    on a readStream unchanged — streaming ingest pipelines get the
+    scrub for free, byte-identical to batch."""
+    import shutil
+
+    from hadron_spark.functions.text import dedup_lines, html_to_text, redact_pii
+
+    staged = tmp_path / "docs"
+    staged.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", staged / "part-000.parquet")
+    batch = spark.read.parquet(str(staged))
+    stream = spark.readStream.schema(batch.schema).parquet(str(staged))
+
+    def chain(df):
+        wrapped = F.concat(
+            F.lit("<p>"), F.col("text"),
+            F.lit("</p><p>reach us: ops@example.org</p>"),
+        )
+        return df.select(
+            "doc_id", redact_pii(dedup_lines(html_to_text(wrapped))).alias("t")
+        )
+
+    got = run_stream_to_memory(chain(stream), "hyg_parity", output_mode="append")
+    want = {(r["doc_id"], r["t"]) for r in chain(batch).collect()}
+    have = {(r["doc_id"], r["t"]) for r in got.collect()}
+    assert have == want
+    assert all("<EMAIL>" in t for _, t in have)
