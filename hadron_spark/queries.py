@@ -7406,3 +7406,59 @@ def q176(spark, sf_dir):
         F.sum(F.size(tokenize(F.col("text")))).alias("total_tokens"),
         F.sum(F.length("text")).alias("total_chars"),
     )
+
+
+@_register(
+    "q177_line_protocol",
+    r"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x <> ''))) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def q177(spark, sf_dir):
+    """P11 tab wire format end-to-end (sources.pysource
+    .HadronLineDataSource — reference Protocol.hs lineC/parseLine):
+    documents staged as `source \t doc_id \t text` line files
+    (idempotent, one file per 100 docs so the source fans out
+    multi-partition), read back through the REGISTERED Python data
+    source with key_segments=2, then aggregated per source key. The
+    oracle computes the same accounting straight from the parquet
+    table — framing and unframing must be lossless for the hashes to
+    match."""
+    import os
+
+    from hadron_spark.functions.text import tokenize
+    from hadron_spark.sources.pysource import HadronLineDataSource
+
+    spark.dataSource.register(HadronLineDataSource)
+    staged = os.path.join(
+        "/tmp", f"q177_lines_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    if not os.path.isdir(staged) or not os.listdir(staged):
+        os.makedirs(staged, exist_ok=True)
+        rows = (
+            load(spark, sf_dir, "documents")
+            .select("source", "doc_id", "text")
+            .collect()
+        )
+        for i in range(0, len(rows), 100):
+            with open(
+                os.path.join(staged, f"part-{i // 100:05d}.tsv"),
+                "w",
+                encoding="utf-8",
+            ) as fh:
+                for r in rows[i : i + 100]:
+                    fh.write(f"{r['source']}\t{r['doc_id']}\t{r['text']}\n")
+    lines = (
+        spark.read.format("hadron_line")
+        .option("path", staged)
+        .option("key_segments", "2")
+        .load()
+    )
+    return lines.groupBy(F.col("k1").alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokenize(F.col("value")))).alias("total_tokens"),
+    )

@@ -139,3 +139,41 @@ def test_tap_orc_roundtrip(spark, sf_dir, tmp_path):
     back = Tap(d, fmt="orc").read(spark)
     assert back.count() == src.count()
     assert set(back.columns) == set(src.columns)
+
+
+def test_hadron_line_datasource_roundtrip(spark, tmp_path):
+    """P11 line wire format as a real Python DataSource: per-file
+    partitions, transparent .gz, tabs beyond the key segments stay in
+    the value (parseLine's split-first-k contract), write round-trips
+    via tmp-then-rename part files."""
+    import gzip
+
+    from hadron_spark.sources.pysource import HadronLineDataSource
+
+    spark.dataSource.register(HadronLineDataSource)
+    (tmp_path / "a.tsv").write_text(
+        "u1\tclick\tpage=/home extra\ttabbed\nu2\tview\tx\n"
+    )
+    with gzip.open(tmp_path / "b.tsv.gz", "wt") as fh:
+        fh.write("u3\tclick\tz\n")
+
+    df = (
+        spark.read.format("hadron_line")
+        .option("path", str(tmp_path))
+        .option("key_segments", "2")
+        .load()
+    )
+    rows = {tuple(r) for r in df.collect()}
+    assert ("u1", "click", "page=/home extra\ttabbed") in rows
+    assert ("u3", "click", "z") in rows
+    assert df.rdd.getNumPartitions() == 2  # one per file
+
+    out = str(tmp_path / "out")
+    df.write.format("hadron_line").option("path", out).mode("append").save()
+    back = (
+        spark.read.format("hadron_line")
+        .option("path", out)
+        .option("key_segments", "2")
+        .load()
+    )
+    assert {tuple(r) for r in back.collect()} == rows
