@@ -634,24 +634,24 @@ def range_rank(
     `F.row_number().over(Window.orderBy(...))`.
 
     Mechanics (the q92 carry-in trick generalized to ranking):
-      1. exact min/max of `key` (one tiny 1-row agg, broadcast) band
-         rows into `buckets` equi-width ordered buckets. The band id
-         is a monotone PURE FUNCTION of the row value and the
-         min/max pair — and min/max are exactly commutative
-         aggregates, so every re-evaluation of the 1-row frame is
-         bit-identical. Contrast the two rejected alternatives:
-         `spark_partition_id()` after `repartitionByRange` (bounds
-         re-sampled per subtree — the count branch and the rank
-         branch can silently disagree) and approx-quantile cutpoints
-         (better balanced, but sketch merges are fetch-order
-         sensitive, so two evaluations need not agree bit-for-bit).
-         Equi-width banding trades balance on heavy-tailed keys for
-         unconditional determinism; pass a variance-stabilized `key`
-         (log, unix_date, …) when the raw key is heavy-tailed.
+      1. exact min/max of `key` (driver-collected from the pinned
+         input — two scalars) band rows into `buckets` equi-width
+         ordered buckets. The band id is a monotone PURE FUNCTION of
+         the row value and the collected min/max literals. Contrast
+         the two rejected alternatives: `spark_partition_id()` after
+         `repartitionByRange` (bounds re-sampled per subtree — the
+         count branch and the rank branch can silently disagree) and
+         approx-quantile cutpoints (better balanced, but sketch
+         merges are fetch-order sensitive, so two evaluations need
+         not agree bit-for-bit). Equi-width banding trades balance on
+         heavy-tailed keys for unconditional determinism; pass a
+         variance-stabilized `key` (log, unix_date, …) when the raw
+         key is heavy-tailed.
       2. partition-local row_number per band (hash exchange on the
-         band id — parallel).
-      3. exclusive prefix counts over the |buckets|-row spine via
-         triangular broadcast join (no window), broadcast back.
+         band id — parallel; the plan's ONLY exchange).
+      3. exclusive prefix counts over the ≤`buckets` driver-collected
+         band counts, embedded as a literal long array indexed by
+         band id — no join, no broadcast, no second exchange.
       global rank = band offset + local rank. Ordering across bands
     is correct because banding depends only on `key`: rows equal on
     `key` land in the same band, and `order` must refine `key` to a

@@ -117,12 +117,15 @@ def main() -> None:
             n_out = fn(d)
             results[op][k] = (round(time.time() - t0, 2), int(n_out))
         d.unpersist()
-        li = blow_up_lineitem(li_base, k).repartition(32).localCheckpoint()
+        # the blown-up fact is a narrow union over the parquet scan —
+        # cheap to re-derive per op, and 150M+ checkpointed rows would
+        # pressure executor storage for no benefit (each op reads it
+        # once)
+        li = blow_up_lineitem(li_base, k)
         for op, fn in FACT_OPS.items():
             t0 = time.time()
             n_out = fn(li)
             fact_results[op][k] = (round(time.time() - t0, 2), int(n_out))
-        li.unpersist()
 
     lines = [
         "# SCALE — measured scaling of the LLM-op headliners",
