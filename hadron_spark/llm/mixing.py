@@ -1,0 +1,131 @@
+"""Domain-mixture reweighting for pretraining corpora.
+
+A corpus assembled from N sources (web crawl, code, books, wiki, …)
+is rarely trained at its natural proportions: high-quality small
+sources get upsampled, the dominant crawl gets tempered. The standard
+knob is temperature scaling — sampling weight w_i ∝ p_i^(1/T) where
+p_i is the source's natural token share (T=1 natural, T→∞ uniform).
+This module computes those weights and a deterministic per-source
+document budget entirely inside the engine.
+
+Determinism contract (the registry's oracle hashes values): the
+tempered share is quantized to integer micro-units via
+floor(sqrt(p)·1e6) before normalization, so every downstream number
+is a ratio of exact integers — one correctly-rounded double division
+that both the JVM and any C engine perform identically. `sqrt` is
+IEEE-correctly-rounded everywhere; general `pow` is NOT (libm
+implementations differ by ulps), which is why `alpha` values other
+than 0.5 carry a cross-engine determinism caveat (fine for
+production, not for bit-exact oracle comparison).
+
+100 TB shape: one partial-aggregated shuffle over the corpus to the
+per-source rollup (≤ thousands of groups), then driver-free scalar
+algebra on that tiny frame via a broadcast single-row total. Nothing
+funnels through one task; the corpus is scanned once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def mixture_weights(
+    df: DataFrame,
+    source_col: str,
+    tokens: Column,
+    alpha: float = 0.5,
+    budget: int | None = None,
+) -> DataFrame:
+    """Per-source tempered sampling weights over a document frame.
+
+    Returns one row per source:
+      source, n_docs, n_tokens,
+      natural_share  — n_tokens / total_tokens (double),
+      weight         — tempered + normalized share (double),
+      planned_docs   — floor(budget * weight) in exact integer math
+                       (only when `budget` is given).
+
+    alpha = 1/temperature: 1.0 keeps natural proportions, 0.5 is the
+    common sqrt tempering, 0.0 is uniform. Only alpha=0.5 (sqrt) and
+    the endpoints 0/1 are bit-portable across engines — see module
+    docstring.
+    """
+    per_src = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tokens).cast("bigint").alias("n_tokens"),
+    )
+    tot = per_src.agg(F.sum("n_tokens").alias("_total_tokens"))
+    # single-row total joined back by broadcast cross join: the
+    # per-source frame never leaves the executors, no collect.
+    j = per_src.crossJoin(F.broadcast(tot))
+    share = F.col("n_tokens").cast("double") / F.col("_total_tokens").cast(
+        "double"
+    )
+    if alpha == 0.5:
+        tempered = F.sqrt(share)
+    elif alpha == 1.0:
+        tempered = share
+    elif alpha == 0.0:
+        tempered = F.lit(1.0)
+    else:
+        tempered = F.pow(share, F.lit(float(alpha)))
+    # quantize to integer micro-units so the normalizing sum is exact
+    # integer addition (associative — safe to aggregate distributed)
+    j = j.withColumn(
+        "_mw", F.floor(tempered * F.lit(1000000.0)).cast("bigint")
+    )
+    mw_tot = j.agg(F.sum("_mw").alias("_mw_total"))
+    out = j.crossJoin(F.broadcast(mw_tot)).select(
+        F.col(source_col),
+        "n_docs",
+        "n_tokens",
+        share.alias("natural_share"),
+        (F.col("_mw").cast("double") / F.col("_mw_total").cast("double")).alias(
+            "weight"
+        ),
+        *(
+            [
+                # integer `div`, not `/`: Spark's `/` is double
+                # division and a ~1e10/1e7 quotient within 1 ulp of
+                # an integer truncates differently than exact
+                # integer division — `div` keeps it in bigint math.
+                F.expr(
+                    f"CAST(({int(budget)} * _mw) div _mw_total AS BIGINT)"
+                ).alias("planned_docs")
+            ]
+            if budget is not None
+            else []
+        ),
+    )
+    return out
+
+
+def mixture_resample(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    weights: DataFrame,
+    budget_col: str = "planned_docs",
+) -> DataFrame:
+    """Deterministically draw each source's planned_docs documents.
+
+    Hash-ranks documents within each source (md5 of the key — the
+    same re-shard-stable ordering as ops.hash_split) and keeps the
+    first planned_docs per source. The weights frame is tiny
+    (one row per source) → broadcast join; the rank is a per-source
+    window (parallel across sources). For a single enormous source at
+    100 TB, swap the window for ops.range_rank on the hash key.
+    """
+    from pyspark.sql import Window as _W
+
+    rank_w = _W.partitionBy(source_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    ranked = df.withColumn("_hr", F.row_number().over(rank_w))
+    keep = ranked.join(
+        F.broadcast(weights.select(source_col, budget_col)),
+        on=source_col,
+        how="inner",
+    ).filter(F.col("_hr") <= F.col(budget_col))
+    return keep.drop("_hr", budget_col)

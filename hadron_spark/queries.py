@@ -7462,3 +7462,159 @@ def q177(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(tokenize(F.col("value")))).alias("total_tokens"),
     )
+
+
+@_register(
+    "q178_mixture_weights",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+               AS n_tokens
+      FROM documents),
+    per_src AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM toks GROUP BY source),
+    m AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(n_tokens AS DOUBLE) / CAST(t.total AS DOUBLE)
+               AS natural_share,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)
+                             / CAST(t.total AS DOUBLE)) * 1000000.0)
+                  AS BIGINT) AS mw
+      FROM per_src, (SELECT SUM(n_tokens) AS total FROM per_src) t)
+    SELECT source, n_docs, n_tokens, natural_share,
+           CAST(mw AS DOUBLE) / CAST(s.mt AS DOUBLE) AS weight,
+           CAST((10000 * mw) // s.mt AS BIGINT) AS planned_docs
+    FROM m, (SELECT SUM(mw) AS mt FROM m) s
+    """,
+)
+def q178(spark, sf_dir):
+    """Domain-mixture temperature reweighting (llm.mixing
+    .mixture_weights): per-source token shares tempered by sqrt
+    (alpha=0.5, the standard T=2 knob) into normalized sampling
+    weights plus an exact-integer per-source document budget. The
+    tempered share is quantized to integer micro-units before
+    normalizing, so weight and planned_docs are ratios of exact
+    integers — bit-portable across engines (sqrt is IEEE-correctly-
+    rounded; general pow is not, see the module docstring). One
+    partial-agg shuffle over the corpus; the rollup is ~|sources|
+    rows and all later algebra rides broadcast single-row totals."""
+    from hadron_spark.functions.text import token_count
+    from hadron_spark.llm import mixing
+
+    docs = load(spark, sf_dir, "documents")
+    return mixing.mixture_weights(
+        docs, "source", token_count(F.col("text")), alpha=0.5, budget=10000
+    )
+
+
+@_register(
+    "q179_mixture_resample",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+               AS n_tokens
+      FROM documents),
+    per_src AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM toks GROUP BY source),
+    m AS (
+      SELECT source, n_docs,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)
+                             / CAST(t.total AS DOUBLE)) * 1000000.0)
+                  AS BIGINT) AS mw
+      FROM per_src, (SELECT SUM(n_tokens) AS total FROM per_src) t),
+    w AS (
+      SELECT source, CAST((1000 * mw) // s.mt AS BIGINT) AS planned_docs
+      FROM m, (SELECT SUM(mw) AS mt FROM m) s),
+    ranked AS (
+      SELECT d.source, d.doc_id, w.planned_docs,
+             row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS hr
+      FROM documents d JOIN w USING (source))
+    SELECT source, COUNT(*) AS n_drawn,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+    FROM ranked WHERE hr <= planned_docs
+    GROUP BY source
+    """,
+)
+def q179(spark, sf_dir):
+    """Deterministic mixture resampling (llm.mixing.mixture_resample):
+    draw each source's planned_docs documents by md5-hash rank — the
+    same re-shard-stable ordering as ops.hash_split, so the draw is
+    identical on any cluster layout and any engine. The weights frame
+    is |sources| rows → broadcast join; ranking is a per-source
+    window (parallel across sources; for one enormous source use
+    ops.range_rank on the hash key). The oracle re-derives the exact
+    drawn set and checksums it (count / min / sum of doc ids)."""
+    from hadron_spark.functions.text import token_count
+    from hadron_spark.llm import mixing
+
+    docs = load(spark, sf_dir, "documents")
+    w = mixing.mixture_weights(
+        docs, "source", token_count(F.col("text")), alpha=0.5, budget=1000
+    )
+    drawn = mixing.mixture_resample(docs, "source", "doc_id", w)
+    return drawn.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_drawn"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.sum("doc_id").cast("bigint").alias("doc_id_sum"),
+    )
+
+
+@_register(
+    "q180_int8_quantize",
+    """
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    m AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS max_abs
+      FROM e)
+    SELECT vec_id, max_abs,
+           CASE WHEN max_abs = 0 THEN CAST(0 AS BIGINT) ELSE
+             CAST(list_aggregate(list_transform(v, x ->
+               CAST(greatest(-127.0, least(127.0,
+                 floor(x * (127.0 / max_abs) + 0.5))) AS BIGINT)), 'sum')
+               AS BIGINT)
+           END AS code_sum,
+           CASE WHEN max_abs = 0 THEN 0.0 ELSE
+             list_max(list_transform(v, x ->
+               abs(x - greatest(-127.0, least(127.0,
+                     floor(x * (127.0 / max_abs) + 0.5)))
+                     / (127.0 / max_abs))))
+           END AS max_err
+    FROM m
+    """,
+)
+def q180(spark, sf_dir):
+    """Symmetric int8 scalar quantization of the embedding corpus
+    (functions.vectors.int8_quantize) — 4x smaller vectors for the
+    ANN tiers — verified code-for-code against the oracle: code_sum
+    checksums the integer codes, max_err the reconstruction bound.
+    floor(x+0.5) instead of round() because engine round()
+    tie-breaking differs; every other step is IEEE double algebra,
+    so both columns hash identically. Narrow per-row expression work
+    — no shuffle at all; at 100 TB this runs at scan speed."""
+    from hadron_spark.functions import vectors
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = vectors.int8_quantize(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        vectors.max_abs(F.col("embedding")).alias("max_abs"),
+        F.aggregate(
+            q,
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x.cast("bigint"),
+        ).alias("code_sum"),
+        vectors.int8_dequant_max_err(F.col("embedding")).alias("max_err"),
+    )

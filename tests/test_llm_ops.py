@@ -746,3 +746,113 @@ def test_text_ops_cross_engine_fuzz(spark):
             f"case {i} diverged\nspark={got[i]!r}\nduck ={(h, pp, dd)!r}\n"
             f"input={dict(cases)[i]!r}"
         )
+
+
+def test_mixture_weights_properties(spark):
+    """Weights are normalized, monotone in token share, tempered
+    toward uniform (small sources upweighted vs natural share), and
+    planned_docs respects the budget within |sources| rounding."""
+    import pandas as pd
+
+    from hadron_spark.llm.mixing import mixture_weights
+
+    pdf = pd.DataFrame(
+        {
+            "source": ["web"] * 80 + ["code"] * 15 + ["wiki"] * 5,
+            "doc_id": range(100),
+            "n_tok": [100] * 80 + [100] * 15 + [100] * 5,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = mixture_weights(
+        df, "source", F.col("n_tok"), alpha=0.5, budget=1000
+    ).toPandas().set_index("source")
+    assert abs(out["natural_share"].sum() - 1.0) < 1e-12
+    assert abs(out["weight"].sum() - 1.0) < 1e-9
+    # sqrt tempering: dominant source damped, small sources boosted
+    assert out.loc["web", "weight"] < out.loc["web", "natural_share"]
+    assert out.loc["wiki", "weight"] > out.loc["wiki", "natural_share"]
+    # ordering by share is preserved
+    assert (
+        out.loc["web", "weight"]
+        > out.loc["code", "weight"]
+        > out.loc["wiki", "weight"]
+    )
+    # floor-based budget: never over, short by at most |sources|
+    total_planned = int(out["planned_docs"].sum())
+    assert 1000 - 3 <= total_planned <= 1000
+
+
+def test_mixture_resample_deterministic_and_budgeted(spark):
+    """The drawn set is exactly planned_docs per source (when the
+    source has enough docs) and identical across repartitionings —
+    the md5 rank is layout-independent."""
+    import pandas as pd
+
+    from hadron_spark.llm.mixing import mixture_resample, mixture_weights
+
+    pdf = pd.DataFrame(
+        {
+            "source": ["a"] * 60 + ["b"] * 40,
+            "doc_id": range(100),
+            "n_tok": [10] * 100,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    w = mixture_weights(df, "source", F.col("n_tok"), alpha=0.5, budget=50)
+    drawn1 = mixture_resample(df, "source", "doc_id", w)
+    drawn2 = mixture_resample(
+        df.repartition(7, "doc_id"), "source", "doc_id", w
+    )
+    ids1 = sorted(r["doc_id"] for r in drawn1.collect())
+    ids2 = sorted(r["doc_id"] for r in drawn2.collect())
+    assert ids1 == ids2
+    planned = {
+        r["source"]: r["planned_docs"]
+        for r in w.select("source", "planned_docs").collect()
+    }
+    got = {
+        r["source"]: r["n"]
+        for r in drawn1.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for s, n in got.items():
+        assert n == min(planned[s], 60 if s == "a" else 40)
+
+
+def test_int8_quantize_roundtrip_bound(spark):
+    """Codes are in [-127,127]; reconstruction error is bounded by
+    max_abs/254 + float32-cast noise; zero vectors quantize clean."""
+    import pandas as pd
+
+    from hadron_spark.functions.vectors import (
+        int8_dequant_max_err,
+        int8_quantize,
+        max_abs,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2],
+            "v": [
+                [0.5, -1.0, 0.25, 0.0],
+                [0.0, 0.0, 0.0, 0.0],
+                [3.0, -3.0, 1.5, 2.9999],
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = df.select(
+        "vec_id",
+        int8_quantize(F.col("v")).alias("q"),
+        int8_dequant_max_err(F.col("v")).alias("err"),
+        max_abs(F.col("v")).alias("ma"),
+    ).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert by_id[1]["q"] == [0, 0, 0, 0] and by_id[1]["err"] == 0.0
+    # exact representables: 0.5/-1.0/0.25/0 at scale 127 round clean
+    assert by_id[0]["q"] == [64, -127, 32, 0]
+    for r in out:
+        assert all(-127 <= c <= 127 for c in r["q"])
+        assert r["err"] <= r["ma"] / 254.0 + 1e-6
