@@ -310,3 +310,46 @@ def chunk_text(
             F.md5(chunk).alias("chunk_md5"),
         )
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shards: int = 16,
+) -> DataFrame:
+    """Positional inverted index: token → sorted posting list of
+    (doc, pos), the retrieval-side substrate behind bm25_topk (which
+    scores query-time; this materializes the index itself).
+
+    Returns one row per (token, shard): n_docs (document frequency),
+    n_occ (collection frequency), postings — array<struct<doc,pos>>
+    sorted by (doc, pos).
+
+    Scale design: a single groupBy(token) dies at 100 TB because
+    stop-word posting lists are corpus-sized (the classic skew).
+    Sharding the group key by pmod(doc, shards) caps every group at
+    ~1/shards of the worst token's postings — size `shards` so the
+    hottest token's slice fits an executor (e.g. 4096 at corpus
+    scale), and merge or concatenate shards at serving time (they
+    are disjoint, already sorted doc ranges modulo `shards`). One
+    shuffle on (token, shard); the posexplode is narrow.
+    """
+    from hadron_spark.functions.text import tokenize
+
+    toks = df.select(
+        F.col(id_col).cast("bigint").alias("doc"),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "token"),
+    )
+    return (
+        toks.groupBy(
+            "token", F.pmod(F.col("doc"), F.lit(shards)).cast("int").alias("shard")
+        )
+        .agg(
+            F.count_distinct("doc").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("doc"), F.col("pos")))
+            ).alias("postings"),
+        )
+    )

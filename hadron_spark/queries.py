@@ -7618,3 +7618,115 @@ def q180(spark, sf_dir):
         ).alias("code_sum"),
         vectors.int8_dequant_max_err(F.col("embedding")).alias("max_err"),
     )
+
+
+@_register(
+    "q181_inverted_index",
+    r"""
+    WITH t AS (
+      SELECT doc_id AS doc,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS lst
+      FROM documents),
+    toks AS (
+      SELECT doc, unnest(lst) AS token,
+             CAST(unnest(range(len(lst))) AS INT) AS pos
+      FROM t)
+    SELECT token, CAST(doc % 16 AS INT) AS shard,
+           COUNT(DISTINCT doc) AS n_docs, COUNT(*) AS n_occ,
+           array_to_string(
+             (list(CAST(doc AS VARCHAR) || ':' || CAST(pos AS VARCHAR)
+                   ORDER BY doc, pos))[1:5], ',') AS postings_head,
+           CAST(SUM(doc * 100003 + pos) AS BIGINT) AS checksum
+    FROM toks GROUP BY token, shard
+    """,
+)
+def q181(spark, sf_dir):
+    """Positional inverted-index build (llm.textstats.inverted_index):
+    token → sorted (doc, pos) posting lists, group key sharded by
+    pmod(doc, 16) so no stop-word posting list ever exceeds ~1/16 of
+    its corpus-wide size (the skew that kills a naive groupBy(token)
+    at 100 TB). The oracle re-derives every posting and checks the
+    full list through an order-sensitive head sample plus an exact
+    integer checksum over (doc, pos) pairs."""
+    from hadron_spark.llm.textstats import inverted_index
+
+    docs = load(spark, sf_dir, "documents")
+    idx = inverted_index(docs, "doc_id", "text", shards=16)
+    head = F.concat_ws(
+        ",",
+        F.transform(
+            F.slice(F.col("postings"), 1, 5),
+            lambda p: F.concat_ws(":", p["doc"].cast("string"), p["pos"].cast("string")),
+        ),
+    )
+    checksum = F.aggregate(
+        F.col("postings"),
+        F.lit(0).cast("bigint"),
+        lambda acc, p: acc
+        + p["doc"].cast("bigint") * F.lit(100003).cast("bigint")
+        + p["pos"].cast("bigint"),
+    )
+    return idx.select(
+        "token",
+        "shard",
+        "n_docs",
+        "n_occ",
+        head.alias("postings_head"),
+        checksum.alias("checksum"),
+    )
+
+
+@_register(
+    "q182_ordered_export",
+    r"""
+    WITH t AS (
+      SELECT len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+               AS k
+      FROM documents),
+    b AS (SELECT MIN(CAST(k AS DOUBLE)) AS lo, MAX(CAST(k AS DOUBLE)) AS hi
+          FROM t),
+    banded AS (
+      SELECT k,
+             CASE WHEN hi > lo THEN
+               least(7, greatest(0,
+                 CAST(floor((CAST(k AS DOUBLE) - lo) / ((hi - lo) / 8.0))
+                      AS INT)))
+             ELSE 0 END AS band
+      FROM t, b)
+    SELECT band, COUNT(*) AS n_rows,
+           CAST(MIN(k) AS BIGINT) AS min_key,
+           CAST(MAX(k) AS BIGINT) AS max_key
+    FROM banded GROUP BY band
+    """,
+)
+def q182(spark, sf_dir):
+    """Curriculum-ordered corpus export (ops.ordered_export):
+    documents written easy→hard by token count across 8 band dirs,
+    each file internally sorted — a total order with no single-
+    partition sort. The write really happens (temp dir, removed
+    after); the returned manifest is assembled from the committed
+    parquet footers (zero data re-read), and the oracle recomputes
+    the same deterministic equi-width banding from the raw table —
+    footer statistics must agree with a from-scratch SQL derivation
+    for the hashes to match."""
+    import shutil
+    import tempfile
+
+    from hadron_spark.functions.text import token_count
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tok")
+    )
+    out_dir = tempfile.mkdtemp(prefix="q182_export_")
+    try:
+        manifest = ops.ordered_export(
+            docs, F.col("n_tok"), out_dir, bands=8
+        )
+        # materialize the manifest before the dir is removed (it is
+        # driver-side rows already — createDataFrame over footer
+        # stats — so this is cheap and safe)
+        return manifest
+    finally:
+        import atexit
+
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)

@@ -856,3 +856,36 @@ def test_int8_quantize_roundtrip_bound(spark):
     for r in out:
         assert all(-127 <= c <= 127 for c in r["q"])
         assert r["err"] <= r["ma"] / 254.0 + 1e-6
+
+
+def test_inverted_index_postings_exact(spark):
+    """Posting lists are complete, (doc,pos)-sorted, and shard-
+    disjoint; df/cf match a hand computation."""
+    import pandas as pd
+
+    from hadron_spark.llm.textstats import inverted_index
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["a b a", "b c", "a c c a"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    rows = inverted_index(df, "doc_id", "text", shards=2).collect()
+    # merge shards per token (disjoint doc sets, each pre-sorted)
+    by_tok: dict = {}
+    for r in rows:
+        e = by_tok.setdefault(r["token"], {"docs": set(), "occ": 0, "posts": []})
+        docs_in_shard = {p["doc"] for p in r["postings"]}
+        assert not (e["docs"] & docs_in_shard)  # shard disjointness
+        e["docs"] |= docs_in_shard
+        e["occ"] += r["n_occ"]
+        e["posts"] += [(p["doc"], p["pos"]) for p in r["postings"]]
+        assert r["postings"] == sorted(
+            r["postings"], key=lambda p: (p["doc"], p["pos"])
+        )
+    assert sorted(by_tok["a"]["posts"]) == [(0, 0), (0, 2), (2, 0), (2, 3)]
+    assert sorted(by_tok["b"]["posts"]) == [(0, 1), (1, 0)]
+    assert sorted(by_tok["c"]["posts"]) == [(1, 1), (2, 1), (2, 2)]
+    assert by_tok["a"]["docs"] == {0, 2} and by_tok["a"]["occ"] == 4
