@@ -99,10 +99,21 @@ def main() -> None:
     time.sleep(1.0)
 
     # two timed iterations per query, report the min (JMH practice):
-    # single-shot local-mode timings carry 2-3x spikes when a JIT
-    # recompile or GC pause lands inside one timed window — the min
-    # of two is a far lower-variance estimator of steady-state cost
-    # and is what a capacity plan would use.
+    # single-shot local-mode timings carry 2-3x spikes when a GC
+    # pause or recompile lands inside one timed window — the min of
+    # two is a far lower-variance estimator of steady-state cost and
+    # is what a capacity plan would use.
+    #
+    # GC placement matters both ways: a full GC unloads whole-stage-
+    # codegen generated classes (classloaders only weakly reachable),
+    # so a GC between the two iterations forces a Janino recompile
+    # inside iteration 2's window (measured +0.35 s on the 2-join
+    # decimal-agg plan); NO GC at all lets earlier queries' garbage
+    # (broadcast relations, Arrow buffers) trigger organic full GCs
+    # inside BOTH iterations of whichever query is running when the
+    # heap fills (measured +2 s spikes). So: untimed GC BETWEEN
+    # queries — iteration 1 eats the recompile (discarded by the
+    # min), iteration 2 runs with compiled classes on a clean heap.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
@@ -113,11 +124,8 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
-            # untimed GC between iterations: a query's garbage (esp.
-            # the streaming micro-batch driver's) must not be
-            # collected inside the NEXT timed window
-            spark._jvm.System.gc()
         timings[name] = round(best, 3)
+        spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(
