@@ -1,0 +1,108 @@
+"""Sequence packing: concat-and-chunk a corpus into fixed-length
+training sequences.
+
+Pretraining dataloaders do not feed one document per sequence — they
+concatenate the token stream of the whole (ordered) corpus and slice
+it into fixed `seq_len` windows, so every sequence is exactly full
+and documents straddle boundaries (GPT-2/3 style "packing"; the
+EOS-joined variant differs only by +1 token per document, which the
+caller can fold into the count expression). The reference engine has
+no notion of this (SURVEY §2 stops at record-level transforms); for
+an LLM-data engine it is the step that turns a cleaned corpus into
+the actual shard layout a trainer consumes.
+
+The whole computation is integer arithmetic over a global prefix sum
+of per-document token counts — the one global-ordering primitive that
+normally costs a single-partition window. Here it rides on
+`ops.range_cumsum` (the range_rank banding trick): band by the order
+key, driver-collect per-band sums, literal-array offsets, ONE hash
+exchange. Everything downstream is a narrow `sequence()` explode —
+a document overlapping k sequences emits k span rows — so the op is
+a two-pass, one-shuffle plan at any corpus size, and every output
+column is exact long arithmetic (bit-identical in any engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hadron_spark.operators import ops
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    count: Column,
+    seq_len: int,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Assign every document its span(s) in the packed fixed-length
+    sequence space.
+
+    The corpus is ordered by `id_col` (must be numeric and unique —
+    the curriculum order; run `ops.ordered_export` first for a
+    different order and pack on its rank). `count` is the per-row
+    token count expression (e.g. `text.token_count(...)`; add +1 for
+    an EOS separator if the trainer inserts one). Zero-token rows
+    participate in nothing but keep their neighbors' offsets stable.
+
+    Output, one row per (document × overlapped sequence):
+      seq_id       — 0-based fixed-length sequence index
+      <id_col>     — the document
+      begin_in_seq / end_in_seq — the doc's half-open token span
+                     within this sequence (0 ≤ b < e ≤ seq_len)
+      doc_offset   — where this span starts inside the document
+      n_tok        — span length = end_in_seq - begin_in_seq
+
+    Scale shape: one exchange (the banded prefix sum), then a narrow
+    explode whose fan-out is ceil(n_tok/seq_len)+1 per row — bounded
+    by document length, never by corpus size."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    base = df.select(F.col(id_col), count.cast("long").alias("_n"))
+    cum = ops.range_cumsum(
+        base,
+        key=F.col(id_col),
+        val=F.col("_n"),
+        order=[F.col(id_col)],
+        out_col="_b",
+        buckets=buckets,
+    )
+    sl = int(seq_len)
+    L = F.lit(sl).cast("long")
+    b, e = F.col("_b"), F.col("_b") + F.col("_n")
+    # `div` is exact long floor-division (never the double-rounding
+    # of `/` — offsets at 100 TB of tokens brush against 2^53)
+    spans = (
+        cum.filter(F.col("_n") > 0)
+        .withColumn("_e", e)
+        .withColumn(
+            "seq_id",
+            F.explode(F.sequence(F.expr(f"_b div {sl}"), F.expr(f"(_e - 1) div {sl}"))),
+        )
+        .withColumn("seq_id", F.col("seq_id").cast("long"))
+    )
+    lo = F.col("seq_id") * L
+    hi = lo + L
+    return spans.select(
+        "seq_id",
+        id_col,
+        (F.greatest(b, lo) - lo).cast("long").alias("begin_in_seq"),
+        (F.least(e, hi) - lo).cast("long").alias("end_in_seq"),
+        F.greatest(F.lit(0).cast("long"), lo - b).alias("doc_offset"),
+        (F.least(e, hi) - F.greatest(b, lo)).cast("long").alias("n_tok"),
+    )
+
+
+def packing_stats(packed: DataFrame) -> DataFrame:
+    """Per-sequence fill accounting over `pack_sequences` output:
+    how many documents touch each sequence and how full it is (only
+    the final sequence of the corpus can be short). Narrow groupBy
+    on seq_id — one partial-agg'd exchange over the span table."""
+    return packed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("fill_tokens"),
+        F.min("begin_in_seq").alias("first_begin"),
+        F.max("end_in_seq").alias("last_end"),
+    )

@@ -731,6 +731,79 @@ def range_rank(
     return out.drop("_bkt", "_lrn")
 
 
+def range_cumsum(
+    df: DataFrame,
+    key: Column,
+    val: Column,
+    order: Sequence[Column],
+    out_col: str = "prefix",
+    inclusive: bool = False,
+    buckets: int | None = None,
+    materialize: str = "local_checkpoint",
+) -> DataFrame:
+    """Global prefix SUM over an arbitrarily large frame with NO
+    single-partition window — `range_rank`'s trick applied to a
+    running total instead of a rank (SUM(val) OVER (ORDER BY ...)).
+
+    Mechanics: band rows into equi-width buckets of the collected
+    min/max of `key` (a pure function of the row value — both plan
+    branches agree unconditionally, see range_rank's rationale for
+    rejecting repartitionByRange/approx-quantiles), driver-collect
+    the ≤`buckets` per-band sums (tiny scalars), embed their
+    exclusive prefix as a literal long array, and add a
+    partition-local running sum per band (the plan's ONLY exchange).
+
+    `val` must be integral (cast to long here) — long addition is
+    associative, so the banded two-level sum is bit-identical to any
+    sequential evaluation; float prefix sums are order-sensitive and
+    NOT supported. `order` must refine `key` to a total order.
+    Default is the EXCLUSIVE prefix (sum of strictly-preceding rows;
+    0 for the first row) — the form offsets/packing need;
+    ``inclusive=True`` adds the current row's value.
+
+    Cost at 100 TB: input materialized once (see _materialize_once),
+    one cheap min/max pass, one per-band-sum pass, one hash exchange
+    for the windowed pass. Nothing funnels through one task."""
+    df = _materialize_once(df, materialize)
+    spark = df.sparkSession
+    nb = buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    kd = key.cast("double")
+    vl = val.cast("long")
+    lo, hi = df.agg(F.min(kd).alias("_lo"), F.max(kd).alias("_hi")).first()
+    if nb > 1 and lo is not None and hi > lo:
+        width = (hi - lo) / float(nb)
+        bkt = F.least(
+            F.lit(nb - 1),
+            F.greatest(
+                F.lit(0), F.floor((kd - F.lit(lo)) / F.lit(width)).cast("int")
+            ),
+        )
+    else:
+        nb, bkt = 1, F.lit(0)
+    banded = df.withColumn("_bkt", bkt).withColumn("_v", vl)
+    per_band = {
+        r["_bkt"]: r["_s"]
+        for r in banded.groupBy("_bkt").agg(F.sum("_v").alias("_s")).collect()
+    }
+    offs, running = [], 0
+    for b in range(nb):
+        offs.append(running)
+        running += per_band.get(b, 0) or 0
+    off_expr = F.element_at(
+        F.array(*[F.lit(o).cast("long") for o in offs]), F.col("_bkt") + 1
+    )
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum("_v").over(w)
+    if not inclusive:
+        run = run - F.col("_v")
+    out = banded.withColumn(out_col, (off_expr + run).cast("long"))
+    return out.drop("_bkt", "_v")
+
+
 def grouping_sets_from_cells(
     df: DataFrame,
     dims: Sequence[str],

@@ -7730,3 +7730,78 @@ def q182(spark, sf_dir):
         import atexit
 
         atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+
+
+_PACK_SPANS_SQL = r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+                  AS BIGINT) AS n
+      FROM documents),
+    c AS (
+      SELECT doc_id, n,
+             CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS b
+      FROM t),
+    s AS (SELECT doc_id, n, b, CAST(b + n AS BIGINT) AS e FROM c WHERE n > 0),
+    spans AS (
+      SELECT CAST(u.seq_id AS BIGINT) AS seq_id,
+             s.doc_id,
+             CAST(GREATEST(s.b, u.seq_id*128) - u.seq_id*128 AS BIGINT)
+               AS begin_in_seq,
+             CAST(LEAST(s.e, (u.seq_id+1)*128) - u.seq_id*128 AS BIGINT)
+               AS end_in_seq,
+             CAST(GREATEST(0, u.seq_id*128 - s.b) AS BIGINT) AS doc_offset,
+             CAST(LEAST(s.e, (u.seq_id+1)*128) - GREATEST(s.b, u.seq_id*128)
+                  AS BIGINT) AS n_tok
+      FROM s, unnest(generate_series(s.b // 128, (s.e-1) // 128)) AS u(seq_id))
+"""
+
+
+@_register(
+    "q183_pack_sequences",
+    _PACK_SPANS_SQL + "SELECT * FROM spans",
+)
+def q183(spark, sf_dir):
+    """Concat-and-chunk sequence packing (llm.packing.pack_sequences):
+    the corpus token stream sliced into fixed 128-token training
+    sequences, one span row per (document x overlapped sequence).
+    The global token offset is a banded range_cumsum — range_rank's
+    literal-offset trick applied to a prefix SUM — so the plan has
+    ONE hash exchange and no single-partition window at any corpus
+    size. All-long arithmetic: bit-identical across engines."""
+    from hadron_spark.functions.text import token_count
+    from hadron_spark.llm import packing
+
+    docs = load(spark, sf_dir, "documents")
+    return packing.pack_sequences(
+        docs, "doc_id", token_count(F.col("text")), seq_len=128
+    )
+
+
+@_register(
+    "q184_pack_stats",
+    _PACK_SPANS_SQL
+    + """
+    SELECT seq_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS fill_tokens,
+           MIN(begin_in_seq) AS first_begin,
+           MAX(end_in_seq) AS last_end
+    FROM spans GROUP BY seq_id
+    """,
+)
+def q184(spark, sf_dir):
+    """Per-sequence fill accounting over the packed span table:
+    every sequence must be exactly full (fill_tokens = seq_len,
+    first_begin = 0, last_end = seq_len) except the corpus tail —
+    the invariant a trainer's dataloader relies on. Narrow groupBy
+    over the span table on top of q183's one-shuffle plan."""
+    from hadron_spark.functions.text import token_count
+    from hadron_spark.llm import packing
+
+    docs = load(spark, sf_dir, "documents")
+    packed = packing.pack_sequences(
+        docs, "doc_id", token_count(F.col("text")), seq_len=128
+    )
+    return packing.packing_stats(packed)

@@ -1,0 +1,75 @@
+"""Sequence packing (llm.packing): range_cumsum prefix math and the
+concat-and-chunk span invariants a trainer relies on."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from hadron_spark.llm import packing
+from hadron_spark.operators import ops
+
+
+def test_range_cumsum_matches_builtin_window(spark):
+    rows = [(i, (i * 37) % 11 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = ops.range_cumsum(
+        df, key=F.col("k"), val=F.col("v"), order=[F.col("k")], out_col="p", buckets=8
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    want = df.withColumn("p", F.coalesce(F.sum("v").over(w), F.lit(0)))
+    assert sorted(got.collect()) == sorted(want.collect())
+    # inclusive variant
+    got_i = ops.range_cumsum(
+        df, key=F.col("k"), val=F.col("v"), order=[F.col("k")],
+        out_col="p", inclusive=True, buckets=8,
+    )
+    w2 = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want_i = df.withColumn("p", F.sum("v").over(w2))
+    assert sorted(got_i.collect()) == sorted(want_i.collect())
+
+
+def test_pack_sequences_invariants(spark):
+    # doc lengths engineered to straddle boundaries; include a zero-
+    # length doc (must vanish from spans without shifting offsets)
+    lens = [5, 0, 130, 7, 128, 1, 300, 64, 63, 2]
+    df = spark.createDataFrame(list(enumerate(lens)), "doc_id long, n long")
+    packed = packing.pack_sequences(df, "doc_id", F.col("n"), seq_len=128)
+    rows = packed.collect()
+    total = sum(lens)
+    # every token accounted exactly once
+    assert sum(r.n_tok for r in rows) == total
+    # spans lie inside [0, seq_len), non-empty, consistent
+    for r in rows:
+        assert 0 <= r.begin_in_seq < r.end_in_seq <= 128
+        assert r.n_tok == r.end_in_seq - r.begin_in_seq
+        assert r.doc_offset >= 0
+    # zero-length doc emits nothing
+    assert not [r for r in rows if r.doc_id == 1]
+    # doc 6 (300 tokens) spans ceil+1 sequences contiguously
+    d6 = sorted((r for r in rows if r.doc_id == 6), key=lambda r: r.seq_id)
+    assert [r.seq_id for r in d6] == list(
+        range(d6[0].seq_id, d6[0].seq_id + len(d6))
+    )
+    assert sum(r.n_tok for r in d6) == 300
+    assert d6[0].doc_offset == 0
+    # per-doc offsets chain: each later span starts where prior ended
+    off = 0
+    for r in d6:
+        assert r.doc_offset == off
+        off += r.n_tok
+    # stats: all sequences full except the last
+    stats = packing.packing_stats(packed).collect()
+    last = max(s.seq_id for s in stats)
+    for s in stats:
+        if s.seq_id != last:
+            assert s.fill_tokens == 128 and s.first_begin == 0 and s.last_end == 128
+    assert sum(s.fill_tokens for s in stats) == total
+
+
+def test_pack_sequences_rejects_bad_seq_len(spark):
+    df = spark.createDataFrame([(0, 1)], "doc_id long, n long")
+    with pytest.raises(ValueError):
+        packing.pack_sequences(df, "doc_id", F.col("n"), seq_len=0)
