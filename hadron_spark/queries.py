@@ -7805,3 +7805,53 @@ def q184(spark, sf_dir):
         docs, "doc_id", token_count(F.col("text")), seq_len=128
     )
     return packing.packing_stats(packed)
+
+
+@_register(
+    "q185_gram_matrix",
+    r"""
+    WITH q AS (SELECT list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE)*100000 + 0.5) AS BIGINT)) AS v
+               FROM embeddings),
+    g AS (
+     SELECT CAST(i.i AS INT) AS i, CAST(j.j AS INT) AS j,
+            CAST(CAST(SUM(q.v[CAST(i.i AS INT)+1] * q.v[CAST(j.j AS INT)+1])
+                      AS DECIMAL(38,0)) AS DOUBLE) AS g
+     FROM q, range(64) i(i), range(64) j(j)
+     WHERE i.i <= j.j GROUP BY 1,2),
+    sums AS (
+     SELECT CAST(i.i AS INT) AS i, CAST(-1 AS INT) AS j,
+            CAST(CAST(SUM(q.v[CAST(i.i AS INT)+1]) AS DECIMAL(38,0))
+                 AS DOUBLE) AS g
+     FROM q, range(64) i(i) GROUP BY 1,2),
+    cnt AS (SELECT CAST(-1 AS INT) AS i, CAST(-1 AS INT) AS j,
+                   CAST(COUNT(*) AS DOUBLE) AS g FROM q)
+    SELECT * FROM g UNION ALL SELECT * FROM sums UNION ALL SELECT * FROM cnt
+    """,
+)
+def q185(spark, sf_dir):
+    """Exact distributed Gram matrix of the embedding column
+    (llm.embeddings.gram_matrix): one Arrow-batched pass computing
+    int64 X'X partials per batch, a d(d+1)/2-row partial-sum shuffle,
+    DECIMAL(38,0) accumulation, one double cast. The corpus itself
+    never shuffles — only per-batch d x d partials move. Column sums
+    ride as j=-1 rows and the count as (-1,-1): the full sufficient
+    statistic for PCA from one pass."""
+    from hadron_spark.llm import embeddings
+
+    return embeddings.gram_matrix(load(spark, sf_dir, "embeddings"))
+
+
+@_register("q186_pca_variance", None)
+def q186(spark, sf_dir):
+    """PCA explained-variance diagnostic (llm.embeddings.pca_fit +
+    pca_explained_variance): distributed Gram pass (q185's plan) then
+    an O(d^3) driver eigendecomposition of the d x d covariance —
+    only d^2 scalars reach the driver (the kmeans-centroid
+    contract). No SQL oracle: the eigensolve is iterative LAPACK;
+    test_embeddings pins it against a same-data numpy reference."""
+    from hadron_spark.llm import embeddings
+
+    return embeddings.pca_explained_variance(
+        load(spark, sf_dir, "embeddings"), k=8
+    )

@@ -1,0 +1,78 @@
+"""PCA / Gram over embeddings (llm.embeddings): exact one-pass
+moments and a same-data numpy reference for the eigensolve."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hadron_spark.llm import embeddings as E
+
+
+@pytest.fixture(scope="module")
+def vecs(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    X = np.array(
+        [r.embedding for r in df.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    return df, X
+
+
+def test_gram_matrix_exact_vs_numpy(vecs):
+    df, X = vecs
+    Q = np.floor(X * E.DEFAULT_QUANT + 0.5).astype(np.int64)
+    G = Q.T @ Q
+    s = Q.sum(axis=0)
+    got = {(r.i, r.j): r.g for r in E.gram_matrix(df).collect()}
+    d = X.shape[1]
+    assert got[(-1, -1)] == float(X.shape[0])
+    for i in range(d):
+        assert got[(i, -1)] == float(s[i])
+    # every upper-triangle entry exact (int64 sums are bit-portable)
+    for i in range(d):
+        for j in range(i, d):
+            assert got[(i, j)] == float(G[i, j]), (i, j)
+    # exactly the expected row count: triangle + sums + count
+    assert len(got) == d * (d + 1) // 2 + d + 1
+
+
+def test_pca_fit_matches_numpy_reference(vecs):
+    df, X = vecs
+    Q = np.floor(X * E.DEFAULT_QUANT + 0.5) / E.DEFAULT_QUANT
+    cov = np.cov(Q, rowvar=False)
+    rv = np.sort(np.linalg.eigh(cov)[0])[::-1]
+    mean, comps, vals = E.pca_fit(df, k=6)
+    assert np.allclose(mean, Q.mean(axis=0), atol=1e-12)
+    assert np.allclose(vals, rv[:6], rtol=1e-9, atol=1e-12)
+    # components orthonormal, sign-canonicalized
+    assert np.allclose(comps @ comps.T, np.eye(6), atol=1e-9)
+    for r in range(6):
+        m = np.argmax(np.abs(comps[r]))
+        assert comps[r, m] > 0
+
+
+def test_pca_project_variance_matches_eigenvalues(vecs):
+    df, X = vecs
+    mean, comps, vals = E.pca_fit(df, k=4)
+    out = np.array(
+        [r.pca for r in E.pca_project(df, mean, comps).select("pca").collect()]
+    )
+    # sample variance along each projected axis == eigenvalue
+    # (up to the float32→double read noise of the raw projection —
+    # the projection uses RAW components, the fit used quantized)
+    var = out.var(axis=0, ddof=1)
+    assert np.allclose(var, vals, rtol=1e-3)
+    # projection is centered
+    assert np.allclose(out.mean(axis=0), 0, atol=1e-4)
+
+
+def test_explained_variance_frame(vecs):
+    df, _ = vecs
+    rows = E.pca_explained_variance(df, k=5).collect()
+    assert len(rows) == 5
+    ev = [r.eigenvalue for r in rows]
+    assert ev == sorted(ev, reverse=True)
+    cs = [r.cum_share for r in rows]
+    assert all(0 < c <= 1 for c in cs) and cs == sorted(cs)
