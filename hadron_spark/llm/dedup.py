@@ -592,3 +592,65 @@ def fuzzy_pairs(
         .withColumn("dist", F.levenshtein("_ta", "_tb"))
         .select("id_a", "id_b", "dist")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 4,
+    threshold: float = 0.9,
+    max_cluster_size: int = 10_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embedding space, then compare
+    cosine similarity ONLY within clusters — the clustering turns the
+    O(n²) all-pairs problem into Σ|cluster|², and the oversized-
+    cluster guard (`_drop_oversized_buckets`, the same skew bound the
+    MinHash/SimHash joins use) caps the worst case. A row is dropped
+    when a LOWER-id row in its cluster is ≥ `threshold` cosine-similar
+    (greedy min-id keeper — the exact_dedup keeper discipline, and
+    deterministic under any partitioning).
+
+    Output: (id_col, cluster, dup_of, keep) — `dup_of` is the
+    smallest qualifying lower id (NULL for keepers), `keep` its
+    negation, so both the pruned corpus (filter keep) and the dup
+    audit trail fall out of one frame.
+
+    Scale shape: the kmeans rounds are narrow literal-centroid scans
+    + tiny cell aggregations (see similarity.kmeans); then ONE id
+    equi-join to re-attach vectors, one windowed count for the guard
+    whose exchange the self-join reuses (same key), and the
+    within-cluster pair join. Clusters oversized for the quadratic
+    stage are dropped, never exploded. Rows in dropped clusters are
+    KEPT (conservative: no evidence of duplication is examined)."""
+    from hadron_spark.functions.vectors import cosine_similarity
+    from hadron_spark.llm.similarity import kmeans
+
+    assigned = kmeans(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    base = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .join(
+            assigned.select(F.col(id_col).alias("_id"), "cluster"), "_id"
+        )
+    )
+    guarded = _drop_oversized_buckets(base, ["cluster"], max_cluster_size)
+    x, y = guarded.alias("x"), guarded.alias("y")
+    cos = cosine_similarity(F.col("x._v"), F.col("y._v"))
+    dup = (
+        x.join(
+            y,
+            (F.col("x.cluster") == F.col("y.cluster"))
+            & (F.col("y._id") < F.col("x._id")),
+        )
+        .filter(cos >= F.lit(threshold))
+        .groupBy(F.col("x._id").alias("_id"))
+        .agg(F.min(F.col("y._id")).alias("dup_of"))
+    )
+    return base.join(dup, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        "cluster",
+        "dup_of",
+        F.col("dup_of").isNull().alias("keep"),
+    )

@@ -7855,3 +7855,17 @@ def q186(spark, sf_dir):
     return embeddings.pca_explained_variance(
         load(spark, sf_dir, "embeddings"), k=8
     )
+
+
+@_register("q187_semantic_dedup", None)
+def q187(spark, sf_dir):
+    """SemDeDup semantic dedup (llm.dedup.semantic_dedup): k-means
+    clusters bound the cosine comparison to within-cluster pairs
+    (Σ|cluster|² work, skew-guarded), greedy min-id keeper. No SQL
+    oracle — the clustering is iterative; test_llm_ops pins planted-
+    duplicate behavior and the keeper/audit invariants."""
+    from hadron_spark.llm.dedup import semantic_dedup
+
+    return semantic_dedup(
+        load(spark, sf_dir, "embeddings"), k=8, iters=3, threshold=0.95
+    )

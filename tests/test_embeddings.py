@@ -76,3 +76,47 @@ def test_explained_variance_frame(vecs):
     assert ev == sorted(ev, reverse=True)
     cs = [r.cum_share for r in rows]
     assert all(0 < c <= 1 for c in cs) and cs == sorted(cs)
+
+
+def test_semantic_dedup_plants_and_keeps(spark):
+    import random
+
+    from hadron_spark.llm.dedup import semantic_dedup
+
+    rng = random.Random(7)
+    rows = []
+    # two well-separated gaussian blobs + exact-ish duplicates
+    for i in range(60):
+        center = 1.0 if i % 2 == 0 else -1.0
+        v = [center + rng.gauss(0, 0.05) for _ in range(8)]
+        rows.append((i, v))
+    # planted near-duplicates of ids 0 and 1 (tiny perturbation)
+    rows.append((100, [x + 1e-4 for x in rows[0][1]]))
+    rows.append((101, [x - 1e-4 for x in rows[1][1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(
+        df, k=2, iters=4, threshold=0.9999, max_cluster_size=1000
+    ).collect()
+    by_id = {r.vec_id: r for r in out}
+    # every row accounted once
+    assert len(out) == len(rows)
+    # planted dups dropped, pointing at their lower-id originals
+    assert not by_id[100].keep and by_id[100].dup_of == 0
+    assert not by_id[101].keep and by_id[101].dup_of == 1
+    # originals kept
+    assert by_id[0].keep and by_id[0].dup_of is None
+    assert by_id[1].keep and by_id[1].dup_of is None
+    # at this threshold nothing else collapses
+    assert sum(1 for r in out if not r.keep) == 2
+
+
+def test_semantic_dedup_oversized_cluster_kept(spark):
+    from hadron_spark.llm.dedup import semantic_dedup
+
+    # identical vectors → one cluster larger than the guard: rows
+    # must be KEPT (conservative), not exploded or dropped
+    rows = [(i, [1.0] * 4) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, k=1, iters=1, threshold=0.5, max_cluster_size=5).collect()
+    assert len(out) == 20
+    assert all(r.keep for r in out)
