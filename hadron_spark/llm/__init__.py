@@ -10,6 +10,6 @@ JVM-side expression, and Python appears only in clearly-marked
 decode stubs.
 """
 
-from hadron_spark.llm import dedup, embeddings, mixing, multimodal, packing, similarity, textstats
+from hadron_spark.llm import bpe, dedup, embeddings, mixing, multimodal, packing, similarity, textstats
 
-__all__ = ["dedup", "embeddings", "mixing", "packing", "similarity", "multimodal", "textstats"]
+__all__ = ["bpe", "dedup", "embeddings", "mixing", "packing", "similarity", "multimodal", "textstats"]

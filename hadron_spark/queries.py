@@ -7869,3 +7869,36 @@ def q187(spark, sf_dir):
     return semantic_dedup(
         load(spark, sf_dir, "embeddings"), k=8, iters=3, threshold=0.95
     )
+
+
+@_register("q188_bpe_merges", None)
+def q188(spark, sf_dir):
+    """Distributed BPE merge training (llm.bpe.bpe_train): the merge
+    table learned from the documents corpus — one corpus wordcount
+    pass, then |vocab|-bounded pair-count rounds with a deterministic
+    (count desc, pair asc) argmax and a JVM fold rewriting symbol
+    arrays. No SQL oracle (iterative); test_bpe pins the whole run
+    against a pure-Python reference implementation byte-for-byte."""
+    from hadron_spark.llm import bpe
+
+    merges, _ = bpe.bpe_train(
+        load(spark, sf_dir, "documents"), num_merges=16
+    )
+    return spark.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "rank int, left string, right string, pair_count long",
+    )
+
+
+@_register("q189_bpe_token_counts", None)
+def q189(spark, sf_dir):
+    """Corpus tokenized under the trained BPE vocab
+    (llm.bpe.bpe_apply): per-source BPE token totals via one
+    broadcast word->tokens join — the corpus text never shuffles.
+    Rows-only (depends on the iterative training); exactness is
+    pinned in test_bpe."""
+    from hadron_spark.llm import bpe
+
+    docs = load(spark, sf_dir, "documents")
+    _, vocab = bpe.bpe_train(docs, num_merges=16)
+    return bpe.bpe_apply(docs, vocab, ["source"]).orderBy("source")
