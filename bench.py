@@ -66,6 +66,12 @@ HEADLINE = [
     "q121_locf_resample",
     "q129_bloom_prefilter_join",
     "q136_sketch_guided_frequent",
+    # set change #4 (round 2, BASELINE.md): the banded-prefix-sum
+    # sequence packer and the Arrow-batched exact Gram pass — the
+    # two new training-pipeline primitives whose plans matter at
+    # corpus scale
+    "q183_pack_sequences",
+    "q185_gram_matrix",
 ]
 
 

@@ -39,16 +39,16 @@ from pyspark.sql import functions as F
 DEFAULT_QUANT = 100_000
 
 
-def _quantized(df: DataFrame, vec_col: str, quant: int) -> DataFrame:
-    # widen float32 components to double BEFORE scaling: float×int
-    # multiplies in float32 (both engines), where a 1e5 scale exceeds
-    # the 24-bit mantissa and the rounding diverges between engines
-    return df.select(
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.floor(x.cast("double") * quant + F.lit(0.5)).cast("long"),
-        ).alias("_v")
-    )
+def _quantize_np(X, quant: int):
+    """Quantize a float matrix to int64 units — numpy mirror of the
+    engine-portable floor(double(x)·quant + 0.5). float32→float64 is
+    exact, double ops are IEEE — identical to the SQL form the
+    oracle runs. Kept in numpy (not a JVM transform) so the Arrow
+    transfer ships the raw float32 column: half the bytes and no
+    per-element JVM lambda on the 100 TB side."""
+    import numpy as np
+
+    return np.floor(X.astype(np.float64) * quant + 0.5).astype(np.int64)
 
 
 def gram_matrix(
@@ -71,7 +71,9 @@ def gram_matrix(
         sums = None
         n = 0
         for pdf in batches:
-            X = np.array(pdf["_v"].tolist(), dtype=np.int64)
+            if not len(pdf):
+                continue
+            X = _quantize_np(np.stack(pdf["_v"].to_numpy()), quant)
             if X.size == 0:
                 continue
             g = X.T @ X
@@ -91,7 +93,7 @@ def gram_matrix(
         }
         yield pd.DataFrame(rows)
 
-    parts = _quantized(df, vec_col, quant).mapInPandas(
+    parts = df.select(F.col(vec_col).alias("_v")).mapInPandas(
         part, "i int, j int, partial long"
     )
     return parts.groupBy("i", "j").agg(

@@ -591,3 +591,29 @@ def test_crawl_pipeline_single_shuffle(spark, sf_dir):
     df = QUERIES["q176_crawl_pipeline"](spark, sf_dir)
     assert shuffle_count(df) == 1
     assert_partial_aggregation(df)
+
+
+def test_r2_training_primitive_plan_shapes(spark, sf_dir):
+    """q183/q185 pins: the packer's only exchange is the banded
+    prefix-sum window (never a single-partition window); the Gram
+    pass shuffles only per-batch d×d partial rows, and the corpus
+    side of both plans stays un-exchanged."""
+    from hadron_spark.plans.inspect import (
+        shuffle_count,
+        unpartitioned_window_count,
+    )
+    from hadron_spark.queries import QUERIES
+
+    # q183: prefix-sum exchange + the narrow explode on top; the
+    # localCheckpoint pin truncates lineage, so the visible plan is
+    # the banded window + explode only
+    df = QUERIES["q183_pack_sequences"](spark, sf_dir)
+    assert unpartitioned_window_count(df) == 0
+    assert shuffle_count(df) <= 2
+
+    # q185: mapInPandas partials then ONE partial-agg'd exchange of
+    # O(batches·d²) rows — the corpus itself never exchanges
+    df = QUERIES["q185_gram_matrix"](spark, sf_dir)
+    assert shuffle_count(df) == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan

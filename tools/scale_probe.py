@@ -56,8 +56,16 @@ def blow_up_lineitem(li, k: int):
 
 def main() -> None:
     from hadron_spark import get_spark
-    from hadron_spark.functions.text import dedup_lines, html_to_text, redact_pii, tokenize
+    from hadron_spark.functions.text import (
+        dedup_lines,
+        html_to_text,
+        redact_pii,
+        token_count,
+        tokenize,
+    )
     from hadron_spark.llm.dedup import exact_dedup, minhash_lsh_pairs, simhash_near_pairs
+    from hadron_spark.llm.embeddings import gram_matrix
+    from hadron_spark.llm.packing import pack_sequences
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     ks = [int(x) for x in (sys.argv[2].split(",") if len(sys.argv) > 2 else ["1", "4", "16"])]
@@ -78,10 +86,34 @@ def main() -> None:
                 F.lit("<p>"), F.col("text"), F.lit("</p><p>Subscribe</p>")
             )))).alias("t")
         ).agg(F.sum(F.size(tokenize(F.col("t")))).alias("n")).first()["n"],
+        "pack_sequences": lambda d: pack_sequences(
+            d, "doc_id", token_count(F.col("text")), seq_len=2048
+        ).count(),
     }
 
     li_base = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     n_li = li_base.count()
+
+    emb_base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n_emb = emb_base.count()
+
+    def blow_up_emb(e, k: int):
+        parts = [
+            e.withColumn("vec_id", F.col("vec_id") + F.lit(r * 1_000_000_000))
+            for r in range(k)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    EMB_OPS = {
+        # output is the constant d(d+1)/2+d+1 cell set — wall must
+        # track input linearly (one Arrow pass + tiny partial shuffle)
+        "gram_matrix": lambda e: gram_matrix(e).count(),
+    }
 
     def pricing(d):
         # q01 shape: exact-decimal pricing summary, one partial-agg'd
@@ -110,6 +142,9 @@ def main() -> None:
     fact_results: dict[str, dict[int, tuple[float, int]]] = {
         op: {} for op in FACT_OPS
     }
+    emb_results: dict[str, dict[int, tuple[float, int]]] = {
+        op: {} for op in EMB_OPS
+    }
     for k in ks:
         d = blow_up(base, k).repartition(32).localCheckpoint()  # fix input layout
         for op, fn in OPS.items():
@@ -126,6 +161,11 @@ def main() -> None:
             t0 = time.time()
             n_out = fn(li)
             fact_results[op][k] = (round(time.time() - t0, 2), int(n_out))
+        em = blow_up_emb(emb_base, k)
+        for op, fn in EMB_OPS.items():
+            t0 = time.time()
+            n_out = fn(em)
+            emb_results[op][k] = (round(time.time() - t0, 2), int(n_out))
 
     lines = [
         "# SCALE — measured scaling of the LLM-op headliners",
@@ -167,6 +207,24 @@ def main() -> None:
     for op, r in fact_results.items():
         wall_ratio = r[max(ks)][0] / max(r[min(ks)][0], 0.01)
         thr = n_li * max(ks) / max(r[max(ks)][0], 0.01)
+        lines.append(
+            f"| {op} | "
+            + " | ".join(f"{r[k][0]:.2f}s" for k in ks)
+            + f" | {wall_ratio:.1f}× | {thr:,.0f} |"
+        )
+    lines += [
+        "",
+        f"Embedding moments ({n_emb} vectors × k, d=64; the Gram",
+        "output is the CONSTANT d(d+1)/2+d+1 cell set, so wall-clock",
+        "must track input linearly — one Arrow-batched X'X pass, only",
+        "per-batch d² partials ever shuffle):",
+        "",
+        "| op | " + " | ".join(f"k={k} wall" for k in ks) + " | wall × | in-rows/s @k_max |",
+        "|---|" + "---|" * (len(ks) + 2),
+    ]
+    for op, r in emb_results.items():
+        wall_ratio = r[max(ks)][0] / max(r[min(ks)][0], 0.01)
+        thr = n_emb * max(ks) / max(r[max(ks)][0], 0.01)
         lines.append(
             f"| {op} | "
             + " | ".join(f"{r[k][0]:.2f}s" for k in ks)
