@@ -106,3 +106,44 @@ def packing_stats(packed: DataFrame) -> DataFrame:
         F.min("begin_in_seq").alias("first_begin"),
         F.max("end_in_seq").alias("last_end"),
     )
+
+
+def write_packed_shards(
+    packed: DataFrame,
+    out_dir: str,
+    seqs_per_shard: int = 1024,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Materialize `pack_sequences` output as the shard layout a
+    trainer consumes: shard s holds sequences [s·S, (s+1)·S), each
+    file internally sorted by (seq_id, begin_in_seq) so a dataloader
+    streams spans in token order with zero sorting on its side.
+
+    One shuffle (the repartition into shards — keyed by a pure
+    function of seq_id, so shard placement is reproducible), sorted
+    streaming write per shard. Returns the manifest
+    (shard, n_spans, min_seq, max_seq) assembled from the committed
+    parquet FOOTERS — pure metadata, no read-back (the
+    fan_out_write/ordered_export discipline)."""
+    from hadron_spark.operators.ops import _band_manifest
+
+    S = int(seqs_per_shard)
+    if S <= 0:
+        raise ValueError(f"seqs_per_shard must be positive, got {S}")
+    sharded = packed.withColumn(
+        "_shard", F.expr(f"seq_id div {S}").cast("int")
+    )
+    (
+        sharded.repartition(F.col("_shard"))
+        .sortWithinPartitions("_shard", "seq_id", "begin_in_seq")
+        .write.mode(mode)
+        .partitionBy("_shard")
+        .parquet(out_dir)
+    )
+    manifest = _band_manifest(packed.sparkSession, out_dir, "_shard", "seq_id")
+    return manifest.select(
+        F.col("band").alias("shard"),
+        F.col("n_rows").alias("n_spans"),
+        F.col("min_key").alias("min_seq"),
+        F.col("max_key").alias("max_seq"),
+    )

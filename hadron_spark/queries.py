@@ -7902,3 +7902,36 @@ def q189(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     _, vocab = bpe.bpe_train(docs, num_merges=16)
     return bpe.bpe_apply(docs, vocab, ["source"]).orderBy("source")
+
+
+@_register(
+    "q190_packed_shards",
+    _PACK_SPANS_SQL
+    + """
+    SELECT CAST(seq_id // 8 AS INT) AS shard, COUNT(*) AS n_spans,
+           MIN(seq_id) AS min_seq, MAX(seq_id) AS max_seq
+    FROM spans GROUP BY 1
+    """,
+)
+def q190(spark, sf_dir):
+    """Packed-shard export (llm.packing.write_packed_shards): the
+    span table written as trainer-facing shard dirs (8 sequences per
+    shard here), manifest assembled from the committed parquet
+    FOOTERS — so footer statistics must agree with the oracle's
+    from-scratch SQL derivation of the same sharding for the hashes
+    to match (the q182 ordered-export discipline). The write really
+    happens into a temp dir removed at exit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from hadron_spark.functions.text import token_count
+    from hadron_spark.llm import packing
+
+    docs = load(spark, sf_dir, "documents")
+    packed = packing.pack_sequences(
+        docs, "doc_id", token_count(F.col("text")), seq_len=128
+    )
+    out_dir = tempfile.mkdtemp(prefix="q190_shards_")
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+    return packing.write_packed_shards(packed, out_dir, seqs_per_shard=8)

@@ -73,3 +73,33 @@ def test_pack_sequences_rejects_bad_seq_len(spark):
     df = spark.createDataFrame([(0, 1)], "doc_id long, n long")
     with pytest.raises(ValueError):
         packing.pack_sequences(df, "doc_id", F.col("n"), seq_len=0)
+
+
+def test_write_packed_shards_layout_and_manifest(spark, tmp_path):
+    import os
+
+    lens = [100, 200, 50, 300, 128, 64, 90, 10]
+    df = spark.createDataFrame(list(enumerate(lens)), "doc_id long, n long")
+    packed = packing.pack_sequences(df, "doc_id", F.col("n"), seq_len=128)
+    out = str(tmp_path / "shards")
+    manifest = packing.write_packed_shards(packed, out, seqs_per_shard=2)
+    rows = {r.shard: r for r in manifest.collect()}
+    spans = packed.collect()
+    # manifest agrees with a from-scratch derivation of the sharding
+    want = {}
+    for r in spans:
+        s = r.seq_id // 2
+        n, mn, mx = want.get(s, (0, None, None))
+        want[s] = (
+            n + 1,
+            r.seq_id if mn is None else min(mn, r.seq_id),
+            r.seq_id if mx is None else max(mx, r.seq_id),
+        )
+    assert {s: (r.n_spans, r.min_seq, r.max_seq) for s, r in rows.items()} == want
+    # every shard dir readable and internally sorted by (seq, begin)
+    for d in os.listdir(out):
+        if not d.startswith("_shard="):
+            continue
+        pdf = spark.read.parquet(os.path.join(out, d)).toPandas()
+        key = list(zip(pdf.seq_id, pdf.begin_in_seq))
+        assert key == sorted(key)
