@@ -103,3 +103,23 @@ def test_write_packed_shards_layout_and_manifest(spark, tmp_path):
         pdf = spark.read.parquet(os.path.join(out, d)).toPandas()
         key = list(zip(pdf.seq_id, pdf.begin_in_seq))
         assert key == sorted(key)
+
+
+def test_range_cumsum_stable_under_partitioning(spark):
+    rows = [(i * 3 + 1, (i * 17) % 7 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    outs = []
+    for nb, parts in [(4, 2), (16, 8), (32, 3)]:
+        d = df.repartition(parts)
+        got = ops.range_cumsum(
+            d, key=F.col("k"), val=F.col("v"), order=[F.col("k")],
+            out_col="p", buckets=nb,
+        )
+        outs.append(sorted((r.k, r.p) for r in got.collect()))
+    assert outs[0] == outs[1] == outs[2]
+    # spot-check against the sequential definition
+    seq, acc = {}, 0
+    for k, v in sorted(rows):
+        seq[k] = acc
+        acc += v
+    assert dict(outs[0]) == seq
