@@ -7935,3 +7935,18 @@ def q190(spark, sf_dir):
     out_dir = tempfile.mkdtemp(prefix="q190_shards_")
     atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
     return packing.write_packed_shards(packed, out_dir, seqs_per_shard=8)
+
+
+@_register("q191_pq_topk", None)
+def q191(spark, sf_dir):
+    """Product-quantization ANN (llm.similarity.pq_topk, Jégou et al.
+    2011): corpus encoded as m=8 codes (one narrow JVM pass — 32×
+    smaller rows), ADC scoring via m array lookups per row, exact
+    re-rank of the R·k shortlist. Rows-only (k-means codebooks are
+    iterative); RECALL.md records measured recall vs brute force and
+    test_llm_ops pins the clustered-fixture floor."""
+    from hadron_spark.llm.similarity import pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50)
+    return pq_topk(emb, queries, k=10, m=8, codes=16, refine=4)

@@ -889,3 +889,38 @@ def test_inverted_index_postings_exact(spark):
     assert sorted(by_tok["b"]["posts"]) == [(0, 1), (1, 0)]
     assert sorted(by_tok["c"]["posts"]) == [(1, 1), (2, 1), (2, 2)]
     assert by_tok["a"]["docs"] == {0, 2} and by_tok["a"]["occ"] == 4
+
+
+def test_pq_recall_and_code_shape(spark):
+    """PQ tier: refine-stage recall floor on the clustered fixture,
+    code-table shape, and encode determinism."""
+    from pyspark.sql import functions as F
+
+    from hadron_spark.functions.vectors import l2_normalize
+    from hadron_spark.llm import similarity as S
+    from tools.ann_recall import clustered_embeddings, recall_at_k
+
+    cl = clustered_embeddings(spark, n_clusters=10, per_cluster=30, dim=16)
+    cln = cl.select(
+        "vec_id", l2_normalize(F.col("embedding")).alias("embedding")
+    ).localCheckpoint()
+    qs = cln.orderBy("vec_id").limit(10)
+    truth = S.brute_force_topk(cln, qs, k=5).collect()
+
+    books = S.pq_train(cln, m=4, codes=16, seed=42)
+    assert books.shape == (4, 16, 4)
+    enc = S.pq_encode(cln, books)
+    rows = enc.collect()
+    assert all(len(r.pq_code) == 4 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r.pq_code)
+    # deterministic encoding across evaluations
+    assert sorted(map(str, rows)) == sorted(map(str, enc.collect()))
+
+    ap = S.pq_topk(
+        cln, qs, k=5, codebooks=books, encoded=enc, refine=8
+    ).collect()
+    rec = recall_at_k(ap, truth, 5)
+    assert rec >= 0.9, f"pq refine recall {rec:.3f} below floor"
+    # ADC-only still returns a full, valid top-k frame
+    adc = S.pq_topk(cln, qs, k=5, codebooks=books, encoded=enc).collect()
+    assert len(adc) == 50 and all(r.rank <= 5 for r in adc)
