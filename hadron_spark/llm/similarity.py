@@ -1,16 +1,19 @@
 """Similarity search over an embedding column (array<float>).
 
-Two tiers:
+The tiers, cheapest-storage to exact:
 - brute_force_topk — exact cosine top-k: broadcast the (small) query
   set against the full corpus; per-row score is a codegen'd
   expression, top-k per query via window. Correct baseline at any
   corpus size (scales linearly, one pass).
 - lsh_topk — random-hyperplane LSH bucketing: queries only compare
-  against corpus rows sharing a bucket (with optional multi-probe),
-  turning the scan into a bucket equi-join. The 100 TB path.
-
-An IVF variant (k-means coarse quantizer) is a natural next tier; the
-hyperplane LSH keeps everything expression-level and deterministic.
+  against corpus rows sharing a bucket (with optional multi-probe) —
+  no training pass, expression-level and deterministic.
+- ivf_topk — k-means coarse quantizer; queries probe n_probe cells
+  (the default approximate tier, see RECALL.md).
+- pq_topk / ivfpq_topk — product-quantization codes (~32× smaller
+  rows), ADC lookup scoring, optional exact re-rank of the
+  shortlist; ivfpq composes coarse cells with residual codebooks —
+  the billion-scale layout.
 """
 
 from __future__ import annotations
@@ -406,6 +409,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_col: str = "pq_code",
+    keep_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Encode every vector as `m` small codes (argmin centroid per
     subspace) — ONE narrow JVM pass; the codes column is m ints
@@ -430,9 +434,54 @@ def pq_encode(
             alts.append(f"struct({dist} as d, {j} as idx)")
         subs.append(f"array_min(array({','.join(alts)})).idx")
     code_expr = f"array({','.join(subs)})"
+    keep = [F.col(c) for c in keep_cols]
     return corpus.select(
         F.col(id_col).alias("neighbor_id"),
+        *keep,
         F.expr(code_expr).alias(out_col),
+    )
+
+
+def _exact_rerank(
+    shortlist: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Re-rank an ANN candidate shortlist (query_id, neighbor_id) by
+    exact squared L2 over the raw vectors — R·k·|queries| rows of
+    work, independent of corpus size. Shared by the PQ and IVF-PQ
+    refine stages."""
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    qv = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+    )
+    exact = F.aggregate(
+        F.zip_with(
+            F.col("cvec"),
+            F.col("qvec"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    refined = (
+        shortlist.join(vecs, "neighbor_id")
+        .join(qv, "query_id")
+        .select("query_id", "neighbor_id", exact.alias("dist"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return refined.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
     )
 
 
@@ -526,32 +575,142 @@ def pq_topk(
     shortlist = ranked.filter(F.col("rank") <= k * refine).select(
         "query_id", "neighbor_id"
     )
-    vecs = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    return _exact_rerank(shortlist, corpus, queries, k, id_col, vec_col)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    codes: int = 16,
+    seed: int = 42,
+    refine: int = 4,
+    max_train_rows: int = 100_000,
+) -> DataFrame:
+    """IVF-PQ (the Jégou et al. 2011 composition, the layout FAISS
+    deploys at billion scale): a coarse k-means quantizer partitions
+    the corpus into cells, PQ codebooks are trained on the RESIDUALS
+    x − centroid(cell), and a query probes only its `n_probe` nearest
+    cells, ADC-scoring each cell's codes against a per-(query, cell)
+    residual lookup table. The coarse step removes the inter-cell
+    structure PQ codes cannot carry (the code-signature collisions
+    RECALL.md measures for flat PQ), and the residual codebooks spend
+    their 2^code bits on the fine within-cell geometry.
+
+    Scale shape, stage by stage:
+      1. coarse train: bounded-sample k-means (IVF contract).
+      2. cell assignment + residual: one narrow JVM pass (literal
+         centroid matrix indexed by cell id — no shuffle).
+      3. PQ train on residuals: bounded driver sample.
+      4. residual encode: one narrow pass (pq_encode expression);
+         corpus state is (id, cell, m codes) — ~32× smaller.
+      5. search: per-(query, probed-cell) LUTs broadcast
+         (|queries|·n_probe tiny rows), cell equi-join (the IVF
+         pruning — only probed cells are scored), ADC = m lookups,
+         then the k·|queries| candidate window.
+      6. optional exact re-rank of the R·k shortlist (shared
+         _exact_rerank — corpus-size-independent).
+    Output (query_id, neighbor_id, rank [, dist|adc_dist])."""
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fc = F.col(vec_col).cast("array<double>")
+    corpus_feat = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        array_to_vector(fc).alias("features"),
     )
-    qv = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    n_rows = corpus_feat.count()
+    train = (
+        corpus_feat.sample(
+            fraction=min(1.0, max_train_rows / max(n_rows, 1)), seed=seed
+        )
+        if n_rows > max_train_rows
+        else corpus_feat
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(train)
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    cmat = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centers])
+    residual = F.zip_with(
+        F.col("cvec"),
+        F.element_at(cmat, F.col("cell") + 1),
+        lambda a, b: a.cast("double") - b,
+    )
+    assigned = (
+        model.transform(corpus_feat)
+        .select("neighbor_id", "cvec", F.col("prediction").alias("cell"))
+        .withColumn("rvec", residual)
+    )
+    # PQ codebooks on residuals (bounded sample, reusing pq_train's
+    # sampling through a renamed frame)
+    books = pq_train(
+        assigned.select(F.col("neighbor_id").alias(id_col), F.col("rvec")),
+        vec_col="rvec",
+        m=m,
+        codes=codes,
+        seed=seed,
+        max_train_rows=max_train_rows,
+    )
+    enc = pq_encode(
+        assigned,
+        books,
+        id_col="neighbor_id",
+        vec_col="rvec",
+        keep_cols=("cell",),
+    )
+    # per-(query, probed cell) residual LUTs — driver numpy, tiny
+    mq, n_codes, ds = books.shape
+    C = np.array(centers)
+    qrows = []
+    for r in queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).collect():
+        qv = np.array(list(map(float, r["qvec"])))
+        cd = ((C - qv) ** 2).sum(axis=1)
+        for cell in np.argsort(cd)[:n_probe]:
+            rq = qv - C[cell]
+            lut = [
+                [
+                    float(((rq[i * ds : (i + 1) * ds] - books[i, j]) ** 2).sum())
+                    for j in range(n_codes)
+                ]
+                for i in range(mq)
+            ]
+            qrows.append((r["query_id"], int(cell), lut))
+    spark = corpus.sparkSession
+    q = F.broadcast(
+        spark.createDataFrame(
+            qrows, "query_id long, cell int, lut array<array<double>>"
         )
     )
-    exact = F.aggregate(
+    score = F.aggregate(
         F.zip_with(
-            F.col("cvec"),
-            F.col("qvec"),
-            lambda a, b: (a.cast("double") - b.cast("double"))
-            * (a.cast("double") - b.cast("double")),
+            F.col("pq_code"),
+            F.col("lut"),
+            lambda c, row: F.element_at(row, c + 1),
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    refined = (
-        shortlist.join(vecs, "neighbor_id")
-        .join(qv, "query_id")
-        .select("query_id", "neighbor_id", exact.alias("dist"))
+    scored = (
+        enc.join(q, on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", score.alias("adc_dist"))
     )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("dist").asc(), F.col("neighbor_id").asc()
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )
-    return refined.withColumn("rank", F.row_number().over(w2)).filter(
-        F.col("rank") <= k
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if refine <= 1:
+        return ranked.filter(F.col("rank") <= k)
+    shortlist = ranked.filter(F.col("rank") <= k * refine).select(
+        "query_id", "neighbor_id"
     )
+    return _exact_rerank(shortlist, corpus, queries, k, id_col, vec_col)

@@ -7950,3 +7950,21 @@ def q191(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 50)
     return pq_topk(emb, queries, k=10, m=8, codes=16, refine=4)
+
+
+@_register("q192_ivfpq_topk", None)
+def q192(spark, sf_dir):
+    """IVF-PQ ANN (llm.similarity.ivfpq_topk): coarse k-means cells,
+    PQ codebooks on the residuals, per-(query, probed-cell) ADC
+    lookup tables, exact re-rank of the shortlist — the billion-scale
+    FAISS layout as a Spark plan (cell equi-join prunes the corpus,
+    codes are ~32x smaller than vectors, re-rank work is
+    corpus-size-independent). Rows-only (two iterative trainings);
+    RECALL.md measures it against brute force on both fixtures."""
+    from hadron_spark.llm.similarity import ivfpq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50)
+    return ivfpq_topk(
+        emb, queries, k=10, n_centroids=16, n_probe=8, m=8, codes=16, refine=4
+    )

@@ -924,3 +924,31 @@ def test_pq_recall_and_code_shape(spark):
     # ADC-only still returns a full, valid top-k frame
     adc = S.pq_topk(cln, qs, k=5, codebooks=books, encoded=enc).collect()
     assert len(adc) == 50 and all(r.rank <= 5 for r in adc)
+
+
+def test_ivfpq_recall_beats_flat_pq_on_blobs(spark):
+    """The coarse-cell stage removes flat PQ's code-signature
+    collisions: with the same shortlist budget, IVF-PQ must reach
+    near-exact recall on the blob fixture."""
+    from pyspark.sql import functions as F
+
+    from hadron_spark.functions.vectors import l2_normalize
+    from hadron_spark.llm import similarity as S
+    from tools.ann_recall import clustered_embeddings, recall_at_k
+
+    cl = clustered_embeddings(spark, n_clusters=20, per_cluster=50, dim=16)
+    cln = cl.select(
+        "vec_id", l2_normalize(F.col("embedding")).alias("embedding")
+    ).localCheckpoint()
+    qs = cln.filter(F.col("vec_id") % 50 == 0)
+    truth = S.brute_force_topk(cln, qs, k=10).collect()
+    ap = S.ivfpq_topk(
+        cln, qs, k=10, n_centroids=8, n_probe=3, m=4, codes=16, refine=6
+    ).collect()
+    rec = recall_at_k(ap, truth, 10)
+    assert rec >= 0.95, f"ivfpq recall {rec:.3f} below floor"
+    # output contract: exactly k rows per query, ranks 1..k
+    from collections import Counter
+
+    per_q = Counter(r.query_id for r in ap)
+    assert all(v == 10 for v in per_q.values())
