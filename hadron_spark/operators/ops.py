@@ -961,3 +961,63 @@ def _band_manifest(
     return spark.createDataFrame(
         rows, f"band int, n_rows long, min_key long, max_key long"
     )
+
+
+def exact_percentiles(
+    df: DataFrame,
+    value: Column,
+    tiebreak: Sequence[Column],
+    ps: Sequence[float],
+    out_p: str = "p",
+    out_col: str = "value",
+    buckets: int | None = None,
+) -> DataFrame:
+    """EXACT linear-interpolated percentiles (quantile_cont
+    semantics: h = 1+(n−1)p, result = x⌊h⌋ + (h−⌊h⌋)·(x⌈h⌉−x⌊h⌋))
+    over an arbitrarily large frame with NO global sort and NO
+    sketch error — the range_rank banding gives every row its exact
+    global rank with one hash exchange, the ≤2·|ps| rows sitting at
+    the needed ranks are picked by a broadcast join against the tiny
+    percentile spine, and the interpolation is two IEEE ops written
+    identically in the oracle (engine-exact).
+
+    Contrast the two standard alternatives at 100 TB: a global
+    sort-based quantile funnels everything through a range exchange
+    with sampled bounds (non-deterministic splits), and
+    approx_percentile trades exactness for a sketch. This is the
+    third point: exact AND scale-safe.
+
+    `tiebreak` must extend `value` to a total order (unique key
+    columns). Output: one row per p — (out_p double, out_col
+    double)."""
+    base = df.select(value.alias("_x"), *tiebreak)
+    ranked = range_rank(
+        base,
+        key=F.col("_x"),
+        order=[F.col("_x"), *tiebreak],
+        rank_col="_rn",
+        total_col="_n",
+        buckets=buckets,
+    )
+    spark = df.sparkSession
+    pf = F.broadcast(
+        spark.createDataFrame([(float(p),) for p in ps], f"{out_p} double")
+    )
+    h_floor = F.floor((F.col("_n") - 1) * F.col(out_p))
+    lo = (h_floor + 1).cast("long")
+    hi = F.least(lo + 1, F.col("_n"))
+    frac = (F.col("_n") - 1) * F.col(out_p) - h_floor
+    hit = ranked.crossJoin(pf).filter(
+        (F.col("_rn") == lo) | (F.col("_rn") == hi)
+    )
+    agg = hit.groupBy(out_p).agg(
+        F.max(F.when(F.col("_rn") == lo, F.col("_x"))).alias("_lo"),
+        F.max(F.when(F.col("_rn") == hi, F.col("_x"))).alias("_hi"),
+        F.first(frac).alias("_f"),
+    )
+    return agg.select(
+        out_p,
+        (F.col("_lo") + F.col("_f") * (F.col("_hi") - F.col("_lo"))).alias(
+            out_col
+        ),
+    )

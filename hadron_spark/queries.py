@@ -7968,3 +7968,47 @@ def q192(spark, sf_dir):
     return ivfpq_topk(
         emb, queries, k=10, n_centroids=16, n_probe=8, m=8, codes=16, refine=4
     )
+
+
+@_register(
+    "q193_exact_percentiles",
+    r"""
+    WITH r AS (
+      SELECT l_extendedprice AS x,
+             ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey,
+                                          l_linenumber) AS rn,
+             COUNT(*) OVER () AS n
+      FROM lineitem),
+    ps AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                          CAST(0.75 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                          CAST(0.99 AS DOUBLE)]) AS p),
+    hit AS (
+      SELECT ps.p, r.x, r.rn,
+             CAST(floor((r.n - 1) * ps.p) AS BIGINT) + 1 AS lo,
+             LEAST(CAST(floor((r.n - 1) * ps.p) AS BIGINT) + 2, r.n) AS hi,
+             (r.n - 1) * ps.p - floor((r.n - 1) * ps.p) AS f
+      FROM r, ps
+      WHERE r.rn = CAST(floor((r.n - 1) * ps.p) AS BIGINT) + 1
+         OR r.rn = LEAST(CAST(floor((r.n - 1) * ps.p) AS BIGINT) + 2, r.n))
+    SELECT p,
+           MAX(CASE WHEN rn = lo THEN x END)
+             + MAX(f) * (MAX(CASE WHEN rn = hi THEN x END)
+                         - MAX(CASE WHEN rn = lo THEN x END)) AS value
+    FROM hit GROUP BY p
+    """,
+)
+def q193(spark, sf_dir):
+    """Exact interpolated percentiles WITHOUT a global sort
+    (ops.exact_percentiles): range_rank's banded ranking gives every
+    row its exact global rank with ONE hash exchange; the ≤2 rows at
+    each needed rank are picked by a broadcast join against the
+    5-row percentile spine; interpolation is the same two IEEE ops
+    the oracle runs. Exact AND scale-safe — the third point on the
+    sort-based / sketch-based tradeoff."""
+    li = load(spark, sf_dir, "lineitem")
+    return ops.exact_percentiles(
+        li,
+        F.col("l_extendedprice"),
+        [F.col("l_orderkey"), F.col("l_linenumber")],
+        [0.25, 0.5, 0.75, 0.9, 0.99],
+    )

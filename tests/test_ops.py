@@ -628,3 +628,22 @@ def test_ordered_export_total_order_and_manifest(spark, tmp_path):
     assert {(r["band"], r["n_rows"]) for r in man2} == {
         (r["band"], r["n_rows"]) for r in man
     }
+
+
+def test_exact_percentiles_matches_numpy(spark):
+    import numpy as np
+
+    vals = [((i * 73) % 997) * 1.25 for i in range(500)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k long, x double"
+    )
+    ps = [0.0, 0.1, 0.5, 0.9, 1.0]
+    got = {
+        r.p: r.value
+        for r in ops.exact_percentiles(
+            df, F.col("x"), [F.col("k")], ps, buckets=8
+        ).collect()
+    }
+    want = np.quantile(np.array(vals), ps, method="linear")
+    for p, w in zip(ps, want):
+        assert abs(got[p] - float(w)) < 1e-9, (p, got[p], w)
