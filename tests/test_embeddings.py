@@ -120,3 +120,19 @@ def test_semantic_dedup_oversized_cluster_kept(spark):
     out = semantic_dedup(df, k=1, iters=1, threshold=0.5, max_cluster_size=5).collect()
     assert len(out) == 20
     assert all(r.keep for r in out)
+
+
+def test_gram_matrix_mergeable_incremental(spark, vecs):
+    """Gram partials are exactly additive: G(A) + G(B) == G(A∪B)
+    entry-for-entry (int64 sums — bit-exact), so nightly embedding
+    batches can maintain the covariance incrementally (the
+    incremental_rollup discipline applied to second moments)."""
+    df, _ = vecs
+    a = df.filter("vec_id % 2 = 0")
+    b = df.filter("vec_id % 2 = 1")
+    ga = {(r.i, r.j): r.g for r in E.gram_matrix(a).collect()}
+    gb = {(r.i, r.j): r.g for r in E.gram_matrix(b).collect()}
+    gu = {(r.i, r.j): r.g for r in E.gram_matrix(df).collect()}
+    assert set(ga) == set(gb) == set(gu)
+    for key in gu:
+        assert ga[key] + gb[key] == gu[key], key
