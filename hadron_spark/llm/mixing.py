@@ -129,3 +129,60 @@ def mixture_resample(
         how="inner",
     ).filter(F.col("_hr") <= F.col(budget_col))
     return keep.drop("_hr", budget_col)
+
+
+def upsample_repeats(
+    df: DataFrame,
+    key: Column | str,
+    source_col: str,
+    factors: "dict[str, float]",
+    default: float = 1.0,
+    n_buckets: int = 10_000,
+    copy_col: str = "copy_id",
+) -> DataFrame:
+    """Deterministic repeat-factor upsampling — the other half of
+    mixture reweighting: `mixture_resample` DOWN-samples dominant
+    sources; this op UP-samples small high-quality sources by a
+    possibly-fractional factor f (the "epochs over the source" knob
+    of data-constrained pretraining). Every row is emitted
+    floor(f) times, plus one extra copy iff its md5 hash bucket
+    falls below frac(f)·n_buckets — so the copy count is a PURE
+    FUNCTION of the row key (RNG-free, re-shard-stable, exact in
+    expectation), and every copy is tagged with `copy_col` so the
+    trainer can epoch-shift or de-duplicate downstream.
+
+    Factors below 1 degenerate to deterministic subsampling
+    (floor=0, fractional keep), so one op covers the whole mixing
+    ratio range. Narrow plan: bucket filter + sequence() explode —
+    no shuffle at any corpus size."""
+    from hadron_spark.operators.ops import hash_bucket
+
+    k = F.col(key) if isinstance(key, str) else key
+    whole = None
+    fracpart = None
+    for name, f in factors.items():
+        if f < 0:
+            raise ValueError(f"negative factor for {name!r}")
+        w, fr = int(f), f - int(f)
+        cond = F.col(source_col) == name
+        whole = F.when(cond, w) if whole is None else whole.when(cond, w)
+        t = int(round(fr * n_buckets))
+        fracpart = (
+            F.when(cond, t) if fracpart is None else fracpart.when(cond, t)
+        )
+    dw = int(default)
+    dfr = int(round((default - dw) * n_buckets))
+    whole = whole.otherwise(dw) if whole is not None else F.lit(dw)
+    fracpart = fracpart.otherwise(dfr) if fracpart is not None else F.lit(dfr)
+    copies = whole + F.when(
+        hash_bucket(k, n_buckets) < fracpart, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        df.withColumn("_copies", copies)
+        .filter(F.col("_copies") > 0)
+        .withColumn(
+            copy_col, F.explode(F.sequence(F.lit(0), F.col("_copies") - 1))
+        )
+        .withColumn(copy_col, F.col(copy_col).cast("int"))
+        .drop("_copies")
+    )

@@ -8012,3 +8012,42 @@ def q193(spark, sf_dir):
         [F.col("l_orderkey"), F.col("l_linenumber")],
         [0.25, 0.5, 0.75, 0.9, 0.99],
     )
+
+
+@_register(
+    "q194_mixture_upsample",
+    r"""
+    WITH c AS (
+      SELECT doc_id, source,
+             (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+                          WHEN 'src2' THEN 1 ELSE 1 END)
+             + CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            ::BIGINT % 10000)
+                       < (CASE source WHEN 'src0' THEN 5000
+                                      WHEN 'src1' THEN 2500
+                                      WHEN 'src2' THEN 0 ELSE 0 END)
+                    THEN 1 ELSE 0 END AS copies
+      FROM documents)
+    SELECT doc_id, source, CAST(u.copy_id AS INT) AS copy_id
+    FROM c, unnest(generate_series(0, copies - 1)) AS u(copy_id)
+    WHERE copies > 0
+    """,
+)
+def q194(spark, sf_dir):
+    """Deterministic repeat-factor upsampling
+    (llm.mixing.upsample_repeats): src0 ×2.5 (2 copies + md5-hash
+    half get a third), src1 ×0.25 (pure fractional keep), src2 ×1
+    exact, everything else default ×1 — the epochs-over-source knob
+    of data-constrained pretraining as a pure function of the row
+    key. Narrow plan (bucket filter + sequence explode, no shuffle);
+    the oracle replays the same md5 arithmetic."""
+    from hadron_spark.llm.mixing import upsample_repeats
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return upsample_repeats(
+        docs,
+        "doc_id",
+        "source",
+        {"src0": 2.5, "src1": 0.25, "src2": 1.0},
+        default=1.0,
+    )

@@ -952,3 +952,41 @@ def test_ivfpq_recall_beats_flat_pq_on_blobs(spark):
 
     per_q = Counter(r.query_id for r in ap)
     assert all(v == 10 for v in per_q.values())
+
+
+def test_upsample_repeats_deterministic_and_exact(spark):
+    from pyspark.sql import functions as F
+
+    from hadron_spark.llm.mixing import upsample_repeats
+    from hadron_spark.operators.ops import hash_bucket
+
+    rows = [(i, "a" if i % 3 == 0 else ("b" if i % 3 == 1 else "c"))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = upsample_repeats(
+        df, "doc_id", "source", {"a": 2.5, "b": 0.0, "c": 0.5}, default=1.0
+    )
+    got = out.groupBy("doc_id", "source").count().collect()
+    buckets = {
+        r.doc_id: r.b
+        for r in df.select(
+            "doc_id", hash_bucket(F.col("doc_id"), 10_000).alias("b")
+        ).collect()
+    }
+    for r in got:
+        want = {"a": 2 + (1 if buckets[r.doc_id] < 5000 else 0),
+                "c": 0 + (1 if buckets[r.doc_id] < 5000 else 0)}[r.source]
+        assert r['count'] == want, (r.doc_id, r.source, r['count'], want)
+    # source b (factor 0) vanishes entirely; c keeps only a subset
+    assert not [r for r in got if r.source == "b"]
+    # copy ids are 0..copies-1 per doc
+    ids = out.filter("source = 'a'").groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("copy_id")).alias("c")).collect()
+    for r in ids:
+        assert list(r.c) == list(range(len(r.c)))
+    # stable under repartitioning
+    out2 = upsample_repeats(
+        df.repartition(7), "doc_id", "source",
+        {"a": 2.5, "b": 0.0, "c": 0.5}, default=1.0,
+    )
+    assert sorted(map(str, out.collect())) == sorted(map(str, out2.collect()))
