@@ -617,3 +617,22 @@ def test_r2_training_primitive_plan_shapes(spark, sf_dir):
     assert shuffle_count(df) == 1
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
+
+
+def test_percentiles_and_upsample_plan_shapes(spark, sf_dir):
+    """q193: exact percentiles rank via banded range_rank — no
+    unpartitioned window anywhere; q194: upsampling is fully narrow
+    (bucket filter + explode, zero exchanges)."""
+    from hadron_spark.plans.inspect import (
+        shuffle_count,
+        unpartitioned_window_count,
+    )
+    from hadron_spark.queries import QUERIES
+
+    df = QUERIES["q193_exact_percentiles"](spark, sf_dir)
+    assert unpartitioned_window_count(df) == 0
+    assert shuffle_count(df) <= 3  # band window + 5-row final agg
+
+    df = QUERIES["q194_mixture_upsample"](spark, sf_dir)
+    assert shuffle_count(df) == 0
+    assert unpartitioned_window_count(df) == 0
