@@ -1021,3 +1021,50 @@ def exact_percentiles(
             out_col
         ),
     )
+
+
+def exact_percentiles_by(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value: Column,
+    tiebreak: Sequence[Column],
+    ps: Sequence[float],
+    out_p: str = "p",
+    out_col: str = "value",
+) -> DataFrame:
+    """Per-group exact interpolated percentiles (quantile_cont
+    semantics — see exact_percentiles for the formula). Grouped
+    ranking is a PARTITIONED window (one hash exchange on the group
+    key, parallel across groups — scale-safe whenever group count
+    grows with the data; for ONE giant group use exact_percentiles,
+    which bands instead). The percentile spine is a broadcast cross
+    join; interpolation is the identical two-IEEE-op chain."""
+    base = df.select(*group_cols, value.alias("_x"), *tiebreak)
+    w = Window.partitionBy(*group_cols).orderBy(F.col("_x"), *tiebreak)
+    wc = Window.partitionBy(*group_cols)
+    ranked = base.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(wc)
+    )
+    spark = df.sparkSession
+    pf = F.broadcast(
+        spark.createDataFrame([(float(p),) for p in ps], f"{out_p} double")
+    )
+    h_floor = F.floor((F.col("_n") - 1) * F.col(out_p))
+    lo = (h_floor + 1).cast("long")
+    hi = F.least(lo + 1, F.col("_n"))
+    frac = (F.col("_n") - 1) * F.col(out_p) - h_floor
+    hit = ranked.crossJoin(pf).filter(
+        (F.col("_rn") == lo) | (F.col("_rn") == hi)
+    )
+    agg = hit.groupBy(*group_cols, out_p).agg(
+        F.max(F.when(F.col("_rn") == lo, F.col("_x"))).alias("_lo"),
+        F.max(F.when(F.col("_rn") == hi, F.col("_x"))).alias("_hi"),
+        F.first(frac).alias("_f"),
+    )
+    return agg.select(
+        *group_cols,
+        out_p,
+        (F.col("_lo") + F.col("_f") * (F.col("_hi") - F.col("_lo"))).alias(
+            out_col
+        ),
+    )

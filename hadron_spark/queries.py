@@ -8051,3 +8051,47 @@ def q194(spark, sf_dir):
         {"src0": 2.5, "src1": 0.25, "src2": 1.0},
         default=1.0,
     )
+
+
+@_register(
+    "q195_group_percentiles",
+    r"""
+    WITH r AS (
+      SELECT l_returnflag AS returnflag, l_extendedprice AS x,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice, l_orderkey,
+                                         l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem),
+    ps AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS p),
+    hit AS (
+      SELECT r.returnflag, ps.p, r.x, r.rn,
+             CAST(floor((r.n - 1) * ps.p) AS BIGINT) + 1 AS lo,
+             LEAST(CAST(floor((r.n - 1) * ps.p) AS BIGINT) + 2, r.n) AS hi,
+             (r.n - 1) * ps.p - floor((r.n - 1) * ps.p) AS f
+      FROM r, ps
+      WHERE r.rn = CAST(floor((r.n - 1) * ps.p) AS BIGINT) + 1
+         OR r.rn = LEAST(CAST(floor((r.n - 1) * ps.p) AS BIGINT) + 2, r.n))
+    SELECT returnflag, p,
+           MAX(CASE WHEN rn = lo THEN x END)
+             + MAX(f) * (MAX(CASE WHEN rn = hi THEN x END)
+                         - MAX(CASE WHEN rn = lo THEN x END)) AS value
+    FROM hit GROUP BY returnflag, p
+    """,
+)
+def q195(spark, sf_dir):
+    """Per-group exact percentiles (ops.exact_percentiles_by): the
+    grouped variant — a partitioned ranking window (parallel across
+    groups, one exchange) + the same broadcast percentile spine and
+    identical-IEEE interpolation as q193. Use q193's banded form for
+    a single giant group; this form scales with group count."""
+    li = load(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_returnflag", "returnflag"
+    )
+    return ops.exact_percentiles_by(
+        li,
+        ["returnflag"],
+        F.col("l_extendedprice"),
+        [F.col("l_orderkey"), F.col("l_linenumber")],
+        [0.5, 0.95],
+    )

@@ -647,3 +647,29 @@ def test_exact_percentiles_matches_numpy(spark):
     want = np.quantile(np.array(vals), ps, method="linear")
     for p, w in zip(ps, want):
         assert abs(got[p] - float(w)) < 1e-9, (p, got[p], w)
+
+
+def test_exact_percentiles_by_matches_numpy(spark):
+    import numpy as np
+
+    rows = []
+    for g in ["a", "b", "c"]:
+        for i in range(120 + 7 * ord(g[0]) % 13):
+            rows.append((g, i, ((i * 31 + ord(g[0])) % 211) * 0.5))
+    df = spark.createDataFrame(rows, "g string, k long, x double")
+    ps = [0.25, 0.5, 0.9]
+    got = {
+        (r.g, r.p): r.value
+        for r in ops.exact_percentiles_by(
+            df, ["g"], F.col("x"), [F.col("k")], ps
+        ).collect()
+    }
+    import collections
+
+    by_g = collections.defaultdict(list)
+    for g, _, x in rows:
+        by_g[g].append(x)
+    for g, vals in by_g.items():
+        want = np.quantile(np.array(vals), ps, method="linear")
+        for p, w in zip(ps, want):
+            assert abs(got[(g, p)] - float(w)) < 1e-9, (g, p)
