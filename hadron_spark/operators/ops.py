@@ -780,28 +780,32 @@ def range_cumsum(
         )
     else:
         nb, bkt = 1, F.lit(0)
-    banded = df.withColumn("_bkt", bkt).withColumn("_v", vl)
+    # internal names are double-underscored so caller columns like
+    # "_v" never collide (weighted_percentile hit exactly that)
+    banded = df.withColumn("__rc_bkt", bkt).withColumn("__rc_v", vl)
     per_band = {
-        r["_bkt"]: r["_s"]
-        for r in banded.groupBy("_bkt").agg(F.sum("_v").alias("_s")).collect()
+        r["__rc_bkt"]: r["_s"]
+        for r in banded.groupBy("__rc_bkt")
+        .agg(F.sum("__rc_v").alias("_s"))
+        .collect()
     }
     offs, running = [], 0
     for b in range(nb):
         offs.append(running)
         running += per_band.get(b, 0) or 0
     off_expr = F.element_at(
-        F.array(*[F.lit(o).cast("long") for o in offs]), F.col("_bkt") + 1
+        F.array(*[F.lit(o).cast("long") for o in offs]), F.col("__rc_bkt") + 1
     )
     w = (
-        Window.partitionBy("_bkt")
+        Window.partitionBy("__rc_bkt")
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    run = F.sum("_v").over(w)
+    run = F.sum("__rc_v").over(w)
     if not inclusive:
-        run = run - F.col("_v")
+        run = run - F.col("__rc_v")
     out = banded.withColumn(out_col, (off_expr + run).cast("long"))
-    return out.drop("_bkt", "_v")
+    return out.drop("__rc_bkt", "__rc_v")
 
 
 def grouping_sets_from_cells(
@@ -1067,4 +1071,67 @@ def exact_percentiles_by(
         (F.col("_lo") + F.col("_f") * (F.col("_hi") - F.col("_lo"))).alias(
             out_col
         ),
+    )
+
+
+def weighted_percentile(
+    df: DataFrame,
+    value: Column,
+    weight: Column,
+    tiebreak: Sequence[Column],
+    fractions: Sequence["tuple[int, int]"] = ((1, 2),),
+    out_p: str = "p",
+    out_col: str = "value",
+    buckets: int | None = None,
+) -> DataFrame:
+    """GLOBAL weighted percentile(s) without a global sort: smallest
+    value whose inclusive cumulative weight reaches num/den of the
+    total — the weighted-median family (q97's semantics) freed from
+    its per-group window, so ONE enormous distribution is fine.
+
+    Exactness: cumulative weights are exact long sums via the banded
+    `range_cumsum` (one hash exchange); the threshold test is the
+    integer cross-multiplication cum·den ≥ num·total — no floating
+    point anywhere until the final labeling division, so the selected
+    row is identical in any engine and under any partitioning.
+    Fractions are (numerator, denominator) int pairs for that reason.
+
+    ROWS-vs-RANGE note: with `tiebreak` refining value order, the
+    row-level cumulative reaches the threshold somewhere inside a
+    tied-value run iff the RANGE-framed (peer-inclusive) cumulative
+    does, and min(value) is the same either way — so this matches the
+    RANGE-framed definition while staying a plain prefix sum."""
+    # NB: the value column must not be named "_v" — range_cumsum uses
+    # that name internally for its casted weight and drops it
+    base = df.select(
+        value.alias("_val"), weight.cast("long").alias("_w"), *tiebreak
+    )
+    cum = range_cumsum(
+        base,
+        key=F.col("_val"),
+        val=F.col("_w"),
+        order=[F.col("_val"), *tiebreak],
+        out_col="_c",
+        inclusive=True,
+        buckets=buckets,
+    )
+    spark = df.sparkSession
+    total = F.broadcast(base.agg(F.sum("_w").alias("_t")))
+    spine = F.broadcast(
+        spark.createDataFrame(
+            [(int(n), int(d)) for n, d in fractions], "_num long, _den long"
+        )
+    )
+    hit = (
+        cum.crossJoin(total)
+        .crossJoin(spine)
+        .filter(F.col("_c") * F.col("_den") >= F.col("_num") * F.col("_t"))
+    )
+    return hit.groupBy("_num", "_den").agg(
+        F.min("_val").alias(out_col)
+    ).select(
+        (F.col("_num").cast("double") / F.col("_den").cast("double")).alias(
+            out_p
+        ),
+        out_col,
     )

@@ -8095,3 +8095,42 @@ def q195(spark, sf_dir):
         [F.col("l_orderkey"), F.col("l_linenumber")],
         [0.5, 0.95],
     )
+
+
+@_register(
+    "q196_weighted_percentile_global",
+    r"""
+    WITH t AS (
+      SELECT l_extendedprice AS v, CAST(l_quantity AS BIGINT) AS w,
+             l_orderkey, l_linenumber
+      FROM lineitem),
+    c AS (
+      SELECT v, w,
+             SUM(w) OVER (ORDER BY v, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum,
+             SUM(w) OVER () AS total
+      FROM t),
+    p AS (SELECT * FROM (VALUES (1, 2), (9, 10), (99, 100)) AS p(num, den))
+    SELECT CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS p,
+           MIN(v) AS value
+    FROM c, p
+    WHERE cum * den >= num * total
+    GROUP BY num, den
+    """,
+)
+def q196(spark, sf_dir):
+    """Global quantity-weighted percentiles (ops.weighted_percentile):
+    q97's weighted-median semantics over ONE distribution, made
+    scale-safe — exact cumulative weights ride the banded
+    range_cumsum (one exchange, never a single-partition window) and
+    the threshold is the integer cross-multiplication
+    cum*den >= num*total, so no FP enters until the output label."""
+    li = load(spark, sf_dir, "lineitem")
+    return ops.weighted_percentile(
+        li,
+        F.col("l_extendedprice"),
+        F.col("l_quantity"),
+        [F.col("l_orderkey"), F.col("l_linenumber")],
+        [(1, 2), (9, 10), (99, 100)],
+    )

@@ -673,3 +673,28 @@ def test_exact_percentiles_by_matches_numpy(spark):
         want = np.quantile(np.array(vals), ps, method="linear")
         for p, w in zip(ps, want):
             assert abs(got[(g, p)] - float(w)) < 1e-9, (g, p)
+
+
+def test_weighted_percentile_matches_reference(spark):
+    rows = [(i, ((i * 13) % 50) * 1.0, (i % 7) + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, x double, w long")
+    got = {
+        r.p: r.value
+        for r in ops.weighted_percentile(
+            df, F.col("x"), F.col("w"), [F.col("k")],
+            [(1, 2), (9, 10)], buckets=8,
+        ).collect()
+    }
+    # sequential reference: smallest x whose cumulative weight (in
+    # (x, k) order) reaches num/den of the total
+    srt = sorted((x, k, w) for k, x, w in rows)
+    total = sum(w for _, _, w in srt)
+    for num, den, p in [(1, 2, 0.5), (9, 10, 0.9)]:
+        cum = 0
+        want = None
+        for x, _, w in srt:
+            cum += w
+            if cum * den >= num * total:
+                want = x
+                break
+        assert got[p] == want, (p, got[p], want)
