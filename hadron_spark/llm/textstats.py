@@ -353,3 +353,48 @@ def inverted_index(
             ).alias("postings"),
         )
     )
+
+
+def nucleus_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    num: int = 9,
+    den: int = 10,
+) -> DataFrame:
+    """Top-p (nucleus) vocabulary truncation: the smallest
+    frequency-ranked token prefix whose cumulative count reaches
+    num/den of all token occurrences — the standard knob for
+    truncating a tokenizer vocabulary or a sampling distribution to
+    its probability mass core.
+
+    Scale shape: one corpus wordcount shuffle, then the cumulative
+    count over the DESCENDING frequency order rides the banded
+    `ops.range_cumsum` keyed on -count (ONE exchange — never an
+    unpartitioned window, which matters because web-scale vocabularies
+    are themselves huge). Inclusion is the exact integer test
+    cum_before·den < num·total: a token enters the nucleus iff the
+    mass before it is still short of the target, so the output is the
+    minimal covering prefix and bit-identical in any engine.
+
+    Output: (token, cnt, cum_before) for nucleus members."""
+    from hadron_spark.operators.ops import range_cumsum
+
+    freq = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = range_cumsum(
+        freq,
+        key=-F.col("cnt"),
+        val=F.col("cnt"),
+        order=[F.col("cnt").desc(), F.col("token").asc()],
+        out_col="cum_before",
+        inclusive=False,
+    )
+    total = F.broadcast(freq.agg(F.sum("cnt").alias("_t")))
+    return (
+        cum.crossJoin(total)
+        .filter(F.col("cum_before") * F.lit(int(den)) < F.lit(int(num)) * F.col("_t"))
+        .select("token", "cnt", "cum_before")
+    )

@@ -8134,3 +8134,36 @@ def q196(spark, sf_dir):
         [F.col("l_orderkey"), F.col("l_linenumber")],
         [(1, 2), (9, 10), (99, 100)],
     )
+
+
+@_register(
+    "q197_nucleus_vocab",
+    r"""
+    WITH f AS (
+      SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> '')) AS t
+            FROM documents)
+      GROUP BY 1),
+    c AS (
+      SELECT token, cnt,
+             CAST(COALESCE(SUM(cnt) OVER (ORDER BY cnt DESC, token
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_before,
+             SUM(cnt) OVER () AS total
+      FROM f)
+    SELECT token, cnt, cum_before
+    FROM c WHERE cum_before * 10 < 9 * total
+    """,
+)
+def q197(spark, sf_dir):
+    """Top-p (nucleus) vocabulary truncation
+    (llm.textstats.nucleus_vocab): the minimal frequency-ranked
+    token prefix covering 90% of token mass. The descending
+    cumulative count rides the banded range_cumsum keyed on -count —
+    one exchange, no unpartitioned window over the (web-scale huge)
+    vocabulary — and inclusion is the exact integer test
+    cum_before*den < num*total."""
+    from hadron_spark.llm.textstats import nucleus_vocab
+
+    return nucleus_vocab(load(spark, sf_dir, "documents"), num=9, den=10)

@@ -990,3 +990,25 @@ def test_upsample_repeats_deterministic_and_exact(spark):
         {"a": 2.5, "b": 0.0, "c": 0.5}, default=1.0,
     )
     assert sorted(map(str, out.collect())) == sorted(map(str, out2.collect()))
+
+
+def test_nucleus_vocab_minimal_covering_prefix(spark):
+    from hadron_spark.llm.textstats import nucleus_vocab
+
+    # counts: a=6, b=3, c=2, d=1  (total 12); p=3/4 -> target 9:
+    # prefix a (6) short of 9 -> include b (9 reached) -> stop
+    df = spark.createDataFrame(
+        [("a a a a a a b b b c c d",)], "text string"
+    )
+    out = {r.token: (r.cnt, r.cum_before) for r in
+           nucleus_vocab(df, num=3, den=4).collect()}
+    assert out == {"a": (6, 0), "b": (3, 6)}
+    # p=1 keeps everything
+    all_out = nucleus_vocab(df, num=1, den=1).collect()
+    assert {r.token for r in all_out} == {"a", "b", "c", "d"}
+    # frequency ties rank deterministically by token
+    df2 = spark.createDataFrame([("x y x y z",)], "text string")
+    out2 = {r.token: r.cum_before for r in
+            nucleus_vocab(df2, num=4, den=5).collect()}
+    # x=2 (cum 0), y=2 (cum 2): 4*5=20 > 2*5=10 -> y in; z cum 4, 4*5 >= 4*5 -> out
+    assert out2 == {"x": 0, "y": 2}
