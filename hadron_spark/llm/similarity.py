@@ -714,3 +714,41 @@ def ivfpq_topk(
         "query_id", "neighbor_id"
     )
     return _exact_rerank(shortlist, corpus, queries, k, id_col, vec_col)
+
+
+def save_pq_index(
+    encoded: DataFrame, codebooks, out_dir: str
+) -> None:
+    """Persist a PQ index: the codes table as parquet (m small ints
+    per row — the ~32× compressed corpus representation) and the
+    codebooks as JSON metadata beside it. The saved index is the
+    build-once/query-many artifact: later sessions `load_pq_index`
+    and run `pq_topk(..., codebooks=..., encoded=...)` without
+    re-training or re-encoding — at 100 TB the encode pass is the
+    expensive step and this is what amortizes it."""
+    import json
+    import os
+
+    encoded.write.mode("overwrite").parquet(f"{out_dir}/codes.parquet")
+    meta = {
+        "shape": list(codebooks.shape),
+        "codebooks": [[list(map(float, c)) for c in sub] for sub in codebooks],
+    }
+    tmp = f"{out_dir}/codebooks.json.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, f"{out_dir}/codebooks.json")
+
+
+def load_pq_index(spark, out_dir: str):
+    """Load a `save_pq_index` artifact → (codebooks ndarray, encoded
+    DataFrame) ready for `pq_topk`."""
+    import json
+
+    import numpy as np
+
+    with open(f"{out_dir}/codebooks.json") as fh:
+        meta = json.load(fh)
+    books = np.array(meta["codebooks"], dtype=np.float64)
+    assert list(books.shape) == meta["shape"]
+    return books, spark.read.parquet(f"{out_dir}/codes.parquet")

@@ -16,6 +16,7 @@ execution machinery.
 from hadron_spark.streaming.ops import (
     enrich,
     foreach_batch_upsert,
+    incremental_gram,
     run_stream_to_memory,
     sessionize_stream,
     stateful_running_totals,
@@ -31,6 +32,7 @@ __all__ = [
     "stream_stream_join",
     "enrich",
     "foreach_batch_upsert",
+    "incremental_gram",
     "windowed_agg",
     "sessionize_stream",
     "stateful_running_totals",

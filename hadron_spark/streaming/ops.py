@@ -257,3 +257,66 @@ def foreach_batch_upsert(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def incremental_gram(
+    stream: DataFrame,
+    state_path: str,
+    vec_col: str = "embedding",
+    quant: int | None = None,
+    checkpoint: str | None = None,
+):
+    """Streaming maintenance of the exact Gram/sum/count statistic
+    (llm.embeddings.gram_matrix) over an unbounded embedding stream:
+    each micro-batch's d×d partial (computed with the SAME
+    Arrow-batched X'X pass as the batch op — exact int64 units) is
+    merged into a tiny parquet state table by (i, j) key with
+    tmp-then-rename. Gram partials are exactly additive (pinned in
+    test_embeddings), so at any point `state == gram_matrix(all rows
+    so far)` bit-for-bit, and PCA can be refit from the state table
+    alone — the batch-recompute-free covariance path for a corpus
+    that grows nightly. State is d(d+1)/2+d+1 rows regardless of
+    stream volume.
+
+    Returns the started StreamingQuery (availableNow trigger)."""
+    from hadron_spark.llm import embeddings as _E
+    from hadron_spark.sources import fs
+
+    q = quant if quant is not None else _E.DEFAULT_QUANT
+
+    def apply(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        part = _E.gram_matrix(
+            batch_df.localCheckpoint(eager=True), vec_col=vec_col, quant=q
+        )
+        if fs.exists(spark, state_path):
+            prev = spark.read.parquet(state_path)
+            merged = (
+                prev.unionByName(part)
+                .groupBy("i", "j")
+                # decimal accumulation: each g is an exact integer in
+                # a double; summing through DECIMAL(38,0) keeps the
+                # merged state exact past 2^53 at any stream volume
+                .agg(
+                    F.sum(F.col("g").cast("decimal(38,0)"))
+                    .cast("double")
+                    .alias("g")
+                )
+            )
+        else:
+            merged = part
+        tmp = state_path + f"._tmp_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = state_path + f"._old_{batch_id}"
+        if fs.exists(spark, state_path):
+            fs.mv(spark, state_path, old)
+        fs.mv(spark, tmp, state_path)
+        if fs.exists(spark, old):
+            fs.delete(spark, old)
+
+    writer = stream.writeStream.foreachBatch(apply).outputMode("append").trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

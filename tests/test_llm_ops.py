@@ -1012,3 +1012,22 @@ def test_nucleus_vocab_minimal_covering_prefix(spark):
             nucleus_vocab(df2, num=4, den=5).collect()}
     # x=2 (cum 0), y=2 (cum 2): 4*5=20 > 2*5=10 -> y in; z cum 4, 4*5 >= 4*5 -> out
     assert out2 == {"x": 0, "y": 2}
+
+
+def test_pq_index_save_load_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hadron_spark.llm import similarity as S
+    from tools.ann_recall import clustered_embeddings
+
+    cl = clustered_embeddings(spark, n_clusters=5, per_cluster=20, dim=8)
+    books = S.pq_train(cl, m=2, codes=8, seed=1)
+    enc = S.pq_encode(cl, books)
+    d = str(tmp_path / "pqidx")
+    S.save_pq_index(enc, books, d)
+    books2, enc2 = S.load_pq_index(spark, d)
+    assert (books == books2).all()
+    qs = cl.orderBy("vec_id").limit(5)
+    a = S.pq_topk(cl, qs, k=3, codebooks=books, encoded=enc).collect()
+    b = S.pq_topk(cl, qs, k=3, codebooks=books2, encoded=enc2).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))

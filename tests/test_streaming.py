@@ -167,3 +167,40 @@ def test_hygiene_ops_stream_batch_parity(spark, sf_dir, tmp_path):
     have = {(r["doc_id"], r["t"]) for r in got.collect()}
     assert have == want
     assert all("<EMAIL>" in t for _, t in have)
+
+
+def test_incremental_gram_matches_batch(spark, sf_dir, tmp_path):
+    import os
+    import shutil
+
+    from hadron_spark.llm import embeddings as E
+    from hadron_spark.streaming.ops import incremental_gram, stream_tap
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    # two files → two micro-batch-visible inputs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    emb.filter("vec_id % 2 = 0").coalesce(1).write.parquet(src + "/a")
+    emb.filter("vec_id % 2 = 1").coalesce(1).write.parquet(src + "/b")
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    n = 0
+    for sub in ("a", "b"):
+        for f in os.listdir(f"{src}/{sub}"):
+            if f.endswith(".parquet"):
+                shutil.copy(f"{src}/{sub}/{f}", f"{flat}/{sub}_{f}")
+                n += 1
+    assert n == 2
+    schema = emb.schema
+    state = str(tmp_path / "gram_state")
+    q = incremental_gram(
+        stream_tap(spark, flat, schema).select("embedding"),
+        state,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = {(r.i, r.j): r.g for r in spark.read.parquet(state).collect()}
+    want = {(r.i, r.j): r.g for r in E.gram_matrix(emb).collect()}
+    assert got == want
