@@ -24,7 +24,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -277,3 +277,128 @@ def tree_depth(
     else:
         raise RuntimeError(f"tree_depth: no convergence in {max_iter} rounds")
     return st.select("node", F.col("d").alias("depth"))
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg '99): iterate
+    auth(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v} auth(v), L2-normalizing
+    each vector per round (the power iteration on AᵀA / AAᵀ). Fixed
+    round count for determinism.
+
+    Scale shape mirrors pagerank: each half-round is one join on the
+    edge list + one re-aggregation (two shuffles), the edge list is
+    persisted once, scores are localCheckpoint'ed per round so the
+    plan stays one round deep, and the L2 norm is a broadcast 1-row
+    aggregate — no adjacency list ever materializes, so hub nodes
+    cost only their edge rows. Returns (node, hub, auth)."""
+    from pyspark import StorageLevel
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    scores = nodes.select(
+        "node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
+    )
+
+    def _l2(df: DataFrame, col: str) -> DataFrame:
+        norm = F.broadcast(
+            df.agg(F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_nrm"))
+        )
+        return df.crossJoin(norm).select(
+            *[c for c in df.columns if c != col],
+            F.when(F.col("_nrm") > 0, F.col(col) / F.col("_nrm"))
+            .otherwise(F.lit(0.0))
+            .alias(col),
+        )
+
+    for _ in range(iters):
+        auth = (
+            e.join(
+                scores.select(F.col("node").alias("src"), "hub"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("auth"))
+        )
+        scores = _l2(
+            scores.drop("auth").join(auth, "node", "left").fillna(
+                {"auth": 0.0}
+            ),
+            "auth",
+        )
+        hub = (
+            e.join(
+                scores.select(F.col("node").alias("dst"), "auth"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("hub"))
+        )
+        scores = _l2(
+            scores.drop("hub").join(hub, "node", "left").fillna({"hub": 0.0}),
+            "hub",
+        )
+        scores = scores.localCheckpoint(eager=True)
+    return scores.select("node", "hub", "auth")
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+) -> DataFrame:
+    """Community detection by synchronous label propagation
+    (Raghavan et al. 2007): every node starts as its own label; each
+    round a node adopts the most frequent label among its neighbors
+    (ties to the SMALLEST label — deterministic under any
+    partitioning, unlike the randomized original). Fixed rounds;
+    synchronous update (all nodes flip together), so the result is a
+    pure function of the graph.
+
+    Scale shape: per round one join edge⋈labels + one count per
+    (node, label) + one deterministic arg-max window partitioned by
+    node — shuffles keyed on node ids, no adjacency collection;
+    labels localCheckpoint'ed per round. Returns (node, label)."""
+    from pyspark import StorageLevel
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = und.select(F.col("src").alias("node")).distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    w = Window.partitionBy("node").orderBy(
+        F.col("n").desc(), F.col("label").asc()
+    )
+    for _ in range(iters):
+        neigh = (
+            und.join(
+                labels.select(F.col("node").alias("dst"), "label"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        winner = (
+            neigh.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("node", "label")
+        )
+        labels = (
+            nodes.join(winner, "node", "left")
+            .select(
+                "node", F.coalesce(F.col("label"), F.col("node")).alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -8167,3 +8167,49 @@ def q197(spark, sf_dir):
     from hadron_spark.llm.textstats import nucleus_vocab
 
     return nucleus_vocab(load(spark, sf_dir, "documents"), num=9, den=10)
+
+
+@_register("q198_hits", None)
+def q198(spark, sf_dir):
+    """HITS hubs/authorities (operators.graph.hits, 4 fixed rounds)
+    over the customer→nation→region containment DAG (q71's graph):
+    customers are pure hubs, nations both, regions pure authorities.
+    Iterative double arithmetic isn't bit-portable → rows-only
+    (row count = |nodes| deterministic); the analytic star-graph
+    fixture is asserted in test_maintenance."""
+    from hadron_spark.operators.graph import hits
+
+    c = load(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") + 100000).alias("src"),
+        (F.col("c_nationkey") + 100).cast("long").alias("dst"),
+    )
+    n = load(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey") + 100).cast("long").alias("src"),
+        F.col("n_regionkey").cast("long").alias("dst"),
+    )
+    return hits(c.unionByName(n), iters=4)
+
+
+@_register("q199_label_propagation", None)
+def q199(spark, sf_dir):
+    """Synchronous label propagation (operators.graph
+    .label_propagation, deterministic min-label ties) over the
+    containment graph: communities form around the high-degree
+    nation hubs (each nation's customer leaves reinforce its label
+    against the weak region bridge). Deterministic under any
+    partitioning, but the converged labeling is a nontrivial
+    function of the leaf-majority dynamics — rows-only here
+    (row count = |nodes|); the two-clique fixture in
+    test_maintenance pins exact community assignments and
+    repartitioning stability."""
+    from hadron_spark.operators.graph import label_propagation
+
+    c = load(spark, sf_dir, "customer").select(
+        (F.col("c_nationkey") + 100).cast("long").alias("src"),
+        (F.col("c_custkey") + 100000).cast("long").alias("dst"),
+    )
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_regionkey").cast("long").alias("src"),
+        (F.col("n_nationkey") + 100).cast("long").alias("dst"),
+    )
+    return label_propagation(c.unionByName(n), iters=8)

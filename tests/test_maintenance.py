@@ -191,3 +191,37 @@ def test_tree_depth_pointer_doubling(spark):
     )
     out = tree_depth(chain, max_iter=12)  # 2^9 > 500 -> must converge
     assert out.agg({"depth": "max"}).first()[0] == 499
+
+
+def test_hits_star_graph_analytic(spark):
+    """Star u0 -> {v1..v4}: u0 is the pure hub (hub=1), the leaves
+    are equal pure authorities (auth=1/2 each after L2 norm)."""
+    from hadron_spark.operators.graph import hits
+
+    e = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src long, dst long"
+    )
+    s = {r.node: (r.hub, r.auth) for r in hits(e, iters=4).collect()}
+    assert abs(s[0][0] - 1.0) < 1e-9 and abs(s[0][1]) < 1e-9
+    for v in range(1, 5):
+        assert abs(s[v][1] - 0.5) < 1e-9 and abs(s[v][0]) < 1e-9
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: each clique converges
+    to its minimum node id; determinism under repartitioning."""
+    from hadron_spark.operators.graph import label_propagation
+
+    clique = lambda base: [
+        (base + i, base + j) for i in range(4) for j in range(i + 1, 4)
+    ]
+    edges = clique(0) + clique(10) + [(3, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r.label for r in label_propagation(df, iters=6).collect()}
+    assert {out[i] for i in range(4)} == {0}
+    assert {out[10 + i] for i in range(4)} == {10}
+    out2 = {
+        r.node: r.label
+        for r in label_propagation(df.repartition(5), iters=6).collect()
+    }
+    assert out == out2
