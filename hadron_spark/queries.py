@@ -8213,3 +8213,77 @@ def q199(spark, sf_dir):
         (F.col("n_nationkey") + 100).cast("long").alias("dst"),
     )
     return label_propagation(c.unionByName(n), iters=8)
+
+
+@_register(
+    "q200_training_data_capstone",
+    r"""
+    WITH up AS (
+      SELECT doc_id, source, text,
+             (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 ELSE 1 END)
+             + CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            ::BIGINT % 10000)
+                       < (CASE source WHEN 'src0' THEN 5000
+                                      WHEN 'src1' THEN 2500 ELSE 0 END)
+                    THEN 1 ELSE 0 END AS copies
+      FROM documents),
+    corpus AS (
+      SELECT doc_id * 4 + u.copy_id AS uid,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n
+      FROM up, unnest(generate_series(0, copies - 1)) AS u(copy_id)
+      WHERE copies > 0),
+    c AS (
+      SELECT uid, n,
+             CAST(COALESCE(SUM(n) OVER (ORDER BY uid
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS b
+      FROM corpus),
+    s AS (SELECT uid, n, b, CAST(b + n AS BIGINT) AS e FROM c WHERE n > 0),
+    spans AS (
+      SELECT CAST(u.seq_id AS BIGINT) AS seq_id,
+             CAST(LEAST(s.e, (u.seq_id+1)*256) - GREATEST(s.b, u.seq_id*256)
+                  AS BIGINT) AS n_tok
+      FROM s, unnest(generate_series(s.b // 256, (s.e-1) // 256)) AS u(seq_id))
+    SELECT CAST(seq_id // 16 AS INT) AS shard,
+           COUNT(*) AS n_spans,
+           CAST(SUM(n_tok) AS BIGINT) AS shard_tokens,
+           MIN(seq_id) AS min_seq, MAX(seq_id) AS max_seq
+    FROM spans GROUP BY 1
+    """,
+)
+def q200(spark, sf_dir):
+    """Round-2 training-data capstone: the new primitives composed
+    end-to-end — deterministic repeat-factor UPSAMPLING (src0 ×2.5,
+    src1 ×0.25, md5-gated fractional copies) → concat-and-chunk
+    SEQUENCE PACKING of the upsampled token stream into 256-token
+    sequences (banded range_cumsum, one exchange) → per-SHARD
+    accounting (16 sequences per shard). Every stage is exact
+    integer/md5 arithmetic, so the WHOLE chain hash-matches the
+    DuckDB replay of the same pipeline — an end-to-end oracle over
+    upsample ∘ pack ∘ shard, not just the pieces. Plan: the narrow
+    upsample explode fuses into the packer's materialize pass; the
+    only exchanges are the prefix-sum band window and the final
+    shard rollup."""
+    from hadron_spark.functions.text import token_count
+    from hadron_spark.llm import packing
+    from hadron_spark.llm.mixing import upsample_repeats
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    up = upsample_repeats(
+        docs, "doc_id", "source", {"src0": 2.5, "src1": 0.25}, default=1.0
+    )
+    corpus = up.select(
+        (F.col("doc_id") * 4 + F.col("copy_id")).alias("uid"),
+        token_count(F.col("text")).alias("_cnt"),
+    )
+    packed = packing.pack_sequences(corpus, "uid", F.col("_cnt"), seq_len=256)
+    return (
+        packed.groupBy(F.expr("CAST(seq_id div 16 AS INT)").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("n_tok").cast("bigint").alias("shard_tokens"),
+            F.min("seq_id").alias("min_seq"),
+            F.max("seq_id").alias("max_seq"),
+        )
+    )
