@@ -752,3 +752,125 @@ def load_pq_index(spark, out_dir: str):
     books = np.array(meta["codebooks"], dtype=np.float64)
     assert list(books.shape) == meta["shape"]
     return books, spark.read.parquet(f"{out_dir}/codes.parquet")
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    out_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+    max_train_rows: int = 100_000,
+) -> None:
+    """Build and persist an IVF index: the trained coarse centroids
+    as JSON and the cell-assigned corpus as parquet PARTITIONED BY
+    cell — so a later `ivf_search` reads ONLY the probed cells'
+    files (partition pruning does the inverted-file lookup at the
+    storage layer). Build-once/query-many: the k-means pass and the
+    full-corpus assignment scan are paid here, never per query."""
+    import json
+    import os
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fc = F.col(vec_col).cast("array<double>")
+    feat = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        array_to_vector(fc).alias("features"),
+    )
+    n_rows = feat.count()
+    frac = min(1.0, max_train_rows / max(n_rows, 1))
+    train = feat.sample(fraction=frac, seed=seed) if frac < 1.0 else feat
+    model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(train)
+    assigned = model.transform(feat).select(
+        "neighbor_id", "cvec", F.col("prediction").alias("cell")
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{out_dir}/cells.parquet"
+    )
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    tmp = f"{out_dir}/centroids.json.tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"n_centroids": n_centroids, "centers": centers}, fh)
+    os.replace(tmp, f"{out_dir}/centroids.json")
+
+
+def ivf_search(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Query a persisted IVF index: probe cells are computed against
+    the tiny centroid JSON (literal expression), and the cell filter
+    lands on the PARTITION COLUMN of the saved layout — the plan
+    shows `PartitionFilters: [cell IN (...)]`, i.e. unprobed cells'
+    files are never opened. Same output contract as ivf_topk."""
+    import json
+
+    with open(f"{index_dir}/centroids.json") as fh:
+        meta = json.load(fh)
+    centers = meta["centers"]
+    assigned = spark.read.parquet(f"{index_dir}/cells.parquet")
+
+    def sq_dist(vec, center):
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(x) for x in center]),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dists = F.array(
+        *[
+            F.struct(sq_dist(F.col(vec_col), c).alias("d"), F.lit(i).alias("cell"))
+            for i, c in enumerate(centers)
+        ]
+    )
+    probe_cells = sorted(
+        {
+            int(cell)
+            for r in queries.select(
+                F.transform(
+                    F.slice(F.array_sort(dists), 1, n_probe), lambda s: s["cell"]
+                ).alias("cells")
+            ).collect()
+            for cell in r["cells"]
+        }
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(dists), 1, n_probe), lambda s: s["cell"]
+                )
+            ).alias("cell"),
+        )
+    )
+    pruned = assigned.filter(F.col("cell").isin(probe_cells))
+    scored = (
+        pruned.join(q, on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("cvec"), F.col("qvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

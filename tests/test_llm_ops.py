@@ -1031,3 +1031,29 @@ def test_pq_index_save_load_roundtrip(spark, tmp_path):
     a = S.pq_topk(cl, qs, k=3, codebooks=books, encoded=enc).collect()
     b = S.pq_topk(cl, qs, k=3, codebooks=books2, encoded=enc2).collect()
     assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_ivf_index_persist_prunes_partitions(spark, tmp_path):
+    """Persisted IVF layout: search must read ONLY probed cells
+    (PartitionFilters on the saved partition column) and agree with
+    the in-memory ivf_topk on the same quantizer seed."""
+    from pyspark.sql import functions as F
+
+    from hadron_spark.llm import similarity as S
+    from tools.ann_recall import clustered_embeddings
+
+    cl = clustered_embeddings(spark, n_clusters=8, per_cluster=25, dim=8)
+    d = str(tmp_path / "ivfidx")
+    S.build_ivf_index(cl, d, n_centroids=8, seed=3)
+    qs = cl.orderBy("vec_id").limit(5)
+    res = S.ivf_search(spark, d, qs, k=5, n_probe=2)
+    rows = res.collect()
+    assert len(rows) == 25 and all(r.rank <= 5 for r in rows)
+    # partition pruning visible in the plan
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
+    # matches in-memory IVF with identical quantizer config
+    mem = S.ivf_topk(cl, qs, k=5, n_centroids=8, n_probe=2, seed=3).collect()
+    assert sorted((r.query_id, r.neighbor_id, r.rank) for r in rows) == sorted(
+        (r.query_id, r.neighbor_id, r.rank) for r in mem
+    )
