@@ -201,3 +201,34 @@ def pca_explained_variance(
         cum += float(v)
         out.append((idx, float(v), cum / total if total > 0 else 0.0))
     return spark.createDataFrame(out, "component int, eigenvalue double, cum_share double")
+
+
+def mahalanobis_scores(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = DEFAULT_QUANT,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Per-vector squared Mahalanobis distance to the corpus
+    distribution — the embedding-space outlier score used to filter
+    corrupt/off-distribution documents before training: score(x) =
+    Σᵢ ((x−μ)·vᵢ)² / (λᵢ+eps) over the full eigenbasis (exact
+    Mahalanobis, not a truncation; for a d-dim embedding this is χ²_d
+    distributed on in-distribution data, so thresholding at a χ²
+    quantile gives a principled cut).
+
+    Scale shape: one Gram pass (corpus never shuffles — see
+    gram_matrix) + driver d×d eigensolve, then scoring is a single
+    narrow JVM expression per row: d literal-component dot products
+    and one zip_with against the literal eigenvalue array. No second
+    shuffle anywhere; the output is (id, score)."""
+    mean, comps, vals = pca_fit(df, vec_col, k=None, quant=quant)
+    projected = pca_project(df, mean, comps, vec_col=vec_col, out_col="_pca")
+    lam = F.array(*[F.lit(float(v) + eps) for v in vals])
+    score = F.aggregate(
+        F.zip_with(F.col("_pca"), lam, lambda p, l: p * p / l),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return projected.select(F.col(id_col), score.alias("score"))

@@ -8287,3 +8287,18 @@ def q200(spark, sf_dir):
             F.max("seq_id").alias("max_seq"),
         )
     )
+
+
+@_register("q201_embedding_outliers", None)
+def q201(spark, sf_dir):
+    """Embedding-space outlier scoring (llm.embeddings
+    .mahalanobis_scores): exact squared Mahalanobis distance to the
+    corpus distribution — one Gram pass + driver eigensolve, then a
+    single narrow scoring expression per row (d literal dot products
+    + an eigenvalue zip_with). Returns the 20 most anomalous vectors;
+    rows-only (eigensolve is LAPACK-iterative) with a numpy-parity
+    and planted-outlier test in test_embeddings."""
+    from hadron_spark.llm.embeddings import mahalanobis_scores
+
+    scores = mahalanobis_scores(load(spark, sf_dir, "embeddings"))
+    return scores.orderBy(F.col("score").desc(), "vec_id").limit(20)

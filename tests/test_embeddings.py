@@ -136,3 +136,30 @@ def test_gram_matrix_mergeable_incremental(spark, vecs):
     assert set(ga) == set(gb) == set(gu)
     for key in gu:
         assert ga[key] + gb[key] == gu[key], key
+
+
+def test_mahalanobis_matches_numpy_and_flags_planted_outlier(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.gauss(0, 1.0), rng.gauss(0, 0.5), rng.gauss(0, 0.1),
+             rng.gauss(0, 0.05)])
+        for i in range(300)
+    ]
+    rows.append((999, [8.0, -6.0, 2.0, 1.0]))  # far outlier
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.score for r in E.mahalanobis_scores(df).collect()}
+    # numpy reference on the same quantized data
+    X = np.array([v for _, v in rows])
+    Q = np.floor(X * E.DEFAULT_QUANT + 0.5) / E.DEFAULT_QUANT
+    mu = Q.mean(axis=0)
+    cov = np.cov(Q, rowvar=False)
+    inv = np.linalg.inv(cov + 1e-9 * np.eye(4))
+    # the op centers RAW vectors against the quantized-fit mean/cov
+    for (vid, _), x in zip(rows, X):
+        ref = float((x - mu) @ inv @ (x - mu))
+        assert abs(got[vid] - ref) / max(ref, 1.0) < 1e-6, (vid, got[vid], ref)
+    # the planted outlier dominates every inlier score
+    inlier_max = max(v for k, v in got.items() if k != 999)
+    assert got[999] > 10 * inlier_max
