@@ -11,14 +11,26 @@ Spark:
 - ONE corpus pass builds the word-frequency table (tokenize →
   groupBy — the wordcount shuffle; everything after is bounded by
   |vocab|, not corpus size).
-- per merge round: a `zip_with(slice, slice)` pair explode +
-  partial-agg'd groupBy over the vocab table, a TakeOrdered(1)
-  argmax with a deterministic tiebreak (count desc, then pair
-  lexicographic — reproducible under any partitioning), and a
-  JVM-side `aggregate` fold that rewrites each word's symbol array
-  left-to-right (greedy non-overlapping, the reference semantics).
-  No Python touches a row; the driver holds only the winning pair
+- per Spark round: a `zip_with(slice, slice)` pair explode +
+  partial-agg'd groupBy over the vocab table, a TakeOrdered(K)
+  candidate collect with a deterministic order (count desc, then
+  pair lexicographic — reproducible under any partitioning), a
+  driver-side greedy selection of up to `merge_batch` mutually
+  SYMBOL-DISJOINT pairs from that order, and ONE JVM-side
+  `aggregate` fold that applies the whole batch while rewriting
+  each word's symbol array left-to-right (greedy non-overlapping).
+  No Python touches a row; the driver holds only the winning pairs
   per round (the kmeans-centroid contract).
+- Symbol-disjoint merges commute and cannot create, destroy, or
+  consume each other's adjacencies (the merged symbol `ab` is new,
+  and no other selected pair mentions `a` or `b`), so applying the
+  batch in one pass is byte-identical to applying its members
+  sequentially in selection order.  This is the standard
+  distributed-BPE batching rule; with `merge_batch=1` it degrades
+  exactly to classic sequential Sennrich training.  Batching cuts
+  driver-coordinated rounds from `num_merges` to roughly
+  `num_merges / merge_batch` — the difference between a 32k-vocab
+  train being 32k Spark jobs and being ~2k.
 - the vocab frame is re-pinned each round (localCheckpoint) so the
   lineage stays one round deep instead of accreting R nested folds.
 
@@ -67,6 +79,69 @@ def _merge_fold(syms: Column, a: str, b: str) -> Column:
     return F.aggregate(syms, zero, step, finish)
 
 
+def _merge_fold_batch(syms: Column, pairs: list[tuple[str, str]]) -> Column:
+    """Rewrite a symbol array applying a SYMBOL-DISJOINT batch of
+    merges in one greedy left-to-right pass.  Because the pairs
+    share no symbols, all lefts are distinct, so the batch compiles
+    to ONE map literal `left -> (right, merged)` and the fold does a
+    single O(1) map lookup per symbol regardless of batch size — the
+    codegen cost does not grow a `when` chain per pair.  Accumulator
+    contract matches `_merge_fold` ('' = no pending symbol)."""
+    m = F.create_map(
+        *[
+            c
+            for a, b in pairs
+            for c in (
+                F.lit(a),
+                F.struct(F.lit(b).alias("b"), F.lit(a + b).alias("ab")),
+            )
+        ]
+    )
+    zero = F.struct(
+        F.expr("cast(array() as array<string>)").alias("acc"),
+        F.lit("").alias("p"),
+    )
+
+    def step(st: Column, s: Column) -> Column:
+        e = F.element_at(m, st["p"])
+        hit = e.isNotNull() & (e["b"] == s)
+        flushed = F.when(st["p"] == F.lit(""), st["acc"]).otherwise(
+            F.concat(st["acc"], F.array(st["p"]))
+        )
+        return F.struct(
+            F.when(hit, F.concat(st["acc"], F.array(e["ab"])))
+            .otherwise(flushed)
+            .alias("acc"),
+            F.when(hit, F.lit("")).otherwise(s).alias("p"),
+        )
+
+    def finish(st: Column) -> Column:
+        return F.when(st["p"] == F.lit(""), st["acc"]).otherwise(
+            F.concat(st["acc"], F.array(st["p"]))
+        )
+
+    return F.aggregate(syms, zero, step, finish)
+
+
+def select_disjoint_batch(
+    candidates: list[tuple[str, str, int]], limit: int
+) -> list[tuple[str, str, int]]:
+    """Greedy batched-BPE selection: walk candidates in (count desc,
+    pair asc) priority order, accept a pair iff it shares no symbol
+    with any already-accepted pair, stop at `limit`.  Pure function
+    so the pure-Python test reference can call the identical rule."""
+    used: set[str] = set()
+    out: list[tuple[str, str, int]] = []
+    for a, b, cnt in candidates:
+        if len(out) >= limit:
+            break
+        if a in used or b in used:
+            continue
+        out.append((a, b, cnt))
+        used.update((a, b))
+    return out
+
+
 def word_freq_table(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The one corpus pass: distinct words with frequencies and their
     initial character-symbol arrays. Everything downstream of this
@@ -83,22 +158,40 @@ def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 32,
+    merge_batch: int = 16,
+    stats: dict | None = None,
 ):
     """Learn `num_merges` BPE merges from a document frame.
 
     Returns (merges, vocab):
       merges — list of (left, right, pair_count) in learned order;
-               training stops early when no pair repeats.
+               counts are measured on the table state at the start
+               of the round that selected the pair.  Training stops
+               early when no pair repeats.
       vocab  — DataFrame (word, freq, syms) with `syms` in the FINAL
                segmentation — the word→tokens mapping `bpe_apply`
                broadcasts.
 
-    Determinism: the argmax tiebreak is (count desc, left asc,
+    `merge_batch` pairs are learned per Spark round (batched BPE):
+    each round counts pairs once, collects the top candidates, and
+    greedily accepts up to `merge_batch` mutually symbol-disjoint
+    pairs in (count desc, pair asc) order — disjointness makes the
+    one-pass batch apply byte-identical to applying those pairs
+    sequentially (see module docstring).  `merge_batch=1` is exactly
+    classic sequential BPE.  Pass a dict as `stats` to receive
+    {"rounds": N} for round-count assertions.
+
+    Determinism: the candidate order is (count desc, left asc,
     right asc) via TakeOrdered — stable under any partitioning, so
     retraining on reshuffled data yields byte-identical merges."""
+    if merge_batch < 1:
+        raise ValueError(f"merge_batch must be >= 1, got {merge_batch}")
     vocab = pin(word_freq_table(df, text_col))
     merges: list[tuple[str, str, int]] = []
-    for _ in range(num_merges):
+    rounds = 0
+    while len(merges) < num_merges:
+        remaining = num_merges - len(merges)
+        batch_limit = min(merge_batch, remaining)
         pairs = (
             vocab.select(
                 "freq",
@@ -113,16 +206,32 @@ def bpe_train(
             .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
             .agg(F.sum("freq").alias("cnt"))
         )
+        # Oversample candidates 8x: conflicts skip, so the accepted
+        # set usually fills even when top pairs share hot symbols.
+        k = max(8 * batch_limit, 64)
         top = pairs.orderBy(
             F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
-        ).first()
-        if top is None or top["cnt"] < 2:
+        ).limit(k)
+        cands = [
+            (r["a"], r["b"], int(r["cnt"]))
+            for r in top.collect()
+            if r["cnt"] >= 2
+        ]
+        rounds += 1
+        batch = select_disjoint_batch(cands, batch_limit)
+        if not batch:
             break
-        a, b = top["a"], top["b"]
-        merges.append((a, b, int(top["cnt"])))
+        merges.extend(batch)
         vocab = pin(
-            vocab.withColumn("syms", _merge_fold(F.col("syms"), a, b))
+            vocab.withColumn(
+                "syms",
+                _merge_fold_batch(
+                    F.col("syms"), [(a, b) for a, b, _ in batch]
+                ),
+            )
         )
+    if stats is not None:
+        stats["rounds"] = rounds
     return merges, vocab
 
 

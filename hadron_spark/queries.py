@@ -1370,7 +1370,8 @@ def q49(spark, sf_dir):
     "q50_profile",
     """
     SELECT 'o_orderstatus' AS column, COUNT(*) AS n_rows,
-           SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS n_null,
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null,
            COUNT(DISTINCT o_orderstatus) AS n_distinct,
            CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
            CAST(MIN(o_orderstatus) AS VARCHAR) AS min_str,
@@ -1378,14 +1379,16 @@ def q49(spark, sf_dir):
     FROM orders
     UNION ALL
     SELECT 'o_totalprice', COUNT(*),
-           SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
            COUNT(DISTINCT o_totalprice),
            MIN(o_totalprice), MAX(o_totalprice),
            CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
     FROM orders
     UNION ALL
     SELECT 'o_custkey', COUNT(*),
-           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
            COUNT(DISTINCT o_custkey),
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
            CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
@@ -1869,7 +1872,8 @@ def q64(spark, sf_dir):
 @_register(
     "q65_stratified_sample",
     """
-    SELECT o_orderpriority, COUNT(*) AS n, SUM(o_orderkey) AS key_sum
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
     FROM orders
     WHERE (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 10000)
           < CASE o_orderpriority
@@ -2134,7 +2138,7 @@ def q72(spark, sf_dir):
       FROM orders GROUP BY 1
     )
     SELECT o.o_orderpriority, COUNT(*) AS n_outliers,
-           SUM(o.o_orderkey) AS key_sum
+           CAST(SUM(o.o_orderkey) AS BIGINT) AS key_sum
     FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority
     WHERE o.o_totalprice < b.p10 OR o.o_totalprice > b.p90
     GROUP BY o.o_orderpriority
@@ -2462,7 +2466,7 @@ def q81(spark, sf_dir):
       SELECT CASE WHEN g % 5 = 0 THEN NULL ELSE g END AS k, g
       FROM (SELECT unnest(range(0, 97)) AS g)
     )
-    SELECT l.k, COUNT(*) AS n, SUM(l.o_orderkey) AS key_sum
+    SELECT l.k, COUNT(*) AS n, CAST(SUM(l.o_orderkey) AS BIGINT) AS key_sum
     FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
     GROUP BY l.k
     """,
@@ -2831,7 +2835,8 @@ def q91(spark, sf_dir):
              ) AS c
       FROM ev
     )
-    SELECT month, MAX(c) AS max_concurrent FROM run GROUP BY month
+    SELECT month, CAST(MAX(c) AS BIGINT) AS max_concurrent
+    FROM run GROUP BY month
     """,
 )
 def q92(spark, sf_dir):
@@ -3933,7 +3938,8 @@ def q115(spark, sf_dir):
       SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
       FROM customer GROUP BY 1, 2
     ), g AS (
-      SELECT c_nationkey, SUM(n) AS n_customers, SUM(n * n) AS ss
+      SELECT c_nationkey, CAST(SUM(n) AS BIGINT) AS n_customers,
+             CAST(SUM(n * n) AS BIGINT) AS ss
       FROM c GROUP BY 1
     )
     SELECT c_nationkey, n_customers,
@@ -4400,12 +4406,12 @@ def q124(spark, sf_dir):
     )
     return lat.agg(
         F.count(F.lit(1)).alias("n_converted"),
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_us)").alias(
-            "median_latency_us"
-        ),
-        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lat_us)").alias(
-            "p90_latency_us"
-        ),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_us)")
+        .cast("long")
+        .alias("median_latency_us"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lat_us)")
+        .cast("long")
+        .alias("p90_latency_us"),
     )
 
 
@@ -4756,7 +4762,7 @@ def q132(spark, sf_dir):
       SELECT e.node, w.depth + 1
       FROM e JOIN walk w ON e.parent = w.node
     )
-    SELECT depth, COUNT(*) AS n_nodes, SUM(node) AS key_sum
+    SELECT depth, COUNT(*) AS n_nodes, CAST(SUM(node) AS BIGINT) AS key_sum
     FROM walk GROUP BY 1
     """,
 )
@@ -4996,7 +5002,7 @@ def q138(spark, sf_dir):
     )
     SELECT r_score, f_score, m_score,
            COUNT(*) AS n_customers,
-           SUM(frequency) AS total_orders
+           CAST(SUM(frequency) AS BIGINT) AS total_orders
     FROM scored GROUP BY 1, 2, 3
     """,
 )
@@ -5111,7 +5117,8 @@ def q140(spark, sf_dir):
     WITH b AS (
       SELECT p_brand,
              COUNT(*) AS n,
-             SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY 1
     )
@@ -5359,12 +5366,12 @@ def q144(spark, sf_dir):
       FROM s GROUP BY 1, 2
     )
     SELECT COUNT(*) AS n_sessions,
-           SUM(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END)
-             AS sessions_with_click,
-           SUM(CASE WHEN first_click IS NOT NULL
+           CAST(SUM(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS sessions_with_click,
+           CAST(SUM(CASE WHEN first_click IS NOT NULL
                      AND first_purchase >= first_click
-                    THEN 1 ELSE 0 END) AS converted_sessions,
-           SUM(n_events) AS total_events
+                    THEN 1 ELSE 0 END) AS BIGINT) AS converted_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS total_events
     FROM f
     """,
 )
@@ -5717,7 +5724,7 @@ def q149(spark, sf_dir):
         ON a.month = b.month AND a.p_brand < b.p_brand
       GROUP BY 1
     )
-    SELECT month, n_pairs, concordant,
+    SELECT month, n_pairs, CAST(concordant AS BIGINT) AS concordant,
            CAST(2 * concordant - n_pairs AS DOUBLE) / n_pairs AS tau
     FROM pairs
     """,
@@ -5803,8 +5810,8 @@ def q150(spark, sf_dir):
     SELECT o_orderpriority,
            date_trunc('month', o_orderdate) AS month,
            COUNT(*) AS n_lines,
-           SUM(CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30
-                    THEN 1 ELSE 0 END) AS n_ontime,
+           CAST(SUM(CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_ontime,
            CAST(SUM(CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30
                          THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
              AS ontime_rate
@@ -6104,7 +6111,8 @@ def q155(spark, sf_dir):
                                AND CURRENT ROW) AS n_at_risk
       FROM d
     )
-    SELECT m AS month, n_last AS n_churned, n_at_risk,
+    SELECT m AS month, n_last AS n_churned,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
            CAST(n_last AS DOUBLE) / n_at_risk AS hazard
     FROM r
     """,
@@ -6218,7 +6226,8 @@ def q157(spark, sf_dir):
              CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ), s AS (
-      SELECT grp, COUNT(*) AS n, SUM(ret) AS x FROM f GROUP BY 1
+      SELECT grp, COUNT(*) AS n, CAST(SUM(ret) AS BIGINT) AS x
+      FROM f GROUP BY 1
     ), w AS (
       SELECT
         MAX(CASE WHEN grp = 'rushed' THEN n END) AS n1,
@@ -6408,9 +6417,9 @@ def q160(spark, sf_dir):
     )
     SELECT event_type,
            COUNT(*) AS n_hours,
-           SUM(CASE WHEN prev IS NOT NULL AND next IS NOT NULL
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND next IS NOT NULL
                      AND n > prev AND n > next THEN 1 ELSE 0 END)
-             AS n_peaks,
+                AS BIGINT) AS n_peaks,
            CAST(SUM(CASE WHEN prev IS NOT NULL AND next IS NOT NULL
                           AND n > prev AND n > next THEN 1 ELSE 0 END)
                 AS DOUBLE) / COUNT(*) AS peak_rate
@@ -6935,11 +6944,12 @@ def q169(spark, sf_dir):
     )
     SELECT
       COUNT(*) AS n_orders,
-      SUM(CASE WHEN mn = 1 AND mx = n_lines AND n_distinct = n_lines
-               THEN 0 ELSE 1 END) AS n_violations,
-      SUM(CASE WHEN mn <> 1 THEN 1 ELSE 0 END) AS n_bad_start,
-      SUM(CASE WHEN mx <> n_lines THEN 1 ELSE 0 END) AS n_gapped,
-      SUM(CASE WHEN n_distinct <> n_lines THEN 1 ELSE 0 END)
+      CAST(SUM(CASE WHEN mn = 1 AND mx = n_lines AND n_distinct = n_lines
+               THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+      CAST(SUM(CASE WHEN mn <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_start,
+      CAST(SUM(CASE WHEN mx <> n_lines THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_gapped,
+      CAST(SUM(CASE WHEN n_distinct <> n_lines THEN 1 ELSE 0 END) AS BIGINT)
         AS n_duplicated
     FROM g
     """,

@@ -43,6 +43,55 @@ def ref_bpe(texts: list[str], num_merges: int):
     return merges, vocab, freq
 
 
+def ref_bpe_batched(texts: list[str], num_merges: int, merge_batch: int):
+    """Pure-Python batched-BPE reference: identical selection rule
+    (shared `select_disjoint_batch`, same top-k candidate truncation
+    as the Spark side) with the batch applied sequentially — which
+    equals the one-pass batch apply because accepted pairs are
+    symbol-disjoint."""
+    freq = Counter()
+    for t in texts:
+        for w in t.split():
+            if w:
+                freq[w] += 1
+    vocab = {w: list(w) for w in freq}
+    merges = []
+    while len(merges) < num_merges:
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for x, y in zip(syms, syms[1:]):
+                pairs[(x, y)] += freq[w]
+        batch_limit = min(merge_batch, num_merges - len(merges))
+        k = max(8 * batch_limit, 64)
+        cands = [
+            (a, b, c)
+            for (a, b), c in sorted(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0])
+            )[:k]
+            if c >= 2
+        ]
+        batch = bpe.select_disjoint_batch(cands, batch_limit)
+        if not batch:
+            break
+        merges.extend(batch)
+        for a, b, _ in batch:
+            for w, syms in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = out
+    return merges, vocab
+
+
 TEXTS = [
     "low lower lowest low low",
     "new newer newest new newer",
@@ -53,12 +102,48 @@ TEXTS = [
 
 
 def test_bpe_train_matches_reference(spark):
+    # merge_batch=1 IS classic sequential Sennrich training
     df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
-    merges, vocab = bpe.bpe_train(df, num_merges=12)
+    merges, vocab = bpe.bpe_train(df, num_merges=12, merge_batch=1)
     ref_merges, ref_vocab, _ = ref_bpe(TEXTS, 12)
     assert [(a, b, c) for a, b, c in merges] == ref_merges
     got = {r.word: list(r.syms) for r in vocab.collect()}
     assert got == ref_vocab
+
+
+def test_bpe_train_batched_matches_reference(spark):
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    for batch in (2, 4, 16):
+        stats = {}
+        merges, vocab = bpe.bpe_train(
+            df, num_merges=12, merge_batch=batch, stats=stats
+        )
+        ref_merges, ref_vocab = ref_bpe_batched(TEXTS, 12, batch)
+        assert [(a, b, c) for a, b, c in merges] == ref_merges
+        got = {r.word: list(r.syms) for r in vocab.collect()}
+        assert got == ref_vocab
+        # the whole point: rounds ~ num_merges / batch, not num_merges
+        assert stats["rounds"] <= (12 + batch - 1) // batch + 3
+
+
+def test_bpe_batched_equals_sequential_when_batch_is_one(spark):
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    seq, _ = bpe.bpe_train(df, num_merges=8, merge_batch=1)
+    ref_merges, _ = ref_bpe_batched(TEXTS, 8, 1)
+    assert [(a, b, c) for a, b, c in seq] == ref_merges
+
+
+def test_select_disjoint_batch_rule():
+    cands = [("a", "b", 10), ("b", "c", 9), ("x", "y", 8), ("a", "z", 7),
+             ("p", "q", 6)]
+    # (b,c) conflicts with (a,b) via b; (a,z) via a; rest accepted
+    assert bpe.select_disjoint_batch(cands, 10) == [
+        ("a", "b", 10), ("x", "y", 8), ("p", "q", 6)
+    ]
+    assert bpe.select_disjoint_batch(cands, 2) == [
+        ("a", "b", 10), ("x", "y", 8)
+    ]
+    assert bpe.select_disjoint_batch([], 4) == []
 
 
 def test_bpe_apply_counts(spark):
@@ -66,7 +151,7 @@ def test_bpe_apply_counts(spark):
         [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
     )
     merges, vocab = bpe.bpe_train(df, num_merges=12)
-    _, ref_vocab, _ = ref_bpe(TEXTS, 12)
+    _, ref_vocab = ref_bpe_batched(TEXTS, 12, 16)
     out = {r.doc_id: r.n_bpe_tokens for r in bpe.bpe_apply(df, vocab, ["doc_id"]).collect()}
     for i, t in enumerate(TEXTS):
         want = sum(len(ref_vocab[w]) for w in t.split() if w)

@@ -30,6 +30,22 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), ignore_index=True)
 
 
+def dtype_kind(dt) -> str:
+    """Collapse a pandas dtype to a comparison kind.
+
+    The driver's correctness gate hashes raw values after a
+    column-name sort, so an int64 0 on the Spark side against a
+    float64 0.0 on the oracle side (the DuckDB HUGEINT -> pandas
+    float64 conversion of an uncast integer SUM) hash-diverges even
+    though Python's ``0 == 0.0`` is true.  Comparing dtype *kinds*
+    (signed/unsigned int collapse together; float, bool, datetime,
+    object stay distinct) makes that whole failure class impossible
+    to pass locally.
+    """
+    k = dt.kind if hasattr(dt, "kind") else "O"
+    return "i" if k in ("i", "u") else k
+
+
 def values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
@@ -82,6 +98,15 @@ def main() -> int:
             continue
         if len(s) != len(o):
             print(f"FAIL  {name}: rowcount {len(s)} vs {len(o)}")
+            failures.append(name)
+            continue
+        kind_bad = [
+            (c, str(s[c].dtype), str(o[c].dtype))
+            for c in s.columns
+            if len(s) > 0 and dtype_kind(s[c].dtype) != dtype_kind(o[c].dtype)
+        ]
+        if kind_bad:
+            print(f"FAIL  {name}: dtype-kind mismatch {kind_bad}")
             failures.append(name)
             continue
         mism = None
