@@ -12,10 +12,14 @@ so signatures are reproducible across runs and engines.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from hadron_spark.functions.text import ngrams, tokenize
+
+_LOG = logging.getLogger(__name__)
 
 
 # ---------------------------------------------------------------------------
@@ -598,36 +602,76 @@ def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 16,
+    k: int | None = None,
     iters: int = 4,
     threshold: float = 0.9,
     max_cluster_size: int = 10_000,
+    target_cluster_rows: int = 2_000,
+    resolve: str = "greedy",
+    max_resolve_iters: int = 8,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means the embedding space, then compare
     cosine similarity ONLY within clusters — the clustering turns the
     O(n²) all-pairs problem into Σ|cluster|², and the oversized-
     cluster guard (`_drop_oversized_buckets`, the same skew bound the
-    MinHash/SimHash joins use) caps the worst case. A row is dropped
-    when a LOWER-id row in its cluster is ≥ `threshold` cosine-similar
-    (greedy min-id keeper — the exact_dedup keeper discipline, and
-    deterministic under any partitioning).
+    MinHash/SimHash joins use) caps the worst case.
+
+    k is SCALE-DERIVED by default: k = ceil(n / target_cluster_rows)
+    (clamped to [1, 65536]).  A fixed k is a scale trap — with k=16
+    and max_cluster_size=10k, any corpus beyond ~160k embeddings has
+    every cluster oversized, all clusters are dropped, and "dedup"
+    silently keeps everything.  Deriving k from a target cluster
+    width keeps Σ|cluster|² bounded at any corpus size; pass an
+    explicit k to override.  The dropped-cluster fraction is computed
+    and logged (WARNING above 10%) so a silent no-op can't happen.
+
+    Keeper discipline (`resolve`):
+      "greedy"    (default) — exact greedy min-id scan semantics: a
+                  row is dropped iff some ≥threshold lower-id row
+                  that is ITSELF A KEEPER exists in its cluster
+                  (the lexicographically-first maximal independent
+                  set of the threshold graph).  Computed as a
+                  fixpoint over the (bounded, within-cluster) edge
+                  set: rounds alternate "rows with no live lower
+                  neighbor become keepers" / "rows with a keeper
+                  lower neighbor drop"; converges in chain-depth
+                  rounds (capped at `max_resolve_iters`; unresolved
+                  rows — chains deeper than the cap — are KEPT,
+                  conservative).
+      "any_lower" — one-join approximation: a row is dropped when ANY
+                  ≥threshold lower-id row exists, keeper or not.
+                  Over-deletes on chains (id1~id2, id2~id3, id1≁id3
+                  drops 3 although its only duplicate 2 is already
+                  gone) but costs exactly one join round.  Dup rate
+                  is bounded below by greedy's, so it is the cheap
+                  conservative-deletion screen.
 
     Output: (id_col, cluster, dup_of, keep) — `dup_of` is the
-    smallest qualifying lower id (NULL for keepers), `keep` its
-    negation, so both the pruned corpus (filter keep) and the dup
-    audit trail fall out of one frame.
+    smallest qualifying lower id (under "greedy", the smallest
+    KEEPER neighbor; NULL for keepers), `keep` its negation, so both
+    the pruned corpus (filter keep) and the dup audit trail fall out
+    of one frame.
 
     Scale shape: the kmeans rounds are narrow literal-centroid scans
     + tiny cell aggregations (see similarity.kmeans); then ONE id
     equi-join to re-attach vectors, one windowed count for the guard
     whose exchange the self-join reuses (same key), and the
-    within-cluster pair join. Clusters oversized for the quadratic
-    stage are dropped, never exploded. Rows in dropped clusters are
-    KEPT (conservative: no evidence of duplication is examined)."""
+    within-cluster pair join producing the edge set, which is pinned
+    once and reused by every resolve round (edge rounds are joins on
+    the BOUNDED edge/id tables, never the corpus).  Clusters
+    oversized for the quadratic stage are dropped, never exploded.
+    Rows in dropped clusters are KEPT (conservative: no evidence of
+    duplication is examined)."""
     from hadron_spark.functions.vectors import cosine_similarity
     from hadron_spark.llm.similarity import kmeans
+    from hadron_spark.operators.ops import pin
 
+    if resolve not in ("greedy", "any_lower"):
+        raise ValueError(f"resolve must be 'greedy' or 'any_lower': {resolve}")
+    if k is None:
+        n = df.count()
+        k = max(1, min(65536, -(-n // max(1, target_cluster_rows))))
     assigned = kmeans(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     base = (
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
@@ -636,18 +680,100 @@ def semantic_dedup(
         )
     )
     guarded = _drop_oversized_buckets(base, ["cluster"], max_cluster_size)
+    # one count job reports the guard's coverage; a high dropped
+    # fraction means k is too small for the corpus (or the corpus is
+    # pathologically clumped) and dedup is silently examining little.
+    counts = base.agg(
+        F.count(F.lit(1)).alias("all"),
+    ).collect()[0]
+    n_all = counts["all"]
+    n_kept = guarded.count()
+    dropped_frac = 0.0 if n_all == 0 else 1.0 - n_kept / n_all
+    msg = (
+        f"semantic_dedup: k={k}, {n_all} rows, "
+        f"{dropped_frac:.1%} in oversized clusters (examined {n_kept})"
+    )
+    (_LOG.warning if dropped_frac > 0.10 else _LOG.info)(msg)
+
     x, y = guarded.alias("x"), guarded.alias("y")
     cos = cosine_similarity(F.col("x._v"), F.col("y._v"))
-    dup = (
+    edges = (
         x.join(
             y,
             (F.col("x.cluster") == F.col("y.cluster"))
             & (F.col("y._id") < F.col("x._id")),
         )
         .filter(cos >= F.lit(threshold))
-        .groupBy(F.col("x._id").alias("_id"))
-        .agg(F.min(F.col("y._id")).alias("dup_of"))
+        .select(F.col("x._id").alias("eid"), F.col("y._id").alias("lo"))
     )
+    if resolve == "any_lower":
+        dup = edges.groupBy(F.col("eid").alias("_id")).agg(
+            F.min("lo").alias("dup_of")
+        )
+    else:
+        # Greedy fixpoint over the bounded edge set.  Rows that never
+        # appear as an edge head have no lower neighbor and are
+        # keepers trivially; only edge heads need resolving.  Each
+        # round: unresolved heads with no LIVE lower neighbor become
+        # keepers; edges from new keepers mark their heads dropped;
+        # edges whose lower endpoint dropped disappear.  The keeper
+        # set only grows, so the final dropped set is exactly "heads
+        # with a keeper lower neighbor", and dup_of is computed ONCE
+        # at the end as the global min keeper neighbor.
+        edges = pin(edges)
+        heads = pin(edges.select(F.col("eid").alias("_id")).distinct())
+        # rows that appear only as lower endpoints have no lower
+        # neighbor themselves -> keepers from the start; they seed
+        # the fixpoint.  Only edge heads need resolving.
+        keepers = pin(
+            edges.select(F.col("lo").alias("_id"))
+            .distinct()
+            .join(heads, "_id", "left_anti")
+        )
+        live = edges
+        unresolved = heads
+        for _ in range(max_resolve_iters):
+            if unresolved.isEmpty():
+                break
+            # heads with an edge from a confirmed keeper are dropped:
+            # prune them from both edge endpoints and the work list
+            new_drop = pin(
+                live.join(keepers.select(F.col("_id").alias("lo")), "lo")
+                .select(F.col("eid").alias("_id"))
+                .distinct()
+            )
+            live = pin(
+                live.join(
+                    new_drop.select(F.col("_id").alias("lo")),
+                    "lo",
+                    "left_anti",
+                ).join(
+                    new_drop.select(F.col("_id").alias("eid")),
+                    "eid",
+                    "left_anti",
+                )
+            )
+            unresolved = pin(unresolved.join(new_drop, "_id", "left_anti"))
+            # surviving heads with no live lower neighbor left become
+            # keepers themselves
+            new_keep = pin(
+                unresolved.join(
+                    live.select(F.col("eid").alias("_id")).distinct(),
+                    "_id",
+                    "left_anti",
+                )
+            )
+            keepers = pin(keepers.union(new_keep))
+            unresolved = pin(unresolved.join(new_keep, "_id", "left_anti"))
+        # greedy verdict: a head is dropped iff it has a keeper lower
+        # neighbor (dup_of = the smallest); heads left unresolved by
+        # the iteration cap have no confirmed-keeper neighbor and are
+        # kept (conservative).
+        dup = (
+            edges.join(keepers.select(F.col("_id").alias("lo")), "lo")
+            .groupBy(F.col("eid").alias("_id"))
+            .agg(F.min("lo").alias("dup_of"))
+        )
     return base.join(dup, "_id", "left").select(
         F.col("_id").alias(id_col),
         "cluster",

@@ -110,6 +110,88 @@ def test_semantic_dedup_plants_and_keeps(spark):
     assert sum(1 for r in out if not r.keep) == 2
 
 
+def test_semantic_dedup_chain_greedy_vs_any_lower(spark):
+    """Chain 0~1, 1~2, 0≁2 (unit vectors at 0°, 25°, 50°; threshold
+    cos30°): greedy keeps 2 — its only duplicate (1) was itself
+    dropped against keeper 0 — while the one-join any_lower screen
+    over-deletes it. This is the exact scenario from the round-2
+    advisory."""
+    import math
+
+    from hadron_spark.llm.dedup import semantic_dedup
+
+    def unit(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    df = spark.createDataFrame(
+        [(0, unit(0)), (1, unit(25)), (2, unit(50))],
+        "vec_id long, embedding array<double>",
+    )
+    thr = math.cos(math.radians(30))
+    greedy = {
+        r.vec_id: r
+        for r in semantic_dedup(
+            df, k=1, iters=1, threshold=thr, resolve="greedy"
+        ).collect()
+    }
+    assert greedy[0].keep and greedy[0].dup_of is None
+    assert not greedy[1].keep and greedy[1].dup_of == 0
+    assert greedy[2].keep and greedy[2].dup_of is None
+
+    any_lower = {
+        r.vec_id: r
+        for r in semantic_dedup(
+            df, k=1, iters=1, threshold=thr, resolve="any_lower"
+        ).collect()
+    }
+    assert not any_lower[1].keep and any_lower[1].dup_of == 0
+    assert not any_lower[2].keep and any_lower[2].dup_of == 1
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        semantic_dedup(df, resolve="nope")
+
+
+def test_semantic_dedup_derived_k_fires_beyond_guard(spark):
+    """Scale contract: with k unset, k is derived from
+    target_cluster_rows, so a corpus much larger than
+    k_fixed * max_cluster_size still gets examined (the round-2
+    'silent no-op' trap). 400 rows, max_cluster_size=60: a fixed
+    k=1 would drop its single 400-row cluster and keep everything;
+    derived k ≈ 400/40 = 10 keeps clusters under the guard and the
+    planted duplicate is found."""
+    import random
+
+    from hadron_spark.llm.dedup import semantic_dedup
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(400):
+        c = float(i % 10)  # 10 well-separated blobs on a line
+        rows.append(
+            (i, [c * 10 + rng.gauss(0, 0.01), rng.gauss(0, 0.01), 1.0])
+        )
+    rows.append((1000, [x + 1e-6 for x in rows[3][1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(
+        df,
+        iters=4,
+        threshold=0.999999,
+        max_cluster_size=60,
+        target_cluster_rows=40,
+    ).collect()
+    by_id = {r.vec_id: r for r in out}
+    assert len(out) == len(rows)
+    assert not by_id[1000].keep and by_id[1000].dup_of == 3
+    # fixed-k control: k=1 -> single oversized cluster -> silent keep-all
+    ctl = semantic_dedup(
+        df, k=1, iters=1, threshold=0.999999, max_cluster_size=60
+    ).collect()
+    assert all(r.keep for r in ctl)
+
+
 def test_semantic_dedup_oversized_cluster_kept(spark):
     from hadron_spark.llm.dedup import semantic_dedup
 
