@@ -19,9 +19,11 @@ is a sum of exact int64 products, accumulated into DECIMAL(38,0)
 (exact at any corpus size) and cast once to double (one
 correctly-rounded int→double conversion, bit-identical in any
 engine). Overflow bound: |x|<10 and quant=1e5 keep each product
-≤ 1e12; a batch partial overflows int64 only past ~9e6 rows per
-Arrow batch — two orders above `spark.sql.execution.arrow
-.maxRecordsPerBatch` (default 10k).
+≤ 1e12; partials are emitted PER ARROW BATCH (never accumulated
+across batches in int64), so the int64 ceiling applies to one batch
+(~9e6 rows at those bounds — two orders above `spark.sql.execution
+.arrow.maxRecordsPerBatch`'s default 10k), not to a whole partition;
+all cross-batch summation is DECIMAL(38,0), exact.
 
 The eigendecomposition itself is O(d³) on d×d scalars — driver-side
 numpy by construction (same contract as `similarity.kmeans`
@@ -51,6 +53,61 @@ def _quantize_np(X, quant: int):
     return np.floor(X.astype(np.float64) * quant + 0.5).astype(np.int64)
 
 
+def gram_partials(
+    df: DataFrame, vec_col: str = "embedding", quant: int = DEFAULT_QUANT
+) -> DataFrame:
+    """Exact-integer Gram statistic: (i int, j int, gx decimal(38,0)).
+    The DECIMAL accumulator BEFORE the double cast — the form
+    streaming state merges on, so repeated merges never round-trip
+    through double (exact past 2^53 at any stream volume).
+    `gram_matrix` is this plus one final double cast."""
+
+    def part(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        # one partial frame PER ARROW BATCH — never accumulate across
+        # batches in int64, so the documented overflow bound (|x|<10,
+        # quant=1e5 -> products ≤1e12, int64 safe to ~9e6 rows) holds
+        # per batch (maxRecordsPerBatch default 10k) rather than per
+        # partition, where a 100 TB partition would silently wrap.
+        # The d(d+1)/2-row-per-batch emission is exactly the
+        # O(batches·d²) exchange the module contract states; exact
+        # cross-batch summation happens shuffle-side in DECIMAL(38,0).
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _quantize_np(np.stack(pdf["_v"].to_numpy()), quant)
+            if X.size == 0:
+                continue
+            g = X.T @ X
+            s = X.sum(axis=0)
+            n = X.shape[0]
+            iu = [
+                (i, j)
+                for i in range(g.shape[0])
+                for j in range(i, g.shape[1])
+            ]
+            yield pd.DataFrame(
+                {
+                    "i": [i for i, _ in iu] + list(range(len(s))) + [-1],
+                    "j": [j for _, j in iu] + [-1] * len(s) + [-1],
+                    "partial": [int(g[i, j]) for i, j in iu]
+                    + [int(x) for x in s]
+                    + [n],
+                }
+            )
+
+    parts = df.select(F.col(vec_col).alias("_v")).mapInPandas(
+        part, "i int, j int, partial long"
+    )
+    return parts.groupBy("i", "j").agg(
+        F.sum(F.col("partial").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("gx")
+    )
+
+
 def gram_matrix(
     df: DataFrame, vec_col: str = "embedding", quant: int = DEFAULT_QUANT
 ) -> DataFrame:
@@ -62,42 +119,8 @@ def gram_matrix(
     Output: (i int, j int, g double) — d(d+1)/2 + d + 1 rows.
     g is exact: int64 batch partials → DECIMAL(38,0) sum → one
     correctly-rounded double cast."""
-
-    def part(batches: Iterator) -> Iterator:
-        import numpy as np
-        import pandas as pd
-
-        acc = None
-        sums = None
-        n = 0
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = _quantize_np(np.stack(pdf["_v"].to_numpy()), quant)
-            if X.size == 0:
-                continue
-            g = X.T @ X
-            s = X.sum(axis=0)
-            acc = g if acc is None else acc + g
-            sums = s if sums is None else sums + s
-            n += X.shape[0]
-        if acc is None:
-            return
-        iu = [(i, j) for i in range(acc.shape[0]) for j in range(i, acc.shape[1])]
-        rows = {
-            "i": [i for i, _ in iu] + list(range(len(sums))) + [-1],
-            "j": [j for _, j in iu] + [-1] * len(sums) + [-1],
-            "partial": [int(acc[i, j]) for i, j in iu]
-            + [int(x) for x in sums]
-            + [n],
-        }
-        yield pd.DataFrame(rows)
-
-    parts = df.select(F.col(vec_col).alias("_v")).mapInPandas(
-        part, "i int, j int, partial long"
-    )
-    return parts.groupBy("i", "j").agg(
-        F.sum(F.col("partial").cast("decimal(38,0)")).cast("double").alias("g")
+    return gram_partials(df, vec_col, quant).select(
+        "i", "j", F.col("gx").cast("double").alias("g")
     )
 
 

@@ -236,20 +236,14 @@ def foreach_batch_upsert(
 
     def apply(batch_df, batch_id):
         spark = batch_df.sparkSession
+        _recover_swap(spark, target_path)
         batch_df = batch_df.localCheckpoint(eager=True)  # detach from stream plan
         if fs.exists(spark, target_path):
             target = spark.read.parquet(target_path)
             merged = merge_upsert(target, batch_df, keys)
         else:
             merged = batch_df
-        tmp = target_path + f"._tmp_{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = target_path + f"._old_{batch_id}"
-        if fs.exists(spark, target_path):
-            fs.mv(spark, target_path, old)
-        fs.mv(spark, tmp, target_path)
-        if fs.exists(spark, old):
-            fs.delete(spark, old)
+        _commit_swap(spark, merged, target_path, batch_id)
 
     writer = stream.writeStream.foreachBatch(apply).outputMode("update").trigger(
         availableNow=True
@@ -257,6 +251,88 @@ def foreach_batch_upsert(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def _recover_swap(spark, target_path: str) -> None:
+    """Heal a tmp-then-rename swap interrupted by a crash.
+
+    The commit sequence is: write `<t>._tmp_<id>` fully → mv <t> →
+    `<t>._old_<id>` → mv tmp → <t> → delete old.  Crash windows:
+      - target still present: any `._tmp_*` is either half-written or
+        superseded, any `._old_*` is post-commit garbage → delete
+        both.
+      - target missing: the state→old rename happened, so the newest
+        `._tmp_*` is COMPLETE (it was fully written before anything
+        was renamed) → promote it; else promote the newest
+        `._old_*` (pre-batch state; the batch replays and the
+        high-water mark keeps the replay single-count)."""
+    from hadron_spark.sources import fs
+
+    parent, _, base = target_path.rstrip("/").rpartition("/")
+    try:
+        entries = fs.ls(spark, parent or ".")
+    except Exception:  # parent doesn't exist yet -> nothing to heal
+        return
+    tmps, olds = [], []
+    for e in entries:
+        name = e.path.rstrip("/").rpartition("/")[2]
+        if name.startswith(base + "._tmp_"):
+            tmps.append(e.path)
+        elif name.startswith(base + "._old_"):
+            olds.append(e.path)
+    if not tmps and not olds:
+        return
+
+    def batchid(p: str) -> int:
+        try:
+            return int(p.rpartition("_")[2])
+        except ValueError:
+            return -1
+
+    if fs.exists(spark, target_path):
+        for p in tmps + olds:
+            fs.delete(spark, p)
+        return
+    if tmps:
+        tmps.sort(key=batchid)
+        fs.mv(spark, tmps[-1], target_path)
+        for p in tmps[:-1] + olds:
+            fs.delete(spark, p)
+    elif olds:
+        olds.sort(key=batchid)
+        fs.mv(spark, olds[-1], target_path)
+        for p in olds[:-1]:
+            fs.delete(spark, p)
+
+
+def _commit_swap(spark, merged: DataFrame, target_path: str, batch_id) -> None:
+    """Atomically-enough replace `target_path` with `merged`
+    (tmp-then-rename; `_recover_swap` heals every crash window)."""
+    from hadron_spark.sources import fs
+
+    tmp = target_path + f"._tmp_{batch_id}"
+    merged.write.mode("overwrite").parquet(tmp)
+    old = target_path + f"._old_{batch_id}"
+    if fs.exists(spark, target_path):
+        fs.mv(spark, target_path, old)
+    fs.mv(spark, tmp, target_path)
+    if fs.exists(spark, old):
+        fs.delete(spark, old)
+
+
+GRAM_MARK = -2  # (i, j) = (-2, -2) row carries the batch high-water mark
+
+
+def read_gram_state(spark, state_path: str) -> DataFrame:
+    """Consumer view of an `incremental_gram` state table: the
+    bookkeeping marker row is stripped and `g` is the one
+    correctly-rounded double cast of the exact accumulator — the
+    same (i, j, g) frame `gram_matrix` returns."""
+    return (
+        spark.read.parquet(state_path)
+        .filter(F.col("i") != F.lit(GRAM_MARK))
+        .select("i", "j", F.col("gx").cast("double").alias("g"))
+    )
 
 
 def incremental_gram(
@@ -272,13 +348,50 @@ def incremental_gram(
     Arrow-batched X'X pass as the batch op — exact int64 units) is
     merged into a tiny parquet state table by (i, j) key with
     tmp-then-rename. Gram partials are exactly additive (pinned in
-    test_embeddings), so at any point `state == gram_matrix(all rows
-    so far)` bit-for-bit, and PCA can be refit from the state table
-    alone — the batch-recompute-free covariance path for a corpus
-    that grows nightly. State is d(d+1)/2+d+1 rows regardless of
-    stream volume.
+    test_embeddings), so at any point `read_gram_state(state) ==
+    gram_matrix(all rows so far)` bit-for-bit, and PCA can be refit
+    from the state table alone — the batch-recompute-free covariance
+    path for a corpus that grows nightly. State is d(d+1)/2+d+2 rows
+    regardless of stream volume.
+
+    Exactness under failure (the three at-least-once hazards):
+      - REPLAY: foreachBatch may re-deliver a batch after a restart;
+        the state carries the last-applied batch_id in a marker row
+        ((i,j)=(-2,-2)) and batches at or below the high-water mark
+        are skipped, so a replayed batch merges exactly once.
+      - CRASH MID-SWAP: `_recover_swap` runs before every merge and
+        promotes the completed `._tmp_` (or restores `._old_`), so a
+        crash between the two renames can never make the next batch
+        silently rebuild state from its own partial alone.
+      - DOUBLE DRIFT: state stores the DECIMAL(38,0) accumulator
+        (`gx`) and merges in decimal; doubles only appear in the
+        consumer view, as the single final cast — no round-trip
+        through float past 2^53.
+
+    Read the state through `read_gram_state` (strips the marker,
+    casts once to double).
 
     Returns the started StreamingQuery (availableNow trigger)."""
+    apply = gram_apply_fn(state_path, vec_col, quant)
+    writer = stream.writeStream.foreachBatch(apply).outputMode("append").trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def gram_apply_fn(
+    state_path: str, vec_col: str = "embedding", quant: int | None = None
+):
+    """The foreachBatch merge function behind `incremental_gram`,
+    exposed so the replay/recovery contract is directly unit-testable
+    (call it with (batch_df, batch_id) like the stream runtime does).
+    batch_id monotonicity is the Structured Streaming foreachBatch
+    contract WITHIN one checkpoint lineage — a state table is bound
+    to the checkpoint that built it; restarting against the same
+    state with a fresh checkpoint restarts batch ids and the
+    high-water mark would misread new batches as replays."""
     from hadron_spark.llm import embeddings as _E
     from hadron_spark.sources import fs
 
@@ -286,37 +399,39 @@ def incremental_gram(
 
     def apply(batch_df, batch_id):
         spark = batch_df.sparkSession
-        part = _E.gram_matrix(
-            batch_df.localCheckpoint(eager=True), vec_col=vec_col, quant=q
-        )
+        _recover_swap(spark, state_path)
+        prev = None
         if fs.exists(spark, state_path):
             prev = spark.read.parquet(state_path)
+            hwm_row = (
+                prev.filter(F.col("i") == F.lit(GRAM_MARK))
+                .select("gx")
+                .collect()
+            )
+            if hwm_row and batch_id <= int(hwm_row[0]["gx"]):
+                return  # replayed batch: already merged exactly once
+        part = _E.gram_partials(
+            batch_df.localCheckpoint(eager=True), vec_col=vec_col, quant=q
+        )
+        if prev is not None:
             merged = (
-                prev.unionByName(part)
+                prev.filter(F.col("i") != F.lit(GRAM_MARK))
+                .select("i", "j", "gx")
+                .unionByName(part)
                 .groupBy("i", "j")
-                # decimal accumulation: each g is an exact integer in
-                # a double; summing through DECIMAL(38,0) keeps the
-                # merged state exact past 2^53 at any stream volume
                 .agg(
-                    F.sum(F.col("g").cast("decimal(38,0)"))
-                    .cast("double")
-                    .alias("g")
+                    F.sum("gx").cast("decimal(38,0)").alias("gx")
                 )
             )
         else:
             merged = part
-        tmp = state_path + f"._tmp_{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = state_path + f"._old_{batch_id}"
-        if fs.exists(spark, state_path):
-            fs.mv(spark, state_path, old)
-        fs.mv(spark, tmp, state_path)
-        if fs.exists(spark, old):
-            fs.delete(spark, old)
+        marker = spark.range(1).select(
+            F.lit(GRAM_MARK).cast("int").alias("i"),
+            F.lit(GRAM_MARK).cast("int").alias("j"),
+            F.lit(int(batch_id)).cast("decimal(38,0)").alias("gx"),
+        )
+        _commit_swap(
+            spark, merged.unionByName(marker), state_path, batch_id
+        )
 
-    writer = stream.writeStream.foreachBatch(apply).outputMode("append").trigger(
-        availableNow=True
-    )
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
-    return writer.start()
+    return apply

@@ -201,6 +201,73 @@ def test_incremental_gram_matches_batch(spark, sf_dir, tmp_path):
         checkpoint=str(tmp_path / "ckpt"),
     )
     q.awaitTermination(120)
-    got = {(r.i, r.j): r.g for r in spark.read.parquet(state).collect()}
+    from hadron_spark.streaming.ops import read_gram_state
+
+    got = {(r.i, r.j): r.g for r in read_gram_state(spark, state).collect()}
     want = {(r.i, r.j): r.g for r in E.gram_matrix(emb).collect()}
     assert got == want
+
+
+def test_incremental_gram_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: re-delivering a batch with the
+    same batch_id must merge exactly once (high-water-mark skip)."""
+    from hadron_spark.llm import embeddings as E
+    from hadron_spark.streaming.ops import gram_apply_fn, read_gram_state
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    b0 = emb.filter("vec_id % 2 = 0").select("embedding")
+    b1 = emb.filter("vec_id % 2 = 1").select("embedding")
+    state = str(tmp_path / "gram_state")
+    apply = gram_apply_fn(state)
+    apply(b0, 0)
+    apply(b1, 1)
+    want = {(r.i, r.j): r.g for r in E.gram_matrix(emb).collect()}
+    got = {(r.i, r.j): r.g for r in read_gram_state(spark, state).collect()}
+    assert got == want
+    # replay batch 1 (same id), and a stale batch 0: state unchanged
+    apply(b1, 1)
+    apply(b0, 0)
+    got = {(r.i, r.j): r.g for r in read_gram_state(spark, state).collect()}
+    assert got == want
+
+
+def test_incremental_gram_crash_recovery(spark, sf_dir, tmp_path):
+    """Crash between the two commit renames leaves state_path absent
+    (or a dangling tmp); the next apply must heal, not rebuild state
+    from its own partial alone."""
+    from hadron_spark.llm import embeddings as E
+    from hadron_spark.sources import fs
+    from hadron_spark.streaming.ops import gram_apply_fn, read_gram_state
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    b0 = emb.filter("vec_id % 2 = 0").select("embedding")
+    b1 = emb.filter("vec_id % 2 = 1").select("embedding")
+    state = str(tmp_path / "gram_state")
+    apply = gram_apply_fn(state)
+    apply(b0, 0)
+    # simulate a crash after mv(state -> old), before mv(tmp -> state)
+    fs.mv(spark, state, state + "._old_1")
+    apply(b1, 1)
+    want = {(r.i, r.j): r.g for r in E.gram_matrix(emb).collect()}
+    got = {(r.i, r.j): r.g for r in read_gram_state(spark, state).collect()}
+    assert got == want
+    assert not fs.exists(spark, state + "._old_1")
+    # simulate a crash where the NEW tmp was fully written but never
+    # promoted: recovery must promote the tmp (it is complete), and
+    # the high-water mark inside it must make the replay a no-op
+    b2 = emb.filter("vec_id % 3 = 0").select("embedding")
+    apply(b2, 2)
+    fs.mv(spark, state, state + "._tmp_9")
+    apply(b2, 2)  # replay: heal promotes tmp, hwm(2) skips the merge
+    want2 = {
+        (r.i, r.j): r.g
+        for r in E.gram_matrix(
+            emb.select("embedding").unionAll(b2)
+        ).collect()
+    }
+    got2 = {(r.i, r.j): r.g for r in read_gram_state(spark, state).collect()}
+    assert got2 == want2
