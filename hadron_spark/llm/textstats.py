@@ -20,6 +20,24 @@ from hadron_spark.functions.text import (
     tokenize,
 )
 
+def _stamp_rank(bounded: DataFrame, order, out_col: str = "rn") -> DataFrame:
+    """Stamp 1-based rank on an already-LIMITed (k-row) frame without
+    a window: coalesce to one partition, sort within it, and number
+    rows with monotonically_increasing_id (consecutive from 0 inside
+    a single partition).  Equivalent to row_number() over a global
+    window, but emits no `WindowExec: No Partition Defined` warning —
+    that warning class is reserved for real whole-dataset funnels, so
+    any occurrence in a bench log is a genuine scale signal.  Only
+    ever call this on post-limit frames."""
+    return (
+        bounded.coalesce(1)
+        .sortWithinPartitions(*order)
+        .withColumn(
+            out_col, (F.monotonically_increasing_id() + 1).cast("int")
+        )
+    )
+
+
 # tiny per-language marker lexicons for the n-gram/stopword heuristic
 # language identifier (public-knowledge function words).
 _LANG_MARKERS = {
@@ -189,8 +207,9 @@ def bm25_topk(
     # partition heaps, no single-partition window shuffle); the rank
     # window then runs over only the k survivors.
     top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return top.withColumn("rn", F.row_number().over(w)).select(id_col, "score", "rn")
+    return _stamp_rank(
+        top, [F.col("score").desc(), F.col(id_col).asc()]
+    ).select(id_col, "score", "rn")
 
 
 def collocations_topk(
@@ -249,10 +268,9 @@ def collocations_topk(
         )
     )
     top = scored.orderBy(F.col("lift").desc(), F.col("bigram").asc()).limit(k)
-    w = Window.orderBy(F.col("lift").desc(), F.col("bigram").asc())
-    return top.withColumn("rn", F.row_number().over(w)).select(
-        "bigram", "n_ab", "c1", "c2", "lift", "rn"
-    )
+    return _stamp_rank(
+        top, [F.col("lift").desc(), F.col("bigram").asc()]
+    ).select("bigram", "n_ab", "c1", "c2", "lift", "rn")
 
 
 def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -1101,8 +1101,6 @@ def weighted_percentile(
     tied-value run iff the RANGE-framed (peer-inclusive) cumulative
     does, and min(value) is the same either way — so this matches the
     RANGE-framed definition while staying a plain prefix sum."""
-    # NB: the value column must not be named "_v" — range_cumsum uses
-    # that name internally for its casted weight and drops it
     base = df.select(
         value.alias("_val"), weight.cast("long").alias("_w"), *tiebreak
     )
