@@ -151,11 +151,69 @@ _decode_image_stub = decode_image_stub
 
 
 def resize_bytes_stub(content: bytes | None, width: int, height: int) -> bytes:
-    """Default STUB resize — deterministic fake: tags the payload with
-    the target geometry so tests can assert the bytes went through the
-    transform. Production: PIL open→resize→save to bytes."""
+    """Fallback STUB resize for codec-less environments —
+    deterministic fake: tags the payload with the target geometry so
+    tests can assert the bytes went through the transform. `resize`
+    only falls back here when Pillow is absent (`pillow_resize` is
+    the real backend)."""
     head = b"RSZ:%dx%d:" % (width, height)
     return head + (bytes(content[:16]) if content else b"")
+
+
+def pillow_available() -> bool:
+    """True when the optional Pillow dependency is importable."""
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def pillow_decode(content: bytes | None) -> tuple[str, int, int, int]:
+    """REAL pixel-capable decode via Pillow (optional dependency):
+    (format, width, height, n_frames) from an actual image open —
+    the production `decode_fn` for `extract_media_meta` /
+    `frame_sample` wherever Pillow is installed. Malformed payloads
+    degrade to the byte-sniffed format with zero dimensions (the
+    parse_media_header discipline — never raise inside the Arrow
+    batch loop)."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    if not content:
+        return "empty", 0, 0, 0
+    try:
+        with Image.open(BytesIO(content)) as im:
+            n = int(getattr(im, "n_frames", 1))
+            return (im.format or "unknown").lower(), im.width, im.height, n
+    except Exception:
+        return _sniff_format(content), 0, 0, 0
+
+
+def pillow_resize(content: bytes | None, width: int, height: int) -> bytes:
+    """REAL resize via Pillow: open → resize → re-encode in the
+    source format (PNG when the source format is unknown or
+    non-writable). The production `resize_fn`; `resize` uses it
+    automatically when Pillow is importable."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    if not content:
+        return b""
+    with Image.open(BytesIO(content)) as im:
+        fmt = im.format if im.format in ("PNG", "JPEG", "GIF", "BMP") else "PNG"
+        out = BytesIO()
+        im.resize((width, height)).save(out, format=fmt)
+        return out.getvalue()
+
+
+def default_resize_fn() -> ResizeFn:
+    """The strongest resize backend available in this environment:
+    Pillow when importable, else the deterministic stub."""
+    return pillow_resize if pillow_available() else resize_bytes_stub
 
 
 def extract_media_meta(
@@ -228,13 +286,17 @@ def resize(
     width: int,
     height: int,
     content_col: str = "content",
-    resize_fn: ResizeFn = resize_bytes_stub,
+    resize_fn: ResizeFn | None = None,
 ) -> DataFrame:
     """Transform-in-place media op: every row's payload through
-    `resize_fn(content, width, height)` (default: deterministic stub;
-    production: PIL resize), Arrow-batched, no shuffle. Output keeps
-    (path, content, width, height) — the batch-shape contract for all
-    byte→byte media transforms."""
+    `resize_fn(content, width, height)`, Arrow-batched, no shuffle.
+    Default backend: REAL Pillow resize when Pillow is importable
+    (checked on the driver; executors need it too — ship it with the
+    environment), else the deterministic stub.
+    Output keeps (path, content, width, height)
+    — the batch-shape contract for all byte→byte media transforms."""
+    if resize_fn is None:
+        resize_fn = default_resize_fn()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

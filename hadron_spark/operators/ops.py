@@ -553,14 +553,37 @@ def _materialize_once(df: DataFrame, mode: str) -> DataFrame:
     SAME bytes — determinism by construction rather than by the
     re-evaluation-stability argument. Storage is MEMORY_AND_DISK on
     the executors; Spark's ContextCleaner unpersists the blocks when
-    the result frame is dropped. On a real cluster a reliable
-    `checkpoint()` (replicated) is the durable variant; local is the
-    right default for the single-app lifetime these frames have."""
+    the result frame is dropped.
+
+    Modes:
+      "local_checkpoint" — executor-local blocks. Fastest; NOT
+          resilient to executor loss (a lost block kills the job
+          stage — lineage was truncated). The right default for the
+          single-app lifetime these frames have on local mode and
+          for short cluster jobs.
+      "checkpoint" — RELIABLE checkpoint to the configured
+          `sparkContext.setCheckpointDir` (HDFS/object store):
+          survives executor loss, costs a distributed-FS write +
+          read. Use for 100 TB cluster runs where recomputing the
+          upstream on a lost executor is unaffordable or the job
+          must tolerate node churn.
+      "none" — no pin (caller guarantees single consumption)."""
     if mode == "local_checkpoint":
         return df.localCheckpoint(eager=True)
+    if mode == "checkpoint":
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            raise ValueError(
+                "materialize='checkpoint' needs a reliable checkpoint "
+                "dir: call spark.sparkContext.setCheckpointDir(...) "
+                "with an HDFS/object-store path first"
+            )
+        return df.checkpoint(eager=True)
     if mode == "none":
         return df
-    raise ValueError(f"materialize must be local_checkpoint|none, got {mode!r}")
+    raise ValueError(
+        f"materialize must be local_checkpoint|checkpoint|none, got {mode!r}"
+    )
 
 
 def pin(df: DataFrame, materialize: str = "local_checkpoint") -> DataFrame:

@@ -139,6 +139,7 @@ def fan_out_arbitrary(
     fmt: str = "jsonl",
     single_writer: bool = True,
     sequential: bool = False,
+    max_rows_per_task: int | None = None,
 ) -> DataFrame:
     """TRUE arbitrary record→path fan-out — the one S7 semantic the
     hive-route `fan_out_write` cannot express (VERDICT r1 missing #2):
@@ -160,17 +161,54 @@ def fan_out_arbitrary(
     partitions by path so one handle is open at a time
     (sequentialSinkFanout, FanOut.hs:172-190).
 
+    Skew bound: single_writer=True funnels every row of a route
+    through ONE task — a hot route (half the corpus routed to one
+    path) serializes behind a single writer at 100 TB.
+    `max_rows_per_task` caps that: routes larger than the cap are
+    split into `<path>.part-<N>` shards, each written by its own
+    task, while routes under the cap keep their exact computed
+    filename; stats still roll up to the LOGICAL route. Costs one
+    extra exchange (a per-route windowed count/row-number to assign
+    shards — partitioned by route, never single-partition). Routes
+    whose literal name matches `.part-<5 digits>` would be folded by
+    the stats rollup — don't combine such names with the cap.
+
     Formats are line protocols like the reference's (P2/P3): "jsonl"
     or "csv" (header-less). Paths must be on a filesystem mounted on
     the executors (the reference wrote through a local hadoop client
     the same way); for object stores use `fan_out_write`'s committer
     path. The write happens EAGERLY (this is a sink); the returned
     stats frame is materialized."""
+    from pyspark.sql import Window
+
     if fmt not in ("jsonl", "csv"):
         raise ValueError(f"fan_out_arbitrary supports jsonl|csv, got {fmt!r}")
     routed = df.withColumn(
         "_path", F.col(path_col) if isinstance(path_col, str) else path_col
     )
+    sharded = single_writer and max_rows_per_task is not None
+    if sharded:
+        wp = Window.partitionBy("_path")
+        wo = wp.orderBy(F.monotonically_increasing_id())
+        shard = ((F.row_number().over(wo) - 1) / max_rows_per_task).cast(
+            "long"
+        )
+        routed = (
+            routed.withColumn("_tot", F.count(F.lit(1)).over(wp))
+            .withColumn(
+                "_path",
+                F.when(
+                    F.col("_tot") <= max_rows_per_task, F.col("_path")
+                ).otherwise(
+                    F.concat(
+                        F.col("_path"),
+                        F.lit(".part-"),
+                        F.lpad(shard.cast("string"), 5, "0"),
+                    )
+                ),
+            )
+            .drop("_tot")
+        )
     if single_writer:
         routed = routed.repartition("_path")
     if sequential:
@@ -219,4 +257,10 @@ def fan_out_arbitrary(
     if not single_writer:
         # shard stats roll up to the logical path (fanStats semantics)
         return out.groupBy("path").agg(F.sum("rows").alias("rows"))
+    if sharded:
+        # hot-route shards roll up to the logical route
+        logical = F.regexp_replace("path", r"\.part-\d{5}$", "")
+        return out.groupBy(logical.alias("path")).agg(
+            F.sum("rows").alias("rows")
+        )
     return out

@@ -108,6 +108,43 @@ def test_fan_out_arbitrary_paths(spark, tmp_path):
     assert not glob.glob(base + "/**/._hadron_fan_*", recursive=True)
 
 
+def test_fan_out_arbitrary_hot_route_cap(spark, tmp_path):
+    """max_rows_per_task splits a dominant route across multiple
+    writer tasks (path.part-N shards) even under single_writer=True,
+    while cold routes keep their exact computed filename and stats
+    still roll up to the logical route — the 100 TB skew bound."""
+    import glob
+    import json
+
+    from hadron_spark.sources.fanout import fan_out_arbitrary
+
+    base = str(tmp_path)
+    # one hot route (90 rows) + one cold route (5 rows)
+    df = spark.createDataFrame(
+        [(i, "hot" if i < 90 else "cold") for i in range(95)],
+        "id long, g string",
+    ).repartition(8)
+    stats = fan_out_arbitrary(
+        df,
+        F.concat(F.lit(base + "/"), "g", F.lit(".jsonl")),
+        max_rows_per_task=25,
+    )
+    got = {r["path"]: r["rows"] for r in stats.collect()}
+    assert got == {f"{base}/hot.jsonl": 90, f"{base}/cold.jsonl": 5}
+    shards = sorted(glob.glob(base + "/hot.jsonl.part-*"))
+    assert len(shards) == 4  # ceil(90/25)
+    ids = []
+    for s in shards:
+        rows = [json.loads(x) for x in open(s) if x.strip()]
+        assert len(rows) <= 25
+        ids += [r["id"] for r in rows]
+    assert sorted(ids) == list(range(90))
+    # cold route: under the cap -> exact filename, no shards
+    assert not glob.glob(base + "/cold.jsonl.part-*")
+    cold = [json.loads(x) for x in open(f"{base}/cold.jsonl") if x.strip()]
+    assert sorted(r["id"] for r in cold) == list(range(90, 95))
+
+
 def test_fan_out_arbitrary_sharded_and_csv(spark, tmp_path):
     from hadron_spark.sources.fanout import fan_out_arbitrary
 

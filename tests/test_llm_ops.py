@@ -182,12 +182,46 @@ def test_frame_sample_explodes(spark, tmp_path):
 
 
 def test_resize_runs_with_default_stub(spark, tmp_path):
+    # default backend resolution: Pillow when available, stub else
+    want = (
+        multimodal.pillow_resize
+        if multimodal.pillow_available()
+        else multimodal.resize_bytes_stub
+    )
+    assert multimodal.default_resize_fn() is want
     (tmp_path / "img.png").write_bytes(b"\x89PNG" + b"z" * 10)
     df = multimodal.ingest_binary_dir(spark, str(tmp_path))
-    rows = multimodal.resize(df, 32, 24).collect()
+    rows = multimodal.resize(
+        df, 32, 24, resize_fn=multimodal.resize_bytes_stub
+    ).collect()
     assert len(rows) == 1
     assert rows[0]["width"] == 32 and rows[0]["height"] == 24
     assert bytes(rows[0]["content"]).startswith(b"RSZ:32x24:")
+
+
+def test_pillow_backend_real_codec(spark, tmp_path):
+    """Proves the seam against a REAL codec wherever Pillow exists:
+    decode reads true dimensions, resize re-encodes actual pixels.
+    Skipped (not faked) in codec-less containers."""
+    import pytest
+
+    if not multimodal.pillow_available():
+        pytest.skip("Pillow not installed in this environment")
+    from io import BytesIO
+
+    from PIL import Image
+
+    buf = BytesIO()
+    Image.new("RGB", (40, 30), (200, 10, 10)).save(buf, format="PNG")
+    (tmp_path / "real.png").write_bytes(buf.getvalue())
+    df = multimodal.ingest_binary_dir(spark, str(tmp_path))
+    meta = multimodal.extract_media_meta(
+        df, decode_fn=multimodal.pillow_decode
+    ).collect()[0]
+    assert (meta["format"], meta["width"], meta["height"]) == ("png", 40, 30)
+    out = multimodal.resize(df, 16, 12).collect()[0]
+    with Image.open(BytesIO(bytes(out["content"]))) as im:
+        assert im.size == (16, 12) and im.format == "PNG"
 
 
 def test_decoder_seam_is_pluggable(spark, tmp_path):

@@ -518,6 +518,45 @@ def test_range_rank_matches_builtin_window(spark):
     assert ranks == list(range(1, 21))
 
 
+def test_range_rank_reliable_checkpoint(spark, tmp_path):
+    """materialize='checkpoint' (reliable, executor-loss-resilient)
+    must produce the identical ranking with the identical plan shape
+    — exactly one exchange downstream of the materialized input —
+    and raise a clear error when no checkpoint dir is configured."""
+    import pytest
+
+    from hadron_spark.operators.ops import range_rank
+    from hadron_spark.plans.inspect import shuffle_count
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 101) for i in range(500)], "id long, v long"
+    ).repartition(8)
+
+    sc = spark.sparkContext
+    had = not sc._jsc.sc().getCheckpointDir().isEmpty()
+    if not had:
+        with pytest.raises(ValueError, match="checkpoint dir"):
+            range_rank(
+                df, F.col("v"), [F.col("v"), F.col("id")],
+                materialize="checkpoint",
+            )
+    sc.setCheckpointDir(str(tmp_path / "reliable_ckpt"))
+    got = range_rank(
+        df,
+        F.col("v"),
+        [F.col("v"), F.col("id")],
+        rank_col="rn",
+        buckets=7,
+        materialize="checkpoint",
+    )
+    # one exchange: the within-band sort/rank shuffle; the reliable
+    # checkpoint read replaces the input lineage
+    assert shuffle_count(got) == 1
+    ranks = [r.rn for r in got.orderBy("v", "id").collect()]
+    assert ranks == sorted(ranks) and len(ranks) == 500
+    assert ranks[0] == 1 and ranks[-1] == 500
+
+
 def test_spine_running_inclusive_exclusive(spark):
     from hadron_spark.operators.ops import spine_running
 
