@@ -8312,3 +8312,128 @@ def q201(spark, sf_dir):
 
     scores = mahalanobis_scores(load(spark, sf_dir, "embeddings"))
     return scores.orderBy(F.col("score").desc(), "vec_id").limit(20)
+
+
+@_register("q202_dsir_scores", None)
+def q202(spark, sf_dir):
+    """DSIR importance scoring (llm.dsir.dsir_scores, arXiv:
+    2302.03169): log importance weight of every raw document under
+    the hashed-uni+bigram bucket model fit on a target subcorpus
+    (here: the English documents) vs the full raw corpus. Plan:
+    two n-gram wordcount passes bounded by n_buckets, a broadcast
+    log-ratio map, one per-doc partial-agg'd sum. Rows-only (ln is
+    not cross-engine bit-stable); the full model/score/Gumbel math
+    is pinned against a pure-Python reference in test_dsir."""
+    from hadron_spark.llm.dsir import dsir_scores
+
+    docs = load(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_scores(docs, target, n_buckets=4096).orderBy("doc_id")
+
+
+@_register("q203_dsir_resample", None)
+def q203(spark, sf_dir):
+    """DSIR selection (llm.dsir.dsir_resample): Gumbel-top-k draw of
+    100 documents ∝ importance weight, with hash-derived (RNG-free,
+    re-shard-stable) Gumbel noise — the deterministic distributed
+    form of sampling without replacement. Rows-only; determinism
+    under repartitioning and reference parity pinned in test_dsir."""
+    from hadron_spark.llm.dsir import dsir_resample
+
+    docs = load(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return (
+        dsir_resample(docs, target, k=100, n_buckets=4096)
+        .select("doc_id", "source", "logw", "gumbel_key")
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "q204_quality_classifier",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), f AS (
+      SELECT doc_id,
+        CAST(coalesce(list_aggregate(list_transform(toks, x -> length(x)),
+                                     'sum'), 0) AS DOUBLE)
+          / greatest(len(toks), 1) AS mean_token_len,
+        CAST(len(list_filter(list_transform(toks, x -> lower(x)),
+              x -> list_contains(['the','a','an','and','or','of','to','in',
+                                  'is','it','for','on','with','as','at','by',
+                                  'be','this','that'], x))) AS DOUBLE)
+          / greatest(len(toks), 1) AS stop_frac,
+        CAST(least(len(toks), 1000) AS DOUBLE) / 1000 AS len_feat,
+        CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+             AS DOUBLE) / greatest(length(text), 1) AS digit_frac
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(-2.0 AS DOUBLE)
+             + mean_token_len * CAST(0.35 AS DOUBLE)
+             + stop_frac * CAST(4.0 AS DOUBLE)
+             + len_feat * CAST(1.5 AS DOUBLE)
+             + digit_frac * CAST(-3.0 AS DOUBLE) AS z,
+           (CAST(-2.0 AS DOUBLE)
+             + mean_token_len * CAST(0.35 AS DOUBLE)
+             + stop_frac * CAST(4.0 AS DOUBLE)
+             + len_feat * CAST(1.5 AS DOUBLE)
+             + digit_frac * CAST(-3.0 AS DOUBLE)) >= CAST(0.0 AS DOUBLE)
+             AS keep
+    FROM f
+    """,
+)
+def q204(spark, sf_dir):
+    """Model-based quality filtering (llm.classifier
+    .apply_quality_classifier): a trained logistic checkpoint
+    (canned literal weights) scores every document with ONE linear
+    JVM expression over exact-int-ratio features and thresholds the
+    LOGIT — exp-free, so the whole scored corpus hash-matches the
+    DuckDB replay bit-for-bit (sums/products of identically parsed
+    literals in identical association order). The distributed
+    trainer that produces such checkpoints is q205."""
+    from hadron_spark.llm.classifier import apply_quality_classifier
+
+    w = {
+        "bias": -2.0,
+        "mean_token_len": 0.35,
+        "stop_frac": 4.0,
+        "len_feat": 1.5,
+        "digit_frac": -3.0,
+    }
+    return apply_quality_classifier(
+        load(spark, sf_dir, "documents"), w
+    ).orderBy("doc_id")
+
+
+@_register("q205_classifier_train", None)
+def q205(spark, sf_dir):
+    """Distributed logistic-regression training (llm.classifier
+    .train_quality_classifier): full-batch GD where each round is one
+    partial-agg'd gradient aggregation over the pinned feature frame
+    (d+1 scalars to the driver — the kmeans coordination contract;
+    the corpus never shuffles). Labels here are a heuristic proxy
+    (stopword-rich English docs = positive) so the op runs on the
+    synthetic corpus; rows-only (iterative, exp in the gradient),
+    with numpy-parity + perfect-separation tests in test_classifier.
+    Returns the learned weights as rows for inspection."""
+    from hadron_spark.llm.classifier import (
+        FEATURE_NAMES,
+        train_quality_classifier,
+    )
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_y",
+        (
+            (F.col("lang") == "en")
+            & (F.size(F.split(F.col("text"), r"\s+")) >= 5)
+        ).cast("int"),
+    )
+    w = train_quality_classifier(docs, "_y", iters=25)
+    return spark.createDataFrame(
+        [(k, float(w[k])) for k in ("bias", *FEATURE_NAMES)],
+        "feature string, weight double",
+    )
