@@ -235,6 +235,78 @@ def bpe_train(
     return merges, vocab
 
 
+def _encode_word(word: str, ranks: dict) -> list[str]:
+    """Classic BPE encode of ONE word under a trained merge-rank
+    table: repeatedly apply the best-ranked (earliest-learned) pair
+    present, merging all its occurrences greedy left-to-right — the
+    exact apply-side mirror of the training fold, so in-vocab words
+    reproduce their training segmentation byte-for-byte and unseen
+    words get proper subword pieces instead of a fallback."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank = None
+        for a, b in zip(syms, syms[1:]):
+            r = ranks.get((a, b))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+        if best_rank is None:
+            break
+        a, b = None, None
+        for x, y in zip(syms, syms[1:]):
+            if ranks.get((x, y)) == best_rank:
+                a, b = x, y
+                break
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_encode_table(
+    df: DataFrame,
+    merges: list[tuple],
+    text_col: str = "text",
+) -> DataFrame:
+    """(word, n, toks) — segment every DISTINCT word of `df` under a
+    trained merge list (from `bpe_train`), including words the
+    training corpus never saw.
+
+    Scale shape: one corpus tokenize+distinct pass (the wordcount
+    shuffle), then a mapInPandas Python encode over the
+    |vocab|-bounded distinct-word table with the merge-rank dict
+    broadcast — the corpus text itself never enters Python.  The
+    result is the broadcastable word→tokens map for any downstream
+    counter/segmenter."""
+    ranks = {(a, b): i for i, (a, b, *_rest) in enumerate(merges)}
+    bc = df.sparkSession.sparkContext.broadcast(ranks)
+    words = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def enc(batches):
+        import pandas as pd
+
+        r = bc.value
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n": pdf["n"],
+                    "toks": [_encode_word(w, r) for w in pdf["word"]],
+                }
+            )
+
+    return words.mapInPandas(enc, "word string, n long, toks array<string>")
+
+
 def bpe_apply(
     df: DataFrame,
     vocab: DataFrame,

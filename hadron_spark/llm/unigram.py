@@ -1,0 +1,246 @@
+"""Unigram-LM tokenizer training — the SentencePiece unigram model
+(Kudo 2018, arXiv:1804.10959) re-expressed Spark-first, completing
+the tokenizer-training tier next to `llm.bpe` (merge-based).
+
+Classic unigram training never touches the raw corpus after the
+word-frequency pass (the same structural insight as BPE training,
+bpe.word_freq_table): it iterates EM over the DISTINCT-WORD table,
+which is |vocab|-bounded — millions of rows at web scale, not
+trillions.
+
+- SEED — candidate pieces are all substrings of observed words up to
+  `max_piece_len`, scored by (frequency-weighted) occurrence count,
+  truncated to `seed_size` plus every single character (coverage
+  floor).  One explode over the word table bounded by
+  |vocab|·L²/2 candidate rows, partial-agg'd.
+- EM ROUND — the E-step computes, per distinct word, the Viterbi
+  segmentation under current piece log-probs and accumulates
+  freq-weighted piece counts; the M-step renormalizes counts into
+  probs.  The piece table (≤ ~100k entries) broadcasts to executors
+  as a plain dict inside ONE `mapInPandas` pass over the word table
+  (the declared Pandas-UDF escape hatch: per-word Viterbi DP is a
+  data-dependent loop no builtin expresses); the shuffle is the
+  piece-count aggregation, bounded by |pieces|.  Only the piece
+  probability vector ever reaches the driver (kmeans-centroid
+  contract).
+  Hard-EM (Viterbi counts, not full forward-backward posteriors) —
+  the standard large-scale simplification; the pruning objective
+  below uses the same Viterbi approximation.
+- PRUNE — after each EM round, drop the pieces whose removal least
+  hurts the Viterbi likelihood (approximated, as in practice, by
+  lowest-probability non-atomic pieces), shrinking toward
+  `vocab_size`·`shrink_factor` per round until `vocab_size` remains.
+
+Determinism: seeding and pruning tie-break on (score desc, piece
+asc); Viterbi prefers the LONGEST piece on equal scores, then
+lexicographic — all pure functions of the data, stable under any
+partitioning.  No SQL oracle (iterative EM over floats); the whole
+loop is pinned against a pure-Python reference in test_unigram.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hadron_spark.llm.bpe import word_freq_table
+from hadron_spark.operators.ops import pin
+
+
+def seed_pieces(
+    words: DataFrame,
+    seed_size: int = 1000,
+    max_piece_len: int = 8,
+) -> DataFrame:
+    """(piece, score) — substring candidates from the distinct-word
+    table: every substring of length ≤ max_piece_len, scored by
+    freq·occurrences, top `seed_size` kept PLUS all single chars
+    (any word stays segmentable).  Bounded: |vocab|·L²/2 exploded
+    rows into a |pieces|-bounded aggregation."""
+    subs = F.expr(
+        "flatten(transform(sequence(1, length(word)), i -> "
+        "transform(sequence(i, least(length(word), i + {L} - 1)), j -> "
+        "substring(word, i, j - i + 1))))".format(L=max_piece_len)
+    )
+    scored = (
+        words.select("freq", F.explode(subs).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("score"))
+    )
+    top = scored.filter(F.length("piece") > 1).orderBy(
+        F.col("score").desc(), F.col("piece").asc()
+    ).limit(seed_size)
+    chars = scored.filter(F.length("piece") == 1)
+    return top.unionByName(chars)
+
+
+def _viterbi(word: str, logp: dict, max_len: int) -> list[str]:
+    """Best segmentation of `word` under piece log-probs: classic
+    left-to-right DP; ties prefer the longer piece, then the
+    lexicographically smaller one (deterministic)."""
+    n = len(word)
+    best = [(-math.inf, 0)] * (n + 1)  # (score, piece_start)
+    best[0] = (0.0, 0)
+    for j in range(1, n + 1):
+        cand = None
+        for i in range(max(0, j - max_len), j):
+            p = word[i:j]
+            lp = logp.get(p)
+            if lp is None or best[i][0] == -math.inf:
+                continue
+            s = best[i][0] + lp
+            if (
+                cand is None
+                or s > cand[0]
+                or (s == cand[0] and (j - i) > (j - cand[1]))
+                or (
+                    s == cand[0]
+                    and (j - i) == (j - cand[1])
+                    and p < word[cand[1] : j]
+                )
+            ):
+                cand = (s, i)
+        if cand is not None:
+            best[j] = cand
+    if best[n][0] == -math.inf:
+        return list(word)  # unsegmentable chars fall back to atoms
+    out, j = [], n
+    while j > 0:
+        i = best[j][1]
+        out.append(word[i:j])
+        j = i
+    return out[::-1]
+
+
+def unigram_train(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 256,
+    seed_size: int = 1000,
+    max_piece_len: int = 8,
+    em_iters: int = 2,
+    shrink_factor: float = 0.75,
+    stats: dict | None = None,
+):
+    """Learn a `vocab_size`-piece unigram tokenizer.
+
+    Returns (pieces, words):
+      pieces — list of (piece, logprob) sorted (logprob desc, piece)
+      words  — DataFrame (word, freq, toks) with each distinct
+               word's final Viterbi segmentation (the word→tokens
+               map `bpe_apply`-style appliers broadcast).
+
+    Each EM round is: broadcast the piece log-prob dict → one
+    mapInPandas Viterbi pass over the |vocab|-bounded word table →
+    piece-count aggregation (|pieces| rows) → driver renormalize +
+    prune.  Spark rounds ≈ em_iters · ceil(log(seed/vocab) /
+    log(1/shrink)) — tens, independent of corpus size."""
+    words = pin(word_freq_table(df, text_col).select("word", "freq"))
+    seeds = seed_pieces(words, seed_size, max_piece_len).collect()
+    total = sum(r["score"] for r in seeds) or 1
+    logp = {
+        r["piece"]: math.log(r["score"] / total) for r in seeds
+    }
+    atoms = {p for p in logp if len(p) == 1}
+    rounds = 0
+
+    def em_round(cur: dict) -> dict:
+        """One hard-EM round: Viterbi counts -> renormalized probs."""
+        bc = df.sparkSession.sparkContext.broadcast(cur)
+
+        def e_step(batches):
+            import pandas as pd
+
+            lp = bc.value
+            for pdf in batches:
+                counts: dict[str, int] = {}
+                for w, f in zip(pdf["word"], pdf["freq"]):
+                    for p in _viterbi(w, lp, max_piece_len):
+                        counts[p] = counts.get(p, 0) + int(f)
+                if counts:
+                    yield pd.DataFrame(
+                        {"piece": list(counts), "cnt": list(counts.values())}
+                    )
+
+        agg = (
+            words.mapInPandas(e_step, "piece string, cnt long")
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+        tot = sum(r["cnt"] for r in agg) or 1
+        new = {r["piece"]: math.log(r["cnt"] / tot) for r in agg}
+        # unused atoms keep a floor prob so coverage never breaks
+        floor = math.log(0.5 / tot)
+        for a in atoms:
+            new.setdefault(a, floor)
+        return new
+
+    target = max(vocab_size, len(atoms))
+    while True:
+        for _ in range(em_iters):
+            logp = em_round(logp)
+            rounds += 1
+        n_prunable = len(logp) - len(atoms)
+        keep_n = max(target - len(atoms), 0)
+        if n_prunable <= keep_n:
+            break
+        # drop lowest-probability non-atomic pieces (tie-break piece
+        # asc); atoms keep their EM-estimated probs — coverage floor
+        next_n = max(keep_n, int(n_prunable * shrink_factor))
+        prunable = sorted(
+            ((p, lp) for p, lp in logp.items() if p not in atoms),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        atom_probs = {a: logp[a] for a in atoms if a in logp}
+        logp = dict(prunable[:next_n])
+        logp.update(atom_probs)
+    if stats is not None:
+        stats["rounds"] = rounds
+
+    final = df.sparkSession.sparkContext.broadcast(logp)
+
+    def seg(batches):
+        import pandas as pd
+
+        lp = final.value
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "freq": pdf["freq"],
+                    "toks": [
+                        _viterbi(w, lp, max_piece_len) for w in pdf["word"]
+                    ],
+                }
+            )
+
+    segmented = words.mapInPandas(
+        seg, "word string, freq long, toks array<string>"
+    )
+    pieces = sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
+    return pieces, segmented
+
+
+def unigram_apply(
+    df: DataFrame,
+    segmented: DataFrame,
+    key_cols: list[str],
+    text_col: str = "text",
+    out_col: str = "n_unigram_tokens",
+) -> DataFrame:
+    """Per-key token counts under a trained unigram vocab: the
+    bpe_apply shape — tokenize, broadcast-join the word→tokens map,
+    sum per key; unseen words fall back to character count."""
+    wl = F.broadcast(segmented.select("word", F.size("toks").alias("_nt")))
+    toks = df.select(
+        *key_cols, F.explode(F.split(F.col(text_col), r"\s+")).alias("_w")
+    ).filter(F.col("_w") != "")
+    return (
+        toks.join(wl, toks["_w"] == wl["word"], "left")
+        .withColumn("_nt", F.coalesce(F.col("_nt"), F.length("_w")))
+        .groupBy(*key_cols)
+        .agg(F.sum("_nt").cast("long").alias(out_col))
+    )

@@ -8437,3 +8437,48 @@ def q205(spark, sf_dir):
         [(k, float(w[k])) for k in ("bias", *FEATURE_NAMES)],
         "feature string, weight double",
     )
+
+
+@_register("q206_unigram_train", None)
+def q206(spark, sf_dir):
+    """SentencePiece-style unigram-LM tokenizer training (llm.unigram
+    .unigram_train, arXiv:1804.10959): substring seeding + hard-EM
+    Viterbi rounds + probability pruning, all over the
+    |vocab|-bounded distinct-word table — the corpus is read once.
+    Each EM round is one mapInPandas pass with the piece table
+    broadcast and a |pieces|-bounded count aggregation. Rows-only
+    (iterative EM over floats); the full loop is pinned against a
+    pure-Python reference in test_unigram. Returns the learned piece
+    table."""
+    from hadron_spark.llm.unigram import unigram_train
+
+    pieces, _ = unigram_train(
+        load(spark, sf_dir, "documents"),
+        vocab_size=96,
+        seed_size=512,
+        max_piece_len=6,
+    )
+    return spark.createDataFrame(
+        [(p, float(lp)) for p, lp in pieces],
+        "piece string, logprob double",
+    )
+
+
+@_register("q207_bpe_encode", None)
+def q207(spark, sf_dir):
+    """Rank-driven BPE encoding of a corpus under a trained merge
+    list (llm.bpe.bpe_encode_table): the apply-side mirror of the
+    training fold — in-vocab words reproduce their training
+    segmentation byte-for-byte (test-pinned), unseen words get real
+    subword pieces. Python touches only the distinct-word table
+    (|vocab|-bounded), never the corpus text. Rows-only (depends on
+    the iterative trainer); returns per-word segmentations."""
+    from hadron_spark.llm import bpe
+
+    docs = load(spark, sf_dir, "documents")
+    merges, _ = bpe.bpe_train(docs, num_merges=48)
+    return (
+        bpe.bpe_encode_table(docs, merges)
+        .select("word", "n", F.size("toks").alias("n_toks"))
+        .orderBy("word")
+    )

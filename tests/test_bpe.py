@@ -162,6 +162,33 @@ def test_bpe_apply_counts(spark):
     assert out2.n_bpe_tokens == 6
 
 
+def test_bpe_encode_reproduces_training_and_handles_unseen(spark):
+    """The rank-driven encoder is the exact apply-side mirror of the
+    training fold: every training-corpus word encodes to its final
+    training segmentation, and UNSEEN words get real subword pieces
+    (not a char-count fallback)."""
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    merges, vocab = bpe.bpe_train(df, num_merges=12, merge_batch=4)
+    trained = {r.word: list(r.syms) for r in vocab.collect()}
+    enc = {
+        r.word: list(r.toks)
+        for r in bpe.bpe_encode_table(df, merges).collect()
+    }
+    assert enc.keys() == trained.keys()
+    for w in trained:
+        assert enc[w] == trained[w], w
+    # unseen corpus: 'lowest'-style morphology transfers
+    df2 = spark.createDataFrame([("slower newest bowel",)], "text string")
+    enc2 = {
+        r.word: list(r.toks)
+        for r in bpe.bpe_encode_table(df2, merges).collect()
+    }
+    ranks = {(a, b): i for i, (a, b, _c) in enumerate(merges)}
+    for w in ("slower", "newest", "bowel"):
+        assert enc2[w] == bpe._encode_word(w, ranks)
+        assert len(enc2[w]) < len(w)  # some merge fired on each
+
+
 def test_bpe_early_stop_on_unique_text(spark):
     # every word appears once with all-distinct chars: best pair
     # count is 1 -> training must stop immediately
