@@ -2868,12 +2868,15 @@ def q92(spark, sf_dir):
     # within-month sweep — pinned so the orders scan + union runs
     # once, not once per branch (ops.pin rationale).
     ev = ops.pin(ev)
-    # carry-in per month: prefix sum of month delta totals (tiny).
+    # carry-in per month: EXCLUSIVE prefix sum of month delta totals
+    # over the tiny month spine — ops.spine_running (triangular
+    # broadcast self-join), not an unpartitioned window, so the plan
+    # is warning-free and the bench's zero-WindowExec invariant holds
     totals = ev.groupBy("month").agg(F.sum("delta").alias("msum"))
-    wm = Window.partitionBy().orderBy("month")
-    carry = totals.select(
-        "month",
-        (F.sum("msum").over(wm) - F.col("msum")).alias("carry_in"),
+    carry = ops.spine_running(
+        totals, "month", "msum", "carry_in", inclusive=False
+    ).select(
+        "month", F.coalesce(F.col("carry_in"), F.lit(0)).alias("carry_in")
     )
     # within-month sweep: partitioned running sum + per-month max.
     wrun = Window.partitionBy("month").orderBy(
