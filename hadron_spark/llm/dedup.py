@@ -780,3 +780,120 @@ def semantic_dedup(
         "dup_of",
         F.col("dup_of").isNull().alias("keep"),
     )
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-level EXACT-SUBSTRING duplication report (the
+    ExactSubstr pass of Lee et al. 2022, arXiv:2107.06499, token
+    windows instead of a suffix array — the shape that distributes):
+    every length-`window` token span whose md5 fingerprint occurs
+    >= `min_count` times ACROSS THE WHOLE CORPUS is a repeated span;
+    overlapping repeated spans within a document are merged into
+    maximal islands.
+
+    Output: (id_col, span_start, span_end, n_positions) — one row
+    per merged island; span bounds are token indices [start, end),
+    n_positions = repeated window positions merged into the island.
+
+    Scale shape: one tokenize+explode pass emitting (doc, pos,
+    fingerprint); a fingerprint-keyed partial-agg count (the
+    wordcount exchange — repeated-fingerprint survivors are then
+    re-joined to positions on the same key, reusing the exchange);
+    island merging is a per-document windowed scan (partitioned by
+    doc, never single-partition). Everything is exact integers +
+    md5, so the whole report hash-matches a DuckDB replay — unusual
+    for a dedup operator and the reason this one carries a full SQL
+    oracle (q208)."""
+    from pyspark.sql import Window as _W
+
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    # (pos, fingerprint-of-window-at-pos) pairs built inside the row
+    grams = F.expr(
+        "transform(sequence(0, size(__toks) - {W}), "
+        "i -> struct(i as pos, md5(cast(array_join(slice(__toks, i + 1, {W}), ' ') as binary)) as fp))".format(
+            W=window
+        )
+    )
+    pos = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .filter(F.size("__toks") >= window)
+        .select(id_col, F.explode(grams).alias("g"))
+        .select(id_col, F.col("g.pos").alias("pos"), F.col("g.fp").alias("fp"))
+    )
+    from hadron_spark.operators.ops import pin
+
+    pos = pin(pos)
+    hot = (
+        pos.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    rep = pos.join(hot.select("fp"), "fp", "left_semi")
+    # gaps-and-islands per document: a position starts a new island
+    # when it begins after the previous covered extent ends
+    w = _W.partitionBy(id_col).orderBy("pos")
+    flagged = rep.withColumn(
+        "new_island",
+        F.when(
+            F.col("pos")
+            > F.coalesce(F.lag("pos").over(w), F.lit(-window)) + window - 1,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(_W.unboundedPreceding, _W.currentRow)
+        ),
+    )
+    return (
+        flagged.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + window).alias("span_end"),
+            F.count(F.lit(1)).alias("n_positions"),
+        )
+        .drop("island")
+    )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_count: int = 2,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Remove every repeated island's tokens from each document
+    (keeping the FIRST window of each island is a policy variant;
+    this removes the whole island — the conservative Lee et al.
+    cut), re-joining survivors with single spaces. Documents with no
+    repeated span pass through with whitespace normalized the same
+    way so the output column is uniformly single-spaced."""
+    spans = repeated_spans(df, id_col, text_col, window, min_count)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    return (
+        df.join(per_doc, id_col, "left")
+        .withColumn("__toks", toks)
+        .withColumn(
+            out_col,
+            F.array_join(
+                F.expr(
+                    "filter(__toks, (t, i) -> not exists("
+                    "coalesce(_spans, array()), "
+                    "s -> i >= s.span_start and i < s.span_end))"
+                ),
+                " ",
+            ),
+        )
+        .select(id_col, text_col, out_col)
+    )

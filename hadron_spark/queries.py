@@ -8485,3 +8485,115 @@ def q207(spark, sf_dir):
         .select("word", "n", F.size("toks").alias("n_toks"))
         .orderBy("word")
     )
+
+
+@_register(
+    "q208_repeated_spans",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), p AS (
+      SELECT doc_id, u.i AS pos,
+             md5(array_to_string(toks[u.i+1 : u.i+8], ' ')) AS fp
+      FROM t, unnest(generate_series(0, len(toks) - 8)) AS u(i)
+      WHERE len(toks) >= 8
+    ), rep AS (
+      SELECT p.doc_id, p.pos FROM p
+      JOIN (SELECT fp FROM p GROUP BY fp HAVING COUNT(*) >= 2) h USING (fp)
+    ), fl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(lag(pos) OVER w, -8) + 7
+                  THEN 1 ELSE 0 END AS ni
+      FROM rep WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), isl AS (
+      SELECT doc_id, pos,
+             SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS island
+      FROM fl
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 8 AS BIGINT) AS span_end,
+           COUNT(*) AS n_positions
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def q208(spark, sf_dir):
+    """Corpus-level exact-substring duplication report (llm.dedup
+    .repeated_spans; the ExactSubstr pass of Lee et al. 2022 in
+    token-window form): every 8-token span whose md5 fingerprint
+    repeats anywhere in the corpus, merged into maximal per-document
+    islands. All exact integers + md5, so the full report — a dedup
+    operator! — hash-matches the DuckDB replay. Plan: one
+    tokenize+explode, a fingerprint-keyed partial-agg count whose
+    exchange the position re-join reuses, and a per-doc (partitioned)
+    island scan."""
+    from hadron_spark.llm.dedup import repeated_spans
+
+    out = repeated_spans(load(spark, sf_dir, "documents"), window=8)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        "n_positions",
+    )
+
+
+@_register(
+    "q209_exact_substring_dedup",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), p AS (
+      SELECT doc_id, u.i AS pos,
+             md5(array_to_string(toks[u.i+1 : u.i+8], ' ')) AS fp
+      FROM t, unnest(generate_series(0, len(toks) - 8)) AS u(i)
+      WHERE len(toks) >= 8
+    ), rep AS (
+      SELECT p.doc_id, p.pos FROM p
+      JOIN (SELECT fp FROM p GROUP BY fp HAVING COUNT(*) >= 2) h USING (fp)
+    ), fl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(lag(pos) OVER w, -8) + 7
+                  THEN 1 ELSE 0 END AS ni
+      FROM rep WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), isl AS (
+      SELECT doc_id, pos,
+             SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS island
+      FROM fl
+    ), spans AS (
+      SELECT doc_id, MIN(pos) AS a, MAX(pos) + 8 AS b
+      FROM isl GROUP BY doc_id, island
+    ), per_doc AS (
+      SELECT doc_id, list(struct_pack(a := a, b := b)) AS sp
+      FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(array_to_string(
+             list_filter(t.toks,
+               (x, i) -> len(list_filter(coalesce(pd.sp, []),
+                             s -> i - 1 >= s.a AND i - 1 < s.b)) = 0),
+             ' '), '') AS clean_text
+    FROM t LEFT JOIN per_doc pd USING (doc_id)
+    """,
+)
+def q209(spark, sf_dir):
+    """Exact-substring dedup applied (llm.dedup
+    .exact_substring_dedup): each document with every repeated
+    island's tokens removed, survivors re-joined single-spaced. The
+    oracle replays the ENTIRE pipeline (fingerprint → count →
+    island-merge → token filter) and compares the full cleaned
+    string — the q172-style whole-output check, here for a
+    corpus-global operator."""
+    from hadron_spark.llm.dedup import exact_substring_dedup
+
+    return exact_substring_dedup(
+        load(spark, sf_dir, "documents"), window=8
+    ).select("doc_id", "clean_text")

@@ -1091,3 +1091,66 @@ def test_ivf_index_persist_prunes_partitions(spark, tmp_path):
     assert sorted((r.query_id, r.neighbor_id, r.rank) for r in rows) == sorted(
         (r.query_id, r.neighbor_id, r.rank) for r in mem
     )
+
+
+def test_repeated_spans_and_exact_substring_dedup(spark):
+    """ExactSubstr-style corpus dedup (llm.dedup.repeated_spans):
+    corpus-wide repeated 8-token windows merge into maximal islands;
+    exact_substring_dedup removes exactly the island tokens."""
+    from hadron_spark.llm.dedup import (
+        exact_substring_dedup,
+        repeated_spans,
+    )
+
+    W = 4
+    rows = [
+        (1, "a b c d e tail one"),            # a..d repeated in doc2
+        (2, "x a b c d e y z w q"),           # note: a..e repeats (2 windows)
+        (3, "no repeats in this document at all"),
+        (4, "p q r s p q r s end"),           # internal repeat
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # pure-Python reference
+    from collections import Counter
+
+    toks = {i: t.split() for i, t in rows}
+    pos = {
+        i: [
+            (p, " ".join(ts[p : p + W]))
+            for p in range(len(ts) - W + 1)
+        ]
+        for i, ts in toks.items()
+    }
+    cnt = Counter(g for ps in pos.values() for _, g in ps)
+    want_spans = {}
+    for i, ps in pos.items():
+        rep = [p for p, g in ps if cnt[g] >= 2]
+        islands = []
+        for p in rep:
+            if islands and p <= islands[-1][1] - 1:
+                islands[-1] = (islands[-1][0], p + W)
+            else:
+                islands.append((p, p + W))
+        if islands:
+            want_spans[i] = islands
+    got = {}
+    for r in repeated_spans(df, window=W).collect():
+        got.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    for i in got:
+        got[i].sort()
+    assert got == want_spans
+
+    cleaned = {
+        r.doc_id: r.clean_text
+        for r in exact_substring_dedup(df, window=W).collect()
+    }
+    for i, ts in toks.items():
+        covered = set()
+        for a, b in want_spans.get(i, []):
+            covered.update(range(a, b))
+        want = " ".join(t for j, t in enumerate(ts) if j not in covered)
+        assert cleaned[i] == want, (i, cleaned[i], want)
+    # doc 3 untouched; the repeated material actually got cut
+    assert cleaned[3] == rows[2][1]
+    assert "a b c d" not in cleaned[1] and "a b c d" not in cleaned[2]
