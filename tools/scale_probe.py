@@ -230,6 +230,123 @@ def main() -> None:
             + " | ".join(f"{r[k][0]:.2f}s" for k in ks)
             + f" | {wall_ratio:.1f}× | {thr:,.0f} |"
         )
+    # ------------------------------------------------------------------
+    # round-3 additions: exact-substring dedup, DSIR, SemDeDup with
+    # scale-derived k, batched BPE, unigram trainer, classifier GD.
+    # Own k ladder (the quadratic-output / iterative ops are probed to
+    # 64x, still adversarial: every interior window repeats k times).
+    # ------------------------------------------------------------------
+    from hadron_spark.llm.bpe import bpe_train
+    from hadron_spark.llm.classifier import train_quality_classifier
+    from hadron_spark.llm.dedup import repeated_spans, semantic_dedup
+    from hadron_spark.llm.dsir import dsir_scores
+    from hadron_spark.llm.unigram import unigram_train
+    from hadron_spark.operators.ops import hash_bucket
+
+    r3_ks = [int(x) for x in (
+        sys.argv[3].split(",") if len(sys.argv) > 3 else ["4", "16", "64"]
+    )]
+
+    def probe_repeated_spans(d):
+        return repeated_spans(d, window=8).count()
+
+    def probe_dsir(d):
+        target = d.filter(hash_bucket(F.col("doc_id"), 16) == 0)
+        return dsir_scores(d, target, n_buckets=4096).count()
+
+    def probe_bpe(d):
+        st: dict = {}
+        merges, _ = bpe_train(d, num_merges=64, merge_batch=16, stats=st)
+        return len(merges) * 1000 + st["rounds"]  # encode rounds in out
+
+    def probe_unigram(d):
+        st: dict = {}
+        pieces, _ = unigram_train(
+            d, vocab_size=64, seed_size=256, max_piece_len=5, stats=st
+        )
+        return len(pieces) * 1000 + st["rounds"]
+
+    def probe_classifier(d):
+        lab = d.withColumn(
+            "_y", (hash_bucket(F.col("doc_id"), 2) == 0).cast("int")
+        )
+        w = train_quality_classifier(lab, "_y", iters=8)
+        return len(w)
+
+    R3_DOC_OPS = {
+        "repeated_spans_w8": probe_repeated_spans,
+        "dsir_scores": probe_dsir,
+        "bpe_train_64x16": probe_bpe,
+        "unigram_train_v64": probe_unigram,
+        "classifier_gd_8it": probe_classifier,
+    }
+
+    def probe_semantic(e):
+        return (
+            semantic_dedup(
+                e,
+                iters=2,
+                threshold=0.99,
+                target_cluster_rows=1000,
+                max_cluster_size=10_000,
+            )
+            .filter("NOT keep")
+            .count()
+        )
+
+    r3_doc_results: dict[str, dict[int, tuple[float, int]]] = {
+        op: {} for op in R3_DOC_OPS
+    }
+    r3_emb_results: dict[int, tuple[float, int]] = {}
+    for k in r3_ks:
+        d = blow_up(base, k).repartition(32).localCheckpoint()
+        for op, fn in R3_DOC_OPS.items():
+            t0 = time.time()
+            n_out = fn(d)
+            r3_doc_results[op][k] = (round(time.time() - t0, 2), int(n_out))
+        d.unpersist()
+        em = blow_up_emb(emb_base, k)
+        t0 = time.time()
+        n_out = probe_semantic(em)
+        r3_emb_results[k] = (round(time.time() - t0, 2), int(n_out))
+
+    lines += [
+        "",
+        "## Round-3 ops (own k ladder — every interior window/replica",
+        f"repeats k×, the adversarial direction; ks={r3_ks}):",
+        "",
+        "For the two tokenizer trainers the out cell encodes",
+        "`pieces_or_merges*1000 + spark_rounds` — the claim under test",
+        "is that ROUNDS stay constant as the corpus grows (the work is",
+        "|vocab|-bounded after the wordcount pass), so wall should grow",
+        "far slower than input. classifier_gd runs 8 full-batch",
+        "gradient rounds — wall tracks the 8 corpus passes linearly.",
+        "semantic_dedup uses the SCALE-DERIVED k (target 1000 rows per",
+        "cluster), the round-2 verdict's no-silent-no-op contract.",
+        "",
+        "| op | "
+        + " | ".join(f"k={k} wall / out" for k in r3_ks)
+        + " | wall × |",
+        "|---|" + "---|" * (len(r3_ks) + 1),
+    ]
+    for op, r in r3_doc_results.items():
+        wall_ratio = r[max(r3_ks)][0] / max(r[min(r3_ks)][0], 0.01)
+        lines.append(
+            f"| {op} | "
+            + " | ".join(f"{r[k][0]:.2f}s / {r[k][1]:,}" for k in r3_ks)
+            + f" | {wall_ratio:.1f}× |"
+        )
+    wall_ratio = r3_emb_results[max(r3_ks)][0] / max(
+        r3_emb_results[min(r3_ks)][0], 0.01
+    )
+    lines.append(
+        f"| semantic_dedup (emb, derived k) | "
+        + " | ".join(
+            f"{r3_emb_results[k][0]:.2f}s / {r3_emb_results[k][1]:,}"
+            for k in r3_ks
+        )
+        + f" | {wall_ratio:.1f}× |"
+    )
     lines.append("")
     open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"), "w").write("\n".join(lines))
     print("\n".join(lines))
