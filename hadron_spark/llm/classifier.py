@@ -101,20 +101,53 @@ def train_quality_classifier(
     `label_col` is 0/1 (1 = high quality).  Returns the weight dict
     {bias, mean_token_len, stop_frac, len_feat, digit_frac}.
 
+    Features are STANDARDIZED internally (z-scored with one extra
+    moments aggregation) so gradient descent converges at the same
+    rate on every feature regardless of its natural scale — raw
+    mean_token_len lives near 4.5 while len_feat lives near 0.05,
+    and unnormalized GD on that conditioning needs thousands of
+    rounds.  The returned weights are DE-standardized back to raw
+    feature space, so `apply_quality_classifier` (and the q204
+    oracle form) consume them directly.
+
     Each iteration runs one aggregation over the PINNED feature
     frame: grad_j = mean((σ(z) − y)·f_j) — d+1 scalars to the
     driver, weights updated there (the kmeans driver-coordination
     contract; with d=4 this is 5 doubles per round).  The sigmoid
     runs JVM-side inside the aggregate — no Python row work."""
-    feats = pin(
+    raw = pin(
         featurize(df, id_col, text_col).join(
             df.select(id_col, F.col(label_col).cast("double").alias("_y")),
             id_col,
         )
     )
-    n = feats.count()
+    n = raw.count()
     if n == 0:
         raise ValueError("cannot train on an empty frame")
+    m = raw.agg(
+        *[F.avg(name).alias(f"mu_{name}") for name in FEATURE_NAMES],
+        *[
+            F.stddev_pop(name).alias(f"sd_{name}")
+            for name in FEATURE_NAMES
+        ],
+    ).first()
+    mu = {name: float(m[f"mu_{name}"]) for name in FEATURE_NAMES}
+    sd = {
+        name: float(m[f"sd_{name}"]) if m[f"sd_{name}"] else 1.0
+        for name in FEATURE_NAMES
+    }
+    sd = {k: (v if v > 0 else 1.0) for k, v in sd.items()}
+    feats = pin(
+        raw.select(
+            "_y",
+            *[
+                ((F.col(name) - F.lit(mu[name])) / F.lit(sd[name])).alias(
+                    name
+                )
+                for name in FEATURE_NAMES
+            ],
+        )
+    )
     w = {"bias": 0.0, **{name: 0.0 for name in FEATURE_NAMES}}
     for _ in range(iters):
         z = linear_score(w)
@@ -128,7 +161,15 @@ def train_quality_classifier(
         w["bias"] -= lr * (g["g_bias"] / n + l2 * w["bias"])
         for name in FEATURE_NAMES:
             w[name] -= lr * (g[f"g_{name}"] / n + l2 * w[name])
-    return w
+    # de-standardize: z = b + Σ w_j (f_j - mu_j)/sd_j
+    #               = (b - Σ w_j mu_j / sd_j) + Σ (w_j / sd_j) f_j
+    out = {
+        "bias": w["bias"]
+        - sum(w[name] * mu[name] / sd[name] for name in FEATURE_NAMES)
+    }
+    for name in FEATURE_NAMES:
+        out[name] = w[name] / sd[name]
+    return out
 
 
 def apply_quality_classifier(

@@ -48,11 +48,23 @@ def py_features(text: str) -> list[float]:
 
 
 def py_train(rows, lr=1.0, iters=100):
-    w = [0.0] * 5  # bias + 4 features
-    feats = [(py_features(t), y) for t, y in rows]
-    n = len(feats)
+    """Mirror of train_quality_classifier: GD in STANDARDIZED feature
+    space, weights de-standardized at the end."""
+    raw = [(py_features(t), y) for t, y in rows]
+    n = len(raw)
+    d = 4
+    mu = [sum(f[j] for f, _ in raw) / n for j in range(d)]
+    sd = []
+    for j in range(d):
+        v = sum((f[j] - mu[j]) ** 2 for f, _ in raw) / n
+        s = math.sqrt(v)
+        sd.append(s if s > 0 else 1.0)
+    feats = [
+        ([(f[j] - mu[j]) / sd[j] for j in range(d)], y) for f, y in raw
+    ]
+    w = [0.0] * (d + 1)  # bias + d features
     for _ in range(iters):
-        g = [0.0] * 5
+        g = [0.0] * (d + 1)
         for f, y in feats:
             z = w[0] + sum(wi * fi for wi, fi in zip(w[1:], f))
             p = 1.0 / (1.0 + math.exp(-z))
@@ -61,7 +73,9 @@ def py_train(rows, lr=1.0, iters=100):
             for j, fj in enumerate(f):
                 g[j + 1] += e * fj
         w = [wi - lr * gi / n for wi, gi in zip(w, g)]
-    return w
+    out = [w[0] - sum(w[j + 1] * mu[j] / sd[j] for j in range(d))]
+    out += [w[j + 1] / sd[j] for j in range(d)]
+    return out
 
 
 def test_features_match_reference(spark):
