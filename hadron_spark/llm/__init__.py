@@ -10,6 +10,32 @@ JVM-side expression, and Python appears only in clearly-marked
 decode stubs.
 """
 
-from hadron_spark.llm import bpe, dedup, embeddings, mixing, multimodal, packing, similarity, textstats
+from hadron_spark.llm import (
+    bpe,
+    classifier,
+    dedup,
+    dsir,
+    embeddings,
+    filters,
+    mixing,
+    multimodal,
+    packing,
+    similarity,
+    textstats,
+    unigram,
+)
 
-__all__ = ["bpe", "dedup", "embeddings", "mixing", "packing", "similarity", "multimodal", "textstats"]
+__all__ = [
+    "bpe",
+    "classifier",
+    "dedup",
+    "dsir",
+    "embeddings",
+    "filters",
+    "mixing",
+    "packing",
+    "similarity",
+    "multimodal",
+    "textstats",
+    "unigram",
+]

@@ -897,3 +897,103 @@ def exact_substring_dedup(
         )
         .select(id_col, text_col, out_col)
     )
+
+
+def span_fingerprint_store(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """(fp) — the distinct window-fingerprint set of a corpus: the
+    persistable state for INCREMENTAL exact-substring dedup (save as
+    parquet; ~one row per distinct window). The incremental-ingest
+    analog of `minhash_dedup_incremental`'s signature store: the
+    corpus is never re-tokenized when a new batch arrives."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    grams = F.expr(
+        "transform(sequence(0, size(__toks) - {W}), "
+        "i -> md5(cast(array_join(slice(__toks, i + 1, {W}), ' ') as binary)))".format(
+            W=window
+        )
+    )
+    return (
+        df.select(toks.alias("__toks"))
+        .filter(F.size("__toks") >= window)
+        .select(F.explode(grams).alias("fp"))
+        .distinct()
+    )
+
+
+def exact_substring_dedup_incremental(
+    new_docs: DataFrame,
+    store: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Incremental ExactSubstr: remove from each NEW document every
+    token span whose window fingerprint already exists in the corpus
+    `store` (a saved `span_fingerprint_store` output). The batch's
+    own internal repeats are NOT considered — that is `repeated_
+    spans`' job on the batch itself; composing both gives the full
+    semantics with the corpus never rescanned.
+
+    Scale shape: batch positions explode narrowly; the membership
+    check is a left-semi equi-join on the fingerprint (shuffles
+    |batch positions| + touches only the store partitions with
+    matching keys); island merge is the same doc-partitioned scan as
+    the batch op. Output: (id_col, text, clean_text)."""
+    from pyspark.sql import Window as _W
+
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    grams = F.expr(
+        "transform(sequence(0, size(__toks) - {W}), "
+        "i -> struct(i as pos, md5(cast(array_join(slice(__toks, i + 1, {W}), ' ') as binary)) as fp))".format(
+            W=window
+        )
+    )
+    pos = (
+        new_docs.select(F.col(id_col), toks.alias("__toks"))
+        .filter(F.size("__toks") >= window)
+        .select(id_col, F.explode(grams).alias("g"))
+        .select(id_col, F.col("g.pos").alias("pos"), F.col("g.fp").alias("fp"))
+    )
+    rep = pos.join(store.select("fp"), "fp", "left_semi")
+    w = _W.partitionBy(id_col).orderBy("pos")
+    flagged = rep.withColumn(
+        "new_island",
+        F.when(
+            F.col("pos")
+            > F.coalesce(F.lag("pos").over(w), F.lit(-window)) + window - 1,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(_W.unboundedPreceding, _W.currentRow)
+        ),
+    )
+    spans = flagged.groupBy(id_col, "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + window).alias("span_end"),
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    return (
+        new_docs.join(per_doc, id_col, "left")
+        .withColumn("__toks", toks)
+        .withColumn(
+            out_col,
+            F.array_join(
+                F.expr(
+                    "filter(__toks, (t, i) -> not exists("
+                    "coalesce(_spans, array()), "
+                    "s -> i >= s.span_start and i < s.span_end))"
+                ),
+                " ",
+            ),
+        )
+        .select(id_col, text_col, out_col)
+    )

@@ -232,3 +232,51 @@ def gopher_rules(
         "ellipsis_lines": f["ellipsis_line_frac"] > max_ellipsis_line_frac,
         "low_alpha": f["alpha_word_frac"] < min_alpha_word_frac,
     }
+
+
+def compression_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """(id_col, n_bytes, n_compressed, compression_ratio) — zlib
+    compressibility of each document, the entropy-proxy quality
+    signal web-corpus pipelines use to catch both extremes: highly
+    repetitive boilerplate compresses far below natural language
+    (ratio << 0.4 at this level), while random/encrypted/binary junk
+    barely compresses (ratio ≈ 1).
+
+    This is the declared Pandas-UDF escape hatch — no Catalyst
+    expression runs a real compressor — but it stays Arrow-batched
+    mapInPandas (per-partition, fuses with the scan, no shuffle) and
+    DETERMINISTIC: zlib at a fixed level is a pure function of the
+    bytes, so re-runs and re-shards agree (pinned against direct
+    python zlib in tests). Empty documents report ratio 0.0."""
+    import pandas as pd  # noqa: F401 (executor-side)
+
+    def run(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = [t.encode("utf-8") if t else b"" for t in pdf[text_col]]
+            comp = [len(zlib.compress(b, level)) if b else 0 for b in raw]
+            nb = [len(b) for b in raw]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": nb,
+                    "n_compressed": comp,
+                    "compression_ratio": [
+                        (c / n) if n else 0.0 for c, n in zip(comp, nb)
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run,
+        f"{id_col} long, n_bytes long, n_compressed long, "
+        "compression_ratio double",
+    )

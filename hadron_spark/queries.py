@@ -8597,3 +8597,89 @@ def q209(spark, sf_dir):
     return exact_substring_dedup(
         load(spark, sf_dir, "documents"), window=8
     ).select("doc_id", "clean_text")
+
+
+@_register(
+    "q210_incremental_substring_dedup",
+    """
+    WITH ct AS (
+      SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents WHERE doc_id % 5 <> 0
+    ), store AS (
+      SELECT DISTINCT md5(array_to_string(toks[u.i+1 : u.i+8], ' ')) AS fp
+      FROM ct, unnest(generate_series(0, len(toks) - 8)) AS u(i)
+      WHERE len(toks) >= 8
+    ), bt AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents WHERE doc_id % 5 = 0
+    ), bp AS (
+      SELECT doc_id, u.i AS pos,
+             md5(array_to_string(toks[u.i+1 : u.i+8], ' ')) AS fp
+      FROM bt, unnest(generate_series(0, len(toks) - 8)) AS u(i)
+      WHERE len(toks) >= 8
+    ), rep AS (
+      SELECT bp.doc_id, bp.pos FROM bp JOIN store USING (fp)
+    ), fl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(lag(pos) OVER w, -8) + 7
+                  THEN 1 ELSE 0 END AS ni
+      FROM rep WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), isl AS (
+      SELECT doc_id, pos,
+             SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS island
+      FROM fl
+    ), spans AS (
+      SELECT doc_id, MIN(pos) AS a, MAX(pos) + 8 AS b
+      FROM isl GROUP BY doc_id, island
+    ), per_doc AS (
+      SELECT doc_id, list(struct_pack(a := a, b := b)) AS sp
+      FROM spans GROUP BY doc_id
+    )
+    SELECT bt.doc_id,
+           coalesce(array_to_string(
+             list_filter(bt.toks,
+               (x, i) -> len(list_filter(coalesce(pd.sp, []),
+                             s -> i - 1 >= s.a AND i - 1 < s.b)) = 0),
+             ' '), '') AS clean_text
+    FROM bt LEFT JOIN per_doc pd USING (doc_id)
+    """,
+)
+def q210(spark, sf_dir):
+    """INCREMENTAL exact-substring dedup (llm.dedup
+    .exact_substring_dedup_incremental): a batch (doc_id % 5 = 0) is
+    cleaned against the fingerprint store of the standing corpus
+    (doc_id % 5 <> 0) — the ingest pattern where the corpus is never
+    re-tokenized, only its distinct-fingerprint store is semi-joined.
+    The oracle replays store-build + membership + island-merge +
+    token filter and compares the full cleaned strings."""
+    from hadron_spark.llm.dedup import (
+        exact_substring_dedup_incremental,
+        span_fingerprint_store,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    store = span_fingerprint_store(corpus, window=8)
+    return exact_substring_dedup_incremental(
+        batch, store, window=8
+    ).select("doc_id", "clean_text")
+
+
+@_register("q211_compression_ratio", None)
+def q211(spark, sf_dir):
+    """Compression-based quality signal (llm.filters
+    .compression_ratio): zlib compressibility per document — the
+    entropy proxy that catches boilerplate (ratio << 0.4) and binary
+    junk (ratio ≈ 1) alike. Arrow-batched mapInPandas (the declared
+    escape hatch — no Catalyst compressor exists), deterministic at
+    a fixed level. Rows-only (DuckDB has no zlib); pinned against
+    direct python zlib in test_llm_ops."""
+    from hadron_spark.llm.filters import compression_ratio
+
+    return compression_ratio(load(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )

@@ -1154,3 +1154,78 @@ def test_repeated_spans_and_exact_substring_dedup(spark):
     # doc 3 untouched; the repeated material actually got cut
     assert cleaned[3] == rows[2][1]
     assert "a b c d" not in cleaned[1] and "a b c d" not in cleaned[2]
+
+
+def test_exact_substring_dedup_incremental(spark):
+    """Incremental ExactSubstr: batch spans whose fingerprints exist
+    in the corpus store are cut; novel text (including batch-internal
+    repeats, which are repeated_spans' job) is untouched; the corpus
+    itself is never re-read — the store is the only corpus state."""
+    from hadron_spark.llm.dedup import (
+        exact_substring_dedup_incremental,
+        span_fingerprint_store,
+    )
+
+    W = 4
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    store = span_fingerprint_store(corpus, window=W)
+    assert store.count() == 5  # 2 windows from doc1 + 3 from doc2
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta fresh words here"),
+            (11, "new stuff two three four five ending"),
+            (12, "entirely novel content in this document"),
+            (13, "rep rep rep rep rep rep rep rep"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.clean_text
+        for r in exact_substring_dedup_incremental(
+            batch, store, window=W
+        ).collect()
+    }
+    assert out[10] == "fresh words here"        # leading span [0,4) cut
+    assert out[11] == "new stuff ending"        # internal span [2,6) cut
+    assert out[12] == "entirely novel content in this document"
+    assert out[13] == "rep rep rep rep rep rep rep rep"
+
+
+def test_compression_ratio_signal(spark):
+    """zlib compressibility signal: deterministic (pinned against
+    direct python zlib), repetitive text compresses hard, high-
+    entropy text barely, empty reports 0."""
+    import zlib
+
+    from hadron_spark.llm.filters import compression_ratio
+
+    import random
+
+    rng = random.Random(3)
+    noisy = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789")
+                for _ in range(8))
+        for _ in range(60)
+    )
+    rows = [
+        (1, "spam and eggs " * 100),
+        (2, noisy),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in compression_ratio(df).collect()}
+    for i, t in rows:
+        b = t.encode()
+        want_c = len(zlib.compress(b, 6)) if b else 0
+        assert got[i].n_bytes == len(b)
+        assert got[i].n_compressed == want_c
+        if b:
+            assert abs(got[i].compression_ratio - want_c / len(b)) < 1e-12
+        else:
+            assert got[i].compression_ratio == 0.0
+    assert got[1].compression_ratio < 0.1   # boilerplate crushes
+    assert got[2].compression_ratio > 0.5   # entropy resists
