@@ -32,11 +32,12 @@ engines (unlike sqrt), so scores can differ in the last ulp between
 Spark and DuckDB; the registry entries are rows-only and the math is
 pinned against a pure-Python/numpy reference in test_dsir instead.
 
-Scale: the raw corpus is touched twice (feature pass, score-join
-pass — fuseable to one by caching features at 100 TB if desired);
-shuffles are the n-gram wordcount exchange and a (doc, bucket)
-partial-agg'd sum.  The bucket model is O(n_buckets) rows on the
-driver-free path — only the TOTALS (two scalars) are collected.
+Scale: the raw corpus is tokenized ONCE — its feature table feeds
+both the ratio fit and the score join and is pinned (ops.pin) so
+the fan-out can't re-derive it; shuffles are the n-gram wordcount
+exchange and a (doc, bucket) partial-agg'd sum.  The bucket model
+is O(n_buckets) rows on the driver-free path — only the TOTALS
+(two scalars) are collected.
 """
 
 from __future__ import annotations
@@ -119,9 +120,18 @@ def dsir_scores(
     ngram_sizes: tuple[int, ...] = (1, 2),
 ) -> DataFrame:
     """(id_col, logw) — log importance weight of every raw document
-    under the hashed-n-gram bucket model fit on (target, raw)."""
-    raw_feats = hashed_ngram_features(
-        raw_df, id_col, text_col, n_buckets, ngram_sizes
+    under the hashed-n-gram bucket model fit on (target, raw).
+
+    The raw feature table feeds BOTH the bucket-ratio fit and the
+    score join — pinned (ops.pin) so the corpus tokenize+explode
+    pass runs exactly once (the fan-out materialization rule; at
+    100 TB an unpinned fan-out is a second full corpus scan)."""
+    from hadron_spark.operators.ops import pin
+
+    raw_feats = pin(
+        hashed_ngram_features(
+            raw_df, id_col, text_col, n_buckets, ngram_sizes
+        )
     )
     target_feats = hashed_ngram_features(
         target_df, id_col, text_col, n_buckets, ngram_sizes
