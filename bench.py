@@ -72,6 +72,11 @@ HEADLINE = [
     # corpus scale
     "q183_pack_sequences",
     "q185_gram_matrix",
+    # set change #5 (round 3, BASELINE.md): model-based quality
+    # scoring (narrow, exp-free) and corpus-level exact-substring
+    # dedup — the two new oracle-backed training-data primitives
+    "q204_quality_classifier",
+    "q208_repeated_spans",
 ]
 
 
