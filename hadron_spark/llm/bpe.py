@@ -329,3 +329,25 @@ def bpe_apply(
         .groupBy(*key_cols)
         .agg(F.sum("_nt").cast("long").alias(out_col))
     )
+
+
+def save_merges(merges: list[tuple], spark, path: str) -> None:
+    """Persist a trained merge list as parquet (rank, left, right,
+    cnt) — the tokenizer checkpoint. Rank IS the row's position in
+    the learned order; `load_merges` restores the exact list, so
+    train → save → load → `bpe_encode_table` reproduces the training
+    segmentation byte-for-byte (round-trip pinned in test_bpe)."""
+    rows = [
+        (i, a, b, int(c)) for i, (a, b, c) in enumerate(merges)
+    ]
+    spark.createDataFrame(
+        rows, "rank int, left string, right string, cnt long"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark, path: str) -> list[tuple]:
+    """Restore a `save_merges` checkpoint in learned order."""
+    return [
+        (r["left"], r["right"], int(r["cnt"]))
+        for r in spark.read.parquet(path).orderBy("rank").collect()
+    ]

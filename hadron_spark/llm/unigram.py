@@ -244,3 +244,68 @@ def unigram_apply(
         .groupBy(*key_cols)
         .agg(F.sum("_nt").cast("long").alias(out_col))
     )
+
+
+def save_pieces(pieces: list[tuple], spark, path: str) -> None:
+    """Persist a trained unigram piece table as parquet
+    (piece, logprob) — the tokenizer checkpoint; `load_pieces`
+    restores the exact (logprob desc, piece) order."""
+    spark.createDataFrame(
+        [(p, float(lp)) for p, lp in pieces],
+        "piece string, logprob double",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_pieces(spark, path: str) -> list[tuple]:
+    """Restore a `save_pieces` checkpoint, (logprob desc, piece)
+    ordered — bit-identical to the trained list (doubles round-trip
+    parquet exactly)."""
+    return [
+        (r["piece"], r["logprob"])
+        for r in spark.read.parquet(path)
+        .orderBy(F.col("logprob").desc(), F.col("piece"))
+        .collect()
+    ]
+
+
+def viterbi_segment_table(
+    df: DataFrame,
+    pieces: list[tuple],
+    text_col: str = "text",
+    max_piece_len: int = 8,
+) -> DataFrame:
+    """(word, n, toks) — segment every DISTINCT word of `df` under a
+    trained piece table (e.g. a `load_pieces` checkpoint): the
+    unigram analog of `bpe.bpe_encode_table`, and the missing half
+    of the persist workflow — train → save → load → segment a NEW
+    corpus without retraining. Same scale shape: Python Viterbi only
+    over the |vocab|-bounded distinct-word table, piece dict
+    broadcast."""
+    logp = dict(pieces)
+    bc = df.sparkSession.sparkContext.broadcast(logp)
+    words = (
+        df.select(
+            F.explode(
+                F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def seg(batches):
+        import pandas as pd
+
+        lp = bc.value
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n": pdf["n"],
+                    "toks": [
+                        _viterbi(w, lp, max_piece_len) for w in pdf["word"]
+                    ],
+                }
+            )
+
+    return words.mapInPandas(seg, "word string, n long, toks array<string>")

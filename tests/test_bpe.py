@@ -195,3 +195,20 @@ def test_bpe_early_stop_on_unique_text(spark):
     df = spark.createDataFrame([("abc def",)], "text string")
     merges, _ = bpe.bpe_train(df, num_merges=5)
     assert merges == []
+
+
+def test_bpe_merges_save_load_roundtrip(spark, tmp_path):
+    """train -> save -> load -> encode reproduces the training
+    segmentation byte-for-byte (the tokenizer-checkpoint workflow)."""
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    merges, vocab = bpe.bpe_train(df, num_merges=10)
+    path = str(tmp_path / "merges.parquet")
+    bpe.save_merges(merges, spark, path)
+    loaded = bpe.load_merges(spark, path)
+    assert loaded == [(a, b, c) for a, b, c in merges]
+    trained = {r.word: list(r.syms) for r in vocab.collect()}
+    enc = {
+        r.word: list(r.toks)
+        for r in bpe.bpe_encode_table(df, loaded).collect()
+    }
+    assert enc == trained

@@ -137,3 +137,36 @@ def test_unigram_apply_counts(spark):
     # unseen words fall back to character count
     df2 = spark.createDataFrame([(9, "zz qqq")], "doc_id long, text string")
     assert U.unigram_apply(df2, segmented, ["doc_id"]).collect()[0][1] == 5
+
+
+def test_unigram_pieces_save_load_and_segment(spark, tmp_path):
+    """train -> save -> load -> viterbi_segment_table on a NEW corpus
+    matches in-memory segmentation exactly (checkpoint workflow)."""
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    pieces, segmented = U.unigram_train(
+        df, vocab_size=24, seed_size=40, max_piece_len=6
+    )
+    path = str(tmp_path / "pieces.parquet")
+    U.save_pieces(pieces, spark, path)
+    loaded = U.load_pieces(spark, path)
+    assert loaded == pieces  # doubles round-trip parquet exactly
+    # segment the training corpus through the checkpoint: must equal
+    # the trainer's own final segmentation
+    seg = {
+        r.word: list(r.toks)
+        for r in U.viterbi_segment_table(
+            df, loaded, max_piece_len=6
+        ).collect()
+    }
+    want = {r.word: list(r.toks) for r in segmented.collect()}
+    assert seg == want
+    # a NEW corpus with unseen words still segments (atom fallback)
+    df2 = spark.createDataFrame([("internship xyz",)], "text string")
+    seg2 = {
+        r.word: list(r.toks)
+        for r in U.viterbi_segment_table(
+            df2, loaded, max_piece_len=6
+        ).collect()
+    }
+    assert "".join(seg2["internship"]) == "internship"
+    assert seg2["xyz"] == U._viterbi("xyz", dict(loaded), 6)
