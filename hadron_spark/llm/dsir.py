@@ -7,9 +7,15 @@ Mechanics, re-expressed Spark-first:
 
 1. FEATURES — hashed bag of word uni+bigrams per document
    (`hashed_ngram_features`): tokenize → n-gram explode →
-   `ops.hash_bucket` (md5 — engine-portable, re-shard-stable) →
-   (id, bucket, cnt).  The wordcount shuffle shape; everything
-   after is bounded by `n_buckets`, not corpus size.
+   crc32-bucket → (id, bucket, cnt).  crc32, not md5: the bucket
+   hash runs once per gram occurrence (billions at corpus scale),
+   crc32 is ~10× cheaper than md5+hex-conv, it is equally
+   deterministic/re-shard-stable (a fixed public algorithm), and it
+   stays test-mirrorable via Python's `zlib.crc32`.  Feature
+   hashing needs no cryptographic spread — collisions are part of
+   the model (Weinberger et al. 2009).  The wordcount shuffle
+   shape; everything after is bounded by `n_buckets`, not corpus
+   size.
 2. BUCKET MODEL — add-one-smoothed unigram distributions over the
    hashed buckets for target (p̂) and raw (q̂), and the per-bucket
    log importance ratio  lr_b = ln p̂_b − ln q̂_b
@@ -46,7 +52,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hadron_spark.functions.text import ngrams, tokenize
-from hadron_spark.operators.ops import hash_bucket
 
 
 def hashed_ngram_features(
@@ -60,17 +65,18 @@ def hashed_ngram_features(
 
     One narrow pass: tokenize, build every requested n-gram order
     inside the row (array concat — no per-order scans), explode,
-    md5-bucket, and partial-agg count per (doc, bucket).  The only
-    shuffle is the (doc, bucket) aggregation, bounded by documents ×
-    distinct-buckets-per-doc."""
+    crc32-bucket (see module docstring), and partial-agg count per
+    (doc, bucket).  The only shuffle is the (doc, bucket)
+    aggregation, bounded by documents × distinct-buckets-per-doc."""
     toks = tokenize(F.col(text_col))
     grams = None
     for n in ngram_sizes:
         g = toks if n == 1 else ngrams(toks, n)
         grams = g if grams is None else F.concat(grams, g)
+    bucket = F.crc32(F.col("_g").cast("binary")) % n_buckets
     return (
         df.select(F.col(id_col), F.explode(grams).alias("_g"))
-        .select(id_col, hash_bucket(F.col("_g"), n_buckets).alias("bucket"))
+        .select(id_col, bucket.alias("bucket"))
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

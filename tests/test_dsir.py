@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import zlib
 from collections import Counter
 
 from pyspark.sql import functions as F
@@ -15,7 +16,8 @@ B = 64  # small bucket space so collisions are exercised
 
 
 def py_bucket(gram: str, n_buckets: int = B) -> int:
-    return int(hashlib.md5(gram.encode()).hexdigest()[:8], 16) % n_buckets
+    # mirrors the engine's crc32 bucket (zlib.crc32 IS CRC-32/ISO-HDLC)
+    return zlib.crc32(gram.encode()) % n_buckets
 
 
 def py_features(text: str, n_buckets: int = B) -> Counter:
