@@ -96,8 +96,13 @@ def bucket_log_ratio(
     appearing in a scored document appears in the raw counts by
     construction).  Totals T and R are two collected scalars (the
     kmeans-centroid driver contract)."""
-    tc = target_feats.groupBy("bucket").agg(F.sum("cnt").alias("t"))
-    rc = raw_feats.groupBy("bucket").agg(F.sum("cnt").alias("r"))
+    from hadron_spark.operators.ops import pin
+
+    # each count table feeds BOTH its total-scalar job and the outer
+    # join; pinned (B-bounded rows) so the upstream feature pass runs
+    # once per corpus, not once per consumer
+    tc = pin(target_feats.groupBy("bucket").agg(F.sum("cnt").alias("t")))
+    rc = pin(raw_feats.groupBy("bucket").agg(F.sum("cnt").alias("r")))
     totals_t = tc.agg(F.sum("t")).first()[0] or 0
     totals_r = rc.agg(F.sum("r")).first()[0] or 0
     denom_t = float(totals_t + n_buckets)
