@@ -186,3 +186,33 @@ def upsample_repeats(
         .withColumn(copy_col, F.col(copy_col).cast("int"))
         .drop("_copies")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key: Column | str,
+    epoch: int,
+    n_shards: int,
+    shard_col: str = "shard",
+    order_col: str = "sort_key",
+) -> DataFrame:
+    """Deterministic per-epoch reshuffle for training export: every
+    row gets a SHARD and a WITHIN-SHARD sort key, both pure functions
+    of (row key, epoch) via md5 — the `hash_bucket` reproducibility
+    discipline applied to the epoch-shuffling every multi-epoch
+    training run needs.  Different epochs produce decorrelated
+    orders; the same epoch reproduces the same order on any cluster,
+    partitioning, or re-shard of the input (resumable data loading).
+
+    Writers sort within shards (`df.repartition(shard).
+    sortWithinPartitions(order_col)`) — a one-exchange export, never
+    a global sort.  The assignment is SQL-replayable (pure md5 +
+    integer arithmetic), so the full (key → epoch, shard, sort_key)
+    map is oracle-checkable."""
+    k = F.col(key) if isinstance(key, str) else key
+    h = F.md5(
+        F.concat(k.cast("string"), F.lit(f"/epoch={epoch}")).cast("binary")
+    )
+    sort_key = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    shard = (sort_key % n_shards).cast("int")
+    return df.withColumn(shard_col, shard).withColumn(order_col, sort_key)

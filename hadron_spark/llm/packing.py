@@ -147,3 +147,39 @@ def write_packed_shards(
         F.col("min_key").alias("min_seq"),
         F.col("max_key").alias("max_seq"),
     )
+
+
+def event_sequences(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list,
+    value_col: str,
+    seq_col: str = "seq",
+    sep: str = ">",
+) -> DataFrame:
+    """Trajectory assembly: per-key ordered event sequences — the
+    log→sequence-dataset step of behavioral-model training (next-event
+    prediction, session2vec, RL-from-logs).
+
+    Output: (key_col, n_events, seq_col) with the sequence joined to
+    one string by `sep` (string output is hash-portable across
+    engines; split downstream if arrays are wanted).
+
+    Determinism: events sort by `order_cols` INSIDE the aggregated
+    array (array_sort over (order..., value) structs — lexicographic
+    struct order), so `order_cols` must be a total order per key
+    (include a unique id as the final tiebreak).  Plan: ONE
+    partial-agg'd groupBy on the key; no window, no global sort."""
+    ordering = [F.col(c) for c in order_cols]
+    packed = F.array_sort(
+        F.collect_list(F.struct(*ordering, F.col(value_col).alias("_v")))
+    )
+    return (
+        df.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_join(
+                F.transform(packed, lambda s: s["_v"]), sep
+            ).alias(seq_col),
+        )
+    )

@@ -8683,3 +8683,57 @@ def q211(spark, sf_dir):
     return compression_ratio(load(spark, sf_dir, "documents")).orderBy(
         "doc_id"
     )
+
+
+@_register(
+    "q212_epoch_shuffle",
+    """
+    SELECT doc_id, 7 AS epoch,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '/epoch=7'),
+                                1, 15))::BIGINT % 16 AS INT) AS shard,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '/epoch=7'),
+                           1, 15))::BIGINT AS sort_key
+    FROM documents
+    """,
+)
+def q212(spark, sf_dir):
+    """Deterministic per-epoch reshuffle (llm.mixing.epoch_shuffle):
+    shard + within-shard sort key as pure md5 functions of (doc key,
+    epoch) — the resumable, re-shard-stable epoch shuffling a
+    multi-epoch training export needs. Narrow projection (zero
+    exchanges before the writer's own repartition); the full
+    assignment map hash-matches the DuckDB replay."""
+    from hadron_spark.llm.mixing import epoch_shuffle
+
+    return epoch_shuffle(
+        load(spark, sf_dir, "documents").select("doc_id"),
+        "doc_id",
+        epoch=7,
+        n_shards=16,
+    ).withColumn("epoch", F.lit(7))
+
+
+@_register(
+    "q213_event_sequences",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           array_to_string(list(event_type ORDER BY ts, event_id), '>')
+             AS seq
+    FROM events GROUP BY user_id
+    """,
+)
+def q213(spark, sf_dir):
+    """Trajectory assembly (llm.packing.event_sequences): per-user
+    time-ordered event-type sequences joined to strings — the
+    log→sequence-dataset construction step for behavioral-sequence
+    training. One partial-agg'd groupBy, in-array sort (array_sort
+    over (ts, event_id, value) structs), no window or global sort;
+    full sequences hash-match the DuckDB ordered-list replay."""
+    from hadron_spark.llm.packing import event_sequences
+
+    return event_sequences(
+        load(spark, sf_dir, "events"),
+        "user_id",
+        ["ts", "event_id"],
+        "event_type",
+    )
