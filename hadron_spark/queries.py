@@ -8737,3 +8737,113 @@ def q213(spark, sf_dir):
         ["ts", "event_id"],
         "event_type",
     )
+
+
+@_register(
+    "q214_curation_capstone",
+    """
+    WITH f0 AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, text, toks,
+        CAST(-2.0 AS DOUBLE)
+          + (CAST(coalesce(list_aggregate(list_transform(toks, x -> length(x)),
+                                          'sum'), 0) AS DOUBLE)
+             / greatest(len(toks), 1)) * CAST(0.35 AS DOUBLE)
+          + (CAST(len(list_filter(list_transform(toks, x -> lower(x)),
+                x -> list_contains(['the','a','an','and','or','of','to','in',
+                                    'is','it','for','on','with','as','at','by',
+                                    'be','this','that'], x))) AS DOUBLE)
+             / greatest(len(toks), 1)) * CAST(4.0 AS DOUBLE)
+          + (CAST(least(len(toks), 1000) AS DOUBLE) / 1000)
+              * CAST(1.5 AS DOUBLE)
+          + (CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                  AS DOUBLE) / greatest(length(text), 1))
+              * CAST(-3.0 AS DOUBLE) AS z
+      FROM f0
+    ), kept AS (
+      SELECT doc_id, toks FROM scored WHERE z >= CAST(0.0 AS DOUBLE)
+    ), p AS (
+      SELECT doc_id, u.i AS pos,
+             md5(array_to_string(toks[u.i+1 : u.i+8], ' ')) AS fp
+      FROM kept, unnest(generate_series(0, len(toks) - 8)) AS u(i)
+      WHERE len(toks) >= 8
+    ), rep AS (
+      SELECT p.doc_id, p.pos FROM p
+      JOIN (SELECT fp FROM p GROUP BY fp HAVING COUNT(*) >= 2) h USING (fp)
+    ), fl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(lag(pos) OVER w, -8) + 7
+                  THEN 1 ELSE 0 END AS ni
+      FROM rep WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), isl AS (
+      SELECT doc_id, pos,
+             SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS island
+      FROM fl
+    ), spans AS (
+      SELECT doc_id, MIN(pos) AS a, MAX(pos) + 8 AS b
+      FROM isl GROUP BY doc_id, island
+    ), per_doc AS (
+      SELECT doc_id, list(struct_pack(a := a, b := b)) AS sp
+      FROM spans GROUP BY doc_id
+    ), cleaned AS (
+      SELECT k.doc_id,
+             len(list_filter(k.toks,
+               (x, i) -> len(list_filter(coalesce(pd.sp, []),
+                             s -> i - 1 >= s.a AND i - 1 < s.b)) = 0))
+               AS n_tokens
+      FROM kept k LEFT JOIN per_doc pd USING (doc_id)
+    ), sharded AS (
+      SELECT doc_id, n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '/epoch=1'),
+                                  1, 15))::BIGINT % 8 AS INT) AS shard
+      FROM cleaned WHERE n_tokens > 0
+    )
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM sharded GROUP BY shard
+    """,
+)
+def q214(spark, sf_dir):
+    """Round-3 curation capstone, end-to-end with ONE replayed
+    oracle: model-based quality gate (canned logistic checkpoint,
+    exp-free logit threshold) → corpus-level exact-substring dedup
+    WITHIN the survivors → deterministic epoch-1 shard assignment →
+    per-shard doc/token accounting. Every stage is exact integer /
+    md5 / identically-parsed-literal arithmetic, so the whole
+    pipeline hash-matches the DuckDB replay — the q200 discipline
+    applied to the round-3 curation tier. Plan: the quality gate
+    fuses into the scan; exchanges are the fingerprint count (reused
+    by the position re-join), the doc-partitioned island window, and
+    the final shard rollup."""
+    from hadron_spark.llm.classifier import apply_quality_classifier
+    from hadron_spark.llm.dedup import exact_substring_dedup
+    from hadron_spark.llm.mixing import epoch_shuffle
+
+    docs = load(spark, sf_dir, "documents")
+    w = {
+        "bias": -2.0,
+        "mean_token_len": 0.35,
+        "stop_frac": 4.0,
+        "len_feat": 1.5,
+        "digit_frac": -3.0,
+    }
+    kept_ids = apply_quality_classifier(docs, w).filter("keep").select(
+        "doc_id"
+    )
+    kept = docs.join(kept_ids, "doc_id")
+    cleaned = exact_substring_dedup(kept, window=8).select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("clean_text", r"\s+"), lambda t: t != "")
+        ).alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    sharded = epoch_shuffle(cleaned, "doc_id", epoch=1, n_shards=8)
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
