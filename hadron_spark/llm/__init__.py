@@ -20,6 +20,7 @@ from hadron_spark.llm import (
     mixing,
     multimodal,
     packing,
+    report,
     similarity,
     textstats,
     unigram,
@@ -34,6 +35,7 @@ __all__ = [
     "filters",
     "mixing",
     "packing",
+    "report",
     "similarity",
     "multimodal",
     "textstats",

@@ -1,0 +1,100 @@
+"""Corpus data-card report: the one-call statistical summary a
+training-data release ships with (dataset cards per Gebru et al.
+2021, "Datasheets for Datasets", arXiv:1803.09010) — size, length
+distribution, emptiness, and composition shares, as ONE long-format
+(metric, value) frame.
+
+Everything is exact integers, discrete percentiles (actual data
+elements — no interpolation), and single IEEE divisions, so the
+whole report hash-matches a DuckDB replay (q215).  Plan shape: one
+narrow token-count projection, one global aggregate (partial-agg'd,
+8 cells), one |langs|-bounded groupBy, union'd — two exchanges
+total, both onto tiny frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hadron_spark.functions.text import token_count
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str | None = "lang",
+) -> DataFrame:
+    """(metric string, value double) — corpus statistics:
+
+    - n_docs, total_tokens, total_chars
+    - mean_doc_tokens (exact-int ratio), p50/p90/max doc tokens
+      (percentile_disc — actual elements)
+    - pct_docs_short (< 50 chars)
+    - share:<group> — composition share per `group_col` value
+      (None skips the breakdown)."""
+    base = df.select(
+        token_count(F.col(text_col)).alias("_nt"),
+        F.length(text_col).alias("_nc"),
+        *([F.col(group_col).alias("_g")] if group_col else []),
+    )
+    from hadron_spark.operators.ops import pin
+
+    base = pin(base)  # feeds the global agg AND the group breakdown
+    g = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("total_tokens"),
+        F.sum("_nc").alias("total_chars"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _nt)").alias(
+            "p50"
+        ),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY _nt)").alias(
+            "p90"
+        ),
+        F.max("_nt").alias("max_nt"),
+        F.sum(F.when(F.col("_nc") < 50, 1).otherwise(0)).alias("n_short"),
+    )
+    scalars = g.select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(
+                    F.lit("n_docs"),
+                    F.lit("total_tokens"),
+                    F.lit("total_chars"),
+                    F.lit("mean_doc_tokens"),
+                    F.lit("p50_doc_tokens"),
+                    F.lit("p90_doc_tokens"),
+                    F.lit("max_doc_tokens"),
+                    F.lit("pct_docs_short"),
+                ),
+                F.array(
+                    F.col("n_docs").cast("double"),
+                    F.col("total_tokens").cast("double"),
+                    F.col("total_chars").cast("double"),
+                    F.col("total_tokens").cast("double")
+                    / F.greatest(F.col("n_docs"), F.lit(1)),
+                    F.col("p50").cast("double"),
+                    F.col("p90").cast("double"),
+                    F.col("max_nt").cast("double"),
+                    F.col("n_short").cast("double")
+                    / F.greatest(F.col("n_docs"), F.lit(1)),
+                ),
+            )
+        ).alias("metric", "value")
+    )
+    if not group_col:
+        return scalars
+    total = g.select("n_docs")
+    shares = (
+        base.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(total))
+        .select(
+            F.concat(F.lit("share:"), F.col("_g")).alias("metric"),
+            (
+                F.col("n").cast("double")
+                / F.greatest(F.col("n_docs"), F.lit(1))
+            ).alias("value"),
+        )
+    )
+    return scalars.unionByName(shares)

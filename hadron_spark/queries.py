@@ -8847,3 +8847,52 @@ def q214(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
     )
+
+
+@_register(
+    "q215_corpus_report",
+    """
+    WITH b AS (
+      SELECT len(list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '')) AS nt,
+             length(text) AS nc, lang AS g
+      FROM documents
+    ), t AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(nt) AS BIGINT) AS total_tokens,
+             CAST(SUM(nc) AS BIGINT) AS total_chars,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY nt) AS p50,
+             percentile_disc(0.9) WITHIN GROUP (ORDER BY nt) AS p90,
+             MAX(nt) AS max_nt,
+             CAST(SUM(CASE WHEN nc < 50 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_short
+      FROM b
+    )
+    SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM t
+    UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE) FROM t
+    UNION ALL SELECT 'total_chars', CAST(total_chars AS DOUBLE) FROM t
+    UNION ALL SELECT 'mean_doc_tokens',
+      CAST(total_tokens AS DOUBLE) / greatest(n_docs, 1) FROM t
+    UNION ALL SELECT 'p50_doc_tokens', CAST(p50 AS DOUBLE) FROM t
+    UNION ALL SELECT 'p90_doc_tokens', CAST(p90 AS DOUBLE) FROM t
+    UNION ALL SELECT 'max_doc_tokens', CAST(max_nt AS DOUBLE) FROM t
+    UNION ALL SELECT 'pct_docs_short',
+      CAST(n_short AS DOUBLE) / greatest(n_docs, 1) FROM t
+    UNION ALL
+    SELECT 'share:' || g,
+           CAST(COUNT(*) AS DOUBLE)
+             / greatest((SELECT n_docs FROM t), 1)
+    FROM b GROUP BY g
+    """,
+)
+def q215(spark, sf_dir):
+    """Corpus data-card report (llm.report.corpus_report): the
+    one-call release summary — size, exact length distribution
+    (discrete percentiles), emptiness, per-language composition — as
+    one long-format frame whose every value is exact-int arithmetic
+    + one IEEE division, hash-matching the DuckDB replay. Two tiny
+    exchanges (global 8-cell agg + |langs| breakdown) over one
+    pinned narrow pass."""
+    from hadron_spark.llm.report import corpus_report
+
+    return corpus_report(load(spark, sf_dir, "documents"))
