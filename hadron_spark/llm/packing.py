@@ -95,6 +95,70 @@ def pack_sequences(
     )
 
 
+def pack_sequences_grouped(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    count: Column,
+    seq_len: int,
+) -> DataFrame:
+    """Per-GROUP packing: documents pack into fixed-length sequences
+    WITHIN each group (a data source, a curriculum stage, a length
+    bucket) — sequences never mix groups, the knob that kills
+    cross-domain contamination inside a training sequence and, with
+    length-bucket groups, most padding.
+
+    Same output contract as `pack_sequences` plus `group_col`;
+    `seq_id` is 0-based PER GROUP.  Offsets come from a prefix sum
+    windowed by the group (exclusive: sum of strictly-prior docs in
+    (id) order) — partitioned, parallel across groups, no
+    single-partition funnel.  One giant group degrades to one task's
+    sort: for that shape use the global banded `pack_sequences` and
+    slice afterward."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    from pyspark.sql import Window as _W
+
+    base = df.select(
+        F.col(group_col), F.col(id_col), count.cast("long").alias("_n")
+    )
+    w = (
+        _W.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(_W.unboundedPreceding, -1)
+    )
+    cum = base.withColumn(
+        "_b", F.coalesce(F.sum("_n").over(w), F.lit(0)).cast("long")
+    )
+    sl = int(seq_len)
+    L = F.lit(sl).cast("long")
+    b, e = F.col("_b"), F.col("_b") + F.col("_n")
+    spans = (
+        cum.filter(F.col("_n") > 0)
+        .withColumn("_e", e)
+        .withColumn(
+            "seq_id",
+            F.explode(
+                F.sequence(
+                    F.expr(f"_b div {sl}"), F.expr(f"(_e - 1) div {sl}")
+                )
+            ),
+        )
+        .withColumn("seq_id", F.col("seq_id").cast("long"))
+    )
+    lo = F.col("seq_id") * L
+    hi = lo + L
+    return spans.select(
+        group_col,
+        "seq_id",
+        id_col,
+        (F.greatest(b, lo) - lo).cast("long").alias("begin_in_seq"),
+        (F.least(e, hi) - lo).cast("long").alias("end_in_seq"),
+        F.greatest(F.lit(0).cast("long"), lo - b).alias("doc_offset"),
+        (F.least(e, hi) - F.greatest(b, lo)).cast("long").alias("n_tok"),
+    )
+
+
 def packing_stats(packed: DataFrame) -> DataFrame:
     """Per-sequence fill accounting over `pack_sequences` output:
     how many documents touch each sequence and how full it is (only

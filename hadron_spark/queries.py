@@ -8896,3 +8896,55 @@ def q215(spark, sf_dir):
     from hadron_spark.llm.report import corpus_report
 
     return corpus_report(load(spark, sf_dir, "documents"))
+
+
+@_register(
+    "q216_grouped_packing",
+    """
+    WITH b AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '')) AS n
+      FROM documents
+    ), c AS (
+      SELECT source, doc_id, n,
+             CAST(coalesce(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT) AS bgn
+      FROM b
+    ), s AS (
+      SELECT source, doc_id, n, bgn, bgn + n AS e,
+             u.seq_id
+      FROM c, unnest(generate_series(bgn // 128, (bgn + n - 1) // 128))
+             AS u(seq_id)
+      WHERE n > 0
+    )
+    SELECT source, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           CAST(GREATEST(bgn, seq_id * 128) - seq_id * 128 AS BIGINT)
+             AS begin_in_seq,
+           CAST(LEAST(e, (seq_id + 1) * 128) - seq_id * 128 AS BIGINT)
+             AS end_in_seq,
+           CAST(GREATEST(0, seq_id * 128 - bgn) AS BIGINT) AS doc_offset,
+           CAST(LEAST(e, (seq_id + 1) * 128) - GREATEST(bgn, seq_id * 128)
+                AS BIGINT) AS n_tok
+    FROM s
+    """,
+)
+def q216(spark, sf_dir):
+    """Per-group sequence packing (llm.packing.pack_sequences_grouped):
+    documents pack into 128-token sequences WITHIN each source —
+    sequences never mix sources (the cross-domain-contamination
+    knob). Offsets are a source-partitioned exclusive prefix sum
+    (parallel across groups, no single-partition window); spans then
+    explode narrowly. The whole per-group span map hash-matches the
+    DuckDB replay — the q183 discipline, grouped."""
+    from hadron_spark.functions.text import token_count
+    from hadron_spark.llm.packing import pack_sequences_grouped
+
+    return pack_sequences_grouped(
+        load(spark, sf_dir, "documents"),
+        "source",
+        "doc_id",
+        token_count(F.col("text")),
+        seq_len=128,
+    )

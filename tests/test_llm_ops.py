@@ -1229,3 +1229,43 @@ def test_compression_ratio_signal(spark):
             assert got[i].compression_ratio == 0.0
     assert got[1].compression_ratio < 0.1   # boilerplate crushes
     assert got[2].compression_ratio > 0.5   # entropy resists
+
+
+def test_pack_sequences_grouped_invariants(spark):
+    """Grouped packing: per-group spans tile [0, group_total) exactly;
+    no span crosses a sequence boundary; groups never share a
+    sequence row."""
+    from hadron_spark.llm.packing import pack_sequences_grouped
+
+    rows = [
+        ("a", 1, 5), ("a", 2, 9), ("a", 3, 3),   # total 17 -> 3 seqs @8
+        ("b", 4, 8), ("b", 5, 1),                # total 9  -> 2 seqs
+        ("b", 6, 0),                             # zero-token: no spans
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, n long")
+    out = pack_sequences_grouped(
+        df, "g", "id", F.col("n"), seq_len=8
+    ).collect()
+    assert all(0 <= r.begin_in_seq < r.end_in_seq <= 8 for r in out)
+    assert all(r.n_tok == r.end_in_seq - r.begin_in_seq for r in out)
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append(r)
+    totals = {"a": 17, "b": 9}
+    for g, rs in by_g.items():
+        # spans per doc sum to the doc's count
+        per_doc = {}
+        for r in rs:
+            per_doc[r.id] = per_doc.get(r.id, 0) + r.n_tok
+        want = {i: n for gg, i, n in rows if gg == g and n > 0}
+        assert per_doc == want
+        # global positions (seq_id*8 + begin .. end) tile contiguously
+        covered = sorted(
+            (r.seq_id * 8 + r.begin_in_seq, r.seq_id * 8 + r.end_in_seq)
+            for r in rs
+        )
+        assert covered[0][0] == 0
+        for (a1, b1), (a2, b2) in zip(covered, covered[1:]):
+            assert b1 == a2
+        assert covered[-1][1] == totals[g]
+    assert 6 not in {r.id for r in out}
