@@ -816,7 +816,7 @@ def repeated_spans(
     # (pos, fingerprint-of-window-at-pos) pairs built inside the row
     grams = F.expr(
         "transform(sequence(0, size(__toks) - {W}), "
-        "i -> struct(i as pos, md5(cast(array_join(slice(__toks, i + 1, {W}), ' ') as binary)) as fp))".format(
+        "i -> struct(i as pos, unhex(md5(cast(array_join(slice(__toks, i + 1, {W}), ' ') as binary))) as fp))".format(
             W=window
         )
     )
@@ -904,7 +904,11 @@ def span_fingerprint_store(
     text_col: str = "text",
     window: int = 8,
 ) -> DataFrame:
-    """(fp) — the distinct window-fingerprint set of a corpus: the
+    """(fp binary) — the distinct window-fingerprint set of a corpus
+    (16-byte raw md5 — binary, not hex text: half the store/shuffle
+    bytes at corpus scale; 128 bits keeps false-positive collisions
+    out of a DESTRUCTIVE dedup even at trillions of windows, where a
+    64-bit hash would birthday-collide): the
     persistable state for INCREMENTAL exact-substring dedup (save as
     parquet; ~one row per distinct window). The incremental-ingest
     analog of `minhash_dedup_incremental`'s signature store: the
@@ -912,7 +916,7 @@ def span_fingerprint_store(
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     grams = F.expr(
         "transform(sequence(0, size(__toks) - {W}), "
-        "i -> md5(cast(array_join(slice(__toks, i + 1, {W}), ' ') as binary)))".format(
+        "i -> unhex(md5(cast(array_join(slice(__toks, i + 1, {W}), ' ') as binary))))".format(
             W=window
         )
     )
@@ -949,7 +953,7 @@ def exact_substring_dedup_incremental(
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     grams = F.expr(
         "transform(sequence(0, size(__toks) - {W}), "
-        "i -> struct(i as pos, md5(cast(array_join(slice(__toks, i + 1, {W}), ' ') as binary)) as fp))".format(
+        "i -> struct(i as pos, unhex(md5(cast(array_join(slice(__toks, i + 1, {W}), ' ') as binary))) as fp))".format(
             W=window
         )
     )
