@@ -1001,3 +1001,54 @@ def exact_substring_dedup_incremental(
         )
         .select(id_col, text_col, out_col)
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    fractions: dict,
+    id_col: str = "doc_id",
+    pair_cols: tuple = ("id_a", "id_b"),
+    n_buckets: int = 100,
+) -> DataFrame:
+    """Train/val/test split that near-duplicates can NEVER straddle:
+    documents are grouped into connected components of the near-dup
+    graph (`pairs` — any candidate/verified pair table such as
+    `minhash_lsh_pairs` output), and the split is assigned by md5
+    hash of the COMPONENT id, not the document id — so a test
+    document's near-twin cannot sit in train (the dedup-aware
+    evaluation-leakage guard; the failure mode is documented in Lee
+    et al. 2022 §6, arXiv:2107.06499).
+
+    Singleton documents are their own component.  Output: df +
+    (cluster, split).  Deterministic and re-shard-stable: component =
+    min reachable id (iterative CC, `graph.connected_components`),
+    split = hash_bucket(component) — both pure functions of the
+    data."""
+    from hadron_spark.operators.graph import connected_components
+    from hadron_spark.operators.ops import hash_bucket
+
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    a, b = pair_cols
+    cc = connected_components(
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst")),
+        nodes=df.select(F.col(id_col).alias("node")),
+    )
+    withc = df.join(
+        cc.select(
+            F.col("node").alias(id_col), F.col("component").alias("cluster")
+        ),
+        id_col,
+        "left",
+    ).withColumn("cluster", F.coalesce(F.col("cluster"), F.col(id_col)))
+    bkt = hash_bucket(F.col("cluster"), n_buckets)
+    expr = None
+    lo = 0
+    for name, frac in fractions.items():
+        hi = lo + int(round(frac * n_buckets))
+        cond = (bkt >= lo) & (bkt < hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    return withc.withColumn("split", expr)

@@ -8948,3 +8948,31 @@ def q216(spark, sf_dir):
         token_count(F.col("text")),
         seq_len=128,
     )
+
+
+@_register("q217_leakage_safe_split", None)
+def q217(spark, sf_dir):
+    """Dedup-aware train/val/test split (llm.dedup
+    .leakage_safe_split): documents split by the md5 hash of their
+    NEAR-DUP COMPONENT (MinHash-LSH pairs → connected components),
+    so a test document's near-twin can never sit in train — the
+    evaluation-leakage guard of Lee et al. 2022 §6. Rows-only
+    (iterative CC); component-cohesion + determinism pinned in
+    test_llm_ops. Returns per-split document counts."""
+    from hadron_spark.llm.dedup import leakage_safe_split, minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=32, bands=8).select(
+        "id_a", "id_b"
+    )
+    out = leakage_safe_split(
+        docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster").alias("n_clusters"),
+        )
+        .orderBy("split")
+    )

@@ -1269,3 +1269,42 @@ def test_pack_sequences_grouped_invariants(spark):
             assert b1 == a2
         assert covered[-1][1] == totals[g]
     assert 6 not in {r.id for r in out}
+
+
+def test_leakage_safe_split_keeps_neardups_together(spark):
+    """Near-duplicate components never straddle splits: every doc in
+    a component gets the component's split; singletons split by
+    their own id; fractions validated."""
+    import pytest
+
+    from hadron_spark.llm.dedup import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(40)], "doc_id long, text string"
+    )
+    # two chained components {0,1,2} and {10,11}; rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    out = leakage_safe_split(
+        docs, pairs, {"train": 0.6, "val": 0.2, "test": 0.2}
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(out) == 40 and all(r.split is not None for r in out)
+    assert (
+        by_id[0].split == by_id[1].split == by_id[2].split
+        and by_id[0].cluster == by_id[1].cluster == by_id[2].cluster == 0
+    )
+    assert by_id[10].split == by_id[11].split and by_id[10].cluster == 10
+    # singleton cluster = own id
+    assert by_id[25].cluster == 25
+    # deterministic under repartition
+    out2 = {
+        r.doc_id: r.split
+        for r in leakage_safe_split(
+            docs.repartition(7), pairs, {"train": 0.6, "val": 0.2, "test": 0.2}
+        ).collect()
+    }
+    assert out2 == {r.doc_id: r.split for r in out}
+    with pytest.raises(ValueError):
+        leakage_safe_split(docs, pairs, {"a": 0.9, "b": 0.3})
