@@ -8976,3 +8976,45 @@ def q217(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+@_register("q218_streaming_curation", None)
+def q218(spark, sf_dir):
+    """Streaming exact-substring curation sink (streaming.ops
+    .streaming_substring_dedup): the incremental ExactSubstr pass as
+    a foreachBatch pipeline — each micro-batch cleans against the
+    fingerprint store of everything ALREADY ADMITTED, writes its own
+    idempotent batch=<id> output dir, and merges its kept text's
+    fingerprints under the exactly-once trio (batch-id HWM,
+    per-batch overwrite, crash-healing swap). Driven to completion
+    here with availableNow over the staged corpus; returns per-batch
+    admitted doc/char counts. Rows-only (the store/output are side
+    effects); replay + crash semantics pinned in test_streaming."""
+    import shutil
+    import tempfile
+
+    from hadron_spark.streaming.ops import streaming_substring_dedup
+
+    work = tempfile.mkdtemp(prefix="q218_")
+    src = f"{work}/src"
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    state, out_dir = f"{work}/state", f"{work}/out"
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = streaming_substring_dedup(
+        stream, state, out_dir, checkpoint=f"{work}/ckpt"
+    )
+    q.awaitTermination(300)
+    result = (
+        spark.read.option("basePath", out_dir)
+        .parquet(out_dir + "/batch=*")
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("clean_text")).cast("bigint").alias("n_chars"),
+        )
+        .orderBy("batch")
+    )
+    result = spark.createDataFrame(result.collect(), result.schema)
+    shutil.rmtree(work, ignore_errors=True)
+    return result

@@ -435,3 +435,120 @@ def gram_apply_fn(
         )
 
     return apply
+
+
+def substring_dedup_apply_fn(
+    state_path: str,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+):
+    """foreachBatch function for STREAMING exact-substring curation:
+    each micro-batch is cleaned against the corpus fingerprint store
+    (`llm.dedup.exact_substring_dedup_incremental`), the cleaned
+    documents land in `out_path/batch=<id>/`, and the KEPT text's
+    fingerprints are merged into the store so later batches dedup
+    against everything already admitted.
+
+    Exactly-once discipline (the incremental_gram trio):
+      - REPLAY: the store carries the last-applied batch_id in a
+        marker row (kind='meta'); batches at or below it are
+        skipped.
+      - OUTPUT: each batch owns `out_path/batch=<id>/` and writes it
+        with overwrite, so a replayed batch rewrites its own
+        directory instead of appending duplicates.
+      - CRASH MID-SWAP: `_recover_swap` heals the store before every
+        merge.  Output-then-state ordering means a crash between the
+        output write and the store commit replays the batch: the
+        output overwrite is idempotent, and the store still reflects
+        exactly the admitted batches.
+
+    Store schema: (kind string, fp binary, bid long) — 'fp' rows are
+    the distinct 16-byte window fingerprints, the single 'meta' row
+    is the high-water mark.  Returns the apply(batch_df, batch_id)
+    callable (use with `stream.writeStream.foreachBatch(...)`)."""
+    from hadron_spark.llm.dedup import (
+        exact_substring_dedup_incremental,
+        span_fingerprint_store,
+    )
+    from hadron_spark.sources import fs
+
+    def apply(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        _recover_swap(spark, state_path)
+        store_fps = None
+        hwm = -1
+        if fs.exists(spark, state_path):
+            store = spark.read.parquet(state_path)
+            row = store.filter(F.col("kind") == "meta").select("bid").collect()
+            if row:
+                hwm = int(row[0]["bid"])
+            if batch_id <= hwm:
+                return
+            store_fps = store.filter(F.col("kind") == "fp").select("fp")
+        batch = batch_df.localCheckpoint(eager=True)
+        if store_fps is not None:
+            cleaned = exact_substring_dedup_incremental(
+                batch, store_fps, id_col, text_col, window
+            )
+        else:
+            toks = F.filter(
+                F.split(F.col(text_col), r"\s+"), lambda t: t != ""
+            )
+            cleaned = batch.select(
+                id_col, text_col, F.array_join(toks, " ").alias("clean_text")
+            )
+        cleaned = cleaned.filter(F.col("clean_text") != "").localCheckpoint(
+            eager=True
+        )
+        cleaned.write.mode("overwrite").parquet(
+            f"{out_path}/batch={int(batch_id)}"
+        )
+        new_fps = span_fingerprint_store(
+            cleaned.select(F.col("clean_text").alias(text_col)),
+            text_col,
+            window,
+        )
+        all_fps = (
+            store_fps.unionByName(new_fps).distinct()
+            if store_fps is not None
+            else new_fps
+        )
+        merged = all_fps.select(
+            F.lit("fp").alias("kind"),
+            "fp",
+            F.lit(None).cast("long").alias("bid"),
+        ).unionByName(
+            batch.sparkSession.range(1).select(
+                F.lit("meta").alias("kind"),
+                F.lit(None).cast("binary").alias("fp"),
+                F.lit(int(batch_id)).alias("bid"),
+            )
+        )
+        _commit_swap(spark, merged, state_path, batch_id)
+
+    return apply
+
+
+def streaming_substring_dedup(
+    stream: DataFrame,
+    state_path: str,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    checkpoint: str | None = None,
+):
+    """Streaming exact-substring curation sink — see
+    `substring_dedup_apply_fn`. Returns the started StreamingQuery
+    (availableNow trigger)."""
+    apply = substring_dedup_apply_fn(
+        state_path, out_path, id_col, text_col, window
+    )
+    writer = stream.writeStream.foreachBatch(apply).outputMode("append").trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

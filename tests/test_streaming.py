@@ -271,3 +271,78 @@ def test_incremental_gram_crash_recovery(spark, sf_dir, tmp_path):
     }
     got2 = {(r.i, r.j): r.g for r in read_gram_state(spark, state).collect()}
     assert got2 == want2
+
+
+def test_streaming_substring_dedup_curation(spark, tmp_path):
+    """Streaming exact-substring curation: batch 2's text that repeats
+    ADMITTED batch-1 spans is cut; replay is a no-op (HWM); output
+    dirs are per-batch (idempotent overwrite); the store reflects the
+    admitted text's fingerprints."""
+    from hadron_spark.sources import fs
+    from hadron_spark.streaming.ops import substring_dedup_apply_fn
+
+    state = str(tmp_path / "fp_state")
+    out = str(tmp_path / "curated")
+    apply = substring_dedup_apply_fn(state, out, window=4)
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "one two three four five")],
+        "doc_id long, text string",
+    )
+    apply(b1, 0)
+    got1 = {
+        r.doc_id: r.clean_text
+        for r in spark.read.parquet(f"{out}/batch=0").collect()
+    }
+    # first batch: nothing admitted before it -> passes through
+    assert got1 == {
+        1: "alpha beta gamma delta epsilon",
+        2: "one two three four five",
+    }
+
+    b2 = spark.createDataFrame(
+        [(10, "alpha beta gamma delta fresh tail"),   # leading b1 span
+         (11, "wholly novel content right here")],
+        "doc_id long, text string",
+    )
+    apply(b2, 1)
+    got2 = {
+        r.doc_id: r.clean_text
+        for r in spark.read.parquet(f"{out}/batch=1").collect()
+    }
+    assert got2[10] == "fresh tail"
+    assert got2[11] == "wholly novel content right here"
+
+    # replay batch 1: skipped via high-water mark, output unchanged
+    before = sorted(
+        (r.doc_id, r.clean_text)
+        for r in spark.read.parquet(f"{out}/batch=1").collect()
+    )
+    apply(b2, 1)
+    after = sorted(
+        (r.doc_id, r.clean_text)
+        for r in spark.read.parquet(f"{out}/batch=1").collect()
+    )
+    assert before == after
+
+    # batch 3 deduping against batch 2's ADMITTED text: 'wholly novel
+    # content right' is now in the store
+    b3 = spark.createDataFrame(
+        [(20, "wholly novel content right again and again")],
+        "doc_id long, text string",
+    )
+    apply(b3, 2)
+    got3 = spark.read.parquet(f"{out}/batch=2").collect()
+    assert got3[0].clean_text == "again and again"
+
+    # crash-window heal: simulate mv(state->old) crash, next batch
+    # must restore and still skip nothing it shouldn't
+    fs.mv(spark, state, state + "._old_9")
+    b4 = spark.createDataFrame(
+        [(30, "one two three four closing words")],
+        "doc_id long, text string",
+    )
+    apply(b4, 3)
+    got4 = spark.read.parquet(f"{out}/batch=3").collect()
+    assert got4[0].clean_text == "five closing words" or got4[0].clean_text == "closing words"
