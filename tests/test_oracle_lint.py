@@ -4,7 +4,7 @@ transcendentals, nondeterminism) must be impossible to reintroduce."""
 
 from __future__ import annotations
 
-import re
+
 
 from hadron_spark.queries import ORACLES, QUERIES
 
@@ -26,51 +26,26 @@ def test_no_transcendentals_or_nondeterminism_in_oracles():
             assert pat not in low, (name, pat)
 
 
-def test_no_uncast_integer_sum_output_columns():
-    """DuckDB SUM over integers returns HUGEINT, which pandas converts
-    to float64 and hash-diverges from Spark's bigint (the q50 class).
-    Heuristic lint: any `SUM(...)` that is aliased as an output column
-    must sit inside a CAST unless it sums an expression that is
-    already DOUBLE/DECIMAL. The runtime dtype-strict verifier is the
-    authoritative gate; this catches the obvious regressions at
-    import cost."""
-    # find `sum(` occurrences not preceded by `cast(` on the same
-    # parenthesized chain and not summing an explicit cast-to-double/
-    # decimal expression
-    offenders = []
+def test_no_hugeint_output_columns():
+    """The q50 failure class, checked PRECISELY: DuckDB binds every
+    oracle (DESCRIBE — no execution) and no OUTPUT column may be
+    HUGEINT/UHUGEINT.  A HUGEINT output converts to pandas float64
+    and hash-diverges from Spark's bigint even when values match;
+    intermediate CTE sums that later CAST are fine and bind as
+    whatever their consumer makes of them."""
+    import duckdb
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    bad = []
     for name, sql in ORACLES.items():
-        low = re.sub(r"\s+", " ", sql.lower())
-        for m in re.finditer(r"sum\(", low):
-            start = m.start()
-            prefix = low[max(0, start - 60):start]
-            inner = low[m.end():m.end() + 80]
-            if "cast(" in prefix[-6:] or prefix.rstrip().endswith("cast ("):
-                continue  # CAST(SUM(...) AS ...)
-            if inner.lstrip().startswith(("cast(", "(cast(")):
-                # SUM(CAST(... AS DOUBLE/DECIMAL/BIGINT)) is typed
-                continue
-            # sums over double columns / double arithmetic are fine;
-            # whitelist by the known double-ish tokens
-            if any(t in inner[:60] for t in (
-                "as double", "::double", "l_extendedprice", "value",
-                "o_totalprice", "* 1.0", ".0 ", "gx", '"g"', " g)", "(g)",
-            )):
-                continue
-            # integer-looking sum: require a cast wrapper upstream
-            window = low[max(0, start - 30):start]
-            if "cast(sum" in low[max(0, start - 5):m.end()]:
-                continue
-            offenders.append((name, low[start:start + 60]))
-    # every offender must be consumed by later arithmetic that casts
-    # (ratio columns) — accept those whose surrounding SELECT item
-    # casts; remaining list should be empty or consciously waived here
-    WAIVED = {
-        # intermediate CTE/window sums consumed only through
-        # CAST/integer-div later — never surfaced as output columns;
-        # dtype-green in the runtime sweep at every SF
-        "q81_sequence_packing",   # window sum -> integer div banding
-        "q92_max_concurrency",    # delta sweep sum -> CAST(MAX AS BIGINT)
-        "q114_price_trend_slope", # moment sums -> double slope formula
-    }
-    real = [o for o in offenders if o[0] not in WAIVED]
-    assert not real, real
+        cols = con.execute(f"DESCRIBE {sql}").fetchall()
+        for col, typ, *_ in cols:
+            if "HUGEINT" in typ.upper():
+                bad.append((name, col, typ))
+    assert not bad, bad
