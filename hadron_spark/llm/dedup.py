@@ -1052,3 +1052,64 @@ def leakage_safe_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo = hi
     return withc.withColumn("split", expr)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
+    2003, "Winnowing: Local Algorithms for Document Fingerprinting"
+    — the MOSS scheme): hash every token k-gram, slide a window of
+    `w` consecutive hashes, keep the RIGHTMOST MINIMUM of each
+    window, dedupe selections. Guarantees: any shared substring of
+    ≥ w+k−1 tokens yields at least one shared fingerprint, and the
+    density of selected fingerprints is ~2/(w+1) — the compact,
+    position-aware alternative to full n-gram sets for
+    plagiarism/near-dup candidate generation.
+
+    Output: (id_col, pos, fp) — token position (1-based) of each
+    selected k-gram and its fingerprint. All selection runs INSIDE
+    the row as array expressions (zero shuffle before the explode);
+    the hash is an md5-prefix long, so the entire selected set
+    hash-matches a DuckDB replay (q219). Docs shorter than w k-grams
+    contribute their global minimum (one fingerprint), shorter than
+    k tokens contribute nothing."""
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    expr = """
+    array_distinct(transform(
+      sequence(1, greatest(size(__hh) - {W} + 1, 1)),
+      s -> named_struct(
+        'pos', s + least({W}, size(__hh) - s + 1)
+                 - array_position(reverse(slice(__hh, s, {W})),
+                                  array_min(slice(__hh, s, {W}))),
+        'fp', array_min(slice(__hh, s, {W}))
+      )
+    ))
+    """.format(W=w)
+    hashed = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .filter(F.size("__toks") >= k)
+        .withColumn(
+            "__hh",
+            F.expr(
+                "transform(transform(sequence(1, size(__toks) - {K} + 1), "
+                "i -> array_join(slice(__toks, i, {K}), ' ')), "
+                "g -> cast(conv(substring(md5(cast(g as binary)), 1, 15), "
+                "16, 10) as bigint))".format(K=k)
+            ),
+        )
+    )
+    return (
+        hashed.select(id_col, F.explode(F.expr(expr)).alias("s"))
+        .select(
+            id_col,
+            F.col("s.pos").cast("long").alias("pos"),
+            F.col("s.fp").alias("fp"),
+        )
+    )

@@ -9018,3 +9018,41 @@ def q218(spark, sf_dir):
     result = spark.createDataFrame(result.collect(), result.schema)
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+@_register(
+    "q219_winnow_fingerprints",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(toks) - 4 + 1),
+               i -> ('0x' || substr(md5(array_to_string(toks[i : i+3], ' ')),
+                                    1, 15))::BIGINT) AS hh
+      FROM t WHERE len(toks) >= 4
+    )
+    SELECT DISTINCT doc_id,
+      CAST(u.s + least(5, len(hh) - u.s + 1)
+           - list_position(list_reverse(hh[u.s : u.s+4]),
+                           list_min(hh[u.s : u.s+4])) AS BIGINT) AS pos,
+      list_min(hh[u.s : u.s+4]) AS fp
+    FROM g, unnest(generate_series(1, greatest(len(hh) - 5 + 1, 1))) AS u(s)
+    """,
+)
+def q219(spark, sf_dir):
+    """Winnowing fingerprint selection (llm.dedup.winnow_fingerprints,
+    Schleimer et al. 2003 — the MOSS local fingerprinting scheme):
+    rightmost-minimum of each w=5 window over k=4-gram md5-prefix
+    hashes, deduped per document. Guarantees a shared fingerprint for
+    any shared run of ≥ w+k−1 tokens at ~2/(w+1) density — the
+    compact candidate-generation alternative to full n-gram sets.
+    All selection is in-row array expressions (narrow plan); the
+    entire selected set hash-matches the DuckDB replay."""
+    from hadron_spark.llm.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        load(spark, sf_dir, "documents"), k=4, w=5
+    )

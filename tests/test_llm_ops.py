@@ -1308,3 +1308,49 @@ def test_leakage_safe_split_keeps_neardups_together(spark):
     assert out2 == {r.doc_id: r.split for r in out}
     with pytest.raises(ValueError):
         leakage_safe_split(docs, pairs, {"a": 0.9, "b": 0.3})
+
+
+def test_winnow_fingerprints_reference_and_guarantee(spark):
+    """Winnowing pinned against a pure-Python reference (rightmost-
+    minimum rule) + the paper's guarantee: any shared run of
+    >= w+k-1 tokens yields >= 1 shared fingerprint."""
+    import hashlib
+
+    from hadron_spark.llm.dedup import winnow_fingerprints
+
+    K, W = 3, 4
+
+    def py_winnow(text):
+        toks = [t for t in text.split() if t]
+        grams = [" ".join(toks[i : i + K]) for i in range(len(toks) - K + 1)]
+        hh = [
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams
+        ]
+        sel = set()
+        m = len(hh)
+        if m == 0:
+            return sel
+        for s0 in range(0, max(m - W + 1, 1)):
+            win = hh[s0 : s0 + W]
+            mn = min(win)
+            idx = len(win) - 1 - win[::-1].index(mn)
+            sel.add((s0 + idx + 1, mn))
+        return sel
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "x y a b c d e f q r"),
+        (3, "s t"),                      # shorter than k: nothing
+        (4, "m n o"),                    # exactly one gram
+        (5, "p p p p p p p"),            # constant hashes (tie storm)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, k=K, w=W).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    for i, t in rows:
+        assert got.get(i, set()) == py_winnow(t), i
+    # guarantee: docs 1,2 share 'a b c d e f' (6 = w+k-1 tokens)
+    f1 = {fp for _, fp in got[1]}
+    f2 = {fp for _, fp in got[2]}
+    assert f1 & f2
