@@ -663,7 +663,7 @@ def semantic_dedup(
     oversized for the quadratic stage are dropped, never exploded.
     Rows in dropped clusters are KEPT (conservative: no evidence of
     duplication is examined)."""
-    from hadron_spark.functions.vectors import cosine_similarity
+    from hadron_spark.functions.vectors import dot, l2_normalize
     from hadron_spark.llm.similarity import kmeans
     from hadron_spark.operators.ops import pin
 
@@ -673,8 +673,15 @@ def semantic_dedup(
         n = df.count()
         k = max(1, min(65536, -(-n // max(1, target_cluster_rows))))
     assigned = kmeans(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    # vectors are unit-normalized ONCE here, so the quadratic
+    # within-cluster stage computes a plain dot per pair instead of
+    # dot + two norms — 3x less O(d) work exactly where Σ|cluster|²
+    # multiplies it
     base = (
-        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        df.select(
+            F.col(id_col).alias("_id"),
+            l2_normalize(F.col(vec_col)).alias("_v"),
+        )
         .join(
             assigned.select(F.col(id_col).alias("_id"), "cluster"), "_id"
         )
@@ -696,7 +703,7 @@ def semantic_dedup(
     (_LOG.warning if dropped_frac > 0.10 else _LOG.info)(msg)
 
     x, y = guarded.alias("x"), guarded.alias("y")
-    cos = cosine_similarity(F.col("x._v"), F.col("y._v"))
+    cos = dot(F.col("x._v"), F.col("y._v"))  # unit vectors: dot == cosine
     edges = (
         x.join(
             y,
