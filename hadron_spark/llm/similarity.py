@@ -286,10 +286,20 @@ def kmeans(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "first",
 ) -> DataFrame:
     """Distributed Lloyd's k-means over an embedding column:
-    (id, cluster, sq_dist). Deterministic init (first k vectors by
-    id).
+    (id, cluster, sq_dist). Both inits are DETERMINISTIC:
+
+    - "first": the first k vectors by id — one collect, zero extra
+      passes; fine when ids are uncorrelated with geometry.
+    - "farthest": farthest-first traversal (Gonzalez 1985 — the
+      deterministic cousin of k-means++ seeding): start at the min
+      id, then k−1 rounds each pick the point MAXIMIZING distance to
+      its nearest chosen centroid (ties to the lowest id).  One
+      TakeOrdered pass per round; use when ids cluster by topic or
+      source, where "first k" would seed all centroids inside one
+      region and Lloyd's merges true clusters.
 
     Scale contract: the DATA never reaches the driver — assignment is
     a codegen'd expression scoring each row against k centroid
@@ -300,10 +310,6 @@ def kmeans(
     mean — the posexplode path aggregates (cluster, dim) cells so the
     centroid update is a |k·dim|-row result, partial-agg'd map-side.
     """
-    centroids = [
-        [float(x) for x in r[vec_col]]
-        for r in df.orderBy(id_col).limit(k).collect()
-    ]
 
     def dist_expr(c: list[float]) -> str:
         lit = "array(" + ",".join(f"{x!r}D" for x in c) + ")"
@@ -311,6 +317,30 @@ def kmeans(
             f"aggregate(zip_with({vec_col}, {lit}, (x, y) -> "
             "(double(x) - y) * (double(x) - y)), 0D, (a, x) -> a + x)"
         )
+
+    if init == "farthest":
+        first = df.orderBy(id_col).limit(1).collect()
+        centroids = [[float(x) for x in r[vec_col]] for r in first]
+        while centroids and len(centroids) < k:
+            mind = (
+                "array_min(array("
+                + ",".join(dist_expr(c) for c in centroids)
+                + "))"
+            )
+            nxt = (
+                df.selectExpr(id_col, vec_col, f"{mind} as _d")
+                .orderBy(F.col("_d").desc(), F.col(id_col).asc())
+                .limit(1)
+                .collect()
+            )
+            centroids.append([float(x) for x in nxt[0][vec_col]])
+    elif init == "first":
+        centroids = [
+            [float(x) for x in r[vec_col]]
+            for r in df.orderBy(id_col).limit(k).collect()
+        ]
+    else:
+        raise ValueError(f"init must be 'first' or 'farthest': {init!r}")
 
     assigned = None
     for _ in range(iters):

@@ -416,3 +416,106 @@ def nucleus_vocab(
         .filter(F.col("cum_before") * F.lit(int(den)) < F.lit(int(num)) * F.col("_t"))
         .select("token", "cnt", "cum_before")
     )
+
+
+def hashed_tfidf_vectors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 256,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """(id_col, vec array<double>) — dense hashed-TF-IDF document
+    vectors: tokens crc32-hash into `dim` slots (feature hashing,
+    Weinberger et al. 2009), weighted by LOG idf 1+ln(N/df),
+    max_df-cut, and L2-normalized — the representation for text
+    k-means / domain discovery when no neural embeddings exist.
+    Log idf (unlike the linear N/df the oracle-checked `tfidf_topk`
+    uses) keeps hapax junk words from dominating the L2 norm — under
+    linear idf a weight-10 singleton drowns a weight-2 topical word
+    and topics stop separating (measured on the planted two-topic
+    fixture); ln is fine here because clustering inputs are never
+    oracle-compared. Documents whose every slot falls to the max_df
+    cut produce no vector row.
+
+    Plan: one tokenize+explode pass partial-aggregated onto
+    (doc, slot); slot document frequencies are a dim-bounded
+    aggregate broadcast back; the dense array assembles per doc from
+    a map literal of its own slots (map_from_entries over the
+    collected slot list — bounded by min(dim, doc tokens))."""
+    from hadron_spark.operators.ops import pin
+
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    slot = F.crc32(F.col("_w").cast("binary")) % dim
+    tf = pin(
+        df.select(F.col(id_col), F.explode(toks).alias("_w"))
+        .select(id_col, slot.alias("slot"))
+        .groupBy(id_col, "slot")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("slot").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n"))
+    # max_df cut: slots present in more than max_df_frac of documents
+    # are function-word noise that dominates the L2 norm and washes
+    # out topical signal (the standard max_df vectorizer knob)
+    dfreq = dfreq.join(F.broadcast(n_docs)).filter(
+        F.col("df") <= F.col("n") * F.lit(float(max_df_frac))
+    ).select("slot", "df")
+    weighted = (
+        tf.join(F.broadcast(dfreq), "slot")
+        .join(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "slot",
+            (
+                F.col("tf").cast("double")
+                * (
+                    F.lit(1.0)
+                    + F.log(F.col("n").cast("double") / F.col("df"))
+                )
+            ).alias("wgt"),
+        )
+    )
+    assembled = weighted.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("slot").cast("int"), F.col("wgt")))
+        ).alias("_m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0.0)),
+    )
+    from hadron_spark.functions.vectors import l2_normalize
+
+    return assembled.select(
+        id_col, l2_normalize(dense).alias("vec")
+    )
+
+
+def discover_domains(
+    df: DataFrame,
+    n_domains: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 256,
+    iters: int = 5,
+) -> DataFrame:
+    """Unsupervised DOMAIN DISCOVERY for mixture reweighting: cluster
+    hashed-TF-IDF document vectors with the distributed k-means — the
+    cluster-then-reweight recipe for corpora whose source labels are
+    missing or too coarse (feed the output's `domain` to
+    `mixing.mixture_weights` as the source column).  Returns
+    (id_col, domain).  Deterministic: hashing, idf, and the k-means
+    init/tie-breaks are all pure functions of the data."""
+    from hadron_spark.llm.similarity import kmeans
+
+    vecs = hashed_tfidf_vectors(df, id_col, text_col, dim)
+    assigned = kmeans(
+        vecs,
+        k=n_domains,
+        iters=iters,
+        id_col=id_col,
+        vec_col="vec",
+        init="farthest",  # ids often correlate with topic/source
+    )
+    return assigned.select(id_col, F.col("cluster").alias("domain"))

@@ -9056,3 +9056,25 @@ def q219(spark, sf_dir):
     return winnow_fingerprints(
         load(spark, sf_dir, "documents"), k=4, w=5
     )
+
+
+@_register("q220_domain_discovery", None)
+def q220(spark, sf_dir):
+    """Unsupervised domain discovery (llm.textstats.discover_domains):
+    hashed log-TF-IDF document vectors (max_df-cut, L2-normalized) →
+    distributed k-means with deterministic farthest-first seeding —
+    the cluster-then-reweight recipe when source labels are missing
+    or too coarse (feed `domain` to mixing.mixture_weights).
+    Rows-only (iterative clustering + ln weights); two-topic
+    separation and repartition-determinism pinned in test_llm_ops.
+    Returns per-domain sizes."""
+    from hadron_spark.llm.textstats import discover_domains
+
+    out = discover_domains(
+        load(spark, sf_dir, "documents"), n_domains=8, dim=256
+    )
+    return (
+        out.groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("domain")
+    )

@@ -1354,3 +1354,38 @@ def test_winnow_fingerprints_reference_and_guarantee(spark):
     f1 = {fp for _, fp in got[1]}
     f2 = {fp for _, fp in got[2]}
     assert f1 & f2
+
+
+def test_discover_domains_separates_topics(spark):
+    """Hashed-TF-IDF k-means recovers two planted topical domains and
+    is deterministic under repartitioning."""
+    from hadron_spark.llm.textstats import discover_domains
+
+    cooking = [
+        "bake the bread dough in the oven with flour and yeast",
+        "the oven browns the bread while the dough rests with yeast",
+        "flour and yeast make the dough rise before you bake bread",
+        "knead the dough add flour then bake the bread in the oven",
+        "bread from the oven smells of yeast flour and baked dough",
+    ]
+    sports = [
+        "the team scored a goal in the match after a long ball",
+        "the striker passed the ball and the team scored the goal",
+        "the team won the match and the team scored a late goal",
+        "fans cheered the goal as the team won the ball and match",
+        "the midfielder sent the ball forward and the team scored a goal",
+    ]
+    rows = [(i, t) for i, t in enumerate(cooking)] + [
+        (100 + i, t) for i, t in enumerate(sports)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.domain for r in discover_domains(df, 2, dim=64).collect()}
+    assert len(out) == len(rows)
+    cook_d = {out[i] for i in range(len(cooking))}
+    sport_d = {out[100 + i] for i in range(len(sports))}
+    assert len(cook_d) == 1 and len(sport_d) == 1 and cook_d != sport_d
+    out2 = {
+        r.doc_id: r.domain
+        for r in discover_domains(df.repartition(7), 2, dim=64).collect()
+    }
+    assert out2 == out
