@@ -618,13 +618,21 @@ def semantic_dedup(
     MinHash/SimHash joins use) caps the worst case.
 
     k is SCALE-DERIVED by default: k = ceil(n / target_cluster_rows)
-    (clamped to [1, 65536]).  A fixed k is a scale trap — with k=16
+    (clamped to [1, 16384]).  A fixed k is a scale trap — with k=16
     and max_cluster_size=10k, any corpus beyond ~160k embeddings has
     every cluster oversized, all clusters are dropped, and "dedup"
     silently keeps everything.  Deriving k from a target cluster
     width keeps Σ|cluster|² bounded at any corpus size; pass an
     explicit k to override.  The dropped-cluster fraction is computed
     and logged (WARNING above 10%) so a silent no-op can't happen.
+    The 16384 ceiling is what the kmeans backend will actually plan
+    (ADVICE r3): above `max_literal_centroids` the assignment rides a
+    broadcast numpy centroid matrix (k=16384 × d=768 ≈ 100 MB — the
+    practical broadcast bound), never k·dim plan literals.  Corpora
+    needing more than ~16k·target rows (≳33 M embeddings at the
+    default width) should go TWO-LEVEL: coarse-cluster first (kmeans
+    on a few hundred cells), then run semantic_dedup per coarse cell
+    — same recipe SemDeDup itself prescribes for web scale.
 
     Keeper discipline (`resolve`):
       "greedy"    (default) — exact greedy min-id scan semantics: a
@@ -671,7 +679,7 @@ def semantic_dedup(
         raise ValueError(f"resolve must be 'greedy' or 'any_lower': {resolve}")
     if k is None:
         n = df.count()
-        k = max(1, min(65536, -(-n // max(1, target_cluster_rows))))
+        k = max(1, min(16384, -(-n // max(1, target_cluster_rows))))
     assigned = kmeans(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     # vectors are unit-normalized ONCE here, so the quadratic
     # within-cluster stage computes a plain dot per pair instead of

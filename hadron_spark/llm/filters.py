@@ -275,8 +275,11 @@ def compression_ratio(
                 }
             )
 
+    # propagate the caller's id dtype — string/int32 ids must survive
+    # unchanged, not fail a hardcoded `long` cast (ADVICE r3)
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, text_col).mapInPandas(
         run,
-        f"{id_col} long, n_bytes long, n_compressed long, "
+        f"{id_col} {id_type}, n_bytes long, n_compressed long, "
         "compression_ratio double",
     )

@@ -90,7 +90,12 @@ def corpus_report(
         .agg(F.count(F.lit(1)).alias("n"))
         .join(F.broadcast(total))
         .select(
-            F.concat(F.lit("share:"), F.col("_g")).alias("metric"),
+            # NULL groups get a sentinel bucket — a NULL metric name
+            # would silently vanish from joins/filters downstream and
+            # diverge from the q215 oracle's same-row handling
+            F.concat(
+                F.lit("share:"), F.coalesce(F.col("_g"), F.lit("<null>"))
+            ).alias("metric"),
             (
                 F.col("n").cast("double")
                 / F.greatest(F.col("n_docs"), F.lit(1))

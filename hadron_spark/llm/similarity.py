@@ -287,6 +287,7 @@ def kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     init: str = "first",
+    max_literal_centroids: int = 131_072,
 ) -> DataFrame:
     """Distributed Lloyd's k-means over an embedding column:
     (id, cluster, sq_dist). Both inits are DETERMINISTIC:
@@ -309,6 +310,22 @@ def kmeans(
     Per iteration: one narrow assignment pass + one groupBy(cluster)
     mean — the posexplode path aggregates (cluster, dim) cells so the
     centroid update is a |k·dim|-row result, partial-agg'd map-side.
+
+    Two assignment backends, switched on k·dim (ADVICE r3: a derived
+    k in the tens of thousands × dim in the hundreds embeds millions
+    of literal doubles per iteration and overwhelms Catalyst/codegen
+    long before execution):
+    - k·dim ≤ `max_literal_centroids`: codegen'd literal-centroid
+      expression (zip_with/aggregate) — zero serialization, stays in
+      whole-stage codegen.
+    - k·dim > `max_literal_centroids`: the centroid matrix rides a
+      Spark BROADCAST (k·dim float64 numpy array, e.g. k=16384 ×
+      d=768 → 100 MB) and assignment is an Arrow-batched mapInPandas
+      argmin (‖x‖²−2x·Cᵀ+‖C‖² BLAS matmul per batch).  Same
+      narrow-scan shape, no plan blowup.  "farthest" init is
+      literal-expression-only (k sequential TakeOrdered rounds are
+      the real cost at large k) — it raises above the budget;
+      use init="first" or two-level clustering there.
     """
 
     def dist_expr(c: list[float]) -> str:
@@ -321,6 +338,12 @@ def kmeans(
     if init == "farthest":
         first = df.orderBy(id_col).limit(1).collect()
         centroids = [[float(x) for x in r[vec_col]] for r in first]
+        if centroids and k * len(centroids[0]) > max_literal_centroids:
+            raise ValueError(
+                f"init='farthest' with k*dim={k * len(centroids[0])} exceeds "
+                f"max_literal_centroids={max_literal_centroids}; use "
+                "init='first' (broadcast backend) or two-level clustering"
+            )
         while centroids and len(centroids) < k:
             mind = (
                 "array_min(array("
@@ -342,17 +365,61 @@ def kmeans(
     else:
         raise ValueError(f"init must be 'first' or 'farthest': {init!r}")
 
+    dim = len(centroids[0]) if centroids else 0
+    use_broadcast = k * dim > max_literal_centroids
+
+    def assign_broadcast(cents: list[list[float]]) -> DataFrame:
+        import numpy as np
+
+        C = np.asarray(cents, dtype=np.float64)
+        bc = df.sparkSession.sparkContext.broadcast(C)
+        id_t = dict(zip(df.schema.names, df.schema))[id_col].dataType
+        vec_t = dict(zip(df.schema.names, df.schema))[vec_col].dataType
+        schema = (
+            f"{id_col} {id_t.simpleString()}, "
+            f"{vec_col} {vec_t.simpleString()}, "
+            "sq_dist double, cluster int"
+        )
+
+        def score(batches):
+            import numpy as np
+            import pandas as pd
+
+            Cm = bc.value
+            cn = (Cm * Cm).sum(1)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ Cm.T) + cn[None, :]
+                cl = d2.argmin(1)  # first minimum, same tie rule
+                sq = np.maximum(d2[np.arange(len(X)), cl], 0.0)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        vec_col: pdf[vec_col],
+                        "sq_dist": sq,
+                        "cluster": cl.astype("int32"),
+                    }
+                )
+
+        return df.select(id_col, vec_col).mapInPandas(score, schema)
+
     assigned = None
     for _ in range(iters):
-        dists = "array(" + ",".join(dist_expr(c) for c in centroids) + ")"
-        assigned = df.selectExpr(
-            f"{id_col}",
-            f"{vec_col}",
-            f"array_min({dists}) as sq_dist",
-            # array_position is 1-based; ties break to the lowest
-            # cluster id (position of the first minimum)
-            f"int(array_position({dists}, array_min({dists})) - 1) as cluster",
-        )
+        if use_broadcast:
+            assigned = assign_broadcast(centroids)
+        else:
+            dists = "array(" + ",".join(dist_expr(c) for c in centroids) + ")"
+            assigned = df.selectExpr(
+                f"{id_col}",
+                f"{vec_col}",
+                f"array_min({dists}) as sq_dist",
+                # array_position is 1-based; ties break to the lowest
+                # cluster id (position of the first minimum)
+                f"int(array_position({dists}, array_min({dists})) - 1)"
+                " as cluster",
+            )
         cells = assigned.select(
             "cluster", F.posexplode(vec_col).alias("pos", "x")
         )

@@ -137,6 +137,12 @@ def unigram_train(
     piece-count aggregation (|pieces| rows) → driver renormalize +
     prune.  Spark rounds ≈ em_iters · ceil(log(seed/vocab) /
     log(1/shrink)) — tens, independent of corpus size."""
+    if not 0.0 < shrink_factor < 1.0:
+        # >=1.0 keeps next_n == n_prunable forever — the prune loop
+        # would re-run full EM rounds without terminating (ADVICE r3)
+        raise ValueError(
+            f"shrink_factor must be in (0, 1), got {shrink_factor!r}"
+        )
     words = pin(word_freq_table(df, text_col).select("word", "freq"))
     seeds = seed_pieces(words, seed_size, max_piece_len).collect()
     total = sum(r["score"] for r in seeds) or 1

@@ -8879,7 +8879,7 @@ def q214(spark, sf_dir):
     UNION ALL SELECT 'pct_docs_short',
       CAST(n_short AS DOUBLE) / greatest(n_docs, 1) FROM t
     UNION ALL
-    SELECT 'share:' || g,
+    SELECT 'share:' || coalesce(g, '<null>'),
            CAST(COUNT(*) AS DOUBLE)
              / greatest((SELECT n_docs FROM t), 1)
     FROM b GROUP BY g

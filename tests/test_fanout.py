@@ -128,6 +128,7 @@ def test_fan_out_arbitrary_hot_route_cap(spark, tmp_path):
         df,
         F.concat(F.lit(base + "/"), "g", F.lit(".jsonl")),
         max_rows_per_task=25,
+        shard_key="id",  # exact-cap mode: row_number over a unique key
     )
     got = {r["path"]: r["rows"] for r in stats.collect()}
     assert got == {f"{base}/hot.jsonl": 90, f"{base}/cold.jsonl": 5}
@@ -143,6 +144,43 @@ def test_fan_out_arbitrary_hot_route_cap(spark, tmp_path):
     assert not glob.glob(base + "/cold.jsonl.part-*")
     cold = [json.loads(x) for x in open(f"{base}/cold.jsonl") if x.strip()]
     assert sorted(r["id"] for r in cold) == list(range(90, 95))
+
+
+def test_fan_out_arbitrary_hot_route_hash_mode_deterministic(
+    spark, tmp_path
+):
+    """Without shard_key the shard is a pure content hash — two runs
+    over differently-partitioned input produce byte-identical shard
+    contents (the retry-determinism contract from ADVICE r3), and the
+    union of shards is lossless. Shard sizes are binomial around the
+    cap in this mode, so no per-shard <=cap assertion."""
+    import glob
+    import json
+
+    from hadron_spark.sources.fanout import fan_out_arbitrary
+
+    df = spark.createDataFrame(
+        [(i, "hot") for i in range(80)], "id long, g string"
+    )
+
+    def run(base, parts):
+        fan_out_arbitrary(
+            df.repartition(parts),
+            F.concat(F.lit(base + "/"), "g", F.lit(".jsonl")),
+            max_rows_per_task=20,
+        )
+        out = {}
+        for s in glob.glob(base + "/hot.jsonl.part-*"):
+            out[s.rsplit("/", 1)[-1]] = sorted(
+                json.loads(x)["id"] for x in open(s) if x.strip()
+            )
+        return out
+
+    a = run(str(tmp_path / "a"), 8)
+    b = run(str(tmp_path / "b"), 3)
+    assert a == b  # same shard -> same rows, regardless of input layout
+    assert sorted(i for ids in a.values() for i in ids) == list(range(80))
+    assert len(a) <= 4  # ceil(80/20) buckets
 
 
 def test_fan_out_arbitrary_sharded_and_csv(spark, tmp_path):

@@ -537,6 +537,36 @@ def test_kmeans_inertia_monotone(spark, sf_dir):
     assert a.count() == emb.count()
 
 
+def test_kmeans_broadcast_backend_agrees(spark, sf_dir):
+    """Forcing the broadcast-numpy assignment path (tiny
+    max_literal_centroids) must reproduce the literal-expression
+    path's cluster assignments — the ADVICE-r3 large-k backend is a
+    drop-in, not a different algorithm.  sq_dist may differ in the
+    last ulps (expanded vs direct quadratic form), assignments may
+    not (fixture clusters are well separated vs 1e-9 ulp noise)."""
+    from hadron_spark.llm.similarity import kmeans
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    lit = kmeans(emb, k=4, iters=2)
+    bc = kmeans(emb, k=4, iters=2, max_literal_centroids=1)
+    got = (
+        lit.select("vec_id", F.col("cluster").alias("a"))
+        .join(bc.select("vec_id", F.col("cluster").alias("b")), "vec_id")
+        .filter(F.col("a") != F.col("b"))
+        .count()
+    )
+    assert got == 0
+    # distances agree to float tolerance
+    j = lit.select("vec_id", F.col("sq_dist").alias("a")).join(
+        bc.select("vec_id", F.col("sq_dist").alias("b")), "vec_id"
+    )
+    mx = j.agg(F.max(F.abs(F.col("a") - F.col("b"))).alias("m")).collect()[0]
+    assert mx["m"] < 1e-6
+
+    with __import__("pytest").raises(ValueError, match="farthest"):
+        kmeans(emb, k=4, iters=1, init="farthest", max_literal_centroids=1)
+
+
 def test_brute_force_backends_agree(spark, sf_dir):
     """The Arrow/numpy scorer and the codegen'd expression must rank
     identically (scores may differ in the last ulp; neighbor sets and
@@ -1389,3 +1419,18 @@ def test_discover_domains_separates_topics(spark):
         for r in discover_domains(df.repartition(7), 2, dim=64).collect()
     }
     assert out2 == out
+
+
+def test_corpus_report_null_group_sentinel(spark):
+    """Docs with a NULL group value land in a 'share:<null>' bucket
+    instead of producing a NULL metric name (ADVICE r3)."""
+    from hadron_spark.llm.report import corpus_report
+
+    df = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "bonjour", None), (3, "hi", "en")],
+        "doc_id long, text string, lang string",
+    )
+    rep = {r["metric"]: r["value"] for r in corpus_report(df, group_col="lang").collect()}
+    assert None not in rep
+    assert abs(rep["share:<null>"] - 1 / 3) < 1e-12
+    assert abs(rep["share:en"] - 2 / 3) < 1e-12

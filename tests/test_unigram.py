@@ -170,3 +170,14 @@ def test_unigram_pieces_save_load_and_segment(spark, tmp_path):
     }
     assert "".join(seg2["internship"]) == "internship"
     assert seg2["xyz"] == U._viterbi("xyz", dict(loaded), 6)
+
+
+def test_unigram_train_rejects_bad_shrink_factor(spark):
+    import pytest
+
+    import hadron_spark.llm.unigram as U
+
+    df = spark.createDataFrame([("a b",)], "text string")
+    for bad in (1.0, 1.5, 0.0, -0.1):
+        with pytest.raises(ValueError, match="shrink_factor"):
+            U.unigram_train(df, vocab_size=4, shrink_factor=bad)
