@@ -9078,3 +9078,126 @@ def q220(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("domain")
     )
+
+
+@_register(
+    "q221_ngram_lm_counts",
+    r"""
+    WITH tl AS (
+      SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+      FROM documents
+    ),
+    uni AS (SELECT unnest(l) AS g FROM tl),
+    pos AS (SELECT l, unnest(range(2, len(l) + 1)) AS p FROM tl),
+    big AS (SELECT l[p-1] || ' ' || l[p] AS g FROM pos)
+    SELECT 1 AS n, g AS gram, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM uni GROUP BY g
+    UNION ALL
+    SELECT 2, g, CAST(COUNT(*) AS BIGINT) FROM big GROUP BY g
+    """,
+)
+def q221(spark, sf_dir):
+    """Stupid-backoff LM training counts (llm.perplexity.
+    ngram_lm_train, exact-gram mode, order 2): the CCNet quality
+    stage's model fit — one tokenize+explode pass counting every
+    order's grams (orders tagged in-row, single wordcount shuffle).
+    FULL oracle: gram strings and counts are exact integers."""
+    from hadron_spark.llm.perplexity import ngram_lm_train
+
+    lm = ngram_lm_train(load(spark, sf_dir, "documents"), order=2)
+    return lm.counts
+
+
+@_register(
+    "q222_perplexity_backoff",
+    r"""
+    WITH tl AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+      FROM documents
+    ),
+    ref AS (SELECT l FROM tl WHERE doc_id % 2 = 0),
+    runi AS (SELECT unnest(l) AS g FROM ref),
+    uc AS (SELECT g, COUNT(*) AS c FROM runi GROUP BY g),
+    tot AS (SELECT COUNT(*) AS t, COUNT(DISTINCT g) AS v FROM runi),
+    rpos AS (SELECT l, unnest(range(2, len(l) + 1)) AS p FROM ref),
+    bc AS (SELECT l[p-1] || ' ' || l[p] AS g, COUNT(*) AS c
+           FROM rpos GROUP BY 1),
+    pos AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS p FROM tl),
+    scored AS (
+      SELECT pos.doc_id,
+        CASE WHEN p >= 2 AND b.c IS NOT NULL AND cx.c IS NOT NULL
+             THEN 2 ELSE 1 END AS ord_used,
+        CASE WHEN p >= 2 AND b.c IS NOT NULL AND cx.c IS NOT NULL
+             THEN b.c ELSE COALESCE(u.c, 0) + 1 END AS num,
+        CASE WHEN p >= 2 AND b.c IS NOT NULL AND cx.c IS NOT NULL
+             THEN cx.c
+             ELSE (SELECT t FROM tot) + (SELECT v FROM tot) + 1 END AS den
+      FROM pos
+      LEFT JOIN bc b ON p >= 2 AND b.g = l[p-1] || ' ' || l[p]
+      LEFT JOIN uc cx ON p >= 2 AND cx.g = l[p-1]
+      LEFT JOIN uc u ON u.g = l[p]
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(ord_used) AS BIGINT) AS sum_order,
+           CAST(SUM(num) AS BIGINT) AS sum_num,
+           CAST(SUM(den) AS BIGINT) AS sum_den
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q222(spark, sf_dir):
+    """The integer skeleton of CCNet perplexity scoring
+    (llm.perplexity.backoff_summary): train a bigram stupid-backoff
+    LM on the EVEN-id half of the corpus, score every document, and
+    report per-doc (positions, chosen-order sum, count-ratio
+    numerator/denominator sums).  Odd docs genuinely back off on
+    unseen bigrams; the order-1 add-one floor absorbs OOV.  FULL
+    oracle — every emitted quantity is exact-integer, so the whole
+    backoff resolution (the part the float score merely takes logs
+    of) is bit-checked; ln parity itself is pinned pure-Python in
+    test_perplexity (the DSIR rule)."""
+    from hadron_spark.llm.perplexity import backoff_summary, ngram_lm_train
+
+    docs = load(spark, sf_dir, "documents")
+    lm = ngram_lm_train(docs.filter(F.col("doc_id") % 2 == 0), order=2)
+    return backoff_summary(docs, lm)
+
+
+@_register("q223_perplexity_scores", None)
+def q223(spark, sf_dir):
+    """CCNet perplexity scoring at its 100 TB shape
+    (llm.perplexity.perplexity_scores, HASHED mode): trigram stupid
+    backoff over a 2^18-bucket crc32 model trained on the even-id
+    half — the model is bucket-bounded regardless of reference size
+    and broadcast to the scorers (the DSIR ratio-table discipline);
+    the corpus pass explodes hashed longs, never gram strings.
+    Rows-only (ln is not cross-engine bit-stable); float parity and
+    repartition determinism pinned in test_perplexity."""
+    from hadron_spark.llm.perplexity import ngram_lm_train, perplexity_scores
+
+    docs = load(spark, sf_dir, "documents")
+    lm = ngram_lm_train(
+        docs.filter(F.col("doc_id") % 2 == 0), order=3, n_buckets=1 << 18
+    )
+    return perplexity_scores(docs, lm)
+
+
+@_register("q224_perplexity_band", None)
+def q224(spark, sf_dir):
+    """The CCNet head+middle cut (llm.perplexity.perplexity_band):
+    keep the lowest-perplexity two-thirds of the corpus under the
+    hashed trigram model — the published Common Crawl training
+    slice.  Thresholds are percentile_disc elements over the pinned
+    scored frame (deterministic under any partitioning); rows-only
+    (thresholds are ln-derived doubles).  Returns kept docs with
+    their token counts."""
+    from hadron_spark.llm.perplexity import ngram_lm_train, perplexity_band
+
+    docs = load(spark, sf_dir, "documents")
+    lm = ngram_lm_train(
+        docs.filter(F.col("doc_id") % 2 == 0), order=3, n_buckets=1 << 18
+    )
+    return perplexity_band(docs, lm, keep_hi=2 / 3).select(
+        "doc_id", "n_tokens"
+    )
