@@ -803,6 +803,7 @@ def repeated_spans(
     text_col: str = "text",
     window: int = 8,
     min_count: int = 2,
+    materialize: str = "recompute",
 ) -> DataFrame:
     """Corpus-level EXACT-SUBSTRING duplication report (the
     ExactSubstr pass of Lee et al. 2022, arXiv:2107.06499, token
@@ -816,16 +817,41 @@ def repeated_spans(
     per merged island; span bounds are token indices [start, end),
     n_positions = repeated window positions merged into the island.
 
-    Scale shape: one tokenize+explode pass emitting (doc, pos,
+    Scale shape: a tokenize+explode pass emitting (doc, pos,
     fingerprint); a fingerprint-keyed partial-agg count (the
-    wordcount exchange — repeated-fingerprint survivors are then
-    re-joined to positions on the same key, reusing the exchange);
-    island merging is a per-document windowed scan (partitioned by
-    doc, never single-partition). Everything is exact integers +
-    md5, so the whole report hash-matches a DuckDB replay — unusual
-    for a dedup operator and the reason this one carries a full SQL
-    oracle (q208)."""
+    wordcount exchange); repeated-fingerprint survivors are then
+    semi-joined back to positions on the same key; island merging is
+    a per-document windowed scan (partitioned by doc, never
+    single-partition). Everything is exact integers + md5, so the
+    whole report hash-matches a DuckDB replay — unusual for a dedup
+    operator and the reason this one carries a full SQL oracle
+    (q208).
+
+    `materialize` decides how the position table feeds its two
+    consumers (the count pass and the survivor probe) — the
+    VERDICT-r3 caveat: the exploded table is ~one row per corpus
+    token (id+pos+16-byte fp ≈ 30 B), i.e. pinning it materializes
+    a corpus-sized copy on executor storage at 100 TB, and
+    localCheckpoint truncates lineage (not executor-loss-resilient):
+    - "recompute" (DEFAULT — the 100 TB mode): zero storage; the
+      explode is evaluated twice (once under the count, once under
+      the probe).  Tokenize+hash is cheap narrow CPU against a
+      columnar scan; two scans beat storing the corpus.
+    - "bloom": recompute, plus the probe side is pre-filtered
+      through a broadcast Bloom bitmap of the hot fingerprints
+      (`joins.bloom_prefilter_join`) so non-repeated positions —
+      the vast majority in a mostly-clean corpus — die at the scan
+      instead of riding the semi-join shuffle.  Exact same output
+      (false positives only waste a probe row).
+    - "local_checkpoint" / "checkpoint": pin the position table
+      (ops.pin) — one scan total; right when the corpus fits
+      executor storage comfortably (bench scale) or the scan is
+      expensive (remote object store), wrong at 100 TB."""
     from pyspark.sql import Window as _W
+
+    _MODES = ("recompute", "bloom", "local_checkpoint", "checkpoint")
+    if materialize not in _MODES:
+        raise ValueError(f"materialize must be one of {_MODES}: {materialize!r}")
 
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     # (pos, fingerprint-of-window-at-pos) pairs built inside the row
@@ -841,15 +867,29 @@ def repeated_spans(
         .select(id_col, F.explode(grams).alias("g"))
         .select(id_col, F.col("g.pos").alias("pos"), F.col("g.fp").alias("fp"))
     )
-    from hadron_spark.operators.ops import pin
+    if materialize in ("local_checkpoint", "checkpoint"):
+        from hadron_spark.operators.ops import pin
 
-    pos = pin(pos)
+        pos = pin(pos, materialize)
     hot = (
         pos.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
     )
-    rep = pos.join(hot.select("fp"), "fp", "left_semi")
+    if materialize == "bloom":
+        from hadron_spark.operators.joins import bloom_prefilter_join
+
+        # dim key aliased: hot derives FROM pos, so a same-named key
+        # in the final fact⋈dim condition would be self-ambiguous
+        rep = bloom_prefilter_join(
+            pos,
+            hot.select(F.col("fp").alias("fp_hot")),
+            "fp",
+            "fp_hot",
+            how="left_semi",
+        )
+    else:
+        rep = pos.join(hot.select("fp"), "fp", "left_semi")
     # gaps-and-islands per document: a position starts a new island
     # when it begins after the previous covered extent ends
     w = _W.partitionBy(id_col).orderBy("pos")
@@ -884,14 +924,17 @@ def exact_substring_dedup(
     window: int = 8,
     min_count: int = 2,
     out_col: str = "clean_text",
+    materialize: str = "recompute",
 ) -> DataFrame:
     """Remove every repeated island's tokens from each document
     (keeping the FIRST window of each island is a policy variant;
     this removes the whole island — the conservative Lee et al.
     cut), re-joining survivors with single spaces. Documents with no
     repeated span pass through with whitespace normalized the same
-    way so the output column is uniformly single-spaced."""
-    spans = repeated_spans(df, id_col, text_col, window, min_count)
+    way so the output column is uniformly single-spaced.
+    `materialize` routes through to `repeated_spans` (see its
+    storage-vs-scan tradeoff)."""
+    spans = repeated_spans(df, id_col, text_col, window, min_count, materialize)
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )

@@ -1434,3 +1434,47 @@ def test_corpus_report_null_group_sentinel(spark):
     assert None not in rep
     assert abs(rep["share:<null>"] - 1 / 3) < 1e-12
     assert abs(rep["share:en"] - 2 / 3) < 1e-12
+
+
+def test_repeated_spans_materialize_modes_identical(spark, tmp_path):
+    """All four materialize modes (recompute / bloom / pinned) are
+    plan variants of the same operator — byte-identical span
+    reports; bad mode names rejected."""
+    import pytest
+
+    from hadron_spark.llm.dedup import exact_substring_dedup, repeated_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e tail one"),
+            (2, "x a b c d e y z w q"),
+            (3, "no repeats in this document at all"),
+            (4, "p q r s p q r s end"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def spans(mode):
+        return sorted(
+            (r.doc_id, r.span_start, r.span_end, r.n_positions)
+            for r in repeated_spans(df, window=4, materialize=mode).collect()
+        )
+
+    base = spans("recompute")
+    assert base  # fixture has repeats
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    for mode in ("bloom", "local_checkpoint", "checkpoint"):
+        assert spans(mode) == base, mode
+    clean = sorted(
+        (r.doc_id, r.clean_text)
+        for r in exact_substring_dedup(
+            df, window=4, materialize="bloom"
+        ).collect()
+    )
+    clean2 = sorted(
+        (r.doc_id, r.clean_text)
+        for r in exact_substring_dedup(df, window=4).collect()
+    )
+    assert clean == clean2
+    with pytest.raises(ValueError, match="materialize"):
+        repeated_spans(df, materialize="nope")
