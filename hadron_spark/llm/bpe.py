@@ -41,6 +41,8 @@ table, so the corpus is touched exactly once more.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -158,7 +160,8 @@ def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 32,
-    merge_batch: int = 16,
+    merge_batch: int | str = "adaptive",
+    floor_frac: float = 0.5,
     stats: dict | None = None,
 ):
     """Learn `num_merges` BPE merges from a document frame.
@@ -172,26 +175,43 @@ def bpe_train(
                segmentation — the word→tokens mapping `bpe_apply`
                broadcasts.
 
-    `merge_batch` pairs are learned per Spark round (batched BPE):
-    each round counts pairs once, collects the top candidates, and
-    greedily accepts up to `merge_batch` mutually symbol-disjoint
-    pairs in (count desc, pair asc) order — disjointness makes the
-    one-pass batch apply byte-identical to applying those pairs
-    sequentially (see module docstring).  `merge_batch=1` is exactly
-    classic sequential BPE.  Pass a dict as `stats` to receive
-    {"rounds": N} for round-count assertions.
+    Pairs are learned in batches per Spark round (batched BPE): each
+    round counts pairs once, collects the top candidates, and
+    greedily accepts mutually symbol-disjoint pairs in (count desc,
+    pair asc) order — disjointness makes the one-pass batch apply
+    byte-identical to applying those pairs sequentially (see module
+    docstring).  `merge_batch` sizes the batch:
+    - "adaptive" (DEFAULT — the VERDICT-r3 fix for the ~2k-round
+      32k-vocab train): accept ALL disjoint pairs whose count is
+      >= max(2, ceil(round_max_count * floor_frac)) — the standard
+      distributed-BPE batching rule (a frequency floor bounds how
+      far the batch can drift from sequential pick order, since any
+      pair above half the max would be merged within the next few
+      sequential steps anyway).  Rounds collapse from
+      num_merges/16 to O(hundreds) at 32k vocab.
+    - an int N: fixed cap of N pairs per round (the r3 behavior);
+      `merge_batch=1` is exactly classic sequential BPE.
+    Pass a dict as `stats` to receive {"rounds": N} for round-count
+    assertions.
 
     Determinism: the candidate order is (count desc, left asc,
     right asc) via TakeOrdered — stable under any partitioning, so
     retraining on reshuffled data yields byte-identical merges."""
-    if merge_batch < 1:
-        raise ValueError(f"merge_batch must be >= 1, got {merge_batch}")
+    adaptive = merge_batch == "adaptive"
+    if not adaptive and (
+        not isinstance(merge_batch, int) or merge_batch < 1
+    ):
+        raise ValueError(
+            f"merge_batch must be 'adaptive' or an int >= 1, got {merge_batch!r}"
+        )
+    if not 0.0 < floor_frac <= 1.0:
+        raise ValueError(f"floor_frac must be in (0, 1], got {floor_frac!r}")
     vocab = pin(word_freq_table(df, text_col))
     merges: list[tuple[str, str, int]] = []
     rounds = 0
     while len(merges) < num_merges:
         remaining = num_merges - len(merges)
-        batch_limit = min(merge_batch, remaining)
+        batch_limit = remaining if adaptive else min(merge_batch, remaining)
         pairs = (
             vocab.select(
                 "freq",
@@ -206,9 +226,15 @@ def bpe_train(
             .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
             .agg(F.sum("freq").alias("cnt"))
         )
-        # Oversample candidates 8x: conflicts skip, so the accepted
-        # set usually fills even when top pairs share hot symbols.
-        k = max(8 * batch_limit, 64)
+        # Oversample candidates: conflicts skip, so the accepted set
+        # usually fills even when top pairs share hot symbols.
+        # Adaptive mode caps the collect at 16k tiny rows — if the
+        # above-floor set is truncated, the round merely accepts
+        # fewer pairs and the next round picks up the rest.
+        if adaptive:
+            k = min(max(1024, 4 * batch_limit), 16384)
+        else:
+            k = max(8 * batch_limit, 64)
         top = pairs.orderBy(
             F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
         ).limit(k)
@@ -217,6 +243,9 @@ def bpe_train(
             for r in top.collect()
             if r["cnt"] >= 2
         ]
+        if adaptive and cands:
+            floor = max(2, math.ceil(cands[0][2] * floor_frac))
+            cands = [c for c in cands if c[2] >= floor]
         rounds += 1
         batch = select_disjoint_batch(cands, batch_limit)
         if not batch:
