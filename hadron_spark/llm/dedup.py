@@ -369,28 +369,56 @@ def simhash_near_pairs(
     the 64-bit hash into `blocks` chunks; a pair within distance d <
     blocks must agree on ≥1 chunk → equi-join per chunk, then exact
     hamming filter via bit_count(xor). Bucketed equi-join, never n²."""
-    width = 64 // blocks
     h = simhash(df, text_col, id_col=id_col).select(
         F.col(id_col).alias("_id"), "simhash"
     )
+    return hamming_near_pairs(
+        h,
+        id_col="_id",
+        hash_col="simhash",
+        max_hamming=max_hamming,
+        blocks=blocks,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def hamming_near_pairs(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "hash",
+    max_hamming: int = 3,
+    blocks: int = 4,
+    max_bucket_size: int | None = 500,
+) -> DataFrame:
+    """Generic 64-bit-fingerprint near-pair join: (id_a, id_b,
+    hamming) for every pair within `max_hamming` bits — the
+    pigeonhole block-match SimHash uses, factored out so ANY 64-bit
+    perceptual/content hash (SimHash text, dHash images) shares one
+    plan shape: split the hash into `blocks` chunks, equi-join per
+    chunk (a pair within distance d < blocks must agree on >= 1
+    chunk), exact bit_count(xor) filter, oversized-bucket guard —
+    bucketed equi-join, never n².  Input is one (id, hash long) row
+    per item."""
+    width = 64 // blocks
+    h = hashes.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
     # same rationale as minhash_lsh_pairs: the fingerprint table is
-    # tiny (id + one long per doc) but feeds both join sides — EAGER
-    # pin (ops.pin): a lazy persist still recomputes the token
-    # explode + packed-vote aggregate when concurrent branch stages
-    # race the first materialization, and leaves the full pipeline in
-    # the plan for every downstream branch.
+    # tiny (id + one long per item) but feeds both join sides — EAGER
+    # pin (ops.pin): a lazy persist still recomputes the upstream
+    # fingerprint derivation when concurrent branch stages race the
+    # first materialization, and leaves the full pipeline in the
+    # plan for every downstream branch.
     from hadron_spark.operators.ops import pin as _pin
 
     h = _pin(h)
     chunked = h.select(
         "_id",
-        "simhash",
+        "_h",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftrightunsigned("simhash", i * width)
+                        F.shiftrightunsigned("_h", i * width)
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("ckey"),
                     )
@@ -398,11 +426,11 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("c"),
-    ).select("_id", "simhash", "c.blk", "c.ckey")
+    ).select("_id", "_h", "c.blk", "c.ckey")
     if max_bucket_size:
         chunked = _drop_oversized_buckets(chunked, ["blk", "ckey"], max_bucket_size)
     a, b = chunked.alias("a"), chunked.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    hamming = F.bit_count(F.col("a._h").bitwiseXOR(F.col("b._h")))
     return (
         a.join(
             b,

@@ -1478,3 +1478,91 @@ def test_repeated_spans_materialize_modes_identical(spark, tmp_path):
     assert clean == clean2
     with pytest.raises(ValueError, match="materialize"):
         repeated_spans(df, materialize="nope")
+
+
+def test_dhash_image_dedup_stub_pipeline(spark):
+    """Perceptual image dedup plumbing with the deterministic stub
+    pixel backend: byte-identical payloads collide at hamming 0,
+    distinct payloads are far apart (md5 avalanche), the pair join
+    shape is the shared SimHash pigeonhole, and id dtypes propagate
+    (string paths AND bigint ids)."""
+    from hadron_spark.llm import multimodal as mm
+
+    payloads = [
+        ("a.png", b"\x89PNG-fake-image-payload-1"),
+        ("b.png", b"\x89PNG-fake-image-payload-1"),  # exact dup of a
+        ("c.png", b"\x89PNG-something-else-entirely"),
+        ("d.png", b"\x89PNG-fake-image-payload-1"),  # another dup
+    ]
+    df = spark.createDataFrame(payloads, "path string, content binary")
+    h = {
+        r["path"]: r["dhash"]
+        for r in mm.dhash_images(
+            df, pixels_fn=mm.pixels_stub
+        ).collect()
+    }
+    assert h["a.png"] == h["b.png"] == h["d.png"]
+    assert h["c.png"] != h["a.png"]
+    pairs = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in mm.image_near_dup_pairs(
+            df, max_hamming=0, pixels_fn=mm.pixels_stub
+        ).collect()
+    )
+    assert pairs == [
+        ("a.png", "b.png", 0),
+        ("a.png", "d.png", 0),
+        ("b.png", "d.png", 0),
+    ]
+    # determinism under repartition + bigint ids survive
+    df2 = spark.createDataFrame(
+        [(i, c) for i, (_, c) in enumerate(payloads)],
+        "img_id long, content binary",
+    ).repartition(3)
+    h2 = {
+        r["img_id"]: r["dhash"]
+        for r in mm.dhash_images(
+            df2, id_col="img_id", pixels_fn=mm.pixels_stub
+        ).collect()
+    }
+    assert h2[0] == h["a.png"] and h2[2] == h["c.png"]
+
+
+def test_dhash_pillow_real_pixels(spark):
+    """Real-codec perceptual dedup (conditional on Pillow): a
+    re-encoded/slightly-brightened copy stays within a few dHash
+    bits of the original; an unrelated gradient image does not."""
+    from hadron_spark.llm import multimodal as mm
+
+    if not mm.pillow_available():
+        import pytest
+
+        pytest.skip("Pillow not installed")
+    from io import BytesIO
+
+    from PIL import Image
+
+    def png_bytes(im):
+        out = BytesIO()
+        im.save(out, format="PNG")
+        return out.getvalue()
+
+    base = Image.new("L", (64, 64))
+    base.putdata([(x * 3 + y * 2) % 256 for y in range(64) for x in range(64)])
+    brighter = base.point(lambda v: min(255, v + 6))
+    other = Image.new("L", (64, 64))
+    other.putdata([(255 - x * 4) % 256 for y in range(64) for x in range(64)])
+    df = spark.createDataFrame(
+        [
+            ("base.png", png_bytes(base)),
+            ("bright.png", png_bytes(brighter)),
+            ("other.png", png_bytes(other)),
+        ],
+        "path string, content binary",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.image_near_dup_pairs(df, max_hamming=6).collect()
+    }
+    assert ("base.png", "bright.png") in pairs
+    assert all("other.png" not in p for p in pairs)
