@@ -797,35 +797,47 @@ def q28(spark, sf_dir):
 @_register(
     "q29_language_id",
     """
-    WITH toks AS (
-      SELECT doc_id,
-             list_transform(
-               list_filter(string_split_regex(text, '\\s+'), t -> t <> ''),
-               t -> lower(t)) AS toks
-      FROM documents),
+    WITH low AS (SELECT doc_id, lower(text) AS t FROM documents),
+    toks AS (
+      SELECT doc_id, t,
+             list_filter(string_split_regex(t, '\\s+'), x -> x <> '') AS toks
+      FROM low),
     scores AS (
-      SELECT doc_id, m.lang,
-             CAST(len(list_filter(toks, t -> list_contains(m.markers, t))) AS DOUBLE)
-               / greatest(len(toks), 1) AS score
+      SELECT doc_id, p.lang,
+             4 * len(list_filter(toks, x -> list_contains(p.words, x)))
+             + list_sum(list_transform(p.grams, g ->
+                 (length(t) - length(replace(t, g, ''))) // length(g))) AS num
       FROM toks, (VALUES
-        ('de', ['der','die','und','das','ist']),
-        ('en', ['the','and','of','to','in']),
-        ('es', ['el','la','los','que','de']),
-        ('fr', ['le','la','et','les','des'])) m(lang, markers)),
+        ('da', ['og','i','det','at','en','den','til','er','som','ikke'], ['æ','ø','å']),
+        ('de', ['der','die','und','das','ist','nicht','mit','ein','zu','den'], ['sch','ung','ä','ö','ü','ß']),
+        ('en', ['the','and','of','to','in','is','that','it','for','was'], ['th','ing','tion']),
+        ('es', ['el','los','que','de','en','un','una','es','por','con'], ['ción','ñ','rr']),
+        ('fi', ['ja','on','ei','se','että','oli','hän','mutta','niin','kuin'], ['ää','yy','kk','ll']),
+        ('fr', ['le','la','et','les','des','un','une','est','dans','que'], ['eau','é','è','ç']),
+        ('it', ['il','lo','la','gli','che','di','e','un','una','per'], ['zione','gli','cch']),
+        ('nl', ['de','het','een','en','van','ik','dat','niet','op','te'], ['ij','aa','sch']),
+        ('pl', ['i','w','nie','na','się','z','do','to','że','jest'], ['cz','sz','rz','ł']),
+        ('pt', ['o','a','os','as','que','de','em','um','uma','não'], ['ção','ã','õ','lh']),
+        ('sv', ['och','att','det','som','en','är','av','för','på','med'], ['å','ä','ö','sk']),
+        ('tr', ['ve','bir','bu','da','de','için','ile','ne','o','çok'], ['ğ','ş','ı','ç'])) p(lang, words, grams)),
     best AS (
       SELECT doc_id, lang,
              row_number() OVER (PARTITION BY doc_id
-                                ORDER BY score DESC, lang DESC) AS rk
+                                ORDER BY num DESC, lang DESC) AS rk
       FROM scores)
     SELECT lang AS lang_pred, COUNT(*) AS n FROM best WHERE rk = 1
     GROUP BY lang_pred
     """,
 )
 def q29(spark, sf_dir):
-    """Heuristic language ID distribution (marker-lexicon scoring).
-    Tie-break contract: argmax is array_max over (score, lang) structs
-    = highest score, then lexicographically-highest language code —
-    the oracle mirrors it with ORDER BY score DESC, lang DESC."""
+    """Language-ID distribution over the 12-language wordlist +
+    char-n-gram profile model (textstats._LANG_PROFILES): per-doc
+    argmax on EXACT INTEGER numerators (4·word_hits + char-sequence
+    occurrences; denominator shared across languages), so the whole
+    prediction — including every tie — is a full SQL oracle.
+    Tie-break contract: highest numerator, then lexicographically-
+    highest language code (array_max over (num, lang) structs; the
+    oracle mirrors with ORDER BY num DESC, lang DESC)."""
     out = textstats.language_id(load(spark, sf_dir, "documents"))
     return out.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n"))
 
@@ -9258,3 +9270,66 @@ def q225(spark, sf_dir):
     return multimodal.image_near_dup_pairs(ingested, max_hamming=2).select(
         "id_a", "id_b", "hamming"
     )
+
+
+@_register("q226_language_id_trained", None)
+def q226(spark, sf_dir):
+    """Trained language ID (textstats.language_id_train/apply): a
+    one-vs-rest logistic over hashed character-trigram features —
+    the classifier.py GD discipline (full-batch gradients, B-bounded
+    bucket aggregations, model state on the driver) — fit on the
+    even-id half of documents using its `lang` labels, applied to
+    the odd half with an EXP-FREE logit argmax.  Rows-only
+    (training is iterative + sigmoid); accuracy and repartition
+    determinism pinned in test_llm_ops.  Returns the predicted
+    per-language distribution of the held-out half."""
+    from hadron_spark.llm.textstats import (
+        _LANG_PROFILES,
+        language_id_apply,
+        language_id_train,
+    )
+
+    # the synthetic documents' text is language-independent (labels
+    # are uncorrelated noise), so stage a DETERMINISTIC multilingual
+    # corpus: rewrite each doc's text as profile-vocabulary words of
+    # its labeled language, indexed by doc_id — text now genuinely
+    # carries the label signal the classifier is supposed to learn
+    langs = ["de", "en", "es", "fr"]
+    vocab = F.map_from_arrays(
+        F.array(*[F.lit(la) for la in langs]),
+        F.array(
+            *[
+                F.array(*[F.lit(w) for w in _LANG_PROFILES[la][0]])
+                for la in langs
+            ]
+        ),
+    )
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("lang").isin(langs))
+        .withColumn("_w", F.element_at(vocab, F.col("lang")))
+        .withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(12)),
+                    lambda i: F.element_at(
+                        F.col("_w"),
+                        ((F.col("doc_id") + i * 7) % 10 + 1).cast("int"),
+                    ),
+                ),
+                " ",
+            ),
+        )
+        .select("doc_id", "text", "lang")
+    )
+    models = language_id_train(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        n_buckets=512,
+        iters=4,
+        lr=8.0,
+    )
+    pred = language_id_apply(
+        docs.filter(F.col("doc_id") % 2 == 1), models, n_buckets=512
+    )
+    return pred.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n"))

@@ -1566,3 +1566,75 @@ def test_dhash_pillow_real_pixels(spark):
     }
     assert ("base.png", "bright.png") in pairs
     assert all("other.png" not in p for p in pairs)
+
+
+def test_language_id_twelve_profiles(spark):
+    """The upgraded profile model identifies all 12 languages on
+    characteristic sentences (function words + diacritic/cluster
+    evidence), and empty text falls back deterministically."""
+    from hadron_spark.llm.textstats import _LANG_PROFILES, language_id
+
+    sentences = {
+        "da": "og i det at en den til er som ikke på dansk ø",
+        "de": "der hund und die katze ist nicht schön zu sehen",
+        "en": "the cat and the dog of to in was that it",
+        "es": "el perro que los gatos de en un una es por con acción",
+        "fi": "ja on ei se että oli hän mutta niin kuin kyllä",
+        "fr": "le chat et la maison des gens est dans que beau",
+        "it": "il gatto che di gli una per la zione informazione",
+        "nl": "de kat het een en van ik dat niet op te zijn",
+        "pl": "i w nie na się z do to że jest czy szybko",
+        "pt": "o gato não em um uma coração dos as os que",
+        "sv": "och att det som en är av för på med språk",
+        "tr": "ve bir bu da için ile ne çok güzel şey",
+    }
+    assert set(sentences) == set(_LANG_PROFILES)
+    df = spark.createDataFrame(
+        [(lang, s) for lang, s in sentences.items()], "truth string, text string"
+    )
+    out = {r["truth"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert out == {lang: lang for lang in sentences}
+
+
+def test_language_id_trained_char_ngrams(spark):
+    """The trained one-vs-rest hashed char-n-gram classifier
+    (classifier.py GD discipline) learns to separate languages from
+    labeled sentences and generalizes to held-out sentences built
+    from the same vocabulary; apply is exp-free argmax."""
+    import itertools
+
+    from hadron_spark.llm.textstats import (
+        _LANG_PROFILES,
+        language_id_apply,
+        language_id_train,
+    )
+
+    langs = ["de", "en", "fr"]
+    rows, rid = [], 0
+    for lang in langs:
+        words, grams = _LANG_PROFILES[lang]
+        pool = words + [w + g for w, g in zip(words, itertools.cycle(grams))]
+        for i in range(12):
+            s = " ".join(pool[(i + j) % len(pool)] for j in range(8))
+            rows.append((rid, s, lang))
+            rid += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    train = df.filter(F.col("doc_id") % 4 != 3)
+    test = df.filter(F.col("doc_id") % 4 == 3)
+    models = language_id_train(
+        train, n_buckets=512, iters=12, lr=8.0
+    )
+    assert set(models) == set(langs)
+    pred = language_id_apply(test, models, n_buckets=512)
+    truth = {r["doc_id"]: r["lang"] for r in test.collect()}
+    got = {r["doc_id"]: r["lang_pred"] for r in pred.collect()}
+    acc = sum(got[k] == truth[k] for k in truth) / len(truth)
+    assert acc >= 0.85, (acc, got, truth)
+    # determinism under repartition
+    got2 = {
+        r["doc_id"]: r["lang_pred"]
+        for r in language_id_apply(
+            test.repartition(5), models, n_buckets=512
+        ).collect()
+    }
+    assert got2 == got
