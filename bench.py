@@ -77,6 +77,14 @@ HEADLINE = [
     # dedup — the two new oracle-backed training-data primitives
     "q204_quality_classifier",
     "q208_repeated_spans",
+    # set change #6 (round 4, BASELINE.md / VERDICT r3 #6): the
+    # curation tier's heavy hitters — whole-string substring dedup
+    # (the code most likely to change: materialize modes), domain
+    # discovery (the heaviest registry entry: iterative k-means),
+    # and the new CCNet perplexity scorer at its hashed 100 TB shape
+    "q209_exact_substring_dedup",
+    "q220_domain_discovery",
+    "q223_perplexity_scores",
 ]
 
 

@@ -112,7 +112,10 @@ def ngram_lm_train(
     from hadron_spark.functions.text import ngrams
     from hadron_spark.operators.ops import pin
 
-    toks = tokenize(F.col(text_col))
+    # projection boundary: evaluate tokenize once per row (see
+    # _position_frame — per-order references would re-split)
+    base = ref_df.select(tokenize(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
 
     def tag(g, n):
         # closure capture, NOT a default-arg 2-param lambda — PySpark
@@ -128,7 +131,7 @@ def ngram_lm_train(
         t = tag(g, n)
         tagged = t if tagged is None else F.concat(tagged, t)
     counts = (
-        ref_df.select(F.explode(tagged).alias("t"))
+        base.select(F.explode(tagged).alias("t"))
         .select(
             F.col("t.n").alias("n"),
             _gram_key(F.col("t.g"), n_buckets).alias(
@@ -167,9 +170,16 @@ def _position_frame(
     expressions over the token array — no window, no per-order
     scan), ONE explode, then 2N-1 broadcast joins against the
     order-sliced model and a when-chain.  Hashed mode explodes
-    longs, not gram strings."""
-    toks = tokenize(F.col(text_col))
+    longs, not gram strings.  The token array is materialized
+    behind a PROJECTION boundary first (the repeated_spans
+    pattern): inlining tokenize() into the position lambda makes
+    Catalyst re-split the text once per slice reference per
+    position — measured 12s vs <2s on 270k positions at sf0.1."""
     N, B = lm.order, lm.n_buckets
+    base = df.select(
+        F.col(id_col).alias("_id"), tokenize(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
 
     def key_at(p, n):
         # gram of order n ending at 1-based position p (NULL if p<n)
@@ -188,9 +198,9 @@ def _position_frame(
             *[key_at(p - 1, n - 1).alias(f"x{n}") for n in range(2, N + 1)],
         ),
     )
-    pos = df.select(
-        F.col(id_col).alias("_id"), F.explode(pos_struct).alias("s")
-    ).select("_id", "s.*")
+    pos = base.select("_id", F.explode(pos_struct).alias("s")).select(
+        "_id", "s.*"
+    )
 
     key = lm.key_col
     for n in range(1, N + 1):

@@ -3174,25 +3174,37 @@ def q99(spark, sf_dir):
       SELECT doc_id, text, rawtoks FROM toks
       WHERE length(text) >= 200 AND len(rawtoks) >= 30),
     d AS (
-      SELECT doc_id, rawtoks,
+      SELECT doc_id, text, rawtoks,
              MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
       FROM q),
-    kept AS (SELECT doc_id, rawtoks FROM d WHERE doc_id = keeper),
+    kept AS (
+      SELECT doc_id, lower(text) AS t, rawtoks FROM d
+      WHERE doc_id = keeper),
     scores AS (
-      SELECT kept.doc_id, m.lang,
-             CAST(len(list_filter(
-                    list_transform(kept.rawtoks, t -> lower(t)),
-                    t -> list_contains(m.markers, t))) AS DOUBLE)
-               / greatest(len(kept.rawtoks), 1) AS score
+      SELECT kept.doc_id, p.lang,
+             4 * len(list_filter(
+                    list_transform(kept.rawtoks, x -> lower(x)),
+                    x -> list_contains(p.words, x)))
+             + list_sum(list_transform(p.grams, g ->
+                 (length(t) - length(replace(t, g, ''))) // length(g)))
+               AS num
       FROM kept, (VALUES
-        ('de', ['der','die','und','das','ist']),
-        ('en', ['the','and','of','to','in']),
-        ('es', ['el','la','los','que','de']),
-        ('fr', ['le','la','et','les','des'])) m(lang, markers)),
+        ('da', ['og','i','det','at','en','den','til','er','som','ikke'], ['æ','ø','å']),
+        ('de', ['der','die','und','das','ist','nicht','mit','ein','zu','den'], ['sch','ung','ä','ö','ü','ß']),
+        ('en', ['the','and','of','to','in','is','that','it','for','was'], ['th','ing','tion']),
+        ('es', ['el','los','que','de','en','un','una','es','por','con'], ['ción','ñ','rr']),
+        ('fi', ['ja','on','ei','se','että','oli','hän','mutta','niin','kuin'], ['ää','yy','kk','ll']),
+        ('fr', ['le','la','et','les','des','un','une','est','dans','que'], ['eau','é','è','ç']),
+        ('it', ['il','lo','la','gli','che','di','e','un','una','per'], ['zione','gli','cch']),
+        ('nl', ['de','het','een','en','van','ik','dat','niet','op','te'], ['ij','aa','sch']),
+        ('pl', ['i','w','nie','na','się','z','do','to','że','jest'], ['cz','sz','rz','ł']),
+        ('pt', ['o','a','os','as','que','de','em','um','uma','não'], ['ção','ã','õ','lh']),
+        ('sv', ['och','att','det','som','en','är','av','för','på','med'], ['å','ä','ö','sk']),
+        ('tr', ['ve','bir','bu','da','de','için','ile','ne','o','çok'], ['ğ','ş','ı','ç'])) p(lang, words, grams)),
     best AS (
       SELECT doc_id, lang,
              row_number() OVER (PARTITION BY doc_id
-                                ORDER BY score DESC, lang DESC) AS rk
+                                ORDER BY num DESC, lang DESC) AS rk
       FROM scores),
     lab AS (
       SELECT kept.doc_id, len(kept.rawtoks) AS ntok, b.lang
