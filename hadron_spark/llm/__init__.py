@@ -20,6 +20,7 @@ from hadron_spark.llm import (
     mixing,
     multimodal,
     packing,
+    perplexity,
     report,
     similarity,
     textstats,
@@ -35,6 +36,7 @@ __all__ = [
     "filters",
     "mixing",
     "packing",
+    "perplexity",
     "report",
     "similarity",
     "multimodal",
