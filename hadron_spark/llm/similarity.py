@@ -288,9 +288,10 @@ def kmeans(
     vec_col: str = "embedding",
     init: str = "first",
     max_literal_centroids: int = 131_072,
+    sample_size: int = 2048,
 ) -> DataFrame:
     """Distributed Lloyd's k-means over an embedding column:
-    (id, cluster, sq_dist). Both inits are DETERMINISTIC:
+    (id, cluster, sq_dist). All inits are DETERMINISTIC:
 
     - "first": the first k vectors by id — one collect, zero extra
       passes; fine when ids are uncorrelated with geometry.
@@ -301,6 +302,18 @@ def kmeans(
       TakeOrdered pass per round; use when ids cluster by topic or
       source, where "first k" would seed all centroids inside one
       region and Lloyd's merges true clusters.
+    - "sample_farthest": farthest-first ON A DRIVER SAMPLE — the
+      k-sequential-rounds cost of "farthest" collapsed to ONE
+      collect: take the `sample_size` rows with the smallest
+      md5(id) (a deterministic uniform hash sample — decorrelated
+      from id-topology, which is the whole reason to seed
+      carefully), run the same traversal in numpy (same min-id
+      start, same lowest-id tie-break via first-argmax over
+      id-sorted rows).  Sample-vs-full only differs when a true
+      cluster has < ~sample/k members — at that size Lloyd's
+      recovers it anyway.  The init of choice whenever k-means sits
+      in a measured path (q220: 8 TakeOrdered rounds were most of
+      the 6 s bench cell).
 
     Scale contract: the DATA never reaches the driver — assignment is
     a codegen'd expression scoring each row against k centroid
@@ -357,13 +370,39 @@ def kmeans(
                 .collect()
             )
             centroids.append([float(x) for x in nxt[0][vec_col]])
+    elif init == "sample_farthest":
+        import numpy as np
+
+        rows = (
+            df.select(id_col, vec_col)
+            .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+            .limit(sample_size)
+            .collect()
+        )
+        rows.sort(key=lambda r: r[id_col])  # first-argmax == lowest id
+        if rows:
+            X = np.array(
+                [[float(x) for x in r[vec_col]] for r in rows],
+                dtype=np.float64,
+            )
+            centroids = [X[0].tolist()]
+            d = ((X - X[0]) ** 2).sum(1)
+            while len(centroids) < min(k, len(X)):
+                i = int(d.argmax())
+                centroids.append(X[i].tolist())
+                d = np.minimum(d, ((X - X[i]) ** 2).sum(1))
+        else:
+            centroids = []
     elif init == "first":
         centroids = [
             [float(x) for x in r[vec_col]]
             for r in df.orderBy(id_col).limit(k).collect()
         ]
     else:
-        raise ValueError(f"init must be 'first' or 'farthest': {init!r}")
+        raise ValueError(
+            "init must be 'first', 'farthest', or 'sample_farthest': "
+            f"{init!r}"
+        )
 
     dim = len(centroids[0]) if centroids else 0
     use_broadcast = k * dim > max_literal_centroids

@@ -584,7 +584,10 @@ def discover_domains(
         iters=iters,
         id_col=id_col,
         vec_col="vec",
-        init="farthest",  # ids often correlate with topic/source
+        # hash-sampled farthest-first: the careful-seeding benefit of
+        # "farthest" (ids often correlate with topic/source) without
+        # its n_domains sequential TakeOrdered rounds — one collect
+        init="sample_farthest",
     )
     return assigned.select(id_col, F.col("cluster").alias("domain"))
 
