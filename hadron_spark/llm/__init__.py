@@ -25,6 +25,7 @@ from hadron_spark.llm import (
     similarity,
     textstats,
     unigram,
+    urls,
 )
 
 __all__ = [
@@ -41,5 +42,6 @@ __all__ = [
     "similarity",
     "multimodal",
     "textstats",
+    "urls",
     "unigram",
 ]

@@ -9345,3 +9345,215 @@ def q226(spark, sf_dir):
         docs.filter(F.col("doc_id") % 2 == 1), models, n_buckets=512
     )
     return pred.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _synth_url_expr():
+    """Deterministic URL synthesis from doc_id (mirrored in the
+    q227/q228/q229 oracles' `u` CTE): covers mixed-case scheme/host,
+    default and explicit ports, two-level public suffixes, tracking
+    params, trailing slashes, and fragments."""
+    d = F.col("doc_id")
+    s = lambda m: (d % m).cast("string")  # noqa: E731
+    scheme = F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    host = (
+        F.when(d % 5 == 0, F.concat(F.lit("WWW.Site"), s(7), F.lit(".COM")))
+        .when(d % 5 == 1, F.concat(F.lit("news.site"), s(7), F.lit(".co.uk")))
+        .when(d % 5 == 2, F.concat(F.lit("Sub.mirror"), s(7), F.lit(".com.au")))
+        .when(d % 5 == 3, F.concat(F.lit("blog.example"), s(7), F.lit(".org")))
+        .otherwise(F.concat(F.lit("cdn.Spam"), s(3), F.lit(".net")))
+    )
+    port = (
+        F.when(d % 4 == 0, F.lit(":80"))
+        .when(d % 4 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(
+        F.lit("/p/"), s(11), F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit(""))
+    )
+    query = (
+        F.when(d % 3 == 0, F.concat(F.lit("?utm_source=feed&b="), s(5), F.lit("&a=1")))
+        .when(d % 3 == 1, F.lit("?gclid=xyz"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(d % 2 == 1, F.lit("#sec")).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+
+
+_SYNTH_URL_SQL = r"""
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+             || '://'
+             || (CASE doc_id % 5
+                 WHEN 0 THEN 'WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+                 WHEN 1 THEN 'news.site' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk'
+                 WHEN 2 THEN 'Sub.mirror' || CAST(doc_id % 7 AS VARCHAR) || '.com.au'
+                 WHEN 3 THEN 'blog.example' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+                 ELSE 'cdn.Spam' || CAST(doc_id % 3 AS VARCHAR) || '.net' END)
+             || (CASE WHEN doc_id % 4 = 0 THEN ':80'
+                      WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END)
+             || '/p/' || CAST(doc_id % 11 AS VARCHAR)
+             || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 3 = 0
+                      THEN '?utm_source=feed&b=' || CAST(doc_id % 5 AS VARCHAR) || '&a=1'
+                      WHEN doc_id % 3 = 1 THEN '?gclid=xyz' ELSE '' END)
+             || (CASE WHEN doc_id % 2 = 1 THEN '#sec' ELSE '' END) AS url
+      FROM documents
+"""
+
+_URL_PARSE_SQL = r"""
+    p AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url,
+               '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 1))
+               AS scheme,
+             regexp_extract(url,
+               '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 2)
+               AS hostport,
+             regexp_extract(url,
+               '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 3)
+               AS path,
+             regexp_extract(url,
+               '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 4)
+               AS query
+      FROM u),
+    h AS (
+      SELECT doc_id, url, scheme, path, query,
+             lower(split_part(hostport, ':', 1)) AS host,
+             CASE WHEN contains(hostport, ':')
+                  THEN split_part(hostport, ':', 2) ELSE '' END AS port
+      FROM p)
+"""
+
+
+@_register(
+    "q227_url_normalize",
+    r"""
+    WITH u AS (
+""" + _SYNTH_URL_SQL + r"""
+    ),
+""" + _URL_PARSE_SQL + r"""
+    SELECT doc_id, url,
+           CASE WHEN scheme = '' THEN NULL ELSE
+             scheme || '://' ||
+             (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                        OR (scheme = 'https' AND port = '443')
+                   THEN host ELSE host || ':' || port END) ||
+             (CASE WHEN path = '/' OR path = '' THEN ''
+                   ELSE regexp_replace(path, '/$', '') END) ||
+             (CASE WHEN q = '' THEN '' ELSE '?' || q END)
+           END AS norm,
+           scheme, host, port
+    FROM (
+      SELECT *,
+             coalesce(array_to_string(list_sort(list_filter(
+               string_split(query, '&'),
+               kv -> kv <> ''
+                     AND NOT starts_with(lower(split_part(kv, '=', 1)), 'utm_')
+                     AND lower(split_part(kv, '=', 1))
+                         NOT IN ('fbclid', 'gclid', 'ref'))), '&'), '') AS q
+      FROM h)
+    """,
+)
+def q227(spark, sf_dir):
+    """URL canonicalization (llm.urls.normalize_url/url_parts): the
+    crawl-pipeline dedup-key normalization — case, default ports,
+    fragments, tracking params, param order, trailing slashes — over
+    deterministic synthesized URLs covering every rule.  Pure in-row
+    expressions; FULL string-exact oracle."""
+    from hadron_spark.llm.urls import normalize_url, url_parts
+
+    u = load(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url_expr().alias("url")
+    )
+    p = url_parts("url")
+    return u.select(
+        "doc_id",
+        "url",
+        normalize_url("url").alias("norm"),
+        p["scheme"].alias("scheme"),
+        p["host"].alias("host"),
+        p["port"].alias("port"),
+    )
+
+
+@_register(
+    "q228_domain_quota",
+    r"""
+    WITH u AS (
+""" + _SYNTH_URL_SQL + r"""
+    ),
+""" + _URL_PARSE_SQL + r"""
+    , rd AS (
+      SELECT doc_id, host,
+             array_to_string(
+               labels[greatest(n - take + 1, 1):n], '.') AS reg_dom
+      FROM (
+        SELECT doc_id, host, labels, n,
+               CASE WHEN n >= 3 AND last2 IN
+                 ('ac.uk','co.uk','gov.uk','org.uk','com.au','net.au',
+                  'org.au','co.jp','ne.jp','or.jp','com.br','com.cn',
+                  'com.mx','com.tw','com.sg','co.in','co.kr','co.za',
+                  'com.ar')
+               THEN 3 ELSE least(n, 2) END AS take
+        FROM (
+          SELECT doc_id, host, string_split(host, '.') AS labels,
+                 len(string_split(host, '.')) AS n,
+                 array_to_string(
+                   string_split(host, '.')[greatest(len(string_split(host, '.')) - 1, 1):len(string_split(host, '.'))],
+                   '.') AS last2
+          FROM h))),
+    ranked AS (
+      SELECT doc_id, host, reg_dom,
+             row_number() OVER (PARTITION BY reg_dom
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rk
+      FROM rd)
+    SELECT doc_id, host, reg_dom FROM ranked WHERE rk <= 3
+    """,
+)
+def q228(spark, sf_dir):
+    """Per-domain quota (llm.urls.registered_domain +
+    domain_quota_sample): registrable-domain extraction
+    (public-suffix-lite) then at most 3 docs per domain by
+    deterministic md5 priority — the C4/RefinedWeb anti-SEO-farm
+    cap.  One domain-keyed exchange; FULL oracle including every
+    rank decision."""
+    from hadron_spark.llm.urls import (
+        domain_quota_sample,
+        registered_domain,
+        url_parts,
+    )
+
+    u = load(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url_expr().alias("url")
+    )
+    hosts = u.select(
+        "doc_id",
+        url_parts("url")["host"].alias("host"),
+    ).withColumn("reg_dom", registered_domain("host"))
+    return domain_quota_sample(hosts, "reg_dom", 3)
+
+
+@_register(
+    "q229_domain_blocklist",
+    r"""
+    WITH u AS (
+""" + _SYNTH_URL_SQL + r"""
+    ),
+""" + _URL_PARSE_SQL + r"""
+    SELECT doc_id, host FROM h
+    WHERE NOT (host = 'spam0.net' OR host LIKE '%.spam0.net')
+      AND NOT (host = 'site1.co.uk' OR host LIKE '%.site1.co.uk')
+    """,
+)
+def q229(spark, sf_dir):
+    """Domain blocklist filtering (llm.urls.blocklist_filter, list
+    shape): drop blocked domains and all their subdomains with one
+    in-row exists() — zero shuffle.  FULL oracle."""
+    from hadron_spark.llm.urls import blocklist_filter, url_parts
+
+    u = load(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url_expr().alias("url")
+    )
+    hosts = u.select("doc_id", url_parts("url")["host"].alias("host"))
+    return blocklist_filter(hosts, "host", ["spam0.net", "site1.co.uk"])
