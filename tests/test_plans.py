@@ -636,3 +636,59 @@ def test_percentiles_and_upsample_plan_shapes(spark, sf_dir):
     df = QUERIES["q194_mixture_upsample"](spark, sf_dir)
     assert shuffle_count(df) == 0
     assert unpartitioned_window_count(df) == 0
+
+
+def test_r4_perplexity_and_url_plan_shapes(spark, sf_dir):
+    """Round-4 pins.  q223 perplexity scoring: the model rides
+    2N-1=5 BROADCAST joins (never a sort-merge join against the
+    B-bounded count table) and the only exchange is the per-doc
+    aggregation; the position explode happens ONCE (the
+    tokenize-per-slice-reference regression this round fixed would
+    show as no Generate or as repeated scans).  q227 URL
+    canonicalization: pure in-row expressions, zero shuffle.  q229
+    blocklist (list shape): zero shuffle.  q228 quota: exactly the
+    one domain-keyed exchange for its window."""
+    from hadron_spark.plans.inspect import shuffle_count
+    from hadron_spark.queries import QUERIES
+
+    df = QUERIES["q223_perplexity_scores"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+    assert shuffle_count(df) == 1  # the per-doc mean
+
+    df = QUERIES["q227_url_normalize"](spark, sf_dir)
+    assert shuffle_count(df) == 0
+
+    df = QUERIES["q229_domain_blocklist"](spark, sf_dir)
+    assert shuffle_count(df) == 0
+
+    df = QUERIES["q228_domain_quota"](spark, sf_dir)
+    assert shuffle_count(df) == 1  # the reg_dom window
+
+
+def test_r4_dhash_pair_join_shape(spark):
+    """image_near_dup_pairs: the dHash pass is mapInPandas with no
+    exchange before it; the pair stage is the pigeonhole block
+    EQUI-join (shuffled hash or sort-merge on (blk, ckey) — never a
+    nested-loop/cartesian product)."""
+    from hadron_spark.llm import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(f"p{i}.png", bytes([i]) * 32) for i in range(8)],
+        "path string, content binary",
+    )
+    out = mm.image_near_dup_pairs(df, pixels_fn=mm.pixels_stub)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the hash pass itself (pre-pin — the eager pin truncates the
+    # pair plan's lineage) is one Arrow batch pass, no exchange
+    hplan = (
+        mm.dhash_images(df, pixels_fn=mm.pixels_stub)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in hplan
+    assert "Exchange" not in hplan
