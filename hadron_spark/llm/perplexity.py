@@ -330,3 +330,71 @@ def perplexity_band(
     if keep_lo > 0.0:
         out = out.filter(F.col("logprob_per_token") <= q["hi"])
     return out
+
+
+def save_lm(lm: NgramLM, path: str) -> None:
+    """Persist a trained LM as parquet: the count table plus ONE
+    meta row (n = -1) carrying (total_tokens, vocab, order,
+    n_buckets, alpha) in its cnt-adjacent columns — a single
+    self-describing artifact, no sidecar file (the save_merges
+    checkpoint discipline).  Hashed and exact modes both round-trip;
+    `load_lm` restores an NgramLM that scores identically."""
+    spark = lm.counts.sparkSession
+    key = lm.key_col
+    counts = lm.counts.select(
+        "n",
+        F.col(key).cast("string").alias("k"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.lit(None).cast("double").alias("meta_alpha"),
+    )
+    meta = spark.createDataFrame(
+        [
+            (
+                -1,
+                "hashed" if lm.n_buckets is not None else "exact",
+                # total_tokens/vocab/order/n_buckets packed in cnt-width
+                lm.total_tokens,
+                float(lm.alpha),
+            )
+        ],
+        "n int, k string, cnt long, meta_alpha double",
+    ).withColumn("cnt", F.col("cnt"))
+    extra = spark.createDataFrame(
+        [
+            (-2, "vocab", lm.vocab, None),
+            (-3, "order", lm.order, None),
+            (-4, "n_buckets", lm.n_buckets if lm.n_buckets is not None else -1, None),
+        ],
+        "n int, k string, cnt long, meta_alpha double",
+    )
+    counts.unionByName(meta).unionByName(extra).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_lm(spark, path: str) -> NgramLM:
+    """Restore a `save_lm` checkpoint.  The count table stays a
+    DataFrame (pinned — it feeds every score join); the meta rows
+    become the driver scalars."""
+    from hadron_spark.operators.ops import pin
+
+    raw = pin(spark.read.parquet(path))
+    meta = {r["n"]: r for r in raw.filter(F.col("n") < 0).collect()}
+    hashed = meta[-1]["k"] == "hashed"
+    n_buckets = int(meta[-4]["cnt"])
+    key = "bucket" if hashed else "gram"
+    counts = raw.filter(F.col("n") >= 1).select(
+        "n",
+        (
+            F.col("k").cast("long") if hashed else F.col("k")
+        ).alias(key),
+        "cnt",
+    )
+    return NgramLM(
+        counts=counts,
+        total_tokens=int(meta[-1]["cnt"]),
+        vocab=int(meta[-2]["cnt"]),
+        order=int(meta[-3]["cnt"]),
+        n_buckets=n_buckets if n_buckets >= 0 else None,
+        alpha=float(meta[-1]["meta_alpha"]),
+    )

@@ -794,6 +794,23 @@ def q28(spark, sf_dir):
     )
 
 
+# the 12-language profile VALUES block shared by every oracle that
+# re-states textstats._LANG_PROFILES (q29, q100, q230) — ONE source
+# so a profile change cannot silently desynchronize a subset of them
+_LID_PROFILE_VALUES_SQL = """('da', ['og','i','det','at','en','den','til','er','som','ikke'], ['æ','ø','å']),
+        ('de', ['der','die','und','das','ist','nicht','mit','ein','zu','den'], ['sch','ung','ä','ö','ü','ß']),
+        ('en', ['the','and','of','to','in','is','that','it','for','was'], ['th','ing','tion']),
+        ('es', ['el','los','que','de','en','un','una','es','por','con'], ['ción','ñ','rr']),
+        ('fi', ['ja','on','ei','se','että','oli','hän','mutta','niin','kuin'], ['ää','yy','kk','ll']),
+        ('fr', ['le','la','et','les','des','un','une','est','dans','que'], ['eau','é','è','ç']),
+        ('it', ['il','lo','la','gli','che','di','e','un','una','per'], ['zione','gli','cch']),
+        ('nl', ['de','het','een','en','van','ik','dat','niet','op','te'], ['ij','aa','sch']),
+        ('pl', ['i','w','nie','na','się','z','do','to','że','jest'], ['cz','sz','rz','ł']),
+        ('pt', ['o','a','os','as','que','de','em','um','uma','não'], ['ção','ã','õ','lh']),
+        ('sv', ['och','att','det','som','en','är','av','för','på','med'], ['å','ä','ö','sk']),
+        ('tr', ['ve','bir','bu','da','de','için','ile','ne','o','çok'], ['ğ','ş','ı','ç'])"""
+
+
 @_register(
     "q29_language_id",
     """
@@ -808,18 +825,7 @@ def q28(spark, sf_dir):
              + list_sum(list_transform(p.grams, g ->
                  (length(t) - length(replace(t, g, ''))) // length(g))) AS num
       FROM toks, (VALUES
-        ('da', ['og','i','det','at','en','den','til','er','som','ikke'], ['æ','ø','å']),
-        ('de', ['der','die','und','das','ist','nicht','mit','ein','zu','den'], ['sch','ung','ä','ö','ü','ß']),
-        ('en', ['the','and','of','to','in','is','that','it','for','was'], ['th','ing','tion']),
-        ('es', ['el','los','que','de','en','un','una','es','por','con'], ['ción','ñ','rr']),
-        ('fi', ['ja','on','ei','se','että','oli','hän','mutta','niin','kuin'], ['ää','yy','kk','ll']),
-        ('fr', ['le','la','et','les','des','un','une','est','dans','que'], ['eau','é','è','ç']),
-        ('it', ['il','lo','la','gli','che','di','e','un','una','per'], ['zione','gli','cch']),
-        ('nl', ['de','het','een','en','van','ik','dat','niet','op','te'], ['ij','aa','sch']),
-        ('pl', ['i','w','nie','na','się','z','do','to','że','jest'], ['cz','sz','rz','ł']),
-        ('pt', ['o','a','os','as','que','de','em','um','uma','não'], ['ção','ã','õ','lh']),
-        ('sv', ['och','att','det','som','en','är','av','för','på','med'], ['å','ä','ö','sk']),
-        ('tr', ['ve','bir','bu','da','de','için','ile','ne','o','çok'], ['ğ','ş','ı','ç'])) p(lang, words, grams)),
+        """ + _LID_PROFILE_VALUES_SQL + r""") p(lang, words, grams)),
     best AS (
       SELECT doc_id, lang,
              row_number() OVER (PARTITION BY doc_id
@@ -3189,18 +3195,7 @@ def q99(spark, sf_dir):
                  (length(t) - length(replace(t, g, ''))) // length(g)))
                AS num
       FROM kept, (VALUES
-        ('da', ['og','i','det','at','en','den','til','er','som','ikke'], ['æ','ø','å']),
-        ('de', ['der','die','und','das','ist','nicht','mit','ein','zu','den'], ['sch','ung','ä','ö','ü','ß']),
-        ('en', ['the','and','of','to','in','is','that','it','for','was'], ['th','ing','tion']),
-        ('es', ['el','los','que','de','en','un','una','es','por','con'], ['ción','ñ','rr']),
-        ('fi', ['ja','on','ei','se','että','oli','hän','mutta','niin','kuin'], ['ää','yy','kk','ll']),
-        ('fr', ['le','la','et','les','des','un','une','est','dans','que'], ['eau','é','è','ç']),
-        ('it', ['il','lo','la','gli','che','di','e','un','una','per'], ['zione','gli','cch']),
-        ('nl', ['de','het','een','en','van','ik','dat','niet','op','te'], ['ij','aa','sch']),
-        ('pl', ['i','w','nie','na','się','z','do','to','że','jest'], ['cz','sz','rz','ł']),
-        ('pt', ['o','a','os','as','que','de','em','um','uma','não'], ['ção','ã','õ','lh']),
-        ('sv', ['och','att','det','som','en','är','av','för','på','med'], ['å','ä','ö','sk']),
-        ('tr', ['ve','bir','bu','da','de','için','ile','ne','o','çok'], ['ğ','ş','ı','ç'])) p(lang, words, grams)),
+        """ + _LID_PROFILE_VALUES_SQL + r""") p(lang, words, grams)),
     best AS (
       SELECT doc_id, lang,
              row_number() OVER (PARTITION BY doc_id
@@ -9557,3 +9552,134 @@ def q229(spark, sf_dir):
     )
     hosts = u.select("doc_id", url_parts("url")["host"].alias("host"))
     return blocklist_filter(hosts, "host", ["spam0.net", "site1.co.uk"])
+
+
+@_register(
+    "q230_web_curation_capstone",
+    r"""
+    WITH u AS (
+""" + _SYNTH_URL_SQL + r"""
+    ),
+""" + _URL_PARSE_SQL + r"""
+    , rd AS (
+      SELECT doc_id,
+             array_to_string(
+               labels[greatest(n - take + 1, 1):n], '.') AS reg_dom
+      FROM (
+        SELECT doc_id, labels, n,
+               CASE WHEN n >= 3 AND last2 IN
+                 ('ac.uk','co.uk','gov.uk','org.uk','com.au','net.au',
+                  'org.au','co.jp','ne.jp','or.jp','com.br','com.cn',
+                  'com.mx','com.tw','com.sg','co.in','co.kr','co.za',
+                  'com.ar')
+               THEN 3 ELSE least(n, 2) END AS take
+        FROM (
+          SELECT doc_id, string_split(host, '.') AS labels,
+                 len(string_split(host, '.')) AS n,
+                 array_to_string(
+                   string_split(host, '.')[greatest(len(string_split(host, '.')) - 1, 1):len(string_split(host, '.'))],
+                   '.') AS last2
+          FROM h))),
+    quota AS (
+      SELECT doc_id, reg_dom FROM (
+        SELECT doc_id, reg_dom,
+               row_number() OVER (PARTITION BY reg_dom
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rk
+        FROM rd) WHERE rk <= 2),
+    kept AS (
+      SELECT d.doc_id, lower(d.text) AS t,
+             list_filter(string_split_regex(lower(d.text), '\s+'),
+                         x -> x <> '') AS l
+      FROM documents d JOIN quota q ON d.doc_id = q.doc_id),
+    lid AS (
+      SELECT kept.doc_id, p.lang,
+             4 * len(list_filter(l, x -> list_contains(p.words, x)))
+             + list_sum(list_transform(p.grams, g ->
+                 (length(t) - length(replace(t, g, ''))) // length(g)))
+               AS num
+      FROM kept, (VALUES
+        """ + _LID_PROFILE_VALUES_SQL + r""") p(lang, words, grams)),
+    best AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY num DESC, lang DESC) AS rk
+      FROM lid),
+    ref AS (SELECT l FROM kept WHERE doc_id % 2 = 0),
+    runi AS (SELECT unnest(l) AS g FROM ref),
+    uc AS (SELECT g, COUNT(*) AS c FROM runi GROUP BY g),
+    tot AS (SELECT COUNT(*) AS t, COUNT(DISTINCT g) AS v FROM runi),
+    rpos AS (SELECT l, unnest(range(2, len(l) + 1)) AS p FROM ref),
+    bc AS (SELECT l[p-1] || ' ' || l[p] AS g, COUNT(*) AS c
+           FROM rpos GROUP BY 1),
+    pos AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS p FROM kept),
+    scored AS (
+      SELECT pos.doc_id,
+        CASE WHEN p >= 2 AND b.c IS NOT NULL AND cx.c IS NOT NULL
+             THEN 2 ELSE 1 END AS ord_used,
+        CASE WHEN p >= 2 AND b.c IS NOT NULL AND cx.c IS NOT NULL
+             THEN b.c ELSE COALESCE(uni.c, 0) + 1 END AS num,
+        CASE WHEN p >= 2 AND b.c IS NOT NULL AND cx.c IS NOT NULL
+             THEN cx.c
+             ELSE (SELECT t FROM tot) + (SELECT v FROM tot) + 1 END AS den
+      FROM pos
+      LEFT JOIN bc b ON p >= 2 AND b.g = l[p-1] || ' ' || l[p]
+      LEFT JOIN uc cx ON p >= 2 AND cx.g = l[p-1]
+      LEFT JOIN uc uni ON uni.g = l[p]),
+    perdoc AS (
+      SELECT doc_id, COUNT(*) AS n_tokens, SUM(ord_used) AS s_ord,
+             SUM(num) AS s_num, SUM(den) AS s_den
+      FROM scored GROUP BY doc_id)
+    SELECT b.lang AS lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(p.s_ord) AS BIGINT) AS sum_order,
+           CAST(SUM(p.s_num) AS BIGINT) AS sum_num,
+           CAST(SUM(p.s_den) AS BIGINT) AS sum_den
+    FROM perdoc p JOIN best b ON p.doc_id = b.doc_id AND b.rk = 1
+    GROUP BY b.lang
+    """,
+)
+def q230(spark, sf_dir):
+    """WEB-CURATION CAPSTONE — the round-4 tier composed as one
+    plan with ONE replayed oracle: synthesized crawl URLs →
+    registrable-domain quota (2 docs/domain, deterministic md5
+    priority) → 12-language profile language ID (integer argmax,
+    on LOWERED text so the LID and LM stages share one token
+    stream) → bigram stupid-backoff LM trained on the even-id half
+    of the SURVIVORS → per-language aggregate of the integer
+    backoff decisions.  Every stage is exact string/integer work,
+    so the entire four-stage pipeline hash-matches DuckDB — the
+    q100/q214 capstone discipline extended to the web tier."""
+    from hadron_spark.llm.perplexity import backoff_summary, ngram_lm_train
+    from hadron_spark.llm.textstats import language_id
+    from hadron_spark.llm.urls import (
+        domain_quota_sample,
+        registered_domain,
+        url_parts,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    hosts = docs.select("doc_id", _synth_url_expr().alias("url")).select(
+        "doc_id", url_parts("url")["host"].alias("host")
+    )
+    quota = domain_quota_sample(
+        hosts.withColumn("reg_dom", registered_domain("host")), "reg_dom", 2
+    )
+    kept = docs.join(quota.select("doc_id"), "doc_id").select(
+        "doc_id", F.lower(F.col("text")).alias("text")
+    )
+    lid = language_id(kept).select("doc_id", "lang_pred")
+    lm = ngram_lm_train(kept.filter(F.col("doc_id") % 2 == 0), order=2)
+    per_doc = backoff_summary(kept, lm)
+    return (
+        per_doc.join(lid, "doc_id")
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("sum_order").alias("sum_order"),
+            F.sum("sum_num").alias("sum_num"),
+            F.sum("sum_den").alias("sum_den"),
+        )
+    )

@@ -234,3 +234,32 @@ def test_longer_history_never_ignored(spark, frames):
             tri = " ".join(toks[p - 3 : p])
             if (3, tri) in counts:
                 assert r["ord_used"] == 3
+
+
+@pytest.mark.parametrize("n_buckets", [None, 1 << 16])
+def test_lm_save_load_roundtrip(spark, frames, tmp_path, n_buckets):
+    """train -> save -> load scores byte-identically in both key
+    modes (the tokenizer-checkpoint discipline applied to the LM)."""
+    from hadron_spark.llm.perplexity import load_lm, save_lm
+
+    ref, tgt = frames
+    lm = ngram_lm_train(ref, order=3, n_buckets=n_buckets)
+    path = str(tmp_path / f"lm_{n_buckets}")
+    save_lm(lm, path)
+    lm2 = load_lm(spark, path)
+    assert (lm2.total_tokens, lm2.vocab, lm2.order, lm2.n_buckets, lm2.alpha) == (
+        lm.total_tokens,
+        lm.vocab,
+        lm.order,
+        lm.n_buckets,
+        lm.alpha,
+    )
+    a = {
+        r["doc_id"]: r["logprob_per_token"]
+        for r in perplexity_scores(tgt, lm).collect()
+    }
+    b = {
+        r["doc_id"]: r["logprob_per_token"]
+        for r in perplexity_scores(tgt, lm2).collect()
+    }
+    assert a == b
