@@ -9683,3 +9683,67 @@ def q230(spark, sf_dir):
             F.sum("sum_den").alias("sum_den"),
         )
     )
+
+
+@_register("q231_streaming_perplexity_gate", None)
+def q231(spark, sf_dir):
+    """Streaming CCNet perplexity gate (streaming.ops
+    .streaming_perplexity_gate): an OFFLINE-trained LM artifact
+    (perplexity.save_lm) gates a document stream — each micro-batch
+    is scored stream-static against the pinned count table (the
+    2N-1 broadcast joins) and only docs above a FIXED offline
+    log-prob threshold land in their idempotent batch=<id> dir
+    (stateless gate: per-batch overwrite IS the exactly-once story).
+    Driven with availableNow; threshold = the even-half corpus's
+    25th-percentile score, so a stable fraction passes.  Rows-only
+    (side-effecting sink + ln); batch-boundary independence and
+    replay idempotence pinned in test_streaming."""
+    import shutil
+    import tempfile
+
+    from hadron_spark.llm.perplexity import (
+        ngram_lm_train,
+        perplexity_scores,
+        save_lm,
+    )
+    from hadron_spark.streaming.ops import streaming_perplexity_gate
+
+    work = tempfile.mkdtemp(prefix="q231_")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    lm = ngram_lm_train(
+        docs.filter(F.col("doc_id") % 2 == 0), order=3, n_buckets=1 << 18
+    )
+    lm_path = f"{work}/lm"
+    save_lm(lm, lm_path)
+    thr_row = (
+        perplexity_scores(docs.filter(F.col("doc_id") % 2 == 0), lm)
+        .agg(
+            F.expr(
+                "percentile_disc(0.25) WITHIN GROUP "
+                "(ORDER BY logprob_per_token)"
+            ).alias("thr")
+        )
+        .first()
+    )
+    src = f"{work}/src"
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = streaming_perplexity_gate(
+        stream,
+        lm_path,
+        f"{work}/out",
+        float(thr_row["thr"]),
+        checkpoint=f"{work}/ckpt",
+    )
+    q.awaitTermination(300)
+    result = (
+        spark.read.option("basePath", f"{work}/out")
+        .parquet(f"{work}/out/batch=*")
+        .agg(
+            F.count(F.lit(1)).alias("n_admitted"),
+            F.min("logprob_per_token").alias("worst_admitted_logprob"),
+        )
+    )
+    result = spark.createDataFrame(result.collect(), result.schema)
+    shutil.rmtree(work, ignore_errors=True)
+    return result

@@ -552,3 +552,76 @@ def streaming_substring_dedup(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def perplexity_gate_apply_fn(
+    lm_path: str,
+    out_path: str,
+    min_logprob_per_token: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """foreachBatch function for a STREAMING CCNet quality gate:
+    each micro-batch is scored against a PERSISTED stupid-backoff LM
+    (`llm.perplexity.save_lm` artifact — trained offline on the
+    reference corpus, loaded once per query start) and only
+    documents at or above `min_logprob_per_token` (i.e. at or below
+    the corresponding perplexity) land in `out_path/batch=<id>/`.
+
+    The threshold is a FIXED number learned offline (e.g. the
+    percentile_disc cut `perplexity_band` computes on a held-out
+    sample): a streaming gate must not re-derive corpus percentiles
+    per batch — that would make admission depend on batch
+    boundaries.  The gate is STATELESS, so exactly-once needs only
+    the idempotent per-batch output-directory overwrite (a replayed
+    batch rewrites its own directory); no high-water-mark store.
+
+    Scoring inside the batch is the batch operator itself
+    (stream-static: the LM count table is a pinned static frame,
+    the 2N-1 broadcast joins and the per-doc mean run per batch).
+    Returns apply(batch_df, batch_id)."""
+    from hadron_spark.llm.perplexity import load_lm, perplexity_scores
+
+    lm_box: dict = {}
+
+    def apply(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        if "lm" not in lm_box:  # load + pin once per query start
+            lm_box["lm"] = load_lm(spark, lm_path)
+        scored = perplexity_scores(batch_df, lm_box["lm"], id_col, text_col)
+        kept = (
+            batch_df.join(
+                scored.filter(
+                    F.col("logprob_per_token") >= min_logprob_per_token
+                ).select(id_col, "logprob_per_token", "perplexity"),
+                id_col,
+            )
+        )
+        kept.write.mode("overwrite").parquet(f"{out_path}/batch={int(batch_id)}")
+
+    return apply
+
+
+def streaming_perplexity_gate(
+    stream: DataFrame,
+    lm_path: str,
+    out_path: str,
+    min_logprob_per_token: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint: str | None = None,
+):
+    """Streaming CCNet perplexity gate — see
+    `perplexity_gate_apply_fn`. Returns the started StreamingQuery
+    (availableNow trigger)."""
+    apply = perplexity_gate_apply_fn(
+        lm_path, out_path, min_logprob_per_token, id_col, text_col
+    )
+    writer = (
+        stream.writeStream.foreachBatch(apply)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

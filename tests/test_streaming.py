@@ -346,3 +346,67 @@ def test_streaming_substring_dedup_curation(spark, tmp_path):
     apply(b4, 3)
     got4 = spark.read.parquet(f"{out}/batch=3").collect()
     assert got4[0].clean_text == "five closing words" or got4[0].clean_text == "closing words"
+
+
+def test_streaming_perplexity_gate(spark, tmp_path):
+    """Streaming CCNet gate: batches scored against a PERSISTED LM
+    (offline save_lm artifact); in-domain docs pass, OOV garbage is
+    cut, the admission decision is batch-boundary independent, and
+    a replayed batch overwrites its own directory (idempotent)."""
+    from hadron_spark.llm.perplexity import (
+        ngram_lm_train,
+        perplexity_scores,
+        save_lm,
+    )
+    from hadron_spark.streaming.ops import perplexity_gate_apply_fn
+
+    ref = spark.createDataFrame(
+        [
+            ("the cat sat on the mat",),
+            ("the dog sat on the rug",),
+            ("a cat and a dog sat",),
+        ],
+        "text string",
+    )
+    lm = ngram_lm_train(ref, order=3, n_buckets=1 << 16)
+    lm_path = str(tmp_path / "lm")
+    save_lm(lm, lm_path)
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "zz qq ww ee rr tt"),
+        (3, "a dog sat on the mat"),
+        (4, "jj kk ll pp zz xx"),
+    ]
+    all_df = spark.createDataFrame(docs, "doc_id long, text string")
+    # offline threshold: midpoint of the corpus score range
+    s = {
+        r["doc_id"]: r["logprob_per_token"]
+        for r in perplexity_scores(all_df, lm).collect()
+    }
+    thr = (max(s.values()) + min(s.values())) / 2
+
+    out = str(tmp_path / "gated")
+    apply = perplexity_gate_apply_fn(lm_path, out, thr)
+    apply(all_df.filter(F.col("doc_id") <= 2), 0)
+    apply(all_df.filter(F.col("doc_id") >= 3), 1)
+    kept = sorted(
+        r["doc_id"]
+        for b in (0, 1)
+        for r in spark.read.parquet(f"{out}/batch={b}").collect()
+    )
+    assert kept == [1, 3]  # garbage cut in BOTH batches
+    # replay of batch 0 is idempotent (same directory, same rows)
+    apply(all_df.filter(F.col("doc_id") <= 2), 0)
+    again = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{out}/batch=0").collect()
+    )
+    assert again == [1]
+    # batch-boundary independence: one big batch admits the same set
+    out2 = str(tmp_path / "gated2")
+    apply2 = perplexity_gate_apply_fn(lm_path, out2, thr)
+    apply2(all_df, 0)
+    one = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{out2}/batch=0").collect()
+    )
+    assert one == [1, 3]
