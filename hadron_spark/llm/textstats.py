@@ -130,9 +130,16 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Occurrence counting is replace-and-measure:
     (len(t) − len(replace(t, g, ''))) / len(g) — exact integers,
-    identical in DuckDB.  All in-row expressions; zero shuffle."""
-    low = F.lower(F.col(text_col))
-    toks = F.transform(tokenize(low), lambda t: t)
+    identical in DuckDB.  All in-row expressions; zero shuffle.
+    The lowered text and token array are materialized behind a
+    PROJECTION boundary (the perplexity lesson this round): inlined,
+    lower()/tokenize() re-evaluate once per reference — and the 12
+    profiles reference them ~90 times per row."""
+    df = df.withColumn("__lid_low", F.lower(F.col(text_col))).withColumn(
+        "__lid_toks", tokenize(F.col("__lid_low"))
+    )
+    low = F.col("__lid_low")
+    toks = F.col("__lid_toks")
 
     def gram_count(g: str):
         return (F.length(low) - F.length(F.replace(low, F.lit(g)))) / len(g)
@@ -157,8 +164,10 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     best = F.array_max(scores)
     denom = F.greatest(F.size(toks) * 4 + F.length(low), F.lit(1))
-    return df.withColumn("lang_pred", best["lang"]).withColumn(
-        "lang_score", best["num"].cast("double") / denom
+    return (
+        df.withColumn("lang_pred", best["lang"])
+        .withColumn("lang_score", best["num"].cast("double") / denom)
+        .drop("__lid_low", "__lid_toks")
     )
 
 
