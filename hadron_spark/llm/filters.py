@@ -25,11 +25,16 @@ def quality_rules(
     min_mean_word_len: float = 3.0,
     max_mean_word_len: float = 12.0,
     max_symbol_ratio: float = 0.1,
+    _toks: Column | None = None,
 ) -> dict[str, Column]:
     """name → violation predicate (True = document breaks the rule).
-    Thresholds follow the published heuristics; all tunable."""
+    Thresholds follow the published heuristics; all tunable.
+    `_toks`: pass a PRE-PROJECTED token-array column to evaluate
+    tokenize() once per row instead of once per reference (the
+    language_id/perplexity projection-boundary lesson — the df-level
+    wrappers below do this automatically)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = tokenize(c)
+    toks = _toks if _toks is not None else tokenize(c)
     n_tok = F.size(toks)
     lower = F.transform(toks, lambda t: F.lower(t))
     stop_hits = F.size(F.filter(lower, lambda t: t.isin(STOPWORDS)))
@@ -58,21 +63,23 @@ def apply_quality_filter(
     """Append `keep: boolean` and `drop_reasons: array<string>` (empty
     when kept). Downstream keeps with `.filter("keep")` — a narrow,
     pushdown-friendly predicate."""
-    rules = quality_rules(text_col, **thresholds)
+    df = df.withColumn("__qr_toks", tokenize(F.col(text_col)))
+    rules = quality_rules(text_col, _toks=F.col("__qr_toks"), **thresholds)
     reasons = F.filter(
         F.array(
             *[F.when(pred, F.lit(name)) for name, pred in rules.items()]
         ),
         lambda r: r.isNotNull(),
     )
-    out = df.withColumn("drop_reasons", reasons)
+    out = df.withColumn("drop_reasons", reasons).drop("__qr_toks")
     return out.withColumn("keep", F.size("drop_reasons") == 0)
 
 
 def rule_violation_counts(df: DataFrame, text_col: str = "text", **thresholds) -> DataFrame:
     """Per-rule violation counts — the monitoring/QA view of the
     filter (one pass, one wide aggregate)."""
-    rules = quality_rules(text_col, **thresholds)
+    df = df.withColumn("__qr_toks", tokenize(F.col(text_col)))
+    rules = quality_rules(text_col, _toks=F.col("__qr_toks"), **thresholds)
     wide = df.agg(
         *[F.sum(pred.cast("long")).alias(name) for name, pred in rules.items()]
     )
@@ -90,7 +97,10 @@ def rule_violation_counts(df: DataFrame, text_col: str = "text", **thresholds) -
 
 
 def repetition_features(
-    text_col: Column | str = "text", sep: str = "\n"
+    text_col: Column | str = "text",
+    sep: str = "\n",
+    _toks: Column | None = None,
+    _lines: Column | None = None,
 ) -> dict[str, Column]:
     """Gopher repetition metrics (Rae et al. 2021, Table A1 — public):
     per-document fractions measuring self-repetition, all pure array
@@ -110,7 +120,9 @@ def repetition_features(
     Fractions are exact-int ratios → one IEEE division, so every
     metric hash-matches a DuckDB replay (same discipline as q115)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    lines = F.split(c, sep)
+    # _toks/_lines: pre-projected arrays evaluate split/tokenize once
+    # per row instead of once per reference (projection-boundary rule)
+    lines = _lines if _lines is not None else F.split(c, sep)
     n_lines = F.size(lines)
     first_occ = F.filter(
         lines, lambda x, i: F.array_position(lines, x) == i + F.lit(1)
@@ -121,7 +133,7 @@ def repetition_features(
     first_chars = F.aggregate(
         F.transform(first_occ, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
     )
-    toks = tokenize(c)
+    toks = _toks if _toks is not None else tokenize(c)
     n_tok = F.size(toks)
     n_chars = F.length(c)
 

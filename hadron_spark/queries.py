@@ -7330,7 +7330,14 @@ def q175(spark, sf_dir):
             F.lit("trailing thoughts..."),
         ).alias("text"),
     )
-    feats = repetition_features("text")
+    from hadron_spark.functions.text import tokenize as _tok
+
+    seeded = seeded.withColumn(
+        "__rf_lines", F.split(F.col("text"), "\n")
+    ).withColumn("__rf_toks", _tok(F.col("text")))
+    feats = repetition_features(
+        "text", _toks=F.col("__rf_toks"), _lines=F.col("__rf_lines")
+    )
     return seeded.select("doc_id", *[v.alias(k) for k, v in feats.items()])
 
 
