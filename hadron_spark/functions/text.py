@@ -77,17 +77,24 @@ def bpe_token_count(col: Column | str) -> Column:
     return F.size(bpe_ish_tokenize(col))
 
 
-def stopword_ratio(col: Column | str) -> Column:
-    toks = F.transform(tokenize(col), lambda t: F.lower(t))
+def stopword_ratio(col: Column | str, _toks: Column | None = None) -> Column:
+    toks = F.transform(
+        _toks if _toks is not None else tokenize(col), lambda t: F.lower(t)
+    )
     hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
     return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
 
 
-def quality_features(col: Column | str) -> dict[str, Column]:
+def quality_features(
+    col: Column | str, _toks: Column | None = None
+) -> dict[str, Column]:
     """Deterministic quality features for document scoring:
-    n_tokens, n_chars, mean token length, stopword ratio."""
+    n_tokens, n_chars, mean token length, stopword ratio.
+    `_toks`: pre-projected token array — evaluates tokenize() once
+    per row instead of once per feature reference (the
+    projection-boundary rule; see llm.filters.quality_rules)."""
     c = F.col(col) if isinstance(col, str) else col
-    toks = tokenize(c)
+    toks = _toks if _toks is not None else tokenize(c)
     n_tok = F.size(toks)
     total_tok_chars = F.aggregate(
         F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
@@ -98,7 +105,7 @@ def quality_features(col: Column | str) -> dict[str, Column]:
         "mean_token_len": F.when(
             n_tok > 0, total_tok_chars.cast("double") / n_tok
         ).otherwise(F.lit(0.0)),
-        "stopword_ratio": stopword_ratio(c),
+        "stopword_ratio": stopword_ratio(c, _toks=toks),
     }
 
 

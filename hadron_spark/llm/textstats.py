@@ -107,8 +107,10 @@ def token_counts(df: DataFrame, group_col: str = "source", text_col: str = "text
 
 
 def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Per-document quality features (length/stopword/token stats)."""
-    feats = quality_features(F.col(text_col))
+    """Per-document quality features (length/stopword/token stats).
+    Token array projected once (projection-boundary rule)."""
+    df = df.withColumn("__qs_toks", tokenize(F.col(text_col)))
+    feats = quality_features(F.col(text_col), _toks=F.col("__qs_toks"))
     return df.select(
         id_col,
         *[expr.alias(name) for name, expr in feats.items()],
