@@ -692,3 +692,95 @@ def test_r4_dhash_pair_join_shape(spark):
     )
     assert "MapInPandas" in hplan
     assert "Exchange" not in hplan
+
+
+class TestPlanLintAudit:
+    """Unit contracts for tools/plan_lint.audit — the structural
+    rules that clear the two scale-safe plan shapes (two-phase
+    global aggregate; 1-row-total broadcast) and flag everything
+    else for a written bounded-frame justification."""
+
+    @staticmethod
+    def _audit(plan):
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "plan_lint",
+            os.path.join(os.path.dirname(__file__), "..", "tools", "plan_lint.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.audit(plan)
+
+    def test_two_phase_global_agg_is_auto_safe(self):
+        plan = (
+            "+- HashAggregate(keys=[], functions=[sum(x)])\n"
+            "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
+            "      +- HashAggregate(keys=[], functions=[partial_sum(x)])\n"
+            "         +- FileScan parquet\n"
+        )
+        a = self._audit(plan)
+        assert a["1p"] == 1 and a["unsafe_1p"] == 0
+
+    def test_singlepartition_over_raw_rows_is_flagged(self):
+        plan = (
+            "+- Window [sum(x)]\n"
+            "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
+            "      +- Project [x]\n"
+            "         +- FileScan parquet\n"
+        )
+        a = self._audit(plan)
+        assert a["unsafe_1p"] == 1
+
+    def test_one_row_broadcast_bnlj_is_auto_safe(self):
+        plan = (
+            "+- BroadcastNestedLoopJoin BuildRight, Cross\n"
+            "   :- FileScan parquet\n"
+            "   +- BroadcastExchange IdentityBroadcastMode\n"
+            "      +- HashAggregate(keys=[], functions=[count(1)])\n"
+            "         +- FileScan parquet\n"
+        )
+        a = self._audit(plan)
+        assert a["bnlj"] == 1 and a["unsafe_bnlj"] == 0
+
+    def test_unbounded_bnlj_is_flagged(self):
+        plan = (
+            "+- BroadcastNestedLoopJoin BuildRight, Cross\n"
+            "   :- FileScan parquet\n"
+            "   +- BroadcastExchange IdentityBroadcastMode\n"
+            "      +- FileScan parquet\n"
+        )
+        a = self._audit(plan)
+        assert a["unsafe_bnlj"] == 1
+
+    def test_keyed_agg_in_build_side_does_not_clear_bnlj(self):
+        # a keyed aggregate can be arbitrarily large — only the
+        # keyless (1-row) shape is proof of boundedness
+        plan = (
+            "+- BroadcastNestedLoopJoin BuildRight, Cross\n"
+            "   :- FileScan parquet\n"
+            "   +- BroadcastExchange IdentityBroadcastMode\n"
+            "      +- HashAggregate(keys=[k#1], functions=[count(1)])\n"
+            "         +- FileScan parquet\n"
+        )
+        a = self._audit(plan)
+        assert a["unsafe_bnlj"] == 1
+
+    def test_agg_outside_broadcast_subtree_does_not_clear(self):
+        # the stream side has a global agg; the build side is raw —
+        # the subtree walk must scope the proof to the build side
+        plan = (
+            "+- BroadcastNestedLoopJoin BuildRight, Cross\n"
+            "   :- HashAggregate(keys=[], functions=[count(1)])\n"
+            "   :  +- Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
+            "   :     +- HashAggregate(keys=[], functions=[partial_count(1)])\n"
+            "   +- BroadcastExchange IdentityBroadcastMode\n"
+            "      +- FileScan parquet\n"
+        )
+        a = self._audit(plan)
+        assert a["unsafe_bnlj"] == 1 and a["unsafe_1p"] == 0
+
+    def test_cartesian_always_counted(self):
+        a = self._audit("+- CartesianProduct\n   :- A\n   +- B\n")
+        assert a["cart"] == 1
