@@ -246,3 +246,89 @@ def dedup_lines(col: Column | str) -> Column:
         lines, lambda x, i: F.array_position(lines, x) == i + F.lit(1)
     )
     return F.array_join(kept, "\n")
+
+
+# 13–19 digits with at most one space/dash between adjacent digits —
+# the printed-card shapes (4-4-4-4, 4-6-5, unseparated).  Kept
+# RE2-compatible (no backrefs/lookaround) so the DuckDB oracle can
+# replay it byte-for-byte.
+CARD_PATTERN = r"\d(?:[ -]?\d){12,18}"
+
+
+def luhn_checksum(digits: Column | str) -> Column:
+    """Luhn mod-10 checksum of a digits-only string (int Column):
+    from the right, double every second digit, subtract 9 from
+    two-digit doubles, sum.  Pure array expressions (split/transform/
+    aggregate) — codegen'd, no Python.  A full card number is valid
+    iff the checksum % 10 == 0."""
+    d = F.col(digits) if isinstance(digits, str) else digits
+    rev = F.split(F.reverse(d), "")
+    terms = F.transform(
+        rev,
+        lambda ch, i: F.when(i % 2 == F.lit(0), ch.cast("int")).otherwise(
+            F.when(ch.cast("int") * 2 > 9, ch.cast("int") * 2 - 9).otherwise(
+                ch.cast("int") * 2
+            )
+        ),
+    )
+    return F.aggregate(terms, F.lit(0), lambda acc, x: acc + x)
+
+
+def luhn_valid(digits: Column | str) -> Column:
+    """True iff the digits-only string passes the Luhn check."""
+    d = F.col(digits) if isinstance(digits, str) else digits
+    return luhn_checksum(d) % 10 == 0
+
+
+def card_candidates(col: Column | str) -> Column:
+    """All CARD_PATTERN hits in the text, in order (array<string>,
+    separators preserved)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(CARD_PATTERN), F.lit(0))
+
+
+def redact_cards(col: Column | str) -> Column:
+    """Replace LUHN-VALID 13–19-digit runs with <CARD>; Luhn-invalid
+    runs (order ids, serials, timestamps) pass through untouched —
+    the checksum gate is what keeps this precise where the
+    high-recall phone pattern downstream is not.  regexp_replace
+    cannot call a predicate, so the text is rebuilt split-wise:
+    split on CARD_PATTERN (limit -1 keeps trailing empties so
+    #parts == #hits + 1), then interleave parts with either <CARD>
+    or the original hit.  Narrow zero-shuffle projection; the
+    rebuild is O(#hits) per row and #hits is small by nature of the
+    entity.  Run BEFORE redact_pii so valid cards are not eaten by
+    the phone pattern."""
+    c = F.col(col) if isinstance(col, str) else col
+    parts = F.split(c, CARD_PATTERN, -1)
+    hits = card_candidates(c)
+    n = F.size(hits)
+    # F.sequence(1, 0) yields DESCENDING [1, 0] — guard the empty case
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    body = F.aggregate(
+        idx,
+        F.lit(""),
+        lambda acc, i: F.concat(
+            acc,
+            F.when(
+                luhn_valid(F.regexp_replace(F.element_at(hits, i), "[ -]", "")),
+                F.lit("<CARD>"),
+            ).otherwise(F.element_at(hits, i)),
+            F.element_at(parts, i + 1),
+        ),
+    )
+    return F.concat(F.element_at(parts, 1), body)
+
+
+def card_count(col: Column | str) -> Column:
+    """Number of Luhn-valid card numbers in the text (int Column) —
+    the pre-redaction audit companion to redact_cards."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.filter(
+            card_candidates(c),
+            lambda h: luhn_valid(F.regexp_replace(h, "[ -]", "")),
+        )
+    )

@@ -9754,3 +9754,126 @@ def q231(spark, sf_dir):
     result = spark.createDataFrame(result.collect(), result.schema)
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+@_register(
+    "q232_card_redaction",
+    r"""
+    WITH seeded AS (
+      SELECT doc_id, text,
+             '4' || lpad(CAST((doc_id * 7919 + 13) % 100000000000000 AS VARCHAR),
+                         14, '0') AS base
+      FROM documents
+    ), chk AS (
+      SELECT doc_id, text, base,
+             (10 - CAST(list_sum(list_transform(
+                 string_split(reverse(base || '0'), ''), (ch, j) ->
+                 CASE WHEN j % 2 = 1 THEN CAST(ch AS INT)
+                      ELSE CASE WHEN 2 * CAST(ch AS INT) > 9
+                           THEN 2 * CAST(ch AS INT) - 9
+                           ELSE 2 * CAST(ch AS INT) END END)) AS BIGINT)
+              % 10) % 10 AS c
+      FROM seeded
+    ), doc AS (
+      SELECT doc_id,
+             text || ' pay '
+             || substr(base || CAST(c AS VARCHAR), 1, 4) || ' '
+             || substr(base || CAST(c AS VARCHAR), 5, 4) || ' '
+             || substr(base || CAST(c AS VARCHAR), 9, 4) || ' '
+             || substr(base || CAST(c AS VARCHAR), 13, 4)
+             || ' ref ' || base || CAST((c + 1) % 10 AS VARCHAR)
+             || ' done' AS text
+      FROM chk
+    ), split_hits AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(text, '\d(?:[ -]?\d){12,18}') AS parts,
+             regexp_extract_all(text, '\d(?:[ -]?\d){12,18}') AS hits
+      FROM doc
+    )
+    SELECT doc_id,
+           parts[1] || coalesce(list_aggregate(list_transform(hits, (h, i) ->
+             (CASE WHEN CAST(list_sum(list_transform(
+                      string_split(reverse(regexp_replace(h, '[ -]', '', 'g')), ''),
+                      (ch, j) ->
+                      CASE WHEN j % 2 = 1 THEN CAST(ch AS INT)
+                           ELSE CASE WHEN 2 * CAST(ch AS INT) > 9
+                                THEN 2 * CAST(ch AS INT) - 9
+                                ELSE 2 * CAST(ch AS INT) END END)) AS BIGINT)
+                   % 10 = 0
+              THEN '<CARD>' ELSE h END) || parts[i + 1]),
+             'string_agg', ''), '') AS redacted,
+           CAST(len(list_filter(hits, h ->
+             CAST(list_sum(list_transform(
+                 string_split(reverse(regexp_replace(h, '[ -]', '', 'g')), ''),
+                 (ch, j) ->
+                 CASE WHEN j % 2 = 1 THEN CAST(ch AS INT)
+                      ELSE CASE WHEN 2 * CAST(ch AS INT) > 9
+                           THEN 2 * CAST(ch AS INT) - 9
+                           ELSE 2 * CAST(ch AS INT) END END)) AS BIGINT)
+             % 10 = 0)) AS INT) AS n_cards,
+           CAST(len(hits) AS INT) AS n_candidates
+    FROM split_hits
+    """,
+)
+def q232(spark, sf_dir):
+    """Luhn-gated payment-card redaction (functions.text.redact_cards
+    / card_count / luhn_checksum): each document is seeded with a
+    deterministic VALID 16-digit card (check digit computed by the
+    same Luhn machinery, formatted 4-4-4-4) and a Luhn-INVALID decoy
+    (check digit + 1).  The operator must redact exactly the valid
+    one — a plain regex cannot make that distinction; the mod-10
+    checksum gate can, entirely in codegen'd array expressions (no
+    Python, no shuffle).  The DuckDB oracle replays the identical
+    split-and-rebuild with 1-indexed list lambdas, so redacted text
+    AND per-doc counts hash-match byte-for-byte.  Ref parity: the
+    reference's per-record scrub Mapper shape (Hadron.Basic mapper
+    over lines); the checksum gate is beyond-reference hygiene for
+    corpus release."""
+    from hadron_spark.functions.text import (
+        card_candidates,
+        card_count,
+        luhn_checksum,
+        redact_cards,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    base = F.concat(
+        F.lit("4"),
+        F.lpad(
+            ((F.col("doc_id") * 7919 + 13) % F.lit(10**14)).cast("string"),
+            14,
+            "0",
+        ),
+    )
+    chk = (10 - luhn_checksum(F.concat(base, F.lit("0"))) % 10) % 10
+    # projection boundary: the checksum-bearing exprs are referenced
+    # multiple times below — materialize once
+    staged = docs.select(
+        "doc_id",
+        "text",
+        F.concat(base, chk.cast("string")).alias("_v"),
+        F.concat(base, ((chk + 1) % 10).cast("string")).alias("_d"),
+    )
+    seeded = staged.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" pay "),
+            F.substring("_v", 1, 4),
+            F.lit(" "),
+            F.substring("_v", 5, 4),
+            F.lit(" "),
+            F.substring("_v", 9, 4),
+            F.lit(" "),
+            F.substring("_v", 13, 4),
+            F.lit(" ref "),
+            F.col("_d"),
+            F.lit(" done"),
+        ).alias("text"),
+    )
+    return seeded.select(
+        "doc_id",
+        redact_cards("text").alias("redacted"),
+        card_count("text").alias("n_cards"),
+        F.size(card_candidates("text")).cast("int").alias("n_candidates"),
+    )

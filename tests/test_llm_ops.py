@@ -1717,3 +1717,65 @@ def test_kmeans_sample_farthest_matches_full_when_sample_covers(spark, sf_dir):
         .count()
     )
     assert diff == 0
+
+
+def test_luhn_checksum_matches_python_reference(spark):
+    from hadron_spark.functions.text import luhn_valid
+
+    def py_luhn_ok(d):
+        s = 0
+        for i, ch in enumerate(reversed(d)):
+            v = int(ch)
+            s += v if i % 2 == 0 else (v * 2 - 9 if v * 2 > 9 else v * 2)
+        return s % 10 == 0
+
+    nums = [
+        "4111111111111111",  # Visa test number — valid
+        "378282246310005",  # AmEx test number — valid (15 digits)
+        "4111111111111112",  # check digit off by one
+        "1234567890123",  # 13 digits, invalid
+        "79927398713",  # canonical Luhn example — valid
+    ]
+    df = spark.createDataFrame([(n,) for n in nums], ["d"])
+    got = {
+        r["d"]: r["ok"]
+        for r in df.select("d", luhn_valid("d").alias("ok")).collect()
+    }
+    for n in nums:
+        assert got[n] == py_luhn_ok(n), n
+
+
+def test_redact_cards_luhn_gate_and_rebuild(spark):
+    from hadron_spark.functions.text import card_count, redact_cards
+
+    rows = [
+        # valid 4-4-4-4, invalid decoy, valid AmEx: only Luhn-valid hit
+        # becomes <CARD>, surrounding text byte-identical
+        (
+            0,
+            "pay 4111 1111 1111 1111 not 4111111111111112 amex "
+            "378282246310005 end",
+            "pay <CARD> not 4111111111111112 amex <CARD> end",
+            2,
+        ),
+        # dash separators
+        (1, "c 4111-1111-1111-1111.", "c <CARD>.", 1),
+        # too short for the pattern: untouched
+        (2, "order 123456789012 ok", "order 123456789012 ok", 0),
+        # text is exactly one valid card (trailing-empty split parts)
+        (3, "4111111111111111", "<CARD>", 1),
+        (4, "no digits", "no digits", 0),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _, _ in rows], ["i", "t"]
+    )
+    got = {
+        r["i"]: (r["r"], r["n"])
+        for r in df.select(
+            "i",
+            redact_cards("t").alias("r"),
+            card_count("t").alias("n"),
+        ).collect()
+    }
+    for i, _, want, n in rows:
+        assert got[i] == (want, n), (i, got[i])
