@@ -1199,3 +1199,102 @@ def winnow_fingerprints(
             F.col("s.fp").alias("fp"),
         )
     )
+
+
+def global_line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 3,
+) -> DataFrame:
+    """CORPUS-WIDE line deduplication (RefinedWeb/MassiveText stage):
+    every line that appears anywhere else in the corpus survives only
+    in its first occurrence — smallest (id, position) — and is
+    dropped from every other document.  Complements
+    functions.text.dedup_lines, which is per-document: boilerplate
+    shared ACROSS documents (cookie banners, nav menus, license
+    headers) needs the global pass.
+
+    Lines shorter than `min_words` words never participate (blank
+    lines, headings, 'OK' — dropping those would shred document
+    structure and short lines collide by chance, not by provenance).
+
+    Scale shape: keeper election is groupBy(line).min(struct(id,pos))
+    — partial-aggregatable, so a boilerplate line occurring 10^9
+    times combines map-side instead of flooding one reducer the way
+    a row_number window over partitionBy(line) would.  The keeper
+    join is on (line, id, pos) against one row per DISTINCT line —
+    skew-free by construction.  Reassembly is one groupBy(id) with
+    an in-array sort.  Three hash exchanges total, no windows, no
+    single-partition stages.
+
+    Returns (id_col, text_col cleaned, n_lines_before, n_lines_after).
+    Ref parity: the reference's firstBy dedup (Hadron.Controller
+    firstBy) lifted from whole-records to corpus line occurrences."""
+    lines = df.select(
+        F.col(id_col).alias("__gld_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "__gld_pos", "__gld_line"
+        ),
+    )
+    n_words = F.size(
+        F.filter(F.split(F.col("__gld_line"), " "), lambda x: x != "")
+    )
+    lines = lines.withColumn("__gld_elig", n_words >= F.lit(int(min_words)))
+    keepers = (
+        lines.filter(F.col("__gld_elig"))
+        .groupBy("__gld_line")
+        .agg(
+            F.min(F.struct("__gld_id", "__gld_pos")).alias("__gld_k")
+        )
+        .select(
+            F.col("__gld_line").alias("__gld_kline"),
+            F.col("__gld_k.__gld_id").alias("__gld_kid"),
+            F.col("__gld_k.__gld_pos").alias("__gld_kpos"),
+        )
+    )
+    kept = (
+        lines.join(
+            keepers,
+            on=[
+                F.col("__gld_line") == F.col("__gld_kline"),
+                F.col("__gld_id") == F.col("__gld_kid"),
+                F.col("__gld_pos") == F.col("__gld_kpos"),
+            ],
+            how="left",
+        )
+        .filter((~F.col("__gld_elig")) | F.col("__gld_kid").isNotNull())
+        .select("__gld_id", "__gld_pos", "__gld_line")
+    )
+    out = (
+        kept.groupBy("__gld_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("__gld_pos", "__gld_line")
+                        )
+                    ),
+                    lambda s: s["__gld_line"],
+                ),
+                "\n",
+            ).alias("__gld_text"),
+            F.count(F.lit(1)).alias("n_lines_after"),
+        )
+    )
+    before = df.select(
+        F.col(id_col).alias("__gld_id"),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_lines_before"),
+    )
+    return (
+        before.join(out, "__gld_id", "left")
+        .select(
+            F.col("__gld_id").alias(id_col),
+            F.coalesce("__gld_text", F.lit("")).alias(text_col),
+            F.col("n_lines_before").cast("int").alias("n_lines_before"),
+            F.coalesce("n_lines_after", F.lit(0)).cast("int").alias(
+                "n_lines_after"
+            ),
+        )
+    )

@@ -216,3 +216,47 @@ def epoch_shuffle(
     sort_key = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
     shard = (sort_key % n_shards).cast("int")
     return df.withColumn(shard_col, shard).withColumn(order_col, sort_key)
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget: int,
+    score_col: str,
+    token_col: str,
+    id_col: str = "doc_id",
+    cum_col: str = "cum_tokens",
+    buckets: int | None = None,
+    materialize: str = "local_checkpoint",
+) -> DataFrame:
+    """Greedy selection of the highest-`score_col` documents whose
+    cumulative `token_col` stays within an exact token budget — the
+    "best N tokens" corpus-assembly step (fixed training-token
+    budgets à la Hoffmann et al. 2022 make the cut a token count,
+    not a document count; contrast `mixture_resample`, which budgets
+    DOCUMENTS per domain).
+
+    Selection rule: order by (score desc, id asc), keep every doc
+    whose INCLUSIVE running token total is <= budget — the kept set
+    never exceeds the budget, and a doc is skipped only if admitting
+    it (and everything better than it) would.  Integer arithmetic
+    end-to-end, so the cut is bit-deterministic and SQL-replayable.
+
+    Scale shape: the running total uses operators.ops.range_cumsum
+    (banded two-pass prefix sum) — NO single-partition window, one
+    hash exchange; nothing funnels through one task at 100 TB.
+    `score_col` must be numeric (int scores recommended: float score
+    TIES across engines are banding-safe but make the order
+    engine-dependent); `token_col` integral."""
+    from hadron_spark.operators.ops import range_cumsum
+
+    sel = range_cumsum(
+        df,
+        key=-F.col(score_col),
+        val=F.col(token_col),
+        order=[F.col(score_col).desc(), F.col(id_col).asc()],
+        out_col=cum_col,
+        inclusive=True,
+        buckets=buckets,
+        materialize=materialize,
+    )
+    return sel.filter(F.col(cum_col) <= F.lit(int(budget)))

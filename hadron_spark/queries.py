@@ -9877,3 +9877,112 @@ def q232(spark, sf_dir):
         card_count("text").alias("n_cards"),
         F.size(card_candidates("text")).cast("int").alias("n_candidates"),
     )
+
+
+@_register(
+    "q233_token_budget",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(list_filter(
+                  string_split_regex(lower(text), '\s+'),
+                  x -> x <> ''))) AS BIGINT) AS score
+      FROM documents
+    ), c AS (
+      SELECT doc_id, score, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id)
+                  AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, score, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= 15000
+    """,
+)
+def q233(spark, sf_dir):
+    """Token-budget corpus selection (llm.mixing.select_token_budget):
+    keep the most lexically diverse documents (distinct-token score)
+    whose cumulative token count stays within an exact 15k-token
+    budget — the fixed-training-budget assembly cut.  The running
+    total is operators.ops.range_cumsum's banded two-pass prefix sum
+    (NO single-partition window; the oracle's SUM..OVER(ORDER BY) is
+    the single-node spelling of the same integer arithmetic, exact
+    by associativity of long addition)."""
+    from hadron_spark.functions.text import tokenize
+    from hadron_spark.llm.mixing import select_token_budget
+
+    docs = load(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.size(tokenize("text")).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tokenize(F.lower(F.col("text")))))
+        .cast("long")
+        .alias("score"),
+    )
+    return select_token_budget(staged, 15000, "score", "n_tokens")
+
+
+@_register(
+    "q234_global_line_dedup",
+    r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             'ACCEPT ALL COOKIES TO CONTINUE' || chr(10) || text || chr(10)
+             || 'OK GO' || chr(10)
+             || 'Copyright Example Corp All Rights Reserved' AS text
+      FROM documents
+    ), l0 AS (
+      SELECT doc_id, string_split(text, chr(10)) AS ls FROM seeded
+    ), lines AS (
+      SELECT doc_id, generate_subscripts(ls, 1) - 1 AS pos,
+             unnest(ls) AS line
+      FROM l0
+    ), tagged AS (
+      SELECT doc_id, pos, line,
+             len(list_filter(string_split(line, ' '), x -> x <> '')) >= 3
+               AS elig
+      FROM lines
+    ), keepers AS (
+      SELECT line, min(doc_id * 1000000 + pos) AS k
+      FROM tagged WHERE elig GROUP BY line
+    ), kept AS (
+      SELECT t.doc_id, t.pos, t.line
+      FROM tagged t LEFT JOIN keepers k
+        ON t.line = k.line AND t.doc_id * 1000000 + t.pos = k.k
+      WHERE NOT t.elig OR k.line IS NOT NULL
+    ), rebuilt AS (
+      SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY pos) AS text,
+             COUNT(*) AS n_after
+      FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           coalesce(r.text, '') AS text,
+           CAST(len(string_split(s.text, chr(10))) AS INT) AS n_lines_before,
+           CAST(coalesce(r.n_after, 0) AS INT) AS n_lines_after
+    FROM seeded s LEFT JOIN rebuilt r ON s.doc_id = r.doc_id
+    """,
+)
+def q234(spark, sf_dir):
+    """Corpus-wide line dedup (llm.dedup.global_line_dedup): cookie
+    banner + copyright footer seeded into EVERY document survive only
+    in the smallest (doc_id, position) occurrence; the 2-word 'OK GO'
+    line stays everywhere (below min_words).  Keeper election is a
+    partial-aggregatable groupBy-min (skew-safe for 10^9-occurrence
+    boilerplate, unlike a partitionBy(line) window); the oracle
+    replays keeper/rebuild with the linearized (doc_id*10^6+pos) key
+    — identical to struct-min while positions < 10^6 — and the full
+    cleaned text hash-matches."""
+    from hadron_spark.llm.dedup import global_line_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("ACCEPT ALL COOKIES TO CONTINUE\n"),
+            F.col("text"),
+            F.lit("\nOK GO\nCopyright Example Corp All Rights Reserved"),
+        ).alias("text"),
+    )
+    return global_line_dedup(seeded)

@@ -1779,3 +1779,63 @@ def test_redact_cards_luhn_gate_and_rebuild(spark):
     }
     for i, _, want, n in rows:
         assert got[i] == (want, n), (i, got[i])
+
+
+def test_global_line_dedup_semantics(spark):
+    from hadron_spark.llm.dedup import global_line_dedup
+
+    rows = [
+        (1, "SHARED BANNER LINE HERE\nunique to one\nSHORT OK\nrepeat me twice\nrepeat me twice"),
+        (2, "SHARED BANNER LINE HERE\nunique to two\nSHORT OK"),
+        (3, "SHARED BANNER LINE HERE"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines_before"], r["n_lines_after"])
+        for r in global_line_dedup(df).collect()
+    }
+    # banner survives only in doc 1 (smallest id); the 2-word
+    # 'SHORT OK' is below min_words and survives everywhere; the
+    # within-doc repeat collapses to its first occurrence
+    assert got[1] == (
+        "SHARED BANNER LINE HERE\nunique to one\nSHORT OK\nrepeat me twice",
+        5,
+        4,
+    )
+    assert got[2] == ("unique to two\nSHORT OK", 3, 2)
+    assert got[3] == ("", 1, 0)
+
+
+def test_global_line_dedup_repartition_deterministic(spark):
+    from hadron_spark.llm.dedup import global_line_dedup
+
+    rows = [(i, f"COMMON HEADER LINE X\nbody {i} {i % 3}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(map(tuple, global_line_dedup(df).collect()))
+    b = sorted(map(tuple, global_line_dedup(df.repartition(7)).collect()))
+    assert a == b
+    # keeper is the smallest doc_id
+    assert a[0][1].startswith("COMMON HEADER LINE X")
+    assert all(not t.startswith("COMMON") for _, t, _, _ in a[1:])
+
+
+def test_select_token_budget_prefix_cut(spark):
+    from hadron_spark.llm.mixing import select_token_budget
+
+    # (id, tokens, score): priority order by score desc, id asc is
+    # ids 3, 1, 4, 2 with token runs 5, 4, 3, 10
+    rows = [(1, 4, 8), (2, 10, 2), (3, 5, 9), (4, 3, 5)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens", "score"])
+    got = sorted(
+        (r["doc_id"], r["cum_tokens"])
+        for r in select_token_budget(
+            df, 12, "score", "n_tokens", materialize="none"
+        ).collect()
+    )
+    # cums: 3->5, 1->9, 4->12 (kept), 2->22 (over budget)
+    assert got == [(1, 9), (3, 5), (4, 12)]
+    # budget below the first doc keeps nothing
+    assert (
+        select_token_budget(df, 4, "score", "n_tokens", materialize="none").count()
+        == 0
+    )
