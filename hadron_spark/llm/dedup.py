@@ -1298,3 +1298,53 @@ def global_line_dedup(
             ),
         )
     )
+
+
+def decontaminate_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    benchmark_text_col: str = "text",
+    window: int = 8,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Benchmark decontamination at SPAN granularity: remove from
+    every training document each token span whose `window`-token
+    fingerprint occurs anywhere in the benchmark/eval suite —
+    instead of discarding whole documents on any n-gram overlap
+    (the GPT-3 appendix-C / PaLM practice), only the overlapping
+    spans are cut, so one leaked exam question does not cost an
+    otherwise-clean million-token document.
+
+    Pure composition of the incremental-substring machinery: the
+    benchmark becomes a `span_fingerprint_store` (distinct 16-byte
+    window fps — tiny: benchmarks are MBs against a 100 TB corpus,
+    so the membership semi-join broadcasts in practice) and the
+    corpus is cleaned against it via
+    `exact_substring_dedup_incremental`; the benchmark is scanned
+    once, never per corpus batch.
+
+    Adds the audit columns a release pipeline wants: n_tokens_before
+    / n_tokens_after / contaminated (any span cut).  Returns
+    (id_col, text_col, out_col, n_tokens_before, n_tokens_after,
+    contaminated)."""
+    bench = benchmark
+    if benchmark_text_col != text_col:
+        bench = benchmark.withColumnRenamed(benchmark_text_col, text_col)
+    store = span_fingerprint_store(bench, text_col=text_col, window=window)
+    cleaned = exact_substring_dedup_incremental(
+        corpus, store, id_col=id_col, text_col=text_col,
+        window=window, out_col=out_col,
+    )
+    n_tok = lambda c: F.size(  # noqa: E731
+        F.filter(F.split(F.col(c), r"\s+"), lambda t: t != "")
+    )
+    return cleaned.select(
+        id_col,
+        text_col,
+        out_col,
+        n_tok(text_col).cast("int").alias("n_tokens_before"),
+        n_tok(out_col).cast("int").alias("n_tokens_after"),
+        (n_tok(out_col) != n_tok(text_col)).alias("contaminated"),
+    )

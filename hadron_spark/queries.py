@@ -9986,3 +9986,100 @@ def q234(spark, sf_dir):
         ).alias("text"),
     )
     return global_line_dedup(seeded)
+
+
+@_register(
+    "q235_decontaminate_spans",
+    """
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 <> 3 AND doc_id % 11 = 0
+                  THEN text || ' alpha bravo charlie delta echo foxtrot golf hotel india juliet'
+                  ELSE text END AS text
+      FROM documents
+    ), bt0 AS (
+      SELECT doc_id,
+             text || ' alpha bravo charlie delta echo foxtrot golf hotel india juliet' AS text
+      FROM seeded WHERE doc_id % 7 = 3
+    ), ct AS (
+      SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM bt0
+    ), store AS (
+      SELECT DISTINCT md5(array_to_string(toks[u.i+1 : u.i+8], ' ')) AS fp
+      FROM ct, unnest(generate_series(0, len(toks) - 8)) AS u(i)
+      WHERE len(toks) >= 8
+    ), bt AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM seeded WHERE doc_id % 7 <> 3
+    ), bp AS (
+      SELECT doc_id, u.i AS pos,
+             md5(array_to_string(toks[u.i+1 : u.i+8], ' ')) AS fp
+      FROM bt, unnest(generate_series(0, len(toks) - 8)) AS u(i)
+      WHERE len(toks) >= 8
+    ), rep AS (
+      SELECT bp.doc_id, bp.pos FROM bp JOIN store USING (fp)
+    ), fl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(lag(pos) OVER w, -8) + 7
+                  THEN 1 ELSE 0 END AS ni
+      FROM rep WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), isl AS (
+      SELECT doc_id, pos,
+             SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS island
+      FROM fl
+    ), spans AS (
+      SELECT doc_id, MIN(pos) AS a, MAX(pos) + 8 AS b
+      FROM isl GROUP BY doc_id, island
+    ), per_doc AS (
+      SELECT doc_id, list(struct_pack(a := a, b := b)) AS sp
+      FROM spans GROUP BY doc_id
+    ), cleaned AS (
+      SELECT bt.doc_id,
+             list_filter(bt.toks,
+               (x, i) -> len(list_filter(coalesce(pd.sp, []),
+                             s -> i - 1 >= s.a AND i - 1 < s.b)) = 0) AS kept,
+             bt.toks AS toks
+      FROM bt LEFT JOIN per_doc pd USING (doc_id)
+    )
+    SELECT c.doc_id,
+           s.text,
+           coalesce(array_to_string(c.kept, ' '), '') AS clean_text,
+           CAST(len(c.toks) AS INT) AS n_tokens_before,
+           CAST(len(c.kept) AS INT) AS n_tokens_after,
+           len(c.kept) <> len(c.toks) AS contaminated
+    FROM cleaned c JOIN seeded s USING (doc_id)
+    """,
+)
+def q235(spark, sf_dir):
+    """Span-level benchmark decontamination (llm.dedup
+    .decontaminate_spans): docs with doc_id % 7 = 3 play the eval
+    suite; a 10-token benchmark sentence is seeded into every
+    benchmark doc AND into corpus docs with doc_id % 11 = 0, whose
+    cleaned text must lose exactly that span (plus any natural
+    8-gram overlap) while the rest of the document survives — the
+    span-surgical alternative to whole-doc decontamination drops.
+    The oracle replays store-build + membership + island merge +
+    token filter + audit counts; cleaned strings and counts
+    hash-match."""
+    from hadron_spark.llm.dedup import decontaminate_spans
+
+    docs = load(spark, sf_dir, "documents")
+    seed = " alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    is_bench = F.col("doc_id") % 7 == 3
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            ~is_bench & (F.col("doc_id") % 11 == 0),
+            F.concat(F.col("text"), F.lit(seed)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    corpus = seeded.filter(~is_bench)
+    benchmark = seeded.filter(is_bench).select(
+        "doc_id", F.concat(F.col("text"), F.lit(seed)).alias("text")
+    )
+    return decontaminate_spans(corpus, benchmark, window=8)

@@ -1839,3 +1839,31 @@ def test_select_token_budget_prefix_cut(spark):
         select_token_budget(df, 4, "score", "n_tokens", materialize="none").count()
         == 0
     )
+
+
+def test_decontaminate_spans_surgical(spark):
+    from hadron_spark.llm.dedup import decontaminate_spans
+
+    bench = spark.createDataFrame(
+        [(100, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            # leaked benchmark span embedded mid-document: only the
+            # span goes; unique prefix/suffix survive
+            (1, "u1 u2 u3 q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 u4 u5 u6"),
+            # clean doc: untouched
+            (2, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in decontaminate_spans(corpus, bench, window=8).collect()
+    }
+    assert got[1]["clean_text"] == "u1 u2 u3 u4 u5 u6"
+    assert got[1]["n_tokens_before"] == 16
+    assert got[1]["n_tokens_after"] == 6
+    assert got[1]["contaminated"] is True
+    assert got[2]["clean_text"] == got[2]["text"]
+    assert got[2]["contaminated"] is False
