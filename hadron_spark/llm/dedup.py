@@ -1348,3 +1348,89 @@ def decontaminate_spans(
         n_tok(out_col).cast("int").alias("n_tokens_after"),
         (n_tok(out_col) != n_tok(text_col)).alias("contaminated"),
     )
+
+
+def contamination_scores(
+    corpus: DataFrame,
+    benchmark: DataFrame | None = None,
+    *,
+    store: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    benchmark_text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Per-document benchmark-overlap SCORES — the GPT-3 appendix-C /
+    PaLM "dirty document" metric at token-window granularity: for
+    each corpus document, the fraction of its distinct window-token
+    fingerprints that occur anywhere in the benchmark/eval suite.
+    `decontaminate_spans` is the surgical cut; this is the audit that
+    tells you how much is contaminated BEFORE deciding to cut, and
+    the score release reports quote.
+
+    Pass either `benchmark` (fingerprinted here via
+    `span_fingerprint_store`) or a pre-built `store` (the persisted
+    parquet from an earlier run — the benchmark is never re-scanned
+    per corpus batch).
+
+    Returns (id_col, n_windows, n_hit, overlap_frac):
+      n_windows    — distinct window fingerprints in the document
+                     (0 for docs shorter than `window` tokens),
+      n_hit        — of those, how many appear in the benchmark,
+      overlap_frac — n_hit / n_windows (0.0 when n_windows = 0; a
+                     single IEEE double division — bit-portable).
+
+    Scale shape: the store is MB-scale against a 100 TB corpus →
+    broadcast hash join (hinted); the only shuffle is the per-doc
+    groupBy count, which partial-aggregates map-side. Distinct fps
+    per doc are computed IN-ROW (array_distinct over the transform)
+    so no (doc, fp) shuffle-dedup pass is needed."""
+    if store is None:
+        if benchmark is None:
+            raise ValueError("pass either `benchmark` or `store`")
+        bench = benchmark
+        if benchmark_text_col != text_col:
+            bench = benchmark.withColumnRenamed(benchmark_text_col, text_col)
+        store = span_fingerprint_store(bench, text_col=text_col, window=window)
+
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    fps = F.array_distinct(
+        F.expr(
+            "transform(sequence(0, size(__toks) - {W}), "
+            "i -> unhex(md5(cast(array_join(slice(__toks, i + 1, {W}), ' ') "
+            "as binary))))".format(W=window)
+        )
+    )
+    base = corpus.select(F.col(id_col), toks.alias("__toks")).select(
+        id_col,
+        F.when(F.size("__toks") >= window, fps)
+        .otherwise(F.array().cast("array<binary>"))
+        .alias("__fps"),
+    )
+    exploded = base.select(id_col, F.explode("__fps").alias("fp"))
+    hits = (
+        exploded.join(
+            F.broadcast(store.withColumn("__hit", F.lit(1))), on="fp", how="left"
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    return (
+        base.select(id_col)
+        .join(hits, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_windows"), F.lit(0)).cast("int").alias("n_windows"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("int").alias("n_hit"),
+            F.when(
+                F.coalesce(F.col("n_windows"), F.lit(0)) > 0,
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_windows").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("overlap_frac"),
+        )
+    )

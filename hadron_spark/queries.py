@@ -10083,3 +10083,81 @@ def q235(spark, sf_dir):
         "doc_id", F.concat(F.col("text"), F.lit(seed)).alias("text")
     )
     return decontaminate_spans(corpus, benchmark, window=8)
+
+
+@_register(
+    "q236_contamination_scores",
+    """
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 <> 3 AND doc_id % 11 = 0
+                  THEN text || ' alpha bravo charlie delta echo foxtrot golf hotel india juliet'
+                  ELSE text END AS text
+      FROM documents
+    ), bt0 AS (
+      SELECT doc_id,
+             text || ' alpha bravo charlie delta echo foxtrot golf hotel india juliet' AS text
+      FROM seeded WHERE doc_id % 7 = 3
+    ), ctb AS (
+      SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM bt0
+    ), store AS (
+      SELECT DISTINCT md5(array_to_string(toks[u.i+1 : u.i+8], ' ')) AS fp
+      FROM ctb, unnest(generate_series(0, len(toks) - 8)) AS u(i)
+      WHERE len(toks) >= 8
+    ), corp AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM seeded WHERE doc_id % 7 <> 3
+    ), bp AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(toks[u.i+1 : u.i+8], ' ')) AS fp
+      FROM corp, unnest(generate_series(0, len(toks) - 8)) AS u(i)
+      WHERE len(toks) >= 8
+    ), agg AS (
+      SELECT bp.doc_id,
+             COUNT(*) AS n_windows,
+             COUNT(s.fp) AS n_hit
+      FROM bp LEFT JOIN store s USING (fp)
+      GROUP BY bp.doc_id
+    )
+    SELECT c.doc_id,
+           CAST(coalesce(a.n_windows, 0) AS INT) AS n_windows,
+           CAST(coalesce(a.n_hit, 0) AS INT) AS n_hit,
+           CASE WHEN coalesce(a.n_windows, 0) > 0
+                THEN CAST(a.n_hit AS DOUBLE) / CAST(a.n_windows AS DOUBLE)
+                ELSE 0.0 END AS overlap_frac
+    FROM corp c LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q236(spark, sf_dir):
+    """Per-document contamination audit (llm.dedup
+    .contamination_scores): the GPT-3 appendix-C / PaLM dirty-doc
+    metric — for every training document, the fraction of its
+    distinct 8-token window fingerprints that occur anywhere in the
+    benchmark suite (docs with doc_id % 7 = 3, which all carry a
+    seeded 10-token benchmark sentence; corpus docs with
+    doc_id % 11 = 0 carry the same sentence and must score > 0).
+    Complements q235's surgical span cut with the release-report
+    audit: store membership is a broadcast join, per-doc counts a
+    partial-agg'd groupBy, the distinct-fp set built IN-ROW.  The
+    single double division is IEEE-exact → FULL oracle."""
+    from hadron_spark.llm.dedup import contamination_scores
+
+    docs = load(spark, sf_dir, "documents")
+    seed = " alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    is_bench = F.col("doc_id") % 7 == 3
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            ~is_bench & (F.col("doc_id") % 11 == 0),
+            F.concat(F.col("text"), F.lit(seed)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    corpus = seeded.filter(~is_bench)
+    benchmark = seeded.filter(is_bench).select(
+        "doc_id", F.concat(F.col("text"), F.lit(seed)).alias("text")
+    )
+    return contamination_scores(corpus, benchmark, window=8)

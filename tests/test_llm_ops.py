@@ -1867,3 +1867,47 @@ def test_decontaminate_spans_surgical(spark):
     assert got[1]["contaminated"] is True
     assert got[2]["clean_text"] == got[2]["text"]
     assert got[2]["contaminated"] is False
+
+
+def test_contamination_scores(spark):
+    from hadron_spark.llm.dedup import contamination_scores
+
+    bench = spark.createDataFrame(
+        [(100, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            # 16 tokens -> 9 windows; the leaked 10-token span
+            # contributes exactly the 3 windows fully inside it
+            (1, "u1 u2 u3 q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 u4 u5 u6"),
+            # clean doc: 10 tokens -> 3 windows, 0 hits
+            (2, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+            # shorter than the window: 0 windows, frac 0.0
+            (3, "s1 s2 s3"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in contamination_scores(corpus, bench, window=8).collect()
+    }
+    assert got[1]["n_windows"] == 9
+    assert got[1]["n_hit"] == 3
+    assert got[1]["overlap_frac"] == 3.0 / 9.0
+    assert got[2]["n_windows"] == 3
+    assert got[2]["n_hit"] == 0
+    assert got[2]["overlap_frac"] == 0.0
+    assert got[3]["n_windows"] == 0
+    assert got[3]["overlap_frac"] == 0.0
+
+    # pre-built store path: identical result, benchmark never rescanned
+    from hadron_spark.llm.dedup import span_fingerprint_store
+
+    store = span_fingerprint_store(bench, window=8)
+    got2 = {
+        r["doc_id"]: r
+        for r in contamination_scores(corpus, store=store, window=8).collect()
+    }
+    assert {k: (v["n_windows"], v["n_hit"]) for k, v in got.items()} == {
+        k: (v["n_windows"], v["n_hit"]) for k, v in got2.items()
+    }
