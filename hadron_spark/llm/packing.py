@@ -247,3 +247,95 @@ def event_sequences(
             ).alias(seq_col),
         )
     )
+
+
+def chat_examples(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    content_col: str = "content",
+    mask_roles: tuple = ("assistant",),
+) -> DataFrame:
+    """Instruction-tuning example assembly: turn rows → one rendered
+    conversation string per dialog PLUS the per-turn character spans
+    a trainer needs to build the loss mask (SFT convention: loss only
+    on the roles in `mask_roles`, i.e. the assistant's tokens; the
+    prompt/user/system tokens are context, not targets).
+
+    Template (ChatML-shaped, public convention):
+        <|role|>\\ncontent\\n  per turn, concatenated in turn order.
+
+    Output: (conv_col, n_turns, text, spans) where spans is
+    array<struct<turn, role, span_start, span_end, loss>> — char
+    offsets [span_start, span_end) of each turn's CONTENT inside
+    `text` (0-indexed), so substring(text, span_start+1,
+    span_end-span_start) == content by construction, and the trainer
+    maps char spans to token spans after tokenization.
+
+    Plan shape: ONE partial-agg'd groupBy on the conversation key —
+    turns sort INSIDE the aggregated array (array_sort over
+    (order, role, content) structs; `order_col` must totally order a
+    dialog), offsets are a SINGLE in-row pass (aggregate building the
+    start-offset array — int-only accumulator, no O(k²) re-slicing),
+    and every offset is exact integer character arithmetic —
+    bit-identical in any engine. No window, no second shuffle; dialogs
+    parallelize across the conversation key at any corpus size."""
+    ts = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(order_col).alias("_o"),
+                F.col(role_col).alias("_r"),
+                F.col(content_col).alias("_c"),
+            )
+        )
+    )
+    agged = turns.groupBy(conv_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_turns"), ts.alias("_ts")
+    )
+    # piece = '<|' role '|>\n' content '\n'  → len = 6 + |role| + |content|
+    # single forward pass: array of piece START offsets (ints only, so
+    # the aggregate's initial value needs no exotic type annotation)
+    starts = F.expr(
+        "aggregate(_ts, named_struct('off', 0, 'st', cast(array() as array<int>)), "
+        "(acc, t) -> named_struct("
+        "'off', acc.off + 6 + length(t._r) + length(t._c), "
+        "'st', array_append(acc.st, acc.off)), "
+        "acc -> acc.st)"
+    )
+    # projection boundary: _ts and _starts are both multi-referenced
+    staged = agged.select(
+        conv_col, "n_turns", "_ts", starts.alias("_starts")
+    )
+    mask_arr = F.array(*[F.lit(r) for r in mask_roles])
+    spans = F.transform(
+        F.col("_ts"),
+        lambda t, i: F.struct(
+            t["_o"].alias("turn"),
+            t["_r"].alias("role"),
+            (F.element_at(F.col("_starts"), i + 1) + 5 + F.length(t["_r"]))
+            .cast("int")
+            .alias("span_start"),
+            (
+                F.element_at(F.col("_starts"), i + 1)
+                + 5
+                + F.length(t["_r"])
+                + F.length(t["_c"])
+            )
+            .cast("int")
+            .alias("span_end"),
+            F.array_contains(mask_arr, t["_r"]).alias("loss"),
+        ),
+    )
+    text = F.array_join(
+        F.transform(
+            F.col("_ts"),
+            lambda t: F.concat(
+                F.lit("<|"), t["_r"], F.lit("|>\n"), t["_c"], F.lit("\n")
+            ),
+        ),
+        "",
+    )
+    return staged.select(
+        conv_col, "n_turns", text.alias("text"), spans.alias("spans")
+    )

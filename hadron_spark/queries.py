@@ -10161,3 +10161,86 @@ def q236(spark, sf_dir):
         "doc_id", F.concat(F.col("text"), F.lit(seed)).alias("text")
     )
     return contamination_scores(corpus, benchmark, window=8)
+
+
+@_register(
+    "q237_chat_examples",
+    """
+    WITH t AS (
+      SELECT user_id AS conv_id, event_id AS turn_idx,
+             CASE WHEN event_type IN ('click', 'view', 'signup')
+                  THEN 'user' ELSE 'assistant' END AS role,
+             event_type || ' ' || props AS content
+      FROM events
+    ), w AS (
+      SELECT conv_id, turn_idx, role, content,
+             CAST(coalesce(SUM(6 + len(role) + len(content)) OVER (
+                    PARTITION BY conv_id ORDER BY turn_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS INT) AS prefix,
+             CAST(COUNT(*) OVER (PARTITION BY conv_id) AS INT) AS n_turns
+      FROM t
+    ), conv AS (
+      SELECT conv_id,
+             string_agg('<|' || role || '|>' || chr(10) || content || chr(10),
+                        '' ORDER BY turn_idx) AS text
+      FROM t GROUP BY conv_id
+    )
+    SELECT w.conv_id, w.n_turns, w.turn_idx AS turn, w.role,
+           CAST(w.prefix + 5 + len(w.role) AS INT) AS span_start,
+           CAST(w.prefix + 5 + len(w.role) + len(w.content) AS INT)
+             AS span_end,
+           w.role = 'assistant' AS loss,
+           substring(conv.text, w.prefix + 5 + len(w.role) + 1,
+                     len(w.content)) AS extracted,
+           w.content
+    FROM w JOIN conv USING (conv_id)
+    """,
+)
+def q237(spark, sf_dir):
+    """SFT chat-example assembly (llm.packing.chat_examples): the
+    event log plays a turn table (conv = user, turns ordered by
+    event_id, click/view/signup speak as 'user', error/purchase as
+    'assistant'); each conversation renders to ONE ChatML-shaped
+    string and per-turn character spans carrying the loss mask (loss
+    only on assistant turns).  The query explodes the span array and
+    re-extracts substring(text, span_start+1, len) — the oracle
+    computes spans independently via window prefix sums, so both the
+    offsets AND the extraction proving them index the right characters
+    must hash-match.  Engine plan: one partial-agg'd groupBy, offsets
+    a single in-row integer pass — no window, no second shuffle."""
+    from hadron_spark.llm.packing import chat_examples
+
+    ev = load(spark, sf_dir, "events")
+    turns = ev.select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        F.when(
+            F.col("event_type").isin("click", "view", "signup"), F.lit("user")
+        )
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.concat_ws(" ", "event_type", "props").alias("content"),
+    )
+    out = chat_examples(turns)
+    ex = out.select(
+        "conv_id", "n_turns", "text", F.explode("spans").alias("s")
+    )
+    return ex.select(
+        "conv_id",
+        "n_turns",
+        F.col("s.turn").alias("turn"),
+        F.col("s.role").alias("role"),
+        F.col("s.span_start").alias("span_start"),
+        F.col("s.span_end").alias("span_end"),
+        F.col("s.loss").alias("loss"),
+        F.expr(
+            "substring(text, s.span_start + 1, s.span_end - s.span_start)"
+        ).alias("extracted"),
+        # the oracle's `content` column is the TRUE turn content; here
+        # it is the engine's own extraction — the hash matches only if
+        # the spans index exactly the right characters
+        F.expr(
+            "substring(text, s.span_start + 1, s.span_end - s.span_start)"
+        ).alias("content"),
+    )

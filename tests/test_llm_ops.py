@@ -1911,3 +1911,42 @@ def test_contamination_scores(spark):
     assert {k: (v["n_windows"], v["n_hit"]) for k, v in got.items()} == {
         k: (v["n_windows"], v["n_hit"]) for k, v in got2.items()
     }
+
+
+def test_chat_examples_spans_and_mask(spark):
+    from hadron_spark.llm.packing import chat_examples
+
+    turns = spark.createDataFrame(
+        [
+            # out-of-order input: must sort by turn_idx inside the conv
+            (1, 2, "assistant", "hi there"),
+            (1, 1, "user", "hello"),
+            (1, 3, "user", "bye"),
+            (2, 1, "system", "be nice"),
+            (2, 2, "assistant", "ok"),
+        ],
+        ["conv_id", "turn_idx", "role", "content"],
+    )
+    got = {r["conv_id"]: r for r in chat_examples(turns).collect()}
+
+    c1 = got[1]
+    assert c1["n_turns"] == 3
+    assert c1["text"] == "<|user|>\nhello\n<|assistant|>\nhi there\n<|user|>\nbye\n"
+    spans = c1["spans"]
+    assert [s["turn"] for s in spans] == [1, 2, 3]
+    assert [s["loss"] for s in spans] == [False, True, False]
+    for s, content in zip(spans, ["hello", "hi there", "bye"]):
+        assert c1["text"][s["span_start"] : s["span_end"]] == content
+
+    c2 = got[2]
+    assert c2["text"] == "<|system|>\nbe nice\n<|assistant|>\nok\n"
+    assert [s["loss"] for s in c2["spans"]] == [False, True]
+
+    # custom mask_roles: train on user turns too
+    got2 = {
+        r["conv_id"]: r
+        for r in chat_examples(
+            turns, mask_roles=("assistant", "user")
+        ).collect()
+    }
+    assert [s["loss"] for s in got2[1]["spans"]] == [True, True, True]
