@@ -332,3 +332,73 @@ def card_count(col: Column | str) -> Column:
             lambda h: luhn_valid(F.regexp_replace(h, "[ -]", "")),
         )
     )
+
+
+def _cp1252_misdecode(ch: str) -> str:
+    """How `ch` looks after its UTF-8 bytes are misread as cp1252
+    (undefined cp1252 bytes fall back to latin-1, as real-world lossy
+    decoders do) - the classic mojibake corruption."""
+    out = []
+    for b in ch.encode("utf-8"):
+        try:
+            out.append(bytes([b]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(b))
+    return "".join(out)
+
+
+# UTF-8 punctuation/accents misdecoded as cp1252 ("mojibake"), the most
+# common crawl-text corruption (the core ftfy case).  Pairs are DERIVED
+# from the intended characters so the table is provably the cp1252
+# round-trip, and this file stays ASCII - several corrupted sequences
+# carry INVISIBLE C1 controls, e.g. U+009D inside the rdquo mojibake.
+# ORDER MATTERS twice: 3-char sequences must apply before the
+# control-char strip that would eat their C1 bytes, and the en/em-dash
+# fixes must run BEFORE ldquo/rdquo - those fixes emit U+201C/U+201D,
+# which are the third char of the dash mojibake patterns, so a later
+# dash pass would cascade-corrupt a just-fixed quote.
+_FIX_TARGETS = (
+    "\u2013\u2014"  # en dash, em dash - first, see above
+    "\u2019\u2018"  # right/left single quote
+    "\u201c\u201d"  # left/right double quote
+    "\u2026"          # ellipsis
+    "\u00e9\u00e8\u00ea\u00e1\u00e0\u00e2"  # e/a accents
+    "\u00f3\u00f4\u00f6\u00fc\u00fa\u00ed"  # o/u/i accents
+    "\u00e7\u00f1\u00e4"                        # c-cedilla, n-tilde, a-uml
+    "\u00a0"          # nbsp - mapped to plain space below
+)
+MOJIBAKE_FIXES = [
+    (_cp1252_misdecode(ch), " " if ch == "\u00a0" else ch)
+    for ch in _FIX_TARGETS
+] + [("\u00a0", " ")]  # bare nbsp -> space, after the 2-char form
+
+
+def fix_text(col: Column | str) -> Column:
+    """Crawl-text repair (ftfy-lite, pure Catalyst expressions):
+
+    1. un-mojibake the cp1252-misdecoded UTF-8 punctuation/accents in
+       MOJIBAKE_FIXES (literal `replace` chain - no regex cost),
+    2. normalize line endings (CRLF and CR -> LF),
+    3. strip control characters except newline and tab (C0, DEL, C1 -
+       AFTER step 1, which consumes the U+009D inside the rdquo
+       mojibake),
+    4. drop trailing spaces/tabs before each newline and at end of
+       text (backslash-z, not $ - Java regex $ also matches before a
+       FINAL newline, RE2 $ does not; \\z is end-of-input in both),
+    5. collapse 3+ consecutive newlines to one blank line.
+
+    Every pattern is RE2-compatible, so a DuckDB replay is
+    byte-identical - fix_text output is FULL-oracle-able.  Per-row
+    work is O(len); no Python, no shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    for bad, good in MOJIBAKE_FIXES:
+        c = F.replace(c, F.lit(bad), F.lit(good))
+    c = F.replace(c, F.lit("\r\n"), F.lit("\n"))
+    c = F.replace(c, F.lit("\r"), F.lit("\n"))
+    c = F.regexp_replace(
+        c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]", ""
+    )
+    c = F.regexp_replace(c, "[ \\t]+\\n", "\n")
+    c = F.regexp_replace(c, "[ \\t]+\\z", "")
+    c = F.regexp_replace(c, "\\n{3,}", "\n\n")
+    return c

@@ -10244,3 +10244,90 @@ def q237(spark, sf_dir):
             "substring(text, s.span_start + 1, s.span_end - s.span_start)"
         ).alias("content"),
     )
+
+
+from hadron_spark.functions.text import (  # noqa: E402
+    MOJIBAKE_FIXES as _MOJI,
+    _cp1252_misdecode as _mis,
+)
+
+
+def _sqllit(s: str) -> str:
+    """chr()-composed DuckDB string literal — keeps this file ASCII
+    even for seeds carrying C1 controls and non-ASCII punctuation."""
+    if not s:
+        return "''"
+    return "(" + " || ".join(f"chr({ord(c)})" for c in s) + ")"
+
+
+def _fix_text_sql(expr: str) -> str:
+    """DuckDB replay of functions.text.fix_text — SAME pair order,
+    same regex steps (all RE2-safe; \\z not $, see fix_text)."""
+    for bad, good in _MOJI:
+        expr = f"replace({expr}, {_sqllit(bad)}, {_sqllit(good)})"
+    expr = f"replace({expr}, chr(13) || chr(10), chr(10))"
+    expr = f"replace({expr}, chr(13), chr(10))"
+    expr = (
+        f"regexp_replace({expr}, "
+        "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]', '', 'g')"
+    )
+    expr = f"regexp_replace({expr}, '[ \\t]+\\n', chr(10), 'g')"
+    expr = f"regexp_replace({expr}, '[ \\t]+\\z', '', 'g')"
+    expr = f"regexp_replace({expr}, '\\n{{3,}}', chr(10) || chr(10), 'g')"
+    return expr
+
+
+# every mojibake class + CRLF + a C0 control + nbsp forms + trailing
+# whitespace + a 3-newline run, wrapped around each document's text
+_Q238_PRE = (
+    _mis("“") + "Caf" + _mis("é") + _mis("”") + " "
+    + _mis("—") + " It" + _mis("’") + "s" + _mis("…")
+    + _mis(" ") + "x" + " " + "y  \r\n\x07\r\n\r\n\r\n\t"
+)
+_Q238_SUF = "  \r\n" + _mis("ñ") + "end  "
+
+
+@_register(
+    "q238_fix_text",
+    f"""
+    WITH seeded AS (
+      SELECT doc_id, {_sqllit(_Q238_PRE)} || text || {_sqllit(_Q238_SUF)} AS t
+      FROM documents
+    ), fx AS (
+      SELECT doc_id, t, {_fix_text_sql('t')} AS fixed FROM seeded
+    )
+    SELECT doc_id, fixed,
+           CAST(len(t) AS INT) AS n_chars_before,
+           CAST(len(fixed) AS INT) AS n_chars_after
+    FROM fx
+    """,
+)
+def q238(spark, sf_dir):
+    """Crawl-text repair (functions.text.fix_text, ftfy-lite): every
+    document is wrapped in a corruption gauntlet — cp1252-mojibake
+    quotes/dash/ellipsis/accents (derived via the cp1252 round-trip,
+    including the INVISIBLE U+009D inside the rdquo sequence), nbsp
+    in both its mojibake and bare forms, CRLF endings, a C0 control,
+    trailing whitespace and a 3-newline run — and the repaired string
+    plus before/after char counts must hash-match the DuckDB replay
+    byte-for-byte (literal replace chain in the SAME order + RE2-safe
+    regex steps; end-of-input is \\z because Java's $ matches before a
+    final newline and RE2's does not)."""
+    from hadron_spark.functions.text import fix_text
+
+    docs = load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_Q238_PRE), F.col("text"), F.lit(_Q238_SUF)
+        ).alias("t"),
+    )
+    staged = seeded.select(
+        "doc_id", "t", fix_text("t").alias("fixed")
+    )
+    return staged.select(
+        "doc_id",
+        "fixed",
+        F.length("t").cast("int").alias("n_chars_before"),
+        F.length("fixed").cast("int").alias("n_chars_after"),
+    )

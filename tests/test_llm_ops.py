@@ -1950,3 +1950,49 @@ def test_chat_examples_spans_and_mask(spark):
         ).collect()
     }
     assert [s["loss"] for s in got2[1]["spans"]] == [True, True, True]
+
+
+def test_fix_text_mojibake_and_cleanup(spark):
+    from hadron_spark.functions.text import (
+        MOJIBAKE_FIXES,
+        _cp1252_misdecode,
+        fix_text,
+    )
+
+    # every pair is exactly the cp1252 round-trip of its intended
+    # character (the two space-target pairs derive from nbsp)
+    nbsp = "\u00a0"
+    for bad, good in MOJIBAKE_FIXES:
+        assert bad in (_cp1252_misdecode(good), _cp1252_misdecode(nbsp), nbsp)
+    assert sum(1 for _, good in MOJIBAKE_FIXES if good == " ") == 2
+    # rdquo mojibake really carries the invisible C1 control U+009D
+    rdquo_bad = _cp1252_misdecode("”")
+    assert [ord(c) for c in rdquo_bad] == [0xE2, 0x20AC, 0x9D]
+
+    seed = (
+        "Caf" + _cp1252_misdecode("é") + " "
+        + _cp1252_misdecode("“") + "q" + rdquo_bad + " "
+        + _cp1252_misdecode("—") + " It"
+        + _cp1252_misdecode("’") + "s"
+        + _cp1252_misdecode("…")
+        + _cp1252_misdecode(" ") + "x" + " " + "y  \r\n"
+        + "\x07mid\x1b  \r\r\n\r\n\r\n\tend  "
+    )
+    got = (
+        spark.createDataFrame([(seed,)], ["t"])
+        .select(fix_text("t").alias("f"))
+        .collect()[0]["f"]
+    )
+    assert got == (
+        "Café “q” — It’s… x y\n"
+        "mid\n\n\tend"
+    )
+    # dash fixes run before quote fixes: a REAL en-dash mojibake is
+    # repaired even though the ldquo fix also emits its third char
+    endash = _cp1252_misdecode("–")
+    got2 = (
+        spark.createDataFrame([("a" + endash + "b",)], ["t"])
+        .select(fix_text("t").alias("f"))
+        .collect()[0]["f"]
+    )
+    assert got2 == "a–b"
