@@ -1156,3 +1156,121 @@ def weighted_percentile(
         ),
         out_col,
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+
+def cms_build(
+    df: DataFrame,
+    key: Column | str,
+    depth: int = 4,
+    width: int = 1024,
+    weight: Column | None = None,
+) -> DataFrame:
+    """Count-min sketch of a key column as a tiny MERGEABLE frame
+    (d, bucket, cnt) with d in 0..depth-1 — the bounded-size
+    frequency summary for streams and federated corpora where the
+    exact wordcount table itself is too big to keep (Cormode &
+    Muthukrishnan 2005: est >= true, over by <= 2N/width with prob
+    1 - 2^-depth).
+
+    Buckets ride on the repo's engine-portable md5 primitive
+    (ops.hash_bucket over 'd:key'), so sketches are bit-identical
+    across runs, engines, partitionings, and merge orders.
+
+    Plan: explode depth rows per input row, ONE partial-agg'd
+    groupBy — the shuffle carries at most depth*width distinct keys
+    regardless of input size (map-side combine collapses everything
+    else); the sketch frame is <= depth*width rows, i.e. broadcast
+    material. `weight` makes it a weighted sketch (e.g. token counts
+    pre-aggregated per doc)."""
+    k = F.col(key) if isinstance(key, str) else key
+    w = F.lit(1).cast("long") if weight is None else weight.cast("long")
+    rows = df.select(
+        k.cast("string").alias("_k"),
+        w.alias("_w"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+    )
+    return (
+        rows.select(
+            "d",
+            hash_bucket(
+                F.concat_ws(":", F.col("d"), F.col("_k")), width
+            ).alias("bucket"),
+            "_w",
+        )
+        .groupBy("d", "bucket")
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min sketches built with the SAME depth/width:
+    union + re-sum — the linearity that makes CMS the right summary
+    for per-shard / per-day / per-source accumulation (merge result
+    is bit-identical to sketching the concatenated input)."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    key: Column | str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query a CMS for each row of `items`: est = min over the
+    depth rows of the key's bucket counts (0 when a bucket is empty —
+    the item was never sketched). depth/width MUST match the build.
+
+    Plan: items explode depth rows, LEFT join the sketch on
+    (d, bucket) — the sketch is <= depth*width rows, so Spark
+    broadcasts it — then a partial-agg'd groupBy min. Returns the
+    item frame's columns plus `cms_est` (long, >= true count)."""
+    k = F.col(key) if isinstance(key, str) else key
+    cols = items.columns
+    rows = items.select(
+        *cols,
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+    ).select(
+        *cols,
+        "d",
+        hash_bucket(
+            F.concat_ws(":", F.col("d"), k.cast("string")), width
+        ).alias("bucket"),
+    )
+    joined = rows.join(F.broadcast(sketch), on=["d", "bucket"], how="left")
+    return joined.groupBy(*cols).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est")
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key: Column | str,
+    min_count: int,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Heavy hitters via CMS: distinct keys whose sketch estimate
+    reaches `min_count`. CMS never underestimates, so NO true heavy
+    hitter is missed (one-sided error: collision-inflated light keys
+    can sneak in — shrink the candidate set, never grow the miss
+    set). The candidate enumeration here is a distinct pass over the
+    input; in a streaming deployment the candidates come from the
+    per-batch keys instead, against the merged running sketch.
+
+    Returns (key, cms_est) for est >= min_count."""
+    k = F.col(key) if isinstance(key, str) else key
+    sketch = cms_build(df, k, depth=depth, width=width)
+    cand = df.select(k.cast("string").alias("item")).distinct()
+    est = cms_estimate(sketch, cand, "item", depth=depth, width=width)
+    return est.filter(F.col("cms_est") >= min_count)

@@ -10331,3 +10331,56 @@ def q238(spark, sf_dir):
         F.length("t").cast("int").alias("n_chars_before"),
         F.length("fixed").cast("int").alias("n_chars_after"),
     )
+
+
+@_register(
+    "q239_cms_heavy_hitters",
+    r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> '')) AS tok
+      FROM documents
+    ), dd AS (
+      SELECT unnest(generate_series(0, 3)) AS d
+    ), pairs AS (
+      SELECT d.d,
+             (('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' || t.tok),
+                1, 8))::BIGINT % 256) AS bucket
+      FROM toks t, dd d
+    ), sk AS (
+      SELECT d, bucket, COUNT(*) AS cnt FROM pairs GROUP BY d, bucket
+    ), cand AS (
+      SELECT DISTINCT tok AS item FROM toks
+    ), eb AS (
+      SELECT c.item, d.d,
+             (('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' || c.item),
+                1, 8))::BIGINT % 256) AS bucket
+      FROM cand c, dd d
+    ), est AS (
+      SELECT eb.item, MIN(coalesce(sk.cnt, 0)) AS cms_est
+      FROM eb LEFT JOIN sk USING (d, bucket)
+      GROUP BY eb.item
+    )
+    SELECT item, CAST(cms_est AS BIGINT) AS cms_est
+    FROM est WHERE cms_est >= 200
+    """,
+)
+def q239(spark, sf_dir):
+    """Count-min-sketch heavy hitters (operators.ops.cms_build /
+    cms_estimate / cms_heavy_hitters, Cormode & Muthukrishnan 2005):
+    corpus tokens sketched into a 4x256 mergeable table (deliberately
+    narrow so bucket collisions inflate estimates — the inflation is
+    deterministic md5 arithmetic and the oracle replays it exactly),
+    then every distinct token point-queried and cut at est >= 200.
+    CMS never underestimates, so no true >=200 token can be missed.
+    Plan: the sketch shuffle carries at most depth*width keys at ANY
+    corpus size (map-side combine), and the estimate join broadcasts
+    the <=1024-row sketch.  FULL oracle."""
+    from hadron_spark.functions.text import tokenize
+    from hadron_spark.operators.ops import cms_heavy_hitters
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokenize(F.lower(F.col("text")))).alias("tok")
+    )
+    return cms_heavy_hitters(toks, "tok", min_count=200, depth=4, width=256)

@@ -737,3 +737,59 @@ def test_weighted_percentile_matches_reference(spark):
                 want = x
                 break
         assert got[p] == want, (p, got[p], want)
+
+
+def test_cms_sketch_family(spark):
+    from hadron_spark.operators.ops import (
+        cms_build,
+        cms_estimate,
+        cms_heavy_hitters,
+        cms_merge,
+    )
+
+    rows = (
+        [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 5 + [("d",)] * 1
+    )
+    df = spark.createDataFrame(rows, ["k"])
+
+    # wide sketch: no collisions expected -> estimates are exact
+    wide = cms_build(df, "k", depth=4, width=4096)
+    cand = df.select("k").distinct().withColumnRenamed("k", "item")
+    est = {
+        r["item"]: r["cms_est"]
+        for r in cms_estimate(wide, cand, "item", depth=4, width=4096).collect()
+    }
+    assert est == {"a": 50, "b": 30, "c": 5, "d": 1}
+
+    # never-sketched key estimates 0 (empty buckets, not NULL)
+    ghost = spark.createDataFrame([("zz",)], ["item"])
+    assert (
+        cms_estimate(wide, ghost, "item", depth=4, width=4096)
+        .collect()[0]["cms_est"]
+        == 0
+    )
+
+    # narrow sketch: one-sided error only (est >= true, never under)
+    narrow = cms_build(df, "k", depth=2, width=2)
+    est_n = {
+        r["item"]: r["cms_est"]
+        for r in cms_estimate(narrow, cand, "item", depth=2, width=2).collect()
+    }
+    for k, true in [("a", 50), ("b", 30), ("c", 5), ("d", 1)]:
+        assert est_n[k] >= true
+
+    # linearity: sketch(half1) ++ sketch(half2) == sketch(whole)
+    h1 = spark.createDataFrame(rows[:40], ["k"])
+    h2 = spark.createDataFrame(rows[40:], ["k"])
+    merged = cms_merge(
+        cms_build(h1, "k", depth=4, width=64),
+        cms_build(h2, "k", depth=4, width=64),
+    )
+    whole = cms_build(df, "k", depth=4, width=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+    # heavy hitters: no true heavy key can be missed
+    hh = {r["item"] for r in cms_heavy_hitters(df, "k", 30, 4, 4096).collect()}
+    assert {"a", "b"} <= hh and "d" not in hh
