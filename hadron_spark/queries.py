@@ -10384,3 +10384,66 @@ def q239(spark, sf_dir):
         F.explode(tokenize(F.lower(F.col("text")))).alias("tok")
     )
     return cms_heavy_hitters(toks, "tok", min_count=200, depth=4, width=256)
+
+
+@_register(
+    "q240_streaming_cms",
+    r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> '')) AS tok
+      FROM documents
+    ), dd AS (
+      SELECT unnest(generate_series(0, 3)) AS d
+    ), pairs AS (
+      SELECT d.d,
+             (('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' || t.tok),
+                1, 8))::BIGINT % 256) AS bucket
+      FROM toks t, dd d
+    )
+    SELECT CAST(d AS INT) AS d, bucket, COUNT(*) AS cnt
+    FROM pairs GROUP BY d, bucket
+    """,
+)
+def q240(spark, sf_dir):
+    """Streaming count-min maintenance (streaming.ops
+    .incremental_cms): the corpus token stream is deliberately
+    chopped into 4 micro-batches (maxFilesPerTrigger=1), each batch
+    sketched and merged into the parquet state table under the
+    exactly-once trio — and the FINAL STATE must hash-match the
+    DuckDB replay of sketching ALL tokens in one pass: CMS linearity
+    makes the result independent of batch boundaries, which is
+    exactly what this FULL oracle proves (the prior streaming sinks
+    are rows-only; the sketch's additivity earns the stronger
+    check)."""
+    import shutil
+    import tempfile
+
+    from hadron_spark.functions.text import tokenize
+    from hadron_spark.streaming.ops import incremental_cms, read_cms_state
+
+    work = tempfile.mkdtemp(prefix="q240_")
+    src = f"{work}/src"
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokenize(F.lower(F.col("text")))).alias("tok")
+    )
+    toks.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("tok string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = incremental_cms(
+        stream,
+        f"{work}/state",
+        key="tok",
+        depth=4,
+        width=256,
+        checkpoint=f"{work}/ckpt",
+    )
+    q.awaitTermination(300)
+    result = read_cms_state(spark, f"{work}/state")
+    result = spark.createDataFrame(result.collect(), result.schema)
+    shutil.rmtree(work, ignore_errors=True)
+    return result

@@ -625,3 +625,111 @@ def streaming_perplexity_gate(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+CMS_MARK = -2  # d = -2 row carries the batch high-water mark
+
+
+def read_cms_state(spark, state_path: str) -> DataFrame:
+    """Consumer view of an `incremental_cms` state table: the
+    bookkeeping marker row is stripped — what remains is exactly the
+    (d, bucket, cnt) frame `ops.cms_build` would return over every
+    row the stream has delivered so far (CMS linearity, pinned in
+    test_ops/test_streaming)."""
+    return (
+        spark.read.parquet(state_path)
+        .filter(F.col("d") != F.lit(CMS_MARK))
+        .select("d", "bucket", "cnt")
+    )
+
+
+def cms_apply_fn(
+    state_path: str,
+    key: str = "tok",
+    depth: int = 4,
+    width: int = 1024,
+):
+    """The foreachBatch merge function behind `incremental_cms`,
+    exposed so the replay/recovery contract is directly unit-testable
+    (call it with (batch_df, batch_id) like the stream runtime does).
+    Same checkpoint-lineage caveat as `gram_apply_fn`: the state
+    table is bound to the checkpoint whose batch ids built it."""
+    from hadron_spark.operators import ops as _ops
+    from hadron_spark.sources import fs
+
+    def apply(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        _recover_swap(spark, state_path)
+        prev = None
+        if fs.exists(spark, state_path):
+            prev = spark.read.parquet(state_path)
+            hwm_row = (
+                prev.filter(F.col("d") == F.lit(CMS_MARK))
+                .select("cnt")
+                .collect()
+            )
+            if hwm_row and batch_id <= int(hwm_row[0]["cnt"]):
+                return  # replayed batch: already merged exactly once
+        part = _ops.cms_build(
+            batch_df.localCheckpoint(eager=True),
+            key,
+            depth=depth,
+            width=width,
+        )
+        if prev is not None:
+            merged = (
+                prev.filter(F.col("d") != F.lit(CMS_MARK))
+                .select("d", "bucket", "cnt")
+                .unionByName(part)
+                .groupBy("d", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        else:
+            merged = part
+        marker = spark.range(1).select(
+            F.lit(CMS_MARK).cast("int").alias("d"),
+            F.lit(CMS_MARK).cast("long").alias("bucket"),
+            F.lit(int(batch_id)).cast("long").alias("cnt"),
+        )
+        _commit_swap(spark, merged.unionByName(marker), state_path, batch_id)
+
+    return apply
+
+
+def incremental_cms(
+    stream: DataFrame,
+    state_path: str,
+    key: str = "tok",
+    depth: int = 4,
+    width: int = 1024,
+    checkpoint: str | None = None,
+):
+    """Streaming maintenance of a count-min sketch over an unbounded
+    key stream: each micro-batch is sketched with the SAME
+    `ops.cms_build` pass as the batch op and merged into a tiny
+    parquet state table (<= depth*width + 1 rows REGARDLESS of stream
+    volume) by (d, bucket) sum — CMS linearity makes the merge exact,
+    so at any point `read_cms_state(state)` is bit-identical to
+    sketching every delivered row in one batch, independent of how
+    the stream was chopped into batches.
+
+    This is the sketch's natural habitat: the exact wordcount table
+    for an unbounded token stream grows without bound, the sketch
+    does not — heavy-hitter queries (`ops.cms_estimate` /
+    `cms_heavy_hitters` against the state) stay O(depth*width).
+
+    Exactness under failure: the same trio as `incremental_gram` —
+    batch-id high-water mark in a marker row (replays merge exactly
+    once), `_recover_swap` heals interrupted tmp-then-rename swaps,
+    and all counts are exact longs.
+
+    Returns the started StreamingQuery (availableNow trigger)."""
+    apply = cms_apply_fn(state_path, key, depth=depth, width=width)
+    writer = (
+        stream.writeStream.foreachBatch(apply)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

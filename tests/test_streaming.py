@@ -410,3 +410,73 @@ def test_streaming_perplexity_gate(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(f"{out2}/batch=0").collect()
     )
     assert one == [1, 3]
+
+
+def test_incremental_cms_matches_batch(spark, sf_dir, tmp_path):
+    """Final streamed state must be bit-identical to cms_build over
+    all rows in one pass — CMS linearity means batch boundaries are
+    invisible."""
+    from hadron_spark.functions.text import tokenize
+    from hadron_spark.operators.ops import cms_build
+    from hadron_spark.streaming.ops import cms_apply_fn, read_cms_state
+
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(tokenize(F.lower(F.col("text")))).alias("tok"))
+    )
+    state = str(tmp_path / "cms_state")
+    apply = cms_apply_fn(state, key="tok", depth=4, width=128)
+    apply(toks.filter(F.crc32(F.col("tok")) % 3 == 0), 0)
+    apply(toks.filter(F.crc32(F.col("tok")) % 3 == 1), 1)
+    apply(toks.filter(F.crc32(F.col("tok")) % 3 == 2), 2)
+    got = {
+        (r.d, r.bucket): r.cnt
+        for r in read_cms_state(spark, state).collect()
+    }
+    want = {
+        (r.d, r.bucket): r.cnt
+        for r in cms_build(toks, "tok", depth=4, width=128).collect()
+    }
+    assert got == want
+    # state size is bounded by the sketch, not the stream
+    assert len(got) <= 4 * 128
+
+
+def test_incremental_cms_replay_and_recovery(spark, sf_dir, tmp_path):
+    """At-least-once replays merge exactly once (high-water mark);
+    an interrupted tmp-then-rename swap heals on the next apply."""
+    from hadron_spark.functions.text import tokenize
+    from hadron_spark.operators.ops import cms_build
+    from hadron_spark.sources import fs
+    from hadron_spark.streaming.ops import cms_apply_fn, read_cms_state
+
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(tokenize(F.lower(F.col("text")))).alias("tok"))
+    )
+    b0 = toks.filter(F.crc32(F.col("tok")) % 2 == 0)
+    b1 = toks.filter(F.crc32(F.col("tok")) % 2 == 1)
+    state = str(tmp_path / "cms_state")
+    apply = cms_apply_fn(state, key="tok", depth=4, width=128)
+    apply(b0, 0)
+    # crash after mv(state -> old), before tmp promotion: heal
+    fs.mv(spark, state, state + "._old_1")
+    apply(b1, 1)
+    want = {
+        (r.d, r.bucket): r.cnt
+        for r in cms_build(toks, "tok", depth=4, width=128).collect()
+    }
+    got = {
+        (r.d, r.bucket): r.cnt
+        for r in read_cms_state(spark, state).collect()
+    }
+    assert got == want
+    assert not fs.exists(spark, state + "._old_1")
+    # replayed batches (same ids) are no-ops
+    apply(b1, 1)
+    apply(b0, 0)
+    got = {
+        (r.d, r.bucket): r.cnt
+        for r in read_cms_state(spark, state).collect()
+    }
+    assert got == want
