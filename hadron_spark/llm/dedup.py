@@ -1434,3 +1434,67 @@ def contamination_scores(
             .alias("overlap_frac"),
         )
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str | None = None,
+    bench_vec_col: str | None = None,
+) -> DataFrame:
+    """EMBEDDING-level benchmark contamination: for every corpus
+    document embedding, the single most-similar benchmark item by
+    exact cosine, and a verdict `max_cos >= threshold`.  This is the
+    semantic complement of the n-gram passes (`contamination_scores`
+    / `decontaminate_spans`): paraphrased or reformatted eval leaks
+    share no 8-gram with the benchmark but sit next to it in
+    embedding space — the practice used by phi / Tülu-style
+    embedding decontamination.
+
+    Exact by design: published decontamination runs exact similarity
+    (a missed leak is worse than the compute), and exact stays cheap
+    at 100 TB because the benchmark side is MB-scale by contract —
+    it is BROADCAST, every corpus partition scores its rows locally
+    (zero shuffle of the corpus), and the only exchange is the
+    per-document max, which partial-aggregates map-side to one row
+    per corpus doc.  For a benchmark too big to broadcast, route
+    through `similarity.ivf_topk` (quantizer-pruned) instead and
+    threshold its top-1 — same verdict columns, approximate recall.
+
+    The argmax is tie-broken deterministically by taking the
+    lexicographic max of (cosine, bench_id) — on equal cosine the
+    HIGHEST benchmark id wins (mirrors a struct-max exactly in
+    portable SQL).  Benchmark must be non-empty; zero-norm vectors
+    yield NULL cosine and are never selected over a real score.
+
+    Returns (id_col, top_bench_id, contaminated)."""
+    from hadron_spark.functions.vectors import cosine_similarity
+
+    b_id = bench_id_col or id_col
+    b_vec = bench_vec_col or vec_col
+    bench = F.broadcast(
+        benchmark.select(
+            F.col(b_id).alias("__bench_id"), F.col(b_vec).alias("__bvec")
+        )
+    )
+    scored = corpus.select(id_col, vec_col).crossJoin(bench).select(
+        id_col,
+        F.struct(
+            cosine_similarity(F.col(vec_col), F.col("__bvec")).alias("c"),
+            F.col("__bench_id").alias("b"),
+        ).alias("__cb"),
+    )
+    m = F.max("__cb").alias("__m")
+    return (
+        scored.groupBy(id_col)
+        .agg(m)
+        .select(
+            id_col,
+            F.col("__m.b").alias("top_bench_id"),
+            (F.col("__m.c") >= F.lit(float(threshold))).alias("contaminated"),
+        )
+    )

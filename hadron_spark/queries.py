@@ -10447,3 +10447,39 @@ def q240(spark, sf_dir):
     result = spark.createDataFrame(result.collect(), result.schema)
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+@_register(
+    "q241_semantic_contamination",
+    """
+    WITH bench AS (
+      SELECT vec_id AS bench_id, embedding AS bvec
+      FROM embeddings WHERE vec_id < 8
+    ), agg AS (
+      SELECT c.vec_id,
+             max(struct_pack(c := list_cosine_similarity(c.embedding, b.bvec),
+                             b := b.bench_id)) AS m
+      FROM embeddings c, bench b
+      WHERE c.vec_id >= 8
+      GROUP BY c.vec_id
+    )
+    SELECT vec_id, m.b AS top_bench_id, m.c >= 0.4 AS contaminated
+    FROM agg
+    """,
+)
+def q241(spark, sf_dir):
+    """Embedding-level benchmark contamination
+    (llm.dedup.semantic_contamination): benchmark = first 8 vectors,
+    corpus = the rest; exact cosine against the BROADCAST benchmark,
+    per-doc struct-max argmax (tie-break: highest bench_id), verdict
+    at 0.4 (fixture max-cos tops out at ~0.49 with ~1e-3 spacing
+    near the cut — ulp-safe).  FULL oracle: ids and booleans only,
+    no raw doubles emitted."""
+    from hadron_spark.llm.dedup import semantic_contamination
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_contamination(
+        emb.filter(F.col("vec_id") >= 8),
+        emb.filter(F.col("vec_id") < 8),
+        threshold=0.4,
+    )

@@ -1996,3 +1996,48 @@ def test_fix_text_mojibake_and_cleanup(spark):
         .collect()[0]["f"]
     )
     assert got2 == "a–b"
+
+
+def test_semantic_contamination(spark):
+    """Planted leak is flagged with the right benchmark attribution;
+    orthogonal doc is clean; equal-cosine ties go to the highest
+    bench_id (the documented struct-max tie-break)."""
+    bench = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, [2.0, 0.0, 0.0]),   # scaled copy of bench 0 → cos 1.0
+            (11, [0.0, 0.0, 5.0]),   # orthogonal to both → cos 0.0
+            (12, [1.0, 1.0, 0.0]),   # equidistant: cos ties at 1/√2
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["top_bench_id"], r["contaminated"])
+        for r in dedup.semantic_contamination(
+            corpus, bench, threshold=0.9
+        ).collect()
+    }
+    assert got[10] == (0, True)
+    assert got[11][1] is False
+    assert got[12] == (1, False)  # tie → highest bench_id, 0.707 < 0.9
+
+
+def test_semantic_contamination_plan_is_broadcast(spark):
+    """The benchmark side must broadcast (no corpus shuffle for the
+    join) and the per-doc max must partial-aggregate."""
+    from hadron_spark.plans.inspect import explain_str
+
+    bench = spark.range(4).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.rand()).alias("embedding"),
+    )
+    corpus = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(), F.rand()).alias("embedding"),
+    )
+    txt = explain_str(dedup.semantic_contamination(corpus, bench))
+    assert "BroadcastNestedLoopJoin" in txt or "BroadcastExchange" in txt
+    assert "partial_max" in txt
