@@ -10483,3 +10483,43 @@ def q241(spark, sf_dir):
         emb.filter(F.col("vec_id") < 8),
         threshold=0.4,
     )
+
+
+@_register(
+    "q242_nfc_normalize",
+    """
+    WITH planted AS (
+      SELECT doc_id,
+             replace(replace(text, 'e', 'e' || chr(769)),
+                     'o', 'o' || chr(768)) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           nfc_normalize(t) AS norm_text,
+           t = nfc_normalize(t) AS was_normalized
+    FROM planted
+    """,
+)
+def q242(spark, sf_dir):
+    """Unicode NFC normalization (functions.unicode.unicode_normalize
+    / is_normalized): every 'e'/'o' in the corpus is denormalized
+    into base + combining accent (U+0301/U+0300), then normalized
+    back via the Arrow-vectorized unicodedata pass.  FULL oracle —
+    normalization forms are defined by UAX #15, so DuckDB's
+    nfc_normalize must agree byte-for-byte with Python's
+    unicodedata; this query proves the conformance on real corpus
+    text, not a toy gauntlet."""
+    from hadron_spark.functions.unicode import is_normalized, unicode_normalize
+
+    docs = load(spark, sf_dir, "documents")
+    t = F.replace(
+        F.replace(F.col("text"), F.lit("e"), F.lit("e\u0301")),
+        F.lit("o"),
+        F.lit("o\u0300"),
+    )
+    planted = docs.select("doc_id", t.alias("t"))
+    return planted.select(
+        "doc_id",
+        unicode_normalize("t", "NFC").alias("norm_text"),
+        is_normalized("t", "NFC").alias("was_normalized"),
+    )

@@ -2041,3 +2041,46 @@ def test_semantic_contamination_plan_is_broadcast(spark):
     txt = explain_str(dedup.semantic_contamination(corpus, bench))
     assert "BroadcastNestedLoopJoin" in txt or "BroadcastExchange" in txt
     assert "partial_max" in txt
+
+
+def test_unicode_normalize_parity(spark):
+    """Byte parity with unicodedata on the classic gauntlet:
+    combining sequences (NFC recomposes), ligature/fullwidth/circled
+    compatibility chars (NFKC folds, NFC preserves), idempotence,
+    NULL passthrough."""
+    import unicodedata
+
+    from hadron_spark.functions.unicode import is_normalized, unicode_normalize
+
+    rows = [
+        (0, "école"),          # e + combining acute
+        (1, "ﬁn du siècle"),  # ﬁ ligature + precomposed è
+        (2, "Ａ① half­width"),  # fullwidth A, circled 1, soft hyphen
+        (3, "already clean ascii"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    out = df.select(
+        "i",
+        unicode_normalize("t", "NFC").alias("nfc"),
+        unicode_normalize("t", "NFKC").alias("nfkc"),
+        is_normalized("t", "NFC").alias("ok"),
+    ).collect()
+    for r in out:
+        src = rows[r["i"]][1]
+        if src is None:
+            assert r["nfc"] is None and r["nfkc"] is None and r["ok"] is None
+            continue
+        assert r["nfc"] == unicodedata.normalize("NFC", src)
+        assert r["nfkc"] == unicodedata.normalize("NFKC", src)
+        assert r["ok"] == unicodedata.is_normalized("NFC", src)
+    # idempotence: normalizing the normalized column is a no-op
+    twice = df.filter("t is not null").select(
+        unicode_normalize(unicode_normalize("t", "NFC"), "NFC").alias("a"),
+        unicode_normalize("t", "NFC").alias("b"),
+    )
+    assert all(r["a"] == r["b"] for r in twice.collect())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        unicode_normalize("t", "NFZ")
