@@ -10523,3 +10523,45 @@ def q242(spark, sf_dir):
         unicode_normalize("t", "NFC").alias("norm_text"),
         is_normalized("t", "NFC").alias("was_normalized"),
     )
+
+
+@_register("q243_streaming_hll", None)
+def q243(spark, sf_dir):
+    """Streaming distinct-cardinality maintenance (streaming.ops
+    .incremental_hll): the event stream is chopped into micro-batches
+    (maxFilesPerTrigger=1) and per-event_type HLL sketches are
+    unioned into the parquet state; estimates read back from the
+    state equal a one-shot sketch of all delivered rows (register
+    max is lossless — pinned exactly in test_streaming).  Rows-only
+    by design: the estimate is approximate and the DataSketches
+    binary has no DuckDB replay."""
+    import shutil
+    import tempfile
+
+    from hadron_spark.operators.sketch import hll_estimate
+    from hadron_spark.streaming.ops import incremental_hll
+
+    work = tempfile.mkdtemp(prefix="q243_")
+    src = f"{work}/src"
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("event_type string, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = incremental_hll(
+        stream,
+        f"{work}/state",
+        "event_type",
+        "user_id",
+        lg_k=12,
+        checkpoint=f"{work}/ckpt",
+    )
+    q.awaitTermination(300)
+    result = hll_estimate(spark.read.parquet(f"{work}/state")).select(
+        "event_type", "est"
+    )
+    result = spark.createDataFrame(result.collect(), result.schema)
+    shutil.rmtree(work, ignore_errors=True)
+    return result

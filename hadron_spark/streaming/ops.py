@@ -733,3 +733,70 @@ def incremental_cms(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def hll_apply_fn(
+    state_path: str,
+    key_cols,
+    col: str,
+    lg_k: int = 12,
+):
+    """The foreachBatch merge function behind `incremental_hll`,
+    exposed for direct unit testing (call with (batch_df, batch_id)).
+
+    Unlike the Gram/CMS states there is NO high-water-mark row: HLL
+    union is register-wise max — associative, commutative, and
+    IDEMPOTENT — so an at-least-once replay that re-unions the same
+    batch's sketch is algebraically a no-op.  Exactly-once comes
+    from the algebra, not bookkeeping (pinned in
+    test_incremental_hll_replay).  The swap-crash healing is still
+    needed (a half-written state file is not an algebra problem)."""
+    from hadron_spark.operators import sketch as _sketch
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def apply(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        _recover_swap(spark, state_path)
+        from hadron_spark.sources import fs
+
+        part = _sketch.hll_rollup(
+            batch_df.localCheckpoint(eager=True), keys, col, lg_k=lg_k
+        )
+        if fs.exists(spark, state_path):
+            prev = spark.read.parquet(state_path)
+            merged = _sketch.hll_merge(prev.unionByName(part), keys)
+        else:
+            merged = part
+        _commit_swap(spark, merged, state_path, batch_id)
+
+    return apply
+
+
+def incremental_hll(
+    stream: DataFrame,
+    state_path: str,
+    key_cols,
+    col: str,
+    lg_k: int = 12,
+    checkpoint: str | None = None,
+):
+    """Streaming maintenance of per-key HyperLogLog sketches — the
+    unbounded-stream form of `sketch.hll_rollup`: "distinct users
+    ever, by key" over a stream whose exact distinct table would grow
+    without bound, kept as one ~2^lg_k-byte sketch per key.  Each
+    micro-batch is sketched with the SAME hll_sketch_agg pass as the
+    batch op and unioned into the parquet state (register-wise max —
+    lossless, so the streamed state's ESTIMATES equal a one-shot
+    sketch of every delivered row, independent of batch boundaries).
+
+    Returns the started StreamingQuery (availableNow trigger)."""
+    apply = hll_apply_fn(state_path, key_cols, col, lg_k=lg_k)
+    writer = (
+        stream.writeStream.foreachBatch(apply)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

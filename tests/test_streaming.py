@@ -480,3 +480,41 @@ def test_incremental_cms_replay_and_recovery(spark, sf_dir, tmp_path):
         for r in read_cms_state(spark, state).collect()
     }
     assert got == want
+
+
+def test_incremental_hll_matches_batch_and_replay(spark, sf_dir, tmp_path):
+    """Streamed per-key HLL estimates equal the one-shot batch
+    sketch (union is lossless on registers); replaying a batch is a
+    no-op by idempotence — NO high-water mark exists in this state,
+    the algebra is the exactly-once mechanism."""
+    from hadron_spark.operators.sketch import hll_estimate, hll_rollup
+    from hadron_spark.sources import fs
+    from hadron_spark.streaming.ops import hll_apply_fn
+
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    state = str(tmp_path / "hll_state")
+    apply = hll_apply_fn(state, "event_type", "user_id", lg_k=12)
+    apply(ev.filter(F.col("user_id") % 3 == 0), 0)
+    apply(ev.filter(F.col("user_id") % 3 == 1), 1)
+    # crash window: state renamed away mid-swap, next apply heals
+    fs.mv(spark, state, state + "._old_7")
+    apply(ev.filter(F.col("user_id") % 3 == 2), 2)
+    want = {
+        r["event_type"]: r["est"]
+        for r in hll_estimate(
+            hll_rollup(ev, "event_type", "user_id", lg_k=12)
+        ).collect()
+    }
+    got = {
+        r["event_type"]: r["est"]
+        for r in hll_estimate(spark.read.parquet(state)).collect()
+    }
+    assert got == want
+    # replay every batch: estimates unchanged (register max idempotent)
+    for i, m in enumerate((0, 1, 2)):
+        apply(ev.filter(F.col("user_id") % 3 == m), i)
+    again = {
+        r["event_type"]: r["est"]
+        for r in hll_estimate(spark.read.parquet(state)).collect()
+    }
+    assert again == want
