@@ -339,3 +339,63 @@ def chat_examples(
     return staged.select(
         conv_col, "n_turns", text.alias("text"), spans.alias("spans")
     )
+
+
+def preference_pairs(
+    responses: DataFrame,
+    group_col: str = "prompt_id",
+    id_col: str = "response_id",
+    text_col: str = "response",
+    score_col: str = "score",
+    min_margin=0,
+) -> DataFrame:
+    """Preference-pair assembly for DPO/RLHF reward training: from a
+    table of scored candidate responses per prompt, emit one
+    (chosen, rejected) pair per prompt — chosen = highest-scored
+    response, rejected = lowest-scored — and drop prompts whose
+    score gap is under `min_margin` (near-tied pairs teach the
+    reward model noise; the margin gate is the standard filter).
+    This is the pairwise complement of `chat_examples`' SFT
+    assembly: same upstream response tables, pairwise output.
+
+    Determinism: argmax/argmin are lexicographic struct extrema over
+    (score, id, text) — equal scores break to the higher (chosen) /
+    lower (rejected) response id, mirrored exactly by a struct-max
+    in portable SQL, so the op is oracle-hashable end to end when
+    scores are stored data or exact integers.
+
+    Plan shape: ONE partial-agg'd groupBy on the prompt key — both
+    extrema and the count reduce map-side, response text rides
+    inside the extremum structs (no re-join back to fetch it), and
+    prompts parallelize across the key at any corpus size.  Skew is
+    bounded by annotation practice (responses per prompt is small by
+    construction).  Prompts with a single response produce no pair
+    (chosen and rejected must be distinct rows).
+
+    Returns (group_col, chosen_id, chosen, rejected_id, rejected,
+    n_candidates)."""
+    s = responses.select(
+        F.col(group_col),
+        F.struct(
+            F.col(score_col).alias("s"),
+            F.col(id_col).alias("i"),
+            F.col(text_col).alias("t"),
+        ).alias("__sit"),
+    )
+    agg = s.groupBy(group_col).agg(
+        F.max("__sit").alias("__hi"),
+        F.min("__sit").alias("__lo"),
+        F.count(F.lit(1)).alias("n_candidates"),
+    )
+    return (
+        agg.filter(F.col("__hi.i") != F.col("__lo.i"))
+        .filter(F.col("__hi.s") - F.col("__lo.s") >= F.lit(min_margin))
+        .select(
+            group_col,
+            F.col("__hi.i").alias("chosen_id"),
+            F.col("__hi.t").alias("chosen"),
+            F.col("__lo.i").alias("rejected_id"),
+            F.col("__lo.t").alias("rejected"),
+            "n_candidates",
+        )
+    )

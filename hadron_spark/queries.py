@@ -10565,3 +10565,50 @@ def q243(spark, sf_dir):
     result = spark.createDataFrame(result.collect(), result.schema)
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+@_register(
+    "q244_preference_pairs",
+    """
+    WITH resp AS (
+      SELECT doc_id % 97 AS prompt_id, doc_id AS response_id, text,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                 x -> x <> '')) AS score
+      FROM documents
+    ), agg AS (
+      SELECT prompt_id,
+             max(struct_pack(s := score, i := response_id, t := text)) AS hi,
+             min(struct_pack(s := score, i := response_id, t := text)) AS lo,
+             count(*) AS n_candidates
+      FROM resp GROUP BY prompt_id
+    )
+    SELECT prompt_id, hi.i AS chosen_id, hi.t AS chosen,
+           lo.i AS rejected_id, lo.t AS rejected, n_candidates
+    FROM agg WHERE hi.i <> lo.i AND hi.s - lo.s >= 5
+    """,
+)
+def q244(spark, sf_dir):
+    """DPO preference-pair assembly (llm.packing.preference_pairs):
+    documents bucketed into 97 synthetic prompts, candidate score =
+    exact token count (integers — fully hash-stable), chosen/rejected
+    = struct-extrema with the documented id tie-break, margin gate at
+    5 tokens.  ONE partial-agg'd shuffle; FULL oracle replays the
+    extrema with the same struct ordering."""
+    from hadron_spark.functions.text import tokenize
+    from hadron_spark.llm.packing import preference_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    resp = docs.select(
+        (F.col("doc_id") % 97).alias("prompt_id"),
+        F.col("doc_id").alias("response_id"),
+        F.col("text").alias("response"),
+        F.size(tokenize(F.lower(F.col("text")))).alias("score"),
+    )
+    return preference_pairs(
+        resp,
+        group_col="prompt_id",
+        id_col="response_id",
+        text_col="response",
+        score_col="score",
+        min_margin=5,
+    )

@@ -123,3 +123,41 @@ def test_range_cumsum_stable_under_partitioning(spark):
         seq[k] = acc
         acc += v
     assert dict(outs[0]) == seq
+
+
+def test_preference_pairs(spark):
+    """Extrema pick best/worst; ties break to higher (chosen) /
+    lower (rejected) id; single-response prompts and sub-margin gaps
+    drop; one partial-agg'd shuffle."""
+    from pyspark.sql import functions as F
+
+    from hadron_spark.llm.packing import preference_pairs
+    from hadron_spark.plans.inspect import assert_partial_aggregation, shuffle_count
+
+    rows = [
+        # prompt 0: clear winner/loser
+        (0, 1, "bad", 1), (0, 2, "ok", 5), (0, 3, "best", 9),
+        # prompt 1: all tied at 4 → chosen id 12, rejected id 10, gap 0
+        (1, 10, "a", 4), (1, 11, "b", 4), (1, 12, "c", 4),
+        # prompt 2: single response → no pair
+        (2, 20, "solo", 7),
+        # prompt 3: gap 2 < margin 3 → dropped
+        (3, 30, "x", 5), (3, 31, "y", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt_id long, response_id long, response string, score long"
+    )
+    out = preference_pairs(df, min_margin=3)
+    # plan asserts BEFORE execution: AQE's finalized plan string
+    # renders the materialized stage with a second Exchange line
+    assert shuffle_count(out) == 1
+    assert_partial_aggregation(out)
+    got = {r["prompt_id"]: r for r in out.collect()}
+    assert set(got) == {0}
+    assert (got[0]["chosen_id"], got[0]["chosen"]) == (3, "best")
+    assert (got[0]["rejected_id"], got[0]["rejected"]) == (1, "bad")
+    assert got[0]["n_candidates"] == 3
+    # margin 0 keeps the tied prompt with the documented tie-break
+    tied = {r["prompt_id"]: r for r in preference_pairs(df).collect()}
+    assert (tied[1]["chosen_id"], tied[1]["rejected_id"]) == (12, 10)
+    assert 2 not in tied  # single response never pairs
