@@ -10612,3 +10612,50 @@ def q244(spark, sf_dir):
         score_col="score",
         min_margin=5,
     )
+
+
+@_register(
+    "q245_triangle_count",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    m AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT node, count(*) AS n_triangles FROM m GROUP BY node
+    """,
+)
+def q245(spark, sf_dir):
+    """Per-node triangle counts (operators.graph.triangle_count,
+    degree-ordered wedge closing — Suri & Vassilvitskii WWW'11) over
+    the part co-order graph: parts are linked when some order buys
+    both.  The orientation bounds every node's wedge fan-out at
+    O(sqrt(m)) — the 100 TB defense against celebrity parts — while
+    the oracle states the same counts with the naive id-ordered
+    3-way self-join (orientation changes how triangles are FOUND,
+    never which exist).  Exact integers end to end."""
+    from hadron_spark.operators.graph import triangle_count
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    return triangle_count(edges)

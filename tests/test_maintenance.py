@@ -225,3 +225,23 @@ def test_label_propagation_two_cliques(spark):
         for r in label_propagation(df.repartition(5), iters=6).collect()
     }
     assert out == out2
+
+
+def test_triangle_count_clique_chain_messy_input(spark):
+    """4-clique: 4 triangles, every member on 3; pendant chain adds
+    none; duplicate/reversed edges and self-loops don't change the
+    answer (canonicalization); bowtie apex counts both its
+    triangles."""
+    from hadron_spark.operators.graph import triangle_count
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 10), (10, 11)]
+    messy = [(1, 0), (2, 2), (0, 1)]  # reversed dup + self-loop + dup
+    edges = spark.createDataFrame(clique + chain + messy, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    bowtie = [(0, 1), (0, 2), (1, 2), (0, 3), (0, 4), (3, 4)]
+    e2 = spark.createDataFrame(bowtie, "src long, dst long")
+    got2 = {r["node"]: r["n_triangles"] for r in triangle_count(e2).collect()}
+    assert got2 == {0: 2, 1: 1, 2: 1, 3: 1, 4: 1}
