@@ -1498,3 +1498,96 @@ def semantic_contamination(
             (F.col("__m.c") >= F.lit(float(threshold))).alias("contaminated"),
         )
     )
+
+
+def set_similarity_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """EXACT set-similarity self-join with prefix filtering
+    (Chaudhuri et al. SSJoin ICDE'06 / Bayardo et al. WWW'07): all
+    unordered pairs whose token-set Jaccard >= threshold_num /
+    threshold_den, with exact integer intersection/union — the
+    exact complement of `minhash_lsh_pairs` (which estimates; this
+    proves).  The threshold is a RATIONAL so the acceptance test is
+    pure integer arithmetic (`den * inter >= num * union`) — no
+    float threshold ambiguity, hash-exact across engines.
+
+    Prefix principle: order every set by ascending global document
+    frequency (rarest token first; ties on the token string — any
+    consistent total order works), keep only the first
+    s - ceil(t*s) + 1 tokens as the set's PREFIX.  Two sets with
+    Jaccard >= t must share at least one prefix token, so the
+    candidate join is an equi-join on prefix tokens only — rare
+    tokens by construction, which is what bounds bucket fan-out
+    (the frequent tokens that would explode a token-equi-join never
+    reach a prefix).  A size filter (min*den >= num*max) prunes
+    candidates before the verify step.  No bucket is dropped —
+    unlike the LSH guard, exactness is the contract here.
+
+    Plan: df-count shuffle (token) -> per-set rebuild shuffle (id)
+    -> prefix-token candidate shuffle -> two id-equi-joins to fetch
+    both token arrays -> in-row array_intersect verify.  Returns
+    (id_a, id_b, size_a, size_b, n_common, n_union, jaccard) with
+    id_a < id_b; jaccard is the exact small-int ratio.
+    """
+    num, den = int(threshold_num), int(threshold_den)
+    if not (0 < num <= den):
+        raise ValueError(f"threshold must be in (0, 1]: {num}/{den}")
+    toks = (
+        df.select(F.col(id_col).alias("_id"), F.array_distinct(tokens_col).alias("_t"))
+        .filter(F.size("_t") > 0)
+    )
+    ex = toks.select("_id", F.explode("_t").alias("_tok"))
+    dfreq = ex.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    sets = (
+        ex.join(dfreq, "_tok")
+        .groupBy("_id")
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "_tok"))).alias("_st"))
+        .select(
+            "_id",
+            F.transform("_st", lambda x: x["_tok"]).alias("_toks"),
+            F.size("_st").alias("_s"),
+        )
+    )
+    # ceil(num*s/den) in pure integer math; prefix = s - ceil + 1
+    ceil_ts = F.floor((F.col("_s") * num + (den - 1)) / den).cast("int")
+    pref = sets.select(
+        "_id",
+        "_s",
+        F.explode(F.slice("_toks", F.lit(1), F.col("_s") - ceil_ts + 1)).alias("_tok"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(b, "_tok")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .filter(
+            F.least("a._s", "b._s") * den >= F.greatest("a._s", "b._s") * num
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    pairs = (
+        cand.join(sets.select(F.col("_id").alias("id_a"),
+                              F.col("_toks").alias("_ta"),
+                              F.col("_s").alias("size_a")), "id_a")
+        .join(sets.select(F.col("_id").alias("id_b"),
+                          F.col("_toks").alias("_tb"),
+                          F.col("_s").alias("size_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    uni = F.col("size_a") + F.col("size_b") - inter
+    return (
+        pairs.select(
+            "id_a", "id_b", "size_a", "size_b",
+            inter.alias("n_common"), uni.alias("n_union"),
+        )
+        .filter(F.col("n_common") * den >= F.col("n_union") * num)
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double") / F.col("n_union").cast("double"),
+        )
+    )

@@ -10659,3 +10659,46 @@ def q245(spark, sf_dir):
         .distinct()
     )
     return triangle_count(edges)
+
+
+@_register(
+    "q246_set_similarity_exact",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS t
+      FROM documents WHERE doc_id < 256
+    ),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(a.t) AS size_a, len(b.t) AS size_b,
+             len(list_intersect(a.t, b.t)) AS n_common
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE len(a.t) > 0 AND len(b.t) > 0
+    )
+    SELECT id_a, id_b, size_a, size_b, n_common,
+           size_a + size_b - n_common AS n_union,
+           CAST(n_common AS DOUBLE)
+             / CAST(size_a + size_b - n_common AS DOUBLE) AS jaccard
+    FROM p
+    WHERE 10 * n_common >= 9 * (size_a + size_b - n_common)
+    """,
+)
+def q246(spark, sf_dir):
+    """EXACT set-similarity self-join at Jaccard >= 9/10
+    (llm.dedup.set_similarity_join — SSJoin/Bayardo prefix
+    filtering): the lossless complement of the MinHash funnel.  The
+    operator joins only on rarest-first PREFIX tokens (~10% of each
+    set at this threshold) yet must find every qualifying pair —
+    the oracle proves losslessness by brute-forcing all C(256,2)
+    pairs in DuckDB.  Rational threshold keeps the acceptance test
+    integer-exact; jaccard is the exact small-int ratio."""
+    from hadron_spark.functions.text import tokenize
+    from hadron_spark.llm.dedup import set_similarity_join
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 256)
+    toks = docs.select(
+        "doc_id", tokenize(F.lower(F.col("text"))).alias("tokens")
+    )
+    return set_similarity_join(toks, threshold_num=9, threshold_den=10)
