@@ -812,3 +812,57 @@ def language_id_apply(
         .agg(best)
         .select(id_col, F.col("b.lang").alias("lang_pred"), F.col("b.logit").alias("logit"))
     )
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    k: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of n top-k
+    retrieval lists — the standard hybrid-retrieval combiner (BM25
+    list + dense-embedding list -> one ranking):
+    score(d) = sum_i 1/(k + rank_i(d)), absent-from-list terms 0.
+
+    Cross-engine exactness: each term is ONE correctly-rounded IEEE
+    division and the terms are combined with an explicit
+    left-to-right chain of single IEEE adds, so `rrf_score` is
+    bit-identical in any engine that states the same chain — the
+    package's single-IEEE-chain discipline; no ln/exp.  Score ties
+    (e.g. two docs with permuted rank sets — IEEE addition is
+    commutative) break to the smaller id, so `fused_rank` is a pure
+    function of the inputs.
+
+    Inputs are already-bounded top-k lists (n·k rows total), so the
+    fused rank is stamped post-coalesce — no global-window
+    `WindowExec: No Partition Defined` at any corpus scale; the
+    unbounded corpus never flows through this operator.
+
+    Returns (id, rank_1..rank_n [0 = absent from that list],
+    rrf_score, fused_rank)."""
+    if len(rankings) < 2:
+        raise ValueError("rrf_fuse needs >= 2 rankings")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    joined = None
+    for i, r in enumerate(rankings, 1):
+        side = r.select(F.col(id_col), F.col(rank_col).cast("int").alias(f"rank_{i}"))
+        joined = side if joined is None else joined.join(side, id_col, "full_outer")
+    score = None
+    for i in range(1, len(rankings) + 1):
+        term = F.when(F.col(f"rank_{i}").isNull(), F.lit(0.0)).otherwise(
+            F.lit(1.0) / (F.lit(float(k)) + F.col(f"rank_{i}").cast("double"))
+        )
+        score = term if score is None else score + term
+    fused = joined.withColumn("rrf_score", score).na.fill(
+        {f"rank_{i}": 0 for i in range(1, len(rankings) + 1)}
+    )
+    return _stamp_rank(
+        fused, [F.col("rrf_score").desc(), F.col(id_col).asc()], "fused_rank"
+    ).select(
+        id_col,
+        *[f"rank_{i}" for i in range(1, len(rankings) + 1)],
+        "rrf_score",
+        "fused_rank",
+    )

@@ -10702,3 +10702,72 @@ def q246(spark, sf_dir):
         "doc_id", tokenize(F.lower(F.col("text"))).alias("tokens")
     )
     return set_similarity_join(toks, threshold_num=9, threshold_den=10)
+
+
+@_register(
+    "q247_rrf_fusion",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             len(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_tok,
+             len(list_distinct(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS n_uniq
+      FROM documents
+    ),
+    a AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY n_tok DESC, doc_id) AS INT)
+               AS rank_1
+      FROM m QUALIFY rank_1 <= 200
+    ),
+    b AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY n_uniq DESC, doc_id) AS INT)
+               AS rank_2
+      FROM m QUALIFY rank_2 <= 200
+    ),
+    j AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             COALESCE(a.rank_1, 0) AS rank_1,
+             COALESCE(b.rank_2, 0) AS rank_2,
+             (CASE WHEN a.rank_1 IS NULL THEN 0.0
+                   ELSE 1.0 / (60.0 + CAST(a.rank_1 AS DOUBLE)) END
+              + CASE WHEN b.rank_2 IS NULL THEN 0.0
+                     ELSE 1.0 / (60.0 + CAST(b.rank_2 AS DOUBLE)) END) AS rrf_score
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    )
+    SELECT doc_id, rank_1, rank_2, rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT)
+             AS fused_rank
+    FROM j
+    """,
+)
+def q247(spark, sf_dir):
+    """Hybrid-retrieval rank fusion (llm.textstats.rrf_fuse — RRF,
+    Cormack SIGIR'09): two top-200 document rankings (total tokens;
+    distinct tokens — stand-ins for the BM25/dense pair, chosen
+    because their scores are exact integers) fused into one ranking.
+    rrf_score is a single IEEE chain (two correctly-rounded
+    divisions + one add) so the doubles — and therefore the fused
+    ranking — hash bit-exact against DuckDB stating the same
+    chain."""
+    from hadron_spark.functions.text import tokenize
+    from hadron_spark.llm.textstats import _stamp_rank, rrf_fuse
+
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.lower(F.col("text")))
+    m = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    )
+    a = _stamp_rank(
+        m.orderBy(F.col("n_tok").desc(), "doc_id").limit(200),
+        [F.col("n_tok").desc(), F.col("doc_id").asc()],
+        "rank",
+    ).select("doc_id", "rank")
+    b = _stamp_rank(
+        m.orderBy(F.col("n_uniq").desc(), "doc_id").limit(200),
+        [F.col("n_uniq").desc(), F.col("doc_id").asc()],
+        "rank",
+    ).select("doc_id", "rank")
+    return rrf_fuse([a, b], k=60)

@@ -2084,3 +2084,32 @@ def test_unicode_normalize_parity(spark):
 
     with _pytest.raises(ValueError):
         unicode_normalize("t", "NFZ")
+
+
+def test_rrf_fuse_matches_python_and_tiebreaks(spark):
+    """Fused order == python reference; absent docs score one term
+    (rank sentinel 0); permuted rank-pairs tie on the bit level and
+    break to the smaller id."""
+    import pytest
+
+    from hadron_spark.llm.textstats import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame([(20, 1), (10, 2), (40, 3)], "doc_id long, rank int")
+    out = rrf_fuse([a, b], k=60).collect()
+    ref = {
+        10: 1 / 61 + 1 / 62, 20: 1 / 62 + 1 / 61,
+        30: 1 / 63, 40: 1 / 63,
+    }
+    got = {r["doc_id"]: r for r in out}
+    for d, s in ref.items():
+        assert got[d]["rrf_score"] == s  # bit-exact single IEEE chain
+    # 10 and 20 tie exactly (commutative adds) -> id order; so do 30/40
+    order = [r["doc_id"] for r in sorted(out, key=lambda r: r["fused_rank"])]
+    assert order == [10, 20, 30, 40]
+    assert (got[30]["rank_1"], got[30]["rank_2"]) == (3, 0)
+    assert [got[d]["fused_rank"] for d in order] == [1, 2, 3, 4]
+    with pytest.raises(ValueError):
+        rrf_fuse([a], k=60)
+    with pytest.raises(ValueError):
+        rrf_fuse([a, b], k=0)
