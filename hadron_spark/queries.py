@@ -10771,3 +10771,42 @@ def q247(spark, sf_dir):
         "rank",
     ).select("doc_id", "rank")
     return rrf_fuse([a, b], k=60)
+
+
+@_register(
+    "q248_mad_outliers",
+    """
+    WITH q AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ), m AS (
+      SELECT event_type, quantile_cont(y, 0.5) AS med FROM q GROUP BY 1
+    ), d AS (
+      SELECT q.event_id, q.event_type, m.med,
+             abs(CAST(q.y AS DOUBLE) - m.med) AS dev
+      FROM q JOIN m USING (event_type)
+    ), a AS (
+      SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1
+    )
+    SELECT d.event_type, d.event_id, d.med, a.mad
+    FROM d JOIN a USING (event_type)
+    WHERE d.dev * 1 > a.mad * 5
+    """,
+)
+def q248(spark, sf_dir):
+    """Robust anomaly flagging (operators.robust.mad_outliers —
+    median/MAD, 50% breakdown point vs q119's corruptible
+    mean/stddev): every event scored against its type's exact median
+    and median-absolute-deviation, |dev| > 5*MAD kept.  Cents
+    quantize to int64 once; medians of ints are half-integers and
+    MADs quarter-integers — exact doubles — so even the med/mad
+    columns hash bit-exact.  Two grouped exact medians broadcast
+    back; the event stream is never shuffled for the flag join."""
+    from hadron_spark.operators.robust import mad_outliers
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return mad_outliers(
+        ev, "value", ["event_type"], keep_cols=["event_id"],
+        cutoff_num=5, cutoff_den=1,
+    )

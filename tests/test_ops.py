@@ -793,3 +793,28 @@ def test_cms_sketch_family(spark):
     # heavy hitters: no true heavy key can be missed
     hh = {r["item"] for r in cms_heavy_hitters(df, "k", 30, 4, 4096).collect()}
     assert {"a", "b"} <= hh and "d" not in hh
+
+
+def test_mad_outliers_exact_and_degenerate(spark):
+    """Flags match a numpy reference; MAD==0 group flags strict
+    off-median rows only; rational cutoff is exact."""
+    import numpy as np
+    import pytest
+
+    from hadron_spark.operators.robust import mad_outliers
+
+    rows = [("a", i, float(v)) for i, v in enumerate([1, 2, 2, 3, 100])]
+    rows += [("b", i, 5.0) for i in range(4)] + [("b", 99, 7.5)]
+    df = spark.createDataFrame(rows, "g string, rid long, v double")
+    out = mad_outliers(df, "v", ["g"], keep_cols=["rid"], cutoff_num=3)
+    got = {(r["g"], r["rid"]): (r["med"], r["mad"]) for r in out.collect()}
+    ya = np.array([100, 200, 200, 300, 10000])
+    med = np.median(ya)
+    mad = np.median(np.abs(ya - med))
+    assert set(k for k in got if k[0] == "a") == {("a", 4)}
+    assert got[("a", 4)] == (med, mad)
+    # group b: mad == 0, only the strictly-off-median row flags
+    assert set(k for k in got if k[0] == "b") == {("b", 99)}
+    assert got[("b", 99)] == (500.0, 0.0)
+    with pytest.raises(ValueError):
+        mad_outliers(df, "v", ["g"], cutoff_den=0)
