@@ -1591,3 +1591,118 @@ def set_similarity_join(
             F.col("n_common").cast("double") / F.col("n_union").cast("double"),
         )
     )
+
+
+def _lcs_len(a: "list[str]", b_arr) -> int:
+    """Word-level longest-common-subsequence length, vectorized over
+    the b axis (two-row DP, max-of-three recurrence): O(|a|) python
+    steps of O(|b|) numpy work."""
+    import numpy as np
+
+    if not a or b_arr.size == 0:
+        return 0
+    prev = np.zeros(b_arr.size + 1, dtype=np.int32)
+    for tok in a:
+        cand = prev[:-1] + (b_arr == tok)
+        np.maximum(cand, prev[1:], out=cand)
+        cur = np.empty_like(prev)
+        cur[0] = 0
+        np.maximum.accumulate(cand, out=cand)
+        cur[1:] = cand
+        prev = cur
+    return int(prev[-1])
+
+
+def rouge_l_decontaminate(
+    corpus: DataFrame,
+    seeds: DataFrame,
+    *,
+    threshold_num: int = 7,
+    threshold_den: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed_id_col: str | None = None,
+    seed_text_col: str | None = None,
+) -> DataFrame:
+    """Self-Instruct-style ROUGE-L seed decontamination (Wang et al.
+    2023, §3.3; Alpaca follows it): score every corpus document
+    against a small seed/eval instruction set by word-level ROUGE-L
+    F-measure and flag docs whose best match reaches
+    threshold_num/threshold_den (the published cut is 0.7).
+    ROUGE-L F = 2·LCS/(|c|+|s|) — a RATIO OF INTEGERS — so both the
+    flag test and the across-seed argmax are pure integer
+    cross-multiplications; the reported double is the exact ratio.
+    Ties break to the higher seed id (the semantic_contamination
+    discipline), so output is a pure function of the inputs under
+    any partitioning.
+
+    Scale shape: the seed side is DRIVER-BOUNDED by contract (a few
+    hundred instructions — collected once, broadcast); the corpus
+    never shuffles — each Arrow batch scores its rows locally
+    against the broadcast seeds with a vectorized numpy LCS DP
+    (O(|c|·|s|) per pair; instructions are short by construction).
+    LCS is not expressible as a Catalyst expression or portable SQL,
+    so the op registers rows-only and is pinned against a
+    pure-python reference in tests.
+
+    Returns (id_col, max_rouge_l, top_seed_id, contaminated)."""
+    import numpy as np
+    import pandas as pd
+
+    s_id = seed_id_col or id_col
+    s_text = seed_text_col or text_col
+    if threshold_den <= 0 or threshold_num < 0:
+        raise ValueError(f"bad threshold {threshold_num}/{threshold_den}")
+    seed_rows = [
+        (r[0], np.asarray(r[1].lower().split(), dtype=object))
+        for r in seeds.select(s_id, s_text).collect()
+    ]
+    if not seed_rows:
+        raise ValueError("rouge_l_decontaminate: empty seed set")
+    bc = corpus.sparkSession.sparkContext.broadcast(seed_rows)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    seed_type = seeds.schema[s_id].dataType.simpleString()
+    num, den = int(threshold_num), int(threshold_den)
+
+    def score(batches):
+        sds = bc.value
+        for pdf in batches:
+            out_id, out_f, out_sid, out_c = [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                ctoks = (text or "").lower().split()
+                lc = len(ctoks)
+                best_l, best_ls, best_sid = 0, 0, None
+                for sid, sarr in sds:
+                    l = _lcs_len(ctoks, sarr)
+                    ls = int(sarr.size)
+                    # f_new > f_best  <=>  l*(lc+best_ls) > best_l*(lc+ls)
+                    lhs = l * (lc + best_ls)
+                    rhs = best_l * (lc + ls)
+                    if (
+                        best_sid is None
+                        or lhs > rhs
+                        or (lhs == rhs and sid > best_sid)
+                    ):
+                        best_l, best_ls, best_sid = l, ls, sid
+                denom = lc + best_ls
+                f = (2.0 * best_l / denom) if denom else 0.0
+                out_id.append(did)
+                out_f.append(f)
+                out_sid.append(best_sid)
+                out_c.append(2 * best_l * den >= num * denom and denom > 0)
+            yield pd.DataFrame(
+                {
+                    id_col: out_id,
+                    "max_rouge_l": out_f,
+                    "top_seed_id": out_sid,
+                    "contaminated": out_c,
+                }
+            )
+
+    return corpus.select(id_col, text_col).mapInPandas(
+        score,
+        schema=(
+            f"{id_col} {id_type}, max_rouge_l double, "
+            f"top_seed_id {seed_type}, contaminated boolean"
+        ),
+    )

@@ -10810,3 +10810,20 @@ def q248(spark, sf_dir):
         ev, "value", ["event_type"], keep_cols=["event_id"],
         cutoff_num=5, cutoff_den=1,
     )
+
+
+@_register("q249_rouge_l_decontaminate", None)
+def q249(spark, sf_dir):
+    """Self-Instruct ROUGE-L seed decontamination
+    (llm.dedup.rouge_l_decontaminate): every document scored against
+    a small held-out seed slice (doc_id % 61 == 0) by word-level
+    LCS F-measure, published 0.7 cut.  Seeds broadcast; corpus
+    never shuffles (per-batch numpy LCS DP).  LCS has no portable
+    SQL form — rows-only; the operator is pinned against a naive
+    pure-python DP in tests."""
+    from hadron_spark.llm.dedup import rouge_l_decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    seeds = docs.filter(F.col("doc_id") % 61 == 0).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 61 != 0).select("doc_id", "text")
+    return rouge_l_decontaminate(corpus, seeds)

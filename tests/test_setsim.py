@@ -65,3 +65,76 @@ def test_set_similarity_join_validates_and_handles_dups(spark):
     rows = set_similarity_join(df, threshold_num=1, threshold_den=1).collect()
     # duplicate tokens collapse; empty set never pairs; J(1,2)=1
     assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in rows] == [(1, 2, 1.0)]
+
+
+def _lcs_naive(a, b):
+    m, n = len(a), len(b)
+    dp = [[0] * (n + 1) for _ in range(m + 1)]
+    for i in range(m):
+        for j in range(n):
+            dp[i + 1][j + 1] = (
+                dp[i][j] + 1 if a[i] == b[j] else max(dp[i][j + 1], dp[i + 1][j])
+            )
+    return dp[m][n]
+
+
+def test_rouge_l_matches_naive_reference(spark):
+    from hadron_spark.llm.dedup import _lcs_len, rouge_l_decontaminate
+    import numpy as np
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = {i: " ".join(rng.choices(vocab, k=rng.randint(0, 18))) for i in range(40)}
+    seeds = {100 + i: " ".join(rng.choices(vocab, k=rng.randint(3, 12))) for i in range(6)}
+    for a in (["a", "b", "c"], [], ["x"] * 5):
+        for b in (["b", "c", "d"], ["a"], []):
+            assert _lcs_len(a, np.asarray(b, dtype=object)) == _lcs_naive(a, b)
+    corpus = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    sdf = spark.createDataFrame(list(seeds.items()), "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in rouge_l_decontaminate(
+            corpus.repartition(7), sdf, threshold_num=1, threshold_den=2
+        ).collect()
+    }
+    for did, text in docs.items():
+        c = text.lower().split()
+        best = max(
+            (
+                (
+                    2 * _lcs_naive(c, s.lower().split())
+                    / (len(c) + len(s.split()))
+                    if (len(c) + len(s.split()))
+                    else 0.0,
+                    sid,
+                )
+                for sid, s in seeds.items()
+            ),
+        )
+        assert out[did]["max_rouge_l"] == best[0], did
+        assert out[did]["top_seed_id"] == best[1], did
+        assert out[did]["contaminated"] == (best[0] >= 0.5), did
+
+
+def test_rouge_l_boundary_tiebreak_and_validation(spark):
+    import pytest
+
+    from hadron_spark.llm.dedup import rouge_l_decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, ""), (3, "a b c")],
+        "doc_id long, text string",
+    )
+    # seed 200 and 201 both reach LCS 3 with doc 3 (identical seeds)
+    seeds = spark.createDataFrame(
+        [(200, "a b c"), (201, "a b c"), (202, "z z z z z z z z z z")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in rouge_l_decontaminate(corpus, seeds).collect()}
+    assert out[3]["top_seed_id"] == 201  # tie -> higher seed id
+    assert out[3]["max_rouge_l"] == 1.0 and out[3]["contaminated"]
+    # doc 1 vs seed 200: F = 2*3/(10+3) < 0.7 -> clean
+    assert not out[1]["contaminated"]
+    assert out[2]["max_rouge_l"] == 0.0 and not out[2]["contaminated"]
+    with pytest.raises(ValueError):
+        rouge_l_decontaminate(corpus, seeds.limit(0))
