@@ -1543,6 +1543,8 @@ def set_similarity_join(
     )
     ex = toks.select("_id", F.explode("_t").alias("_tok"))
     dfreq = ex.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    from hadron_spark.operators.ops import pin as _pin
+
     sets = (
         ex.join(dfreq, "_tok")
         .groupBy("_id")
@@ -1553,6 +1555,9 @@ def set_similarity_join(
             F.size("_st").alias("_s"),
         )
     )
+    # sets feeds THREE branches (prefix explode + both verify-side
+    # fetches); pin so the df-join/rebuild runs once (ops.pin).
+    sets = _pin(sets)
     # ceil(num*s/den) in pure integer math; prefix = s - ceil + 1
     ceil_ts = F.floor((F.col("_s") * num + (den - 1)) / den).cast("int")
     pref = sets.select(

@@ -455,6 +455,10 @@ def triangle_count(
         F.least("ks", "kd").alias("ku"),
         F.greatest("ks", "kd").alias("kv"),
     )
+    # oriented feeds THREE branches (both wedge sides + the closing
+    # join); unpinned, each branch re-derives the canon/degree joins
+    # from the raw edge scan (fan-out pin discipline, ops.pin).
+    oriented = oriented.localCheckpoint(eager=True)
     a = oriented.select("u", F.col("v").alias("v1"), F.col("kv").alias("k1"))
     b = oriented.select("u", F.col("v").alias("v2"), F.col("kv").alias("k2"))
     wedges = a.join(b, "u").filter(F.col("k1") < F.col("k2")).select(
