@@ -85,6 +85,11 @@ HEADLINE = [
     "q209_exact_substring_dedup",
     "q220_domain_discovery",
     "q223_perplexity_scores",
+    # set change #7 (round 4 late, BASELINE.md): the two new
+    # join-heavy exact ops — degree-ordered triangle counting (wedge
+    # self-join) and lossless prefix-filtered set-similarity join
+    "q245_triangle_count",
+    "q246_set_similarity_exact",
 ]
 
 
