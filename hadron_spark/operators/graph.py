@@ -176,55 +176,13 @@ def pagerank(
 
 
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """Global triangle count via DEGREE-ORDERED edge orientation
-    (Cohen's MapReduce formulation / Schank-Wagner): orient every
-    undirected edge from its (degree, id)-smaller endpoint to the
-    larger, enumerate wedges only from orientation sources, close
-    them with an equi-join. Orientation bounds each node's out-degree
-    by O(√m), so the wedge fan-out — the term that explodes on skewed
-    graphs if you orient by raw id — stays sub-quadratic at any
-    scale: the hot celebrity node never fans out its full adjacency.
-    Any total order counts each triangle exactly once, so an oracle
-    using plain id order agrees on the count.
-
-    One row: (triangles). Degree table is |V| rows → broadcast onto
-    the edge list; the wedge and closing joins shuffle on node keys.
-    """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
-        F.col("a") != F.col("b")
-    )
-    # undirected: normalize + dedup, then degrees over both endpoints
-    und = e.select(
-        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-    ).distinct()
-    deg = (
-        und.select(F.col("a").alias("n"))
-        .unionAll(und.select(F.col("b").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("dega"))
-    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("degb"))
-    with_deg = und.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
-    lower = (F.col("dega") < F.col("degb")) | (
-        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
-    )
-    oriented = with_deg.select(
-        F.when(lower, F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(lower, F.col("b")).otherwise(F.col("a")).alias("v"),
-    )
-    # the oriented list feeds all three join legs — materialize once
-    # instead of recomputing the edge build per leg (at scale this is
-    # the difference between 1× and 3× the base shuffle)
-    oriented = oriented.localCheckpoint(eager=True)
-    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
-    wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
-        F.col("e1.u").alias("x"), F.col("e2.v").alias("z")
-    )
-    closed = wedges.join(
-        e3, (F.col("x") == F.col("e3.u")) & (F.col("z") == F.col("e3.v"))
-    )
-    return closed.agg(F.count(F.lit(1)).alias("triangles"))
+    """Global triangle count — one row (triangles) — over the shared
+    degree-ordered wedge-closing core (_triangle_frame below, which
+    documents the O(√m) skew bound and join plan). Any total order
+    counts each triangle exactly once, so an oracle using plain id
+    order agrees on the count."""
+    e = _canon(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    return _triangle_frame(e).agg(F.count(F.lit(1)).alias("triangles"))
 
 
 def tree_depth(
@@ -404,38 +362,31 @@ def label_propagation(
     return labels
 
 
-def triangle_count(
-    edges: DataFrame,
-    src: str = "src",
-    dst: str = "dst",
-) -> DataFrame:
-    """Per-node triangle participation counts over an undirected
-    graph: (node, n_triangles) for every node on >= 1 triangle.
-    Triangles measure local clustering — in a dedup/link-analysis
-    funnel they distinguish tight duplicate cliques from accidental
-    chains, and they are the unit of the clustering coefficient.
+def _triangle_frame(e: DataFrame) -> DataFrame:
+    """One row (u, v1, v2) per triangle of a CANONICAL edge set —
+    the shared core of triangle_count / node_triangle_counts /
+    clustering_coefficient.
 
-    Algorithm (Cohen, "Graph Twiddling in a MapReduce World", CiSE
-    2009; the degree-ordered form analyzed in Suri & Vassilvitskii,
-    WWW'11): canonicalize the edge set, then orient every edge from
-    its lower-(degree, id) endpoint to its higher one.  The oriented
-    out-degree of ANY node is O(sqrt(m)) — a hub of degree d only
-    keeps out-edges to neighbors of degree >= d — so the wedge
-    self-join below is skew-bounded by construction, where the naive
-    id-ordered orientation lets one celebrity node generate d^2
-    wedges.  A wedge (u -> v, u -> w) closes into a triangle iff the
-    oriented edge (v -> w) exists (orientation is a total order, so
-    each triangle is found exactly once, at its lowest-order apex).
+    Degree-ordered orientation (Cohen, "Graph Twiddling in a
+    MapReduce World", CiSE 2009; analyzed in Suri & Vassilvitskii,
+    WWW'11): every edge points from its lower-(degree, id) endpoint
+    to the higher one, so the oriented out-degree of ANY node is
+    O(sqrt(m)) — a hub of degree d only keeps out-edges to neighbors
+    of degree >= d — and the wedge self-join is skew-bounded by
+    construction, where a naive id-ordered orientation lets one
+    celebrity node generate d^2 wedges.  A wedge (u -> v, u -> w)
+    closes into a triangle iff the oriented edge (v -> w) exists;
+    orientation is a total order, so each triangle is found exactly
+    once, at its lowest-order apex.  Orientation only affects HOW
+    triangles are found, never which — the frame is a pure function
+    of the edge set, and a plain id-ordered 3-way self-join states
+    the same triangles in SQL.
 
-    Plan shape: two equi-join shuffles (wedge build on the apex,
-    wedge close on the (v, w) pair) + one counting groupBy with
-    map-side partial aggregation.  No adjacency lists are ever
-    collected; every reducer sees a stream.
-
-    Orientation only affects HOW triangles are found, not which —
-    the result is a pure function of the edge set, so a plain
-    id-ordered 3-way self-join states the same counts in SQL."""
-    e = _canon(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    Plan: two equi-join shuffles (wedge build on the apex; closing
+    join on the (v, w) pair, shuffle-hash — hashing the m-row edge
+    side beats sort-merging the O(m^1.5) wedge stream).  No
+    adjacency lists are ever collected; every reducer sees a
+    stream."""
     deg = _sym(e).groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
@@ -470,7 +421,21 @@ def triangle_count(
     closers = oriented.select(
         F.col("u").alias("v1"), F.col("v").alias("v2")
     ).hint("shuffle_hash")
-    tri = wedges.join(closers, ["v1", "v2"])
+    return wedges.join(closers, ["v1", "v2"])
+
+
+def node_triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected
+    graph: (node, n_triangles) for every node on >= 1 triangle.
+    In a dedup/link-analysis funnel these distinguish tight
+    duplicate cliques from accidental chains; see _triangle_frame
+    for the skew-bounded algorithm and plan shape."""
+    e = _canon(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    tri = _triangle_frame(e)
     # ONE downstream pass: explode each triangle to its 3 members
     # in-row — a 3-branch union would re-run the wedge join per
     # branch (measured 3x the whole query at sf0.1)
@@ -478,3 +443,43 @@ def triangle_count(
         F.explode(F.array("u", "v1", "v2")).alias("node")
     )
     return members.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Local clustering coefficient per node (Watts & Strogatz 1998):
+    c(v) = 2·T(v) / (deg(v)·(deg(v)−1)), T(v) = triangles through v
+    — how close each node's neighborhood is to a clique, THE standard
+    tightness score for duplicate-cluster triage on top of
+    `node_triangle_counts`.  Every node of the canonical graph gets a row
+    (degree-1 nodes and triangle-free nodes score 0.0).
+
+    Exactness: T and deg are exact integers; the coefficient is one
+    correctly-rounded IEEE division of exact ints — bit-portable.
+    Plan: triangle_count's skew-bounded pipeline + one degree
+    aggregate off the same canonical edge set, joined on the node
+    key (the tiny triangle table broadcasts onto the degree table at
+    typical sparsity; Catalyst picks)."""
+    e = _canon(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    deg = _sym(e).groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    tri = node_triangle_counts(e)
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                (F.coalesce("n_triangles", F.lit(0)) * F.lit(2)).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )

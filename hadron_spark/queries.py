@@ -10638,7 +10638,7 @@ def q244(spark, sf_dir):
     """,
 )
 def q245(spark, sf_dir):
-    """Per-node triangle counts (operators.graph.triangle_count,
+    """Per-node triangle counts (operators.graph.node_triangle_counts,
     degree-ordered wedge closing — Suri & Vassilvitskii WWW'11) over
     the part co-order graph: parts are linked when some order buys
     both.  The orientation bounds every node's wedge fan-out at
@@ -10646,7 +10646,7 @@ def q245(spark, sf_dir):
     the oracle states the same counts with the naive id-ordered
     3-way self-join (orientation changes how triangles are FOUND,
     never which exist).  Exact integers end to end."""
-    from hadron_spark.operators.graph import triangle_count
+    from hadron_spark.operators.graph import node_triangle_counts
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     edges = (
@@ -10658,7 +10658,7 @@ def q245(spark, sf_dir):
         )
         .distinct()
     )
-    return triangle_count(edges)
+    return node_triangle_counts(edges)
 
 
 @_register(
@@ -10827,3 +10827,60 @@ def q249(spark, sf_dir):
     seeds = docs.filter(F.col("doc_id") % 61 == 0).select("doc_id", "text")
     corpus = docs.filter(F.col("doc_id") % 61 != 0).select("doc_id", "text")
     return rouge_l_decontaminate(corpus, seeds)
+
+
+@_register(
+    "q250_clustering_coefficient",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    m AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ),
+    t AS (SELECT node, count(*) AS n_triangles FROM m GROUP BY node),
+    d AS (
+      SELECT node, count(*) AS degree FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+      ) GROUP BY node
+    )
+    SELECT d.node, d.degree,
+           COALESCE(t.n_triangles, 0) AS n_triangles,
+           CASE WHEN d.degree >= 2
+                THEN CAST(COALESCE(t.n_triangles, 0) * 2 AS DOUBLE)
+                     / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+                ELSE 0.0 END AS clustering_coeff
+    FROM d LEFT JOIN t USING (node)
+    """,
+)
+def q250(spark, sf_dir):
+    """Local clustering coefficient per part
+    (operators.graph.clustering_coefficient — Watts-Strogatz) on the
+    co-order graph: 2T/(deg*(deg-1)) from exact integer triangle and
+    degree counts, ONE correctly-rounded IEEE division — so even the
+    coefficient doubles hash bit-exact against the naive id-ordered
+    oracle."""
+    from hadron_spark.operators.graph import clustering_coefficient
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    return clustering_coefficient(edges)

@@ -232,16 +232,31 @@ def test_triangle_count_clique_chain_messy_input(spark):
     none; duplicate/reversed edges and self-loops don't change the
     answer (canonicalization); bowtie apex counts both its
     triangles."""
-    from hadron_spark.operators.graph import triangle_count
+    from hadron_spark.operators.graph import node_triangle_counts
 
     clique = [(a, b) for a in range(4) for b in range(4) if a < b]
     chain = [(3, 10), (10, 11)]
     messy = [(1, 0), (2, 2), (0, 1)]  # reversed dup + self-loop + dup
     edges = spark.createDataFrame(clique + chain + messy, "src long, dst long")
-    got = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+    got = {r["node"]: r["n_triangles"] for r in node_triangle_counts(edges).collect()}
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
 
     bowtie = [(0, 1), (0, 2), (1, 2), (0, 3), (0, 4), (3, 4)]
     e2 = spark.createDataFrame(bowtie, "src long, dst long")
-    got2 = {r["node"]: r["n_triangles"] for r in triangle_count(e2).collect()}
+    got2 = {r["node"]: r["n_triangles"] for r in node_triangle_counts(e2).collect()}
     assert got2 == {0: 2, 1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_clustering_coefficient_bowtie(spark):
+    """Bowtie apex: deg 4, 2 triangles -> c = 4/12; leaves c = 1.0;
+    pendant node deg 1 -> 0.0."""
+    from hadron_spark.operators.graph import clustering_coefficient
+
+    bowtie = [(0, 1), (0, 2), (1, 2), (0, 3), (0, 4), (3, 4), (4, 9)]
+    e = spark.createDataFrame(bowtie, "src long, dst long")
+    got = {r["node"]: r for r in clustering_coefficient(e).collect()}
+    assert got[0]["clustering_coeff"] == 2 * 2 / (4 * 3)
+    assert got[1]["clustering_coeff"] == 1.0 and got[1]["degree"] == 2
+    assert got[9]["clustering_coeff"] == 0.0 and got[9]["n_triangles"] == 0
+    assert got[4]["degree"] == 3 and got[4]["n_triangles"] == 1
+    assert got[4]["clustering_coeff"] == 2 * 1 / (3 * 2)
