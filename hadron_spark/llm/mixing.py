@@ -260,3 +260,77 @@ def select_token_budget(
         materialize=materialize,
     )
     return sel.filter(F.col(cum_col) <= F.lit(int(budget)))
+
+
+def systematic_pps_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    materialize: str = "local_checkpoint",
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling (Madow
+    1949 — the classic fixed-size weighted design): draw EXACTLY n
+    selections where each row's expected pick count is n·w/W, by
+    walking a fixed stride W/n along the cumulative weight axis of a
+    deterministically hash-shuffled row order.  The weighted
+    complement of `deterministic hash split`: token-budgeted corpus
+    subsetting, weighted eval-slice selection, PPS audit sampling.
+
+    Fully integer-exact: rows order by (60-bit md5 prefix, id) —
+    deterministic under any partitioning, the `epoch_shuffle`
+    discipline — the EXCLUSIVE prefix sum c comes from
+    `range_cumsum` (banded two-pass, never a single-partition
+    window), and row multiplicity is
+        floor((c+w)·n / W) − floor(c·n / W)
+    — pure int64 arithmetic counting stride points inside the row's
+    weight interval.  Σ multiplicity = n by telescoping, heavy rows
+    (w > W/n) legitimately select multiple times (emit
+    `multiplicity`, the upsample_repeats convention).  Guard:
+    raises if W·n would overflow int64 (at that scale quantize
+    weights coarser or shard the draw).
+
+    One corpus scan + range_cumsum's one exchange + a tiny total
+    agg; no driver loops."""
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    from hadron_spark.operators.ops import range_cumsum
+
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    bad = df.filter(F.col(weight_col) <= 0).limit(1).count()
+    if bad:
+        raise ValueError("systematic_pps_sample: weights must be > 0")
+    staged = df.withColumn("_h", h)
+    pre = range_cumsum(
+        staged,
+        key=F.col("_h"),
+        val=F.col(weight_col),
+        order=[F.col("_h"), F.col(id_col)],
+        out_col="_c",
+        inclusive=False,
+        materialize=materialize,
+    )
+    w_long = F.col(weight_col).cast("long")
+    total = pre.agg(F.max(F.col("_c") + w_long).alias("w")).first()["w"]
+    if total is None:
+        return pre.filter(F.lit(False)).select(
+            *df.columns, F.lit(0).alias("multiplicity")
+        )
+    if total * n >= 2**62:
+        raise ValueError(
+            f"systematic_pps_sample: W*n = {total}*{n} risks int64 overflow"
+        )
+    # `div`, not `/`: Spark's `/` on longs is DOUBLE division, which
+    # loses exactness past 2^53 — div keeps the whole count in int64
+    return (
+        pre.withColumn("_e", (F.col("_c") + w_long) * n)
+        .withColumn("_s", F.col("_c") * n)
+        .withColumn(
+            "multiplicity",
+            F.expr(f"(_e div {total}) - (_s div {total})").cast("long"),
+        )
+        .filter(F.col("multiplicity") >= 1)
+        .select(*df.columns, "multiplicity")
+    )

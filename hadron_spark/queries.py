@@ -10884,3 +10884,47 @@ def q250(spark, sf_dir):
         .distinct()
     )
     return clustering_coefficient(edges)
+
+
+@_register(
+    "q251_systematic_pps_sample",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             len(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cum,
+             CAST(SUM(n_tokens) OVER () AS BIGINT) AS w_total
+      FROM d
+    )
+    SELECT doc_id, n_tokens,
+           CAST(((cum + n_tokens) * 200) // w_total
+                - (cum * 200) // w_total AS BIGINT) AS multiplicity
+    FROM c
+    WHERE ((cum + n_tokens) * 200) // w_total - (cum * 200) // w_total >= 1
+    """,
+)
+def q251(spark, sf_dir):
+    """Systematic PPS sampling (llm.mixing.systematic_pps_sample —
+    Madow 1949): exactly 200 token-weighted selections from the
+    corpus, stride-walked along the md5-shuffled cumulative token
+    axis.  Spark computes the prefix with range_cumsum's banded
+    two-pass (no single-partition window — the oracle's SUM OVER is
+    the semantic statement, not the plan); all arithmetic is int64
+    `div`, so the sample — including heavy-row multiplicities — is
+    hash-exact."""
+    from hadron_spark.functions.text import tokenize
+    from hadron_spark.llm.mixing import systematic_pps_sample
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokenize(F.lower(F.col("text")))).alias("n_tokens")
+    )
+    return systematic_pps_sample(docs, 200, "n_tokens")

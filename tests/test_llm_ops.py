@@ -2113,3 +2113,47 @@ def test_rrf_fuse_matches_python_and_tiebreaks(spark):
         rrf_fuse([a], k=60)
     with pytest.raises(ValueError):
         rrf_fuse([a, b], k=0)
+
+
+def test_systematic_pps_sample_exact(spark):
+    """Sum of multiplicities == n exactly; per-row multiplicity
+    matches a pure-python replay of the same md5 order + stride
+    walk; heavy rows select multiple times; validation errors."""
+    import hashlib
+
+    import pytest
+
+    from hadron_spark.llm.mixing import systematic_pps_sample
+
+    rows = [(i, 1 + (i * 7) % 50) for i in range(200)]
+    rows.append((999, 5000))  # heavy row: w >> W/n
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    for n in (10, 37, 100):
+        got = {
+            r["doc_id"]: r["multiplicity"]
+            for r in systematic_pps_sample(df, n, "n_tokens").collect()
+        }
+        assert sum(got.values()) == n
+        # python replay
+        order = sorted(
+            rows,
+            key=lambda r: (
+                int(hashlib.md5(str(r[0]).encode()).hexdigest()[:15], 16),
+                r[0],
+            ),
+        )
+        W = sum(w for _, w in order)
+        c = 0
+        ref = {}
+        for did, w in order:
+            m = (c + w) * n // W - c * n // W
+            if m >= 1:
+                ref[did] = m
+            c += w
+        assert got == ref, n
+    assert systematic_pps_sample(df, 1000, "n_tokens").count() > 0
+    with pytest.raises(ValueError):
+        systematic_pps_sample(df, 0, "n_tokens")
+    bad = spark.createDataFrame([(1, 0)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError):
+        systematic_pps_sample(bad, 5, "n_tokens")
