@@ -483,3 +483,60 @@ def clustering_coefficient(
             .alias("clustering_coeff"),
         )
     )
+
+
+def coreness(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 100,
+) -> DataFrame:
+    """k-core decomposition — every node's core number (the largest
+    k such that the node survives in the k-core, the subgraph where
+    all degrees >= k).  Coreness ranks "how embedded" a node is far
+    more robustly than raw degree: the standard triage for dense
+    duplicate communities, spam link farms, and influence tiers.
+
+    Algorithm: distributed h-index iteration (Lü et al., "The
+    H-index of a network node and its relation to degree and
+    coreness", Nature Comms 2016): start c(v) = deg(v) and repeat
+      c(v) <- H({c(u) : u ~ v})   (largest h with >= h neighbors
+                                   having c >= h)
+    until fixpoint — provably converges to the core number, with NO
+    peeling sequencing (the sequential Batagelj-Zaversnik algorithm
+    is inherently serial; h-index rounds are embarrassingly
+    parallel).  Each round: one edge join on the label table, one
+    per-node descending rank window, one max(least(rank, c)) agg —
+    all shuffles keyed on node ids, no adjacency collection; labels
+    localCheckpoint per round (lineage discipline).  Convergence is
+    the exact fixpoint of Σc (monotone non-increasing under H).
+
+    Deterministic: H is a pure multiset function — no tie-breaks at
+    all.  Returns (node, coreness); isolated self-loop-only nodes
+    drop with the canonicalization."""
+    from pyspark.sql import Window
+
+    e = _canon(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    und = _sym(e).localCheckpoint(eager=True)
+    labels = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=True)
+    prev = None
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("nbr"))
+    for _ in range(max_iter):
+        neigh = und.join(
+            labels.select(F.col("node").alias("dst"), "c"), "dst"
+        ).select(F.col("src").alias("node"), F.col("dst").alias("nbr"), "c")
+        hidx = (
+            neigh.withColumn("_rk", F.row_number().over(w))
+            .groupBy("node")
+            .agg(F.max(F.least(F.col("_rk"), F.col("c"))).alias("c"))
+        )
+        labels = hidx.localCheckpoint(eager=True)
+        cur = labels.agg(F.sum("c").alias("s")).first()["s"]
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"coreness: no convergence in {max_iter} rounds")
+    return labels.select("node", F.col("c").alias("coreness"))

@@ -10928,3 +10928,27 @@ def q251(spark, sf_dir):
         "doc_id", F.size(tokenize(F.lower(F.col("text")))).alias("n_tokens")
     )
     return systematic_pps_sample(docs, 200, "n_tokens")
+
+
+@_register("q252_coreness", None)
+def q252(spark, sf_dir):
+    """k-core decomposition (operators.graph.coreness — h-index
+    iteration, Lü et al. 2016) of the part co-order graph: per-node
+    core numbers by parallel rounds (edge join + per-node rank
+    window + max(least(rank, c)) agg, labels checkpointed per
+    round) instead of the inherently serial peeling.  Iterative
+    fixpoint — no SQL form; pinned against the Batagelj-Zaversnik
+    peeling reference in tests."""
+    from hadron_spark.operators.graph import coreness
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    return coreness(edges)

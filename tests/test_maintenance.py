@@ -260,3 +260,50 @@ def test_clustering_coefficient_bowtie(spark):
     assert got[9]["clustering_coeff"] == 0.0 and got[9]["n_triangles"] == 0
     assert got[4]["degree"] == 3 and got[4]["n_triangles"] == 1
     assert got[4]["clustering_coeff"] == 2 * 1 / (3 * 2)
+
+
+def test_coreness_known_and_random(spark):
+    """Clique + chain analytic values; random graph vs networkx-free
+    peeling reference."""
+    import itertools
+    import random
+
+    from hadron_spark.operators.graph import coreness
+
+    # 5-clique (coreness 4 each) + tail chain (coreness 1)
+    clique = list(itertools.combinations(range(5), 2))
+    chain = [(4, 10), (10, 11), (11, 12)]
+    e = spark.createDataFrame(clique + chain, "src long, dst long")
+    got = {r["node"]: r["coreness"] for r in coreness(e).collect()}
+    assert all(got[v] == 4 for v in range(5))
+    assert got[10] == got[11] == got[12] == 1
+
+    rng = random.Random(3)
+    edges = {(rng.randint(0, 40), rng.randint(0, 40)) for _ in range(150)}
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["coreness"] for r in coreness(df).collect()}
+    ref = _peel_reference(edges)
+    assert got == ref
+
+
+def _peel_reference(edges):
+    """Textbook min-degree peeling: core number = peel round degree
+    (monotone max as removal degree)."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    live = {v: set(ns) for v, ns in adj.items()}
+    core = {}
+    current = 0
+    while live:
+        v = min(live, key=lambda x: (len(live[x]), x))
+        current = max(current, len(live[v]))
+        core[v] = current
+        for u in live[v]:
+            live[u].discard(v)
+        del live[v]
+    return core
