@@ -103,3 +103,76 @@ def corpus_report(
         )
     )
     return scalars.unionByName(shares)
+
+
+def corpus_novelty(
+    new: DataFrame,
+    old: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = 8,
+) -> DataFrame:
+    """Snapshot-over-snapshot novelty report — the data-refresh
+    decision table: for each group of the NEW corpus snapshot, how
+    many documents are byte-new vs the old snapshot, and what
+    fraction of its distinct word n-grams was never seen anywhere
+    in the old one.  Crawl teams read exactly this pair to decide
+    whether a refresh is worth a training run (near-zero novel-gram
+    rate = the new crawl is re-downloads), and it complements the
+    incremental fingerprint store (`llm.dedup` q210) which answers
+    the same question destructively, per document.
+
+    Exact integers throughout; the rate is one IEEE division of two
+    exact counts.  Both sides key on md5 fingerprints (doc level:
+    whole text; gram level: the space-joined n-gram) so the
+    comparison shuffles 16-byte keys, never full text — and the
+    oracle uses the same md5 keys, making collision behavior (2^-64
+    — birthday-safe) identical rather than assumed away.
+
+    Plan: gram sides partial-agg to distinct before the LEFT ANTI
+    join (the only big shuffle, keyed on the fingerprint); per-group
+    rollups are |groups|-row frames joined at the end.  Nothing
+    funnels through one task."""
+    from hadron_spark.functions.text import ngrams, tokenize
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    gram = lambda df: df.select(  # noqa: E731
+        F.col(group_col).alias("_g"),
+        F.explode(ngrams(tokenize(F.lower(F.col(text_col))), n)).alias("_gram"),
+    ).select("_g", F.md5("_gram").alias("_fp"))
+    newg = gram(new).distinct()
+    oldg = gram(old).select("_fp").distinct()
+    novel = newg.join(oldg, "_fp", "left_anti")
+    g_tot = newg.groupBy("_g").agg(F.count(F.lit(1)).alias("n_distinct_ngrams"))
+    g_new = novel.groupBy("_g").agg(F.count(F.lit(1)).alias("n_novel_ngrams"))
+    docs = new.select(
+        F.col(group_col).alias("_g"), F.md5(F.col(text_col)).alias("_fp")
+    )
+    old_fps = old.select(F.md5(F.col(text_col)).alias("_fp")).distinct()
+    d_tot = docs.groupBy("_g").agg(F.count(F.lit(1)).alias("n_docs"))
+    d_new = docs.join(old_fps, "_fp", "left_anti").groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n_new_docs")
+    )
+    out = (
+        d_tot.join(d_new, "_g", "left")
+        .join(g_tot, "_g", "left")
+        .join(g_new, "_g", "left")
+        .select(
+            F.col("_g").alias(group_col),
+            "n_docs",
+            F.coalesce("n_new_docs", F.lit(0)).alias("n_new_docs"),
+            F.coalesce("n_distinct_ngrams", F.lit(0)).alias("n_distinct_ngrams"),
+            F.coalesce("n_novel_ngrams", F.lit(0)).alias("n_novel_ngrams"),
+        )
+        .withColumn(
+            "novelty_rate",
+            F.when(
+                F.col("n_distinct_ngrams") > 0,
+                F.col("n_novel_ngrams").cast("double")
+                / F.col("n_distinct_ngrams").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return out

@@ -10952,3 +10952,72 @@ def q252(spark, sf_dir):
         .distinct()
     )
     return coreness(edges)
+
+
+@_register(
+    "q253_corpus_novelty",
+    """
+    WITH oldd AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),
+    tn AS (
+      SELECT source, text,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    told AS (
+      SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM oldd
+    ),
+    gn AS (
+      SELECT DISTINCT source, md5(g) AS fp FROM (
+        SELECT source,
+               unnest(list_transform(range(1, greatest(len(toks) - 8 + 2, 1)),
+                      i -> array_to_string(toks[i:i+7], ' '))) AS g
+        FROM tn)
+    ),
+    go AS (
+      SELECT DISTINCT md5(g) AS fp FROM (
+        SELECT unnest(list_transform(range(1, greatest(len(toks) - 8 + 2, 1)),
+                      i -> array_to_string(toks[i:i+7], ' '))) AS g
+        FROM told)
+    ),
+    gt AS (SELECT source, count(*) AS n_distinct_ngrams FROM gn GROUP BY source),
+    gnov AS (
+      SELECT source, count(*) AS n_novel_ngrams
+      FROM gn ANTI JOIN go USING (fp) GROUP BY source
+    ),
+    dt AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    dold AS (SELECT DISTINCT md5(text) AS fp FROM oldd),
+    dnew AS (
+      SELECT source, count(*) AS n_new_docs
+      FROM (SELECT source, md5(text) AS fp FROM documents) d
+      ANTI JOIN dold USING (fp) GROUP BY source
+    )
+    SELECT dt.source, dt.n_docs,
+           COALESCE(dnew.n_new_docs, 0) AS n_new_docs,
+           COALESCE(gt.n_distinct_ngrams, 0) AS n_distinct_ngrams,
+           COALESCE(gnov.n_novel_ngrams, 0) AS n_novel_ngrams,
+           CASE WHEN COALESCE(gt.n_distinct_ngrams, 0) > 0
+                THEN CAST(COALESCE(gnov.n_novel_ngrams, 0) AS DOUBLE)
+                     / CAST(gt.n_distinct_ngrams AS DOUBLE)
+                ELSE 0.0 END AS novelty_rate
+    FROM dt
+    LEFT JOIN dnew USING (source)
+    LEFT JOIN gt USING (source)
+    LEFT JOIN gnov USING (source)
+    """,
+)
+def q253(spark, sf_dir):
+    """Snapshot novelty report (llm.report.corpus_novelty): the full
+    corpus as the NEW snapshot vs the doc_id%3!=0 two-thirds as the
+    OLD — per source, byte-new docs (md5 anti-join) and the
+    never-seen-before distinct 8-gram rate.  The data-refresh
+    decision table; exact counts + one IEEE division, md5 keys in
+    BOTH engines so collision behavior is identical rather than
+    assumed away."""
+    from hadron_spark.llm.report import corpus_novelty
+
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text", "source")
+    return corpus_novelty(docs.select("doc_id", "text", "source"), old, n=8)

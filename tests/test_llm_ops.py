@@ -2157,3 +2157,35 @@ def test_systematic_pps_sample_exact(spark):
     bad = spark.createDataFrame([(1, 0)], "doc_id long, n_tokens long")
     with pytest.raises(ValueError):
         systematic_pps_sample(bad, 5, "n_tokens")
+
+
+def test_corpus_novelty_planted(spark):
+    """Planted: one brand-new doc with all-new grams, one exact
+    re-download, one doc whose grams all exist in old -> rates and
+    counts are analytic."""
+    import pytest
+
+    from hadron_spark.llm.report import corpus_novelty
+
+    old = spark.createDataFrame(
+        [(1, "a b c d e", "web"), (2, "f g h i j", "web")],
+        "doc_id long, text string, source string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "a b c d e", "web"),          # exact re-download
+            (11, "a b c d f", "web"),          # new doc, grams: 2 novel of 2
+            (12, "z y x w v", "books"),        # all novel
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in corpus_novelty(new, old, n=4).collect()}
+    web = out["web"]
+    # grams(n=4): doc10 {abcd, bcde} seen; doc11 {abcd, bcdf} -> 1 novel
+    assert web["n_docs"] == 2 and web["n_new_docs"] == 1
+    assert web["n_distinct_ngrams"] == 3 and web["n_novel_ngrams"] == 1
+    assert web["novelty_rate"] == 1 / 3
+    books = out["books"]
+    assert books["n_new_docs"] == 1 and books["novelty_rate"] == 1.0
+    with pytest.raises(ValueError):
+        corpus_novelty(new, old, n=0)
