@@ -347,6 +347,126 @@ def main() -> None:
         )
         + f" | {wall_ratio:.1f}× |"
     )
+    # ------------------------------------------------------------------
+    # round-4-late additions: exact set-similarity join (prefix
+    # filter under adversarial near-dup clusters — every replica of a
+    # base doc pairs with every other at J >= 0.9, so output is
+    # C(k,2) per base doc and the RATE is the honest axis), triangle
+    # counting + coreness (k disjoint replicas of a fixed co-order
+    # graph — wall must track edges ~linearly since the degree
+    # distribution is constant), systematic PPS sampling and the
+    # snapshot novelty diff (single-scan claims — wall linear).
+    # ------------------------------------------------------------------
+    from hadron_spark.llm.dedup import set_similarity_join
+    from hadron_spark.llm.mixing import systematic_pps_sample
+    from hadron_spark.llm.report import corpus_novelty
+    from hadron_spark.operators.graph import coreness, node_triangle_counts
+
+    r4_ks = r3_ks
+
+    def probe_setsim(d):
+        # every 10th BASE doc, all k replicas kept: cluster width (the
+        # adversarial axis — C(k,2) pairs, k-wide prefix buckets)
+        # still grows with k while the base breadth stays bounded
+        thin = d.filter((F.col("doc_id") % 1_000_000_000) % 10 == 0)
+        toks = thin.select(
+            "doc_id", F.split(F.lower("text"), r"\s+").alias("tokens")
+        )
+        return set_similarity_join(
+            toks, threshold_num=9, threshold_den=10
+        ).count()
+
+    def probe_pps(d):
+        staged = d.select(
+            "doc_id", F.size(F.split("text", r"\s+")).alias("w")
+        )
+        return systematic_pps_sample(staged, 1000, "w").count()
+
+    def probe_novelty(d):
+        old = d.filter(F.col("doc_id") % 3 != 0)
+        return corpus_novelty(d, old, n=8).count()
+
+    R4_DOC_OPS = {
+        "set_similarity_j9/10": probe_setsim,
+        "systematic_pps_1000": probe_pps,
+        "corpus_novelty_w8": probe_novelty,
+    }
+    r4_doc_results: dict[str, dict[int, tuple[float, int]]] = {
+        op: {} for op in R4_DOC_OPS
+    }
+    # fixed-density co-order graph (quarter of the part universe so
+    # the k=1 copy is small), replicated disjointly
+    li_small = li_base.filter(F.col("l_partkey") % 4 == 0).select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    g_edges = (
+        li_small.alias("a")
+        .join(li_small.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    n_gedges = g_edges.count()
+
+    def blow_up_graph(e, k: int):
+        parts = [
+            e.select(
+                (F.col("src") + F.lit(r * 1_000_000_000)).alias("src"),
+                (F.col("dst") + F.lit(r * 1_000_000_000)).alias("dst"),
+            )
+            for r in range(k)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    R4_GRAPH_OPS = {
+        "node_triangle_counts": lambda e: node_triangle_counts(e).count(),
+        "coreness_hindex": lambda e: coreness(e).count(),
+    }
+    r4_graph_results: dict[str, dict[int, tuple[float, int]]] = {
+        op: {} for op in R4_GRAPH_OPS
+    }
+    for k in r4_ks:
+        d = blow_up(base, k).repartition(32).localCheckpoint()
+        for op, fn in R4_DOC_OPS.items():
+            t0 = time.time()
+            n_out = fn(d)
+            r4_doc_results[op][k] = (round(time.time() - t0, 2), int(n_out))
+        d.unpersist()
+        ge = blow_up_graph(g_edges, k).repartition(32).localCheckpoint()
+        for op, fn in R4_GRAPH_OPS.items():
+            t0 = time.time()
+            n_out = fn(ge)
+            r4_graph_results[op][k] = (round(time.time() - t0, 2), int(n_out))
+        ge.unpersist()
+
+    lines += [
+        "",
+        "## Round-4-late ops (ks=" + str(r4_ks) + "; docs ladder as above,",
+        f"graph ladder = k disjoint replicas of a {n_gedges:,}-edge",
+        "co-order graph — constant degree distribution, so wall must",
+        "track edges ~linearly; set-similarity output is C(k,2) pairs",
+        "per base doc by construction — rate is the honest axis):",
+        "",
+        "| op | "
+        + " | ".join(f"k={k} wall / out" for k in r4_ks)
+        + " | wall × | out-rows/s @k_max |",
+        "|---|" + "---|" * (len(r4_ks) + 2),
+    ]
+    for op, r in list(r4_doc_results.items()) + list(r4_graph_results.items()):
+        wall_ratio = r[max(r4_ks)][0] / max(r[min(r4_ks)][0], 0.01)
+        thr = r[max(r4_ks)][1] / max(r[max(r4_ks)][0], 0.01)
+        lines.append(
+            f"| {op} | "
+            + " | ".join(f"{r[k][0]:.2f}s / {r[k][1]:,}" for k in r4_ks)
+            + f" | {wall_ratio:.1f}× | {thr:,.0f} |"
+        )
+
     lines.append("")
     open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"), "w").write("\n".join(lines))
     print("\n".join(lines))
