@@ -11021,3 +11021,50 @@ def q253(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     old = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text", "source")
     return corpus_novelty(docs.select("doc_id", "text", "source"), old, n=8)
+
+
+@_register(
+    "q254_streaming_moments",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sy,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                    * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS syy
+    FROM events GROUP BY event_type
+    """,
+)
+def q254(spark, sf_dir):
+    """Streaming exact-moment maintenance (streaming.ops
+    .incremental_moments): the event stream is chopped into
+    micro-batches and per-type (n, Σy, Σy²) longs are merged into
+    the parquet state — long sums are an associative commutative
+    monoid, so the state is bit-identical to one groupBy over every
+    delivered row no matter how the stream was chopped.  The RARE
+    streaming op with a FULL oracle: the state is plain integers,
+    so DuckDB states it as a batch GROUP BY.  Failure trio
+    (HWM replay guard, swap healing) pinned in test_streaming."""
+    import shutil
+    import tempfile
+
+    from hadron_spark.streaming.ops import incremental_moments, read_moments_state
+
+    work = tempfile.mkdtemp(prefix="q254_")
+    src = f"{work}/src"
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("y")
+    )
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("event_type string, y bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = incremental_moments(
+        stream, f"{work}/state", "event_type", "y", checkpoint=f"{work}/ckpt"
+    )
+    q.awaitTermination(300)
+    result = read_moments_state(spark, f"{work}/state", "event_type")
+    result = spark.createDataFrame(result.collect(), result.schema)
+    shutil.rmtree(work, ignore_errors=True)
+    return result

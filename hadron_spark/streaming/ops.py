@@ -800,3 +800,101 @@ def incremental_hll(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def moments_apply_fn(state_path: str, key: str, value: str):
+    """The foreachBatch merge behind `incremental_moments`, exposed
+    for direct replay/recovery unit tests (call with (batch_df,
+    batch_id)).  State schema: (key, n, sy, syy) exact longs — the
+    marker row (key NULL) carries the batch high-water mark in `n`.
+    NULL stream keys are dropped (the NULL slot is the marker's)."""
+    from hadron_spark.sources import fs
+
+    def apply(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        _recover_swap(spark, state_path)
+        prev = None
+        if fs.exists(spark, state_path):
+            prev = spark.read.parquet(state_path)
+            hwm = prev.filter(F.col(key).isNull()).select("n").collect()
+            if hwm and batch_id <= int(hwm[0]["n"]):
+                return  # replayed batch: already merged exactly once
+        y = F.col(value).cast("long")
+        part = (
+            batch_df.localCheckpoint(eager=True)
+            .filter(F.col(key).isNotNull())
+            .groupBy(key)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(y).alias("sy"),
+                F.sum(y * y).alias("syy"),
+            )
+        )
+        if prev is not None:
+            merged = (
+                prev.filter(F.col(key).isNotNull())
+                .unionByName(part)
+                .groupBy(key)
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.sum("sy").alias("sy"),
+                    F.sum("syy").alias("syy"),
+                )
+            )
+        else:
+            merged = part
+        marker = spark.range(1).select(
+            F.lit(None).cast(merged.schema[key].dataType).alias(key),
+            F.lit(int(batch_id)).cast("long").alias("n"),
+            F.lit(0).cast("long").alias("sy"),
+            F.lit(0).cast("long").alias("syy"),
+        )
+        _commit_swap(spark, merged.unionByName(marker), state_path, batch_id)
+
+    return apply
+
+
+def incremental_moments(
+    stream: DataFrame,
+    state_path: str,
+    key: str,
+    value: str,
+    checkpoint: str | None = None,
+):
+    """Streaming maintenance of EXACT per-key second moments
+    (n, Σy, Σy²) over an unbounded integer-valued stream — the state
+    behind any mean/stddev/z-score surface (q119's algebra) kept
+    live: one row per key REGARDLESS of stream volume, because long
+    sums are an associative, commutative monoid — the merge is
+    algebraically exact, so the state after any micro-batch chopping
+    is bit-identical to a one-shot groupBy over every delivered row
+    (the incremental_gram/CMS batch-boundary-independence contract,
+    here with a FULL SQL oracle since the state is plain integers).
+
+    Exactness under failure: batch-id high-water mark in the marker
+    row (at-least-once replays merge exactly once) + `_recover_swap`
+    healing of interrupted tmp-then-rename swaps.  Quantize values
+    to integer units (cents) upstream — that is what makes the sums
+    exact; floats would make the merge order-sensitive.
+
+    Read back with `read_moments_state`.  Returns the started
+    StreamingQuery (availableNow trigger)."""
+    apply = moments_apply_fn(state_path, key, value)
+    writer = (
+        stream.writeStream.foreachBatch(apply)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def read_moments_state(spark, state_path: str, key: str) -> DataFrame:
+    """The queryable surface of `incremental_moments`: (key, n, sy,
+    syy) exact longs, marker row stripped."""
+    return (
+        spark.read.parquet(state_path)
+        .filter(F.col(key).isNotNull())
+        .select(key, "n", "sy", "syy")
+    )

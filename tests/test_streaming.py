@@ -518,3 +518,41 @@ def test_incremental_hll_matches_batch_and_replay(spark, sf_dir, tmp_path):
         for r in hll_estimate(spark.read.parquet(state)).collect()
     }
     assert again == want
+
+
+def test_incremental_moments_matches_batch_replay_recovery(spark, sf_dir, tmp_path):
+    """Streamed (n, Σy, Σy²) state == one-shot groupBy regardless of
+    batch chopping; replayed batch merges exactly once; interrupted
+    swap heals; NULL keys drop (the marker slot)."""
+    from hadron_spark.sources import fs
+    from hadron_spark.streaming.ops import moments_apply_fn, read_moments_state
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("y")
+    )
+    want = {
+        r["event_type"]: (r["n"], r["sy"], r["syy"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+        .collect()
+    }
+    state = str(tmp_path / "mom_state")
+    apply = moments_apply_fn(state, "event_type", "y")
+    b0 = ev.filter(F.crc32(F.col("event_type")) % 2 == 0)
+    b1 = ev.filter(F.crc32(F.col("event_type")) % 2 == 1).withColumn(
+        "event_type",
+        F.when(F.lit(True), F.col("event_type")).otherwise(F.lit(None)),
+    )
+    apply(b0, 0)
+    apply(b0, 0)  # at-least-once replay: must be a no-op
+    fs.mv(spark, state, state + "._old_1")  # crash mid-swap: heal
+    apply(b1, 1)
+    got = {
+        r["event_type"]: (r["n"], r["sy"], r["syy"])
+        for r in read_moments_state(spark, state, "event_type").collect()
+    }
+    assert got == want
