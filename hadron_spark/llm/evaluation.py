@@ -141,3 +141,62 @@ def auc(
             / (F.col("n_pos") * F.col("n_neg") * 2).cast("double")
         ).alias("auc"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+) -> DataFrame:
+    """Inter-annotator agreement (Cohen 1960) over two categorical
+    label columns — the RLHF/eval-annotation QC number: chance-
+    corrected agreement kappa = (p_o − p_e)/(1 − p_e).
+
+    Integer-exact end to end: with confusion counts n_ab, row/col
+    marginals r_k, c_k and N rows,
+        kappa = (N·Σ_k n_kk − Σ_k r_k·c_k) / (N² − Σ_k r_k·c_k)
+    — ONE IEEE division of two exact int64s (p_o, p_e are also
+    emitted as single divisions), so everything hashes.  Rows where
+    either label is NULL are dropped (unlabeled).
+
+    Plan: one partial-agg'd shuffle to the k×k confusion matrix;
+    marginals and the scalar algebra run on that tiny frame
+    (broadcast joins).  Returns one row (n, agree, kappa_num,
+    kappa_den, p_o, p_e, kappa)."""
+    pairs = (
+        df.select(F.col(rater_a).alias("_a"), F.col(rater_b).alias("_b"))
+        .filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    pairs = pin(pairs)
+    ra = pairs.groupBy("_a").agg(F.sum("_n").alias("_r"))
+    cb = pairs.groupBy("_b").agg(F.sum("_n").alias("_c"))
+    pe_sum = (
+        ra.join(cb, ra["_a"] == cb["_b"])
+        .agg(F.sum(F.col("_r") * F.col("_c")).alias("_pe"))
+    )
+    tot = pairs.agg(
+        F.sum("_n").alias("_N"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_n")).otherwise(0)).alias(
+            "_agree"
+        ),
+    )
+    j = tot.crossJoin(F.broadcast(pe_sum)).select(
+        "_N",
+        "_agree",
+        F.coalesce("_pe", F.lit(0)).alias("_pe"),
+    )
+    num = F.col("_N") * F.col("_agree") - F.col("_pe")
+    den = F.col("_N") * F.col("_N") - F.col("_pe")
+    return j.select(
+        F.col("_N").alias("n"),
+        F.col("_agree").alias("agree"),
+        num.alias("kappa_num"),
+        den.alias("kappa_den"),
+        (F.col("_agree").cast("double") / F.col("_N").cast("double")).alias("p_o"),
+        (F.col("_pe").cast("double") / (F.col("_N") * F.col("_N")).cast("double")).alias(
+            "p_e"
+        ),
+        (num.cast("double") / den.cast("double")).alias("kappa"),
+    )

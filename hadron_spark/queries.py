@@ -11167,3 +11167,55 @@ def q256(spark, sf_dir):
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
     )
     return auc(docs, "score", "y")
+
+
+@_register(
+    "q257_annotator_agreement",
+    """
+    WITH lab AS (
+      SELECT CASE WHEN len(list_filter(string_split_regex(lower(text), '\\s+'),
+                      x -> x <> '')) >= 60
+                  THEN 'keep' ELSE 'drop' END AS a,
+             CASE WHEN 2 * len(list_distinct(list_filter(
+                      string_split_regex(lower(text), '\\s+'), x -> x <> '')))
+                      >= len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> ''))
+                  THEN 'keep' ELSE 'drop' END AS b
+      FROM documents
+    ),
+    m AS (SELECT a, b, count(*) AS n FROM lab GROUP BY a, b),
+    ra AS (SELECT a, CAST(SUM(n) AS BIGINT) AS r FROM m GROUP BY a),
+    cb AS (SELECT b, CAST(SUM(n) AS BIGINT) AS c FROM m GROUP BY b),
+    pe AS (SELECT CAST(COALESCE(SUM(r * c), 0) AS BIGINT) AS pe
+           FROM ra JOIN cb ON ra.a = cb.b),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                   CAST(SUM(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT) AS agree
+            FROM m)
+    SELECT nn AS n, agree,
+           nn * agree - pe AS kappa_num,
+           nn * nn - pe AS kappa_den,
+           CAST(agree AS DOUBLE) / CAST(nn AS DOUBLE) AS p_o,
+           CAST(pe AS DOUBLE) / CAST(nn * nn AS DOUBLE) AS p_e,
+           CAST(nn * agree - pe AS DOUBLE)
+             / CAST(nn * nn - pe AS DOUBLE) AS kappa
+    FROM tot, pe
+    """,
+)
+def q257(spark, sf_dir):
+    """Inter-annotator agreement (llm.evaluation.cohens_kappa —
+    Cohen 1960) between two heuristic quality annotators (length
+    rule vs distinct-ratio rule, both stated as integer compares):
+    chance-corrected kappa as ONE division of exact int64s —
+    bit-exact, including p_o/p_e.  One partial-agg'd shuffle to the
+    2x2 confusion matrix; all algebra on that tiny frame."""
+    from hadron_spark.functions.text import tokenize
+    from hadron_spark.llm.evaluation import cohens_kappa
+
+    toks = tokenize(F.lower(F.col("text")))
+    lab = load(spark, sf_dir, "documents").select(
+        F.when(F.size(toks) >= 60, "keep").otherwise("drop").alias("a"),
+        F.when(
+            F.size(F.array_distinct(toks)) * 2 >= F.size(toks), "keep"
+        ).otherwise("drop").alias("b"),
+    )
+    return cohens_kappa(lab, "a", "b")

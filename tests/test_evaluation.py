@@ -67,3 +67,24 @@ def test_pr_curve_and_auc_match_reference(spark):
         [(4, 0), (5, 0), (1, 1), (2, 1)], "score long, y int"
     )
     assert auc(rev, "score", "y").collect()[0]["auc"] == 0.0
+
+
+def test_cohens_kappa_reference_and_edges(spark):
+    """Textbook 2x2 example; perfect agreement -> 1.0; NULLs drop;
+    chance-only agreement -> ~0."""
+    from hadron_spark.llm.evaluation import cohens_kappa
+
+    # classic example: a=(20,5,10,15): po=0.7, pe=0.5 -> kappa=0.4
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5 + [("n", "y")] * 10
+        + [("n", "n")] * 15 + [(None, "y"), ("n", None)]
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r["n"] == 50 and r["agree"] == 35
+    assert r["p_o"] == 0.7 and r["p_e"] == 0.5
+    assert r["kappa"] == (50 * 35 - 1250) / (2500 - 1250) == 0.4
+    perfect = spark.createDataFrame(
+        [("x", "x"), ("y", "y"), ("z", "z")], "a string, b string"
+    )
+    assert cohens_kappa(perfect, "a", "b").collect()[0]["kappa"] == 1.0
