@@ -200,3 +200,80 @@ def cohens_kappa(
         ),
         (num.cast("double") / den.cast("double")).alias("kappa"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    prob_units_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    scale: int = 100,
+) -> DataFrame:
+    """Reliability-diagram bins over integer-unit probabilities
+    (prob_units in [0, scale], e.g. percent): per equal-width bin,
+    count, mean confidence, and empirical accuracy — the table
+    behind a calibration plot for a quality classifier.
+
+    Everything is exact: bin = min(n_bins−1, units·n_bins div
+    scale) is integer math; confidence = Σunits/(n·scale) and
+    accuracy = Σpos/n are single IEEE divisions; `gap_num` =
+    |Σpos·scale − Σunits| is the bin's calibration-gap NUMERATOR
+    kept as an exact integer so `ece` can sum it without
+    float-order sensitivity.  One partial-agg'd shuffle onto
+    ≤ n_bins rows.  Returns (bin, n, sum_units, sum_pos,
+    confidence, accuracy, gap_num)."""
+    if n_bins < 1 or scale < 1:
+        raise ValueError(f"n_bins/scale must be >= 1: {n_bins}/{scale}")
+    u = F.col(prob_units_col).cast("long")
+    b = F.least(F.lit(n_bins - 1), F.expr(f"({prob_units_col} * {n_bins}) div {scale}"))
+    binned = df.select(
+        b.cast("int").alias("bin"),
+        u.alias("_u"),
+        F.col(label_col).cast("long").alias("_y"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_u").alias("sum_units"),
+        F.sum("_y").alias("sum_pos"),
+    )
+    return agg.select(
+        "bin",
+        "n",
+        "sum_units",
+        "sum_pos",
+        (
+            F.col("sum_units").cast("double")
+            / (F.col("n") * scale).cast("double")
+        ).alias("confidence"),
+        (F.col("sum_pos").cast("double") / F.col("n").cast("double")).alias(
+            "accuracy"
+        ),
+        F.abs(F.col("sum_pos") * scale - F.col("sum_units")).alias("gap_num"),
+    )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    prob_units_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    scale: int = 100,
+) -> DataFrame:
+    """ECE (Naeini et al. 2015) with NO float accumulation: the
+    standard Σ_b (n_b/N)·|acc_b − conf_b| telescopes to
+    Σ_b |Σpos_b·scale − Σunits_b| / (N·scale) — an exact INTEGER
+    numerator summed over bins, then ONE IEEE division.  Bin-sum
+    order can never perturb the result, so the scalar hashes.
+    One row: (n, ece_num, ece)."""
+    bins = calibration_bins(df, prob_units_col, label_col, n_bins, scale)
+    return bins.agg(
+        F.sum("n").alias("n"),
+        F.sum("gap_num").alias("ece_num"),
+    ).select(
+        "n",
+        "ece_num",
+        (
+            F.col("ece_num").cast("double")
+            / (F.col("n") * scale).cast("double")
+        ).alias("ece"),
+    )

@@ -11219,3 +11219,42 @@ def q257(spark, sf_dir):
         ).otherwise("drop").alias("b"),
     )
     return cohens_kappa(lab, "a", "b")
+
+
+@_register(
+    "q258_calibration_ece",
+    """
+    WITH d AS (
+      SELECT least(100, len(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS p,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    b AS (
+      SELECT least(9, (p * 10) // 100) AS bin, count(*) AS n,
+             CAST(SUM(p) AS BIGINT) AS sum_units,
+             CAST(SUM(y) AS BIGINT) AS sum_pos
+      FROM d GROUP BY 1
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n,
+           CAST(SUM(abs(sum_pos * 100 - sum_units)) AS BIGINT) AS ece_num,
+           CAST(CAST(SUM(abs(sum_pos * 100 - sum_units)) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(SUM(n) AS BIGINT) * 100 AS DOUBLE) AS ece
+    FROM b
+    """,
+)
+def q258(spark, sf_dir):
+    """Expected calibration error (llm.evaluation
+    .expected_calibration_error — Naeini 2015) of a capped
+    token-count pseudo-confidence against the lang='en' label: the
+    ECE numerator telescopes to an exact INTEGER sum over bins
+    (Σ|Σpos·scale − Σunits|), then one IEEE division — no float
+    accumulation anywhere, so the scalar hashes."""
+    from hadron_spark.functions.text import tokenize
+    from hadron_spark.llm.evaluation import expected_calibration_error
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.least(F.lit(100), F.size(tokenize(F.lower(F.col("text"))))).alias("p"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    return expected_calibration_error(docs, "p", "y", n_bins=10)

