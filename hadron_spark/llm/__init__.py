@@ -16,6 +16,7 @@ from hadron_spark.llm import (
     dedup,
     dsir,
     embeddings,
+    evaluation,
     filters,
     mixing,
     multimodal,
@@ -34,6 +35,7 @@ __all__ = [
     "dedup",
     "dsir",
     "embeddings",
+    "evaluation",
     "filters",
     "mixing",
     "packing",

@@ -62,3 +62,47 @@ def mad_outliers(
         .filter(F.col("_dev") * cutoff_den > F.col("mad") * cutoff_num)
         .select(*group_cols, *keep, "med", "mad")
     )
+
+
+def pass_rate_ci(
+    df: DataFrame,
+    group_cols: list[str],
+    flag_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-group binomial pass-rate with Wilson score interval
+    (Wilson 1927 — the interval that behaves at small n and extreme
+    rates, unlike the Wald ±z√(p̂q̂/n) taught first): the
+    data-quality report row for any boolean gate (filter pass rate,
+    dedup survival rate, PII hit rate) with honest uncertainty.
+
+    Bit-portable by the single-IEEE-chain discipline: k and n are
+    exact longs; p̂, the center, the half-width (ONE sqrt —
+    correctly rounded per IEEE, unlike ln/exp) and the bounds are a
+    fixed-order chain of correctly-rounded ops that any engine
+    stating the same tree reproduces exactly; bounds clamp to
+    [0, 1] (the k=0/k=n analytic zeros land ~1e-17 outside in
+    floats).  One partial-agg'd shuffle onto |groups| rows.
+
+    Returns (group_cols..., n, k, rate, ci_lo, ci_hi)."""
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(flag_col).cast("long")).alias("k"),
+    )
+    zc = F.lit(float(z))
+    z2 = zc * zc
+    nd = F.col("n").cast("double")
+    phat = F.col("k").cast("double") / nd
+    denom = F.lit(1.0) + z2 / nd
+    center = phat + z2 / (F.lit(2.0) * nd)
+    half = zc * F.sqrt(
+        phat * (F.lit(1.0) - phat) / nd + z2 / (F.lit(4.0) * nd * nd)
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        "k",
+        phat.alias("rate"),
+        F.greatest(F.lit(0.0), (center - half) / denom).alias("ci_lo"),
+        F.least(F.lit(1.0), (center + half) / denom).alias("ci_hi"),
+    )

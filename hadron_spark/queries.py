@@ -11258,3 +11258,58 @@ def q258(spark, sf_dir):
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
     )
     return expected_calibration_error(docs, "p", "y", n_bins=10)
+
+
+@_register(
+    "q259_pass_rate_wilson",
+    """
+    WITH d AS (
+      SELECT source,
+             CASE WHEN len(list_filter(string_split_regex(lower(text), '\\s+'),
+                      x -> x <> '')) >= 60
+                  THEN 1 ELSE 0 END AS f
+      FROM documents
+    ),
+    a AS (
+      SELECT source, count(*) AS n, CAST(SUM(f) AS BIGINT) AS k
+      FROM d GROUP BY source
+    )
+    SELECT source, n, k,
+           CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+           greatest(0.0,
+             ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+               + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)))
+              - 1.96 * sqrt(
+                  (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                  / CAST(n AS DOUBLE)
+                  + (1.96 * 1.96)
+                    / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+             / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))) AS ci_lo,
+           least(1.0,
+             ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+               + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)))
+              + 1.96 * sqrt(
+                  (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                  / CAST(n AS DOUBLE)
+                  + (1.96 * 1.96)
+                    / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+             / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))) AS ci_hi
+    FROM a
+    """,
+)
+def q259(spark, sf_dir):
+    """Per-source quality-gate pass rate with Wilson 95% interval
+    (operators.robust.pass_rate_ci): the honest-uncertainty report
+    row for any boolean gate.  Exact longs to ONE fixed-order IEEE
+    chain (whose only transcendental is sqrt — correctly rounded,
+    portable), so even the interval bounds hash bit-exact."""
+    from hadron_spark.functions.text import tokenize
+    from hadron_spark.operators.robust import pass_rate_ci
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source",
+        (F.size(tokenize(F.lower(F.col("text")))) >= 60).cast("int").alias("f"),
+    )
+    return pass_rate_ci(docs, ["source"], "f")

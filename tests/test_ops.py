@@ -818,3 +818,31 @@ def test_mad_outliers_exact_and_degenerate(spark):
     assert got[("b", 99)] == (500.0, 0.0)
     with pytest.raises(ValueError):
         mad_outliers(df, "v", ["g"], cutoff_den=0)
+
+
+def test_pass_rate_ci_wilson(spark):
+    """Wilson bounds match a python replay of the same chain; edge
+    rates 0 and 1 stay inside [0, 1]."""
+    import math
+
+    from hadron_spark.operators.robust import pass_rate_ci
+
+    rows = [("a", 1)] * 7 + [("a", 0)] * 3 + [("b", 1)] * 4 + [("c", 0)] * 5
+    df = spark.createDataFrame(rows, "g string, f int")
+    got = {r["g"]: r for r in pass_rate_ci(df, ["g"], "f").collect()}
+
+    def ref(n, k, z=1.96):
+        phat = k / n
+        z2 = z * z
+        denom = 1.0 + z2 / n
+        center = phat + z2 / (2.0 * n)
+        half = z * math.sqrt(phat * (1.0 - phat) / n + z2 / (4.0 * n * n))
+        return (center - half) / denom, (center + half) / denom
+
+    for g, (n, k) in {"a": (10, 7), "b": (4, 4), "c": (5, 0)}.items():
+        lo, hi = ref(n, k)
+        lo, hi = max(0.0, lo), min(1.0, hi)
+        assert (got[g]["n"], got[g]["k"]) == (n, k)
+        assert got[g]["ci_lo"] == lo and got[g]["ci_hi"] == hi, g
+    assert got["b"]["rate"] == 1.0 and got["b"]["ci_hi"] <= 1.0
+    assert got["c"]["rate"] == 0.0 and got["c"]["ci_lo"] >= 0.0
