@@ -176,3 +176,64 @@ def corpus_novelty(
         )
     )
     return out
+
+
+def category_drift(
+    new: DataFrame,
+    old: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Distribution drift between two corpus snapshots over one
+    categorical column (source, lang, length bucket): per-category
+    counts, shares, and the two-sample chi-square CONTRIBUTION —
+    emitted PER CELL rather than summed, the stats tier's discipline
+    (a float sum over categories would be order-sensitive; the
+    reader or a follow-up exact aggregation ranks cells instead).
+    The complement of `corpus_novelty`: that answers "is the new
+    crawl new BYTES", this answers "did the MIX shift".
+
+    Exact ints to fixed-order IEEE chains: expected counts are
+    ratios of exact longs (e = rowtotal·side_total/N), each cell is
+    (o−e)²/e computed identically in any engine.  NULL categories
+    count as their own bucket (coalesced to '<null>', the
+    corpus_report convention).  One partial-agg'd shuffle per side
+    onto |categories| rows; totals broadcast.
+
+    Returns (category, n_new, n_old, share_new, share_old,
+    chi2_cell)."""
+    cat = lambda df: df.select(  # noqa: E731
+        F.coalesce(F.col(col).cast("string"), F.lit("<null>")).alias("_c")
+    ).groupBy("_c").agg(F.count(F.lit(1)).alias("_n"))
+    a, b = cat(new), cat(old)
+    j = (
+        a.withColumnRenamed("_n", "n_new")
+        .join(b.withColumnRenamed("_n", "n_old"), "_c", "full_outer")
+        .select(
+            "_c",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        )
+    )
+    tot = j.agg(
+        F.sum("n_new").alias("_tn"), F.sum("n_old").alias("_to")
+    )
+    s = j.crossJoin(F.broadcast(tot))
+    rowt = (F.col("n_new") + F.col("n_old")).cast("double")
+    nn = F.col("_tn").cast("double")
+    no = F.col("_to").cast("double")
+    grand = (F.col("_tn") + F.col("_to")).cast("double")
+    e_new = rowt * nn / grand
+    e_old = rowt * no / grand
+    on = F.col("n_new").cast("double")
+    oo = F.col("n_old").cast("double")
+    cell = (on - e_new) * (on - e_new) / e_new + (oo - e_old) * (
+        oo - e_old
+    ) / e_old
+    return s.select(
+        F.col("_c").alias("category"),
+        "n_new",
+        "n_old",
+        (on / nn).alias("share_new"),
+        (oo / no).alias("share_old"),
+        cell.alias("chi2_cell"),
+    )

@@ -11313,3 +11313,56 @@ def q259(spark, sf_dir):
         (F.size(tokenize(F.lower(F.col("text")))) >= 60).cast("int").alias("f"),
     )
     return pass_rate_ci(docs, ["source"], "f")
+
+
+@_register(
+    "q260_category_drift",
+    """
+    WITH a AS (
+      SELECT COALESCE(CAST(lang AS VARCHAR), '<null>') AS c, count(*) AS n_new
+      FROM documents GROUP BY 1
+    ),
+    b AS (
+      SELECT COALESCE(CAST(lang AS VARCHAR), '<null>') AS c, count(*) AS n_old
+      FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1
+    ),
+    j AS (
+      SELECT COALESCE(a.c, b.c) AS category,
+             COALESCE(n_new, 0) AS n_new, COALESCE(n_old, 0) AS n_old
+      FROM a FULL OUTER JOIN b ON a.c = b.c
+    ),
+    t AS (SELECT CAST(SUM(n_new) AS BIGINT) AS tn,
+                 CAST(SUM(n_old) AS BIGINT) AS toc FROM j)
+    SELECT category, n_new, n_old,
+           CAST(n_new AS DOUBLE) / CAST(tn AS DOUBLE) AS share_new,
+           CAST(n_old AS DOUBLE) / CAST(toc AS DOUBLE) AS share_old,
+           (CAST(n_new AS DOUBLE)
+              - CAST(n_new + n_old AS DOUBLE) * CAST(tn AS DOUBLE)
+                / CAST(tn + toc AS DOUBLE))
+           * (CAST(n_new AS DOUBLE)
+              - CAST(n_new + n_old AS DOUBLE) * CAST(tn AS DOUBLE)
+                / CAST(tn + toc AS DOUBLE))
+           / (CAST(n_new + n_old AS DOUBLE) * CAST(tn AS DOUBLE)
+              / CAST(tn + toc AS DOUBLE))
+           + (CAST(n_old AS DOUBLE)
+              - CAST(n_new + n_old AS DOUBLE) * CAST(toc AS DOUBLE)
+                / CAST(tn + toc AS DOUBLE))
+           * (CAST(n_old AS DOUBLE)
+              - CAST(n_new + n_old AS DOUBLE) * CAST(toc AS DOUBLE)
+                / CAST(tn + toc AS DOUBLE))
+           / (CAST(n_new + n_old AS DOUBLE) * CAST(toc AS DOUBLE)
+              / CAST(tn + toc AS DOUBLE)) AS chi2_cell
+    FROM j, t
+    """,
+)
+def q260(spark, sf_dir):
+    """Language-mix drift between snapshots (llm.report
+    .category_drift): per-lang counts, shares, and the two-sample
+    chi-square contribution per CELL (never float-summed across
+    categories — the stats tier's order-safety discipline), exact
+    longs into identical IEEE chains, hash-exact."""
+    from hadron_spark.llm.report import category_drift
+
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    return category_drift(docs, old, "lang")

@@ -2189,3 +2189,25 @@ def test_corpus_novelty_planted(spark):
     assert books["n_new_docs"] == 1 and books["novelty_rate"] == 1.0
     with pytest.raises(ValueError):
         corpus_novelty(new, old, n=0)
+
+
+def test_category_drift_analytic(spark):
+    """Balanced categories -> zero cells; a shifted category's cell
+    matches the hand-computed chi-square contribution; NULLs bucket."""
+    from hadron_spark.llm.report import category_drift
+
+    old = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 50, "c string"
+    )
+    new = spark.createDataFrame(
+        [("a",)] * 80 + [("b",)] * 20 + [(None,)] * 0, "c string"
+    )
+    got = {r["category"]: r for r in category_drift(new, old, "c").collect()}
+    # a: row total 130, e_new = 130*100/200 = 65, cell = 15^2/65 * 2
+    assert got["a"]["chi2_cell"] == (80 - 65.0) ** 2 / 65.0 + (50 - 65.0) ** 2 / 65.0
+    assert got["a"]["share_new"] == 0.8 and got["a"]["share_old"] == 0.5
+    same = category_drift(old, old, "c").collect()
+    assert all(r["chi2_cell"] == 0.0 for r in same)
+    withnull = spark.createDataFrame([("a",), (None,)], "c string")
+    gotn = {r["category"] for r in category_drift(withnull, old, "c").collect()}
+    assert "<null>" in gotn
