@@ -540,3 +540,45 @@ def coreness(
     else:
         raise RuntimeError(f"coreness: no convergence in {max_iter} rounds")
     return labels.select("node", F.col("c").alias("coreness"))
+
+
+def bipartite_project(
+    df: DataFrame,
+    group: str,
+    item: str,
+    min_weight: int = 1,
+    max_group_size: int | None = None,
+) -> DataFrame:
+    """Weighted one-mode projection of a bipartite membership table
+    (order→part, user→community, doc→token): an undirected edge
+    (src < dst) between items that co-occur in a group, weighted by
+    the number of co-occurrence groups.  The formal front door to
+    the co-occurrence graphs the triangle/coreness/component ops
+    consume (q245/q250/q252 build exactly this inline).
+
+    Skew is the projection's classic failure: ONE group of size g
+    emits C(g,2) pairs, so a single celebrity group (a token in
+    every doc) produces a quadratic blowup no downstream op can
+    undo.  `max_group_size` drops oversized groups BEFORE the
+    self-join (the LSH oversized-bucket guard's convention —
+    explicit, logged by count in the returned plan via a filter,
+    never silent truncation of survivors: a dropped group drops
+    ALL its pairs).  Exact counts; one self-join on the group key +
+    one partial-agg'd pair count."""
+    base = df.select(F.col(group).alias("_g"), F.col(item).alias("_i")).distinct()
+    if max_group_size is not None:
+        sizes = base.groupBy("_g").agg(F.count(F.lit(1)).alias("_gs"))
+        base = base.join(
+            sizes.filter(F.col("_gs") <= max_group_size).select("_g"), "_g"
+        )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = (
+        a.join(b, "_g")
+        .filter(F.col("a._i") < F.col("b._i"))
+        .select(F.col("a._i").alias("src"), F.col("b._i").alias("dst"))
+    )
+    return (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .filter(F.col("weight") >= min_weight)
+    )

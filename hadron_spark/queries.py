@@ -11366,3 +11366,27 @@ def q260(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     old = docs.filter(F.col("doc_id") % 3 != 0)
     return category_drift(docs, old, "lang")
+
+
+@_register(
+    "q261_bipartite_projection",
+    """
+    WITH m AS (SELECT DISTINCT l_orderkey AS g, l_suppkey AS i FROM lineitem)
+    SELECT a.i AS src, b.i AS dst, count(*) AS weight
+    FROM m a JOIN m b ON a.g = b.g AND a.i < b.i
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def q261(spark, sf_dir):
+    """Weighted one-mode projection (operators.graph
+    .bipartite_project) of the order→supplier membership table:
+    supplier co-fulfillment edges at weight >= 2 — the formal front
+    door to every co-occurrence graph the triangle/coreness ops
+    consume, with the oversized-group guard as the explicit skew
+    valve (a celebrity group's C(g,2) blowup is dropped whole, never
+    silently truncated).  Exact integer weights."""
+    from hadron_spark.operators.graph import bipartite_project
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return bipartite_project(li, "l_orderkey", "l_suppkey", min_weight=2)

@@ -307,3 +307,33 @@ def _peel_reference(edges):
             live[u].discard(v)
         del live[v]
     return core
+
+
+def test_bipartite_project_weights_and_guard(spark):
+    """Co-occurrence weights exact; min_weight prunes; oversized
+    groups drop entirely (guard), small ones survive."""
+    from hadron_spark.operators.graph import bipartite_project
+
+    rows = [
+        (1, "x"), (1, "y"), (1, "z"),
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "y"),
+        (4, "p"), (4, "q"), (4, "r"), (4, "s"),  # size-4 group
+    ]
+    df = spark.createDataFrame(rows, "g long, i string")
+    got = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in bipartite_project(df, "g", "i").collect()
+    }
+    assert got[("x", "y")] == 3 and got[("x", "z")] == 1
+    assert got[("p", "q")] == 1 and len(got) == 3 + 6
+    w2 = {
+        (r["src"], r["dst"])
+        for r in bipartite_project(df, "g", "i", min_weight=2).collect()
+    }
+    assert w2 == {("x", "y")}
+    guarded = {
+        (r["src"], r["dst"])
+        for r in bipartite_project(df, "g", "i", max_group_size=3).collect()
+    }
+    assert ("p", "q") not in guarded and ("x", "z") in guarded
