@@ -11390,3 +11390,53 @@ def q261(spark, sf_dir):
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     return bipartite_project(li, "l_orderkey", "l_suppkey", min_weight=2)
+
+
+@_register(
+    "q262_streaming_topk",
+    """
+    WITH r AS (
+      SELECT event_type, event_id AS id,
+             CAST(round(value * 100) AS BIGINT) AS score,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY CAST(round(value * 100) AS BIGINT) DESC,
+                                         event_id ASC) AS rk
+      FROM events
+    )
+    SELECT event_type, id, score FROM r WHERE rk <= 5
+    """,
+)
+def q262(spark, sf_dir):
+    """Streaming per-key top-k maintenance (streaming.ops
+    .incremental_topk): micro-batched events merged into a <=k-rows-
+    per-key leaderboard state — top-k of a union is the top-k of
+    top-ks, so the final state equals the one-shot windowed top-k
+    the oracle states.  Second streaming op with a FULL oracle;
+    failure trio pinned in test_streaming."""
+    import shutil
+    import tempfile
+
+    from hadron_spark.streaming.ops import incremental_topk, read_topk_state
+
+    work = tempfile.mkdtemp(prefix="q262_")
+    src = f"{work}/src"
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("event_id").alias("id"),
+        F.round(F.col("value") * 100).cast("long").alias("score"),
+    )
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("event_type string, id bigint, score bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = incremental_topk(
+        stream, f"{work}/state", "event_type", "id", "score", k=5,
+        checkpoint=f"{work}/ckpt",
+    )
+    q.awaitTermination(300)
+    result = read_topk_state(spark, f"{work}/state", "event_type")
+    result = spark.createDataFrame(result.collect(), result.schema)
+    shutil.rmtree(work, ignore_errors=True)
+    return result

@@ -898,3 +898,110 @@ def read_moments_state(spark, state_path: str, key: str) -> DataFrame:
         .filter(F.col(key).isNotNull())
         .select(key, "n", "sy", "syy")
     )
+
+
+def topk_apply_fn(
+    state_path: str,
+    key: str,
+    id_col: str,
+    score: str,
+    k: int = 10,
+):
+    """The foreachBatch merge behind `incremental_topk` (call with
+    (batch_df, batch_id) to unit-test replay/recovery).  State: the
+    per-key top-k (id, score) rows + a marker row (key NULL, its
+    `n` = batch high-water mark).  Merging is union → re-rank →
+    keep k: top-k of a union is the top-k of top-ks (associative),
+    and re-merging the SAME rows is a no-op on a per-id DISTINCT
+    set — but at-least-once replay of a batch containing a row that
+    TIED at the boundary could flip the cut, so the HWM guard is
+    kept (belt and braces, same trio as Gram/CMS)."""
+    from pyspark.sql import Window
+
+    from hadron_spark.sources import fs
+
+    def apply(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        _recover_swap(spark, state_path)
+        prev = None
+        if fs.exists(spark, state_path):
+            prev = spark.read.parquet(state_path)
+            hwm = prev.filter(F.col(key).isNull()).select("n").collect()
+            if hwm and batch_id <= int(hwm[0]["n"]):
+                return
+        part = (
+            batch_df.localCheckpoint(eager=True)
+            .filter(F.col(key).isNotNull())
+            .select(
+                key,
+                F.col(id_col).alias("id"),
+                F.col(score).cast("long").alias("score"),
+            )
+        )
+        if prev is not None:
+            part = prev.filter(F.col(key).isNotNull()).select(
+                key, "id", "score"
+            ).unionByName(part)
+        w = Window.partitionBy(key).orderBy(
+            F.col("score").desc(), F.col("id").asc()
+        )
+        top = (
+            part.dropDuplicates([key, "id"])
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .select(key, "id", "score")
+            .withColumn("n", F.lit(None).cast("long"))
+        )
+        marker = spark.range(1).select(
+            F.lit(None).cast(top.schema[key].dataType).alias(key),
+            F.lit(None).cast(top.schema["id"].dataType).alias("id"),
+            F.lit(0).cast("long").alias("score"),
+            F.lit(int(batch_id)).cast("long").alias("n"),
+        )
+        _commit_swap(spark, top.unionByName(marker), state_path, batch_id)
+
+    return apply
+
+
+def incremental_topk(
+    stream: DataFrame,
+    state_path: str,
+    key: str,
+    id_col: str,
+    score: str,
+    k: int = 10,
+    checkpoint: str | None = None,
+):
+    """Streaming per-key top-k maintenance (leaderboards, worst-
+    offender tables, hottest-document trackers): state holds at most
+    k rows per key FOREVER — top-k of a union is the top-k of
+    top-ks, so merging each micro-batch's local top-k into the state
+    reproduces the batch answer over all delivered rows, independent
+    of chopping.  Ties break (score desc, id asc) so the cut is a
+    pure function of the delivered row set; per-id duplicates keep
+    the latest delivery's score row via dropDuplicates on the
+    distinct-id contract (ids are unique per key by contract — the
+    usual leaderboard shape).
+
+    Integer scores (quantize upstream) — which is also what makes
+    the FULL SQL oracle possible: the final state equals a plain
+    windowed top-k over the whole input.  Failure trio as
+    Gram/CMS.  Read back with `read_topk_state`."""
+    apply = topk_apply_fn(state_path, key, id_col, score, k=k)
+    writer = (
+        stream.writeStream.foreachBatch(apply)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def read_topk_state(spark, state_path: str, key: str) -> DataFrame:
+    """(key, id, score) per-key top-k rows, marker stripped."""
+    return (
+        spark.read.parquet(state_path)
+        .filter(F.col(key).isNotNull())
+        .select(key, "id", "score")
+    )

@@ -556,3 +556,40 @@ def test_incremental_moments_matches_batch_replay_recovery(spark, sf_dir, tmp_pa
         for r in read_moments_state(spark, state, "event_type").collect()
     }
     assert got == want
+
+
+def test_incremental_topk_matches_batch_replay_recovery(spark, sf_dir, tmp_path):
+    """Streamed per-key top-k state == one-shot windowed top-k over
+    every delivered row; replay no-op; mid-swap crash heal."""
+    from pyspark.sql import Window
+
+    from hadron_spark.sources import fs
+    from hadron_spark.streaming.ops import read_topk_state, topk_apply_fn
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("event_id").alias("id"),
+        F.round(F.col("value") * 100).cast("long").alias("score"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    want = {
+        (r["event_type"], r["id"], r["score"])
+        for r in ev.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 5)
+        .collect()
+    }
+    state = str(tmp_path / "topk_state")
+    apply = topk_apply_fn(state, "event_type", "id", "score", k=5)
+    b0 = ev.filter(F.col("id") % 2 == 0)
+    b1 = ev.filter(F.col("id") % 2 == 1)
+    apply(b0, 0)
+    apply(b0, 0)  # replay: no-op
+    fs.mv(spark, state, state + "._old_1")  # crash mid-swap
+    apply(b1, 1)
+    got = {
+        (r["event_type"], r["id"], r["score"])
+        for r in read_topk_state(spark, state, "event_type").collect()
+    }
+    assert got == want
