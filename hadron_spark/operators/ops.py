@@ -1274,3 +1274,91 @@ def cms_heavy_hitters(
     cand = df.select(k.cast("string").alias("item")).distinct()
     est = cms_estimate(sketch, cand, "item", depth=depth, width=width)
     return est.filter(F.col("cms_est") >= min_count)
+
+
+def multi_step_funnel(
+    events: DataFrame,
+    steps: "list[str]",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    max_gap_seconds: "int | None" = None,
+) -> DataFrame:
+    """k-step ordered conversion funnel (the product-analytics
+    classic, generalizing q84's 2-step form): a user reaches step i
+    when an event of type steps[i] occurs STRICTLY AFTER their step
+    i−1 arrival time (earliest-arrival semantics: each step's time
+    is the MIN qualifying timestamp, so the funnel is a pure
+    function of the event set), optionally within `max_gap_seconds`
+    of the previous step.
+
+    Plan: the event scan is filtered to funnel types and pinned
+    ONCE; each step is then one user-keyed join of the (shrinking)
+    frontier against that step's slice + a partial-agg'd MIN —
+    k−1 joins total, never a per-user event collection, so a
+    power-user with millions of events costs only their rows.
+    Timestamps compare as exact integer microseconds.
+
+    Returns k rows: (step_index, step_name, n_users,
+    conv_from_first, conv_from_prev) — ratios are single IEEE
+    divisions of exact longs (step 0 rates are 1.0)."""
+    if len(steps) < 2:
+        raise ValueError("multi_step_funnel needs >= 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"steps must be distinct, got {steps}")
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_ty"),
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+    ).filter(F.col(type_col).isin(list(steps)))
+    ev = pin(ev)
+    gap_us = None if max_gap_seconds is None else int(max_gap_seconds) * 1_000_000
+    frontier = (
+        ev.filter(F.col("_ty") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_us").alias("_t"))
+    )
+    frontier = pin(frontier)
+    count_frames = [
+        frontier.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(0).alias("step_index"), F.lit(steps[0]).alias("step_name"), "n_users"
+        )
+    ]
+    for i, s in enumerate(steps[1:], 1):
+        nxt = ev.filter(F.col("_ty") == s).join(frontier, "_u").filter(
+            F.col("_us") > F.col("_t")
+        )
+        if gap_us is not None:
+            nxt = nxt.filter(F.col("_us") - F.col("_t") <= gap_us)
+        frontier = pin(nxt.groupBy("_u").agg(F.min("_us").alias("_t")))
+        count_frames.append(
+            frontier.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i).alias("step_index"), F.lit(s).alias("step_name"), "n_users"
+            )
+        )
+    counts = count_frames[0]
+    for c in count_frames[1:]:
+        counts = counts.unionByName(c)
+    first = counts.filter(F.col("step_index") == 0).select(
+        F.col("n_users").alias("_n0")
+    )
+    prev = counts.select(
+        (F.col("step_index") + 1).alias("step_index"),
+        F.col("n_users").alias("_nprev"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(first))
+        .join(F.broadcast(prev), "step_index", "left")
+        .select(
+            "step_index",
+            "step_name",
+            "n_users",
+            (
+                F.col("n_users").cast("double") / F.col("_n0").cast("double")
+            ).alias("conv_from_first"),
+            (
+                F.col("n_users").cast("double")
+                / F.coalesce(F.col("_nprev"), F.col("n_users")).cast("double")
+            ).alias("conv_from_prev"),
+        )
+    )

@@ -11440,3 +11440,52 @@ def q262(spark, sf_dir):
     result = spark.createDataFrame(result.collect(), result.schema)
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+@_register(
+    "q263_multi_step_funnel",
+    """
+    WITH s0 AS (
+      SELECT user_id AS u, min(epoch_us(ts)) AS t
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    s1 AS (
+      SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t
+      FROM events e JOIN s0 ON e.user_id = s0.u
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > s0.t
+      GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.u
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s1.t
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT 0 AS step_index, 'view' AS step_name,
+             (SELECT count(*) FROM s0) AS n_users
+      UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+      UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+    )
+    SELECT step_index, step_name, CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_users AS DOUBLE)
+             / CAST((SELECT n_users FROM c c0 WHERE c0.step_index = 0)
+                    AS DOUBLE) AS conv_from_first,
+           CAST(n_users AS DOUBLE)
+             / CAST(COALESCE((SELECT c2.n_users FROM c c2
+                              WHERE c2.step_index = c.step_index - 1),
+                             n_users) AS DOUBLE) AS conv_from_prev
+    FROM c
+    """,
+)
+def q263(spark, sf_dir):
+    """k-step ordered funnel (operators.ops.multi_step_funnel):
+    view -> click -> purchase with earliest-arrival semantics — a
+    later step counts only strictly after the user's previous step
+    time, each step one user-keyed join + partial-agg'd MIN over
+    the pinned funnel-type slice (never a per-user event collect).
+    Exact microsecond ordering; ratios hash as single divisions."""
+    from hadron_spark.operators.ops import multi_step_funnel
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    return multi_step_funnel(ev, ["view", "click", "purchase"])

@@ -846,3 +846,44 @@ def test_pass_rate_ci_wilson(spark):
         assert got[g]["ci_lo"] == lo and got[g]["ci_hi"] == hi, g
     assert got["b"]["rate"] == 1.0 and got["b"]["ci_hi"] <= 1.0
     assert got["c"]["rate"] == 0.0 and got["c"]["ci_lo"] >= 0.0
+
+
+def test_multi_step_funnel_ordering_and_gap(spark):
+    """Earliest-arrival ordering enforced (later-step event BEFORE
+    the prior step doesn't count); gap bound drops slow converts;
+    exact conversion ratios."""
+    import datetime as dt
+
+    import pytest
+
+    from hadron_spark.operators.ops import multi_step_funnel
+
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1 full ordered funnel
+        (1, "view", T(0)), (1, "click", T(5)), (1, "purchase", T(10)),
+        # u2 clicks BEFORE viewing -> stops at view
+        (2, "click", T(0)), (2, "view", T(1)),
+        # u3 view->click, purchase too late for gap=600s
+        (3, "view", T(0)), (3, "click", T(2)), (3, "purchase", T(30)),
+        # u4 never views
+        (4, "click", T(0)), (4, "purchase", T(1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {
+        r["step_index"]: r
+        for r in multi_step_funnel(df, ["view", "click", "purchase"]).collect()
+    }
+    assert [got[i]["n_users"] for i in range(3)] == [3, 2, 2]
+    assert got[2]["conv_from_first"] == 2 / 3 and got[2]["conv_from_prev"] == 1.0
+    gapped = {
+        r["step_index"]: r["n_users"]
+        for r in multi_step_funnel(
+            df, ["view", "click", "purchase"], max_gap_seconds=600
+        ).collect()
+    }
+    assert gapped == {0: 3, 1: 2, 2: 1}
+    with pytest.raises(ValueError):
+        multi_step_funnel(df, ["view"])
+    with pytest.raises(ValueError):
+        multi_step_funnel(df, ["view", "view"])
