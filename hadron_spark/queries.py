@@ -10776,7 +10776,7 @@ def q247(spark, sf_dir):
 
 
 @_register(
-    "q248_mad_outliers",
+    "q248_mad_flagged_rows",
     """
     WITH q AS (
       SELECT event_id, event_type,
@@ -10799,7 +10799,8 @@ def q247(spark, sf_dir):
 def q248(spark, sf_dir):
     """Robust anomaly flagging (operators.robust.mad_outliers —
     median/MAD, 50% breakdown point vs q119's corruptible
-    mean/stddev): every event scored against its type's exact median
+    mean/stddev; q111 emits the MAD statistic itself, this op flags
+    the offending ROWS against a rational cutoff): every event scored against its type's exact median
     and median-absolute-deviation, |dev| > 5*MAD kept.  Cents
     quantize to int64 once; medians of ints are half-integers and
     MADs quarter-integers — exact doubles — so even the med/mad
