@@ -106,3 +106,61 @@ def pass_rate_ci(
         F.greatest(F.lit(0.0), (center - half) / denom).alias("ci_lo"),
         F.least(F.lit(1.0), (center + half) / denom).alias("ci_hi"),
     )
+
+
+def winsorized_mean(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group winsorized mean — the robust location estimate that
+    keeps sample size (unlike trimming): values below/above the
+    group's discrete p_lo/p_hi quantiles CLIP to those quantiles,
+    then average.
+
+    `percentile_disc` bounds are ACTUAL data elements (no
+    interpolation), so after integer quantization every clipped
+    value is still an exact long; the mean is one IEEE division of
+    an exact integer sum — bit-portable, where an interpolated-
+    percentile clip would smear a non-dyadic double over many rows
+    and make the sum order-sensitive.  Plan: one quantile pass per
+    group broadcast back onto the scan (q111's two-level shape),
+    one partial-agg'd sum.  Returns (group_cols..., n, n_clip_lo,
+    n_clip_hi, wmean) with wmean in ORIGINAL units."""
+    if not (0.0 <= p_lo < p_hi <= 1.0):
+        raise ValueError(f"need 0 <= p_lo < p_hi <= 1: {p_lo}/{p_hi}")
+    q = df.select(
+        *group_cols, F.round(F.col(value_col) * scale).cast("long").alias("_y")
+    )
+    bounds = q.groupBy(*group_cols).agg(
+        F.expr(f"percentile_disc({p_lo}) WITHIN GROUP (ORDER BY _y)").alias("_lo"),
+        F.expr(f"percentile_disc({p_hi}) WITHIN GROUP (ORDER BY _y)").alias("_hi"),
+    )
+    c = q.join(F.broadcast(bounds), group_cols)
+    clipped = F.greatest("_lo", F.least("_hi", F.col("_y")))
+    return (
+        c.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("_y") < F.col("_lo"), 1).otherwise(0)).alias(
+                "n_clip_lo"
+            ),
+            F.sum(F.when(F.col("_y") > F.col("_hi"), 1).otherwise(0)).alias(
+                "n_clip_hi"
+            ),
+            F.sum(clipped).alias("_s"),
+        )
+        .select(
+            *group_cols,
+            "n",
+            "n_clip_lo",
+            "n_clip_hi",
+            (
+                F.col("_s").cast("double")
+                / (F.col("n") * scale).cast("double")
+            ).alias("wmean"),
+        )
+    )

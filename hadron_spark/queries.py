@@ -11490,3 +11490,38 @@ def q263(spark, sf_dir):
 
     ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     return multi_step_funnel(ev, ["view", "click", "purchase"])
+
+
+@_register(
+    "q264_winsorized_mean",
+    """
+    WITH q AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    b AS (
+      SELECT event_type,
+             quantile_disc(y, 0.05) AS lo, quantile_disc(y, 0.95) AS hi
+      FROM q GROUP BY event_type
+    )
+    SELECT q.event_type,
+           count(*) AS n,
+           CAST(SUM(CASE WHEN y < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+           CAST(SUM(CASE WHEN y > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+           CAST(CAST(SUM(greatest(lo, least(hi, y))) AS BIGINT) AS DOUBLE)
+             / CAST(count(*) * 100 AS DOUBLE) AS wmean
+    FROM q JOIN b USING (event_type)
+    GROUP BY q.event_type
+    """,
+)
+def q264(spark, sf_dir):
+    """Winsorized mean per event type (operators.robust
+    .winsorized_mean, 5/95 discrete bounds): percentile_disc clips
+    are ACTUAL elements, so every clipped value stays an exact long
+    and the mean is one IEEE division — bit-exact, where an
+    interpolated clip would smear a non-dyadic double over rows and
+    break sum-order independence."""
+    from hadron_spark.operators.robust import winsorized_mean
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    return winsorized_mean(ev, "value", ["event_type"], p_lo=0.05, p_hi=0.95)

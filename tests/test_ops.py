@@ -887,3 +887,36 @@ def test_multi_step_funnel_ordering_and_gap(spark):
         multi_step_funnel(df, ["view"])
     with pytest.raises(ValueError):
         multi_step_funnel(df, ["view", "view"])
+
+
+def test_winsorized_mean_exact(spark):
+    """Clip bounds are actual elements; outlier influence capped;
+    python replay matches exactly."""
+    import pytest
+
+    from hadron_spark.operators.robust import winsorized_mean
+
+    vals = [1.0] * 2 + [float(v) for v in range(10, 20)] + [1000.0]
+    rows = [("g", v) for v in vals]
+    df = spark.createDataFrame(rows, "k string, v double")
+    r = winsorized_mean(df, "v", ["k"], p_lo=0.1, p_hi=0.9).collect()[0]
+    ys = sorted(int(v * 100) for v in vals)
+    n = len(ys)
+    import math
+
+    lo = ys[math.ceil(0.1 * n) - 1] if 0.1 * n == int(0.1 * n) else ys[int(0.1 * n)]
+    # percentile_disc(p): smallest element with cume_dist >= p
+    def disc(p):
+        for i, y in enumerate(ys):
+            if (i + 1) / n >= p:
+                return y
+    lo, hi = disc(0.1), disc(0.9)
+    clip = [min(hi, max(lo, y)) for y in ys]
+    assert (r["n_clip_lo"], r["n_clip_hi"]) == (
+        sum(1 for y in ys if y < lo),
+        sum(1 for y in ys if y > hi),
+    )
+    assert r["wmean"] == sum(clip) / (n * 100)
+    assert r["wmean"] < 100  # the 1000.0 outlier is capped
+    with pytest.raises(ValueError):
+        winsorized_mean(df, "v", ["k"], p_lo=0.9, p_hi=0.1)
