@@ -866,3 +866,63 @@ def rrf_fuse(
         "rrf_score",
         "fused_rank",
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    vocab_col: str = "token",
+) -> DataFrame:
+    """Vocabulary coverage / OOV-rate report per group — the corpus-
+    health number read before committing a tokenizer or a fixed
+    embedding table: what fraction of token OCCURRENCES (and of
+    DISTINCT token types) a given vocabulary covers, per source.
+    High OOV in one source = that slice will fragment into bytes or
+    <unk> at training time.
+
+    Exact integers + single divisions.  The vocab side broadcasts
+    (a vocabulary is bounded by contract — 32k-512k rows); the
+    corpus explodes to (group, token, count) with map-side partial
+    aggregation BEFORE the broadcast membership join, so the join
+    probes |distinct tokens per group| rows, not every occurrence.
+
+    Returns (group_col, n_tokens, n_covered, n_types,
+    n_types_covered, occ_coverage, type_coverage)."""
+    toks = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(tokenize(F.lower(F.col(text_col)))).alias("_tok"),
+    )
+    per = toks.groupBy("_g", "_tok").agg(F.count(F.lit(1)).alias("_n"))
+    v = F.broadcast(
+        vocab.select(F.col(vocab_col).alias("_tok")).distinct().withColumn(
+            "_inv", F.lit(1)
+        )
+    )
+    j = per.join(v, "_tok", "left")
+    agg = j.groupBy("_g").agg(
+        F.sum("_n").alias("n_tokens"),
+        F.sum(F.when(F.col("_inv").isNotNull(), F.col("_n")).otherwise(0)).alias(
+            "n_covered"
+        ),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("_inv").isNotNull(), 1).otherwise(0)).alias(
+            "n_types_covered"
+        ),
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        "n_tokens",
+        "n_covered",
+        "n_types",
+        "n_types_covered",
+        (
+            F.col("n_covered").cast("double") / F.col("n_tokens").cast("double")
+        ).alias("occ_coverage"),
+        (
+            F.col("n_types_covered").cast("double")
+            / F.col("n_types").cast("double")
+        ).alias("type_coverage"),
+    )

@@ -11525,3 +11525,60 @@ def q264(spark, sf_dir):
 
     ev = load(spark, sf_dir, "events").select("event_type", "value")
     return winsorized_mean(ev, "value", ["event_type"], p_lo=0.05, p_hi=0.95)
+
+
+@_register(
+    "q265_vocab_coverage",
+    """
+    WITH toks AS (
+      SELECT source, unnest(list_filter(
+        string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+    vocab AS (
+      SELECT tok FROM freq
+      QUALIFY row_number() OVER (ORDER BY n DESC, tok ASC) <= 500
+    ),
+    per AS (
+      SELECT source, tok, count(*) AS n FROM toks GROUP BY source, tok
+    ),
+    j AS (
+      SELECT per.source, per.tok, per.n,
+             CASE WHEN vocab.tok IS NULL THEN 0 ELSE 1 END AS inv
+      FROM per LEFT JOIN vocab ON per.tok = vocab.tok
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN inv = 1 THEN n ELSE 0 END) AS BIGINT)
+             AS n_covered,
+           count(*) AS n_types,
+           CAST(SUM(inv) AS BIGINT) AS n_types_covered,
+           CAST(SUM(CASE WHEN inv = 1 THEN n ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(n) AS DOUBLE) AS occ_coverage,
+           CAST(SUM(inv) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS type_coverage
+    FROM j GROUP BY source
+    """,
+)
+def q265(spark, sf_dir):
+    """Vocabulary coverage / OOV rate per source (llm.textstats
+    .vocab_coverage) against the corpus's own top-500 token vocab
+    (deterministic tie-break): occurrence and type coverage as
+    single divisions of exact longs.  The vocab broadcasts; the
+    corpus partial-aggregates to per-(source, token) counts BEFORE
+    the membership probe."""
+    from hadron_spark.functions.text import tokenize
+    from hadron_spark.llm.textstats import _stamp_rank, vocab_coverage
+
+    docs = load(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokenize(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = _stamp_rank(
+        freq.orderBy(F.col("n").desc(), "token").limit(500),
+        [F.col("n").desc(), F.col("token").asc()],
+    ).select("token")
+    return vocab_coverage(docs, vocab)

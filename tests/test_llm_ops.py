@@ -2211,3 +2211,25 @@ def test_category_drift_analytic(spark):
     withnull = spark.createDataFrame([("a",), (None,)], "c string")
     gotn = {r["category"] for r in category_drift(withnull, old, "c").collect()}
     assert "<null>" in gotn
+
+
+def test_vocab_coverage_analytic(spark):
+    """Hand-counted occurrence and type coverage per group."""
+    from hadron_spark.llm.textstats import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a c", "s1"),     # tokens a:2 b:1 c:1
+            (2, "c d", "s1"),         # c:1 d:1
+            (3, "x x y", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    vocab = spark.createDataFrame([("a",), ("c",), ("x",)], "token string")
+    got = {r["source"]: r for r in vocab_coverage(docs, vocab).collect()}
+    s1 = got["s1"]
+    assert (s1["n_tokens"], s1["n_covered"]) == (6, 4)  # a,a,c,c of 6
+    assert (s1["n_types"], s1["n_types_covered"]) == (4, 2)
+    assert s1["occ_coverage"] == 4 / 6 and s1["type_coverage"] == 0.5
+    s2 = got["s2"]
+    assert s2["occ_coverage"] == 2 / 3 and s2["n_types_covered"] == 1
