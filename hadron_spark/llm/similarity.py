@@ -1010,3 +1010,70 @@ def ivf_search(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ivf_append(
+    spark,
+    index_dir: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental ingest into a persisted IVF index — the
+    vector-store maintenance path (new embeddings arrive daily; a
+    full k-means rebuild is a scheduled event, not an ingest step):
+    assign each new vector to its nearest EXISTING coarse centroid
+    (the same literal-centroid argmin expression `ivf_search`
+    probes with, so placement and probing can never disagree) and
+    APPEND into the cell-partitioned parquet layout.  Searches see
+    the new rows immediately; recall degrades only as the data
+    distribution drifts from the frozen centroids.
+
+    Returns {"appended": n, "max_cell_fill": m, "cells": k} — the
+    drift gauges: when max_cell_fill runs away from appended/k,
+    schedule the rebuild (`build_ivf_index`).  Idempotence is the
+    caller's contract (ship each batch once, or dedup on id
+    downstream); appends are atomic per task file, never partial
+    rows."""
+    import json
+
+    with open(f"{index_dir}/centroids.json") as fh:
+        meta = json.load(fh)
+    centers = meta["centers"]
+
+    def sq_dist(vec, center):
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(x) for x in center]),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dists = F.array(
+        *[
+            F.struct(sq_dist(F.col(vec_col), c).alias("d"), F.lit(i).alias("cell"))
+            for i, c in enumerate(centers)
+        ]
+    )
+    assigned = new_vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.element_at(F.array_sort(dists), 1)["cell"].alias("cell"),
+    )
+    assigned = assigned.localCheckpoint(eager=True)
+    assigned.write.mode("append").partitionBy("cell").parquet(
+        f"{index_dir}/cells.parquet"
+    )
+    stats = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.sum("n").alias("appended"),
+        F.max("n").alias("max_cell_fill"),
+        F.count(F.lit(1)).alias("cells"),
+    ).first()
+    return {
+        "appended": int(stats["appended"] or 0),
+        "max_cell_fill": int(stats["max_cell_fill"] or 0),
+        "cells": int(stats["cells"] or 0),
+    }

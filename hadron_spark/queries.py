@@ -11582,3 +11582,32 @@ def q265(spark, sf_dir):
         [F.col("n").desc(), F.col("token").asc()],
     ).select("token")
     return vocab_coverage(docs, vocab)
+
+
+@_register("q266_ivf_append", None)
+def q266(spark, sf_dir):
+    """Incremental vector-store ingest (llm.similarity.ivf_append):
+    build the IVF index on even vec_ids, append the odd half against
+    the FROZEN centroids (placement uses the same argmin expression
+    search probes with), then search base queries over the grown
+    index.  Rows-only — centroids are a trained artifact; placement
+    and visibility are pinned in test_embeddings."""
+    import shutil
+    import tempfile
+
+    from hadron_spark.llm.similarity import build_ivf_index, ivf_append, ivf_search
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    work = tempfile.mkdtemp(prefix="q266_")
+    try:
+        build_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 0), work, n_centroids=8
+        )
+        ivf_append(spark, work, emb.filter(F.col("vec_id") % 2 == 1))
+        hits = ivf_search(
+            spark, work, emb.filter(F.col("vec_id") < 16), k=5, n_probe=2
+        )
+        result = spark.createDataFrame(hits.collect(), hits.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return result

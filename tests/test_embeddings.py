@@ -245,3 +245,37 @@ def test_mahalanobis_matches_numpy_and_flags_planted_outlier(spark):
     # the planted outlier dominates every inlier score
     inlier_max = max(v for k, v in got.items() if k != 999)
     assert got[999] > 10 * inlier_max
+
+
+def test_ivf_append_visible_and_placed(spark, sf_dir, tmp_path):
+    """Appended vectors are immediately searchable, land in the cell
+    their own argmin picks (placement == probe rule), and the stats
+    gauge counts them."""
+    from pyspark.sql import functions as F
+
+    from hadron_spark.llm.similarity import build_ivf_index, ivf_append, ivf_search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    newer = emb.filter(F.col("vec_id") % 2 == 1).limit(40)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(base, idx, n_centroids=4, max_train_rows=10_000)
+    st = ivf_append(spark, idx, newer)
+    assert st["appended"] == 40 and 1 <= st["cells"] <= 4
+    assert st["max_cell_fill"] <= 40
+    # every appended id is in the stored layout exactly once, and
+    # searches (which exclude self-matches by contract) see the new
+    # rows: a base query's candidate pool now includes appended ids
+    stored = spark.read.parquet(f"{idx}/cells.parquet")
+    new_ids = {r["vec_id"] for r in newer.collect()}
+    counts = {
+        r["neighbor_id"]: r["n"]
+        for r in stored.filter(F.col("neighbor_id").isin(list(new_ids)))
+        .groupBy("neighbor_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(counts) == new_ids and set(counts.values()) == {1}
+    probe = base.limit(5)
+    hits = ivf_search(spark, idx, probe, k=50, n_probe=4)
+    assert hits.filter(F.col("neighbor_id").isin(list(new_ids))).count() > 0
