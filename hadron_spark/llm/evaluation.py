@@ -19,7 +19,9 @@ quantized/integer score); all downstream passes run on the spine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from hadron_spark.operators.ops import pin, range_cumsum
@@ -140,6 +142,200 @@ def auc(
             u2.cast("double")
             / (F.col("n_pos") * F.col("n_neg") * 2).cast("double")
         ).alias("auc"),
+    )
+
+
+def _rank_lcm(k: int) -> int:
+    """lcm(1..k) — the common denominator that keeps every P@i and
+    1/rank term integral.  Bounded to k <= 42 so the scaled units
+    (and their corpus sums) stay safely inside int64."""
+    if not 1 <= k <= 42:
+        raise ValueError(f"k must be in [1, 42] for exact LCM scaling: {k}")
+    return math.lcm(*range(1, k + 1))
+
+
+def _ranked(
+    df: DataFrame,
+    query_col: str,
+    doc_col: str,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """(_q, _d, _s, _y, _rank, _hits_i): per-query ranking by
+    (score DESC, doc ASC — the deterministic tie-break) plus the
+    inclusive cumulative hit count along that order."""
+    w = Window.partitionBy("_q").orderBy(F.col("_s").desc(), F.col("_d").asc())
+    return (
+        df.select(
+            F.col(query_col).alias("_q"),
+            F.col(doc_col).alias("_d"),
+            F.col(score_col).alias("_s"),
+            F.col(label_col).cast("long").alias("_y"),
+        )
+        .withColumn("_rank", F.row_number().over(w))
+        .withColumn(
+            "_hits_i",
+            F.sum("_y").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+
+
+def ranking_metrics(
+    df: DataFrame,
+    query_col: str,
+    doc_col: str,
+    score_col: str,
+    label_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query retrieval-evaluation metrics at cutoff k — the
+    scorecard for a retrieval / reranking stage (RAG index QC, ANN
+    recall audits, next-item recommenders): precision@k, recall@k,
+    reciprocal rank@k, and average precision@k (Manning et al., IR
+    ch. 8; AP@k normalized by min(n_rel, k) as in trec_eval).
+
+    Exactness discipline: ranks are integers (row_number over
+    score DESC, doc ASC — explicit tie-break), and every fractional
+    term is kept integral by scaling with L = lcm(1..k): a relevant
+    hit at rank i contributes hits_i·(L div i) AP units and the
+    first hit L div r RR units — exact int64 algebra whose sums are
+    order-independent, so the frame hashes cross-engine.  Each
+    reported ratio is then ONE correctly-rounded IEEE division
+    (rr = rr_units/L IS 1/r exactly).  Queries with no relevant
+    candidate get NULL recall/AP (trec_eval omits them; NULL keeps
+    them visible without inventing a 0).
+
+    100 TB shape: ONE shuffle on query_col; the window and the
+    group-by share that partitioning (no second exchange), and
+    per-query state is the candidate list a retrieval stage already
+    bounded (top-N), never the corpus.
+
+    Returns (query_col, n_cand, n_rel, hits, rr_units, ap_units,
+    precision, recall, rr, ap)."""
+    L = _rank_lcm(k)
+    ranked = _ranked(df, query_col, doc_col, score_col, label_col)
+    in_k = F.col("_rank") <= k
+    rel = F.col("_y") == 1
+    per_q = ranked.groupBy("_q").agg(
+        F.count(F.lit(1)).alias("n_cand"),
+        F.sum("_y").alias("n_rel"),
+        F.sum(F.when(in_k, F.col("_y")).otherwise(0)).alias("hits"),
+        F.min(F.when(in_k & rel, F.col("_rank"))).alias("_first"),
+        F.sum(
+            F.when(in_k & rel, F.expr(f"_hits_i * ({L} div _rank)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("ap_units"),
+    )
+    rr_units = F.coalesce(
+        F.expr(f"{L} div _first").cast("long"), F.lit(0).cast("long")
+    )
+    ap_den = F.least(F.col("n_rel"), F.lit(k).cast("long")) * L
+    return per_q.select(
+        F.col("_q").alias(query_col),
+        "n_cand",
+        "n_rel",
+        "hits",
+        rr_units.alias("rr_units"),
+        "ap_units",
+        (F.col("hits").cast("double") / F.lit(float(k))).alias("precision"),
+        F.when(
+            F.col("n_rel") > 0,
+            F.col("hits").cast("double") / F.col("n_rel").cast("double"),
+        ).alias("recall"),
+        (rr_units.cast("double") / F.lit(float(L))).alias("rr"),
+        F.when(
+            F.col("n_rel") > 0,
+            F.col("ap_units").cast("double") / ap_den.cast("double"),
+        ).alias("ap"),
+    )
+
+
+def ranking_summary(
+    df: DataFrame,
+    query_col: str,
+    doc_col: str,
+    score_col: str,
+    label_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Corpus-level roll-up of `ranking_metrics` in ONE row, every
+    scalar exact: MRR = Σ rr_units/(L·n) and mean precision@k =
+    Σ hits/(k·n) telescope to single divisions of exact int64 sums
+    (float accumulation never happens, so summation order cannot
+    perturb the scalar); recall is micro-averaged (Σ hits/Σ n_rel)
+    for the same reason — a macro mean of per-query ratios has no
+    order-free form.  Returns (n_queries, n_evaluated, sum_hits,
+    sum_rr_units, mrr, mean_precision, micro_recall)."""
+    L = _rank_lcm(k)
+    per_q = ranking_metrics(df, query_col, doc_col, score_col, label_col, k)
+    agg = per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.when(F.col("n_rel") > 0, 1).otherwise(0)).alias("n_evaluated"),
+        F.sum("hits").alias("sum_hits"),
+        F.sum("rr_units").alias("sum_rr_units"),
+        F.sum("n_rel").alias("_sum_rel"),
+    )
+    return agg.select(
+        "n_queries",
+        "n_evaluated",
+        "sum_hits",
+        "sum_rr_units",
+        (
+            F.col("sum_rr_units").cast("double")
+            / (F.col("n_queries") * L).cast("double")
+        ).alias("mrr"),
+        (
+            F.col("sum_hits").cast("double")
+            / (F.col("n_queries") * k).cast("double")
+        ).alias("mean_precision"),
+        F.when(
+            F.col("_sum_rel") > 0,
+            F.col("sum_hits").cast("double") / F.col("_sum_rel").cast("double"),
+        ).alias("micro_recall"),
+    )
+
+
+def ndcg(
+    df: DataFrame,
+    query_col: str,
+    doc_col: str,
+    score_col: str,
+    label_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query nDCG@k (Järvelin & Kekäläinen 2002) with graded
+    relevance: DCG = Σ_{i<=k} rel_i/log2(i+1) over the (score DESC,
+    doc ASC) ranking, IDCG from the ideal ordering (rel DESC with
+    the same tie-break), ndcg = DCG/IDCG (NULL when IDCG = 0).
+
+    log2 makes the scalars transcendental — no integer form exists,
+    so this operator is deliberately NOT in the hash-exact tier
+    (registry entry is rows-only); `ranking_metrics` carries the
+    exact metrics.  Same one-shuffle shape: both rankings are
+    windows over the query partition.
+
+    Returns (query_col, n_rel, dcg, idcg, ndcg)."""
+    ranked = _ranked(df, query_col, doc_col, score_col, label_col)
+    w_ideal = Window.partitionBy("_q").orderBy(
+        F.col("_y").desc(), F.col("_s").desc(), F.col("_d").asc()
+    )
+    ranked = ranked.withColumn("_irank", F.row_number().over(w_ideal))
+    gain = F.col("_y").cast("double") / F.log2(F.col("_rank") + 1)
+    igain = F.col("_y").cast("double") / F.log2(F.col("_irank") + 1)
+    per_q = ranked.groupBy("_q").agg(
+        F.sum("_y").alias("n_rel"),
+        F.sum(F.when(F.col("_rank") <= k, gain).otherwise(0.0)).alias("dcg"),
+        F.sum(F.when(F.col("_irank") <= k, igain).otherwise(0.0)).alias("idcg"),
+    )
+    return per_q.select(
+        F.col("_q").alias(query_col),
+        "n_rel",
+        "dcg",
+        "idcg",
+        F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).alias("ndcg"),
     )
 
 

@@ -11611,3 +11611,136 @@ def q266(spark, sf_dir):
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+def _purchase_ranking(spark, sf_dir):
+    """(cust, part, score, y): next-period-purchase retrieval eval
+    frame — candidates are every part a customer ever ordered, the
+    "system" score is early-period (< 1999) total quantity (integral
+    doubles cast to BIGINT before summing — exact), the relevance
+    label is whether the part was re-ordered in the late period."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cut = F.to_timestamp(F.lit("1999-01-01"))
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("cust"),
+        F.col("l_partkey").alias("part"),
+        F.when(F.col("o_orderdate") < cut, F.col("l_quantity").cast("long"))
+        .otherwise(0)
+        .alias("_early"),
+        F.when(F.col("o_orderdate") >= cut, 1).otherwise(0).alias("_late"),
+    )
+    return j.groupBy("cust", "part").agg(
+        F.sum("_early").alias("score"), F.max("_late").alias("y")
+    )
+
+
+_RANKING_PAIRS_SQL = """
+    pairs AS (
+      SELECT o_custkey AS cust, l_partkey AS part,
+             CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1999-01-01'
+                           THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS score,
+             MAX(CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01'
+                      THEN 1 ELSE 0 END) AS y
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT cust, score, y,
+             ROW_NUMBER() OVER (PARTITION BY cust
+                                ORDER BY score DESC, part ASC) AS rnk,
+             CAST(SUM(y) OVER (PARTITION BY cust
+                               ORDER BY score DESC, part ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS BIGINT) AS hits_i
+      FROM pairs
+    ),
+    perq AS (
+      SELECT cust,
+             COUNT(*) AS n_cand,
+             CAST(SUM(y) AS BIGINT) AS n_rel,
+             CAST(SUM(CASE WHEN rnk <= 10 THEN y ELSE 0 END) AS BIGINT) AS hits,
+             CAST(COALESCE(2520 // MIN(CASE WHEN rnk <= 10 AND y = 1
+                                            THEN rnk END), 0)
+                  AS BIGINT) AS rr_units,
+             CAST(COALESCE(SUM(CASE WHEN rnk <= 10 AND y = 1
+                                    THEN hits_i * (2520 // rnk) END), 0)
+                  AS BIGINT) AS ap_units
+      FROM r GROUP BY cust
+    )
+"""
+
+
+@_register(
+    "q267_ranking_metrics",
+    "WITH "
+    + _RANKING_PAIRS_SQL
+    + """
+    SELECT cust, n_cand, n_rel, hits, rr_units, ap_units,
+           CAST(hits AS DOUBLE) / CAST(10 AS DOUBLE) AS precision,
+           CASE WHEN n_rel > 0
+                THEN CAST(hits AS DOUBLE) / CAST(n_rel AS DOUBLE) END AS recall,
+           CAST(rr_units AS DOUBLE) / CAST(2520 AS DOUBLE) AS rr,
+           CASE WHEN n_rel > 0
+                THEN CAST(ap_units AS DOUBLE)
+                     / CAST(LEAST(n_rel, 10) * 2520 AS DOUBLE) END AS ap
+    FROM perq
+    """,
+)
+def q267(spark, sf_dir):
+    """Per-query retrieval metrics at k=10 (llm.evaluation
+    .ranking_metrics): precision/recall/RR/AP over the next-period-
+    purchase eval frame, every fractional term kept integral by
+    lcm(1..10)=2520 scaling so the frame hashes cross-engine (each
+    reported ratio is ONE IEEE division of exact longs).  One
+    shuffle on the query key; the rank window and the per-query
+    aggregate share it."""
+    from hadron_spark.llm.evaluation import ranking_metrics
+
+    return ranking_metrics(
+        _purchase_ranking(spark, sf_dir), "cust", "part", "score", "y", k=10
+    )
+
+
+@_register(
+    "q268_ranking_summary",
+    "WITH "
+    + _RANKING_PAIRS_SQL
+    + """
+    SELECT COUNT(*) AS n_queries,
+           CAST(SUM(CASE WHEN n_rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_evaluated,
+           CAST(SUM(hits) AS BIGINT) AS sum_hits,
+           CAST(SUM(rr_units) AS BIGINT) AS sum_rr_units,
+           CAST(SUM(rr_units) AS DOUBLE)
+             / CAST(COUNT(*) * 2520 AS DOUBLE) AS mrr,
+           CAST(SUM(hits) AS DOUBLE)
+             / CAST(COUNT(*) * 10 AS DOUBLE) AS mean_precision,
+           CASE WHEN SUM(n_rel) > 0
+                THEN CAST(SUM(hits) AS DOUBLE) / CAST(SUM(n_rel) AS DOUBLE)
+           END AS micro_recall
+    FROM perq
+    """,
+)
+def q268(spark, sf_dir):
+    """Corpus-level MRR / mean-precision@10 / micro-recall@10
+    (llm.evaluation.ranking_summary) in one hash-exact row: the
+    integer rr/hit units sum order-independently and each scalar is
+    one IEEE division — float accumulation never happens."""
+    from hadron_spark.llm.evaluation import ranking_summary
+
+    return ranking_summary(
+        _purchase_ranking(spark, sf_dir), "cust", "part", "score", "y", k=10
+    )
+
+
+@_register("q269_ndcg", None)
+def q269(spark, sf_dir):
+    """Per-query nDCG@10 (llm.evaluation.ndcg) over the same eval
+    frame.  Rows-only BY DESIGN: log2 discounts are transcendental
+    (no integer form — the exact tier is q267/q268); the python
+    reference parity lives in test_evaluation."""
+    from hadron_spark.llm.evaluation import ndcg
+
+    return ndcg(_purchase_ranking(spark, sf_dir), "cust", "part", "score", "y", k=10)

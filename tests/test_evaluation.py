@@ -127,3 +127,142 @@ def test_calibration_bins_and_ece(spark):
     got_e = expected_calibration_error(rdf, "p", "y", n_bins=10).collect()[0]
     assert got_e["ece_num"] == want_num
     assert got_e["ece"] == want_num / (400 * 100)
+
+
+def _ref_ranking(rows, k):
+    """Exact per-query metrics via Fractions (float() of a Fraction
+    is correctly rounded — the same value as one IEEE division)."""
+    from collections import defaultdict
+    from fractions import Fraction
+    from math import lcm
+
+    L = lcm(*range(1, k + 1))
+    by_q = defaultdict(list)
+    for q, d, s, y in rows:
+        by_q[q].append((d, s, y))
+    out = {}
+    for q, cands in by_q.items():
+        ranked = sorted(cands, key=lambda c: (-c[1], c[0]))
+        n_rel = sum(y for _, _, y in ranked)
+        topk = ranked[:k]
+        hits = sum(y for _, _, y in topk)
+        first = None
+        ap_units = 0
+        h = 0
+        for i, (_, _, y) in enumerate(topk, start=1):
+            if y:
+                h += 1
+                if first is None:
+                    first = i
+                ap_units += h * (L // i)
+        rr_units = L // first if first else 0
+        out[q] = (
+            len(cands),
+            n_rel,
+            hits,
+            rr_units,
+            ap_units,
+            float(Fraction(hits, k)),
+            float(Fraction(hits, n_rel)) if n_rel else None,
+            float(Fraction(rr_units, L)),
+            float(Fraction(ap_units, L * min(n_rel, k))) if n_rel else None,
+        )
+    return out
+
+
+def _ranking_fixture():
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for q in range(18):
+        n = rng.randint(1, 25)
+        docs = rng.sample(range(60), n)
+        for d in docs:
+            rows.append((q, d, rng.randint(0, 5), 1 if rng.random() < 0.3 else 0))
+    # a query with zero relevant docs and one with every doc relevant
+    rows += [(98, 1, 3, 0), (98, 2, 3, 0), (98, 3, 1, 0)]
+    rows += [(99, 1, 2, 1), (99, 2, 2, 1)]
+    return rows
+
+
+def test_ranking_metrics_match_fraction_reference(spark):
+    from hadron_spark.llm.evaluation import ranking_metrics
+
+    rows = _ranking_fixture()
+    df = spark.createDataFrame(rows, "q long, d long, s long, y int")
+    got = {
+        r["q"]: (
+            r["n_cand"], r["n_rel"], r["hits"], r["rr_units"], r["ap_units"],
+            r["precision"], r["recall"], r["rr"], r["ap"],
+        )
+        for r in ranking_metrics(df, "q", "d", "s", "y", k=10).collect()
+    }
+    assert got == _ref_ranking(rows, 10)
+
+
+def test_ranking_summary_exact(spark):
+    from fractions import Fraction
+
+    from hadron_spark.llm.evaluation import ranking_summary
+
+    rows = _ranking_fixture()
+    ref = _ref_ranking(rows, 10)
+    df = spark.createDataFrame(rows, "q long, d long, s long, y int")
+    got = ranking_summary(df, "q", "d", "s", "y", k=10).collect()[0]
+    n = len(ref)
+    sum_hits = sum(v[2] for v in ref.values())
+    sum_rr = sum(v[3] for v in ref.values())
+    sum_rel = sum(v[1] for v in ref.values())
+    assert got["n_queries"] == n
+    assert got["n_evaluated"] == sum(1 for v in ref.values() if v[1] > 0)
+    assert got["sum_hits"] == sum_hits
+    assert got["sum_rr_units"] == sum_rr
+    assert got["mrr"] == float(Fraction(sum_rr, n * 2520))
+    assert got["mean_precision"] == float(Fraction(sum_hits, n * 10))
+    assert got["micro_recall"] == float(Fraction(sum_hits, sum_rel))
+
+
+def test_ranking_metrics_k_bounds(spark):
+    import pytest
+
+    from hadron_spark.llm.evaluation import ranking_metrics
+
+    df = spark.createDataFrame([(1, 1, 1, 1)], "q long, d long, s long, y int")
+    with pytest.raises(ValueError):
+        ranking_metrics(df, "q", "d", "s", "y", k=0)
+    with pytest.raises(ValueError):
+        ranking_metrics(df, "q", "d", "s", "y", k=43)
+
+
+def test_ndcg_matches_python_reference(spark):
+    from collections import defaultdict
+    from math import log2
+
+    import pytest
+
+    from hadron_spark.llm.evaluation import ndcg
+
+    rows = _ranking_fixture()
+    by_q = defaultdict(list)
+    for q, d, s, y in rows:
+        by_q[q].append((d, s, y))
+    ref = {}
+    for q, cands in by_q.items():
+        ranked = sorted(cands, key=lambda c: (-c[1], c[0]))
+        ideal = sorted(cands, key=lambda c: (-c[2], -c[1], c[0]))
+        dcg = sum(y / log2(i + 1) for i, (_, _, y) in enumerate(ranked[:10], 1))
+        idcg = sum(y / log2(i + 1) for i, (_, _, y) in enumerate(ideal[:10], 1))
+        ref[q] = (dcg, idcg, dcg / idcg if idcg > 0 else None)
+    df = spark.createDataFrame(rows, "q long, d long, s long, y int")
+    got = {
+        r["q"]: (r["dcg"], r["idcg"], r["ndcg"])
+        for r in ndcg(df, "q", "d", "s", "y", k=10).collect()
+    }
+    assert set(got) == set(ref)
+    for q in ref:
+        for a, b in zip(got[q], ref[q]):
+            if b is None:
+                assert a is None
+            else:
+                assert a == pytest.approx(b, rel=1e-12)
