@@ -20,22 +20,9 @@ from hadron_spark.functions.text import (
     tokenize,
 )
 
-def _stamp_rank(bounded: DataFrame, order, out_col: str = "rn") -> DataFrame:
-    """Stamp 1-based rank on an already-LIMITed (k-row) frame without
-    a window: coalesce to one partition, sort within it, and number
-    rows with monotonically_increasing_id (consecutive from 0 inside
-    a single partition).  Equivalent to row_number() over a global
-    window, but emits no `WindowExec: No Partition Defined` warning —
-    that warning class is reserved for real whole-dataset funnels, so
-    any occurrence in a bench log is a genuine scale signal.  Only
-    ever call this on post-limit frames."""
-    return (
-        bounded.coalesce(1)
-        .sortWithinPartitions(*order)
-        .withColumn(
-            out_col, (F.monotonically_increasing_id() + 1).cast("int")
-        )
-    )
+# canonical implementation lives in operators.ops; the old private
+# name is kept as an alias for existing call sites (queries.py).
+from hadron_spark.operators.ops import stamp_rank as _stamp_rank  # noqa: E402
 
 
 # tiny per-language marker lexicons for the n-gram/stopword heuristic

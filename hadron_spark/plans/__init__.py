@@ -10,6 +10,7 @@ the exchange, no stray shuffles. Tests and tuning loops use these
 instead of eyeballing `.explain()` output.
 """
 
+from hadron_spark.plans.diag import join_cardinality, key_skew_profile
 from hadron_spark.plans.inspect import (
     assert_broadcast_join,
     assert_no_shuffle,
@@ -23,6 +24,8 @@ from hadron_spark.plans.inspect import (
 )
 
 __all__ = [
+    "join_cardinality",
+    "key_skew_profile",
     "explain_str",
     "shuffle_count",
     "codegen_stage_count",

@@ -784,3 +784,60 @@ class TestPlanLintAudit:
     def test_cartesian_always_counted(self):
         a = self._audit("+- CartesianProduct\n   :- A\n   +- B\n")
         assert a["cart"] == 1
+
+
+def test_key_skew_profile_exact(spark):
+    from fractions import Fraction
+
+    from hadron_spark.plans.diag import key_skew_profile
+
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 30 + [("d",)] * 7 + [
+        ("e",)
+    ] * 3
+    df = spark.createDataFrame(rows, "k string")
+    got = key_skew_profile(df, ["k"], top=3, n_partitions=10).collect()
+    assert [(r["k"], r["cnt"], r["rank"]) for r in got] == [
+        ("a", 50, 1), ("b", 30, 2), ("c", 30, 3)
+    ]
+    for r in got:
+        assert r["n_total"] == 120 and r["n_keys"] == 5
+        assert r["share"] == float(Fraction(r["cnt"], 120))
+        assert r["skew"] == float(Fraction(r["cnt"] * 5, 120))
+        assert r["salt"] == -((-r["cnt"] * 10) // 120)  # ceil
+
+
+def test_join_cardinality_matches_real_join(spark):
+    import random
+
+    from hadron_spark.plans.diag import join_cardinality
+
+    rng = random.Random(3)
+    left = [(rng.randint(0, 15),) for _ in range(200)] + [(None,)] * 5
+    right = [(rng.randint(0, 20),) for _ in range(300)] + [(None,)] * 2
+    ldf = spark.createDataFrame(left, "k int")
+    rdf = spark.createDataFrame(right, "k int")
+    got = join_cardinality(ldf, rdf, ["k"]).collect()[0]
+    real = ldf.join(rdf, "k").count()
+    assert got["out_rows"] == real
+    assert got["left_rows"] == 205 and got["right_rows"] == 302
+    from collections import Counter
+
+    lc = Counter(k for (k,) in left if k is not None)
+    rc = Counter(k for (k,) in right if k is not None)
+    assert got["matching_keys"] == len(set(lc) & set(rc))
+    assert got["max_key_out"] == max(lc[k] * rc[k] for k in set(lc) & set(rc))
+    assert got["amplification"] == real / max(205, 302)
+
+
+def test_key_skew_profile_validation(spark):
+    import pytest
+
+    from hadron_spark.plans.diag import join_cardinality, key_skew_profile
+
+    df = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError):
+        key_skew_profile(df, [])
+    with pytest.raises(ValueError):
+        key_skew_profile(df, ["k"], top=0)
+    with pytest.raises(ValueError):
+        join_cardinality(df, df, [])
