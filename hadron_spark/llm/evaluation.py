@@ -339,6 +339,130 @@ def ndcg(
     )
 
 
+def bradley_terry(
+    df: DataFrame,
+    winner_col: str,
+    loser_col: str,
+    iters: int = 20,
+    weight_col: str | None = None,
+    eps: float = 1e-12,
+    materialize: str = "local_checkpoint",
+) -> DataFrame:
+    """Bradley-Terry strength fitting over pairwise outcomes — the
+    model behind preference-data leaderboards (RLHF reward QC,
+    model-vs-model win matrices, annotator calibration): item i
+    beats j with probability p_i/(p_i+p_j); strengths are fit by the
+    standard MM update (Hunter 2004)
+
+        p_i <- W_i / Σ_j n_ij/(p_i+p_j)
+
+    over `iters` fixed rounds (determinism over a convergence test),
+    then mean-normalized to 1.  Strengths are floored at `eps` so an
+    item that never wins cannot zero a shared denominator.
+
+    Iterative and float-accumulating, so NOT in the hash-exact tier
+    (registry entry is rows-only); pure-python parity lives in
+    test_evaluation.
+
+    100 TB shape: outcomes partial-aggregate once to the undirected
+    pair-count spine n_ij and the win vector W_i; each MM round is
+    two spine-sized hash joins + one partial-agg'd shuffle onto
+    items — raw outcome rows are never revisited, and per-round
+    state (the strengths frame) is |items| rows, joined (never
+    collected into plan literals).  Strengths are pinned per round —
+    the kmeans-style iterative-consumer discipline.
+
+    Returns (item, wins, losses, strength)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1: {iters}")
+    n = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    outcomes = df.select(
+        F.col(winner_col).alias("_w"), F.col(loser_col).alias("_l"), n.alias("_n")
+    ).filter(F.col("_w") != F.col("_l"))
+    a = F.when(F.col("_w") < F.col("_l"), F.col("_w")).otherwise(F.col("_l"))
+    b = F.when(F.col("_w") < F.col("_l"), F.col("_l")).otherwise(F.col("_w"))
+    und = pin(
+        outcomes.select(a.alias("_a"), b.alias("_b"), "_n")
+        .groupBy("_a", "_b")
+        .agg(F.sum("_n").alias("_nab")),
+        materialize,
+    )
+    wins = pin(
+        outcomes.select(F.col("_w").alias("item"), "_n")
+        .groupBy("item")
+        .agg(F.sum("_n").alias("wins")),
+        materialize,
+    )
+    losses = pin(
+        outcomes.select(F.col("_l").alias("item"), "_n")
+        .groupBy("item")
+        .agg(F.sum("_n").alias("losses")),
+        materialize,
+    )
+    items = pin(
+        und.select(F.col("_a").alias("item"))
+        .union(und.select(F.col("_b").alias("item")))
+        .distinct(),
+        materialize,
+    )
+    strengths = items.withColumn("p", F.lit(1.0))
+    for _ in range(iters):
+        sa = strengths.select(F.col("item").alias("_a"), F.col("p").alias("_pa"))
+        sb = strengths.select(F.col("item").alias("_b"), F.col("p").alias("_pb"))
+        d = (
+            und.join(sa, "_a")
+            .join(sb, "_b")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("_a").alias("item")),
+                        F.struct(F.col("_b").alias("item")),
+                    )
+                ).alias("_s"),
+                (
+                    F.col("_nab").cast("double")
+                    / (F.col("_pa") + F.col("_pb"))
+                ).alias("_d"),
+            )
+            .select(F.col("_s.item").alias("item"), "_d")
+            .groupBy("item")
+            .agg(F.sum("_d").alias("_denom"))
+        )
+        raw = d.join(wins, "item", "left").select(
+            "item",
+            F.greatest(
+                F.coalesce(F.col("wins"), F.lit(0)).cast("double")
+                / F.col("_denom"),
+                F.lit(eps),
+            ).alias("_praw"),
+        )
+        # one pin per round: `raw` feeds the totals AND both join
+        # sides of the next round; the normalized frame is a narrow
+        # projection off it (re-running that per branch is free)
+        raw = pin(raw, materialize)
+        tot = raw.agg(
+            F.sum("_praw").alias("_t"), F.count(F.lit(1)).alias("_c")
+        )
+        strengths = raw.crossJoin(F.broadcast(tot)).select(
+            "item",
+            (F.col("_praw") * F.col("_c") / F.col("_t")).alias("p"),
+        )
+    return (
+        strengths.join(wins, "item", "left")
+        .join(losses, "item", "left")
+        .select(
+            "item",
+            F.coalesce("wins", F.lit(0)).alias("wins"),
+            F.coalesce("losses", F.lit(0)).alias("losses"),
+            F.col("p").alias("strength"),
+        )
+    )
+
+
 def cohens_kappa(
     df: DataFrame,
     rater_a: str,

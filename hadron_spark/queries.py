@@ -11744,3 +11744,109 @@ def q269(spark, sf_dir):
     from hadron_spark.llm.evaluation import ndcg
 
     return ndcg(_purchase_ranking(spark, sf_dir), "cust", "part", "score", "y", k=10)
+
+
+@_register(
+    "q270_key_skew",
+    """
+    WITH spine AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM spine
+    ),
+    hot AS (
+      SELECT user_id, cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id ASC)
+                  AS INTEGER) AS rank
+      FROM spine ORDER BY cnt DESC, user_id ASC LIMIT 20
+    )
+    SELECT user_id, cnt, rank, n_total, n_keys,
+           CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+           CAST(cnt * n_keys AS DOUBLE) / CAST(n_total AS DOUBLE) AS skew,
+           CAST((cnt * 32 + n_total - 1) // n_total AS BIGINT) AS salt
+    FROM hot, tot
+    """,
+)
+def q270(spark, sf_dir):
+    """Hot-key shuffle pre-flight (plans.diag.key_skew_profile): the
+    20 heaviest event user_ids with exact share / skew-multiple and
+    the integer salting fan-out for a 32-partition shuffle.  ONE
+    partial-agg'd shuffle onto the key spine (raw rows never sort);
+    top-k is TakeOrderedAndProject; rank is stamped post-limit so no
+    whole-dataset window appears."""
+    from hadron_spark.plans.diag import key_skew_profile
+
+    ev = load(spark, sf_dir, "events")
+    return key_skew_profile(ev, ["user_id"], top=20, n_partitions=32)
+
+
+@_register(
+    "q271_join_cardinality",
+    """
+    WITH l AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS lc
+               FROM orders GROUP BY 1),
+    r AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS rc
+          FROM lineitem GROUP BY 1),
+    lt AS (SELECT CAST(SUM(lc) AS BIGINT) AS left_rows,
+                  CAST(COUNT(*) AS BIGINT) AS left_keys FROM l),
+    rt AS (SELECT CAST(SUM(rc) AS BIGINT) AS right_rows,
+                  CAST(COUNT(*) AS BIGINT) AS right_keys FROM r),
+    j AS (SELECT CAST(COUNT(*) AS BIGINT) AS matching_keys,
+                 CAST(COALESCE(SUM(lc * rc), 0) AS BIGINT) AS out_rows,
+                 CAST(COALESCE(MAX(lc * rc), 0) AS BIGINT) AS max_key_out
+          FROM l JOIN r USING (k) WHERE k IS NOT NULL)
+    SELECT left_rows, right_rows, left_keys, right_keys,
+           matching_keys, out_rows, max_key_out,
+           CAST(out_rows AS DOUBLE)
+             / CAST(GREATEST(left_rows, right_rows) AS DOUBLE)
+             AS amplification
+    FROM lt, rt, j
+    """,
+)
+def q271(spark, sf_dir):
+    """Exact join-output cardinality WITHOUT running the join
+    (plans.diag.join_cardinality): |orders ⋈ lineitem| on orderkey =
+    Σ_k lc·rc over the two per-key count spines, plus the hottest
+    key's contribution and the amplification ratio — the pre-flight
+    that catches an unintended many-to-many before it ships 100 TB
+    through a shuffle.  Counts move; raw rows never do."""
+    from hadron_spark.plans.diag import join_cardinality
+
+    o = load(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    li = load(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+    return join_cardinality(o, li, ["k"])
+
+
+@_register("q272_bradley_terry", None)
+def q272(spark, sf_dir):
+    """Source-vs-source Bradley-Terry strengths (llm.evaluation
+    .bradley_terry) from per-prompt preference outcomes: in each of
+    the 97 synthetic prompt buckets the longest doc (q244's struct-
+    extrema tie-break) beats the shortest when their sources differ.
+    Rows-only BY DESIGN — the MM fit is iterative float arithmetic;
+    pure-python parity + weighted≡expanded equivalence live in
+    test_evaluation."""
+    from hadron_spark.functions.text import tokenize
+    from hadron_spark.llm.evaluation import bradley_terry
+
+    docs = load(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 97).alias("prompt"),
+        F.col("source"),
+        F.size(tokenize(F.lower(F.col("text")))).alias("score"),
+        F.col("doc_id"),
+    )
+    ext = docs.groupBy("prompt").agg(
+        F.max(F.struct("score", "doc_id", "source")).alias("_best"),
+        F.min(F.struct("score", "doc_id", "source")).alias("_worst"),
+    )
+    pairs = ext.filter(
+        F.col("_best.source") != F.col("_worst.source")
+    ).select(
+        F.col("_best.source").alias("w_src"),
+        F.col("_worst.source").alias("l_src"),
+    )
+    return bradley_terry(pairs, "w_src", "l_src", iters=10)

@@ -266,3 +266,83 @@ def test_ndcg_matches_python_reference(spark):
                 assert a is None
             else:
                 assert a == pytest.approx(b, rel=1e-12)
+
+
+def _ref_bt(outcomes, iters, eps=1e-12):
+    from collections import defaultdict
+
+    nab = defaultdict(int)
+    W = defaultdict(int)
+    L = defaultdict(int)
+    items = set()
+    for w, l, n in outcomes:
+        if w == l:
+            continue
+        key = (min(w, l), max(w, l))
+        nab[key] += n
+        W[w] += n
+        L[l] += n
+        items |= {w, l}
+    p = {i: 1.0 for i in items}
+    for _ in range(iters):
+        denom = defaultdict(float)
+        for (a, b), n in nab.items():
+            d = n / (p[a] + p[b])
+            denom[a] += d
+            denom[b] += d
+        praw = {i: max(W.get(i, 0) / denom[i], eps) for i in items}
+        t = sum(praw.values())
+        c = len(items)
+        p = {i: praw[i] * c / t for i in items}
+    return {i: (W.get(i, 0), L.get(i, 0), p[i]) for i in items}
+
+
+def test_bradley_terry_matches_python_reference(spark):
+    import random
+
+    import pytest
+
+    from hadron_spark.llm.evaluation import bradley_terry
+
+    rng = random.Random(7)
+    true = {"a": 8.0, "b": 4.0, "c": 2.0, "d": 1.0, "e": 0.5}
+    outcomes = []
+    names = list(true)
+    for _ in range(600):
+        i, j = rng.sample(names, 2)
+        win = rng.random() < true[i] / (true[i] + true[j])
+        outcomes.append((i, j, 1) if win else ((j, i, 1)))
+    # an item that never wins (floor path) and a self-pair (dropped)
+    outcomes += [("a", "z", 1), ("b", "z", 1), ("a", "a", 1)]
+    df = spark.createDataFrame(outcomes, "w string, l string, n int")
+    got = {
+        r["item"]: (r["wins"], r["losses"], r["strength"])
+        for r in bradley_terry(df, "w", "l", iters=20).collect()
+    }
+    ref = _ref_bt(outcomes, 20)
+    assert set(got) == set(ref)
+    for i in ref:
+        assert got[i][0] == ref[i][0] and got[i][1] == ref[i][1]
+        assert got[i][2] == pytest.approx(ref[i][2], rel=1e-8)
+    # ordering sanity: fitted strengths recover the generating order
+    fit = sorted(true, key=lambda i: -got[i][2])
+    assert fit == ["a", "b", "c", "d", "e"]
+    assert got["z"][2] < got["e"][2]
+
+
+def test_bradley_terry_weighted_equals_expanded(spark):
+    import pytest
+
+    from hadron_spark.llm.evaluation import bradley_terry
+
+    pairs = [("a", "b", 3), ("b", "c", 2), ("a", "c", 1), ("c", "a", 1)]
+    expanded = [(w, l, 1) for (w, l, n) in pairs for _ in range(n)]
+    d1 = spark.createDataFrame(pairs, "w string, l string, n int")
+    d2 = spark.createDataFrame(expanded, "w string, l string, n int")
+    g1 = {r["item"]: r["strength"]
+          for r in bradley_terry(d1, "w", "l", iters=15, weight_col="n").collect()}
+    g2 = {r["item"]: r["strength"]
+          for r in bradley_terry(d2, "w", "l", iters=15).collect()}
+    assert set(g1) == set(g2)
+    for i in g1:
+        assert g1[i] == pytest.approx(g2[i], rel=1e-10)
