@@ -237,3 +237,62 @@ def category_drift(
         (oo / no).alias("share_old"),
         cell.alias("chi2_cell"),
     )
+
+
+def psi_drift(
+    new: DataFrame,
+    old: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Population Stability Index between two snapshots over one
+    categorical column (or a pre-binned score — feed quantized bins)
+    — the model-monitoring standard for "has the scored population
+    shifted enough to retrain": per-category
+    psi_cell = (p_new − p_old)·ln(p_new/p_old), emitted PER CELL
+    (the stats tier's discipline — a float sum over categories is
+    order-sensitive; rank or sum the cells downstream).  The usual
+    reading: Σ < 0.1 stable, 0.1–0.25 moderate, > 0.25 major shift.
+
+    Shares are Laplace-smoothed — p = (n + 1)/(N + C) with C the
+    category count of the union — so a category present on one side
+    only cannot produce ±inf; smoothed shares remain ratios of exact
+    longs, but ln() is transcendental, so the operator is rows-only
+    in the registry (python parity in test_llm_ops); `category_drift`
+    carries the hash-exact chi-square statement of the same shift.
+
+    One partial-agg'd shuffle per side onto |categories| rows;
+    totals broadcast.  Returns (category, n_new, n_old, p_new,
+    p_old, psi_cell)."""
+    cat = lambda df: df.select(  # noqa: E731
+        F.coalesce(F.col(col).cast("string"), F.lit("<null>")).alias("_c")
+    ).groupBy("_c").agg(F.count(F.lit(1)).alias("_n"))
+    a, b = cat(new), cat(old)
+    j = (
+        a.withColumnRenamed("_n", "n_new")
+        .join(b.withColumnRenamed("_n", "n_old"), "_c", "full_outer")
+        .select(
+            "_c",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        )
+    )
+    tot = j.agg(
+        F.sum("n_new").alias("_tn"),
+        F.sum("n_old").alias("_to"),
+        F.count(F.lit(1)).alias("_nc"),
+    )
+    s = j.crossJoin(F.broadcast(tot))
+    p_new = (F.col("n_new") + 1).cast("double") / (
+        F.col("_tn") + F.col("_nc")
+    ).cast("double")
+    p_old = (F.col("n_old") + 1).cast("double") / (
+        F.col("_to") + F.col("_nc")
+    ).cast("double")
+    return s.select(
+        F.col("_c").alias("category"),
+        "n_new",
+        "n_old",
+        p_new.alias("p_new"),
+        p_old.alias("p_old"),
+        ((p_new - p_old) * F.log(p_new / p_old)).alias("psi_cell"),
+    )

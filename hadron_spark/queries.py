@@ -11850,3 +11850,175 @@ def q272(spark, sf_dir):
         F.col("_worst.source").alias("l_src"),
     )
     return bradley_terry(pairs, "w_src", "l_src", iters=10)
+
+
+_EVENT_BIN_SQL = """
+    yv AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS y
+           FROM events),
+    b AS (SELECT event_type,
+                 CAST(CASE WHEN y < 0 THEN -1
+                           WHEN y >= 50000 THEN 25
+                           ELSE (y * 25) // 50000 END AS INTEGER) AS bin
+          FROM yv),
+    h AS (SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM b GROUP BY 1, 2)
+"""
+
+
+def _event_bins(spark, sf_dir):
+    """Batch (event_type, bin, cnt) histogram spine over event value
+    cents — the same integer binning incremental_histogram uses
+    (lo=0, hi=50000, 25 bins + under/overflow)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("y")
+    )
+    b = (
+        F.when(F.col("y") < 0, F.lit(-1))
+        .when(F.col("y") >= 50000, F.lit(25))
+        .otherwise(F.expr("(y * 25) div 50000"))
+        .cast("int")
+    )
+    return (
+        ev.select("event_type", b.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@_register(
+    "q273_streaming_histogram",
+    "WITH " + _EVENT_BIN_SQL + "SELECT event_type, bin, cnt FROM h",
+)
+def q273(spark, sf_dir):
+    """Streaming histogram maintenance (streaming.ops
+    .incremental_histogram): the event stream is chopped into
+    micro-batches and per-type equi-width bin counts (value cents,
+    25 bins over [0, 50000) + under/overflow) merge into the parquet
+    state — bin counts are a long-sum monoid, so the state is
+    bit-identical to one batch groupBy regardless of chopping: a
+    FULL oracle on a streaming op.  Failure trio pinned in
+    test_streaming."""
+    import shutil
+    import tempfile
+
+    from hadron_spark.streaming.ops import (
+        incremental_histogram,
+        read_histogram_state,
+    )
+
+    work = tempfile.mkdtemp(prefix="q273_")
+    src = f"{work}/src"
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("y")
+    )
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("event_type string, y bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = incremental_histogram(
+        stream,
+        f"{work}/state",
+        "event_type",
+        "y",
+        lo=0,
+        hi=50000,
+        n_bins=25,
+        checkpoint=f"{work}/ckpt",
+    )
+    q.awaitTermination(300)
+    result = read_histogram_state(spark, f"{work}/state", "event_type")
+    result = spark.createDataFrame(result.collect(), result.schema)
+    shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
+@_register(
+    "q274_histogram_quantiles",
+    "WITH "
+    + _EVENT_BIN_SQL
+    + """,
+    c AS (SELECT event_type, bin, cnt,
+                 CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+          FROM h),
+    t AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
+          FROM h GROUP BY 1),
+    s AS (SELECT event_type, n, q_units,
+                 CAST((n * q_units + 99) // 100 AS BIGINT) AS target
+          FROM t, (SELECT UNNEST([50, 90, 99]) AS q_units))
+    SELECT s.event_type, CAST(s.q_units AS INTEGER) AS q_units, s.n,
+           s.target, CAST(MIN(c.bin) AS INTEGER) AS bin
+    FROM c JOIN s ON c.event_type = s.event_type AND c.cum >= s.target
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q274(spark, sf_dir):
+    """Rank-target quantiles off the histogram spine (streaming.ops
+    .histogram_quantiles — the batch surface shared with the
+    streaming state): p50/p90/p99 per event type as the smallest bin
+    whose cumulative count reaches ceil(n·q/scale) — all integer
+    math, hash-exact, with the honest one-bin-width error bound of
+    any histogram sketch.  Per-key frame is <= n_bins+2 rows, so the
+    cumulative window is bounded."""
+    from hadron_spark.streaming.ops import histogram_quantiles
+
+    return histogram_quantiles(
+        _event_bins(spark, sf_dir), "event_type", [50, 90, 99], scale=100
+    )
+
+
+@_register("q275_ann_recall", None)
+def q275(spark, sf_dir):
+    """ANN recall audit — the ranking tier measuring the similarity
+    tier: IVF cell-probe search (q41's scale path) evaluated against
+    brute-force exact cosine top-10 (q25's baseline) through
+    llm.evaluation.ranking_summary.  Candidates = IVF results scored
+    by inverted rank, unioned with any missed true neighbors at
+    score 0; labels = membership in the exact top-10 — so
+    micro_recall IS recall@10 of the index and mrr states where the
+    first true neighbor lands.  Rows-only BY DESIGN (the coarse
+    quantizer is a trained artifact); the metric algebra itself is
+    the hash-exact q267/q268 operator."""
+    from hadron_spark.llm.evaluation import ranking_summary
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    exact = similarity.brute_force_topk(emb, q, k=10).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_y")
+    )
+    sys = similarity.ivf_topk(
+        emb, q, k=10, n_centroids=16, n_probe=4
+    ).select("query_id", "neighbor_id", (F.lit(11) - F.col("rank")).alias("_s"))
+    cand = (
+        sys.join(exact, ["query_id", "neighbor_id"], "full_outer")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.coalesce("_s", F.lit(0)).alias("score"),
+            F.coalesce("_y", F.lit(0)).alias("y"),
+        )
+    )
+    return ranking_summary(cand, "query_id", "neighbor_id", "score", "y", k=10)
+
+
+@_register("q276_psi_drift", None)
+def q276(spark, sf_dir):
+    """Population Stability Index cells (llm.report.psi_drift)
+    between the early and late event populations over value-cents
+    decile bins — the score-drift monitor a deployed quality filter
+    needs.  Rows-only BY DESIGN (ln is transcendental; the
+    hash-exact chi-square statement of the same shift is q260);
+    python parity in test_llm_ops."""
+    from hadron_spark.llm.report import psi_drift
+
+    ev = load(spark, sf_dir, "events").select(
+        "ts",
+        F.expr("cast(round(value * 100) as bigint) div 5000").alias("bin"),
+    )
+    cut = F.to_timestamp(F.lit("2024-01-15"))
+    new = ev.filter(F.col("ts") >= cut).select("bin")
+    old = ev.filter(F.col("ts") < cut).select("bin")
+    return psi_drift(new, old, "bin")

@@ -1005,3 +1005,165 @@ def read_topk_state(spark, state_path: str, key: str) -> DataFrame:
         .filter(F.col(key).isNotNull())
         .select(key, "id", "score")
     )
+
+
+def histogram_apply_fn(
+    state_path: str,
+    key: str,
+    value: str,
+    lo: int,
+    hi: int,
+    n_bins: int,
+):
+    """The foreachBatch merge behind `incremental_histogram` (call
+    with (batch_df, batch_id) to unit-test replay/recovery).  State
+    schema: (key, bin, cnt) exact longs — bin -1 is underflow
+    (value < lo), bin `n_bins` overflow (value >= hi), interior bin
+    = (value−lo)·n_bins div (hi−lo), all integer math.  The marker
+    row (key NULL, bin NULL) carries the batch high-water mark in
+    `cnt`; NULL stream keys are dropped (the NULL slot is the
+    marker's)."""
+    if not lo < hi:
+        raise ValueError(f"lo must be < hi: {lo}/{hi}")
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1: {n_bins}")
+    from hadron_spark.sources import fs
+
+    def apply(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        _recover_swap(spark, state_path)
+        prev = None
+        if fs.exists(spark, state_path):
+            prev = spark.read.parquet(state_path)
+            hwm = prev.filter(F.col(key).isNull()).select("cnt").collect()
+            if hwm and batch_id <= int(hwm[0]["cnt"]):
+                return  # replayed batch: already merged exactly once
+        y = F.col(value).cast("long")
+        b = (
+            F.when(y < lo, F.lit(-1))
+            .when(y >= hi, F.lit(n_bins))
+            .otherwise(
+                F.expr(
+                    f"((cast({value} as bigint) - {lo}) * {n_bins})"
+                    f" div {hi - lo}"
+                )
+            )
+            .cast("int")
+        )
+        part = (
+            batch_df.localCheckpoint(eager=True)
+            .filter(F.col(key).isNotNull())
+            .select(key, b.alias("bin"))
+            .groupBy(key, "bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        if prev is not None:
+            merged = (
+                prev.filter(F.col(key).isNotNull())
+                .unionByName(part)
+                .groupBy(key, "bin")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        else:
+            merged = part
+        marker = spark.range(1).select(
+            F.lit(None).cast(merged.schema[key].dataType).alias(key),
+            F.lit(None).cast("int").alias("bin"),
+            F.lit(int(batch_id)).cast("long").alias("cnt"),
+        )
+        _commit_swap(spark, merged.unionByName(marker), state_path, batch_id)
+
+    return apply
+
+
+def incremental_histogram(
+    stream: DataFrame,
+    state_path: str,
+    key: str,
+    value: str,
+    lo: int,
+    hi: int,
+    n_bins: int = 20,
+    checkpoint: str | None = None,
+):
+    """Streaming maintenance of per-key equi-width histogram counts
+    over an integer-valued stream — the mergeable distribution
+    sketch behind live quantile/latency/SLA dashboards: state is at
+    most n_bins+2 rows per key FOREVER (under/overflow bins keep the
+    tails honest), and bin counts are an associative commutative
+    long-sum monoid, so the state after any micro-batch chopping is
+    bit-identical to one batch groupBy over every delivered row —
+    a FULL SQL oracle, like `incremental_moments`.
+
+    Quantize values to integer units (cents/micros) upstream; bin
+    edges are pure integer math so every engine bins identically.
+    Failure trio (batch-id HWM replay guard, `_recover_swap` crash
+    healing, idempotent tmp-then-rename) as Gram/CMS — pinned in
+    test_streaming.  Read back with `read_histogram_state`; derive
+    exact rank-target quantiles with `histogram_quantiles`.
+    Returns the started StreamingQuery (availableNow trigger)."""
+    apply = histogram_apply_fn(state_path, key, value, lo, hi, n_bins)
+    writer = (
+        stream.writeStream.foreachBatch(apply)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def read_histogram_state(spark, state_path: str, key: str) -> DataFrame:
+    """(key, bin, cnt) per-key bin counts, marker row stripped."""
+    return (
+        spark.read.parquet(state_path)
+        .filter(F.col(key).isNotNull())
+        .select(key, "bin", "cnt")
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    key: str,
+    q_units: list[int],
+    scale: int = 100,
+) -> DataFrame:
+    """Rank-target quantiles from a (key, bin, cnt) histogram frame
+    (the `incremental_histogram` state, or any batch-built binned
+    spine): for each requested quantile q_units/scale the answer is
+    the smallest bin whose cumulative count reaches
+    target = ceil(n·q_units/scale) — all integer math, so the frame
+    is hash-exact cross-engine.  The precision statement is honest:
+    the true quantile lies inside the returned bin by construction
+    (that is the histogram-sketch error bound — one bin width).
+
+    Per key the frame is <= n_bins+2 rows, so the cumulative window
+    is bounded; one shuffle on the key.  Returns
+    (key, q_units, n, target, bin)."""
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1: {scale}")
+    for q in q_units:
+        if not 0 < q <= scale:
+            raise ValueError(f"q_units must be in (0, {scale}]: {q}")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("_cum", F.sum("cnt").over(w))
+    tot = hist.groupBy(key).agg(F.sum("cnt").alias("n"))
+    specs = tot.select(
+        key,
+        "n",
+        F.explode(F.array(*[F.lit(int(q)) for q in q_units])).alias("q_units"),
+    ).withColumn("q_units", F.col("q_units").cast("int")).withColumn(
+        "target", F.expr(f"(n * q_units + {scale} - 1) div {scale}")
+    )
+    return (
+        cum.join(specs, key)
+        .filter(F.col("_cum") >= F.col("target"))
+        .groupBy(key, "q_units", "n", "target")
+        .agg(F.min("bin").alias("bin"))
+    )

@@ -2233,3 +2233,37 @@ def test_vocab_coverage_analytic(spark):
     assert s1["occ_coverage"] == 4 / 6 and s1["type_coverage"] == 0.5
     s2 = got["s2"]
     assert s2["occ_coverage"] == 2 / 3 and s2["n_types_covered"] == 1
+
+
+def test_psi_drift_python_parity(spark):
+    """PSI cells vs a pure-python reference with Laplace smoothing;
+    one-side-only categories stay finite; identical populations give
+    psi ~ 0 cells."""
+    import math
+
+    import pytest
+
+    from hadron_spark.llm.report import psi_drift
+
+    new_rows = ["a"] * 50 + ["b"] * 30 + ["c"] * 20 + ["d"] * 5
+    old_rows = ["a"] * 40 + ["b"] * 45 + ["c"] * 10 + ["e"] * 3
+    new = spark.createDataFrame([(x,) for x in new_rows], "c string")
+    old = spark.createDataFrame([(x,) for x in old_rows], "c string")
+    got = {r["category"]: r for r in psi_drift(new, old, "c").collect()}
+    cats = sorted(set(new_rows) | set(old_rows))
+    C = len(cats)
+    tn, to = len(new_rows), len(old_rows)
+    for c in cats:
+        nn = new_rows.count(c)
+        no = old_rows.count(c)
+        pn = (nn + 1) / (tn + C)
+        po = (no + 1) / (to + C)
+        r = got[c]
+        assert (r["n_new"], r["n_old"]) == (nn, no)
+        assert r["p_new"] == pytest.approx(pn, rel=1e-15)
+        assert r["psi_cell"] == pytest.approx(
+            (pn - po) * math.log(pn / po), rel=1e-12
+        )
+        assert math.isfinite(r["psi_cell"])
+    same = psi_drift(new, new, "c").collect()
+    assert all(abs(r["psi_cell"]) < 1e-15 for r in same)

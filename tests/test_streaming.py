@@ -593,3 +593,107 @@ def test_incremental_topk_matches_batch_replay_recovery(spark, sf_dir, tmp_path)
         for r in read_topk_state(spark, state, "event_type").collect()
     }
     assert got == want
+
+
+def test_incremental_histogram_matches_batch_replay_recovery(spark, sf_dir, tmp_path):
+    """Streamed per-key bin counts == one-shot binned groupBy
+    regardless of chopping; replayed batch merges exactly once;
+    interrupted swap heals; NULL keys drop; under/overflow rows land
+    in bins -1 / n_bins."""
+    from hadron_spark.sources import fs
+    from hadron_spark.streaming.ops import (
+        histogram_apply_fn,
+        read_histogram_state,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("y")
+    )
+    # force both tails: one huge and one negative value per type
+    extra = spark.createDataFrame(
+        [("click", -5), ("click", 10**7)], "event_type string, y long"
+    )
+    ev = ev.unionByName(extra)
+    b = (
+        F.when(F.col("y") < 0, F.lit(-1))
+        .when(F.col("y") >= 50000, F.lit(25))
+        .otherwise(F.expr("(y * 25) div 50000"))
+        .cast("int")
+    )
+    want = {
+        (r["event_type"], r["bin"]): r["cnt"]
+        for r in ev.select("event_type", b.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    state = str(tmp_path / "hist_state")
+    apply = histogram_apply_fn(state, "event_type", "y", lo=0, hi=50000, n_bins=25)
+    b0 = ev.filter(F.crc32(F.col("event_type")) % 2 == 0)
+    b1 = ev.filter(F.crc32(F.col("event_type")) % 2 == 1).withColumn(
+        "event_type",
+        F.when(F.lit(True), F.col("event_type")).otherwise(F.lit(None)),
+    )
+    apply(b0, 0)
+    apply(b0, 0)  # at-least-once replay: must be a no-op
+    fs.mv(spark, state, state + "._old_1")  # crash mid-swap: heal
+    apply(b1, 1)
+    got = {
+        (r["event_type"], r["bin"]): r["cnt"]
+        for r in read_histogram_state(spark, state, "event_type").collect()
+    }
+    assert got == want
+    assert ("click", -1) in got and ("click", 25) in got
+
+
+def test_histogram_quantiles_reference(spark):
+    """Quantile bin = smallest bin whose cum reaches ceil(n*q/scale),
+    checked against a python reference, including the degenerate
+    one-bin key and q=scale (the max)."""
+    from hadron_spark.streaming.ops import histogram_quantiles
+
+    hist = [
+        ("a", 0, 10), ("a", 1, 30), ("a", 2, 60),
+        ("b", -1, 5), ("b", 3, 5), ("b", 25, 5),
+        ("c", 7, 1),
+    ]
+    df = spark.createDataFrame(hist, "k string, bin int, cnt long")
+    got = {
+        (r["k"], r["q_units"]): (r["n"], r["target"], r["bin"])
+        for r in histogram_quantiles(df, "k", [50, 90, 100]).collect()
+    }
+    from collections import defaultdict
+
+    bykey = defaultdict(list)
+    for k, b, c in hist:
+        bykey[k].append((b, c))
+    for k, bins in bykey.items():
+        bins.sort()
+        n = sum(c for _, c in bins)
+        for q in (50, 90, 100):
+            target = -((-n * q) // 100)
+            cum = 0
+            for b, c in bins:
+                cum += c
+                if cum >= target:
+                    assert got[(k, q)] == (n, target, b)
+                    break
+
+
+def test_histogram_validation(spark):
+    import pytest
+
+    from hadron_spark.streaming.ops import (
+        histogram_apply_fn,
+        histogram_quantiles,
+    )
+
+    with pytest.raises(ValueError):
+        histogram_apply_fn("/tmp/x", "k", "y", lo=5, hi=5, n_bins=3)
+    with pytest.raises(ValueError):
+        histogram_apply_fn("/tmp/x", "k", "y", lo=0, hi=10, n_bins=0)
+    df = spark.createDataFrame([("a", 0, 1)], "k string, bin int, cnt long")
+    with pytest.raises(ValueError):
+        histogram_quantiles(df, "k", [0])
+    with pytest.raises(ValueError):
+        histogram_quantiles(df, "k", [101])

@@ -45,6 +45,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 EXPLAIN_BNLJ = {
     "q25_ann_bruteforce": "brute-force ANN baseline by contract: broadcasts the bounded "
     "query set (k rows); the scale path is IVF/PQ (q41/q191/q192)",
+    "q275_ann_recall": "recall audit runs the q25 brute-force baseline as ground truth "
+    "by contract: broadcasts the bounded query set (50 rows); the audited IVF side is "
+    "the scale path",
     "q241_semantic_contamination": "broadcasts the benchmark embedding set (MB-scale "
     "by contract — eval suites are thousands of rows against a 100 TB corpus); the "
     "corpus side streams and the per-doc max partial-aggregates map-side",
