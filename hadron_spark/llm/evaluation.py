@@ -522,6 +522,77 @@ def cohens_kappa(
     )
 
 
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    category_col: str,
+    n_raters: int,
+) -> DataFrame:
+    """Multi-rater inter-annotator agreement (Fleiss 1971) — the
+    n-rater generalization of `cohens_kappa` for annotation rounds
+    where each item gets n_raters independent labels (RLHF batches,
+    eval-suite adjudication).  Input is LONG form: one row per
+    (item, rating); items whose rating count ≠ n_raters are dropped
+    and counted in `n_items_dropped` (deterministic, no driver-side
+    validation round-trip).
+
+    Integer-exact: with n_ij the per-item category counts, N kept
+    items, n raters, C_j the column totals,
+        P_o = Σ_ij n_ij(n_ij−1) / (N·n·(n−1)),
+        P_e = Σ_j C_j² / (N·n)²,
+    and kappa = (P_o − P_e)/(1 − P_e) — P_o and P_e are each ONE
+    IEEE division of exact int64s and kappa a fixed chain over
+    them, so the row hashes cross-engine.  int64 bound:
+    (N·n)² < 2^63 needs N·n < 3.03·10⁹ ratings; past that lift the
+    two numerators to DECIMAL(38,0).
+
+    Plan: one partial-agg'd shuffle to (item, category) counts, one
+    to per-item totals (broadcast filter), column totals and the
+    scalar algebra on tiny frames.  Returns one row (n_items,
+    n_raters, n_items_dropped, po_num, pe_num, p_o, p_e, kappa)."""
+    if n_raters < 2:
+        raise ValueError(f"n_raters must be >= 2: {n_raters}")
+    cnt = (
+        df.select(F.col(item_col).alias("_i"), F.col(category_col).alias("_c"))
+        .filter(F.col("_i").isNotNull() & F.col("_c").isNotNull())
+        .groupBy("_i", "_c")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    cnt = pin(cnt)
+    itot = cnt.groupBy("_i").agg(F.sum("_n").alias("_it"))
+    kept_items = itot.filter(F.col("_it") == n_raters).select("_i")
+    dropped = itot.filter(F.col("_it") != n_raters).agg(
+        F.count(F.lit(1)).alias("_nd")
+    )
+    kept = cnt.join(kept_items, "_i")
+    kept = pin(kept)
+    po = kept.agg(
+        F.count_distinct("_i").alias("_N"),
+        F.sum(F.col("_n") * (F.col("_n") - 1)).alias("_po_num"),
+    )
+    pe = kept.groupBy("_c").agg(F.sum("_n").alias("_cj")).agg(
+        F.coalesce(F.sum(F.col("_cj") * F.col("_cj")), F.lit(0)).alias("_pe_num")
+    )
+    j = po.crossJoin(F.broadcast(pe)).crossJoin(F.broadcast(dropped))
+    n = F.lit(n_raters)
+    p_o = F.col("_po_num").cast("double") / (
+        F.col("_N") * n * (n - 1)
+    ).cast("double")
+    p_e = F.col("_pe_num").cast("double") / (
+        F.col("_N") * n * F.col("_N") * n
+    ).cast("double")
+    return j.select(
+        F.col("_N").alias("n_items"),
+        n.cast("int").alias("n_raters"),
+        F.coalesce(F.col("_nd"), F.lit(0)).alias("n_items_dropped"),
+        F.col("_po_num").alias("po_num"),
+        F.col("_pe_num").alias("pe_num"),
+        p_o.alias("p_o"),
+        p_e.alias("p_e"),
+        ((p_o - p_e) / (F.lit(1.0) - p_e)).alias("kappa"),
+    )
+
+
 def calibration_bins(
     df: DataFrame,
     prob_units_col: str,

@@ -175,3 +175,71 @@ def table_diff(
         .otherwise(F.lit("changed"))
     )
     return j.select(*keys, status.alias("status"))
+
+
+def compaction_plan(
+    files: DataFrame,
+    size_col: str,
+    target_bytes: int,
+    part_cols: Sequence[str] = (),
+    order_col: str | None = None,
+) -> DataFrame:
+    """Small-file compaction planner — the maintenance pass every
+    long-lived 100 TB parquet store needs (streaming sinks, CDC
+    appends, and fan-out writers all accrete KB-scale files that
+    multiply task-scheduling and footer-read overhead).  Input is a
+    file listing ((part_cols..., file id/order, size)) from
+    `sources.fs.ls` or `ops.partition_stats`; output is one row per
+    planned compaction bin.
+
+    Deterministic NEXT-FIT by running size: within each partition,
+    files in `order_col` order (must be UNIQUE per partition — a
+    file path/id — or the running sum is tie-order-dependent) go to
+    bin = floor(cum_before / target_bytes) — pure integer math
+    (div), so the plan is hash-exact and identical on every
+    engine/run, and a bin exceeds
+    target_bytes by at most one file (the classic next-fit bound of
+    2x optimal; the point of a compaction plan is merging tiny
+    files, not optimal packing).  Files >= target_bytes land alone
+    in their own bin span by the same rule — no special-casing, the
+    rewrite of a big file is a no-op the executor can skip by
+    checking n_files = 1.
+
+    Plan: one per-partition cumulative window over the FILE LISTING
+    (metadata-scale — millions of rows for a 100 TB store, never the
+    data), one partial-agg'd groupBy onto the bins.  Returns
+    (part_cols..., bin, n_files, total_bytes, files) with `files`
+    the ordered file ids of the bin."""
+    if target_bytes < 1:
+        raise ValueError(f"target_bytes must be >= 1: {target_bytes}")
+    pc = list(part_cols)
+    oc = order_col if order_col is not None else size_col
+    w = (
+        Window.partitionBy(*pc)
+        .orderBy("_o")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = (
+        files.select(
+            *pc,
+            F.col(oc).alias("_o"),
+            F.col(size_col).cast("long").alias("_sz"),
+        )
+        .withColumn("_cumb", F.sum("_sz").over(w) - F.col("_sz"))
+        .withColumn("bin", F.expr(f"_cumb div {int(target_bytes)}"))
+    )
+    return (
+        sized.groupBy(*pc, "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("_sz").alias("total_bytes"),
+            F.array_sort(F.collect_list(F.struct("_o", "_sz"))).alias("_fs"),
+        )
+        .select(
+            *pc,
+            "bin",
+            "n_files",
+            "total_bytes",
+            F.transform("_fs", lambda s: s["_o"]).alias("files"),
+        )
+    )

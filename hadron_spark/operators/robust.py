@@ -1,4 +1,4 @@
-"""Robust statistics operators (median / MAD based).
+"""Robust and nonparametric statistics operators.
 
 The z-score tier (queries q119) flags anomalies against mean/stddev,
 which an adversarial 1%-of-rows corruption can drag arbitrarily; the
@@ -163,4 +163,237 @@ def winsorized_mean(
                 / (F.col("n") * scale).cast("double")
             ).alias("wmean"),
         )
+    )
+
+
+def _two_sample_spine(
+    new: DataFrame,
+    old: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Shared substrate for the two-sample tests: per (group, value)
+    side counts (cnt_new, cnt_old) plus cumulative counts
+    (cum_new, cum_old) in value order and group totals (n_new,
+    n_old).  Values must already be integers (quantize upstream) so
+    every engine orders and ties identically.  One partial-agg'd
+    shuffle per side onto the distinct-value spine; the cumulative
+    window re-uses the groupBy partitioning; totals broadcast."""
+    from pyspark.sql import Window
+
+    tag = lambda df, s: df.select(  # noqa: E731
+        *group_cols, F.col(value_col).cast("long").alias("_v"), F.lit(s).alias("_s")
+    ).filter(F.col("_v").isNotNull())
+    u = tag(new, 1).unionByName(tag(old, 0))
+    cnt = u.groupBy(*group_cols, "_v").agg(
+        F.sum("_s").alias("cnt_new"),
+        F.sum(1 - F.col("_s")).alias("cnt_old"),
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cnt.select(
+        *group_cols,
+        "_v",
+        "cnt_new",
+        "cnt_old",
+        F.sum("cnt_new").over(w).alias("cum_new"),
+        F.sum("cnt_old").over(w).alias("cum_old"),
+    )
+    tot = cnt.groupBy(*group_cols).agg(
+        F.sum("cnt_new").alias("n_new"), F.sum("cnt_old").alias("n_old")
+    )
+    if group_cols:
+        return cum.join(F.broadcast(tot), group_cols)
+    return cum.crossJoin(F.broadcast(tot))
+
+
+def ks_two_sample(
+    new: DataFrame,
+    old: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic per group — the
+    EXACT distributional-drift number next to `psi_drift`'s
+    rows-only cells and `category_drift`'s chi-square:
+    D = max_x |F_new(x) − F_old(x)| over the merged support.
+
+    Integer-exact end to end: over the cross-multiplied form
+    d_num = max |cum_new·n_old − cum_old·n_new| the max is over
+    exact int64s, and D is ONE IEEE division d_num/(n_new·n_old) —
+    so the frame hashes cross-engine.  `at_value` is the SMALLEST
+    value achieving the max (struct-ordered max, deterministic under
+    ties).  int64 bound: n_new·n_old < 2^63, i.e. ~3·10⁹ rows per
+    side per group; past that, pre-bin values onto a histogram spine
+    (streaming.ops.incremental_histogram) first — at 100 TB the
+    binned D is the honest statistic anyway.
+
+    Plan: one partial-agg'd shuffle per side onto the distinct-value
+    spine, a bounded per-group cumulative window, totals broadcast.
+    Returns (group_cols..., n_new, n_old, d_num, at_value, d)."""
+    gc = list(group_cols or [])
+    s = _two_sample_spine(new, old, value_col, gc)
+    num = F.abs(
+        F.col("cum_new") * F.col("n_old") - F.col("cum_old") * F.col("n_new")
+    )
+    best = s.groupBy(*gc, "n_new", "n_old").agg(
+        F.max(F.struct(num.alias("d_num"), (-F.col("_v")).alias("_negv"))).alias(
+            "_b"
+        )
+    )
+    return best.select(
+        *gc,
+        "n_new",
+        "n_old",
+        F.col("_b.d_num").alias("d_num"),
+        (-F.col("_b._negv")).alias("at_value"),
+        (
+            F.col("_b.d_num").cast("double")
+            / (F.col("n_new") * F.col("n_old")).cast("double")
+        ).alias("d"),
+    )
+
+
+def mann_whitney_u(
+    new: DataFrame,
+    old: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) per group — the
+    nonparametric "did the score distribution shift up or down"
+    test for comparing two model/filter score populations without
+    a normality assumption.
+
+    Rank algebra stays in exact int64 by scaling ranks ×2 (the
+    average rank of a tie run of t values starting after c rows is
+    c + (t+1)/2 — a half-integer): r2 = 2·c_before + t + 1, so
+    r1_x2 = Σ_values cnt_new·(2·(cum−t) + t + 1) and
+    u_x2 = r1_x2 − n_new·(n_new+1) are exact longs, as is the tie
+    term Σ(t³−t).  The normal-approximation z uses the
+    tie-corrected variance
+        var = (n1·n2/12)·((n+1) − Σ(t³−t)/(n·(n−1)))
+    as a FIXED chain of IEEE ops from those exact integers (one
+    sqrt — correctly rounded per IEEE), so even z hashes
+    cross-engine.  int64 bounds: t³ < 2^63 needs the largest tie
+    run < 2.1·10⁶ — quantized-but-not-degenerate values; at 100 TB
+    pre-bin onto a histogram spine and rank the bins.
+
+    Plan identical to `ks_two_sample` (shared spine).  Returns
+    (group_cols..., n_new, n_old, r1_x2, u_x2, tie_term, u, z);
+    u is U of the NEW side — U_old = n1·n2 − U_new."""
+    gc = list(group_cols or [])
+    s = _two_sample_spine(new, old, value_col, gc)
+    t = F.col("cnt_new") + F.col("cnt_old")
+    cum = F.col("cum_new") + F.col("cum_old")
+    r2 = 2 * (cum - t) + t + 1
+    agg = s.groupBy(*gc, "n_new", "n_old").agg(
+        F.sum(F.col("cnt_new") * r2).alias("r1_x2"),
+        F.sum(t * t * t - t).alias("tie_term"),
+    )
+    n1 = F.col("n_new")
+    n2 = F.col("n_old")
+    n = n1 + n2
+    u_x2 = F.col("r1_x2") - n1 * (n1 + 1)
+    n1d = n1.cast("double")
+    n2d = n2.cast("double")
+    nd = n.cast("double")
+    var = (n1d * n2d / F.lit(12.0)) * (
+        (nd + F.lit(1.0))
+        - F.col("tie_term").cast("double") / (nd * (nd - F.lit(1.0)))
+    )
+    z = (u_x2.cast("double") - n1d * n2d) / (F.lit(2.0) * F.sqrt(var))
+    return agg.select(
+        *gc,
+        "n_new",
+        "n_old",
+        "r1_x2",
+        u_x2.alias("u_x2"),
+        "tie_term",
+        (u_x2.cast("double") / F.lit(2.0)).alias("u"),
+        z.alias("z"),
+    )
+
+
+def spearman_rho(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Spearman rank correlation per group, tie-correct — Pearson
+    over average ranks (the only form that is right under ties;
+    the 1 − 6Σd²/(n(n²−1)) shortcut is tie-free only).  The
+    monotone-association number for "does quality score track
+    document length" style audits where Pearson's linearity
+    assumption is wrong.
+
+    Average ranks scale ×2 into exact int64 (tie-run average is a
+    half-integer), so n, Σrx, Σry, Σrx², Σry², Σrx·ry are all exact
+    longs; rho is then a FIXED chain of IEEE ops (two sqrts) over
+    their double images —
+        rho = (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²)·√(n·Syy − Sy²))
+    — bit-portable cross-engine.  int64/2^53 bound: Σrx·ry ≤ 4n³
+    must stay < 2^53 for the double images to be exact, i.e.
+    n < ~1.3·10⁶ rows per group; past that rank against a binned
+    spine.  Values must be integers (quantize upstream).
+
+    Plan: one distinct-value rank pass per axis (groupBy + bounded
+    cumulative window), ranks join back on the value spine
+    (broadcast when small), one partial-agg'd sum pass.  Returns
+    (group_cols..., n, rho); constant axes (zero rank variance)
+    yield rho NULL."""
+    from pyspark.sql import Window
+
+    gc = list(group_cols or [])
+
+    def rank2(col: str, alias: str) -> DataFrame:
+        cnt = (
+            df.select(*gc, F.col(col).cast("long").alias("_v"))
+            .groupBy(*gc, "_v")
+            .agg(F.count(F.lit(1)).alias("_t"))
+        )
+        w = (
+            Window.partitionBy(*gc)
+            .orderBy("_v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return cnt.select(
+            *gc,
+            F.col("_v").alias(f"_{alias}v"),
+            (2 * (F.sum("_t").over(w) - F.col("_t")) + F.col("_t") + 1).alias(
+                f"_{alias}r2"
+            ),
+        )
+    base = df.select(
+        *gc,
+        F.col(x_col).cast("long").alias("_xv"),
+        F.col(y_col).cast("long").alias("_yv"),
+    )
+    ranked = base.join(rank2(x_col, "x"), [*gc, "_xv"]).join(
+        rank2(y_col, "y"), [*gc, "_yv"]
+    )
+    agg = ranked.groupBy(*gc).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_xr2").alias("sx"),
+        F.sum("_yr2").alias("sy"),
+        F.sum(F.col("_xr2") * F.col("_xr2")).alias("sxx"),
+        F.sum(F.col("_yr2") * F.col("_yr2")).alias("syy"),
+        F.sum(F.col("_xr2") * F.col("_yr2")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    vx = nd * F.col("sxx").cast("double") - sxd * sxd
+    vy = nd * F.col("syy").cast("double") - syd * syd
+    rho = (nd * F.col("sxy").cast("double") - sxd * syd) / (
+        F.sqrt(vx) * F.sqrt(vy)
+    )
+    return agg.select(
+        *gc,
+        "n",
+        F.when((vx > 0) & (vy > 0), rho).alias("rho"),
     )

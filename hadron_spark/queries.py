@@ -12022,3 +12022,254 @@ def q276(spark, sf_dir):
     new = ev.filter(F.col("ts") >= cut).select("bin")
     old = ev.filter(F.col("ts") < cut).select("bin")
     return psi_drift(new, old, "bin")
+
+
+_EVENT_SPLIT_SQL = """
+    e AS (SELECT event_type,
+                 CAST(round(value * 100) AS BIGINT) AS v,
+                 CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS s
+          FROM events),
+    c AS (SELECT event_type, v,
+                 CAST(SUM(s) AS BIGINT) AS cn,
+                 CAST(SUM(1 - s) AS BIGINT) AS co
+          FROM e GROUP BY 1, 2),
+    cum AS (SELECT event_type, v, cn, co,
+                   SUM(cn) OVER w AS cumn, SUM(co) OVER w AS cumo
+            FROM c
+            WINDOW w AS (PARTITION BY event_type ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    t AS (SELECT event_type, CAST(SUM(cn) AS BIGINT) AS n_new,
+                 CAST(SUM(co) AS BIGINT) AS n_old
+          FROM c GROUP BY 1)
+"""
+
+
+def _event_split(spark, sf_dir):
+    """Even/odd event_id halves of the event stream with value in
+    integer cents — the two-sample substrate for q277/q278."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    new = ev.filter(F.col("event_id") % 2 == 0)
+    old = ev.filter(F.col("event_id") % 2 == 1)
+    return new, old
+
+
+@_register(
+    "q277_ks_drift",
+    "WITH "
+    + _EVENT_SPLIT_SQL
+    + """,
+    sc AS (SELECT cum.event_type, n_new, n_old, v,
+                  abs(cumn * n_old - cumo * n_new) AS num
+           FROM cum JOIN t ON cum.event_type = t.event_type),
+    m AS (SELECT event_type, n_new, n_old, CAST(MAX(num) AS BIGINT) AS d_num
+          FROM sc GROUP BY 1, 2, 3)
+    SELECT m.event_type, m.n_new, m.n_old, m.d_num,
+           CAST(MIN(sc.v) AS BIGINT) AS at_value,
+           CAST(m.d_num AS DOUBLE) / CAST(m.n_new * m.n_old AS DOUBLE) AS d
+    FROM m JOIN sc ON sc.event_type = m.event_type AND sc.num = m.d_num
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q277(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift (operators.robust
+    .ks_two_sample) between the even/odd event_id halves per event
+    type: D = max |F1 - F2| over the merged value-cents support in
+    the cross-multiplied integer form |cum_new*n_old -
+    cum_old*n_new|, ONE IEEE division at the end — the EXACT
+    distribution-shift statistic beside q260's chi-square and
+    q276's rows-only PSI; at_value pins WHERE the CDFs diverge
+    most (smallest value on ties, struct-ordered max)."""
+    from hadron_spark.operators.robust import ks_two_sample
+
+    new, old = _event_split(spark, sf_dir)
+    return ks_two_sample(new, old, "v", ["event_type"])
+
+
+@_register(
+    "q278_mann_whitney",
+    "WITH "
+    + _EVENT_SPLIT_SQL
+    + """,
+    a AS (SELECT event_type,
+                 CAST(SUM(cn * (2 * (cumn + cumo - (cn + co)) + (cn + co) + 1))
+                      AS BIGINT) AS r1_x2,
+                 CAST(SUM((cn + co) * (cn + co) * (cn + co) - (cn + co))
+                      AS BIGINT) AS tie_term
+          FROM cum GROUP BY 1)
+    SELECT t.event_type, n_new, n_old, r1_x2,
+           CAST(r1_x2 - n_new * (n_new + 1) AS BIGINT) AS u_x2,
+           tie_term,
+           CAST(r1_x2 - n_new * (n_new + 1) AS DOUBLE) / 2.0 AS u,
+           (CAST(r1_x2 - n_new * (n_new + 1) AS DOUBLE)
+              - CAST(n_new AS DOUBLE) * CAST(n_old AS DOUBLE))
+           / (2.0 * sqrt(
+               (CAST(n_new AS DOUBLE) * CAST(n_old AS DOUBLE) / 12.0)
+               * ((CAST(n_new + n_old AS DOUBLE) + 1.0)
+                  - CAST(tie_term AS DOUBLE)
+                    / (CAST(n_new + n_old AS DOUBLE)
+                       * (CAST(n_new + n_old AS DOUBLE) - 1.0))))) AS z
+    FROM a JOIN t ON a.event_type = t.event_type
+    """,
+)
+def q278(spark, sf_dir):
+    """Mann-Whitney U rank-sum test (operators.robust
+    .mann_whitney_u) on the same even/odd split: doubled average
+    ranks keep the tie-aware rank algebra in exact int64
+    (r1_x2, u_x2, tie_term), and even the tie-corrected normal z
+    hashes — a fixed IEEE chain with ONE sqrt over exact integer
+    images.  The location-shift twin of q277's shape test."""
+    from hadron_spark.operators.robust import mann_whitney_u
+
+    new, old = _event_split(spark, sf_dir)
+    return mann_whitney_u(new, old, "v", ["event_type"])
+
+
+@_register(
+    "q279_fleiss_kappa",
+    """
+    WITH r AS (SELECT l_orderkey AS i, l_returnflag AS c
+               FROM lineitem WHERE l_linenumber <= 3),
+    cnt AS (SELECT i, c, CAST(COUNT(*) AS BIGINT) AS n FROM r GROUP BY 1, 2),
+    it AS (SELECT i, CAST(SUM(n) AS BIGINT) AS t FROM cnt GROUP BY 1),
+    kept AS (SELECT cnt.i, cnt.c, cnt.n
+             FROM cnt JOIN it ON cnt.i = it.i AND it.t = 3),
+    drp AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM it WHERE t <> 3),
+    po AS (SELECT CAST(COUNT(DISTINCT i) AS BIGINT) AS n_items,
+                  CAST(SUM(n * (n - 1)) AS BIGINT) AS po_num FROM kept),
+    pe AS (SELECT CAST(COALESCE(SUM(cj * cj), 0) AS BIGINT) AS pe_num
+           FROM (SELECT CAST(SUM(n) AS BIGINT) AS cj FROM kept GROUP BY c) x)
+    SELECT n_items, CAST(3 AS INTEGER) AS n_raters, nd AS n_items_dropped,
+           po_num, pe_num,
+           CAST(po_num AS DOUBLE) / CAST(n_items * 3 * 2 AS DOUBLE) AS p_o,
+           CAST(pe_num AS DOUBLE)
+             / CAST(n_items * 3 * n_items * 3 AS DOUBLE) AS p_e,
+           (CAST(po_num AS DOUBLE) / CAST(n_items * 3 * 2 AS DOUBLE)
+              - CAST(pe_num AS DOUBLE)
+                / CAST(n_items * 3 * n_items * 3 AS DOUBLE))
+           / (1.0 - CAST(pe_num AS DOUBLE)
+                    / CAST(n_items * 3 * n_items * 3 AS DOUBLE)) AS kappa
+    FROM po, pe, drp
+    """,
+)
+def q279(spark, sf_dir):
+    """Fleiss' kappa (llm.evaluation.fleiss_kappa) treating each
+    order's first three lineitems as three independent "raters"
+    labeling the order with a returnflag: n-rater chance-corrected
+    agreement, P_o and P_e each ONE IEEE division of exact int64
+    sums, kappa a fixed chain over them — the multi-annotator
+    generalization of q257's Cohen kappa; orders with fewer than 3
+    lines are the deterministic n_items_dropped count."""
+    from hadron_spark.llm.evaluation import fleiss_kappa
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 3)
+    return fleiss_kappa(li, "l_orderkey", "l_returnflag", n_raters=3)
+
+
+@_register(
+    "q280_spearman_rho",
+    """
+    WITH b AS (SELECT l_returnflag AS g,
+                      CAST(round(l_quantity) AS BIGINT) AS x,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+               FROM lineitem),
+    rx AS (SELECT g, x,
+                  2 * (SUM(t) OVER (PARTITION BY g ORDER BY x
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - t) + t + 1 AS r2
+           FROM (SELECT g, x, CAST(COUNT(*) AS BIGINT) AS t
+                 FROM b GROUP BY 1, 2) q),
+    ry AS (SELECT g, y,
+                  2 * (SUM(t) OVER (PARTITION BY g ORDER BY y
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - t) + t + 1 AS r2
+           FROM (SELECT g, y, CAST(COUNT(*) AS BIGINT) AS t
+                 FROM b GROUP BY 1, 2) q),
+    r AS (SELECT b.g, rx.r2 AS xr, ry.r2 AS yr
+          FROM b JOIN rx ON b.g = rx.g AND b.x = rx.x
+                 JOIN ry ON b.g = ry.g AND b.y = ry.y),
+    a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(xr) AS BIGINT) AS sx, CAST(SUM(yr) AS BIGINT) AS sy,
+                 CAST(SUM(xr * xr) AS BIGINT) AS sxx,
+                 CAST(SUM(yr * yr) AS BIGINT) AS syy,
+                 CAST(SUM(xr * yr) AS BIGINT) AS sxy
+          FROM r GROUP BY 1)
+    SELECT g AS l_returnflag, n,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                 AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                END AS rho
+    FROM a
+    """,
+)
+def q280(spark, sf_dir):
+    """Tie-correct Spearman rank correlation (operators.robust
+    .spearman_rho) of quantity vs price cents per returnflag —
+    Pearson over DOUBLED average ranks (the only form that is right
+    under ties), six exact int64 sums into a fixed IEEE chain with
+    two sqrts, hash-exact.  The monotone-association audit number
+    Pearson's linearity assumption would get wrong."""
+    from hadron_spark.operators.robust import spearman_rho
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    return spearman_rho(li, "x", "y", ["l_returnflag"])
+
+
+@_register(
+    "q281_compaction_plan",
+    """
+    WITH f AS (SELECT l_returnflag AS g, strftime(l_shipdate, '%Y-%m') AS fid,
+                      CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                        AS sz
+               FROM lineitem GROUP BY 1, 2),
+    c AS (SELECT g, fid, sz,
+                 SUM(sz) OVER (PARTITION BY g ORDER BY fid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - sz
+                   AS cumb
+          FROM f)
+    SELECT g AS l_returnflag, CAST(cumb // 40000 AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(sz) AS BIGINT) AS total_bytes,
+           string_agg(fid, ',' ORDER BY fid) AS files_csv
+    FROM c GROUP BY 1, 2
+    """,
+)
+def q281(spark, sf_dir):
+    """Small-file compaction planning (operators.maintenance
+    .compaction_plan) over a synthetic file listing — one "file"
+    per (returnflag, ship month) with summed quantity as its byte
+    size: deterministic next-fit bins at floor(cum_before/target),
+    pure integer math over the METADATA-scale listing (the 100 TB
+    store's file census, never its data), hash-exact including the
+    ordered member list."""
+    from hadron_spark.operators.maintenance import compaction_plan
+
+    li = load(spark, sf_dir, "lineitem")
+    files = li.groupBy(
+        F.col("l_returnflag"),
+        F.date_format("l_shipdate", "yyyy-MM").alias("fid"),
+    ).agg(F.sum(F.round("l_quantity").cast("long")).alias("sz"))
+    plan = compaction_plan(
+        files, "sz", 40000, part_cols=["l_returnflag"], order_col="fid"
+    )
+    return plan.select(
+        "l_returnflag",
+        "bin",
+        "n_files",
+        "total_bytes",
+        F.array_join("files", ",").alias("files_csv"),
+    )

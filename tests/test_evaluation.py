@@ -346,3 +346,51 @@ def test_bradley_terry_weighted_equals_expanded(spark):
     assert set(g1) == set(g2)
     for i in g1:
         assert g1[i] == pytest.approx(g2[i], rel=1e-10)
+
+
+def test_fleiss_kappa_reference_and_dropping(spark):
+    """Fleiss kappa vs a pure-python reference on a 5-category
+    panel; perfect agreement gives exactly 1.0; items with the
+    wrong rating count are dropped and counted."""
+    import pytest
+
+    from hadron_spark.llm.evaluation import fleiss_kappa
+
+    table = [
+        [0, 0, 0, 0, 4],
+        [0, 1, 2, 1, 0],
+        [0, 0, 1, 2, 1],
+        [0, 2, 2, 0, 0],
+        [1, 1, 2, 0, 0],
+        [2, 2, 0, 0, 0],
+        [1, 1, 1, 1, 0],
+        [0, 2, 1, 0, 1],
+    ]
+    n = 4
+    rows = []
+    for i, cats in enumerate(table):
+        for j, cnt in enumerate(cats):
+            rows += [(i, f"c{j}")] * cnt
+    rows += [(100, "c0"), (100, "c1")]  # 2 ratings only -> dropped
+    rows += [(101, "c2")] * 5  # 5 ratings -> dropped
+    df = spark.createDataFrame(rows, "item long, cat string")
+    got = fleiss_kappa(df, "item", "cat", n_raters=n).collect()[0]
+    N = len(table)
+    po_num = sum(c * (c - 1) for cats in table for c in cats)
+    cj = [sum(cats[j] for cats in table) for j in range(5)]
+    pe_num = sum(c * c for c in cj)
+    p_o = po_num / (N * n * (n - 1))
+    p_e = pe_num / (N * n) ** 2
+    assert (got["n_items"], got["n_raters"], got["n_items_dropped"]) == (N, n, 2)
+    assert (got["po_num"], got["pe_num"]) == (po_num, pe_num)
+    assert got["kappa"] == pytest.approx((p_o - p_e) / (1 - p_e), rel=1e-14)
+
+    perfect = spark.createDataFrame(
+        [(i, f"c{i % 3}") for i in range(6) for _ in range(n)],
+        "item long, cat string",
+    )
+    assert fleiss_kappa(perfect, "item", "cat", n_raters=n).collect()[0][
+        "kappa"
+    ] == 1.0
+    with pytest.raises(ValueError):
+        fleiss_kappa(df, "item", "cat", n_raters=1)

@@ -337,3 +337,31 @@ def test_bipartite_project_weights_and_guard(spark):
         for r in bipartite_project(df, "g", "i", max_group_size=3).collect()
     }
     assert ("p", "q") not in guarded and ("x", "z") in guarded
+
+
+def test_compaction_plan_next_fit(spark):
+    """Next-fit bins at floor(cum_before/target): handcrafted sizes
+    split per partition, ordered member lists, oversize file alone
+    in its span, validation on target."""
+    import pytest
+
+    from hadron_spark.operators.maintenance import compaction_plan
+
+    rows = [
+        ("p1", "a", 5), ("p1", "b", 5), ("p1", "c", 5),
+        ("p1", "d", 5), ("p1", "e", 12), ("p1", "f", 3),
+        ("p2", "a", 25),
+    ]
+    df = spark.createDataFrame(rows, "part string, fid string, sz long")
+    plan = compaction_plan(df, "sz", 10, part_cols=["part"], order_col="fid")
+    got = {
+        (r["part"], r["bin"]): (r["n_files"], r["total_bytes"], r["files"])
+        for r in plan.collect()
+    }
+    assert got[("p1", 0)] == (2, 10, ["a", "b"])
+    assert got[("p1", 1)] == (2, 10, ["c", "d"])
+    assert got[("p1", 2)] == (1, 12, ["e"])
+    assert got[("p1", 3)] == (1, 3, ["f"])
+    assert got[("p2", 0)] == (1, 25, ["a"])
+    with pytest.raises(ValueError):
+        compaction_plan(df, "sz", 0, part_cols=["part"], order_col="fid")

@@ -920,3 +920,130 @@ def test_winsorized_mean_exact(spark):
     assert r["wmean"] < 100  # the 1000.0 outlier is capped
     with pytest.raises(ValueError):
         winsorized_mean(df, "v", ["k"], p_lo=0.9, p_hi=0.1)
+
+
+def test_ks_two_sample_python_parity(spark):
+    """Integer-exact D numerator, argmax location (smallest value on
+    ties), and the single-division D vs a brute-force reference;
+    identical samples give D = 0."""
+    from hadron_spark.operators.robust import ks_two_sample
+
+    a = [1, 1, 2, 3, 5, 5, 5, 8, 9]
+    b = [1, 2, 2, 2, 3, 7, 9, 9]
+    new = spark.createDataFrame([(x,) for x in a], "v long")
+    old = spark.createDataFrame([(x,) for x in b], "v long")
+    row = ks_two_sample(new, old, "v").collect()[0]
+    n1, n2 = len(a), len(b)
+    best_num, best_v = 0, None
+    for v in sorted(set(a) | set(b)):
+        num = abs(
+            sum(1 for x in a if x <= v) * n2 - sum(1 for x in b if x <= v) * n1
+        )
+        if num > best_num:
+            best_num, best_v = num, v
+    assert (row["n_new"], row["n_old"]) == (n1, n2)
+    assert row["d_num"] == best_num and row["at_value"] == best_v
+    assert row["d"] == best_num / (n1 * n2)
+    same = ks_two_sample(new, new, "v").collect()[0]
+    assert same["d_num"] == 0
+
+
+def test_mann_whitney_python_parity(spark):
+    """Doubled-rank U and tie-corrected z vs a pure-python
+    reference (average ranks, Σ(t³−t) correction); U_new + U_old
+    = n1·n2."""
+    import math
+    from collections import Counter
+
+    import pytest
+
+    from hadron_spark.operators.robust import mann_whitney_u
+
+    a = [3, 5, 5, 7, 9, 9, 9, 12]
+    b = [1, 2, 5, 5, 6, 9, 10]
+    new = spark.createDataFrame([(x,) for x in a], "v long")
+    old = spark.createDataFrame([(x,) for x in b], "v long")
+    row = mann_whitney_u(new, old, "v").collect()[0]
+    n1, n2 = len(a), len(b)
+    n = n1 + n2
+    cnt = Counter(a + b)
+    ranks, c = {}, 0
+    for v in sorted(cnt):
+        t = cnt[v]
+        ranks[v] = c + (t + 1) / 2
+        c += t
+    r1 = sum(ranks[x] for x in a)
+    u1 = r1 - n1 * (n1 + 1) / 2
+    tie = sum(t**3 - t for t in cnt.values())
+    var = n1 * n2 / 12 * ((n + 1) - tie / (n * (n - 1)))
+    z = (u1 - n1 * n2 / 2) / math.sqrt(var)
+    assert row["r1_x2"] == int(2 * r1) and row["u_x2"] == int(2 * u1)
+    assert row["tie_term"] == tie and row["u"] == u1
+    assert row["z"] == pytest.approx(z, rel=1e-12)
+    flipped = mann_whitney_u(old, new, "v").collect()[0]
+    assert row["u"] + flipped["u"] == n1 * n2
+
+
+def test_spearman_rho_ties_and_closed_form(spark):
+    """Tie-free case matches 1 − 6Σd²/(n(n²−1)); tied case matches
+    Pearson-over-average-ranks computed in python; a constant axis
+    gives NULL; perfect monotone gives exactly 1.0."""
+    import pytest
+
+    from hadron_spark.operators.robust import spearman_rho
+
+    xs = [1, 2, 3, 4, 5, 6]
+    ys = [10, 30, 20, 60, 40, 50]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in zip(xs, ys)], "g string, x long, y long"
+    )
+    row = spearman_rho(df, "x", "y", ["g"]).collect()[0]
+    n = len(xs)
+    rx = {v: i + 1 for i, v in enumerate(sorted(xs))}
+    ry = {v: i + 1 for i, v in enumerate(sorted(ys))}
+    d2 = sum((rx[x] - ry[y]) ** 2 for x, y in zip(xs, ys))
+    assert row["rho"] == pytest.approx(1 - 6 * d2 / (n * (n * n - 1)), rel=1e-14)
+
+    xt = [1, 1, 2, 2, 3, 9]
+    yt = [5, 5, 5, 7, 8, 8]
+    dft = spark.createDataFrame(
+        [("g", x, y) for x, y in zip(xt, yt)], "g string, x long, y long"
+    )
+
+    def avg_ranks(vals):
+        from collections import Counter
+
+        cnt, out, c = Counter(vals), {}, 0
+        for v in sorted(cnt):
+            t = cnt[v]
+            out[v] = c + (t + 1) / 2
+            c += t
+        return out
+
+    rxa, rya = avg_ranks(xt), avg_ranks(yt)
+    px = [rxa[x] for x in xt]
+    py = [rya[y] for y in yt]
+    nn = len(xt)
+    sx, sy = sum(px), sum(py)
+    sxx = sum(v * v for v in px)
+    syy = sum(v * v for v in py)
+    sxy = sum(u * v for u, v in zip(px, py))
+    import math
+
+    ref = (nn * sxy - sx * sy) / (
+        math.sqrt(nn * sxx - sx * sx) * math.sqrt(nn * syy - sy * sy)
+    )
+    rowt = spearman_rho(dft, "x", "y", ["g"]).collect()[0]
+    assert rowt["rho"] == pytest.approx(ref, rel=1e-14)
+
+    const = spark.createDataFrame(
+        [("g", 1, y) for y in ys], "g string, x long, y long"
+    )
+    assert spearman_rho(const, "x", "y", ["g"]).collect()[0]["rho"] is None
+    mono = spark.createDataFrame(
+        [("g", x, x * 7 - 3) for x in xs], "g string, x long, y long"
+    )
+    # sqrt(v)*sqrt(v) can round one ulp off v, so 1.0 only to 1 ulp
+    assert spearman_rho(mono, "x", "y", ["g"]).collect()[0][
+        "rho"
+    ] == pytest.approx(1.0, abs=1e-15)
