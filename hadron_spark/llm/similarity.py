@@ -341,11 +341,24 @@ def kmeans(
       use init="first" or two-level clustering there.
     """
 
-    def dist_expr(c: list[float]) -> str:
-        lit = "array(" + ",".join(f"{x!r}D" for x in c) + ")"
+    def dists_expr(cs: list[list[float]]) -> str:
+        # ONE constant-foldable 2D array literal + ONE shared lambda:
+        # Catalyst folds array(array(...),...) into a single Literal
+        # node, so the serialized plan carries k·dim doubles (~8
+        # bytes each), not k separate zip_with subtrees (~KB of
+        # expression nodes per centroid — the difference between a
+        # 60 KB and a 25 MB task binary at k=128, d=64)
+        lit = (
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{x!r}D" for x in c) + ")" for c in cs
+            )
+            + ")"
+        )
         return (
-            f"aggregate(zip_with({vec_col}, {lit}, (x, y) -> "
-            "(double(x) - y) * (double(x) - y)), 0D, (a, x) -> a + x)"
+            f"transform({lit}, c -> aggregate(zip_with({vec_col}, c, "
+            "(x, y) -> (double(x) - y) * (double(x) - y)), 0D, "
+            "(a, x) -> a + x))"
         )
 
     if init == "farthest":
@@ -358,11 +371,7 @@ def kmeans(
                 "init='first' (broadcast backend) or two-level clustering"
             )
         while centroids and len(centroids) < k:
-            mind = (
-                "array_min(array("
-                + ",".join(dist_expr(c) for c in centroids)
-                + "))"
-            )
+            mind = f"array_min({dists_expr(centroids)})"
             nxt = (
                 df.selectExpr(id_col, vec_col, f"{mind} as _d")
                 .orderBy(F.col("_d").desc(), F.col(id_col).asc())
@@ -449,15 +458,20 @@ def kmeans(
         if use_broadcast:
             assigned = assign_broadcast(centroids)
         else:
-            dists = "array(" + ",".join(dist_expr(c) for c in centroids) + ")"
+            # the folded literal matrix is also stated ONCE behind a
+            # projection boundary — naming it inline would embed it
+            # 3x (min + position + position's min); both layers
+            # matter for the task-binary size (the round-4
+            # scale-probe OOM)
             assigned = df.selectExpr(
+                f"{id_col}", f"{vec_col}", f"{dists_expr(centroids)} as _ds"
+            ).selectExpr(
                 f"{id_col}",
                 f"{vec_col}",
-                f"array_min({dists}) as sq_dist",
+                "array_min(_ds) as sq_dist",
                 # array_position is 1-based; ties break to the lowest
                 # cluster id (position of the first minimum)
-                f"int(array_position({dists}, array_min({dists})) - 1)"
-                " as cluster",
+                "int(array_position(_ds, array_min(_ds)) - 1) as cluster",
             )
         cells = assigned.select(
             "cluster", F.posexplode(vec_col).alias("pos", "x")
@@ -472,7 +486,13 @@ def kmeans(
         )
         new_c = {r["cluster"]: [float(x) for x in r["c"]] for r in means}
         centroids = [new_c.get(i, centroids[i]) for i in range(k)]
-    return assigned.select(id_col, "cluster", "sq_dist")
+    from hadron_spark.operators.ops import pin
+
+    # pin the returned assignment: every consumer (semantic_dedup's
+    # guard + self-join, IVF's probe join) references it from 2-4
+    # plan branches, and without the pin each branch re-embeds the
+    # k·dim-literal scoring plan AND re-runs the scan per branch
+    return pin(assigned.select(id_col, "cluster", "sq_dist"))
 
 
 # ---------------------------------------------------------------------------
