@@ -26,7 +26,7 @@ funnels through one task; the corpus is scanned once.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -333,4 +333,76 @@ def systematic_pps_sample(
         )
         .filter(F.col("multiplicity") >= 1)
         .select(*df.columns, "multiplicity")
+    )
+
+
+def stratified_allocate(
+    df: DataFrame,
+    strata_cols: list[str],
+    n: int,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-size proportional stratified selection with EXACT
+    largest-remainder apportionment (Hamilton's method): per-stratum
+    quota_s = floor(n_s·n/N) plus one for the strata with the
+    largest remainders (n_s·n mod N, ties to the smaller stratum
+    key) until Σ quota = n exactly — the "give me exactly n docs,
+    language mix preserved" primitive `mixture_resample`'s
+    rate-based form cannot state (rates drift Σ by rounding;
+    apportionment cannot).
+
+    All integer: quotas and remainders are int64 products (guarded
+    against overflow like systematic_pps_sample), the +1 ranks ride
+    `stamp_rank` on the bounded |strata| frame (no unpartitioned
+    window), and the in-stratum pick is the first `quota` rows by
+    `order_col` — deterministic under any partitioning.  Pass a pre-hashed column (the `epoch_shuffle`
+    md5 idiom) as order_col when the pick must be pseudo-random
+    rather than id-ordered.
+
+    Plan: one partial-agg'd shuffle to strata counts (tiny), quota
+    algebra broadcast back onto the corpus scan, one per-stratum
+    rank window on the corpus (the only big shuffle), filter.
+    Empty-stratum-safe; n larger than N raises.  Returns the
+    selected rows with `quota` attached."""
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    counts = df.groupBy(*strata_cols).agg(F.count(F.lit(1)).alias("_ns"))
+    tot = counts.agg(
+        F.sum("_ns").alias("_N"), F.count(F.lit(1)).alias("_k")
+    )
+    sized = counts.crossJoin(F.broadcast(tot))
+    head = sized.limit(1).collect()
+    if head and head[0]["_N"] * n >= 2**62:
+        raise ValueError("stratified_allocate: n_s*n risks int64 overflow")
+    if head and n > head[0]["_N"]:
+        raise ValueError(
+            f"stratified_allocate: n={n} exceeds corpus size {head[0]['_N']}"
+        )
+    from hadron_spark.operators.ops import stamp_rank
+
+    # the rank rides stamp_rank on the bounded |strata| frame — no
+    # unpartitioned window; _short broadcasts from a 1-row agg
+    based = sized.withColumn("_base", F.expr(f"(_ns * {n}) div _N")).withColumn(
+        "_rem", F.expr(f"(_ns * {n}) % _N")
+    )
+    short = based.agg((F.lit(n) - F.sum("_base")).alias("_short"))
+    quotas = (
+        stamp_rank(
+            based,
+            [F.col("_rem").desc(), *[F.col(c).asc() for c in strata_cols]],
+            out_col="_rk",
+        )
+        .crossJoin(F.broadcast(short))
+        .withColumn(
+            "quota",
+            (F.col("_base") + (F.col("_rk") <= F.col("_short")).cast("long")),
+        )
+        .select(*strata_cols, "quota")
+    )
+    wpick = Window.partitionBy(*strata_cols).orderBy(order_col)
+    return (
+        df.join(F.broadcast(quotas), strata_cols)
+        .withColumn("_prk", F.row_number().over(wpick))
+        .filter(F.col("_prk") <= F.col("quota"))
+        .drop("_prk")
     )

@@ -296,3 +296,127 @@ def psi_drift(
         p_old.alias("p_old"),
         ((p_new - p_old) * F.log(p_new / p_old)).alias("psi_cell"),
     )
+
+
+def simpson_diversity(
+    df: DataFrame,
+    cat_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Corpus-mix concentration per group — the unbiased
+    Gini-Simpson diversity 1 − Σ n_i(n_i−1)/(N(N−1)) (the
+    probability two documents drawn without replacement differ in
+    category) plus the Berger-Parker dominance max n_i/N: the two
+    standard "is one source/language swamping the mix" numbers a
+    pretraining data card reports next to `corpus_report`'s shares.
+
+    Fully exact: pair counts are int64 sums, both indices are ONE
+    IEEE division each (simpson's numerator N(N−1) − Σn_i(n_i−1)
+    stays integer), so the frame hashes cross-engine — unlike
+    Shannon entropy, whose ln() makes it a rows-only statistic
+    (state it separately if needed; Simpson is the exact twin).
+    NULL categories count as the '<null>' category (a real slice of
+    the mix, q215's convention).  int64 bound: N(N−1) < 2^63 →
+    N < 3·10⁹ rows per group.
+
+    Plan: one partial-agg'd shuffle to (group, category) counts,
+    one to the group frame.  Returns (group_cols..., n,
+    n_categories, pair_same, top_count, simpson, top_share);
+    single-row groups (N < 2) yield simpson NULL."""
+    gc = list(group_cols or [])
+    cnt = (
+        df.select(
+            *gc,
+            F.coalesce(F.col(cat_col).cast("string"), F.lit("<null>")).alias(
+                "_c"
+            ),
+        )
+        .groupBy(*gc, "_c")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    agg = cnt.groupBy(*gc).agg(
+        F.sum("_n").alias("n"),
+        F.count(F.lit(1)).alias("n_categories"),
+        F.sum(F.col("_n") * (F.col("_n") - 1)).alias("pair_same"),
+        F.max("_n").alias("top_count"),
+    )
+    pairs_all = F.col("n") * (F.col("n") - 1)
+    return agg.select(
+        *gc,
+        "n",
+        "n_categories",
+        "pair_same",
+        "top_count",
+        F.when(
+            pairs_all > 0,
+            (pairs_all - F.col("pair_same")).cast("double")
+            / pairs_all.cast("double"),
+        ).alias("simpson"),
+        (F.col("top_count").cast("double") / F.col("n").cast("double")).alias(
+            "top_share"
+        ),
+    )
+
+
+def crosstab_chi2_cells(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """General r×c independence chi-square, emitted PER CELL (the
+    stats tier's order-safety discipline — a float sum over cells is
+    order-sensitive; rank or sum downstream): cell contribution
+    (o·N − r·c)²/(r·c·N) in the cross-multiplied form, a fixed IEEE
+    chain over exact int64 images — hash-exact.  `category_drift`
+    is the 2×k special case of this against a snapshot pair; this
+    one states any two categorical columns' association (source ×
+    lang, filter-verdict × model, ...).  NULLs are the '<null>'
+    category.
+
+    Plan: one partial-agg'd shuffle to the r×c contingency counts;
+    marginals as two aggs of that tiny frame, broadcast back.
+    Returns (row_cat, col_cat, o, r_tot, c_tot, n, chi2_cell) —
+    ZERO cells are emitted too (via the marginal cross join), since
+    an empty observed cell still contributes r·c/N to the
+    statistic."""
+    cat = lambda c, a: F.coalesce(  # noqa: E731
+        F.col(c).cast("string"), F.lit("<null>")
+    ).alias(a)
+    obs = (
+        df.select(cat(row_col, "row_cat"), cat(col_col, "col_cat"))
+        .groupBy("row_cat", "col_cat")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    from hadron_spark.operators.ops import pin
+
+    obs = pin(obs)
+    rt = obs.groupBy("row_cat").agg(F.sum("o").alias("r_tot"))
+    ct = obs.groupBy("col_cat").agg(F.sum("o").alias("c_tot"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    full = (
+        rt.crossJoin(ct)
+        .join(obs, ["row_cat", "col_cat"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "row_cat",
+            "col_cat",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            "r_tot",
+            "c_tot",
+            "n",
+        )
+    )
+    od = F.col("o").cast("double")
+    rd = F.col("r_tot").cast("double")
+    cd = F.col("c_tot").cast("double")
+    nd = F.col("n").cast("double")
+    dev = od * nd - rd * cd
+    return full.select(
+        "row_cat",
+        "col_cat",
+        "o",
+        "r_tot",
+        "c_tot",
+        "n",
+        (dev * dev / (rd * cd * nd)).alias("chi2_cell"),
+    )

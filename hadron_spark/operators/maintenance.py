@@ -243,3 +243,40 @@ def compaction_plan(
             F.transform("_fs", lambda s: s["_o"]).alias("files"),
         )
     )
+
+
+def retention_plan(
+    snapshots: DataFrame,
+    ts_col: str,
+    keep_last: int,
+    cutoff: str | None = None,
+    part_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Snapshot retention planning — the expire-snapshots /
+    expire-partitions decision every versioned 100 TB store makes
+    on a schedule (Iceberg's expire_snapshots, Delta VACUUM): per
+    partition KEEP the newest `keep_last` snapshots plus everything
+    at-or-after `cutoff` (an explicit ISO timestamp — passing now()
+    is the caller's choice; an implicit clock would make the plan
+    unreproducible), EXPIRE the rest.
+
+    One rank window over the METADATA-scale snapshot listing,
+    integer/timestamp comparisons only — the plan is hash-exact and
+    auditable before a single file is touched (emit → review →
+    execute, the compaction_plan discipline).  Ties on ts within a
+    partition rank deterministically by ts then remaining columns'
+    natural arrival — pass a unique snapshot id as the LAST
+    part_col-free column ordering concern; in practice snapshot
+    timestamps are unique per table.  Returns the input columns
+    plus (rank_desc, action) where action ∈ keep|expire."""
+    if keep_last < 0:
+        raise ValueError(f"keep_last must be >= 0: {keep_last}")
+    pc = list(part_cols)
+    w = Window.partitionBy(*pc).orderBy(F.col(ts_col).desc())
+    ranked = snapshots.withColumn("rank_desc", F.row_number().over(w))
+    keep = F.col("rank_desc") <= keep_last
+    if cutoff is not None:
+        keep = keep | (F.col(ts_col) >= F.to_timestamp(F.lit(cutoff)))
+    return ranked.withColumn(
+        "action", F.when(keep, F.lit("keep")).otherwise(F.lit("expire"))
+    )

@@ -1380,3 +1380,61 @@ def multi_step_funnel(
             ).alias("conv_from_prev"),
         )
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    period: str = "month",
+) -> DataFrame:
+    """Cohort retention matrix — the product-analytics standard
+    behind "do users who arrived in month X still show up in month
+    X+k": cohort = each entity's FIRST activity period, one cell
+    per (cohort, activity period) with distinct active entities,
+    the cohort's size, the integer age in periods, and retention =
+    active/size as ONE IEEE division — hash-exact.
+
+    All period math is calendar-exact (date_trunc + a month/day
+    difference of trunc'd dates), no float time arithmetic.  Plan:
+    one shuffle keyed on the entity for the first-activity min, one
+    distinct (entity, period) pass that reuses the same key, the
+    cells groupBy, and a broadcast of the |cohorts| size table —
+    the raw event volume is touched twice, everything downstream is
+    matrix-scale.  `period` ∈ month|week|day.  Returns
+    (cohort, period, age, n_active, cohort_size, retention), age 0
+    row included (retention 1.0 by construction)."""
+    if period not in ("month", "week", "day"):
+        raise ValueError(f"period must be month|week|day: {period}")
+    p = F.date_trunc(period, F.col(ts_col)).cast("date")
+    acts = df.select(F.col(entity_col).alias("_e"), p.alias("period")).distinct()
+    firsts = acts.groupBy("_e").agg(F.min("period").alias("cohort"))
+    sizes = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    if period == "month":
+        age = F.months_between("period", "cohort").cast("long")
+    elif period == "week":
+        # trunc'd dates are whole weeks apart; div keeps it integral
+        age = F.expr("datediff(period, cohort) div 7")
+    else:
+        age = F.datediff("period", "cohort").cast("long")
+    cells = (
+        acts.join(firsts, "_e")
+        .groupBy("cohort", "period")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "period",
+            age.alias("age"),
+            "n_active",
+            "cohort_size",
+            (
+                F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("retention"),
+        )
+    )

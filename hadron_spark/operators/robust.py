@@ -397,3 +397,123 @@ def spearman_rho(
         "n",
         F.when((vx > 0) & (vy > 0), rho).alias("rho"),
     )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Kendall's tau-b per group, tie-correct and integer-exact —
+    the concordance twin of `spearman_rho` (tau's bounded influence
+    per pair makes it the more robust of the two; Kendall 1945 for
+    the tie-corrected b form).
+
+    CONTRACT: both axes must be quantized to BOUNDED cardinality
+    (buckets/bands/grades — say ≤ ~10⁴ distinct values per group).
+    The corpus aggregates to (x, y) CELL counts with one
+    partial-agg'd shuffle — 100 TB of rows becomes |X|·|Y| cells —
+    and the pair algebra runs on the bounded cell table's self-join
+    (strict x < x', each unordered row pair counted exactly once):
+        P = Σ c·c' [y' > y]   (concordant)
+        Q = Σ c·c' [y' < y]   (discordant)
+    with marginal tie terms n1 = Σ t_x(t_x−1)/2, n2 = Σ t_y(t_y−1)/2
+    and n0 = n(n−1)/2, all exact int64;
+        tau_b = (P − Q) / (√(n0−n1)·√(n0−n2))
+    is a fixed IEEE chain (two sqrts) over their double images —
+    hash-exact cross-engine.  Unbanded continuous axes are the
+    scale trap here (cells ≈ rows): quantize first, which is also
+    what keeps P−Q statistically honest at corpus scale.  int64
+    bound: n(n−1)/2 < 2^63 → n < 4.3·10⁹ rows per group; P,Q ≤ n0.
+
+    Plan: one shuffle to cells, one cell self-join keyed on the
+    group (both sides the same tiny frame), marginals as two more
+    cell-table aggs, everything joined on |groups| rows.  Returns
+    (group_cols..., n, concordant, discordant, tie_x, tie_y,
+    tau_b); an all-tied axis yields tau_b NULL."""
+    gc = list(group_cols or [])
+    cells = (
+        df.select(
+            *gc,
+            F.col(x_col).cast("long").alias("_x"),
+            F.col(y_col).cast("long").alias("_y"),
+        )
+        .groupBy(*gc, "_x", "_y")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    from hadron_spark.operators.ops import pin
+
+    cells = pin(cells)
+    a, b = cells.alias("a"), cells.alias("b")
+    cond = F.col("a._x") < F.col("b._x")
+    for g in gc:
+        cond = cond & (F.col(f"a.{g}") == F.col(f"b.{g}"))
+    prod = F.col("a._c") * F.col("b._c")
+    pq = (
+        a.join(b, cond)
+        .groupBy(*[F.col(f"a.{g}").alias(g) for g in gc])
+        .agg(
+            F.sum(F.when(F.col("b._y") > F.col("a._y"), prod).otherwise(0)).alias(
+                "concordant"
+            ),
+            F.sum(F.when(F.col("b._y") < F.col("a._y"), prod).otherwise(0)).alias(
+                "discordant"
+            ),
+        )
+    )
+    n_tot = cells.groupBy(*gc).agg(F.sum("_c").alias("n"))
+    tx = (
+        cells.groupBy(*gc, "_x")
+        .agg(F.sum("_c").alias("_t"))
+        .groupBy(*gc)
+        .agg(F.sum(F.expr("_t * (_t - 1) div 2")).alias("tie_x"))
+    )
+    ty = (
+        cells.groupBy(*gc, "_y")
+        .agg(F.sum("_c").alias("_t"))
+        .groupBy(*gc)
+        .agg(F.sum(F.expr("_t * (_t - 1) div 2")).alias("tie_y"))
+    )
+    if gc:
+        j = (
+            n_tot.join(pq, gc, "left")
+            .join(tx, gc)
+            .join(ty, gc)
+            .select(
+                *gc,
+                "n",
+                F.coalesce("concordant", F.lit(0)).alias("concordant"),
+                F.coalesce("discordant", F.lit(0)).alias("discordant"),
+                "tie_x",
+                "tie_y",
+            )
+        )
+    else:
+        j = (
+            n_tot.crossJoin(F.broadcast(pq))
+            .crossJoin(F.broadcast(tx))
+            .crossJoin(F.broadcast(ty))
+            .select(
+                "n",
+                F.coalesce("concordant", F.lit(0)).alias("concordant"),
+                F.coalesce("discordant", F.lit(0)).alias("discordant"),
+                "tie_x",
+                "tie_y",
+            )
+        )
+    n0 = F.expr("n * (n - 1) div 2")
+    dx = (n0 - F.col("tie_x")).cast("double")
+    dy = (n0 - F.col("tie_y")).cast("double")
+    tau = (F.col("concordant") - F.col("discordant")).cast("double") / (
+        F.sqrt(dx) * F.sqrt(dy)
+    )
+    return j.select(
+        *gc,
+        "n",
+        "concordant",
+        "discordant",
+        "tie_x",
+        "tie_y",
+        F.when((dx > 0) & (dy > 0), tau).alias("tau_b"),
+    )

@@ -12273,3 +12273,264 @@ def q281(spark, sf_dir):
         "total_bytes",
         F.array_join("files", ",").alias("files_csv"),
     )
+
+
+@_register(
+    "q282_kendall_tau",
+    """
+    WITH b AS (SELECT l_returnflag AS g,
+                      CAST(round(l_quantity) AS BIGINT) AS x,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) // 200000
+                        AS y
+               FROM lineitem),
+    cells AS (SELECT g, x, y, CAST(COUNT(*) AS BIGINT) AS c
+              FROM b GROUP BY 1, 2, 3),
+    pq AS (SELECT a.g,
+                  CAST(COALESCE(SUM(CASE WHEN bb.y > a.y
+                                         THEN a.c * bb.c END), 0) AS BIGINT)
+                    AS concordant,
+                  CAST(COALESCE(SUM(CASE WHEN bb.y < a.y
+                                         THEN a.c * bb.c END), 0) AS BIGINT)
+                    AS discordant
+           FROM cells a JOIN cells bb ON a.g = bb.g AND a.x < bb.x
+           GROUP BY 1),
+    nt AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY 1),
+    tx AS (SELECT g, CAST(SUM((t * (t - 1)) // 2) AS BIGINT) AS tie_x
+           FROM (SELECT g, x, CAST(SUM(c) AS BIGINT) AS t
+                 FROM cells GROUP BY 1, 2) q GROUP BY 1),
+    ty AS (SELECT g, CAST(SUM((t * (t - 1)) // 2) AS BIGINT) AS tie_y
+           FROM (SELECT g, y, CAST(SUM(c) AS BIGINT) AS t
+                 FROM cells GROUP BY 1, 2) q GROUP BY 1)
+    SELECT nt.g AS l_returnflag, n,
+           COALESCE(concordant, 0) AS concordant,
+           COALESCE(discordant, 0) AS discordant,
+           tie_x, tie_y,
+           CASE WHEN CAST((n * (n - 1)) // 2 - tie_x AS DOUBLE) > 0
+                 AND CAST((n * (n - 1)) // 2 - tie_y AS DOUBLE) > 0
+                THEN CAST(COALESCE(concordant, 0) - COALESCE(discordant, 0)
+                          AS DOUBLE)
+                     / (sqrt(CAST((n * (n - 1)) // 2 - tie_x AS DOUBLE))
+                        * sqrt(CAST((n * (n - 1)) // 2 - tie_y AS DOUBLE)))
+                END AS tau_b
+    FROM nt LEFT JOIN pq ON nt.g = pq.g
+            JOIN tx ON nt.g = tx.g JOIN ty ON nt.g = ty.g
+    """,
+)
+def q282(spark, sf_dir):
+    """Kendall tau-b (operators.robust.kendall_tau_b) of quantity vs
+    $2000 price band per returnflag: the corpus collapses to bounded
+    (x, y) CELLS (one partial-agg'd shuffle — the contract that
+    keeps the pair algebra off the raw rows at 100 TB), concordant/
+    discordant pair counts come off the cell self-join as exact
+    int64s, and tau_b is a two-sqrt IEEE chain — hash-exact.
+    Completes the rank-association pair with q280's Spearman."""
+    from hadron_spark.operators.robust import kendall_tau_b
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round("l_quantity").cast("long").alias("x"),
+        F.expr(
+            "cast(round(l_extendedprice * 100) as bigint) div 200000"
+        ).alias("y"),
+    )
+    return kendall_tau_b(li, "x", "y", ["l_returnflag"])
+
+
+@_register(
+    "q283_stratified_allocate",
+    """
+    WITH d AS (SELECT doc_id, COALESCE(lang, '<null>') AS lang
+               FROM documents),
+    c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS ns FROM d GROUP BY 1),
+    t AS (SELECT CAST(SUM(ns) AS BIGINT) AS N FROM c),
+    q AS (SELECT lang, ns, (ns * 100) // N AS base, (ns * 100) % N AS rem
+          FROM c, t),
+    s AS (SELECT CAST(100 - SUM(base) AS BIGINT) AS short FROM q),
+    r AS (SELECT lang, base,
+                 ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC) AS rk
+          FROM q),
+    qt AS (SELECT lang,
+                  CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END
+                       AS BIGINT) AS quota
+           FROM r, s),
+    p AS (SELECT d.doc_id, d.lang, quota,
+                 ROW_NUMBER() OVER (PARTITION BY d.lang
+                                    ORDER BY d.doc_id) AS prk
+          FROM d JOIN qt ON d.lang = qt.lang)
+    SELECT doc_id, lang, quota FROM p WHERE prk <= quota
+    """,
+)
+def q283(spark, sf_dir):
+    """Exact-n stratified selection (llm.mixing.stratified_allocate):
+    100 documents with the language mix preserved by largest-
+    remainder apportionment (Hamilton's method) — per-stratum quotas
+    are pure int64 products, the +1 ranks ride stamp_rank on the
+    bounded strata frame, and the in-stratum pick is doc_id order —
+    so the SELECTED ROW SET ITSELF is deterministic and hash-exact,
+    not just its size.  The fixed-budget complement of q49-era
+    rate-based mixture_resample."""
+    from hadron_spark.llm.mixing import stratified_allocate
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("lang", F.lit("<null>")).alias("lang")
+    )
+    out = stratified_allocate(docs, ["lang"], 100, order_col="doc_id")
+    return out.select("doc_id", "lang", "quota")
+
+
+@_register(
+    "q284_retention_plan",
+    """
+    WITH snaps AS (SELECT l_returnflag AS part, l_shipdate AS ts,
+                          CAST(COUNT(*) AS BIGINT) AS n_rows
+                   FROM lineitem GROUP BY 1, 2),
+    r AS (SELECT part, ts, n_rows,
+                 ROW_NUMBER() OVER (PARTITION BY part ORDER BY ts DESC)
+                   AS rank_desc
+          FROM snaps)
+    SELECT part, ts, n_rows, CAST(rank_desc AS INTEGER) AS rank_desc,
+           CASE WHEN rank_desc <= 5 OR ts >= TIMESTAMP '1998-06-01'
+                THEN 'keep' ELSE 'expire' END AS action
+    FROM r
+    """,
+)
+def q284(spark, sf_dir):
+    """Snapshot retention planning (operators.maintenance
+    .retention_plan) over a synthetic snapshot log (one "snapshot"
+    per (returnflag, shipdate)): keep the newest 5 per partition
+    plus everything at-or-after an explicit cutoff, expire the rest
+    — the expire_snapshots decision emitted as an auditable
+    hash-exact plan before any file is touched, like q281's
+    compaction twin."""
+    from hadron_spark.operators.maintenance import retention_plan
+
+    li = load(spark, sf_dir, "lineitem")
+    snaps = li.groupBy(
+        F.col("l_returnflag").alias("part"), F.col("l_shipdate").alias("ts")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    plan = retention_plan(
+        snaps, "ts", keep_last=5, cutoff="1998-06-01", part_cols=["part"]
+    )
+    return plan.select(
+        "part",
+        "ts",
+        "n_rows",
+        F.col("rank_desc").cast("int").alias("rank_desc"),
+        "action",
+    )
+
+
+@_register(
+    "q285_simpson_diversity",
+    """
+    WITH c AS (SELECT source,
+                      COALESCE(CAST(lang AS VARCHAR), '<null>') AS c2,
+                      CAST(COUNT(*) AS BIGINT) AS n_i
+               FROM documents GROUP BY 1, 2),
+    a AS (SELECT source, CAST(SUM(n_i) AS BIGINT) AS n,
+                 CAST(COUNT(*) AS BIGINT) AS n_categories,
+                 CAST(SUM(n_i * (n_i - 1)) AS BIGINT) AS pair_same,
+                 CAST(MAX(n_i) AS BIGINT) AS top_count
+          FROM c GROUP BY 1)
+    SELECT source, n, n_categories, pair_same, top_count,
+           CASE WHEN n * (n - 1) > 0
+                THEN CAST(n * (n - 1) - pair_same AS DOUBLE)
+                     / CAST(n * (n - 1) AS DOUBLE) END AS simpson,
+           CAST(top_count AS DOUBLE) / CAST(n AS DOUBLE) AS top_share
+    FROM a
+    """,
+)
+def q285(spark, sf_dir):
+    """Language-mix concentration per source (llm.report
+    .simpson_diversity): unbiased Gini-Simpson diversity and
+    Berger-Parker dominance — both EXACT single divisions of int64
+    pair counts (the hashable twin of ln-based Shannon entropy),
+    the data-card "is one language swamping this source" row."""
+    from hadron_spark.llm.report import simpson_diversity
+
+    docs = load(spark, sf_dir, "documents").select("source", "lang")
+    return simpson_diversity(docs, "lang", ["source"])
+
+
+@_register(
+    "q286_crosstab_chi2",
+    """
+    WITH ob AS (SELECT COALESCE(CAST(source AS VARCHAR), '<null>')
+                         AS row_cat,
+                       COALESCE(CAST(lang AS VARCHAR), '<null>') AS col_cat,
+                       CAST(COUNT(*) AS BIGINT) AS o
+                FROM documents GROUP BY 1, 2),
+    rt AS (SELECT row_cat, CAST(SUM(o) AS BIGINT) AS r_tot
+           FROM ob GROUP BY 1),
+    ct AS (SELECT col_cat, CAST(SUM(o) AS BIGINT) AS c_tot
+           FROM ob GROUP BY 1),
+    t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM ob),
+    f AS (SELECT rt.row_cat, ct.col_cat, COALESCE(ob.o, 0) AS o,
+                 r_tot, c_tot, n
+          FROM rt CROSS JOIN ct
+               LEFT JOIN ob ON ob.row_cat = rt.row_cat
+                           AND ob.col_cat = ct.col_cat
+               CROSS JOIN t)
+    SELECT row_cat, col_cat, o, r_tot, c_tot, n,
+           (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+              - CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE))
+           * (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+              - CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE))
+           / (CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE)
+              * CAST(n AS DOUBLE)) AS chi2_cell
+    FROM f
+    """,
+)
+def q286(spark, sf_dir):
+    """Source × language independence chi-square per CELL (llm
+    .report.crosstab_chi2_cells): the general r×c association test
+    whose 2×k special case is q260 — cross-multiplied deviations
+    over exact int64 marginals, zero cells included (they still
+    contribute expected mass), never float-summed across cells."""
+    from hadron_spark.llm.report import crosstab_chi2_cells
+
+    docs = load(spark, sf_dir, "documents")
+    return crosstab_chi2_cells(docs, "source", "lang")
+
+
+@_register(
+    "q287_cohort_retention",
+    """
+    WITH acts AS (SELECT DISTINCT user_id AS e,
+                         CAST(date_trunc('day', ts) AS DATE) AS period
+                  FROM events),
+    f AS (SELECT e, MIN(period) AS cohort FROM acts GROUP BY 1),
+    s AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size
+          FROM f GROUP BY 1),
+    cells AS (SELECT cohort, period, CAST(COUNT(*) AS BIGINT) AS n_active
+              FROM acts JOIN f USING (e) GROUP BY 1, 2)
+    SELECT CAST(cells.cohort AS TIMESTAMP) AS cohort,
+           CAST(period AS TIMESTAMP) AS period,
+           CAST(date_diff('day', cells.cohort, period) AS BIGINT) AS age,
+           n_active, cohort_size,
+           CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE)
+             AS retention
+    FROM cells JOIN s ON cells.cohort = s.cohort
+    """,
+)
+def q287(spark, sf_dir):
+    """Daily cohort retention matrix (operators.ops
+    .cohort_retention) over the event stream (the synthetic events
+    span one month, so days are the honest period): cohort = first
+    active day per user, one hash-exact cell per (cohort, day) with
+    integer age and retention as ONE IEEE division — calendar-exact
+    date math, no float time arithmetic; raw events are touched
+    twice (first-activity min + distinct pass), everything after is
+    matrix-scale."""
+    from hadron_spark.operators.ops import cohort_retention
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    out = cohort_retention(ev, "user_id", "ts", "day")
+    return out.select(
+        F.col("cohort").cast("timestamp").alias("cohort"),
+        F.col("period").cast("timestamp").alias("period"),
+        "age",
+        "n_active",
+        "cohort_size",
+        "retention",
+    )

@@ -2267,3 +2267,86 @@ def test_psi_drift_python_parity(spark):
         assert math.isfinite(r["psi_cell"])
     same = psi_drift(new, new, "c").collect()
     assert all(abs(r["psi_cell"]) < 1e-15 for r in same)
+
+
+def test_stratified_allocate_exact_n(spark):
+    """Largest-remainder quotas sum to exactly n; per-stratum picks
+    are the first quota ids; quotas match a python apportionment
+    reference; n > N and n <= 0 raise."""
+    import pytest
+
+    from hadron_spark.llm.mixing import stratified_allocate
+
+    sizes = {"en": 57, "de": 23, "fr": 13, "xx": 7}
+    rows = [(f"{s}{i:03d}", s) for s, c in sizes.items() for i in range(c)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string")
+    n = 17
+    got = stratified_allocate(df, ["lang"], n, order_col="doc_id").collect()
+    N = sum(sizes.values())
+    base = {s: c * n // N for s, c in sizes.items()}
+    rem = {s: c * n % N for s, c in sizes.items()}
+    short = n - sum(base.values())
+    for s in sorted(sizes, key=lambda s: (-rem[s], s))[:short]:
+        base[s] += 1
+    assert len(got) == n
+    by = {}
+    for r in got:
+        by.setdefault(r["lang"], []).append(r["doc_id"])
+        assert r["quota"] == base[r["lang"]]
+    for s, picked in by.items():
+        assert sorted(picked) == [f"{s}{i:03d}" for i in range(base[s])]
+    with pytest.raises(ValueError):
+        stratified_allocate(df, ["lang"], 0, order_col="doc_id")
+    with pytest.raises(ValueError):
+        stratified_allocate(df, ["lang"], N + 1, order_col="doc_id")
+
+
+def test_simpson_diversity_exact(spark):
+    """Gini-Simpson and Berger-Parker vs hand math; uniform mix ->
+    max diversity; single category -> 0; single row -> NULL; NULL
+    category counts as a slice."""
+    import pytest
+
+    from hadron_spark.llm.report import simpson_diversity
+
+    rows = [("s1", c) for c in ["a"] * 6 + ["b"] * 3 + [None] * 1]
+    rows += [("s2", "a")]
+    rows += [("s3", c) for c in ["a", "a", "a", "a"]]
+    df = spark.createDataFrame(rows, "src string, cat string")
+    got = {r["src"]: r for r in simpson_diversity(df, "cat", ["src"]).collect()}
+    s1 = got["s1"]
+    assert (s1["n"], s1["n_categories"], s1["top_count"]) == (10, 3, 6)
+    assert s1["pair_same"] == 6 * 5 + 3 * 2 + 0
+    assert s1["simpson"] == pytest.approx((90 - 36) / 90, rel=1e-15)
+    assert s1["top_share"] == 0.6
+    assert got["s2"]["simpson"] is None
+    assert got["s3"]["simpson"] == 0.0 and got["s3"]["top_share"] == 1.0
+
+
+def test_crosstab_chi2_cells_reference(spark):
+    """Per-cell chi2 vs python on a 2x2 with a zero cell emitted;
+    cell sum matches the classical statistic."""
+    import pytest
+
+    from hadron_spark.llm.report import crosstab_chi2_cells
+
+    rows = [("x", "p")] * 10 + [("x", "q")] * 20 + [("y", "p")] * 30
+    df = spark.createDataFrame(rows, "r string, c string")
+    got = {
+        (r["row_cat"], r["col_cat"]): r
+        for r in crosstab_chi2_cells(df, "r", "c").collect()
+    }
+    assert len(got) == 4 and got[("y", "q")]["o"] == 0
+    n = 60
+    marg_r = {"x": 30, "y": 30}
+    marg_c = {"p": 40, "q": 20}
+    obs = {("x", "p"): 10, ("x", "q"): 20, ("y", "p"): 30, ("y", "q"): 0}
+    chi2 = 0.0
+    for (rr, cc), o in obs.items():
+        e = marg_r[rr] * marg_c[cc] / n
+        cell = (o - e) ** 2 / e
+        chi2 += cell
+        assert got[(rr, cc)]["chi2_cell"] == pytest.approx(cell, rel=1e-12)
+    assert sum(v["chi2_cell"] for v in got.values()) == pytest.approx(
+        chi2, rel=1e-12
+    )

@@ -365,3 +365,33 @@ def test_compaction_plan_next_fit(spark):
     assert got[("p2", 0)] == (1, 25, ["a"])
     with pytest.raises(ValueError):
         compaction_plan(df, "sz", 0, part_cols=["part"], order_col="fid")
+
+
+def test_retention_plan_keep_last_and_cutoff(spark):
+    """Newest keep_last per partition keep; cutoff rescues older
+    rows; the rest expire; keep_last=0 with no cutoff expires all."""
+    import pytest
+
+    from hadron_spark.operators.maintenance import retention_plan
+
+    rows = [
+        ("t1", f"2024-01-{d:02d} 00:00:00") for d in range(1, 11)
+    ] + [("t2", "2024-03-01 00:00:00")]
+    df = spark.createDataFrame(rows, "tbl string, ts string").select(
+        "tbl", F.to_timestamp("ts").alias("ts")
+    )
+    plan = retention_plan(
+        df, "ts", keep_last=2, cutoff="2024-01-05", part_cols=["tbl"]
+    )
+    got = {
+        (r["tbl"], str(r["ts"])[:10]): r["action"] for r in plan.collect()
+    }
+    for d in range(1, 5):
+        assert got[("t1", f"2024-01-{d:02d}")] == "expire"
+    for d in range(5, 11):
+        assert got[("t1", f"2024-01-{d:02d}")] == "keep"
+    assert got[("t2", "2024-03-01")] == "keep"
+    nall = retention_plan(df, "ts", keep_last=0, part_cols=["tbl"])
+    assert all(r["action"] == "expire" for r in nall.collect())
+    with pytest.raises(ValueError):
+        retention_plan(df, "ts", keep_last=-1, part_cols=["tbl"])

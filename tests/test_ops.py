@@ -1047,3 +1047,95 @@ def test_spearman_rho_ties_and_closed_form(spark):
     assert spearman_rho(mono, "x", "y", ["g"]).collect()[0][
         "rho"
     ] == pytest.approx(1.0, abs=1e-15)
+
+
+def test_kendall_tau_b_python_parity(spark):
+    """Exact concordant/discordant/tie counts vs an O(n²) python
+    reference on tied data; perfect monotone ~ 1; reversed ~ -1;
+    all-tied axis gives NULL."""
+    import math
+
+    import pytest
+
+    from hadron_spark.operators.robust import kendall_tau_b
+
+    xs = [1, 1, 2, 2, 3, 3, 4, 9]
+    ys = [2, 5, 2, 7, 7, 1, 9, 9]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in zip(xs, ys)], "g string, x long, y long"
+    )
+    row = kendall_tau_b(df, "x", "y", ["g"]).collect()[0]
+    n = len(xs)
+    P = Q = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = (xs[j] > xs[i]) - (xs[j] < xs[i])
+            dy = (ys[j] > ys[i]) - (ys[j] < ys[i])
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+            if dx * dy > 0:
+                P += 1
+            elif dx * dy < 0:
+                Q += 1
+    n0 = n * (n - 1) // 2
+    ref = (P - Q) / (math.sqrt(n0 - tx) * math.sqrt(n0 - ty))
+    assert (row["concordant"], row["discordant"]) == (P, Q)
+    assert (row["tie_x"], row["tie_y"]) == (tx, ty)
+    assert row["n"] == n
+    assert row["tau_b"] == pytest.approx(ref, rel=1e-14)
+
+    mono = spark.createDataFrame(
+        [("g", x, x + 5) for x in range(9)], "g string, x long, y long"
+    )
+    assert kendall_tau_b(mono, "x", "y", ["g"]).collect()[0][
+        "tau_b"
+    ] == pytest.approx(1.0, abs=1e-15)
+    rev = spark.createDataFrame(
+        [("g", x, -x) for x in range(9)], "g string, x long, y long"
+    )
+    assert kendall_tau_b(rev, "x", "y", ["g"]).collect()[0][
+        "tau_b"
+    ] == pytest.approx(-1.0, abs=1e-15)
+    flat = spark.createDataFrame(
+        [("g", 1, y) for y in range(5)], "g string, x long, y long"
+    )
+    frow = kendall_tau_b(flat, "x", "y", ["g"]).collect()[0]
+    assert frow["tau_b"] is None and frow["concordant"] == 0
+
+
+def test_cohort_retention_matrix(spark):
+    """Handcrafted 3-user activity: cohort sizes, ages, retention
+    ratios; age-0 retention is 1.0; week/day periods and the
+    validation error."""
+    import pytest
+
+    from hadron_spark.operators.ops import cohort_retention
+
+    rows = [
+        ("u1", "2024-01-05"), ("u1", "2024-02-11"), ("u1", "2024-04-01"),
+        ("u2", "2024-01-20"), ("u2", "2024-01-25"),
+        ("u3", "2024-02-03"), ("u3", "2024-04-09"),
+    ]
+    df = spark.createDataFrame(rows, "u string, d string").select(
+        "u", F.to_timestamp("d").alias("ts")
+    )
+    got = {
+        (str(r["cohort"]), str(r["period"])): (
+            r["age"], r["n_active"], r["cohort_size"], r["retention"]
+        )
+        for r in cohort_retention(df, "u", "ts", "month").collect()
+    }
+    assert got[("2024-01-01", "2024-01-01")] == (0, 2, 2, 1.0)
+    assert got[("2024-01-01", "2024-02-01")] == (1, 1, 2, 0.5)
+    assert got[("2024-01-01", "2024-04-01")] == (3, 1, 2, 0.5)
+    assert got[("2024-02-01", "2024-02-01")] == (0, 1, 1, 1.0)
+    assert got[("2024-02-01", "2024-04-01")] == (2, 1, 1, 1.0)
+    assert len(got) == 5
+
+    wk = cohort_retention(df, "u", "ts", "week").collect()
+    assert all(r["age"] >= 0 for r in wk)
+    assert {r["age"] for r in wk if str(r["cohort"]) == "2024-01-01"} >= {0}
+    with pytest.raises(ValueError):
+        cohort_retention(df, "u", "ts", "year")

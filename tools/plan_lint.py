@@ -48,6 +48,9 @@ EXPLAIN_BNLJ = {
     "q275_ann_recall": "recall audit runs the q25 brute-force baseline as ground truth "
     "by contract: broadcasts the bounded query set (50 rows); the audited IVF side is "
     "the scale path",
+    "q286_crosstab_chi2": "deliberate r x c marginal cross join: both sides are the "
+    "category marginals of the contingency table (bounded by the categorical contract), "
+    "crossed to emit ZERO cells that still carry expected mass",
     "q241_semantic_contamination": "broadcasts the benchmark embedding set (MB-scale "
     "by contract — eval suites are thousands of rows against a 100 TB corpus); the "
     "corpus side streams and the per-doc max partial-aggregates map-side",
