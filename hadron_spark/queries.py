@@ -12534,3 +12534,67 @@ def q287(spark, sf_dir):
         "cohort_size",
         "retention",
     )
+
+
+@_register(
+    "q288_interval_join",
+    """
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      CAST(round(value * 100) AS BIGINT) AS lo,
+                      CAST(round(value * 100) AS BIGINT) + event_id % 1000
+                        AS hi
+               FROM events),
+    l AS (SELECT event_id AS l_id, user_id AS l_user, lo AS l_lo,
+                 hi AS l_hi
+          FROM e WHERE event_type = 'click'),
+    r AS (SELECT event_id AS r_id, user_id AS r_user, lo AS r_lo,
+                 hi AS r_hi
+          FROM e WHERE event_type = 'purchase')
+    SELECT l_id, r_id, l_user, l_lo, l_hi, r_lo, r_hi
+    FROM l JOIN r ON l_user = r_user AND l_lo <= r_hi AND r_lo <= l_hi
+    """,
+)
+def q288(spark, sf_dir):
+    """Banded interval-overlap join (operators.joins.interval_join):
+    per-user click value-windows × purchase value-windows that
+    overlap — each side explodes onto width-500 bands, the join is
+    EQUI on (band, user) with the overlap predicate residual, and
+    the canonical-band rule dedups multi-band pairs arithmetically
+    (no distinct pass).  The oracle states the same join as a plain
+    theta join — band + canon must be invisible in the result:
+    hash-exact."""
+    from hadron_spark.operators.joins import interval_join
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("lo"),
+        (
+            F.round(F.col("value") * 100).cast("long")
+            + F.col("event_id") % 1000
+        ).alias("hi"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("l_id"),
+        F.col("user_id").alias("l_user"),
+        F.col("lo").alias("l_lo"),
+        F.col("hi").alias("l_hi"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("r_id"),
+        F.col("user_id").alias("r_user"),
+        F.col("lo").alias("r_lo"),
+        F.col("hi").alias("r_hi"),
+    )
+    out = interval_join(
+        clicks,
+        purch,
+        "l_lo",
+        "l_hi",
+        "r_lo",
+        "r_hi",
+        band_width=500,
+        equi_on=[("l_user", "r_user")],
+    )
+    return out.select("l_id", "r_id", "l_user", "l_lo", "l_hi", "r_lo", "r_hi")

@@ -176,3 +176,64 @@ def test_asof_join_duplicate_ts_deterministic(spark):
     got = dict(((k, t), v) for k, t, v in base)
     assert got[("k", 10)] == 9 and got[("z", 15)] == 4
     assert got[("k", 20)] == 2
+
+
+def test_interval_join_banded_matches_bruteforce(spark):
+    """Banding + canonical-band dedup is invisible: output equals
+    the brute-force overlap join for every band width, including
+    spans crossing many bands, negative coordinates, touching
+    endpoints, and empty intervals dropped; disjoint-name and
+    band-width validation."""
+    import itertools
+
+    import pytest
+
+    from hadron_spark.operators.joins import interval_join
+
+    lrows = [
+        ("a", -25, -5), ("b", 0, 0), ("c", 3, 47), ("d", 10, 12),
+        ("e", 90, 200), ("f", 8, 2),  # empty: dropped
+    ]
+    rrows = [
+        ("x", -30, -20), ("y", -4, 4), ("z", 12, 95), ("w", 0, 300),
+        ("v", 201, 202),
+    ]
+    L = spark.createDataFrame(lrows, "l_id string, l_lo long, l_hi long")
+    R = spark.createDataFrame(rrows, "r_id string, r_lo long, r_hi long")
+    want = {
+        (li, ri)
+        for (li, llo, lhi), (ri, rlo, rhi) in itertools.product(lrows, rrows)
+        if llo <= lhi and rlo <= rhi and llo <= rhi and rlo <= lhi
+    }
+    for w in (1, 7, 50, 1000):
+        got = [
+            (r["l_id"], r["r_id"])
+            for r in interval_join(
+                L, R, "l_lo", "l_hi", "r_lo", "r_hi", band_width=w
+            ).collect()
+        ]
+        assert len(got) == len(set(got)), f"dup pair at W={w}"
+        assert set(got) == want, f"mismatch at W={w}"
+    with pytest.raises(ValueError):
+        interval_join(L, R, "l_lo", "l_hi", "r_lo", "r_hi", band_width=0)
+    with pytest.raises(ValueError):
+        interval_join(
+            L, L.withColumnRenamed("l_id", "x"),
+            "l_lo", "l_hi", "l_lo", "l_hi", band_width=5,
+        )
+
+
+def test_interval_join_equi_keys(spark):
+    from hadron_spark.operators.joins import interval_join
+
+    L = spark.createDataFrame(
+        [("u1", 0, 10), ("u2", 0, 10)], "lu string, l_lo long, l_hi long"
+    )
+    R = spark.createDataFrame(
+        [("u1", 5, 6), ("u2", 50, 60)], "ru string, r_lo long, r_hi long"
+    )
+    got = interval_join(
+        L, R, "l_lo", "l_hi", "r_lo", "r_hi", band_width=8,
+        equi_on=[("lu", "ru")],
+    ).collect()
+    assert [(r["lu"], r["ru"]) for r in got] == [("u1", "u1")]
