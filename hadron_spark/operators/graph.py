@@ -582,3 +582,74 @@ def bipartite_project(
         .agg(F.count(F.lit(1)).alias("weight"))
         .filter(F.col("weight") >= min_weight)
     )
+
+
+def common_neighbors(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 1,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Link-prediction scores for node pairs: common-neighbor count
+    and neighborhood Jaccard |N(a)∩N(b)| / |N(a)∪N(b)| — the two
+    exact classics (Liben-Nowell & Kleinberg 2003) that rank
+    "which parts co-occur without a direct edge yet" / "which
+    duplicate communities are about to merge"; Adamic-Adar's
+    1/ln(deg) weighting is the rows-only cousin (ln), so Jaccard is
+    the hash-exact member of the family.
+
+    Every common neighbor u of pair (a, b) is one WEDGE a—u—b, so
+    the count is a symmetric-adjacency self-join on the apex with
+    a < b — and the output is HONESTLY quadratic in hub degree: a
+    degree-d apex certifies C(d, 2) pairs; that is the statistic,
+    not an implementation artifact (triangle counting escapes via
+    orientation only because each triangle needs ONE apex — a
+    common-neighbor count needs them all).  `max_degree` is the
+    explicit skew valve (bipartite_project's contract): apexes
+    above it are dropped WHOLE, never truncated, so the count is
+    exact over the kept apex set.  Degrees in the Jaccard
+    denominator are always TRUE full-graph degrees.
+
+    Plan: one degree agg, the apex wedge join (one shuffle on the
+    apex), a partial-agg'd pair count, two broadcast-able degree
+    attach joins.  Jaccard = common/(deg_a + deg_b − common), ONE
+    IEEE division.  Self-loops/duplicate edges are canonicalized
+    away.  Returns (a, b, common, deg_a, deg_b, jaccard) for pairs
+    with common >= min_common."""
+    if min_common < 1:
+        raise ValueError(f"min_common must be >= 1: {min_common}")
+    und = _sym(_canon(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))))
+    und = und.localCheckpoint(eager=True)
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    apexes = und
+    if max_degree is not None:
+        keep = deg.filter(F.col("deg") <= max_degree).select(
+            F.col("node").alias("src")
+        )
+        apexes = und.join(keep, "src")
+    a = apexes.select(F.col("src").alias("_u"), F.col("dst").alias("a"))
+    b = apexes.select(F.col("src").alias("_u"), F.col("dst").alias("b"))
+    pairs = (
+        a.join(b, "_u")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    j = pairs.join(da, "a").join(db, "b")
+    union = F.col("deg_a") + F.col("deg_b") - F.col("common")
+    return j.select(
+        "a",
+        "b",
+        "common",
+        "deg_a",
+        "deg_b",
+        (F.col("common").cast("double") / union.cast("double")).alias(
+            "jaccard"
+        ),
+    )

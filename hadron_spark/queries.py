@@ -12598,3 +12598,128 @@ def q288(spark, sf_dir):
         equi_on=[("l_user", "r_user")],
     )
     return out.select("l_id", "r_id", "l_user", "l_lo", "l_hi", "r_lo", "r_hi")
+
+
+@_register(
+    "q289_common_neighbors",
+    """
+    WITH m AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+               FROM lineitem),
+    e0 AS (SELECT a.s AS src, b.s AS dst
+           FROM m a JOIN m b ON a.o = b.o AND a.s < b.s
+           GROUP BY 1, 2),
+    und AS (SELECT src, dst FROM e0
+            UNION ALL SELECT dst, src FROM e0),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM und GROUP BY 1),
+    pairs AS (SELECT x.dst AS a, y.dst AS b,
+                     CAST(COUNT(*) AS BIGINT) AS common
+              FROM und x JOIN und y ON x.src = y.src AND x.dst < y.dst
+              GROUP BY 1, 2
+              HAVING COUNT(*) >= 3)
+    SELECT a, b, common, da.deg AS deg_a, db.deg AS deg_b,
+           CAST(common AS DOUBLE)
+             / CAST(da.deg + db.deg - common AS DOUBLE) AS jaccard
+    FROM pairs JOIN deg da ON pairs.a = da.node
+               JOIN deg db ON pairs.b = db.node
+    """,
+)
+def q289(spark, sf_dir):
+    """Link prediction over the supplier co-order graph (operators
+    .graph.common_neighbors): common-neighbor counts and
+    neighborhood Jaccard for supplier pairs sharing >= 3 co-order
+    neighbors — apex wedge join + exact integer counts + ONE IEEE
+    division; the output is honestly quadratic in hub degree with
+    `max_degree` as the explicit skew valve (inert here — the
+    co-order graph's degrees are order-width-bounded)."""
+    from hadron_spark.operators.graph import common_neighbors
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    ).distinct()
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return common_neighbors(edges, min_common=3)
+
+
+_WP_VOCAB = sorted(
+    set(
+        [chr(c) for c in range(ord("a"), ord("z") + 1)]
+        + ["##" + chr(c) for c in range(ord("a"), ord("z") + 1)]
+        + [str(d) for d in range(10)]
+        + ["##" + str(d) for d in range(10)]
+        + ["the", "##ing", "##ed", "##er", "an", "##tion", "re", "in",
+           "on", "at", "##es", "##ly"]
+    )
+)
+_WP_MAXLEN = 4
+_WP_VOCAB_SQL = ", ".join("'" + p + "'" for p in _WP_VOCAB)
+
+
+@_register(
+    "q290_wordpiece_encode",
+    f"""
+    WITH RECURSIVE words AS (
+      SELECT doc_id, wpos, w FROM (
+        SELECT doc_id,
+               UNNEST(string_split_regex(lower(text), '\\s+')) AS w,
+               generate_subscripts(
+                 string_split_regex(lower(text), '\\s+'), 1) AS wpos
+        FROM documents) t
+      WHERE w <> ''
+    ),
+    st AS (
+      SELECT doc_id, wpos, w, 1 AS pos,
+             CAST([] AS VARCHAR[]) AS toks, FALSE AS bad
+      FROM words
+      UNION ALL
+      SELECT doc_id, wpos, w,
+             CASE WHEN bl IS NULL THEN len(w) + 1 ELSE pos + bl END,
+             CASE WHEN bl IS NULL THEN toks
+                  ELSE list_append(toks, pfx || substr(w, pos, bl)) END,
+             bad OR bl IS NULL
+      FROM (
+        SELECT doc_id, wpos, w, pos, toks, bad,
+               CASE WHEN pos = 1 THEN '' ELSE '##' END AS pfx,
+               (SELECT MAX(L)
+                FROM (SELECT UNNEST(range(1, {_WP_MAXLEN + 1})) AS L) ls
+                WHERE (CASE WHEN pos = 1 THEN '' ELSE '##' END
+                       || substr(w, pos, L)) IN ({_WP_VOCAB_SQL})) AS bl
+        FROM st WHERE pos <= len(w)) u
+    ),
+    fin AS (SELECT doc_id, wpos,
+                   CASE WHEN bad THEN ['[UNK]'] ELSE toks END AS toks
+            FROM st WHERE pos > len(w))
+    SELECT doc_id, CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+           string_agg(array_to_string(toks, ' '), ' ' ORDER BY wpos)
+             AS tokens_str
+    FROM fin GROUP BY 1
+    """,
+)
+def q290(spark, sf_dir):
+    """WordPiece greedy encoding (llm.wordpiece.wordpiece_encode)
+    of the documents corpus against a fixed published-style vocab
+    (singles + continuations + a few merges): the greedy
+    longest-match fold runs as a pure Catalyst aggregate over
+    DISTINCT WORDS (vocabulary-bounded work, one corpus-scale join
+    back), while the oracle states the SAME greedy loop as a
+    DuckDB recursive CTE — two entirely different engines walking
+    one deterministic recursion to identical token streams:
+    hash-exact."""
+    from hadron_spark.llm.wordpiece import wordpiece_encode
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = wordpiece_encode(docs, "text", _WP_VOCAB)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join("tokens", " ").alias("tokens_str"),
+    )

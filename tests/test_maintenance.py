@@ -395,3 +395,39 @@ def test_retention_plan_keep_last_and_cutoff(spark):
     assert all(r["action"] == "expire" for r in nall.collect())
     with pytest.raises(ValueError):
         retention_plan(df, "ts", keep_last=-1, part_cols=["tbl"])
+
+
+def test_common_neighbors_reference(spark):
+    """Counts and Jaccard vs hand-enumerated wedges on a small
+    graph; max_degree drops hub apexes whole; min_common filter;
+    validation."""
+    import pytest
+
+    from hadron_spark.operators.graph import common_neighbors
+
+    # star hub h--(1,2,3) plus path 1--2, 2--3
+    edges = [("h", "1"), ("h", "2"), ("h", "3"), ("1", "2"), ("2", "3")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r["a"], r["b"]): (r["common"], r["deg_a"], r["deg_b"], r["jaccard"])
+        for r in common_neighbors(df).collect()
+    }
+    # N(h)={1,2,3} N(1)={h,2} N(2)={h,1,3} N(3)={h,2}
+    assert got[("1", "2")][0] == 1  # common: h... plus? N1∩N2={h}
+    assert got[("1", "3")] == (2, 2, 2, 2 / 2)  # {h,2}; union = 2
+    assert got[("2", "h")][0] == 2  # {1,3}
+    assert got[("1", "h")] == (1, 2, 3, 1 / 4)
+    # deg: h=3, 1=2, 2=3, 3=2 — cap 2 drops apexes h AND 2 whole;
+    # the surviving apexes 1 and 3 each certify (2, h)
+    capped = {
+        (r["a"], r["b"]): r["common"]
+        for r in common_neighbors(df, max_degree=2).collect()
+    }
+    assert capped == {("2", "h"): 2}
+    mc = {
+        (r["a"], r["b"])
+        for r in common_neighbors(df, min_common=2).collect()
+    }
+    assert mc == {("1", "3"), ("2", "h")}
+    with pytest.raises(ValueError):
+        common_neighbors(df, min_common=0)
