@@ -668,3 +668,75 @@ def expected_calibration_error(
             / (F.col("n") * scale).cast("double")
         ).alias("ece"),
     )
+
+
+def lift_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Decile lift / gains table — the campaign-targeting and
+    filter-triage view of a scored population: rank by score
+    descending, cut into `n_buckets` ntiles, and report per tile
+    the positives captured so far and the lift over random
+    targeting.
+
+    Scale-safe ranking rides `operators.ops.range_rank` (banded
+    two-pass global ntile — NO single-partition window), with
+    (score desc, id asc) as the total order so ties are
+    deterministic.  Counts are exact longs; cumulative counts come
+    from the bounded tile×tile triangular join (≤ n_buckets² rows);
+    lift telescopes to the exact integer cross-product form
+        lift = (cum_pos·N) / (cum_n·P)
+    emitted as numerator/denominator longs PLUS the single-division
+    doubles — all hash-exact.  Returns (tile, n, pos, cum_n,
+    cum_pos, capture, lift); capture = cum_pos/P is the gains
+    curve's y-axis."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1: {n_buckets}")
+    from hadron_spark.operators.ops import range_rank
+
+    ranked = range_rank(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(score_col).alias("_s"),
+            F.col(label_col).cast("long").alias("_y"),
+        ),
+        key=-F.col("_s").cast("double"),
+        order=[F.col("_s").desc(), F.col("_id").asc()],
+        ntile=n_buckets,
+    )
+    tiles = ranked.groupBy("tile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_y").alias("pos")
+    )
+    a, b = tiles.alias("a"), tiles.alias("b")
+    cum = (
+        a.join(F.broadcast(b), F.col("b.tile") <= F.col("a.tile"))
+        .groupBy(F.col("a.tile").alias("tile"), F.col("a.n").alias("n"), F.col("a.pos").alias("pos"))
+        .agg(
+            F.sum("b.n").alias("cum_n"),
+            F.sum("b.pos").alias("cum_pos"),
+        )
+    )
+    tot = tiles.agg(
+        F.sum("n").alias("_N"), F.sum("pos").alias("_P")
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    return j.select(
+        "tile",
+        "n",
+        "pos",
+        "cum_n",
+        "cum_pos",
+        F.when(
+            F.col("_P") > 0,
+            F.col("cum_pos").cast("double") / F.col("_P").cast("double"),
+        ).alias("capture"),
+        F.when(
+            (F.col("_P") > 0) & (F.col("cum_n") > 0),
+            (F.col("cum_pos") * F.col("_N")).cast("double")
+            / (F.col("cum_n") * F.col("_P")).cast("double"),
+        ).alias("lift"),
+    )

@@ -1438,3 +1438,47 @@ def cohort_retention(
             ).alias("retention"),
         )
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    entity_col: str,
+    state_col: str,
+    order_cols: Sequence[Column | str],
+) -> DataFrame:
+    """First-order Markov transition matrix over per-entity event
+    sequences: count each consecutive (state → next state) step in
+    `order_cols` order within an entity, with row-conditional
+    probabilities — the "what do users do after X" table behind
+    session-flow sankeys and behavioral anomaly baselines.
+
+    `order_cols` MUST be a total order within an entity (ts alone
+    ties under same-timestamp events — add the event id; the same
+    determinism contract as secondary_sort).  Counts are exact
+    longs, prob is ONE IEEE division — hash-exact.  Plan: one
+    shuffle keyed on the entity for the lead window, one
+    partial-agg'd shuffle to the |states|² matrix, row totals as an
+    agg of that tiny frame broadcast back.  Returns (from_state,
+    to_state, n, row_total, prob)."""
+    w = Window.partitionBy(entity_col).orderBy(*order_cols)
+    pairs = (
+        df.select(
+            F.col(entity_col).alias("_e"),
+            F.col(state_col).alias("from_state"),
+            F.lead(state_col).over(w).alias("to_state"),
+        )
+        .filter(F.col("to_state").isNotNull())
+    )
+    cnt = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cnt.groupBy("from_state").agg(F.sum("n").alias("row_total"))
+    return cnt.join(F.broadcast(tot), "from_state").select(
+        "from_state",
+        "to_state",
+        "n",
+        "row_total",
+        (F.col("n").cast("double") / F.col("row_total").cast("double")).alias(
+            "prob"
+        ),
+    )

@@ -517,3 +517,55 @@ def kendall_tau_b(
         "tie_y",
         F.when((dx > 0) & (dy > 0), tau).alias("tau_b"),
     )
+
+
+def two_proportion_test(
+    new: DataFrame,
+    old: DataFrame,
+    flag_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Two-proportion z-test per group — the A/B primitive next to
+    `pass_rate_ci`'s single-arm Wilson interval: did the pass/hit
+    rate move between snapshots, stated with the pooled-variance
+    normal z.
+
+    Counts are exact longs; rates, the pooled rate, and
+        z = (p_new − p_old) / √(p̂(1−p̂)(1/n_new + 1/n_old))
+    are a fixed chain of correctly-rounded IEEE ops (ONE sqrt), so
+    the whole frame hashes cross-engine.  Degenerate pools (p̂ = 0
+    or 1 — zero variance) yield z NULL rather than ±inf.
+
+    One partial-agg'd shuffle per side onto |groups| rows.  Returns
+    (group_cols..., n_new, k_new, n_old, k_old, rate_new, rate_old,
+    diff, z)."""
+    gc = list(group_cols or [])
+
+    def side(df: DataFrame, n: str, k: str) -> DataFrame:
+        return df.groupBy(*gc).agg(
+            F.count(F.lit(1)).alias(n),
+            F.sum(F.col(flag_col).cast("long")).alias(k),
+        )
+
+    a = side(new, "n_new", "k_new")
+    b = side(old, "n_old", "k_old")
+    j = a.join(b, gc) if gc else a.crossJoin(F.broadcast(b))
+    n1 = F.col("n_new").cast("double")
+    n2 = F.col("n_old").cast("double")
+    p1 = F.col("k_new").cast("double") / n1
+    p2 = F.col("k_old").cast("double") / n2
+    pool = (F.col("k_new") + F.col("k_old")).cast("double") / (
+        F.col("n_new") + F.col("n_old")
+    ).cast("double")
+    var = pool * (F.lit(1.0) - pool) * (F.lit(1.0) / n1 + F.lit(1.0) / n2)
+    return j.select(
+        *gc,
+        "n_new",
+        "k_new",
+        "n_old",
+        "k_old",
+        p1.alias("rate_new"),
+        p2.alias("rate_old"),
+        (p1 - p2).alias("diff"),
+        F.when(var > 0, (p1 - p2) / F.sqrt(var)).alias("z"),
+    )

@@ -12723,3 +12723,143 @@ def q290(spark, sf_dir):
         "n_tokens",
         F.array_join("tokens", " ").alias("tokens_str"),
     )
+
+
+@_register(
+    "q291_two_proportion",
+    """
+    WITH e AS (SELECT event_type,
+                      CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS s,
+                      CASE WHEN CAST(round(value * 100) AS BIGINT) >= 5000
+                           THEN 1 ELSE 0 END AS f
+               FROM events),
+    a AS (SELECT event_type,
+                 CAST(COUNT(*) FILTER (WHERE s = 1) AS BIGINT) AS n_new,
+                 CAST(SUM(f) FILTER (WHERE s = 1) AS BIGINT) AS k_new,
+                 CAST(COUNT(*) FILTER (WHERE s = 0) AS BIGINT) AS n_old,
+                 CAST(SUM(f) FILTER (WHERE s = 0) AS BIGINT) AS k_old
+          FROM e GROUP BY 1)
+    SELECT event_type, n_new, k_new, n_old, k_old,
+           CAST(k_new AS DOUBLE) / CAST(n_new AS DOUBLE) AS rate_new,
+           CAST(k_old AS DOUBLE) / CAST(n_old AS DOUBLE) AS rate_old,
+           CAST(k_new AS DOUBLE) / CAST(n_new AS DOUBLE)
+             - CAST(k_old AS DOUBLE) / CAST(n_old AS DOUBLE) AS diff,
+           CASE WHEN CAST(k_new + k_old AS DOUBLE)
+                       / CAST(n_new + n_old AS DOUBLE)
+                     * (1.0 - CAST(k_new + k_old AS DOUBLE)
+                              / CAST(n_new + n_old AS DOUBLE))
+                     * (1.0 / CAST(n_new AS DOUBLE)
+                        + 1.0 / CAST(n_old AS DOUBLE)) > 0
+                THEN (CAST(k_new AS DOUBLE) / CAST(n_new AS DOUBLE)
+                      - CAST(k_old AS DOUBLE) / CAST(n_old AS DOUBLE))
+                     / sqrt(CAST(k_new + k_old AS DOUBLE)
+                              / CAST(n_new + n_old AS DOUBLE)
+                            * (1.0 - CAST(k_new + k_old AS DOUBLE)
+                                     / CAST(n_new + n_old AS DOUBLE))
+                            * (1.0 / CAST(n_new AS DOUBLE)
+                               + 1.0 / CAST(n_old AS DOUBLE)))
+                END AS z
+    FROM a
+    """,
+)
+def q291(spark, sf_dir):
+    """Two-proportion z-test (operators.robust.two_proportion_test)
+    per event type on the even/odd split: did the high-value-event
+    rate (>= $50) move — pooled-variance normal z as a fixed IEEE
+    chain over exact counts, the A/B primitive completing the
+    two-sample tier (q277 shape, q278 location, q291 rate)."""
+    from hadron_spark.operators.robust import two_proportion_test
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        (F.round(F.col("value") * 100).cast("long") >= 5000).alias("f"),
+    )
+    new = ev.filter(F.col("event_id") % 2 == 0)
+    old = ev.filter(F.col("event_id") % 2 == 1)
+    return two_proportion_test(new, old, "f", ["event_type"])
+
+
+@_register(
+    "q292_lift_table",
+    """
+    WITH r AS (SELECT doc_id, n_chars,
+                      CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                      ntile(10) OVER (ORDER BY n_chars DESC, doc_id ASC)
+                        AS tile
+               FROM documents),
+    t AS (SELECT CAST(tile AS INTEGER) AS tile,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS pos
+          FROM r GROUP BY 1),
+    c AS (SELECT a.tile, a.n, a.pos,
+                 CAST(SUM(b.n) AS BIGINT) AS cum_n,
+                 CAST(SUM(b.pos) AS BIGINT) AS cum_pos
+          FROM t a JOIN t b ON b.tile <= a.tile GROUP BY 1, 2, 3),
+    tt AS (SELECT CAST(SUM(n) AS BIGINT) AS N_,
+                  CAST(SUM(pos) AS BIGINT) AS P_ FROM t)
+    SELECT tile, n, pos, cum_n, cum_pos,
+           CASE WHEN P_ > 0
+                THEN CAST(cum_pos AS DOUBLE) / CAST(P_ AS DOUBLE)
+                END AS capture,
+           CASE WHEN P_ > 0 AND cum_n > 0
+                THEN CAST(cum_pos * N_ AS DOUBLE)
+                     / CAST(cum_n * P_ AS DOUBLE)
+                END AS lift
+    FROM c, tt
+    """,
+)
+def q292(spark, sf_dir):
+    """Decile lift/gains table (llm.evaluation.lift_table) for
+    "length predicts English" over documents: global ntile rides
+    range_rank's banded two-pass ranking (no single-partition
+    window), cumulative counts off the bounded tile triangle, lift
+    in the exact cross-product form (cum_pos·N)/(cum_n·P) — the
+    oracle states the same table with a plain ntile window."""
+    from hadron_spark.llm.evaluation import lift_table
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    out = lift_table(docs, "n_chars", "y", "doc_id", n_buckets=10)
+    return out.select(
+        F.col("tile").cast("int").alias("tile"),
+        "n",
+        "pos",
+        "cum_n",
+        "cum_pos",
+        "capture",
+        "lift",
+    )
+
+
+@_register(
+    "q293_transition_matrix",
+    """
+    WITH p AS (SELECT user_id, event_type AS from_state,
+                      lead(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS to_state
+               FROM events),
+    c AS (SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+          FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT from_state, CAST(SUM(n) AS BIGINT) AS row_total
+          FROM c GROUP BY 1)
+    SELECT c.from_state, to_state, n, row_total,
+           CAST(n AS DOUBLE) / CAST(row_total AS DOUBLE) AS prob
+    FROM c JOIN t ON c.from_state = t.from_state
+    """,
+)
+def q293(spark, sf_dir):
+    """First-order Markov transition matrix (operators.ops
+    .transition_matrix) of user event flows, ordered by (ts,
+    event_id) — the deterministic total order the lead window
+    needs; exact step counts, row-conditional probabilities as ONE
+    IEEE division each."""
+    from hadron_spark.operators.ops import transition_matrix
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return transition_matrix(ev, "user_id", "event_type", ["ts", "event_id"])

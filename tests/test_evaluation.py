@@ -394,3 +394,26 @@ def test_fleiss_kappa_reference_and_dropping(spark):
     ] == 1.0
     with pytest.raises(ValueError):
         fleiss_kappa(df, "item", "cat", n_raters=1)
+
+
+def test_lift_table_reference(spark):
+    """Decile lift vs a python reference with deterministic
+    (score desc, id) tie-break; top tile lift > 1 for a predictive
+    score; all-cumulative tile has lift exactly 1; validation."""
+    import pytest
+
+    from hadron_spark.llm.evaluation import lift_table
+
+    rows = [(i, 1000 - i, 1 if i < 30 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, score long, y long")
+    got = {r["tile"]: r for r in lift_table(df, "score", "y", "id", 10).collect()}
+    assert len(got) == 10
+    # score is perfectly anti-correlated with id; positives ids 0..29
+    # occupy the top 3 tiles exactly
+    assert got[1]["pos"] == 10 and got[3]["pos"] == 10 and got[4]["pos"] == 0
+    assert got[1]["lift"] == pytest.approx((10 * 100) / (10 * 30), rel=1e-15)
+    assert got[3]["capture"] == pytest.approx(1.0, rel=1e-15)
+    assert got[10]["lift"] == pytest.approx(1.0, rel=1e-15)
+    assert got[10]["cum_n"] == 100 and got[10]["cum_pos"] == 30
+    with pytest.raises(ValueError):
+        lift_table(df, "score", "y", "id", 0)

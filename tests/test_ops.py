@@ -1139,3 +1139,45 @@ def test_cohort_retention_matrix(spark):
     assert {r["age"] for r in wk if str(r["cohort"]) == "2024-01-01"} >= {0}
     with pytest.raises(ValueError):
         cohort_retention(df, "u", "ts", "year")
+
+
+def test_two_proportion_and_transition_matrix(spark):
+    """two_proportion_test vs hand math incl. the zero-variance
+    guard; transition_matrix counts and probabilities on a
+    handcrafted sequence with a timestamp tie resolved by the
+    secondary order column."""
+    import math
+
+    import pytest
+
+    from hadron_spark.operators.ops import transition_matrix
+    from hadron_spark.operators.robust import two_proportion_test
+
+    new = spark.createDataFrame([(True,)] * 30 + [(False,)] * 70, "f boolean")
+    old = spark.createDataFrame([(True,)] * 20 + [(False,)] * 80, "f boolean")
+    r = two_proportion_test(new, old, "f").collect()[0]
+    p1, p2 = 0.3, 0.2
+    pool = 50 / 200
+    var = pool * (1 - pool) * (1 / 100 + 1 / 100)
+    assert (r["n_new"], r["k_new"], r["n_old"], r["k_old"]) == (100, 30, 100, 20)
+    assert r["diff"] == pytest.approx(p1 - p2, rel=1e-15)
+    assert r["z"] == pytest.approx((p1 - p2) / math.sqrt(var), rel=1e-12)
+    allpos = spark.createDataFrame([(True,)] * 5, "f boolean")
+    degen = two_proportion_test(allpos, allpos, "f").collect()[0]
+    assert degen["z"] is None
+
+    rows = [
+        ("u1", 1, 1, "a"), ("u1", 2, 2, "b"), ("u1", 2, 3, "a"),
+        ("u1", 3, 4, "b"),
+        ("u2", 1, 5, "a"), ("u2", 2, 6, "a"),
+    ]
+    df = spark.createDataFrame(rows, "u string, t long, i long, s string")
+    got = {
+        (r["from_state"], r["to_state"]): (r["n"], r["row_total"], r["prob"])
+        for r in transition_matrix(df, "u", "s", ["t", "i"]).collect()
+    }
+    # u1: a->b, b->a (tie at t=2 ordered by i), a->b ; u2: a->a
+    assert got[("a", "b")] == (2, 3, 2 / 3)
+    assert got[("a", "a")] == (1, 3, 1 / 3)
+    assert got[("b", "a")] == (1, 1, 1.0)
+    assert len(got) == 3

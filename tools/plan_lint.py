@@ -51,6 +51,8 @@ EXPLAIN_BNLJ = {
     "q286_crosstab_chi2": "deliberate r x c marginal cross join: both sides are the "
     "category marginals of the contingency table (bounded by the categorical contract), "
     "crossed to emit ZERO cells that still carry expected mass",
+    "q292_lift_table": "triangular cumulative join over the per-tile aggregate "
+    "(n_buckets=10 rows both sides by construction of ntile)",
     "q241_semantic_contamination": "broadcasts the benchmark embedding set (MB-scale "
     "by contract — eval suites are thousands of rows against a 100 TB corpus); the "
     "corpus side streams and the per-doc max partial-aggregates map-side",
