@@ -740,3 +740,112 @@ def lift_table(
             / (F.col("cum_n") * F.col("_P")).cast("double"),
         ).alias("lift"),
     )
+
+
+def confusion_at_threshold(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    materialize: str = "local_checkpoint",
+) -> DataFrame:
+    """Full confusion-matrix row at EVERY observed threshold
+    (predict positive when score >= t) with the derived quality
+    scalars `pr_curve` doesn't state: specificity, Youden's J
+    (tpr − fpr, the threshold-selection objective that ignores
+    class balance), and Matthews correlation (the single number
+    robust to imbalance — Chicco & Jurman 2020).
+
+    tp/fp/fn/tn are exact longs off the shared distinct-score
+    spine; tpr/fpr/specificity are single IEEE divisions;
+    J = (tp·neg − fp·pos)/(pos·neg) states tpr−fpr as ONE division
+    of an exact int64 cross-product (no float subtraction); MCC's
+    numerator tp·tn − fp·fn is exact int64 and its denominator a
+    four-sqrt chain over exact longs (each factor ≤ n, so the
+    int64 products live in the doubles exactly up to n ~ 9·10⁶ per
+    factor and deterministically beyond) — hash-exact.  Degenerate
+    one-class slices yield NULL rates (ANSI division discipline —
+    never ±inf).  Returns (threshold, tp, fp, fn, tn, tpr, fpr,
+    specificity, j, mcc)."""
+    spine = _score_spine(df, score_col, label_col, materialize)
+    tot = spine.agg(F.sum("n_pos").alias("_P"), F.sum("n_tot").alias("_N"))
+    s = spine.crossJoin(F.broadcast(tot))
+    tp = F.col("_P") - F.col("cum_pos")
+    pred = F.col("_N") - F.col("cum_tot")
+    fp = pred - tp
+    fn = F.col("_P") - tp
+    neg = F.col("_N") - F.col("_P")
+    tn = neg - fp
+    mcc_num = (tp * tn - fp * fn).cast("double")
+    mcc_den = (
+        F.sqrt((tp + fp).cast("double"))
+        * F.sqrt((tp + fn).cast("double"))
+        * F.sqrt((tn + fp).cast("double"))
+        * F.sqrt((tn + fn).cast("double"))
+    )
+    return s.select(
+        F.col("score").alias("threshold"),
+        tp.alias("tp"),
+        fp.alias("fp"),
+        fn.alias("fn"),
+        tn.alias("tn"),
+        F.when(
+            F.col("_P") > 0, tp.cast("double") / F.col("_P").cast("double")
+        ).alias("tpr"),
+        F.when(neg > 0, fp.cast("double") / neg.cast("double")).alias("fpr"),
+        F.when(neg > 0, tn.cast("double") / neg.cast("double")).alias(
+            "specificity"
+        ),
+        F.when(
+            (F.col("_P") > 0) & (neg > 0),
+            (tp * neg - fp * F.col("_P")).cast("double")
+            / (F.col("_P") * neg).cast("double"),
+        ).alias("j"),
+        F.when(mcc_den > 0, mcc_num / mcc_den).alias("mcc"),
+    )
+
+
+def youden_threshold(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    materialize: str = "local_checkpoint",
+) -> DataFrame:
+    """The Youden-optimal operating point: the threshold maximizing
+    J = tpr − fpr, decided ENTIRELY in exact integers — the
+    objective is ranked by the int64 cross-product
+    j_num = tp·neg − fp·pos (ties break to the SMALLEST threshold,
+    i.e. the most-recall operating point among equals, via
+    struct-ordered max) — so the selection is hash-exact, not a
+    float argmax.  One row: (threshold, tp, fp, fn, tn, j)."""
+    spine = _score_spine(df, score_col, label_col, materialize)
+    tot = spine.agg(F.sum("n_pos").alias("_P"), F.sum("n_tot").alias("_N"))
+    s = spine.crossJoin(F.broadcast(tot))
+    tp = F.col("_P") - F.col("cum_pos")
+    pred = F.col("_N") - F.col("cum_tot")
+    fp = pred - tp
+    neg = F.col("_N") - F.col("_P")
+    j_num = tp * neg - fp * F.col("_P")
+    best = s.select(
+        "_P",
+        "_N",
+        F.struct(
+            j_num.alias("jn"),
+            (-F.col("score")).cast("double").alias("negt"),
+            F.col("score").alias("t"),
+            tp.alias("tp"),
+            fp.alias("fp"),
+        ).alias("_b"),
+    ).agg(F.max("_b").alias("b"), F.first("_P").alias("P"), F.first("_N").alias("N"))
+    neg_t = F.col("N") - F.col("P")
+    return best.select(
+        F.col("b.t").alias("threshold"),
+        F.col("b.tp").alias("tp"),
+        F.col("b.fp").alias("fp"),
+        (F.col("P") - F.col("b.tp")).alias("fn"),
+        (neg_t - F.col("b.fp")).alias("tn"),
+        F.when(
+            (F.col("P") > 0) & (neg_t > 0),
+            (F.col("b.tp") * neg_t - F.col("b.fp") * F.col("P")).cast("double")
+            / (F.col("P") * neg_t).cast("double"),
+        ).alias("j"),
+    )

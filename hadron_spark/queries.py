@@ -12863,3 +12863,117 @@ def q293(spark, sf_dir):
         "user_id", "event_type", "ts", "event_id"
     )
     return transition_matrix(ev, "user_id", "event_type", ["ts", "event_id"])
+
+
+_CONF_SPINE_SQL = """
+    d AS (
+      SELECT len(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+               AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    s AS (SELECT score, SUM(y) AS n_pos, count(*) AS n_tot
+          FROM d GROUP BY score),
+    c AS (
+      SELECT score,
+             CAST(p_all - COALESCE(SUM(n_pos) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS tp,
+             CAST((n_all - COALESCE(SUM(n_tot) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+               - (p_all - COALESCE(SUM(n_pos) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+               AS BIGINT) AS fp,
+             CAST(p_all AS BIGINT) AS p_all, CAST(n_all AS BIGINT) AS n_all
+      FROM (SELECT score, n_pos, n_tot,
+                   SUM(n_pos) OVER () AS p_all, SUM(n_tot) OVER () AS n_all
+            FROM s) t
+    )
+"""
+
+
+@_register(
+    "q294_confusion_mcc",
+    "WITH "
+    + _CONF_SPINE_SQL
+    + """
+    SELECT score AS threshold, tp, fp,
+           p_all - tp AS fn,
+           (n_all - p_all) - fp AS tn,
+           CAST(tp AS DOUBLE) / CAST(p_all AS DOUBLE) AS tpr,
+           CAST(fp AS DOUBLE) / CAST(n_all - p_all AS DOUBLE) AS fpr,
+           CAST((n_all - p_all) - fp AS DOUBLE)
+             / CAST(n_all - p_all AS DOUBLE) AS specificity,
+           CASE WHEN p_all > 0 AND n_all - p_all > 0 THEN
+             CAST(tp * (n_all - p_all) - fp * p_all AS DOUBLE)
+               / CAST(p_all * (n_all - p_all) AS DOUBLE) END AS j,
+           CASE WHEN sqrt(CAST(tp + fp AS DOUBLE))
+                     * sqrt(CAST(tp + (p_all - tp) AS DOUBLE))
+                     * sqrt(CAST(((n_all - p_all) - fp) + fp AS DOUBLE))
+                     * sqrt(CAST(((n_all - p_all) - fp) + (p_all - tp)
+                            AS DOUBLE)) > 0 THEN
+             CAST(tp * ((n_all - p_all) - fp) - fp * (p_all - tp) AS DOUBLE)
+               / (sqrt(CAST(tp + fp AS DOUBLE))
+                  * sqrt(CAST(tp + (p_all - tp) AS DOUBLE))
+                  * sqrt(CAST(((n_all - p_all) - fp) + fp AS DOUBLE))
+                  * sqrt(CAST(((n_all - p_all) - fp) + (p_all - tp)
+                         AS DOUBLE))) END AS mcc
+    FROM c
+    """,
+)
+def q294(spark, sf_dir):
+    """Confusion matrix + MCC + Youden J at every observed
+    token-count threshold (llm.evaluation.confusion_at_threshold):
+    tp/fp/fn/tn exact longs off the shared score spine, J stated as
+    ONE division of the int64 cross-product tp·neg − fp·pos (no
+    float subtraction), MCC's numerator exact int64 over a
+    four-sqrt chain — the imbalance-robust scalars q255's PR table
+    doesn't carry, hash-exact."""
+    from hadron_spark.llm.evaluation import confusion_at_threshold
+
+    from hadron_spark.functions.text import tokenize
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.size(tokenize(F.lower(F.col("text")))).alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    return confusion_at_threshold(docs, "score", "y")
+
+
+@_register(
+    "q295_youden_threshold",
+    "WITH "
+    + _CONF_SPINE_SQL
+    + """,
+    ranked AS (
+      SELECT score, tp, fp, p_all, n_all,
+             tp * (n_all - p_all) - fp * p_all AS j_num
+      FROM c
+    ),
+    best AS (SELECT * FROM ranked
+             ORDER BY j_num DESC, score ASC LIMIT 1)
+    SELECT score AS threshold, tp, fp,
+           p_all - tp AS fn,
+           (n_all - p_all) - fp AS tn,
+           CASE WHEN p_all > 0 AND n_all - p_all > 0 THEN
+             CAST(j_num AS DOUBLE)
+               / CAST(p_all * (n_all - p_all) AS DOUBLE) END AS j
+    FROM best
+    """,
+)
+def q295(spark, sf_dir):
+    """Youden-optimal operating point (llm.evaluation
+    .youden_threshold): the cutoff maximizing tpr − fpr, SELECTED in
+    exact integers (struct-ordered max over the int64 cross-product,
+    ties to the smallest threshold) — a hash-exact argmax, the
+    operating point a deployed quality gate actually runs at."""
+    from hadron_spark.llm.evaluation import youden_threshold
+
+    from hadron_spark.functions.text import tokenize
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.size(tokenize(F.lower(F.col("text")))).alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    return youden_threshold(docs, "score", "y")

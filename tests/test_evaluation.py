@@ -417,3 +417,66 @@ def test_lift_table_reference(spark):
     assert got[10]["cum_n"] == 100 and got[10]["cum_pos"] == 30
     with pytest.raises(ValueError):
         lift_table(df, "score", "y", "id", 0)
+
+
+def test_confusion_and_youden_reference(spark):
+    """Confusion rows vs a python sweep (tp/fp/fn/tn, tpr/fpr, J,
+    MCC) on a tied-score fixture; youden_threshold picks the
+    max-J threshold with smallest-threshold tie-break."""
+    import math
+
+    import pytest
+
+    from hadron_spark.llm.evaluation import (
+        confusion_at_threshold,
+        youden_threshold,
+    )
+
+    scores = [1, 1, 2, 2, 2, 3, 4, 4, 5, 5, 5, 5]
+    labels = [0, 0, 0, 1, 0, 1, 1, 0, 1, 1, 1, 0]
+    df = spark.createDataFrame(
+        list(zip(scores, labels)), "s long, y long"
+    )
+    got = {
+        r["threshold"]: r
+        for r in confusion_at_threshold(df, "s", "y").collect()
+    }
+    P = sum(labels)
+    Ng = len(labels) - P
+    best = None
+    for t in sorted(set(scores)):
+        tp = sum(1 for s, y in zip(scores, labels) if s >= t and y == 1)
+        fp = sum(1 for s, y in zip(scores, labels) if s >= t and y == 0)
+        fn, tn = P - tp, Ng - fp
+        r = got[t]
+        assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (tp, fp, fn, tn)
+        assert r["tpr"] == tp / P and r["fpr"] == fp / Ng
+        assert r["j"] == pytest.approx(tp / P - fp / Ng, rel=1e-14)
+        den = math.sqrt((tp + fp)) * math.sqrt((tp + fn)) * math.sqrt(
+            (tn + fp)
+        ) * math.sqrt((tn + fn))
+        if den > 0:
+            assert r["mcc"] == pytest.approx(
+                (tp * tn - fp * fn) / den, rel=1e-12
+            )
+        jn = tp * Ng - fp * P
+        if best is None or jn > best[0] or (jn == best[0] and t < best[1]):
+            best = (jn, t) if best is None or jn > best[0] else best
+    # recompute the exact best with the smallest-threshold tie rule
+    cand = []
+    for t in sorted(set(scores)):
+        tp = sum(1 for s, y in zip(scores, labels) if s >= t and y == 1)
+        fp = sum(1 for s, y in zip(scores, labels) if s >= t and y == 0)
+        cand.append((tp * Ng - fp * P, -t, t, tp, fp))
+    jn, _, t, tp, fp = max(cand)
+    yrow = youden_threshold(df, "s", "y").collect()[0]
+    assert yrow["threshold"] == t and (yrow["tp"], yrow["fp"]) == (tp, fp)
+    assert yrow["j"] == pytest.approx(jn / (P * Ng), rel=1e-14)
+
+    one_class = spark.createDataFrame([(1, 1), (2, 1)], "s long, y long")
+    rows = confusion_at_threshold(one_class, "s", "y").collect()
+    assert all(
+        r["mcc"] is None and r["j"] is None and r["fpr"] is None
+        and r["specificity"] is None
+        for r in rows
+    )
