@@ -722,6 +722,29 @@ def semantic_dedup(
             assigned.select(F.col(id_col).alias("_id"), "cluster"), "_id"
         )
     )
+    return _dedup_within(
+        base, id_col, threshold, max_cluster_size, resolve,
+        max_resolve_iters, label=f"semantic_dedup: k={k}",
+    )
+
+
+def _dedup_within(
+    base: DataFrame,
+    id_col: str,
+    threshold: float,
+    max_cluster_size: int,
+    resolve: str,
+    max_resolve_iters: int,
+    label: str,
+) -> DataFrame:
+    """Shared within-cluster dedup stage of `semantic_dedup` and
+    `semantic_dedup_two_level`: `base` carries (_id, _v
+    unit-normalized, cluster); oversized clusters drop whole, the
+    pair join emits >=threshold cosine edges, and the keeper
+    discipline (greedy fixpoint / any_lower) resolves dup_of."""
+    from hadron_spark.functions.vectors import dot
+    from hadron_spark.operators.ops import pin
+
     guarded = _drop_oversized_buckets(base, ["cluster"], max_cluster_size)
     # one count job reports the guard's coverage; a high dropped
     # fraction means k is too small for the corpus (or the corpus is
@@ -733,7 +756,7 @@ def semantic_dedup(
     n_kept = guarded.count()
     dropped_frac = 0.0 if n_all == 0 else 1.0 - n_kept / n_all
     msg = (
-        f"semantic_dedup: k={k}, {n_all} rows, "
+        f"{label}, {n_all} rows, "
         f"{dropped_frac:.1%} in oversized clusters (examined {n_kept})"
     )
     (_LOG.warning if dropped_frac > 0.10 else _LOG.info)(msg)
@@ -822,6 +845,120 @@ def semantic_dedup(
         "cluster",
         "dup_of",
         F.col("dup_of").isNull().alias("keep"),
+    )
+
+
+def semantic_dedup_two_level(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_k: int | None = None,
+    max_cell_rows: int = 500_000,
+    coarse_iters: int = 4,
+    fine_iters: int = 8,
+    threshold: float = 0.9,
+    target_cluster_rows: int = 2_000,
+    max_cluster_size: int = 10_000,
+    resolve: str = "greedy",
+    max_resolve_iters: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Two-level SemDeDup — the web-scale recipe `semantic_dedup`'s
+    docstring prescribes for corpora past ~16k·target rows, now as
+    code: a COARSE distributed k-means splits the corpus into cells
+    small enough to fine-cluster locally, then every coarse cell is
+    fine-clustered by a seeded in-memory Lloyd's inside ONE
+    applyInPandas group (Arrow batch = the cell), and the standard
+    within-cluster cosine dedup runs on the (coarse, fine) composite
+    cluster.
+
+    Scale contract: coarse_k = ceil(n / max_cell_rows) (clamped to
+    [1, 65536]) bounds every pandas group at ~max_cell_rows vectors
+    (the executor-memory knob — 500k × 768d float64 ≈ 3 GB; lower it
+    for fatter vectors), and per-cell fine k = ceil(|cell| /
+    target_cluster_rows) keeps Σ|cluster|² bounded exactly as the
+    single-level derivation does.  The fine step is deterministic:
+    cell rows sort by id before the seeded RandomState init, and
+    argmin ties break to the first centroid — so the output is a
+    pure function of the input set under any partitioning.  Fine
+    assignment distances use the BLAS form ‖x‖²−2xCᵀ+‖c‖² (never
+    the n×k×d broadcast intermediate).
+
+    Output matches `semantic_dedup`: (id_col, cluster, dup_of,
+    keep), with `cluster` the composite coarse·2³²+fine."""
+    import math
+
+    from hadron_spark.functions.vectors import l2_normalize
+    from hadron_spark.llm.similarity import kmeans
+    from hadron_spark.operators.ops import pin
+
+    if resolve not in ("greedy", "any_lower"):
+        raise ValueError(f"resolve must be 'greedy' or 'any_lower': {resolve}")
+    if max_cell_rows < 1:
+        raise ValueError(f"max_cell_rows must be >= 1: {max_cell_rows}")
+    if coarse_k is None:
+        n = df.count()
+        coarse_k = max(1, min(65536, -(-n // max_cell_rows)))
+    assigned = kmeans(
+        df, k=coarse_k, iters=coarse_iters, id_col=id_col, vec_col=vec_col,
+        init="sample_farthest",
+    )
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            l2_normalize(F.col(vec_col)).alias("_v"),
+        )
+        .join(
+            assigned.select(
+                F.col(id_col).alias("_id"), F.col("cluster").alias("_coarse")
+            ),
+            "_id",
+        )
+    )
+    base = pin(base)
+    id_type = dict(zip(base.schema.names, base.schema))["_id"].dataType
+    tgt = max(1, target_cluster_rows)
+
+    def fine(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("_id").reset_index(drop=True)
+        X = np.array(pdf["_v"].tolist(), dtype=np.float64)
+        k_f = max(1, -(-len(pdf) // tgt))
+        if k_f == 1 or len(pdf) <= k_f:
+            a = np.zeros(len(pdf), dtype=np.int64)
+        else:
+            rng = np.random.RandomState(seed)
+            C = X[rng.choice(len(X), size=k_f, replace=False)].copy()
+            cn = (C * C).sum(1)
+            for _ in range(fine_iters):
+                d = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + cn[None, :]
+                a = d.argmin(1)
+                for j in range(k_f):
+                    pts = X[a == j]
+                    if len(pts):
+                        C[j] = pts.mean(0)
+                cn = (C * C).sum(1)
+            d = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + cn[None, :]
+            a = d.argmin(1)
+        return pd.DataFrame(
+            {"_id": pdf["_id"], "_coarse": pdf["_coarse"], "_fine": a}
+        )
+
+    fine_schema = (
+        f"_id {id_type.simpleString()}, _coarse long, _fine long"
+    )
+    fined = base.groupBy("_coarse").applyInPandas(fine, fine_schema)
+    base2 = base.join(fined, ["_id", "_coarse"]).select(
+        "_id",
+        "_v",
+        (F.col("_coarse").cast("long") * F.lit(2**32) + F.col("_fine")).alias("cluster"),
+    )
+    return _dedup_within(
+        base2, id_col, threshold, max_cluster_size, resolve,
+        max_resolve_iters,
+        label=f"semantic_dedup_two_level: coarse_k={coarse_k}",
     )
 
 

@@ -12977,3 +12977,23 @@ def q295(spark, sf_dir):
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
     )
     return youden_threshold(docs, "score", "y")
+
+
+@_register("q296_semantic_dedup_two_level", None)
+def q296(spark, sf_dir):
+    """Web-scale SemDeDup (llm.dedup.semantic_dedup_two_level): the
+    two-level recipe q44's single-level docstring prescribes past
+    ~16k·target rows, as real code — coarse distributed k-means
+    bounds every cell at max_cell_rows, a seeded in-memory Lloyd's
+    fine-clusters each cell inside one applyInPandas group (BLAS
+    distance form, deterministic under any partitioning), and the
+    shared within-cluster cosine stage resolves keepers on the
+    composite (coarse, fine) cluster.  Rows-only BY DESIGN
+    (iterative trained state); determinism + planted-duplicate
+    exactness pinned in test_llm_ops."""
+    from hadron_spark.llm.dedup import semantic_dedup_two_level
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return semantic_dedup_two_level(
+        emb, max_cell_rows=500, target_cluster_rows=100, threshold=0.98
+    )

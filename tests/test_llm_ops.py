@@ -2350,3 +2350,46 @@ def test_crosstab_chi2_cells_reference(spark):
     assert sum(v["chi2_cell"] for v in got.values()) == pytest.approx(
         chi2, rel=1e-12
     )
+
+
+def test_semantic_dedup_two_level_planted_dups(spark):
+    """Planted near-identical vector groups are deduped to one
+    keeper each (smallest id) regardless of which coarse/fine cell
+    they land in (identical vectors always co-assign); distinct
+    vectors survive; repartition-deterministic; validation."""
+    import math
+
+    import pytest
+
+    from hadron_spark.llm.dedup import semantic_dedup_two_level
+
+    rows = []
+    # 20 well-separated base directions in 8-d, 3 exact copies each
+    for g in range(20):
+        v = [0.0] * 8
+        v[g % 8] = 1.0
+        v[(g // 8) % 8] += 0.5 * (g + 1)
+        for c in range(3):
+            rows.append((g * 10 + c, v))
+    # 40 unique one-hot-ish singletons far from everything
+    for i in range(40):
+        v = [float((i * 7 + j * 3) % 11) for j in range(8)]
+        rows.append((1000 + i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup_two_level(
+        df, max_cell_rows=30, target_cluster_rows=10, threshold=0.999999
+    )
+    got = {r["vec_id"]: r for r in out.collect()}
+    assert len(got) == len(rows)
+    for g in range(20):
+        ids = [g * 10 + c for c in range(3)]
+        keeps = [got[i]["keep"] for i in ids]
+        assert keeps == [True, False, False], f"group {g}: {keeps}"
+        assert got[ids[1]]["dup_of"] == ids[0]
+        assert got[ids[2]]["dup_of"] == ids[0]
+        # copies co-assign: identical vectors share the composite cell
+        assert len({got[i]["cluster"] for i in ids}) == 1
+    with pytest.raises(ValueError):
+        semantic_dedup_two_level(df, resolve="bogus")
+    with pytest.raises(ValueError):
+        semantic_dedup_two_level(df, max_cell_rows=0)
