@@ -90,6 +90,8 @@ HEADLINE = [
     # self-join) and lossless prefix-filtered set-similarity join
     "q245_triangle_count",
     "q246_set_similarity_exact",
+    "q290_wordpiece_encode",
+    "q288_interval_join",
 ]
 
 
