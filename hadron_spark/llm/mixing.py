@@ -406,3 +406,93 @@ def stratified_allocate(
         .filter(F.col("_prk") <= F.col("quota"))
         .drop("_prk")
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Cross-group quantile normalization — map every group's score
+    distribution onto the POOLED distribution by rank, so
+    heterogeneous quality scores (different crawls, different
+    scorer versions) become comparable before one global cut: a
+    value at the p-th percentile of its group maps to the pooled
+    p-th percentile value.  The microarray-normalization classic
+    (Bolstad 2003) restated for corpus curation.
+
+    Integer-exact end to end: per (group, value) the doubled
+    tie-average rank r2 = 2·cum_before + t + 1 (the Mann-Whitney
+    unit), the pooled target rank is
+        target = ceil(r2·N / (2·n_g))
+    — pure int64 cross-multiplication (guarded: r2·N < 2^63 needs
+    n_g·N < ~2.3·10^18, i.e. quantize first at pathological scale) —
+    and `normalized` is the smallest pooled value whose cumulative
+    count reaches target (the histogram_quantiles rank-target rule,
+    percentile_disc semantics: an ACTUAL pooled value, exact).
+
+    Plan: one partial-agg'd shuffle per spine (group-value and
+    pooled-value — both bounded by the quantized-value contract),
+    one range join of the group spine against the pooled spine
+    resolved by min() (pooled spine is distinct-value-bounded;
+    broadcast when small).  Returns the MAPPING frame (group_col,
+    value_col, n, r2, target_rank, normalized) — join it back onto
+    rows by (group, value); emitting the mapping keeps the corpus
+    pass at exactly one join."""
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    v = F.col(value_col).cast("long")
+    base = df.select(g.alias("_g"), v.alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    cnt = base.groupBy("_g", "_v").agg(F.count(F.lit(1)).alias("_t"))
+    wg = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gs = cnt.select(
+        "_g",
+        "_v",
+        "_t",
+        (2 * (F.sum("_t").over(wg) - F.col("_t")) + F.col("_t") + 1).alias(
+            "_r2"
+        ),
+    )
+    ng = cnt.groupBy("_g").agg(F.sum("_t").alias("_ng"))
+    pooled = base.groupBy("_v").agg(F.count(F.lit(1)).alias("_pt"))
+    # pooled cumulative rides range_cumsum (banded two-pass prefix —
+    # never a single-partition window, even on the bounded spine)
+    from hadron_spark.operators.ops import range_cumsum
+
+    pool = range_cumsum(
+        pooled,
+        key=F.col("_v"),
+        val=F.col("_pt"),
+        order=[F.col("_v").asc()],
+        out_col="_pc0",
+        inclusive=False,
+    ).select(
+        F.col("_v").alias("_pv"),
+        (F.col("_pc0") + F.col("_pt")).alias("_pc"),
+    )
+    tot = pooled.agg(F.sum("_pt").alias("_N"))
+    spec = (
+        gs.join(F.broadcast(ng), "_g")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target", F.expr("(_r2 * _N + 2 * _ng - 1) div (2 * _ng)")
+        )
+    )
+    return (
+        spec.join(F.broadcast(pool), F.col("_pc") >= F.col("target"))
+        .groupBy(
+            F.col("_g").alias(group_col),
+            F.col("_v").alias(value_col),
+            F.col("_t").alias("n"),
+            F.col("_r2").alias("r2"),
+            F.col("target").alias("target_rank"),
+        )
+        .agg(F.min("_pv").alias("normalized"))
+    )

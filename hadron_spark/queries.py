@@ -12997,3 +12997,51 @@ def q296(spark, sf_dir):
     return semantic_dedup_two_level(
         emb, max_cell_rows=500, target_cluster_rows=100, threshold=0.98
     )
+
+
+@_register(
+    "q297_quantile_normalize",
+    """
+    WITH b AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+               FROM documents),
+    cnt AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS t FROM b GROUP BY 1, 2),
+    gs AS (SELECT g, v, t,
+                  2 * (SUM(t) OVER (PARTITION BY g ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - t) + t + 1 AS r2
+           FROM cnt),
+    ng AS (SELECT g, CAST(SUM(t) AS BIGINT) AS ng FROM cnt GROUP BY 1),
+    pool AS (SELECT v AS pv,
+                    CAST(SUM(pt) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS pc
+             FROM (SELECT v, CAST(COUNT(*) AS BIGINT) AS pt
+                   FROM b GROUP BY 1) q),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM b),
+    spec AS (SELECT gs.g, gs.v, gs.t, CAST(gs.r2 AS BIGINT) AS r2,
+                    CAST((gs.r2 * N + 2 * ng - 1) // (2 * ng) AS BIGINT)
+                      AS target
+             FROM gs JOIN ng USING (g), tot)
+    SELECT g AS source, v AS n_chars, t AS n, r2,
+           target AS target_rank,
+           CAST(MIN(pv) AS BIGINT) AS normalized
+    FROM spec JOIN pool ON pc >= target
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def q297(spark, sf_dir):
+    """Cross-source quantile normalization (llm.mixing
+    .quantile_normalize) of document lengths: each source's n_chars
+    distribution maps onto the pooled distribution by doubled
+    tie-average rank — target = ceil(r2·N/(2·n_g)) in pure int64
+    cross-multiplication, normalized = the pooled rank-target value
+    (percentile_disc semantics, an actual pooled element) — the
+    score-harmonization step before one global quality cut across
+    heterogeneous crawls.  Hash-exact; the pooled prefix rides
+    range_cumsum, never a single-partition window."""
+    from hadron_spark.llm.mixing import quantile_normalize
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    return quantile_normalize(docs, "n_chars", "source")

@@ -2393,3 +2393,48 @@ def test_semantic_dedup_two_level_planted_dups(spark):
         semantic_dedup_two_level(df, resolve="bogus")
     with pytest.raises(ValueError):
         semantic_dedup_two_level(df, max_cell_rows=0)
+
+
+def test_quantile_normalize_reference(spark):
+    """Mapping vs a python rank-target reference on a two-group
+    fixture with ties; identical-distribution groups map onto
+    themselves; repartition determinism."""
+    from collections import Counter
+
+    from hadron_spark.llm.mixing import quantile_normalize
+
+    a = [1, 2, 2, 3, 10]
+    b = [100, 200, 300, 300, 400, 500]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        (r["g"], r["v"]): (r["r2"], r["target_rank"], r["normalized"])
+        for r in quantile_normalize(df, "v", "g").collect()
+    }
+    pool = sorted(a + b)
+    N = len(pool)
+    for g, vals in (("a", a), ("b", b)):
+        cnt = Counter(vals)
+        c = 0
+        for v in sorted(cnt):
+            t = cnt[v]
+            r2 = 2 * c + t + 1
+            c += t
+            target = -(-r2 * N // (2 * len(vals)))
+            want = pool[target - 1]
+            assert got[(g, v)] == (r2, target, want), (g, v)
+    # a group whose distribution IS the pool maps onto itself
+    same = spark.createDataFrame(
+        [("x", v) for v in a] + [("y", v) for v in a], "g string, v long"
+    )
+    for r in quantile_normalize(same, "v", "g").collect():
+        assert r["normalized"] == r["v"]
+    g1 = {
+        tuple(r)
+        for r in quantile_normalize(df, "v", "g").collect()
+    }
+    g2 = {
+        tuple(r)
+        for r in quantile_normalize(df.repartition(7), "v", "g").collect()
+    }
+    assert g1 == g2
