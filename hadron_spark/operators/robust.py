@@ -569,3 +569,94 @@ def two_proportion_test(
         (p1 - p2).alias("diff"),
         F.when(var > 0, (p1 - p2) / F.sqrt(var)).alias("z"),
     )
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Theil–Sen robust slope per group — the weighted median of all
+    pairwise slopes (Theil 1950, Sen 1968; 29.3% breakdown point vs
+    least-squares' zero): the trend estimate that shrugs off the
+    outlier days a z-score fit would chase.
+
+    Same bounded-cell contract as `kendall_tau_b`: BOTH axes
+    quantized, the corpus reduces to (x, y) cells in one shuffle,
+    and the pair algebra runs on the cell self-join (x < x' only —
+    vertical pairs are slope-undefined and excluded, the classic
+    convention).  Each cell pair is ONE slope dy/dx carrying weight
+    c·c', so the weighted median over pairs equals the plain median
+    over the underlying row pairs.  The median is the LOWER weighted
+    median: the smallest slope (ordered by the IEEE quotient dy/dx,
+    ties by (dy, dx) — both engines order identically since IEEE
+    division is correctly rounded) whose cumulative weight w
+    satisfies 2·cum ≥ W.  Selection is a struct-ordered min after
+    the threshold filter — deterministic, hash-exact; the slope is
+    reported BOTH as the exact rational (slope_dy, slope_dx) and
+    the double quotient.
+
+    Plan: cells shuffle, per-group cell self-join, one per-group
+    cumulative window over the bounded slope frame (≤ |cells|²/2
+    rows per group — the quantization contract's knob), a
+    partial-agg'd threshold pick.  Returns (group_cols..., n_pairs,
+    slope_dy, slope_dx, slope); groups with no x-distinct pair
+    (constant x) are absent."""
+    from pyspark.sql import Window
+
+    from hadron_spark.operators.ops import pin
+
+    gc = list(group_cols or [])
+    cells = (
+        df.select(
+            *gc,
+            F.col(x_col).cast("long").alias("_x"),
+            F.col(y_col).cast("long").alias("_y"),
+        )
+        .groupBy(*gc, "_x", "_y")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    cells = pin(cells)
+    a, b = cells.alias("a"), cells.alias("b")
+    cond = F.col("a._x") < F.col("b._x")
+    for g in gc:
+        cond = cond & (F.col(f"a.{g}") == F.col(f"b.{g}"))
+    slopes = a.join(b, cond).select(
+        *[F.col(f"a.{g}").alias(g) for g in gc],
+        (F.col("b._y") - F.col("a._y")).alias("_dy"),
+        (F.col("b._x") - F.col("a._x")).alias("_dx"),
+        (F.col("a._c") * F.col("b._c")).alias("_w"),
+    ).withColumn(
+        "_s", F.col("_dy").cast("double") / F.col("_dx").cast("double")
+    )
+    w_ord = (
+        Window.partitionBy(*(gc or [F.lit(1)]))
+        .orderBy("_s", "_dy", "_dx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = slopes.withColumn("_cum", F.sum("_w").over(w_ord))
+    tot = slopes.groupBy(*gc).agg(F.sum("_w").alias("_wtot"))
+    j = cum.join(F.broadcast(tot), gc) if gc else cum.crossJoin(
+        F.broadcast(tot)
+    )
+    picked = (
+        j.filter(2 * F.col("_cum") >= F.col("_wtot"))
+        .groupBy(*gc, "_wtot")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("_s").alias("s"),
+                    F.col("_dy").alias("dy"),
+                    F.col("_dx").alias("dx"),
+                )
+            ).alias("_m")
+        )
+    )
+    return picked.select(
+        *gc,
+        F.col("_wtot").alias("n_pairs"),
+        F.col("_m.dy").alias("slope_dy"),
+        F.col("_m.dx").alias("slope_dx"),
+        F.col("_m.s").alias("slope"),
+    )

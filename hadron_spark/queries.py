@@ -13045,3 +13045,52 @@ def q297(spark, sf_dir):
         "source", F.col("n_chars").cast("long").alias("n_chars")
     )
     return quantile_normalize(docs, "n_chars", "source")
+
+
+@_register(
+    "q298_theil_sen",
+    """
+    WITH b AS (SELECT l_returnflag AS g,
+                      CAST(round(l_quantity) AS BIGINT) AS x,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) // 200000
+                        AS y
+               FROM lineitem),
+    cells AS (SELECT g, x, y, CAST(COUNT(*) AS BIGINT) AS c
+              FROM b GROUP BY 1, 2, 3),
+    s AS (SELECT a.g, (bb.y - a.y) AS dy, (bb.x - a.x) AS dx,
+                 a.c * bb.c AS w,
+                 CAST(bb.y - a.y AS DOUBLE) / CAST(bb.x - a.x AS DOUBLE)
+                   AS sd
+          FROM cells a JOIN cells bb ON a.g = bb.g AND a.x < bb.x),
+    c AS (SELECT g, dy, dx, w, sd,
+                 SUM(w) OVER (PARTITION BY g ORDER BY sd, dy, dx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 SUM(w) OVER (PARTITION BY g) AS wtot FROM s),
+    p AS (SELECT g, CAST(wtot AS BIGINT) AS n_pairs,
+                 CAST(dy AS BIGINT) AS slope_dy,
+                 CAST(dx AS BIGINT) AS slope_dx, sd AS slope,
+                 ROW_NUMBER() OVER (PARTITION BY g ORDER BY sd, dy, dx)
+                   AS rn
+          FROM c WHERE 2 * cum >= wtot)
+    SELECT g AS l_returnflag, n_pairs, slope_dy, slope_dx, slope
+    FROM p WHERE rn = 1
+    """,
+)
+def q298(spark, sf_dir):
+    """Theil-Sen robust slope (operators.robust.theil_sen_slope) of
+    price band vs quantity per returnflag: the weighted median of
+    all cell-pair slopes — bounded-cell contract (q282's), lower
+    weighted median selected by struct-ordered min after the
+    2·cum >= W threshold, slope reported as the exact rational
+    (slope_dy, slope_dx) plus the IEEE quotient — hash-exact, the
+    robust-regression companion to q280/q282's rank associations."""
+    from hadron_spark.operators.robust import theil_sen_slope
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round("l_quantity").cast("long").alias("x"),
+        F.expr(
+            "cast(round(l_extendedprice * 100) as bigint) div 200000"
+        ).alias("y"),
+    )
+    return theil_sen_slope(li, "x", "y", ["l_returnflag"])

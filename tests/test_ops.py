@@ -1181,3 +1181,47 @@ def test_two_proportion_and_transition_matrix(spark):
     assert got[("a", "a")] == (1, 3, 1 / 3)
     assert got[("b", "a")] == (1, 1, 1.0)
     assert len(got) == 3
+
+
+def test_theil_sen_python_parity(spark):
+    """Lower weighted median of pairwise slopes vs a python
+    reference on tied/weighted cells; a clean line recovers the
+    exact slope; outlier resistance (one wild point doesn't move
+    the median slope); constant-x group absent."""
+    import pytest
+
+    from hadron_spark.operators.robust import theil_sen_slope
+
+    xs = [1, 1, 2, 3, 3, 4, 9]
+    ys = [2, 3, 4, 6, 6, 8, 5]  # ~2x line with a wild point at x=9
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in zip(xs, ys)], "g string, x long, y long"
+    )
+    row = theil_sen_slope(df, "x", "y", ["g"]).collect()[0]
+    pairs = []
+    for i in range(len(xs)):
+        for j in range(len(xs)):
+            if xs[i] < xs[j]:
+                pairs.append((ys[j] - ys[i], xs[j] - xs[i]))
+    pairs.sort(key=lambda p: (p[0] / p[1], p[0], p[1]))
+    W = len(pairs)
+    cum = 0
+    for dy, dx in pairs:
+        cum += 1
+        if 2 * cum >= W:
+            want = (dy, dx)
+            break
+    assert row["n_pairs"] == W
+    assert (row["slope_dy"], row["slope_dx"]) == want
+    assert row["slope"] == want[0] / want[1]
+
+    line = spark.createDataFrame(
+        [("g", x, 3 * x - 7) for x in range(10)], "g string, x long, y long"
+    )
+    lr = theil_sen_slope(line, "x", "y", ["g"]).collect()[0]
+    assert lr["slope"] == 3.0
+
+    const = spark.createDataFrame(
+        [("g", 5, y) for y in range(4)], "g string, x long, y long"
+    )
+    assert theil_sen_slope(const, "x", "y", ["g"]).collect() == []
