@@ -660,3 +660,65 @@ def theil_sen_slope(
         F.col("_m.dx").alias("slope_dx"),
         F.col("_m.s").alias("slope"),
     )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    dose_col: str,
+    flag_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Cochran–Armitage trend test per group — "does the pass rate
+    rise MONOTONICALLY with the dose bin" (Cochran 1954, Armitage
+    1955): the ordered-category sharpening of the r×2 chi-square,
+    the right test when the x-axis is an ordinal bin (quality
+    decile, size band, epoch) rather than a free category.
+
+    Doses must be integer scores (the quantization discipline).
+    All sufficient statistics are exact int64 sums over the
+    ≤|doses| per-group bins: N, R (total positives), Σx·n, Σx·r,
+    Σx²·n; the z statistic
+        z = (Σxr − (R/N)·Σxn) / √(p(1−p)·(Σx²n − (Σxn)²/N)),
+    p = R/N, is a FIXED chain of correctly-rounded IEEE ops (one
+    sqrt) over their double images — hash-exact.  Degenerate groups
+    (one class, or a single dose level — zero dose variance) yield
+    z NULL.
+
+    Plan: one partial-agg'd shuffle to (group, dose) bins, one to
+    the group frame.  Returns (group_cols..., n, pos, n_doses,
+    sxn, sxr, sxxn, z)."""
+    gc = list(group_cols or [])
+    bins = (
+        df.select(
+            *gc,
+            F.col(dose_col).cast("long").alias("_x"),
+            F.col(flag_col).cast("long").alias("_y"),
+        )
+        .groupBy(*gc, "_x")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_r"))
+    )
+    agg = bins.groupBy(*gc).agg(
+        F.sum("_n").alias("n"),
+        F.sum("_r").alias("pos"),
+        F.count(F.lit(1)).alias("n_doses"),
+        F.sum(F.col("_x") * F.col("_n")).alias("sxn"),
+        F.sum(F.col("_x") * F.col("_r")).alias("sxr"),
+        F.sum(F.col("_x") * F.col("_x") * F.col("_n")).alias("sxxn"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("pos").cast("double") / nd
+    sxnd = F.col("sxn").cast("double")
+    num = F.col("sxr").cast("double") - p * sxnd
+    var = p * (F.lit(1.0) - p) * (
+        F.col("sxxn").cast("double") - sxnd * sxnd / nd
+    )
+    return agg.select(
+        *gc,
+        "n",
+        "pos",
+        "n_doses",
+        "sxn",
+        "sxr",
+        "sxxn",
+        F.when(var > 0, num / F.sqrt(var)).alias("z"),
+    )

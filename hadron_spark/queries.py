@@ -13094,3 +13094,57 @@ def q298(spark, sf_dir):
         ).alias("y"),
     )
     return theil_sen_slope(li, "x", "y", ["l_returnflag"])
+
+
+@_register(
+    "q299_cochran_armitage",
+    """
+    WITH b AS (SELECT l_linestatus AS g,
+                      CAST(round(l_quantity) AS BIGINT) // 10 AS x,
+                      CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+               FROM lineitem),
+    bins AS (SELECT g, x, CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(y) AS BIGINT) AS r
+             FROM b GROUP BY 1, 2),
+    a AS (SELECT g, CAST(SUM(n) AS BIGINT) AS n,
+                 CAST(SUM(r) AS BIGINT) AS pos,
+                 CAST(COUNT(*) AS BIGINT) AS n_doses,
+                 CAST(SUM(x * n) AS BIGINT) AS sxn,
+                 CAST(SUM(x * r) AS BIGINT) AS sxr,
+                 CAST(SUM(x * x * n) AS BIGINT) AS sxxn
+          FROM bins GROUP BY 1)
+    SELECT g AS l_linestatus, n, pos, n_doses, sxn, sxr, sxxn,
+           CASE WHEN CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+                     * (1.0 - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(sxxn AS DOUBLE)
+                        - CAST(sxn AS DOUBLE) * CAST(sxn AS DOUBLE)
+                          / CAST(n AS DOUBLE)) > 0
+                THEN (CAST(sxr AS DOUBLE)
+                      - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+                        * CAST(sxn AS DOUBLE))
+                     / sqrt(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+                            * (1.0 - CAST(pos AS DOUBLE)
+                                     / CAST(n AS DOUBLE))
+                            * (CAST(sxxn AS DOUBLE)
+                               - CAST(sxn AS DOUBLE) * CAST(sxn AS DOUBLE)
+                                 / CAST(n AS DOUBLE)))
+                END AS z
+    FROM a
+    """,
+)
+def q299(spark, sf_dir):
+    """Cochran-Armitage trend test (operators.robust
+    .cochran_armitage): does the return rate trend with the
+    quantity decade bin, per linestatus — the ordered-dose
+    sharpening of the r×2 chi-square; five exact int64 sufficient
+    statistics into a one-sqrt IEEE chain, hash-exact including z.
+    Completes the stats tier's trio of trend statements (Spearman/
+    Kendall for two ordinals, CA for ordinal × binary)."""
+    from hadron_spark.operators.robust import cochran_armitage
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_linestatus",
+        F.expr("cast(round(l_quantity) as bigint) div 10").alias("x"),
+        (F.col("l_returnflag") == "R").alias("f"),
+    )
+    return cochran_armitage(li, "x", "f", ["l_linestatus"])

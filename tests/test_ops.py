@@ -1225,3 +1225,42 @@ def test_theil_sen_python_parity(spark):
         [("g", 5, y) for y in range(4)], "g string, x long, y long"
     )
     assert theil_sen_slope(const, "x", "y", ["g"]).collect() == []
+
+
+def test_cochran_armitage_reference(spark):
+    """z vs a python reference on a dose-response table with a real
+    trend; zero-trend symmetric table gives z ~ 0; one-dose and
+    one-class degenerates give NULL."""
+    import math
+
+    import pytest
+
+    from hadron_spark.operators.robust import cochran_armitage
+
+    # dose 0..3, positives rising with dose
+    table = {0: (50, 5), 1: (40, 8), 2: (30, 12), 3: (20, 15)}
+    rows = []
+    for x, (n, r) in table.items():
+        rows += [(x, 1)] * r + [(x, 0)] * (n - r)
+    df = spark.createDataFrame(rows, "x long, f long")
+    got = cochran_armitage(df, "x", "f").collect()[0]
+    N = sum(n for n, _ in table.values())
+    R = sum(r for _, r in table.values())
+    sxn = sum(x * n for x, (n, _) in table.items())
+    sxr = sum(x * r for x, (_, r) in table.items())
+    sxxn = sum(x * x * n for x, (n, _) in table.items())
+    p = R / N
+    z = (sxr - p * sxn) / math.sqrt(p * (1 - p) * (sxxn - sxn * sxn / N))
+    assert (got["n"], got["pos"], got["n_doses"]) == (N, R, 4)
+    assert (got["sxn"], got["sxr"], got["sxxn"]) == (sxn, sxr, sxxn)
+    assert got["z"] == pytest.approx(z, rel=1e-12) and got["z"] > 4
+
+    flat = spark.createDataFrame(
+        [(x, y) for x in range(4) for y in (0, 1) for _ in range(10)],
+        "x long, f long",
+    )
+    assert abs(cochran_armitage(flat, "x", "f").collect()[0]["z"]) < 1e-12
+    one_dose = spark.createDataFrame([(2, 0), (2, 1)], "x long, f long")
+    assert cochran_armitage(one_dose, "x", "f").collect()[0]["z"] is None
+    one_class = spark.createDataFrame([(0, 1), (1, 1)], "x long, f long")
+    assert cochran_armitage(one_class, "x", "f").collect()[0]["z"] is None
