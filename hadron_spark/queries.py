@@ -13148,3 +13148,92 @@ def q299(spark, sf_dir):
         (F.col("l_returnflag") == "R").alias("f"),
     )
     return cochran_armitage(li, "x", "f", ["l_linestatus"])
+
+
+@_register(
+    "q300_curated_refresh",
+    """
+    WITH d AS (SELECT doc_id, COALESCE(lang, '<null>') AS lang, source,
+                      CAST(n_chars AS BIGINT) AS v
+               FROM documents),
+    cnt AS (SELECT source AS g, v, CAST(COUNT(*) AS BIGINT) AS t
+            FROM d GROUP BY 1, 2),
+    gs AS (SELECT g, v, t,
+                  2 * (SUM(t) OVER (PARTITION BY g ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - t) + t + 1 AS rr2
+           FROM cnt),
+    ng AS (SELECT g, CAST(SUM(t) AS BIGINT) AS ng FROM cnt GROUP BY 1),
+    pool AS (SELECT v AS pv,
+                    CAST(SUM(pt) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS pc
+             FROM (SELECT v, CAST(COUNT(*) AS BIGINT) AS pt
+                   FROM d GROUP BY 1) q),
+    tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM d),
+    spec AS (SELECT gs.g, gs.v,
+                    CAST((gs.rr2 * nn + 2 * ng - 1) // (2 * ng) AS BIGINT)
+                      AS target
+             FROM gs JOIN ng USING (g), tt),
+    mp AS (SELECT g, v, CAST(MIN(pv) AS BIGINT) AS normalized
+           FROM spec JOIN pool ON pc >= target GROUP BY 1, 2),
+    s AS (SELECT d.doc_id, d.lang, mp.normalized
+          FROM d JOIN mp ON d.source = mp.g AND d.v = mp.v),
+    c2 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS ns FROM s GROUP BY 1),
+    t2 AS (SELECT CAST(SUM(ns) AS BIGINT) AS n2 FROM c2),
+    q2 AS (SELECT lang, ns, (ns * 120) // n2 AS base,
+                  (ns * 120) % n2 AS rem
+           FROM c2, t2),
+    s2 AS (SELECT CAST(120 - SUM(base) AS BIGINT) AS short FROM q2),
+    rnk AS (SELECT lang, base,
+                   ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC) AS rk
+            FROM q2),
+    qt AS (SELECT lang,
+                  CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END
+                       AS BIGINT) AS quota
+           FROM rnk, s2),
+    p2 AS (SELECT s.lang, quota, normalized,
+                  ROW_NUMBER() OVER (PARTITION BY s.lang
+                                     ORDER BY s.doc_id) AS prk
+           FROM s JOIN qt ON s.lang = qt.lang)
+    SELECT lang, quota, CAST(COUNT(*) AS BIGINT) AS n_sel,
+           CAST(SUM(normalized) AS BIGINT) AS sum_norm,
+           CAST(SUM(normalized) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS mean_norm
+    FROM p2 WHERE prk <= quota GROUP BY 1, 2
+    """,
+)
+def q300(spark, sf_dir):
+    """Curated-refresh capstone — this round's tiers composed into
+    one auditable selection: per-source document lengths are
+    quantile-normalized onto the pooled distribution (q297), exactly
+    120 documents are drawn with the language mix preserved by
+    largest-remainder apportionment over doc_id order (q283), and
+    the selection is accounted per language with its exact
+    normalized-length mass.  Every stage is integer-exact, so the
+    WHOLE PIPELINE hashes against one chained SQL statement —
+    composition preserves the oracle discipline."""
+    from hadron_spark.llm.mixing import quantile_normalize, stratified_allocate
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce("lang", F.lit("<null>")).alias("lang"),
+        "source",
+        F.col("n_chars").cast("long").alias("v"),
+    )
+    mapping = quantile_normalize(docs, "v", "source")
+    scored = docs.join(
+        mapping.select(
+            F.col("source"), F.col("v"), F.col("normalized")
+        ),
+        ["source", "v"],
+    ).select("doc_id", "lang", "normalized")
+    sel = stratified_allocate(scored, ["lang"], 120, order_col="doc_id")
+    return sel.groupBy("lang", "quota").agg(
+        F.count(F.lit(1)).alias("n_sel"),
+        F.sum("normalized").alias("sum_norm"),
+        (
+            F.sum("normalized").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_norm"),
+    )
