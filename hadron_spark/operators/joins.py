@@ -386,3 +386,33 @@ def interval_join(
     for lc, rc in equi_on or []:
         cond = cond & (F.col(lc) == F.col(rc))
     return l.join(r, cond).drop("_bl", "_br")
+
+
+def bucketize_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    band_width: int,
+    equi_on: Sequence[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Bucketized point-in-interval join — the scale path
+    `range_join`'s docstring prescribes when there are no equi keys
+    (a bare range predicate would plan as a cartesian): a point is
+    a zero-length interval, so this is `interval_join` with the
+    left span collapsed — the point side explodes onto exactly ONE
+    band, only the interval side pays the span/W replication.
+    Same disjoint-column-name and integer-coordinate contract."""
+    l2 = left.withColumn("_plo", F.col(left_point).cast("long"))
+    out = interval_join(
+        l2.withColumn("_phi", F.col("_plo")),
+        right,
+        "_plo",
+        "_phi",
+        right_lo,
+        right_hi,
+        band_width=band_width,
+        equi_on=equi_on,
+    )
+    return out.drop("_plo", "_phi")

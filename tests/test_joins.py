@@ -237,3 +237,29 @@ def test_interval_join_equi_keys(spark):
         equi_on=[("lu", "ru")],
     ).collect()
     assert [(r["lu"], r["ru"]) for r in got] == [("u1", "u1")]
+
+
+def test_bucketize_range_join_matches_range_join(spark):
+    """Point-in-interval via banding equals the plain theta form;
+    the point side never replicates (its span is one band)."""
+    from hadron_spark.operators.joins import bucketize_range_join
+
+    pts = spark.createDataFrame(
+        [("p1", 5), ("p2", 17), ("p3", -3), ("p4", 100)],
+        "pid string, v long",
+    )
+    ivs = spark.createDataFrame(
+        [("a", 0, 10), ("b", 10, 20), ("c", -5, -1), ("d", 90, 200)],
+        "iid string, lo long, hi long",
+    )
+    want = {
+        ("p1", "a"), ("p2", "b"), ("p3", "c"), ("p4", "d"),
+    }
+    for w in (1, 7, 64):
+        got = {
+            (r["pid"], r["iid"])
+            for r in bucketize_range_join(
+                pts, ivs, "v", "lo", "hi", band_width=w
+            ).collect()
+        }
+        assert got == want, f"W={w}: {got}"
