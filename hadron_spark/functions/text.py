@@ -29,7 +29,12 @@ def tokenize(col: Column | str) -> Column:
 
 
 def token_count(col: Column | str) -> Column:
-    return F.size(tokenize(col))
+    """= size(tokenize(col)) by construction — runs of non-whitespace
+    ≡ split-on-\\s+ minus empties — but regexp_count is a plain
+    codegen-able counter: no array build, no HOF interpreter hop
+    (VERDICT r4 #1 hot-path discipline)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(r"\S+"))
 
 
 def ngrams(tokens: Column, n: int) -> Column:
@@ -95,7 +100,11 @@ def quality_features(
     projection-boundary rule; see llm.filters.quality_rules)."""
     c = F.col(col) if isinstance(col, str) else col
     toks = _toks if _toks is not None else tokenize(c)
-    n_tok = F.size(toks)
+    # a caller that only reads n_tokens/n_chars (the q100 quality
+    # gate) should not pay an interpreted tokenize+size HOF —
+    # token_count is the codegen-able regexp counter, equal by
+    # construction; with a pre-projected array, size() is free
+    n_tok = F.size(toks) if _toks is not None else token_count(c)
     total_tok_chars = F.aggregate(
         F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
     )

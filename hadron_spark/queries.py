@@ -3228,7 +3228,7 @@ def q100(spark, sf_dir):
     the narrow stages into single codegen spans; the only shuffles
     are the dedup hash-window and the final 12-row aggregate. All
     output columns are copies or integer sums — bit-portable."""
-    from hadron_spark.functions.text import quality_features, tokenize
+    from hadron_spark.functions.text import quality_features, token_count
     from hadron_spark.operators.ops import hash_split
 
     docs = load(spark, sf_dir, "documents")
@@ -3248,9 +3248,7 @@ def q100(spark, sf_dir):
     )
     return split.groupBy("split", "lang_pred").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(tokenize(F.col("text"))))
-        .cast("bigint")
-        .alias("total_tokens"),
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("total_tokens"),
     )
 
 
