@@ -82,3 +82,149 @@ def test_wordpiece_validation(spark):
     empty = spark.createDataFrame([(1, "   "), (2, "a")], "doc_id long, text string")
     rows = wordpiece_encode(empty, "text", VOCAB).collect()
     assert [r["doc_id"] for r in rows] == [2]
+
+
+# ---------------------------------------------------------------------------
+# Training (wordpiece_train) — pure-Python full-loop parity
+# ---------------------------------------------------------------------------
+
+from collections import Counter
+
+from hadron_spark.llm.wordpiece import (
+    wordpiece_alphabet,
+    wordpiece_pieces,
+    wordpiece_train,
+)
+
+CORPUS = [
+    "hugging hugging hugs hug bug bugs rug rugs",
+    "hug hugs hugger mugs mug muggy",
+    "bug rug hug hug pug pugs pun puns",
+    "hugging bugs rugs hugs muggy pug",
+]
+
+
+def _ref_train(texts, num_merges, merge_batch=1, floor_frac=0.5, cont="##"):
+    """Pure-Python mirror of wordpiece_train: same scoring (double
+    mult BEFORE divide), same (score desc, pair asc) order, same
+    disjoint batching, same greedy left-to-right fold apply."""
+    freq = Counter(w for t in texts for w in t.lower().split())
+    vocab = {
+        w: [c if i == 0 else cont + c for i, c in enumerate(w)]
+        for w in freq
+    }
+    adaptive = merge_batch == "adaptive"
+    merges = []
+    while len(merges) < num_merges:
+        remaining = num_merges - len(merges)
+        limit = remaining if adaptive else min(merge_batch, remaining)
+        pc, sc = Counter(), Counter()
+        for w, syms in vocab.items():
+            f = freq[w]
+            for s in syms:
+                sc[s] += f
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        cands = [
+            (a, b, n, n / (float(sc[a]) * float(sc[b])))
+            for (a, b), n in pc.items()
+            if n >= 2
+        ]
+        cands.sort(key=lambda t: (-t[3], t[0], t[1]))
+        if adaptive and cands:
+            floor = cands[0][3] * floor_frac
+            cands = [c for c in cands if c[3] >= floor]
+        used, batch = set(), []
+        for a, b, n, s in cands:
+            if len(batch) >= limit:
+                break
+            if a in used or b in used:
+                continue
+            batch.append((a, b, n, s))
+            used.update((a, b))
+        if not batch:
+            break
+        bmap = {
+            (a, b): a + (b[len(cont):] if b.startswith(cont) else b)
+            for a, b, _, _ in batch
+        }
+        merges.extend(
+            (a, b, bmap[(a, b)], n, s) for a, b, n, s in batch
+        )
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) in bmap:
+                    out.append(bmap[(syms[i], syms[i + 1])])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+@pytest.mark.parametrize("batch", [1, "adaptive"])
+def test_wordpiece_train_python_parity(spark, batch):
+    df = spark.createDataFrame(
+        list(enumerate(CORPUS)), "doc_id long, text string"
+    )
+    merges, vocab = wordpiece_train(
+        df, num_merges=10, merge_batch=batch
+    )
+    want_merges, want_vocab = _ref_train(CORPUS, 10, merge_batch=batch)
+    assert merges == want_merges
+    got_vocab = {r["word"]: list(r["syms"]) for r in vocab.collect()}
+    assert got_vocab == want_vocab
+
+
+def test_wordpiece_train_deterministic_under_repartition(spark):
+    df = spark.createDataFrame(
+        list(enumerate(CORPUS * 3)), "doc_id long, text string"
+    )
+    m1, _ = wordpiece_train(df, num_merges=8)
+    m2, _ = wordpiece_train(df.repartition(7), num_merges=8)
+    assert m1 == m2 and len(m1) > 0
+
+
+def test_wordpiece_train_encode_roundtrip(spark):
+    """Trained pieces feed wordpiece_encode: every training word
+    re-encodes losslessly (no [UNK] — the alphabet covers every
+    char) and, on this fixture, greedy longest-match reproduces the
+    training segmentation byte-for-byte."""
+    df = spark.createDataFrame(
+        list(enumerate(CORPUS)), "doc_id long, text string"
+    )
+    merges, vocab = wordpiece_train(df, num_merges=10)
+    pieces = wordpiece_pieces(wordpiece_alphabet(df), merges)
+    words = sorted(r["word"] for r in vocab.select("word").collect())
+    wdf = spark.createDataFrame(
+        list(enumerate(words)), "doc_id long, text string"
+    )
+    enc = {
+        words[r["doc_id"]]: list(r["tokens"])
+        for r in wordpiece_encode(wdf, "text", pieces).collect()
+    }
+    train_seg = {r["word"]: list(r["syms"]) for r in vocab.collect()}
+    for w in words:
+        toks = enc[w]
+        assert "[UNK]" not in toks
+        respelled = toks[0] + "".join(t[2:] for t in toks[1:])
+        assert respelled == w
+        assert toks == train_seg[w], (w, toks, train_seg[w])
+
+
+def test_wordpiece_train_validation(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        wordpiece_train(df, merge_batch=0)
+    with pytest.raises(ValueError):
+        wordpiece_train(df, floor_frac=0.0)
+    # nothing repeats -> zero merges, stats records the single round
+    stats = {}
+    merges, _ = wordpiece_train(
+        spark.createDataFrame([(1, "x y z")], "doc_id long, text string"),
+        num_merges=5,
+        stats=stats,
+    )
+    assert merges == [] and stats["rounds"] == 1
