@@ -229,22 +229,47 @@ def lsh_topk(
     n_planes: int = 8,
     seed: int = 42,
     multiprobe: int = 0,
+    assume_clustered: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k via hyperplane-LSH buckets.
 
     NOT the default approximate tier — `ivf_topk` is. Measured on the
-    driver fixtures (RECALL.md): sign-LSH recall@10 is 0.07–0.12 on
-    i.i.d.-noise embeddings (its theoretical worst case — recall
-    degenerates to the probed corpus fraction) vs IVF's 0.88, and on
-    CLUSTERED fixtures (real embedding distributions) LSH recovers
-    because same-bucket probability concentrates on true neighbors.
-    Reach for LSH when the corpus is strongly clustered AND the
-    one-time k-means pass of IVF is unaffordable; otherwise use IVF.
+    driver fixtures (RECALL.md, 50 queries, recall@10, corpus =
+    embeddings.parquet): sign-LSH recall@10 is **0.074** at the
+    n_planes=8 default and **0.122** at (n_planes=6, multiprobe=2)
+    on i.i.d.-noise embeddings — its theoretical worst case, where
+    recall degenerates to the probed corpus fraction
+    (1 + multiprobe) / 2^n_planes — vs IVF's 0.88 on the same
+    fixture. On CLUSTERED fixtures (real embedding distributions)
+    LSH recovers (0.73 at the same params) because same-bucket
+    probability concentrates on true neighbors. Reach for LSH when
+    the corpus is KNOWN to be strongly clustered AND the one-time
+    k-means pass of IVF is unaffordable; otherwise use `ivf_topk`.
+
+    Because the worst case is silent near-garbage (VERDICT r4 #4),
+    the function WARNS whenever the probed fraction — the only
+    recall floor that holds without a clustering assumption — is
+    below 0.5. Pass `assume_clustered=True` to state the clustering
+    assumption explicitly and silence the guard.
 
     Corpus is bucketed once (narrow); queries probe their own bucket
     plus `multiprobe` single-bit-flip neighbors (recall knob). The
     compare set shrinks by ~2^n_planes; the join is a plain bucket
     equi-join that partitions cleanly at scale."""
+    probed_frac = (1 + multiprobe) / float(2**n_planes)
+    if not assume_clustered and probed_frac < 0.5:
+        import warnings
+
+        warnings.warn(
+            f"lsh_topk(n_planes={n_planes}, multiprobe={multiprobe}) "
+            f"probes ~{probed_frac:.1%} of the corpus; on unclustered "
+            f"embeddings recall@k degenerates to that fraction "
+            f"(measured 0.07-0.12 on the i.i.d. fixture, RECALL.md). "
+            f"Use ivf_topk (the default approximate tier) unless the "
+            f"corpus is known to be clustered — then pass "
+            f"assume_clustered=True to acknowledge.",
+            stacklevel=2,
+        )
     dim = len(corpus.select(vec_col).first()[0])
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

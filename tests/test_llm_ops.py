@@ -103,6 +103,26 @@ def test_lsh_topk_overlaps_bruteforce(spark, sf_dir):
     assert len(exact & approx) >= 3
 
 
+def test_lsh_topk_recall_guard(spark, sf_dir):
+    """VERDICT r4 #4: silent-near-garbage fence — lsh_topk warns when
+    the probed fraction (the assumption-free recall floor) is < 0.5,
+    is silenced by an explicit assume_clustered=True, and does not
+    fire when the config actually probes half the corpus."""
+    import warnings
+
+    emb = tap(f"{sf_dir}/embeddings.parquet").read(spark)
+    q = emb.filter(F.col("vec_id") == 0)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        similarity.lsh_topk(emb, q, k=5)  # defaults: 1/256 probed
+        assert any("ivf_topk" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        similarity.lsh_topk(emb, q, k=5, assume_clustered=True)
+        similarity.lsh_topk(emb, q, k=5, n_planes=1)  # 1/2 probed
+        assert not [x for x in w if "ivf_topk" in str(x.message)]
+
+
 def _tiny_png(w, h):
     import struct, zlib
 
