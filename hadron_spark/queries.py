@@ -13300,3 +13300,58 @@ def q302(spark, sf_dir):
         cust, supp, "pt", "lo", "hi", band_width=10000
     )
     return out.select("c_custkey", "s_suppkey", "pt", "lo", "hi")
+
+
+@_register(
+    "q303_streaming_transitions",
+    """
+    WITH p AS (SELECT user_id, event_type AS from_state,
+                      lead(event_type) OVER (PARTITION BY user_id
+                        ORDER BY event_id) AS to_state
+               FROM events),
+    c AS (SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+          FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT from_state, CAST(SUM(n) AS BIGINT) AS row_total
+          FROM c GROUP BY 1)
+    SELECT c.from_state, to_state, n, row_total,
+           CAST(n AS DOUBLE) / CAST(row_total AS DOUBLE) AS prob
+    FROM c JOIN t ON c.from_state = t.from_state
+    """,
+)
+def q303(spark, sf_dir):
+    """Streaming transition-matrix maintenance (streaming.ops
+    .incremental_transitions — VERDICT r4 #5): q293's Markov matrix
+    kept live over micro-batches.  Transitions are NOT a per-row
+    monoid — a step can straddle a batch boundary — so the state
+    carries one tail row per entity (last state + order key) besides
+    the |states|² counts; under the per-entity ordering contract the
+    drained state equals the one-shot lead-window matrix, making
+    this a FULL oracle on a stateful streaming op.  The entry chops
+    events into three order-range micro-batches and replays them
+    through the foreachBatch merge deterministically (the driver's
+    file-source batch order is mtime-dependent; the apply-fn drive
+    pins the chopping); ordered by event_id — unique, so the window
+    order is total.  Failure trio (replay no-op, swap healing,
+    stream drive) pinned in test_streaming."""
+    import shutil
+    import tempfile
+
+    from hadron_spark.streaming.ops import (
+        read_transitions_state,
+        transitions_apply_fn,
+    )
+
+    work = tempfile.mkdtemp(prefix="q303_")
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("event_id").alias("o")
+    )
+    cuts = ev.approxQuantile("o", [0.33, 0.66], 0.0)
+    state = f"{work}/state"
+    apply = transitions_apply_fn(state, "user_id", "event_type", "o")
+    apply(ev.filter(F.col("o") <= cuts[0]), 0)
+    apply(ev.filter((F.col("o") > cuts[0]) & (F.col("o") <= cuts[1])), 1)
+    apply(ev.filter(F.col("o") > cuts[1]), 2)
+    result = read_transitions_state(spark, state)
+    result = spark.createDataFrame(result.collect(), result.schema)
+    shutil.rmtree(work, ignore_errors=True)
+    return result

@@ -1167,3 +1167,189 @@ def histogram_quantiles(
         .groupBy(key, "q_units", "n", "target")
         .agg(F.min("bin").alias("bin"))
     )
+
+
+def transitions_apply_fn(
+    state_path: str, entity: str, state_col: str, ord_col: str
+):
+    """The foreachBatch merge behind `incremental_transitions` (call
+    with (batch_df, batch_id) to unit-test replay/recovery).
+
+    Unlike the moments/CMS/HLL states, a transition is NOT a per-row
+    monoid: a (state -> next state) step can STRADDLE a micro-batch
+    boundary, so the state carries, besides the |states|^2 count
+    matrix, one TAIL row per entity (its last seen state + order
+    key); the first event an entity contributes to a later batch
+    pairs with that stored tail.  State is one parquet frame with a
+    `kind` discriminator: 't' transition counts (from_state,
+    to_state, n), 'e' entity tails (e, last_state, last_ord), 'm'
+    the batch high-water marker (n).
+
+    Ordering contract: `ord_col` (cast to long) must be a total
+    order per entity, and deliveries must be non-decreasing in it
+    across batches per entity (rows may arrive unordered WITHIN a
+    batch — a lead window sorts them).  Under that contract the
+    state after ANY batch chopping equals `operators.ops.
+    transition_matrix` over every delivered row (pinned in
+    test_streaming).  Same exactly-once trio as the other
+    incremental_* states: HWM no-op on at-least-once replay,
+    `_recover_swap` healing, tmp-then-rename commit."""
+    from pyspark.sql import Window
+
+    from hadron_spark.sources import fs
+
+    def apply(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        _recover_swap(spark, state_path)
+        prev = None
+        if fs.exists(spark, state_path):
+            prev = spark.read.parquet(state_path)
+            hwm = prev.filter(F.col("kind") == "m").select("n").collect()
+            if hwm and batch_id <= int(hwm[0]["n"]):
+                return  # replayed batch: already merged exactly once
+        b = (
+            batch_df.localCheckpoint(eager=True)
+            .filter(F.col(entity).isNotNull() & F.col(state_col).isNotNull())
+            .select(
+                F.col(entity).alias("e"),
+                F.col(state_col).alias("s"),
+                F.col(ord_col).cast("long").alias("o"),
+            )
+        )
+        w = Window.partitionBy("e").orderBy("o")
+        in_batch = (
+            b.select("e", F.col("s").alias("from_state"),
+                     F.lead("s").over(w).alias("to_state"))
+            .filter(F.col("to_state").isNotNull())
+            .groupBy("from_state", "to_state")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        firsts = b.groupBy("e").agg(
+            F.min(F.struct("o", "s")).alias("f")
+        )
+        lasts = b.groupBy("e").agg(
+            F.max(F.struct("o", "s")).alias("l")
+        )
+        trans, tails = [in_batch], [
+            lasts.select(
+                "e",
+                F.col("l")["s"].alias("last_state"),
+                F.col("l")["o"].alias("last_ord"),
+            )
+        ]
+        if prev is not None:
+            prev_t = prev.filter(F.col("kind") == "t").select(
+                "from_state", "to_state", "n"
+            )
+            prev_e = prev.filter(F.col("kind") == "e").select(
+                "e", "last_state", "last_ord"
+            )
+            boundary = (
+                prev_e.join(firsts, "e")
+                .groupBy(
+                    F.col("last_state").alias("from_state"),
+                    F.col("f")["s"].alias("to_state"),
+                )
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            trans += [prev_t, boundary]
+            tails.append(prev_e)
+        from functools import reduce
+
+        merged_t = (
+            reduce(lambda a, x: a.unionByName(x), trans)
+            .groupBy("from_state", "to_state")
+            .agg(F.sum("n").alias("n"))
+        )
+        merged_e = (
+            reduce(lambda a, x: a.unionByName(x), tails)
+            .groupBy("e")
+            .agg(F.max(F.struct("last_ord", "last_state")).alias("l"))
+            .select(
+                "e",
+                F.col("l")["last_state"].alias("last_state"),
+                F.col("l")["last_ord"].alias("last_ord"),
+            )
+        )
+        etype = merged_e.schema["e"].dataType
+        stype = merged_t.schema["from_state"].dataType
+        nulls = {
+            "e": F.lit(None).cast(etype),
+            "from_state": F.lit(None).cast(stype),
+            "to_state": F.lit(None).cast(stype),
+            "last_state": F.lit(None).cast(stype),
+            "last_ord": F.lit(None).cast("long"),
+        }
+        t_rows = merged_t.select(
+            F.lit("t").alias("kind"), nulls["e"].alias("e"),
+            "from_state", "to_state",
+            nulls["last_state"].alias("last_state"),
+            nulls["last_ord"].alias("last_ord"), F.col("n").cast("long"),
+        )
+        e_rows = merged_e.select(
+            F.lit("e").alias("kind"), "e",
+            nulls["from_state"].alias("from_state"),
+            nulls["to_state"].alias("to_state"),
+            "last_state", "last_ord", F.lit(None).cast("long").alias("n"),
+        )
+        marker = spark.range(1).select(
+            F.lit("m").alias("kind"), nulls["e"].alias("e"),
+            nulls["from_state"].alias("from_state"),
+            nulls["to_state"].alias("to_state"),
+            nulls["last_state"].alias("last_state"),
+            nulls["last_ord"].alias("last_ord"),
+            F.lit(int(batch_id)).cast("long").alias("n"),
+        )
+        _commit_swap(
+            spark, t_rows.unionByName(e_rows).unionByName(marker),
+            state_path, batch_id,
+        )
+
+    return apply
+
+
+def incremental_transitions(
+    stream: DataFrame,
+    state_path: str,
+    entity: str,
+    state_col: str,
+    ord_col: str,
+    checkpoint: str | None = None,
+):
+    """Streaming maintenance of the first-order Markov transition
+    matrix (`operators.ops.transition_matrix` kept live — VERDICT r4
+    #5/next-round list): per-entity (state -> next state) step
+    counts over an unbounded event stream, exact longs, state size
+    |states|^2 + one tail row per entity regardless of volume.  See
+    `transitions_apply_fn` for the merge, the cross-batch tail
+    handling, and the per-entity ordering contract; read back with
+    `read_transitions_state` (same (from_state, to_state, n,
+    row_total, prob) frame as the batch operator).  Returns the
+    started StreamingQuery (availableNow trigger)."""
+    apply = transitions_apply_fn(state_path, entity, state_col, ord_col)
+    writer = (
+        stream.writeStream.foreachBatch(apply)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def read_transitions_state(spark, state_path: str) -> DataFrame:
+    """The queryable surface of `incremental_transitions`:
+    (from_state, to_state, n, row_total, prob) — column-for-column
+    the batch `transition_matrix` output (row totals and the one
+    IEEE division are derived on read from the exact counts)."""
+    t = (
+        spark.read.parquet(state_path)
+        .filter(F.col("kind") == "t")
+        .select("from_state", "to_state", "n")
+    )
+    tot = t.groupBy("from_state").agg(F.sum("n").alias("row_total"))
+    return t.join(F.broadcast(tot), "from_state").select(
+        "from_state", "to_state", "n", "row_total",
+        (F.col("n").cast("double") / F.col("row_total").cast("double")
+         ).alias("prob"),
+    )

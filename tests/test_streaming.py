@@ -697,3 +697,71 @@ def test_histogram_validation(spark):
         histogram_quantiles(df, "k", [0])
     with pytest.raises(ValueError):
         histogram_quantiles(df, "k", [101])
+
+
+def test_incremental_transitions_matches_batch_replay_recovery(
+    spark, sf_dir, tmp_path
+):
+    """Streamed transition state == one-shot transition_matrix over
+    every delivered row regardless of batch chopping (including the
+    pairs that STRADDLE batch boundaries via the stored per-entity
+    tails); replayed batch merges exactly once; mid-swap crash
+    heals; a drained stream via incremental_transitions agrees."""
+    from hadron_spark.operators.ops import transition_matrix
+    from hadron_spark.sources import fs
+    from hadron_spark.streaming.ops import (
+        read_transitions_state,
+        transitions_apply_fn,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        # event_id is unique -> a collision-free total order
+        F.col("event_id").alias("o"),
+    )
+    want = {
+        (r["from_state"], r["to_state"]): (r["n"], r["row_total"], r["prob"])
+        for r in transition_matrix(
+            ev, "user_id", "event_type", ["o"]
+        ).collect()
+    }
+    # chop by global order-ranges: per-entity deliveries stay ordered
+    # across batches (the documented contract)
+    cuts = ev.approxQuantile("o", [0.33, 0.66], 0.0)
+    state = str(tmp_path / "trans_state")
+    apply = transitions_apply_fn(state, "user_id", "event_type", "o")
+    b0 = ev.filter(F.col("o") <= cuts[0])
+    b1 = ev.filter((F.col("o") > cuts[0]) & (F.col("o") <= cuts[1]))
+    b2 = ev.filter(F.col("o") > cuts[1])
+    apply(b0, 0)
+    apply(b0, 0)  # at-least-once replay: must be a no-op
+    apply(b1, 1)
+    fs.mv(spark, state, state + "._old_2")  # crash mid-swap: heal
+    apply(b2, 2)
+    got = {
+        (r["from_state"], r["to_state"]): (r["n"], r["row_total"], r["prob"])
+        for r in read_transitions_state(spark, state).collect()
+    }
+    assert got == want
+
+    # end-to-end writeStream wiring: drain the same rows as ONE
+    # micro-batch through incremental_transitions itself
+    from hadron_spark.streaming.ops import incremental_transitions
+
+    src = str(tmp_path / "trans_src")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "user_id bigint, event_type string, o bigint"
+    ).parquet(src)
+    state2 = str(tmp_path / "trans_state2")
+    q = incremental_transitions(
+        stream, state2, "user_id", "event_type", "o",
+        checkpoint=str(tmp_path / "trans_ckpt"),
+    )
+    q.awaitTermination(300)
+    got2 = {
+        (r["from_state"], r["to_state"]): (r["n"], r["row_total"], r["prob"])
+        for r in read_transitions_state(spark, state2).collect()
+    }
+    assert got2 == want
