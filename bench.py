@@ -154,18 +154,74 @@ def main() -> None:
         spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    out.update(regression_verdicts(timings))
+    print(json.dumps(out))
     spark.stop()
+
+
+def regression_verdicts(
+    timings: dict[str, float], threshold: float = 1.5
+) -> dict:
+    """Machine like-for-like gate (VERDICT r4 #6): compare this run's
+    common-subset cells against the newest recorded BENCH_r*.json,
+    NORMALIZE by the median per-query ratio — the median absorbs the
+    VM's documented 1.1–1.25× whole-machine jitter, so what remains
+    is per-query drift — and flag any cell whose normalized ratio
+    exceeds `threshold` (q100's r4 2.86× would have been machine-
+    flagged).  Returns extra JSON fields: `prior_bench`,
+    `median_ratio`, and `regressions` {query: {prior, sec, ratio,
+    normalized}} (empty dict = clean).  Advisory by design — the
+    driver contract is ONE JSON line with the timings; the verdict
+    fields ride along rather than failing the run."""
+    import glob
+    import re
+    import statistics
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    benches = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if not benches:
+        return {}
+    prior_path = benches[-1]
+    try:
+        with open(prior_path) as f:
+            raw = json.load(f)
+        prior = (raw.get("parsed") or raw)["queries"]
+    except Exception:
+        return {"prior_bench": os.path.basename(prior_path), "regressions": {}}
+    common = {
+        q: (timings[q], prior[q])
+        for q in timings
+        if q in prior and prior[q] > 0
+    }
+    if len(common) < 3:
+        return {"prior_bench": os.path.basename(prior_path), "regressions": {}}
+    ratios = {q: cur / old for q, (cur, old) in common.items()}
+    med = statistics.median(ratios.values())
+    regressions = {
+        q: {
+            "prior": common[q][1],
+            "sec": common[q][0],
+            "ratio": round(r, 3),
+            "normalized": round(r / med, 3),
+        }
+        for q, r in ratios.items()
+        if med > 0 and r / med > threshold
+    }
+    return {
+        "prior_bench": os.path.basename(prior_path),
+        "median_ratio": round(med, 3),
+        "regressions": regressions,
+    }
 
 
 if __name__ == "__main__":

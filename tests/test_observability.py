@@ -87,3 +87,31 @@ def test_partition_stats_counts_every_row(spark, sf_dir):
     st = ops.partition_stats(o).collect()
     assert sum(r["n_rows"] for r in st) == o.count()
     assert len(st) <= 8
+
+
+def test_bench_regression_verdicts(tmp_path, monkeypatch):
+    """The machine like-for-like gate: uniform machine jitter is
+    absorbed by the median ratio; a true per-query regression is
+    flagged with its normalized ratio; a clean run flags nothing."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    prior = {"qa": 1.0, "qb": 2.0, "qc": 0.5, "qd": 4.0}
+    (tmp_path / "BENCH_r07.json").write_text(
+        json.dumps({"parsed": {"queries": prior}})
+    )
+    monkeypatch.setattr(
+        bench.os.path, "dirname", lambda p: str(tmp_path)
+    )
+    cur = {q: v * 1.2 for q, v in prior.items()}
+    cur["qb"] = prior["qb"] * 2.4  # 2x after normalization
+    v = bench.regression_verdicts(cur)
+    assert v["prior_bench"] == "BENCH_r07.json"
+    assert v["median_ratio"] == 1.2
+    assert list(v["regressions"]) == ["qb"]
+    assert v["regressions"]["qb"]["normalized"] == 2.0
+    clean = bench.regression_verdicts({q: v * 1.3 for q, v in prior.items()})
+    assert clean["regressions"] == {}
