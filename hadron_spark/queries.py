@@ -13355,3 +13355,71 @@ def q303(spark, sf_dir):
     result = spark.createDataFrame(result.collect(), result.schema)
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+@_register(
+    "q304_token_budget_curve",
+    r"""
+    WITH d AS (SELECT doc_id, n_chars,
+                      len(list_filter(string_split_regex(text, '\s+'),
+                          x -> x <> '')) AS tok,
+                      CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en
+               FROM documents),
+    r AS (SELECT doc_id, tok, tok * en AS q,
+                 ntile(10) OVER (ORDER BY n_chars DESC, doc_id ASC) AS tile
+          FROM d),
+    t AS (SELECT CAST(tile AS INTEGER) AS tile,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(tok) AS BIGINT) AS tokens,
+                 CAST(SUM(q) AS BIGINT) AS quality
+          FROM r GROUP BY 1),
+    c AS (SELECT a.tile, a.n_docs, a.tokens, a.quality,
+                 CAST(SUM(b.tokens) AS BIGINT) AS cum_tokens,
+                 CAST(SUM(b.quality) AS BIGINT) AS cum_quality
+          FROM t a JOIN t b ON b.tile <= a.tile GROUP BY 1, 2, 3, 4),
+    tt AS (SELECT CAST(SUM(tokens) AS BIGINT) AS T_,
+                  CAST(SUM(quality) AS BIGINT) AS Q_ FROM t)
+    SELECT tile, n_docs, tokens, quality, cum_tokens, cum_quality,
+           CASE WHEN T_ > 0
+                THEN CAST(cum_tokens AS DOUBLE) / CAST(T_ AS DOUBLE)
+                END AS token_share,
+           CASE WHEN Q_ > 0
+                THEN CAST(cum_quality AS DOUBLE) / CAST(Q_ AS DOUBLE)
+                END AS quality_capture,
+           CASE WHEN Q_ > 0 AND cum_tokens > 0
+                THEN CAST(cum_quality * T_ AS DOUBLE)
+                     / CAST(cum_tokens * Q_ AS DOUBLE)
+                END AS lift
+    FROM c, tt
+    """,
+)
+def q304(spark, sf_dir):
+    """Token-budget gains curve (llm.evaluation.token_budget_curve,
+    VERDICT r4 #7): documents ranked by length, token mass as the
+    budget axis, English-token mass as the quality axis — "spending
+    the top-x% of tokens by this scorer captures y% of the quality
+    mass at lift z".  Deciles ride range_rank's banded two-pass
+    ntile; cumulatives off the bounded tile triangle; every double
+    ONE IEEE division of exact longs.  The oracle states the same
+    curve with a plain ntile window.  The curve SIZES a budget;
+    `mixing.select_token_budget` then materializes the exact prefix
+    (composition driven in examples/token_budget.py)."""
+    from hadron_spark.functions.text import token_count
+    from hadron_spark.llm.evaluation import token_budget_curve
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        token_count(F.col("text")).alias("tok"),
+        F.when(F.col("lang") == "en", token_count(F.col("text")))
+        .otherwise(0)
+        .alias("q"),
+    )
+    out = token_budget_curve(
+        docs, "n_chars", "tok", "q", "doc_id", n_buckets=10
+    )
+    return out.select(
+        F.col("tile").cast("int").alias("tile"),
+        "n_docs", "tokens", "quality", "cum_tokens", "cum_quality",
+        "token_share", "quality_capture", "lift",
+    )

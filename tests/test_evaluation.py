@@ -480,3 +480,58 @@ def test_confusion_and_youden_reference(spark):
         and r["specificity"] is None
         for r in rows
     )
+
+
+def test_token_budget_curve_reference(spark):
+    """Token-mass gains curve vs a python reference (ntile over
+    (score desc, id asc), cumulative token/quality masses, exact
+    cross-product lift); bottom tile telescopes to share = capture =
+    lift = 1; composition: a budget read off the curve hands
+    select_token_budget a cut whose selected token mass equals the
+    curve's cum_tokens for that tile."""
+    import pytest
+
+    from hadron_spark.llm.evaluation import token_budget_curve
+    from hadron_spark.llm.mixing import select_token_budget
+
+    rows = [
+        (i, 1000 - i, 10 + (i * 7) % 13, (10 + (i * 7) % 13) if i < 40 else 0)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "id long, score long, tok long, q long")
+    got = {
+        r["tile"]: r
+        for r in token_budget_curve(df, "score", "tok", "q", "id", 10).collect()
+    }
+    # python reference: score desc, id asc is exactly id asc here
+    order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    T = sum(r[2] for r in order)
+    Q = sum(r[3] for r in order)
+    cum_t = cum_q = 0
+    for tile in range(1, 11):
+        chunk = order[(tile - 1) * 10 : tile * 10]
+        t = sum(r[2] for r in chunk)
+        q = sum(r[3] for r in chunk)
+        cum_t += t
+        cum_q += q
+        g = got[tile]
+        assert (g["n_docs"], g["tokens"], g["quality"]) == (10, t, q)
+        assert (g["cum_tokens"], g["cum_quality"]) == (cum_t, cum_q)
+        assert g["token_share"] == cum_t / float(T)
+        assert g["quality_capture"] == cum_q / float(Q)
+        assert g["lift"] == (cum_q * T) / float(cum_t * Q)
+    assert got[10]["token_share"] == 1.0
+    assert got[10]["quality_capture"] == 1.0
+    assert got[10]["lift"] == 1.0
+    # positives are the top 4 tiles exactly -> capture 1.0 at tile 4
+    assert got[4]["quality_capture"] == 1.0
+    with pytest.raises(ValueError):
+        token_budget_curve(df, "score", "tok", "q", "id", 0)
+
+    # composition: materialize the tile-3 budget with
+    # select_token_budget -> same selected token mass, same doc set
+    budget = got[3]["cum_tokens"]
+    sel = select_token_budget(df, budget, "score", "tok", id_col="id")
+    sel_rows = sel.collect()
+    assert sum(r["tok"] for r in sel_rows) == budget
+    assert {r["id"] for r in sel_rows} == {r[0] for r in order[:30]}
