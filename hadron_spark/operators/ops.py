@@ -1252,9 +1252,20 @@ def cms_estimate(
     Plan: items explode depth rows, LEFT join the sketch on
     (d, bucket) — the sketch is <= depth*width rows, so Spark
     broadcasts it — then a partial-agg'd groupBy min. Returns the
-    item frame's columns plus `cms_est` (long, >= true count)."""
+    item frame's columns plus `cms_est` (long, >= true count).
+
+    `d`, `bucket` and `cnt` are the sketch's public schema and
+    therefore RESERVED in `items` (an item column with one of those
+    names would shadow the join/groupBy references) — raises up
+    front, the interval_join shared-name rule (ADVICE r4)."""
     k = F.col(key) if isinstance(key, str) else key
     cols = items.columns
+    reserved = {"d", "bucket", "cnt"} & set(cols)
+    if reserved:
+        raise ValueError(
+            f"items columns {sorted(reserved)} collide with the sketch "
+            "schema (d/bucket/cnt) — rename them before cms_estimate"
+        )
     rows = items.select(
         *cols,
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),

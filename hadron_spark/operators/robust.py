@@ -349,6 +349,12 @@ def spearman_rho(
     from pyspark.sql import Window
 
     gc = list(group_cols or [])
+    # pairwise-complete observations (ADVICE r4): a row missing
+    # EITHER axis contributes to neither rank spine — without this,
+    # a NULL-x row still fed y's spine while silently dropping at
+    # the rank join (nonstandard semantics); mirrors
+    # _two_sample_spine's explicit isNotNull filter
+    df = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
 
     def rank2(col: str, alias: str) -> DataFrame:
         cnt = (
@@ -434,7 +440,12 @@ def kendall_tau_b(
     tau_b); an all-tied axis yields tau_b NULL."""
     gc = list(group_cols or [])
     cells = (
-        df.select(
+        # pairwise-complete observations (ADVICE r4): NULL cells
+        # would distort the pair terms while their rows' pairs
+        # silently vanish — filter both axes up front, matching
+        # spearman_rho / _two_sample_spine
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .select(
             *gc,
             F.col(x_col).cast("long").alias("_x"),
             F.col(y_col).cast("long").alias("_y"),
@@ -609,7 +620,12 @@ def theil_sen_slope(
 
     gc = list(group_cols or [])
     cells = (
-        df.select(
+        # pairwise-complete observations (ADVICE r4): NULL cells
+        # would distort the pair terms while their rows' pairs
+        # silently vanish — filter both axes up front, matching
+        # spearman_rho / _two_sample_spine
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .select(
             *gc,
             F.col(x_col).cast("long").alias("_x"),
             F.col(y_col).cast("long").alias("_y"),

@@ -117,11 +117,17 @@ def join_cardinality(
     rcnt = pin(
         right.groupBy(*keys).agg(F.count(F.lit(1)).alias("_rc")), materialize
     )
+    # *_rows count every row (incl. NULL-key rows); *_keys count only
+    # matchable (non-NULL) key groups, as the docstring states —
+    # counting the NULL group as a "key" disagreed with the
+    # inner-join semantics it can never participate in (ADVICE r4)
     ltot = lcnt.agg(
-        F.sum("_lc").alias("left_rows"), F.count(F.lit(1)).alias("left_keys")
+        F.sum("_lc").alias("left_rows"),
+        F.count(F.when(nn, F.lit(1))).alias("left_keys"),
     )
     rtot = rcnt.agg(
-        F.sum("_rc").alias("right_rows"), F.count(F.lit(1)).alias("right_keys")
+        F.sum("_rc").alias("right_rows"),
+        F.count(F.when(nn, F.lit(1))).alias("right_keys"),
     )
     j = (
         lcnt.filter(nn)

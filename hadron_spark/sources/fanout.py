@@ -185,7 +185,12 @@ def fan_out_arbitrary(
     pure content hash, retry-stable and shuffle-free beyond the
     count, whose shard sizes are binomial around the cap (a hot
     shard can exceed `max_rows_per_task` by a small factor; the
-    cap is a skew bound, not a hard limit, in this mode).
+    cap is a skew bound, not a hard limit, in this mode).  Hash
+    mode buckets IDENTICAL rows together (same content -> same
+    shard), so on duplicate-heavy routes one shard absorbs every
+    copy of a repeated row and can exceed the cap WITHOUT BOUND
+    (ADVICE r4) — when rows are not near-unique, pass `shard_key`
+    instead.
 
     Formats are line protocols like the reference's (P2/P3): "jsonl"
     or "csv" (header-less). Paths must be on a filesystem mounted on

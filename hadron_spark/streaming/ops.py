@@ -912,10 +912,16 @@ def topk_apply_fn(
     per-key top-k (id, score) rows + a marker row (key NULL, its
     `n` = batch high-water mark).  Merging is union → re-rank →
     keep k: top-k of a union is the top-k of top-ks (associative),
-    and re-merging the SAME rows is a no-op on a per-id DISTINCT
-    set — but at-least-once replay of a batch containing a row that
-    TIED at the boundary could flip the cut, so the HWM guard is
-    kept (belt and braces, same trio as Gram/CMS)."""
+    and re-merging the SAME rows is a no-op under the per-id
+    max(score) merge — but at-least-once replay of a batch
+    containing a row that TIED at the boundary could flip the cut,
+    so the HWM guard is kept (belt and braces, same trio as
+    Gram/CMS).  SCORE CONTRACT (ADVICE r4): scores per id must be
+    immutable or monotone non-decreasing across deliveries — the
+    state keeps each id's MAX seen score and top-k state cannot
+    evict on a decrease (the stale row may already have displaced
+    others at an earlier cut).  For mutable scores keep the full
+    (key, id, score) table and derive top-k on read."""
     from pyspark.sql import Window
 
     from hadron_spark.sources import fs
@@ -946,7 +952,14 @@ def topk_apply_fn(
             F.col("score").desc(), F.col("id").asc()
         )
         top = (
-            part.dropDuplicates([key, "id"])
+            # per-id merge rule: MAX score (deterministic —
+            # dropDuplicates kept an arbitrary row; ADVICE r4).
+            # Top-k state can never evict on a score DECREASE (the
+            # old row may already have displaced others), so max is
+            # the only self-consistent rule: state tracks each id's
+            # best seen score.
+            part.groupBy(key, "id")
+            .agg(F.max("score").alias("score"))
             .withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= k)
             .select(key, "id", "score")
@@ -978,10 +991,10 @@ def incremental_topk(
     top-ks, so merging each micro-batch's local top-k into the state
     reproduces the batch answer over all delivered rows, independent
     of chopping.  Ties break (score desc, id asc) so the cut is a
-    pure function of the delivered row set; per-id duplicates keep
-    the latest delivery's score row via dropDuplicates on the
-    distinct-id contract (ids are unique per key by contract — the
-    usual leaderboard shape).
+    pure function of the delivered row set; per-id duplicates merge
+    to MAX score (immutable-or-monotone score contract — see
+    `topk_apply_fn`; a top-k state cannot represent score
+    decreases).
 
     Integer scores (quantize upstream) — which is also what makes
     the FULL SQL oracle possible: the final state equals a plain

@@ -769,6 +769,13 @@ def test_cms_sketch_family(spark):
         == 0
     )
 
+    # reserved sketch-schema names in items raise up front (ADVICE r4)
+    import pytest
+
+    clash = spark.createDataFrame([("a", 1)], ["item", "bucket"])
+    with pytest.raises(ValueError, match="bucket"):
+        cms_estimate(wide, clash, "item", depth=4, width=4096)
+
     # narrow sketch: one-sided error only (est >= true, never under)
     narrow = cms_build(df, "k", depth=2, width=2)
     est_n = {

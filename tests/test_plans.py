@@ -827,6 +827,9 @@ def test_join_cardinality_matches_real_join(spark):
     assert got["matching_keys"] == len(set(lc) & set(rc))
     assert got["max_key_out"] == max(lc[k] * rc[k] for k in set(lc) & set(rc))
     assert got["amplification"] == real / max(205, 302)
+    # key counts exclude the NULL group (ADVICE r4): NULL-key rows
+    # count in *_rows but can never participate in the inner join
+    assert got["left_keys"] == len(lc) and got["right_keys"] == len(rc)
 
 
 def test_key_skew_profile_validation(spark):
