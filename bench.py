@@ -92,6 +92,10 @@ HEADLINE = [
     "q246_set_similarity_exact",
     "q290_wordpiece_encode",
     "q288_interval_join",
+    # set change #9 (round 5, BASELINE.md): the no-equi-key banded
+    # range join and the token-budget gains curve (range_rank ntile)
+    "q302_bucketize_range_join",
+    "q304_token_budget_curve",
 ]
 
 

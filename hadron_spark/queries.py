@@ -13423,3 +13423,48 @@ def q304(spark, sf_dir):
         "n_docs", "tokens", "quality", "cum_tokens", "cum_quality",
         "token_share", "quality_capture", "lift",
     )
+
+
+@_register(
+    "q305_hilbert_value",
+    """
+    WITH RECURSIVE h AS (
+      SELECT c_custkey,
+             CAST(c_custkey AS BIGINT) & 1023 AS hx,
+             CAST(c_nationkey AS BIGINT) & 1023 AS hy,
+             CAST(0 AS BIGINT) AS d, 9 AS i
+      FROM customer
+      UNION ALL
+      SELECT c_custkey,
+        CASE WHEN ((hy >> i) & 1) = 0
+             THEN (CASE WHEN ((hx >> i) & 1) = 1
+                        THEN 1023 - hy ELSE hy END)
+             ELSE hx END,
+        CASE WHEN ((hy >> i) & 1) = 0
+             THEN (CASE WHEN ((hx >> i) & 1) = 1
+                        THEN 1023 - hx ELSE hx END)
+             ELSE hy END,
+        d + (CAST(1 AS BIGINT) << (2 * i))
+          * xor(3 * ((hx >> i) & 1), (hy >> i) & 1),
+        i - 1
+      FROM h WHERE i >= 0
+    )
+    SELECT c_custkey, CAST(d AS BIGINT) AS hval FROM h WHERE i = -1
+    """,
+)
+def q305(spark, sf_dir):
+    """Hilbert-curve clustering value (sources.layout.hilbert_value —
+    VERDICT r4 missing #4): q78's Z-order pair with the curve that
+    never jumps — consecutive distances are grid-adjacent, so
+    equal-size d-ranges have strictly tighter 2-D bounding boxes and
+    better row-group min/max pruning.  The per-level reflect+swap
+    walk carries state, so the Spark side is ONE SQL aggregate fold
+    over the bit levels (q290's pattern) and the oracle walks the
+    SAME loop as a recursive CTE — hash-exact."""
+    from hadron_spark.sources.layout import hilbert_value
+
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        hilbert_value("c_custkey", "c_nationkey", bits=10).alias("hval"),
+    )

@@ -1271,3 +1271,61 @@ def test_cochran_armitage_reference(spark):
     assert cochran_armitage(one_dose, "x", "f").collect()[0]["z"] is None
     one_class = spark.createDataFrame([(0, 1), (1, 1)], "x long, f long")
     assert cochran_armitage(one_class, "x", "f").collect()[0]["z"] is None
+
+
+def _hilbert_ref(bits: int, x: int, y: int) -> int:
+    """Reference xy2d (the classic reflect+swap walk)."""
+    n = 1 << bits
+    x &= n - 1
+    y &= n - 1
+    d = 0
+    s = n >> 1
+    while s > 0:
+        rx = 1 if x & s else 0
+        ry = 1 if y & s else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def test_hilbert_value_bijection_adjacency_parity(spark):
+    """bits=3 full grid: the 64 distances are a permutation of
+    0..63 (space-filling bijection), consecutive distances are
+    GRID-ADJACENT (the locality Z-order lacks at quadrant seams),
+    the Spark fold matches the python reference on every cell AND
+    on out-of-range inputs (masked), and validation rejects silly
+    bits."""
+    import pytest
+
+    from hadron_spark.sources.layout import hilbert_sql, hilbert_value
+
+    bits = 3
+    pts = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["d"]
+        for r in df.withColumn("d", hilbert_value("x", "y", bits)).collect()
+    }
+    assert got == {(x, y): _hilbert_ref(bits, x, y) for x, y in pts}
+    assert sorted(got.values()) == list(range(64))
+    bypos = {d: xy for xy, d in got.items()}
+    for d in range(63):
+        (x1, y1), (x2, y2) = bypos[d], bypos[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, f"jump at d={d}"
+    # masking contract: high bits ignored, same as the reference
+    wide = spark.createDataFrame(
+        [(1007, 4021), (-1 & 0xFFFF, 12345)], "x long, y long"
+    )
+    wgot = [
+        r["d"]
+        for r in wide.withColumn("d", hilbert_value("x", "y", 5)).collect()
+    ]
+    assert wgot == [_hilbert_ref(5, 1007, 4021), _hilbert_ref(5, 0xFFFF, 12345)]
+    with pytest.raises(ValueError):
+        hilbert_sql("x", "y", 0)
+    with pytest.raises(ValueError):
+        hilbert_sql("x", "y", 32)

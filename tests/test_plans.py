@@ -165,6 +165,31 @@ def test_zorder_write_disjoint_file_ranges(spark, sf_dir, tmp_path):
         assert h1 <= l2
 
 
+def test_hilbert_write_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hadron_spark.sources.layout import hilbert_value, hilbert_write
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = str(tmp_path / "hilberted")
+    hilbert_write(c, out, "c_custkey", "c_nationkey", num_files=4)
+    back = spark.read.parquet(out)
+    assert back.count() == c.count()
+    # range partitioning on the curve distance ⇒ per-file d ranges
+    # are disjoint (zorder_write's pruning contract, tighter boxes)
+    spans = (
+        back.withColumn("_h", hilbert_value("c_custkey", "c_nationkey", bits=10))
+        .withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min("_h").alias("lo"), F.max("_h").alias("hi"))
+        .collect()
+    )
+    ivals = sorted((r["lo"], r["hi"]) for r in spans)
+    assert len(ivals) >= 2
+    for (l1, h1), (l2, h2) in zip(ivals, ivals[1:]):
+        assert h1 <= l2
+
+
 def test_new_query_plan_shapes(spark, sf_dir):
     """Pin the plan properties of the round-1 late additions (the
     shapes PLANS.md documents); a regression that reintroduces a
