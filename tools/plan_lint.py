@@ -53,6 +53,8 @@ EXPLAIN_BNLJ = {
     "crossed to emit ZERO cells that still carry expected mass",
     "q292_lift_table": "triangular cumulative join over the per-tile aggregate "
     "(n_buckets=10 rows both sides by construction of ntile)",
+    "q304_token_budget_curve": "same tile-triangle as q292: cumulative join over "
+    "the per-tile token/quality aggregate (n_buckets=10 rows both sides)",
     "q241_semantic_contamination": "broadcasts the benchmark embedding set (MB-scale "
     "by contract — eval suites are thousands of rows against a 100 TB corpus); the "
     "corpus side streams and the per-doc max partial-aggregates map-side",
