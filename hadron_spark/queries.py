@@ -13468,3 +13468,32 @@ def q305(spark, sf_dir):
         "c_custkey",
         hilbert_value("c_custkey", "c_nationkey", bits=10).alias("hval"),
     )
+
+
+@_register("q306_streaming_near_dup", None)
+def q306(spark, sf_dir):
+    """Streaming MinHash-LSH ingest dedup gate (streaming.ops
+    .incremental_near_dup): documents arrive in three micro-batches;
+    each batch is deduped against the admitted corpus via the
+    persisted signature store (first arrival wins), then self-deduped
+    — the batch `minhash_dedup_incremental` pattern with the
+    exactly-once trio and NEVER-REWRITTEN per-batch state partitions
+    (the store grows with the corpus; only the tiny HWM marker
+    swaps).  Rows-only (LSH banding is approximate); the planted-
+    duplicate exactness, replay no-op, and mid-commit crash heal are
+    pinned in test_streaming."""
+    import shutil
+    import tempfile
+
+    from hadron_spark.streaming.ops import neardup_apply_fn, read_neardup_kept
+
+    work = tempfile.mkdtemp(prefix="q306_")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    state = f"{work}/state"
+    apply = neardup_apply_fn(state, threshold=0.7)
+    for b in range(3):
+        apply(docs.filter(F.col("doc_id") % 3 == b), b)
+    kept = read_neardup_kept(spark, state).select("doc_id")
+    result = spark.createDataFrame(kept.collect(), kept.schema)
+    shutil.rmtree(work, ignore_errors=True)
+    return result

@@ -1366,3 +1366,139 @@ def read_transitions_state(spark, state_path: str) -> DataFrame:
         (F.col("n").cast("double") / F.col("row_total").cast("double")
          ).alias("prob"),
     )
+
+
+def neardup_apply_fn(
+    state_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    max_bucket_size: int | None = 500,
+):
+    """The foreachBatch merge behind `incremental_near_dup` (call with
+    (batch_df, batch_id) to unit-test replay/recovery): a streaming
+    INGEST DEDUP GATE — each micro-batch is MinHash-LSH-deduped
+    against everything already admitted (`llm.dedup.
+    minhash_dedup_incremental` against the persisted signature
+    store), then self-deduped; survivors are admitted.
+
+    Layout under `state_path` — designed so the store is NEVER
+    rewritten (unlike the scalar incremental_* states, the signature
+    store grows with the corpus; a tmp-then-rename of the whole
+    store would be a full-store write per batch at 100 TB):
+      sigs/batch=N/   admitted docs' (_id, sig) rows — written with
+                      mode=overwrite into the batch's OWN partition,
+                      so an at-least-once replay rewrites the same
+                      files (idempotent) instead of duplicating;
+      kept/batch=N/   the admitted documents (the gate's output),
+                      same idempotent-partition rule;
+      _hwm            tiny marker (tmp-then-rename + `_recover_swap`
+                      healing) carrying the batch high-water mark —
+                      commit POINT: kept/sigs partitions for a batch
+                      are visible only after its HWM lands, and a
+                      crash before it replays into the same dirs.
+
+    Keeper semantics: FIRST ARRIVAL WINS across batches (a new doc
+    near-duplicating an admitted one is dropped; the batch operator
+    `minhash_dedup` keeps min-id WITHIN a batch).  Approximate by
+    construction (LSH banding) — registered rows-only, with the
+    planted-duplicate exactness pinned in test_streaming."""
+    from hadron_spark.llm.dedup import minhash_dedup, minhash_dedup_incremental
+    from hadron_spark.llm.dedup import minhash_signature
+    from hadron_spark.sources import fs
+
+    marker = state_path.rstrip("/") + "/_hwm"
+
+    def apply(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        _recover_swap(spark, marker)
+        hwm = None
+        if fs.exists(spark, marker):
+            hwm = spark.read.parquet(marker).collect()[0]["hwm"]
+            if batch_id <= int(hwm):
+                return  # replayed batch: partitions already committed
+        batch = batch_df.localCheckpoint(eager=True)
+        kw = dict(
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+            max_bucket_size=max_bucket_size,
+        )
+        sigs_root = state_path.rstrip("/") + "/sigs"
+        if hwm is not None and fs.exists(spark, sigs_root):
+            store = spark.read.option("basePath", sigs_root).parquet(
+                *[f"{sigs_root}/batch={b}" for b in range(int(hwm) + 1)]
+            )
+            kept = minhash_dedup_incremental(
+                batch, store.select("_id", "sig"), id_col, text_col, **kw
+            )
+        else:
+            kept = minhash_dedup(batch, id_col, text_col, **kw)
+        kept = kept.localCheckpoint(eager=True)
+        kept.write.mode("overwrite").parquet(
+            state_path.rstrip("/") + f"/kept/batch={batch_id}"
+        )
+        minhash_signature(kept, text_col, num_hashes, shingle_k, id_col).select(
+            F.col(id_col).alias("_id"), "sig"
+        ).write.mode("overwrite").parquet(f"{sigs_root}/batch={batch_id}")
+        hwm_df = spark.range(1).select(
+            F.lit(int(batch_id)).cast("long").alias("hwm")
+        )
+        _commit_swap(spark, hwm_df, marker, batch_id)
+
+    return apply
+
+
+def incremental_near_dup(
+    stream: DataFrame,
+    state_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    max_bucket_size: int | None = 500,
+    checkpoint: str | None = None,
+):
+    """Streaming MinHash-LSH ingest dedup (see `neardup_apply_fn` for
+    the state layout, idempotency, and first-arrival-wins keeper
+    contract): the missing streaming member of the dedup tier — the
+    batch `minhash_dedup_incremental` pattern driven by micro-batches
+    with the exactly-once trio.  Read the admitted corpus back with
+    `read_neardup_kept`.  Returns the started StreamingQuery
+    (availableNow trigger)."""
+    apply = neardup_apply_fn(
+        state_path, id_col, text_col, threshold, num_hashes, bands,
+        shingle_k, max_bucket_size,
+    )
+    writer = (
+        stream.writeStream.foreachBatch(apply)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def read_neardup_kept(spark, state_path: str) -> DataFrame:
+    """Admitted (deduped) documents across all COMMITTED batches of an
+    `incremental_near_dup` state — only partitions at or below the
+    high-water mark are read, so a crash between a partition write
+    and its HWM commit is invisible (the replay overwrites it)."""
+    from hadron_spark.sources import fs
+
+    marker = state_path.rstrip("/") + "/_hwm"
+    _recover_swap(spark, marker)
+    if not fs.exists(spark, marker):
+        raise FileNotFoundError(f"no committed near-dup state at {state_path}")
+    hwm = int(spark.read.parquet(marker).collect()[0]["hwm"])
+    root = state_path.rstrip("/") + "/kept"
+    return spark.read.option("basePath", root).parquet(
+        *[f"{root}/batch={b}" for b in range(hwm + 1)]
+    )

@@ -765,3 +765,51 @@ def test_incremental_transitions_matches_batch_replay_recovery(
         for r in read_transitions_state(spark, state2).collect()
     }
     assert got2 == want
+
+
+def test_incremental_near_dup_gate_replay_recovery(spark, tmp_path):
+    """Streaming ingest dedup gate: planted near-duplicates arriving
+    in LATER batches are rejected against the admitted store (first
+    arrival wins), within-batch duplicates self-dedup, distinct docs
+    all survive; at-least-once replay is a no-op (idempotent batch
+    partitions + HWM); a crash between partition writes and the HWM
+    commit replays invisibly."""
+    from hadron_spark.sources import fs
+    from hadron_spark.streaming.ops import (
+        neardup_apply_fn,
+        read_neardup_kept,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs far away home",
+        "pack my box with five dozen liquor jugs before the summer heat ends",
+        "how vexingly quick daft zebras jump when the circus train arrives",
+        "sphinx of black quartz judge my vow under the ancient desert moon",
+    ]
+    rows = []
+    # batch 0: originals 0..3; batch 1: near-copies of 0/1 (one char
+    # appended) + a fresh doc; batch 2: exact copy of doc 2 + a
+    # within-batch duplicated fresh doc pair
+    rows += [(i, 0, base[i]) for i in range(4)]
+    rows += [
+        (10, 1, base[0] + "!"),
+        (11, 1, base[1] + "?"),
+        (12, 1, "completely novel content about distributed query engines at scale"),
+    ]
+    rows += [
+        (20, 2, base[2]),
+        (21, 2, "another genuinely new document describing hilbert curve layouts"),
+        (22, 2, "another genuinely new document describing hilbert curve layouts"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, b int, text string")
+    state = str(tmp_path / "nd_state")
+    apply = neardup_apply_fn(state, threshold=0.7, num_hashes=32, bands=8)
+    apply(df.filter(F.col("b") == 0), 0)
+    apply(df.filter(F.col("b") == 0), 0)  # replay: no-op
+    apply(df.filter(F.col("b") == 1), 1)
+    fs.mv(spark, state + "/_hwm", state + "/_hwm._old_2")  # crash heal
+    apply(df.filter(F.col("b") == 2), 2)
+    kept = {r["doc_id"] for r in read_neardup_kept(spark, state).collect()}
+    assert {0, 1, 2, 3, 12}.issubset(kept)      # originals + fresh admitted
+    assert not {10, 11, 20} & kept              # cross-batch dups rejected
+    assert len({21, 22} & kept) == 1            # within-batch pair self-dedups
