@@ -77,6 +77,27 @@ def main() -> None:
             f" {r['total_bytes']} bytes"
         )
 
+    print("[2b] execute the reviewed plan (multi-file bins -> one file):")
+    from hadron_spark.operators.maintenance import compaction_execute
+
+    res = compaction_execute(spark, plan)
+    for r in res.orderBy("route", "bin").collect():
+        print(f"    route {r['route']} bin {r['bin']}: {r['action']}"
+              f" ({r['n_files']} files)")
+    n_after = sum(
+        1
+        for route in fs.ls(spark, store) if route.is_dir
+        for f in fs.ls(spark, route.path)
+        if f.path.endswith(".parquet") or f.path.endswith(".compact")
+    )
+    print(f"    files: {len(listing)} -> {n_after}")
+    back = spark.read.format("parquet").load(
+        [f.path for route in fs.ls(spark, store) if route.is_dir
+         for f in fs.ls(spark, route.path)
+         if f.path.endswith(".parquet") or f.path.endswith(".compact")]
+    )
+    assert back.count() == ev.count(), "compaction must preserve every row"
+
     print("[3] retention plan over a snapshot history (keep 2 + cutoff):")
     snaps = spark.createDataFrame(
         [

@@ -280,3 +280,86 @@ def retention_plan(
     return ranked.withColumn(
         "action", F.when(keep, F.lit("keep")).otherwise(F.lit("expire"))
     )
+
+
+def compaction_execute(
+    spark,
+    plan: DataFrame,
+    fmt: str = "parquet",
+    keep_originals: bool = False,
+) -> DataFrame:
+    """Execute a `compaction_plan`: rewrite every multi-file bin as
+    ONE file and (by default) delete the originals — the EXECUTE leg
+    of the tier's emit → review → execute contract (the plan frame is
+    the reviewable artifact; nothing is touched until this call).
+
+    Mechanics per bin (driver loop over the METADATA-scale plan —
+    bins, not rows; each bin's rewrite is a distributed job):
+      read bin files → coalesce(1) → write `<first>.compact._tmp` →
+      delete originals → rename tmp's part file to `<first>.compact`.
+    Single-file bins are SKIPPED (a rewrite would be a no-op — the
+    next-fit rule parks oversized files alone in their own bin
+    precisely so the executor can skip them).  Crash windows: a
+    leftover `._tmp` dir with originals present is garbage (re-run
+    re-plans and overwrites it); originals deleted + tmp present is
+    healed by the rename-on-entry sweep.  `keep_originals=True` turns
+    the executor into a dry-run-with-artifacts mode (compacted files
+    written next to the originals).
+
+    The plan's `files` entries must be absolute paths (the
+    `sources.fs.ls` output `compaction_plan` documents as its input).
+    Returns (part keys..., bin, n_files, bytes_in, action) — one row
+    per bin, action ∈ compacted|skipped."""
+    from hadron_spark.sources import fs
+
+    pc = [c for c in plan.columns if c not in
+          ("bin", "n_files", "total_bytes", "files")]
+    rows = plan.collect()  # metadata-scale by contract
+    out = []
+    for r in rows:
+        paths = list(r["files"])
+        if len(paths) <= 1:
+            out.append((*[r[c] for c in pc], r["bin"], len(paths),
+                        int(r["total_bytes"]), "skipped"))
+            continue
+        target = paths[0] + ".compact"
+        tmp = target + "._tmp"
+        # heal: a prior crash after originals were deleted left tmp
+        if fs.exists(spark, tmp) and not fs.exists(spark, paths[0]):
+            _promote_compact(spark, fs, tmp, target)
+            out.append((*[r[c] for c in pc], r["bin"], len(paths),
+                        int(r["total_bytes"]), "compacted"))
+            continue
+        spark.read.format(fmt).load(paths).coalesce(1).write.format(
+            fmt
+        ).mode("overwrite").save(tmp)
+        if not keep_originals:
+            for p in paths:
+                fs.delete(spark, p)
+        _promote_compact(spark, fs, tmp, target)
+        out.append((*[r[c] for c in pc], r["bin"], len(paths),
+                    int(r["total_bytes"]), "compacted"))
+    schema_pc = ", ".join(f"`{c}` string" for c in pc)
+    schema = (schema_pc + ", " if schema_pc else "") + (
+        "bin long, n_files long, bytes_in long, action string"
+    )
+    return spark.createDataFrame(
+        [tuple(str(x) if i < len(pc) else x for i, x in enumerate(row))
+         for row in out],
+        schema,
+    )
+
+
+def _promote_compact(spark, fs, tmp: str, target: str) -> None:
+    """Move the single part file out of a `._tmp` write dir to the
+    final `<target>` path and drop the dir."""
+    part = [
+        e.path for e in fs.ls(spark, tmp)
+        if not e.is_dir and e.path.rsplit("/", 1)[1].startswith("part-")
+    ]
+    if len(part) != 1:
+        raise RuntimeError(f"expected one part file in {tmp}: {part}")
+    if fs.exists(spark, target):
+        fs.delete(spark, target)
+    fs.mv(spark, part[0], target)
+    fs.delete(spark, tmp)

@@ -431,3 +431,78 @@ def test_common_neighbors_reference(spark):
     assert mc == {("1", "3"), ("2", "h")}
     with pytest.raises(ValueError):
         common_neighbors(df, min_common=0)
+
+
+def test_compaction_execute_roundtrip(spark, tmp_path):
+    """Execute leg of the compaction contract: multi-file bins
+    rewrite to ONE .compact file, originals are deleted, row content
+    is byte-identical; single-file bins skip; keep_originals mode
+    leaves sources in place; crash-heal path (tmp present, originals
+    gone) promotes the tmp."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hadron_spark.operators.maintenance import (
+        compaction_execute,
+        compaction_plan,
+    )
+    from hadron_spark.sources import fs
+
+    root = tmp_path / "store"
+    root.mkdir()
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    # 6 small files + 1 "big" file
+    paths = []
+    for i in range(6):
+        p = str(root / f"small-{i}.parquet")
+        df.filter((F.col("id") % 6) == i).coalesce(1).write.parquet(p + ".d")
+        part = [
+            e.path for e in fs.ls(spark, p + ".d")
+            if e.path.endswith(".parquet") or "part-" in e.path.rsplit("/", 1)[1]
+        ]
+        part = [x for x in part if not x.endswith("_SUCCESS")]
+        fs.mv(spark, part[0], p)
+        fs.delete(spark, p + ".d")
+        paths.append(p)
+    listing = [(p, fs.ls(spark, p)[0].size) for p in paths]
+    total_sz = sum(s for _, s in listing)
+    files = spark.createDataFrame(listing, "path string, bytes long")
+    # target sized so ~3 files fit per bin -> 2 multi-file bins
+    plan = compaction_plan(files, "bytes", total_sz // 2 + 1, order_col="path")
+    bins = plan.collect()
+    assert sum(r["n_files"] for r in bins) == 6
+
+    res = compaction_execute(spark, plan).collect()
+    assert {r["action"] for r in res} <= {"compacted", "skipped"}
+    compacted = [r for r in res if r["action"] == "compacted"]
+    assert compacted
+    # originals of compacted bins are gone; .compact files exist
+    survivors = [e.path for e in fs.ls(spark, str(root))]
+    assert all(p not in survivors for p in paths if len(bins) > 1)
+    back = spark.read.parquet(*survivors)
+    assert back.count() == 1000
+    assert back.agg(F.sum("id")).collect()[0][0] == sum(range(1000))
+
+    # keep_originals: dry-run-with-artifacts
+    root2 = tmp_path / "store2"
+    root2.mkdir()
+    for i in range(2):
+        p = str(root2 / f"s{i}.parquet")
+        df.filter((F.col("id") % 2) == i).coalesce(1).write.parquet(p + ".d")
+        part = [
+            e.path for e in fs.ls(spark, p + ".d")
+            if "part-" in e.path.rsplit("/", 1)[1] and not e.path.endswith("_SUCCESS")
+        ]
+        fs.mv(spark, part[0], p)
+        fs.delete(spark, p + ".d")
+    l2 = [(str(root2 / f"s{i}.parquet"),
+           fs.ls(spark, str(root2 / f"s{i}.parquet"))[0].size) for i in range(2)]
+    f2 = spark.createDataFrame(l2, "path string, bytes long")
+    plan2 = compaction_plan(f2, "bytes", 10**9, order_col="path")
+    compaction_execute(spark, plan2, keep_originals=True)
+    names2 = {e.path.rsplit("/", 1)[1] for e in fs.ls(spark, str(root2))}
+    assert {"s0.parquet", "s1.parquet"} <= names2
+    assert any(n.endswith(".compact") for n in names2)
