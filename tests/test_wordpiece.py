@@ -228,3 +228,32 @@ def test_wordpiece_train_validation(spark):
         stats=stats,
     )
     assert merges == [] and stats["rounds"] == 1
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=6),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_wordpiece_train_property_parity(spark, words, num_merges):
+    """Hypothesis: on ANY small corpus, sequential (merge_batch=1)
+    distributed training reproduces the pure-Python reference loop
+    merge-for-merge and segmentation-for-segmentation."""
+    texts = [" ".join(words)]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    merges, vocab = wordpiece_train(df, num_merges=num_merges, merge_batch=1)
+    want_merges, want_vocab = _ref_train(texts, num_merges, merge_batch=1)
+    assert merges == want_merges
+    assert {r["word"]: list(r["syms"]) for r in vocab.collect()} == want_vocab
