@@ -1395,11 +1395,17 @@ def neardup_apply_fn(
                       files (idempotent) instead of duplicating;
       kept/batch=N/   the admitted documents (the gate's output),
                       same idempotent-partition rule;
+      sigs_base=B/,
+      kept_base=B/    everything at or below batch B folded into one
+                      dir by `compact_neardup_state` — reads stay
+                      O(1) dirs + O(batches since last compact)
+                      instead of O(all batches);
       _hwm            tiny marker (tmp-then-rename + `_recover_swap`
-                      healing) carrying the batch high-water mark —
-                      commit POINT: kept/sigs partitions for a batch
-                      are visible only after its HWM lands, and a
-                      crash before it replays into the same dirs.
+                      healing) carrying (hwm, base) — commit POINT:
+                      kept/sigs partitions for a batch are visible
+                      only after its HWM lands, a crash before it
+                      replays into the same dirs, and the base field
+                      moves only when a compact's fold is complete.
 
     Keeper semantics: FIRST ARRIVAL WINS across batches (a new doc
     near-duplicating an admitted one is dropped; the batch operator
@@ -1415,10 +1421,11 @@ def neardup_apply_fn(
     def apply(batch_df, batch_id):
         spark = batch_df.sparkSession
         _recover_swap(spark, marker)
-        hwm = None
+        hwm, base = None, -1
         if fs.exists(spark, marker):
-            hwm = spark.read.parquet(marker).collect()[0]["hwm"]
-            if batch_id <= int(hwm):
+            m = spark.read.parquet(marker).collect()[0]
+            hwm, base = int(m["hwm"]), int(m["base"])
+            if batch_id <= hwm:
                 return  # replayed batch: partitions already committed
         batch = batch_df.localCheckpoint(eager=True)
         kw = dict(
@@ -1428,11 +1435,8 @@ def neardup_apply_fn(
             shingle_k=shingle_k,
             max_bucket_size=max_bucket_size,
         )
-        sigs_root = state_path.rstrip("/") + "/sigs"
-        if hwm is not None and fs.exists(spark, sigs_root):
-            store = spark.read.option("basePath", sigs_root).parquet(
-                *[f"{sigs_root}/batch={b}" for b in range(int(hwm) + 1)]
-            )
+        store = _neardup_read(spark, state_path, "sigs", hwm, base)
+        if store is not None:
             kept = minhash_dedup_incremental(
                 batch, store.select("_id", "sig"), id_col, text_col, **kw
             )
@@ -1444,9 +1448,12 @@ def neardup_apply_fn(
         )
         minhash_signature(kept, text_col, num_hashes, shingle_k, id_col).select(
             F.col(id_col).alias("_id"), "sig"
-        ).write.mode("overwrite").parquet(f"{sigs_root}/batch={batch_id}")
+        ).write.mode("overwrite").parquet(
+            state_path.rstrip("/") + f"/sigs/batch={batch_id}"
+        )
         hwm_df = spark.range(1).select(
-            F.lit(int(batch_id)).cast("long").alias("hwm")
+            F.lit(int(batch_id)).cast("long").alias("hwm"),
+            F.lit(int(base)).cast("long").alias("base"),
         )
         _commit_swap(spark, hwm_df, marker, batch_id)
 
@@ -1486,19 +1493,94 @@ def incremental_near_dup(
     return writer.start()
 
 
-def read_neardup_kept(spark, state_path: str) -> DataFrame:
-    """Admitted (deduped) documents across all COMMITTED batches of an
-    `incremental_near_dup` state — only partitions at or below the
-    high-water mark are read, so a crash between a partition write
-    and its HWM commit is invisible (the replay overwrites it)."""
+def _neardup_read(spark, state_path: str, kind: str, hwm, base: int):
+    """Committed `sigs`/`kept` rows of a near-dup state: the folded
+    `<kind>_base=<base>` dir (everything at or below `base`) plus the
+    per-batch partitions in (base, hwm].  Returns None when nothing
+    is committed yet."""
+    if hwm is None:
+        return None
+    root = state_path.rstrip("/") + f"/{kind}"
+    paths = [f"{root}/batch={b}" for b in range(base + 1, int(hwm) + 1)]
+    frames = []
+    if base >= 0:
+        frames.append(
+            spark.read.parquet(state_path.rstrip("/") + f"/{kind}_base={base}")
+        )
+    if paths:
+        frames.append(
+            spark.read.option("basePath", root).parquet(*paths).drop("batch")
+        )
+    if not frames:
+        return None
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def compact_neardup_state(spark, state_path: str) -> int:
+    """Fold an `incremental_near_dup` state's per-batch partitions
+    into one consolidated base per kind — the maintenance pass that
+    keeps state READS O(1) dirs instead of O(#batches) (the same
+    small-file physics `operators.maintenance.compaction_plan`
+    handles for data stores; here the dirs double as the exactly-once
+    ledger, so the fold must move the commit point atomically):
+
+      1. write `sigs_base=<hwm>` / `kept_base=<hwm>` from the current
+         committed view (old base + batch dirs) — invisible until…
+      2. the marker swaps to (hwm, base=hwm) — THE commit point: a
+         crash before it leaves the old base+batches authoritative,
+         the orphan new dirs are overwritten by the next compact;
+      3. folded batch dirs and the superseded base are deleted
+         (crash here leaves ignorable garbage — reads consult only
+         the marker's base).
+
+    Single-writer contract (same as the apply fn: one stream drives a
+    state).  Returns the number of batch partitions folded."""
     from hadron_spark.sources import fs
 
     marker = state_path.rstrip("/") + "/_hwm"
     _recover_swap(spark, marker)
     if not fs.exists(spark, marker):
         raise FileNotFoundError(f"no committed near-dup state at {state_path}")
-    hwm = int(spark.read.parquet(marker).collect()[0]["hwm"])
-    root = state_path.rstrip("/") + "/kept"
-    return spark.read.option("basePath", root).parquet(
-        *[f"{root}/batch={b}" for b in range(hwm + 1)]
+    m = spark.read.parquet(marker).collect()[0]
+    hwm, base = int(m["hwm"]), int(m["base"])
+    if base >= hwm:
+        return 0
+    for kind in ("sigs", "kept"):
+        cur = _neardup_read(spark, state_path, kind, hwm, base)
+        cur.write.mode("overwrite").parquet(
+            state_path.rstrip("/") + f"/{kind}_base={hwm}"
+        )
+    mdf = spark.range(1).select(
+        F.lit(hwm).cast("long").alias("hwm"),
+        F.lit(hwm).cast("long").alias("base"),
     )
+    _commit_swap(spark, mdf, marker, f"compact_{hwm}")
+    # 3. cleanup — safe to fail partway; reads never consult these
+    for kind in ("sigs", "kept"):
+        if base >= 0:
+            fs.delete(spark, state_path.rstrip("/") + f"/{kind}_base={base}")
+        for b in range(base + 1, hwm + 1):
+            fs.delete(spark, state_path.rstrip("/") + f"/{kind}/batch={b}")
+    return hwm - base
+
+
+def read_neardup_kept(spark, state_path: str) -> DataFrame:
+    """Admitted (deduped) documents across all COMMITTED batches of an
+    `incremental_near_dup` state — the folded base (if any) plus
+    per-batch partitions at or below the high-water mark, so a crash
+    between a partition write and its HWM commit is invisible (the
+    replay overwrites it)."""
+    from hadron_spark.sources import fs
+
+    marker = state_path.rstrip("/") + "/_hwm"
+    _recover_swap(spark, marker)
+    if not fs.exists(spark, marker):
+        raise FileNotFoundError(f"no committed near-dup state at {state_path}")
+    m = spark.read.parquet(marker).collect()[0]
+    out = _neardup_read(spark, state_path, "kept", int(m["hwm"]), int(m["base"]))
+    if out is None:
+        raise FileNotFoundError(f"no committed near-dup state at {state_path}")
+    return out

@@ -813,3 +813,22 @@ def test_incremental_near_dup_gate_replay_recovery(spark, tmp_path):
     assert {0, 1, 2, 3, 12}.issubset(kept)      # originals + fresh admitted
     assert not {10, 11, 20} & kept              # cross-batch dups rejected
     assert len({21, 22} & kept) == 1            # within-batch pair self-dedups
+
+    # state compaction: fold batches 0..2 into one base per kind,
+    # readers see the identical corpus, a later batch still dedups
+    # against the folded store, and re-compacting is a no-op
+    from hadron_spark.streaming.ops import compact_neardup_state
+
+    folded = compact_neardup_state(spark, state)
+    assert folded == 3
+    assert compact_neardup_state(spark, state) == 0
+    kept2 = {r["doc_id"] for r in read_neardup_kept(spark, state).collect()}
+    assert kept2 == kept
+    names = {e.path.rsplit("/", 1)[1] for e in fs.ls(spark, state)}
+    assert "sigs_base=2" in names and "kept_base=2" in names
+    late = spark.createDataFrame(
+        [(30, 3, base[3] + ".")], "doc_id long, b int, text string"
+    )
+    apply(late, 3)  # same fixed schema as every stream batch
+    kept3 = {r["doc_id"] for r in read_neardup_kept(spark, state).collect()}
+    assert 30 not in kept3 and kept3 == kept
