@@ -1377,6 +1377,7 @@ def neardup_apply_fn(
     bands: int = 4,
     shingle_k: int = 5,
     max_bucket_size: int | None = 500,
+    compact_every: int | None = None,
 ):
     """The foreachBatch merge behind `incremental_near_dup` (call with
     (batch_df, batch_id) to unit-test replay/recovery): a streaming
@@ -1456,6 +1457,12 @@ def neardup_apply_fn(
             F.lit(int(base)).cast("long").alias("base"),
         )
         _commit_swap(spark, hwm_df, marker, batch_id)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            # post-commit housekeeping: folding is idempotent and
+            # crash-safe on its own marker swap (see
+            # compact_neardup_state) — a crash here never loses a
+            # batch, at worst the fold re-runs next time
+            compact_neardup_state(spark, state_path)
 
     return apply
 
@@ -1470,18 +1477,22 @@ def incremental_near_dup(
     bands: int = 4,
     shingle_k: int = 5,
     max_bucket_size: int | None = 500,
+    compact_every: int | None = 64,
     checkpoint: str | None = None,
 ):
     """Streaming MinHash-LSH ingest dedup (see `neardup_apply_fn` for
     the state layout, idempotency, and first-arrival-wins keeper
     contract): the missing streaming member of the dedup tier — the
     batch `minhash_dedup_incremental` pattern driven by micro-batches
-    with the exactly-once trio.  Read the admitted corpus back with
-    `read_neardup_kept`.  Returns the started StreamingQuery
-    (availableNow trigger)."""
+    with the exactly-once trio.  `compact_every` folds the per-batch
+    state partitions into a versioned base every N batches (default
+    64), bounding state reads at O(compact_every) dirs forever; pass
+    None to manage compaction externally via `compact_neardup_state`.
+    Read the admitted corpus back with `read_neardup_kept`.  Returns
+    the started StreamingQuery (availableNow trigger)."""
     apply = neardup_apply_fn(
         state_path, id_col, text_col, threshold, num_hashes, bands,
-        shingle_k, max_bucket_size,
+        shingle_k, max_bucket_size, compact_every,
     )
     writer = (
         stream.writeStream.foreachBatch(apply)

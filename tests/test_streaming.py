@@ -803,7 +803,10 @@ def test_incremental_near_dup_gate_replay_recovery(spark, tmp_path):
     ]
     df = spark.createDataFrame(rows, "doc_id long, b int, text string")
     state = str(tmp_path / "nd_state")
-    apply = neardup_apply_fn(state, threshold=0.7, num_hashes=32, bands=8)
+    apply = neardup_apply_fn(
+        state, threshold=0.7, num_hashes=32, bands=8, compact_every=2
+    )  # auto-fold after batch 1 — the rest of the test runs against
+    # a store that is part base, part fresh partitions
     apply(df.filter(F.col("b") == 0), 0)
     apply(df.filter(F.col("b") == 0), 0)  # replay: no-op
     apply(df.filter(F.col("b") == 1), 1)
@@ -820,7 +823,7 @@ def test_incremental_near_dup_gate_replay_recovery(spark, tmp_path):
     from hadron_spark.streaming.ops import compact_neardup_state
 
     folded = compact_neardup_state(spark, state)
-    assert folded == 3
+    assert folded == 1  # compact_every=2 already folded batches 0-1
     assert compact_neardup_state(spark, state) == 0
     kept2 = {r["doc_id"] for r in read_neardup_kept(spark, state).collect()}
     assert kept2 == kept
