@@ -738,3 +738,83 @@ def cochran_armitage(
         "sxxn",
         F.when(var > 0, num / F.sqrt(var)).alias("z"),
     )
+
+
+def anova_oneway(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """One-way ANOVA F statistic per partition — the k-group
+    generalization completing the two-sample tier (Welch t / MWU /
+    KS compare two samples; "does quality score differ ACROSS
+    sources" needs all k at once).
+
+    Exactness discipline: values must be pre-quantized integers (the
+    spearman/kendall contract).  Per-group sufficient statistics
+    (n_g, S_g) and the global squares sum Q are exact int64; the one
+    order-sensitive term, A = Σ_g S_g²/n_g, folds over the
+    GROUP-KEY-SORTED struct array — a fixed left-to-right IEEE
+    chain, so the sum is bit-identical on any engine stating the
+    same sorted fold (DuckDB mirrors with
+    list_reduce(list_sort(...)); a bare SUM() of doubles would be
+    partition-order-dependent and a windowed running sum is
+    segment-tree-shaped in some engines).  Then
+        SSB = A − S²/N,  SST = Q − S²/N,  SSW = SST − SSB,
+        F   = (SSB/(k−1)) / (SSW/(N−k))
+    — fixed chains over exact images.  int64→double bound: S_g² and
+    Q must stay < 2^53 for exact double images (|y| ≤ 10⁴ and
+    N ≤ 10⁸ per partition is safe; past that lift to DECIMAL).
+    Degenerate partitions (k < 2, N ≤ k, or SSW = 0) yield f NULL.
+
+    Scale: one partial-agg'd shuffle to (partition, group) cells,
+    one to the partition row; the sorted fold runs on a
+    |groups|-bounded array per partition (the kendall bounded-
+    cardinality contract).  Returns (partition_cols..., k, n,
+    ss_between, ss_within, f)."""
+    pc = list(partition_cols or [])
+    y = F.col(value_col).cast("long")
+    cells = (
+        df.filter(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(*pc, F.col(group_col).alias("_g"), y.alias("_y"))
+        .groupBy(*pc, "_g")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_y").alias("_s"),
+            F.sum(F.col("_y") * F.col("_y")).alias("_q"),
+        )
+    )
+    agg = cells.groupBy(*pc).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("_n").alias("n"),
+        F.sum("_s").alias("_S"),
+        F.sum("_q").alias("_Q"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_g"), F.col("_s"), F.col("_n")))
+        ).alias("_ga"),
+    )
+    a = F.aggregate(
+        F.col("_ga"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + (x["_s"] * x["_s"]).cast("double") / x["_n"].cast("double"),
+    )
+    sd = F.col("_S").cast("double")
+    nd = F.col("n").cast("double")
+    ssb = a - sd * sd / nd
+    sst = F.col("_Q").cast("double") - sd * sd / nd
+    ssw = sst - ssb
+    f = (ssb / (F.col("k") - 1).cast("double")) / (
+        ssw / (F.col("n") - F.col("k")).cast("double")
+    )
+    return agg.select(
+        *pc,
+        "k",
+        "n",
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        F.when(
+            (F.col("k") > 1) & (F.col("n") > F.col("k")) & (ssw > 0), f
+        ).alias("f"),
+    )

@@ -13497,3 +13497,64 @@ def q306(spark, sf_dir):
     result = spark.createDataFrame(kept.collect(), kept.schema)
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+@_register(
+    "q307_anova_oneway",
+    """
+    WITH cells AS (
+      SELECT l_returnflag AS gk, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(s) AS BIGINT) AS s_,
+             CAST(SUM(q) AS BIGINT) AS q_,
+             list_reduce(
+               list_transform(
+                 list_sort(list(struct_pack(gk := gk, s := s, n := n))),
+                 x -> CAST(x.s AS DOUBLE) * CAST(x.s AS DOUBLE)
+                      / CAST(x.n AS DOUBLE)),
+               (acc, v) -> acc + v) AS a
+      FROM cells)
+    SELECT k, n,
+           a - CAST(s_ AS DOUBLE) * CAST(s_ AS DOUBLE) / CAST(n AS DOUBLE)
+             AS ss_between,
+           (CAST(q_ AS DOUBLE)
+              - CAST(s_ AS DOUBLE) * CAST(s_ AS DOUBLE) / CAST(n AS DOUBLE))
+             - (a - CAST(s_ AS DOUBLE) * CAST(s_ AS DOUBLE)
+                  / CAST(n AS DOUBLE)) AS ss_within,
+           CASE WHEN k > 1 AND n > k AND
+                     (CAST(q_ AS DOUBLE) - CAST(s_ AS DOUBLE)
+                        * CAST(s_ AS DOUBLE) / CAST(n AS DOUBLE))
+                     - (a - CAST(s_ AS DOUBLE) * CAST(s_ AS DOUBLE)
+                          / CAST(n AS DOUBLE)) > 0
+                THEN ((a - CAST(s_ AS DOUBLE) * CAST(s_ AS DOUBLE)
+                         / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+                     / (((CAST(q_ AS DOUBLE) - CAST(s_ AS DOUBLE)
+                            * CAST(s_ AS DOUBLE) / CAST(n AS DOUBLE))
+                         - (a - CAST(s_ AS DOUBLE) * CAST(s_ AS DOUBLE)
+                              / CAST(n AS DOUBLE)))
+                        / CAST(n - k AS DOUBLE))
+                END AS f
+    FROM agg
+    """,
+)
+def q307(spark, sf_dir):
+    """One-way ANOVA F (operators.robust.anova_oneway): does order
+    quantity differ across return flags — the k-group generalization
+    of the two-sample tier, FULLY hash-exact: exact int64 sufficient
+    statistics, and the one order-sensitive float term (Σ S_g²/n_g)
+    folds over the group-key-SORTED struct array so both engines add
+    in the same left-to-right IEEE order (the oracle mirrors with
+    list_reduce ∘ list_sort — a bare SUM() of doubles would be
+    partition-order-dependent)."""
+    from hadron_spark.operators.robust import anova_oneway
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    )
+    return anova_oneway(li, "qty", "l_returnflag")

@@ -1329,3 +1329,52 @@ def test_hilbert_value_bijection_adjacency_parity(spark):
         hilbert_sql("x", "y", 0)
     with pytest.raises(ValueError):
         hilbert_sql("x", "y", 32)
+
+
+def test_anova_oneway_reference(spark):
+    """F statistic vs a pure-python computation (same sorted-fold
+    order), scipy-textbook fixture sanity, NULL filtering, and the
+    degenerate guards (one group / all-equal values)."""
+    rows = (
+        [("a", v) for v in [3, 1, 2, 5, 4, 3]]
+        + [("b", v) for v in [8, 7, 9, 6, 8]]
+        + [("c", v) for v in [2, 3, 1, 2]]
+        + [(None, 99), ("a", None)]
+    )
+    df = spark.createDataFrame(rows, "g string, y long")
+    from hadron_spark.operators.robust import anova_oneway
+
+    got = anova_oneway(df, "y", "g").collect()[0]
+    # python reference (group-key-sorted fold, identical op order)
+    data = {"a": [3, 1, 2, 5, 4, 3], "b": [8, 7, 9, 6, 8], "c": [2, 3, 1, 2]}
+    N = sum(len(v) for v in data.values())
+    S = sum(sum(v) for v in data.values())
+    Q = sum(x * x for v in data.values() for x in v)
+    A = 0.0
+    for gk in sorted(data):
+        s, n = sum(data[gk]), len(data[gk])
+        A += float(s * s) / float(n)
+    ssb = A - float(S) * S / N
+    sst = float(Q) - float(S) * S / N
+    ssw = sst - ssb
+    fref = (ssb / 2.0) / (ssw / float(N - 3))
+    assert got["k"] == 3 and got["n"] == N
+    assert got["ss_between"] == ssb and got["ss_within"] == ssw
+    assert got["f"] == fref
+    # sanity: strongly separated groups -> large F
+    assert got["f"] > 10
+    # degenerate guards
+    from pyspark.sql import functions as F
+
+    one = anova_oneway(
+        spark.createDataFrame([("a", 1), ("a", 2)], "g string, y long"), "y", "g"
+    ).collect()[0]
+    assert one["f"] is None
+    flat = anova_oneway(
+        spark.createDataFrame(
+            [("a", 5), ("a", 5), ("b", 5)], "g string, y long"
+        ),
+        "y",
+        "g",
+    ).collect()[0]
+    assert flat["f"] is None and flat["ss_within"] == 0.0
