@@ -818,3 +818,111 @@ def anova_oneway(
             (F.col("k") > 1) & (F.col("n") > F.col("k")) & (ssw > 0), f
         ).alias("f"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Kruskal–Wallis H per partition (Kruskal & Wallis 1952) — the
+    rank-based k-group one-way ANOVA: `mann_whitney_u`'s k-group
+    generalization the way `anova_oneway` generalizes Welch t, for
+    "does the value DISTRIBUTION differ across k sources" without
+    the normality assumption.
+
+    Integer-exact core: values pre-quantized to integers (the
+    spearman contract); average ranks scale ×2 into exact int64 over
+    the distinct-value spine (tie-run average is a half-integer);
+    per-group doubled-rank totals R2_g and tie terms Σ(t³−t) are
+    exact int64.  With A = Σ_g R2_g²/n_g — folded over the
+    group-key-SORTED struct array (the anova_oneway fixed IEEE-order
+    rule; R2_g casts to double exactly below 2^53, i.e.
+    N < 6.7·10⁷ rows per partition) —
+        H  = 3·A/(N(N+1)) − 3(N+1),
+        C  = 1 − Σ(t³−t)/(N³−N)    (tie correction),
+        Hc = H / C
+    — fixed chains over exact images, hash-exact cross-engine.
+    Degenerate partitions (k < 2, or all values tied: C = 0) yield
+    NULL h_corrected.
+
+    Scale: one shuffle to (partition, value) spine cells with a
+    bounded cumulative window (the `_two_sample_spine` shape), one
+    to (partition, group) rank totals, sorted fold on a
+    |groups|-bounded array.  Returns (partition_cols..., k, n,
+    h, tie_correction, h_corrected)."""
+    from pyspark.sql import Window
+
+    pc = list(partition_cols or [])
+    base = (
+        df.filter(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(
+            *pc,
+            F.col(group_col).alias("_g"),
+            F.col(value_col).cast("long").alias("_v"),
+        )
+    )
+    cells = base.groupBy(*pc, "_v", "_g").agg(F.count(F.lit(1)).alias("_c"))
+    from hadron_spark.operators.ops import pin
+
+    cells = pin(cells)
+    spine = cells.groupBy(*pc, "_v").agg(F.sum("_c").alias("_t"))
+    w = (
+        Window.partitionBy(*pc)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # doubled average rank of a tie run ending at cum: 2·(cum−t)+t+1
+    spine = spine.withColumn(
+        "_r2", 2 * (F.sum("_t").over(w) - F.col("_t")) + F.col("_t") + 1
+    )
+    ranked = cells.join(spine.select(*pc, "_v", "_r2"), [*pc, "_v"])
+    grp = ranked.groupBy(*pc, "_g").agg(
+        F.sum("_c").alias("_n"),
+        F.sum(F.col("_c") * F.col("_r2")).alias("_R2"),
+    )
+    ties = spine.groupBy(*pc).agg(
+        F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")).alias(
+            "_tsum"
+        )
+    )
+    agg = grp.groupBy(*pc).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("_n").alias("n"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_g"), F.col("_R2"), F.col("_n")))
+        ).alias("_ga"),
+    )
+    if pc:
+        agg = agg.join(ties, pc)
+    else:
+        agg = agg.crossJoin(F.broadcast(ties))
+    a = F.aggregate(
+        F.col("_ga"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + x["_R2"].cast("double")
+        * x["_R2"].cast("double")
+        / x["_n"].cast("double"),
+    )
+    nd = F.col("n").cast("double")
+    h = F.lit(3.0) * a / (F.col("n") * (F.col("n") + 1)).cast("double") - (
+        F.lit(3.0) * (nd + F.lit(1.0))
+    )
+    # N = 1 makes N³−N zero — ANSI raises on double zero-division,
+    # so the guard must wrap the division itself, not just the output
+    c = F.when(
+        F.col("n") > 1,
+        F.lit(1.0)
+        - F.col("_tsum").cast("double")
+        / (F.col("n") * F.col("n") * F.col("n") - F.col("n")).cast("double"),
+    )
+    return agg.select(
+        *pc,
+        "k",
+        "n",
+        h.alias("h"),
+        c.alias("tie_correction"),
+        F.when((F.col("k") > 1) & (c > 0), h / c).alias("h_corrected"),
+    )

@@ -13558,3 +13558,68 @@ def q307(spark, sf_dir):
         "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
     )
     return anova_oneway(li, "qty", "l_returnflag")
+
+
+@_register(
+    "q308_kruskal_wallis",
+    """
+    WITH v AS (SELECT event_type AS g,
+                      CAST(round(value * 100) AS BIGINT) AS y
+               FROM events WHERE value IS NOT NULL),
+    spine AS (
+      SELECT y, CAST(COUNT(*) AS BIGINT) AS t FROM v GROUP BY 1),
+    rk AS (
+      SELECT y, t,
+             2 * (SUM(t) OVER (ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t)
+               + t + 1 AS r2
+      FROM spine),
+    cells AS (
+      SELECT g, y, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
+    grp AS (
+      SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(c * r2) AS BIGINT) AS r2g
+      FROM cells JOIN rk USING (y) GROUP BY 1),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS n,
+             list_reduce(
+               list_transform(
+                 list_sort(list(struct_pack(g := g, r2g := r2g, n := n))),
+                 x -> CAST(x.r2g AS DOUBLE) * CAST(x.r2g AS DOUBLE)
+                      / CAST(x.n AS DOUBLE)),
+               (acc, x) -> acc + x) AS a
+      FROM grp),
+    ties AS (
+      SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tsum FROM spine)
+    SELECT k, n,
+           3.0 * a / CAST(n * (n + 1) AS DOUBLE)
+             - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h,
+           1.0 - CAST(tsum AS DOUBLE)
+               / CAST(n * n * n - n AS DOUBLE) AS tie_correction,
+           CASE WHEN k > 1 AND
+                     1.0 - CAST(tsum AS DOUBLE)
+                         / CAST(n * n * n - n AS DOUBLE) > 0
+                THEN (3.0 * a / CAST(n * (n + 1) AS DOUBLE)
+                        - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                     / (1.0 - CAST(tsum AS DOUBLE)
+                            / CAST(n * n * n - n AS DOUBLE))
+                END AS h_corrected
+    FROM agg, ties
+    """,
+)
+def q308(spark, sf_dir):
+    """Kruskal–Wallis H (operators.robust.kruskal_wallis): do event
+    values differ in DISTRIBUTION across event types — the rank-based
+    k-group one-way ANOVA (mann_whitney's k-group generalization),
+    FULLY hash-exact: doubled average ranks on the distinct-value
+    spine are exact int64, tie terms exact, and Σ R2_g²/n_g folds
+    over the group-key-sorted array in fixed IEEE order (the q307
+    sorted-fold rule; oracle mirrors with list_reduce ∘ list_sort)."""
+    from hadron_spark.operators.robust import kruskal_wallis
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return kruskal_wallis(ev, "cents", "event_type")

@@ -1378,3 +1378,62 @@ def test_anova_oneway_reference(spark):
         "g",
     ).collect()[0]
     assert flat["f"] is None and flat["ss_within"] == 0.0
+
+
+def test_kruskal_wallis_reference(spark):
+    """H and tie-corrected H vs a pure-python average-rank
+    computation (the scipy.stats.kruskal formula), fixed fold order;
+    degenerate guards (one group, all-tied values, single row)."""
+    from hadron_spark.operators.robust import kruskal_wallis
+
+    data = {"a": [1, 3, 5, 7, 7], "b": [2, 4, 6, 7], "c": [1, 8, 9]}
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, y long")
+    got = kruskal_wallis(df, "y", "g").collect()[0]
+
+    allv = sorted(v for vs in data.values() for v in vs)
+    N = len(allv)
+    # average rank per value (1-based, ties averaged)
+    import collections
+
+    cnt = collections.Counter(allv)
+    rank = {}
+    cum = 0
+    for v in sorted(cnt):
+        t = cnt[v]
+        rank[v] = cum + (t + 1) / 2.0
+        cum += t
+    # python mirror of the sorted double-rank fold
+    A = 0.0
+    for gk in sorted(data):
+        r2 = sum(int(2 * rank[v]) for v in data[gk])
+        A += float(r2) * float(r2) / float(len(data[gk]))
+    H = 3.0 * A / float(N * (N + 1)) - 3.0 * (N + 1)
+    tsum = sum(t**3 - t for t in cnt.values())
+    C = 1.0 - tsum / float(N**3 - N)
+    assert got["k"] == 3 and got["n"] == N
+    assert got["h"] == H
+    assert got["tie_correction"] == C
+    assert got["h_corrected"] == H / C
+    # scipy cross-check of the algebra (classic H from average ranks)
+    Hc_classic = (
+        12.0 / (N * (N + 1))
+        * sum(
+            sum(rank[v] for v in vs) ** 2 / len(vs) for vs in data.values()
+        )
+        - 3.0 * (N + 1)
+    ) / C
+    assert abs(got["h_corrected"] - Hc_classic) < 1e-9
+
+    one = kruskal_wallis(
+        spark.createDataFrame([("a", 1), ("a", 2)], "g string, y long"), "y", "g"
+    ).collect()[0]
+    assert one["h_corrected"] is None
+    tied = kruskal_wallis(
+        spark.createDataFrame([("a", 5), ("b", 5)], "g string, y long"), "y", "g"
+    ).collect()[0]
+    assert tied["h_corrected"] is None and tied["tie_correction"] == 0.0
+    single = kruskal_wallis(
+        spark.createDataFrame([("a", 5)], "g string, y long"), "y", "g"
+    ).collect()[0]
+    assert single["h_corrected"] is None and single["tie_correction"] is None
