@@ -868,15 +868,33 @@ def kruskal_wallis(
 
     cells = pin(cells)
     spine = cells.groupBy(*pc, "_v").agg(F.sum("_c").alias("_t"))
-    w = (
-        Window.partitionBy(*pc)
-        .orderBy("_v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     # doubled average rank of a tie run ending at cum: 2·(cum−t)+t+1
-    spine = spine.withColumn(
-        "_r2", 2 * (F.sum("_t").over(w) - F.col("_t")) + F.col("_t") + 1
-    )
+    if pc:
+        w = (
+            Window.partitionBy(*pc)
+            .orderBy("_v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        spine = spine.withColumn(
+            "_r2", 2 * (F.sum("_t").over(w) - F.col("_t")) + F.col("_t") + 1
+        )
+    else:
+        # a global spine would put the cumulative window on a single
+        # partition — route through range_cumsum's banded two-pass
+        # instead (spine rows are |distinct quantized values|-bounded,
+        # but the banded form holds at ANY cardinality)
+        from hadron_spark.operators.ops import range_cumsum
+
+        spine = range_cumsum(
+            spine,
+            key=F.col("_v"),
+            val=F.col("_t"),
+            order=[F.col("_v")],
+            out_col="_cum",
+            inclusive=True,
+        ).withColumn(
+            "_r2", 2 * (F.col("_cum") - F.col("_t")) + F.col("_t") + 1
+        ).drop("_cum")
     ranked = cells.join(spine.select(*pc, "_v", "_r2"), [*pc, "_v"])
     grp = ranked.groupBy(*pc, "_g").agg(
         F.sum("_c").alias("_n"),
