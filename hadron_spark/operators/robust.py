@@ -944,3 +944,43 @@ def kruskal_wallis(
         c.alias("tie_correction"),
         F.when((F.col("k") > 1) & (c > 0), h / c).alias("h_corrected"),
     )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test per partition (Brown
+    & Forsythe 1974): the robust Levene variant — one-way ANOVA on
+    the absolute deviations from each group's MEDIAN — answering
+    "may I pool variances across these k groups at all", the
+    admissibility check in front of `anova_oneway`.
+
+    Exactness: with integer values (the spearman contract), a group
+    median is a half-integer, so z = |2y − 2·median_g| is an EXACT
+    int64 (the mad_outliers ×2 trick) and the whole statistic
+    inherits `anova_oneway`'s sorted-fold hash-exactness verbatim —
+    the F here is literally anova_oneway(z).  Note the output F is
+    computed on the DOUBLED deviations; F is scale-invariant
+    (numerator and denominator both carry the 4×), so the statistic
+    equals the textbook value exactly.
+
+    Plan: one grouped exact median pass broadcast back onto the scan
+    (the mad_outliers shape), then anova_oneway's two aggregations.
+    Returns (partition_cols..., k, n, ss_between, ss_within, f)."""
+    pc = list(partition_cols or [])
+    y = F.col(value_col).cast("long")
+    q = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(*pc, F.col(group_col).alias("_g"), y.alias("_y"))
+    med = q.groupBy(*pc, "_g").agg(
+        F.percentile(F.col("_y") * 2, F.lit(0.5)).alias("_m2")
+    )
+    z = q.join(F.broadcast(med), [*pc, "_g"]).select(
+        *pc,
+        "_g",
+        F.abs(F.col("_y") * 2 - F.col("_m2").cast("long")).alias("_z"),
+    )
+    return anova_oneway(z, "_z", "_g", pc)

@@ -13623,3 +13623,70 @@ def q308(spark, sf_dir):
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     return kruskal_wallis(ev, "cents", "event_type")
+
+
+@_register(
+    "q309_brown_forsythe",
+    """
+    WITH v AS (SELECT event_type AS g,
+                      CAST(round(value * 100) AS BIGINT) AS y
+               FROM events WHERE value IS NOT NULL),
+    med AS (SELECT g, CAST(median(y * 2) AS BIGINT) AS m2
+            FROM v GROUP BY 1),
+    z AS (SELECT v.g, abs(y * 2 - m2) AS z FROM v JOIN med ON v.g = med.g),
+    cells AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(z) AS BIGINT) AS s,
+             CAST(SUM(z * z) AS BIGINT) AS q
+      FROM z GROUP BY 1),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(s) AS BIGINT) AS s_,
+             CAST(SUM(q) AS BIGINT) AS q_,
+             list_reduce(
+               list_transform(
+                 list_sort(list(struct_pack(g := g, s := s, n := n))),
+                 x -> CAST(x.s AS DOUBLE) * CAST(x.s AS DOUBLE)
+                      / CAST(x.n AS DOUBLE)),
+               (acc, x) -> acc + x) AS a
+      FROM cells)
+    SELECT k, n,
+           a - CAST(s_ AS DOUBLE) * CAST(s_ AS DOUBLE) / CAST(n AS DOUBLE)
+             AS ss_between,
+           (CAST(q_ AS DOUBLE)
+              - CAST(s_ AS DOUBLE) * CAST(s_ AS DOUBLE) / CAST(n AS DOUBLE))
+             - (a - CAST(s_ AS DOUBLE) * CAST(s_ AS DOUBLE)
+                  / CAST(n AS DOUBLE)) AS ss_within,
+           CASE WHEN k > 1 AND n > k AND
+                     (CAST(q_ AS DOUBLE) - CAST(s_ AS DOUBLE)
+                        * CAST(s_ AS DOUBLE) / CAST(n AS DOUBLE))
+                     - (a - CAST(s_ AS DOUBLE) * CAST(s_ AS DOUBLE)
+                          / CAST(n AS DOUBLE)) > 0
+                THEN ((a - CAST(s_ AS DOUBLE) * CAST(s_ AS DOUBLE)
+                         / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+                     / (((CAST(q_ AS DOUBLE) - CAST(s_ AS DOUBLE)
+                            * CAST(s_ AS DOUBLE) / CAST(n AS DOUBLE))
+                         - (a - CAST(s_ AS DOUBLE) * CAST(s_ AS DOUBLE)
+                              / CAST(n AS DOUBLE)))
+                        / CAST(n - k AS DOUBLE))
+                END AS f
+    FROM agg
+    """,
+)
+def q309(spark, sf_dir):
+    """Brown–Forsythe variance-homogeneity F (operators.robust
+    .brown_forsythe): may event-value variances be pooled across
+    event types — robust Levene (deviations from group MEDIANS),
+    exactly the q307 ANOVA run on the ×2-lifted absolute deviations
+    (medians of ints are half-integers; the lift keeps z exact
+    int64, and F is scale-invariant so the statistic is the textbook
+    value).  Same sorted-fold hash-exactness; oracle = the same
+    median → z → ANOVA chain."""
+    from hadron_spark.operators.robust import brown_forsythe
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return brown_forsythe(ev, "cents", "event_type")

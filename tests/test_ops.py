@@ -1437,3 +1437,43 @@ def test_kruskal_wallis_reference(spark):
         spark.createDataFrame([("a", 5)], "g string, y long"), "y", "g"
     ).collect()[0]
     assert single["h_corrected"] is None and single["tie_correction"] is None
+
+
+def test_brown_forsythe_reference(spark):
+    """BF == one-way ANOVA on |y − median_g| (python mirror with the
+    same x2 integer lift and sorted fold); equal-spread groups score
+    lower than a variance-exploded group fixture."""
+    from hadron_spark.operators.robust import brown_forsythe
+
+    data = {"a": [1, 2, 3, 4, 5], "b": [3, 4, 5, 6, 7], "c": [-20, 0, 30, 60]}
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, y long")
+    got = brown_forsythe(df, "y", "g").collect()[0]
+
+    import statistics
+
+    z = {
+        g: [abs(2 * v - int(2 * statistics.median(vs))) for v in vs]
+        for g, vs in data.items()
+    }
+    N = sum(len(v) for v in z.values())
+    S = sum(sum(v) for v in z.values())
+    Q = sum(x * x for v in z.values() for x in v)
+    A = 0.0
+    for gk in sorted(z):
+        s, n = sum(z[gk]), len(z[gk])
+        A += float(s * s) / float(n)
+    ssb = A - float(S) * S / N
+    ssw = (float(Q) - float(S) * S / N) - ssb
+    fref = (ssb / 2.0) / (ssw / float(N - 3))
+    assert got["f"] == fref and got["f"] > 3  # c's spread dominates
+    # homogeneous fixture scores near zero
+    h = brown_forsythe(
+        spark.createDataFrame(
+            [("a", v) for v in [1, 2, 3]] + [("b", v) for v in [11, 12, 13]],
+            "g string, y long",
+        ),
+        "y",
+        "g",
+    ).collect()[0]
+    assert h["f"] is not None and h["f"] < 1e-9
