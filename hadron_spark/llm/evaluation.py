@@ -943,3 +943,53 @@ def token_budget_curve(
             / (F.col("cum_tokens") * F.col("_Q")).cast("double"),
         ).alias("lift"),
     )
+
+
+def mcnemar(
+    df: DataFrame,
+    pred_a_col: str,
+    pred_b_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """McNemar's paired test per group (McNemar 1947) — the
+    model-comparison significance check done RIGHT for paired
+    predictions: two classifiers scored on the SAME rows are not
+    independent samples (a two-proportion z overstates certainty),
+    so the test looks only at the DISCORDANT pairs — b = rows A gets
+    right and B wrong, c = the reverse — under H₀: b ≈ c.
+
+        chi2    = (b − c)² / (b + c)
+        chi2_cc = (|b − c| − 1)² / (b + c)   (Edwards continuity
+                  correction, the form quoted in most comparisons;
+                  0 when |b − c| ≤ 1)
+
+    b and c are exact int64 counts and each statistic ONE IEEE
+    division — hash-exact.  Zero discordant pairs (b + c = 0) yield
+    NULL statistics (the models are indistinguishable on this data,
+    not infinitely different — and ANSI would raise on the bare
+    division).  One partial-agg'd shuffle onto |groups| rows.
+    Returns (group_cols..., n, n_concordant, b, c, chi2, chi2_cc)."""
+    gc = list(group_cols or [])
+    a_ok = (F.col(pred_a_col) == F.col(label_col)).cast("long")
+    b_ok = (F.col(pred_b_col) == F.col(label_col)).cast("long")
+    agg = df.groupBy(*gc).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(a_ok * b_ok + (1 - a_ok) * (1 - b_ok)).alias("n_concordant"),
+        F.sum(a_ok * (1 - b_ok)).alias("b"),
+        F.sum((1 - a_ok) * b_ok).alias("c"),
+    )
+    d = (F.col("b") - F.col("c")).cast("double")
+    tot = (F.col("b") + F.col("c")).cast("double")
+    cc = F.greatest(
+        F.abs(F.col("b") - F.col("c")) - 1, F.lit(0)
+    ).cast("double")
+    return agg.select(
+        *gc,
+        "n",
+        "n_concordant",
+        "b",
+        "c",
+        F.when(F.col("b") + F.col("c") > 0, d * d / tot).alias("chi2"),
+        F.when(F.col("b") + F.col("c") > 0, cc * cc / tot).alias("chi2_cc"),
+    )

@@ -13690,3 +13690,53 @@ def q309(spark, sf_dir):
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     return brown_forsythe(ev, "cents", "event_type")
+
+
+@_register(
+    "q310_mcnemar",
+    r"""
+    WITH p AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             CASE WHEN n_chars >= 280 THEN 1 ELSE 0 END AS pa,
+             CASE WHEN len(list_filter(string_split_regex(text, '\s+'),
+                                        x -> x <> '')) >= 45
+                  THEN 1 ELSE 0 END AS pb
+      FROM documents),
+    d AS (
+      SELECT CASE WHEN pa = y THEN 1 ELSE 0 END AS aok,
+             CASE WHEN pb = y THEN 1 ELSE 0 END AS bok
+      FROM p),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(aok * bok + (1 - aok) * (1 - bok)) AS BIGINT)
+               AS n_concordant,
+             CAST(SUM(aok * (1 - bok)) AS BIGINT) AS b,
+             CAST(SUM((1 - aok) * bok) AS BIGINT) AS c
+      FROM d)
+    SELECT n, n_concordant, b, c,
+           CASE WHEN b + c > 0
+                THEN CAST((b - c) * (b - c) AS DOUBLE)
+                     / CAST(b + c AS DOUBLE) END AS chi2,
+           CASE WHEN b + c > 0
+                THEN CAST(greatest(abs(b - c) - 1, 0)
+                          * greatest(abs(b - c) - 1, 0) AS DOUBLE)
+                     / CAST(b + c AS DOUBLE) END AS chi2_cc
+    FROM agg
+    """,
+)
+def q310(spark, sf_dir):
+    """McNemar's paired test (llm.evaluation.mcnemar): two
+    length-based "is it English" classifiers scored on the SAME
+    documents — paired predictions are not independent samples, so
+    significance rides the discordant-pair counts b/c only.  Exact
+    int64 counts, each statistic one IEEE division, zero-discordance
+    NULL guard — hash-exact FULL oracle."""
+    from hadron_spark.functions.text import token_count
+    from hadron_spark.llm.evaluation import mcnemar
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.when(F.col("n_chars") >= 280, 1).otherwise(0).alias("pa"),
+        F.when(token_count(F.col("text")) >= 45, 1).otherwise(0).alias("pb"),
+    )
+    return mcnemar(docs, "pa", "pb", "y")

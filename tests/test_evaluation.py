@@ -535,3 +535,26 @@ def test_token_budget_curve_reference(spark):
     sel_rows = sel.collect()
     assert sum(r["tok"] for r in sel_rows) == budget
     assert {r["id"] for r in sel_rows} == {r[0] for r in order[:30]}
+
+
+def test_mcnemar_reference(spark):
+    """b/c discordant counts, chi2 and continuity-corrected chi2 vs
+    hand math; zero-discordant guard; grouping."""
+    from hadron_spark.llm.evaluation import mcnemar
+
+    # label, predA, predB designed for b=5, c=2 within group g1
+    rows = []
+    rows += [("g1", 1, 1, 0)] * 5   # A right, B wrong  -> b
+    rows += [("g1", 1, 0, 1)] * 2   # A wrong, B right  -> c
+    rows += [("g1", 1, 1, 1)] * 3   # both right
+    rows += [("g1", 0, 1, 1)] * 4   # both wrong
+    rows += [("g2", 1, 1, 1)] * 6   # no discordance
+    df = spark.createDataFrame(rows, "g string, y int, pa int, pb int")
+    got = {r["g"]: r for r in mcnemar(df, "pa", "pb", "y", ["g"]).collect()}
+    g1 = got["g1"]
+    assert (g1["b"], g1["c"], g1["n"], g1["n_concordant"]) == (5, 2, 14, 7)
+    assert g1["chi2"] == (5 - 2) ** 2 / 7.0
+    assert g1["chi2_cc"] == (abs(5 - 2) - 1) ** 2 / 7.0
+    g2 = got["g2"]
+    assert g2["b"] == 0 and g2["c"] == 0
+    assert g2["chi2"] is None and g2["chi2_cc"] is None
