@@ -295,3 +295,68 @@ def compression_ratio(
         f"{id_col} {id_type}, n_bytes long, n_compressed long, "
         "compression_ratio double",
     )
+
+
+def blockword_filter(
+    df: DataFrame,
+    words: list[str] | DataFrame,
+    text_col: str = "text",
+    max_hits: int = 0,
+    keep_counts: bool = False,
+) -> DataFrame:
+    """Token-boundary word-blocklist gate (the C4 "bad words" rule,
+    Raffel et al. 2020 §2.2: drop any document containing a listed
+    word) — matching is on WHOLE lowered whitespace tokens, never
+    substrings ("class" does not hit a 3-letter entry).  The list
+    itself is the caller's (policy, licensing); this operator is the
+    scalable application.
+
+    Two physical modes, picked by what you pass:
+    - `words` as a python list → ONE InSet probe per token inside a
+      shared prefilter (the language_id shape): zero shuffle, the
+      right plan while the list fits a literal (≤ ~100k entries);
+    - `words` as a single-column DataFrame → explode tokens once and
+      LEFT SEMI join against the (auto-broadcast) list, count hits
+      per doc, join decisions back: the right plan when the list is
+      table-sized or already lives in storage.
+    Both modes produce IDENTICAL decisions (pinned in tests).
+
+    Keeps documents with hits <= max_hits (default 0 = C4's rule).
+    `keep_counts=True` appends `n_blockword_hits` instead of
+    dropping columns — the audit view."""
+    from hadron_spark.functions.text import tokenize
+
+    if isinstance(words, DataFrame):
+        wcol = words.columns[0]
+        wl = F.broadcast(
+            words.select(F.lower(F.col(wcol)).alias("_bw")).distinct()
+        )
+        # hits are a function of the TEXT — compute once per distinct
+        # text (duplicate rows would double the exploded token count
+        # under a bare per-key groupBy) and fan the decision back out
+        toks = df.select(F.col(text_col).alias("_t")).distinct().select(
+            F.md5(F.col("_t")).alias("_k"),
+            F.explode(tokenize(F.lower(F.col("_t")))).alias("_bw"),
+        )
+        hits = (
+            toks.join(wl, "_bw", "left_semi")
+            .groupBy("_k")
+            .agg(F.count(F.lit(1)).alias("n_blockword_hits"))
+        )
+        out = df.withColumn("_k", F.md5(F.col(text_col))).join(
+            hits, "_k", "left"
+        ).withColumn(
+            "n_blockword_hits",
+            F.coalesce(F.col("n_blockword_hits"), F.lit(0)),
+        ).drop("_k")
+    else:
+        wl_set = sorted({w.lower() for w in words})
+        hits_expr = F.size(
+            F.filter(
+                tokenize(F.lower(F.col(text_col))),
+                lambda t: t.isin(wl_set),
+            )
+        )
+        out = df.withColumn("n_blockword_hits", hits_expr.cast("long"))
+    kept = out.filter(F.col("n_blockword_hits") <= max_hits)
+    return kept if keep_counts else kept.drop("n_blockword_hits")

@@ -13740,3 +13740,33 @@ def q310(spark, sf_dir):
         F.when(token_count(F.col("text")) >= 45, 1).otherwise(0).alias("pb"),
     )
     return mcnemar(docs, "pa", "pb", "y")
+
+
+@_register(
+    "q311_blockword_filter",
+    r"""
+    WITH h AS (
+      SELECT doc_id, source,
+             len(list_filter(
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> ''),
+               x -> list_contains(['alpha', 'omega'], x))) AS hits
+      FROM documents)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM h WHERE hits = 0 GROUP BY source
+    """,
+)
+def q311(spark, sf_dir):
+    """C4-style word-blocklist gate (llm.filters.blockword_filter):
+    documents containing any blocklisted whole token are dropped
+    (token-boundary matching — substrings never hit), surviving
+    counts per source.  The fixture list is two corpus words
+    standing in for the caller-supplied policy list; both physical
+    modes (literal InSet / broadcast semi-join) are decision-
+    identical by test, the query runs the literal mode.  FULL
+    oracle."""
+    from hadron_spark.llm.filters import blockword_filter
+
+    docs = load(spark, sf_dir, "documents")
+    kept = blockword_filter(docs, ["alpha", "omega"])
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))

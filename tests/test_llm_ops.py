@@ -2458,3 +2458,38 @@ def test_quantile_normalize_reference(spark):
         for r in quantile_normalize(df.repartition(7), "v", "g").collect()
     }
     assert g1 == g2
+
+
+def test_blockword_filter_modes_agree(spark):
+    """C4-style word-blocklist gate: token-boundary matching (no
+    substring hits), literal-InSet and broadcast-join modes produce
+    identical decisions (including on duplicated texts), max_hits
+    tolerance, and the audit-count view."""
+    from hadron_spark.llm.filters import blockword_filter
+
+    rows = [
+        (1, "clean words only here"),
+        (2, "this DARN text slips one"),
+        (3, "darn darn heck"),          # 3 hits
+        (4, "classy word with darning"),  # substrings must NOT hit
+        (5, "this DARN text slips one"),  # duplicate of 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bad = ["darn", "heck"]
+
+    kept_lit = {r["doc_id"] for r in blockword_filter(df, bad).collect()}
+    wdf = spark.createDataFrame([(w,) for w in bad], "w string")
+    kept_join = {r["doc_id"] for r in blockword_filter(df, wdf).collect()}
+    assert kept_lit == kept_join == {1, 4}
+
+    tol_lit = {r["doc_id"] for r in blockword_filter(df, bad, max_hits=1).collect()}
+    tol_join = {r["doc_id"] for r in blockword_filter(df, wdf, max_hits=1).collect()}
+    assert tol_lit == tol_join == {1, 2, 4, 5}
+
+    audit = {
+        r["doc_id"]: r["n_blockword_hits"]
+        for r in blockword_filter(
+            df, wdf, max_hits=99, keep_counts=True
+        ).collect()
+    }
+    assert audit == {1: 0, 2: 1, 3: 3, 4: 0, 5: 1}
