@@ -984,3 +984,104 @@ def brown_forsythe(
         F.abs(F.col("_y") * 2 - F.col("_m2").cast("long")).alias("_z"),
     )
     return anova_oneway(z, "_z", "_g", pc)
+
+
+def friedman(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Friedman test (Friedman 1937): k treatments scored on the SAME
+    n blocks — "do k models rank differently over the same documents"
+    (the ordinal-score, k-way member of the paired kit next to
+    `mcnemar`), or any repeated-measures one-way design.  Ranks are
+    computed WITHIN each block, so between-block scale differences
+    never leak into the statistic.
+
+    Exactness: values integer (the spearman contract).  Doubled
+    within-block average ranks ρ = 2·RANK + t_eq − 1 are exact int64
+    (RANK = min rank of the tie run, t_eq its size — both window
+    counts over the block partition, millions of blocks parallelize
+    freely).  With R2_j = Σ_blocks ρ, the tie-corrected statistic in
+    doubled-rank form is
+        chi2 = (k−1) · Σ_j (R2_j − n(k+1))² / (A2 − n·k·(k+1)²),
+        A2   = Σ_ij ρ²,
+    numerator summed in DECIMAL(38,0) (exact and order-free — no
+    sorted fold needed when every term is an integer) and ONE IEEE
+    division at the end — hash-exact.  Kendall's W = chi2/(n(k−1))
+    rides along as the effect size.  Blocks missing treatments (or
+    duplicating one) are DROPPED and counted; an all-tied design
+    (zero denominator) yields NULL chi2.
+
+    Returns one row: (k, n, n_blocks_dropped, chi2, kendall_w)."""
+    from pyspark.sql import Window
+
+    base = (
+        df.filter(
+            F.col(block_col).isNotNull()
+            & F.col(treatment_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(block_col).alias("_b"),
+            F.col(treatment_col).alias("_t"),
+            F.col(value_col).cast("long").alias("_y"),
+        )
+    )
+    k_row = base.agg(F.count_distinct("_t").alias("k"))
+    # complete blocks: exactly one row per treatment, all k present
+    per = base.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_nrow"),
+        F.count_distinct("_t").alias("_ntr"),
+    )
+    per = per.crossJoin(F.broadcast(k_row))
+    good = per.filter(
+        (F.col("_nrow") == F.col("k")) & (F.col("_ntr") == F.col("k"))
+    ).select("_b")
+    dropped = per.filter(
+        (F.col("_nrow") != F.col("k")) | (F.col("_ntr") != F.col("k"))
+    ).agg(F.count(F.lit(1)).alias("n_blocks_dropped"))
+    kept = base.join(good, "_b")
+    wb = Window.partitionBy("_b").orderBy("_y")
+    we = Window.partitionBy("_b", "_y")
+    ranked = kept.select(
+        "_b",
+        "_t",
+        (2 * F.rank().over(wb) + F.count(F.lit(1)).over(we) - 1).alias("_r2"),
+    )
+    tr = ranked.groupBy("_t").agg(F.sum("_r2").alias("_R2"))
+    tot = ranked.agg(
+        F.count_distinct("_b").alias("n"),
+        F.sum(F.col("_r2") * F.col("_r2")).alias("_A2"),
+    )
+    j = tr.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(k_row))
+    dev = (F.col("_R2") - F.col("n") * (F.col("k") + 1)).cast("decimal(38,0)")
+    num = j.agg(
+        F.sum(dev * dev).alias("_num"),
+        F.first("n").alias("n"),
+        F.first("k").alias("k"),
+        F.first("_A2").alias("_A2"),
+    )
+    den = (
+        F.col("_A2")
+        - F.col("n") * F.col("k") * (F.col("k") + 1) * (F.col("k") + 1)
+    ).cast("double")
+    chi2 = (
+        (F.col("k") - 1).cast("double")
+        * F.col("_num").cast("double")
+        / den
+    )
+    out = num.crossJoin(F.broadcast(dropped)).select(
+        "k",
+        "n",
+        F.coalesce(F.col("n_blocks_dropped"), F.lit(0)).alias(
+            "n_blocks_dropped"
+        ),
+        F.when((F.col("k") > 1) & (den > 0), chi2).alias("chi2"),
+        F.when(
+            (F.col("k") > 1) & (den > 0) & (F.col("n") > 0),
+            chi2 / (F.col("n") * (F.col("k") - 1)).cast("double"),
+        ).alias("kendall_w"),
+    )
+    return out

@@ -13770,3 +13770,91 @@ def q311(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     kept = blockword_filter(docs, ["alpha", "omega"])
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@_register(
+    "q312_friedman",
+    r"""
+    WITH long_form AS (
+      SELECT doc_id AS b, 'chars' AS t, CAST(n_chars AS BIGINT) AS y
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 'tokens',
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) * 6 AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 'lines',
+             CAST((length(text) - length(replace(text, '.', '')))
+                  * 40 AS BIGINT)
+      FROM documents),
+    ranked AS (
+      SELECT b, t,
+             2 * RANK() OVER (PARTITION BY b ORDER BY y)
+               + COUNT(*) OVER (PARTITION BY b, y) - 1 AS r2
+      FROM long_form),
+    tr AS (SELECT t, CAST(SUM(r2) AS BIGINT) AS r2j FROM ranked GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n,
+                   CAST(SUM(r2 * r2) AS BIGINT) AS a2
+            FROM ranked),
+    agg AS (
+      SELECT CAST(3 AS BIGINT) AS k, n, a2,
+             CAST(SUM(CAST((r2j - n * 4) AS DECIMAL(38,0))
+                      * CAST((r2j - n * 4) AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS num
+      FROM tr, tot GROUP BY n, a2)
+    SELECT k, n, CAST(0 AS BIGINT) AS n_blocks_dropped,
+           CASE WHEN a2 - n * k * 16 > 0
+                THEN 2.0 * CAST(num AS DOUBLE)
+                     / CAST(a2 - n * k * 16 AS DOUBLE) END AS chi2,
+           CASE WHEN a2 - n * k * 16 > 0
+                THEN (2.0 * CAST(num AS DOUBLE)
+                      / CAST(a2 - n * k * 16 AS DOUBLE))
+                     / CAST(n * 2 AS DOUBLE) END AS kendall_w
+    FROM agg
+    """,
+)
+def q312(spark, sf_dir):
+    """Friedman test (operators.robust.friedman): three deterministic
+    per-document "scorers" (char count, scaled token count, scaled
+    sentence-period count) ranked WITHIN each document — do the
+    scorers rank documents' bulk differently, the k-model
+    repeated-measures question mcnemar answers for binary decisions.
+    Ranks double to exact int64 (tie runs share 2·RANK + t_eq − 1),
+    the tie-corrected chi² is one IEEE division over a DECIMAL(38,0)
+    numerator and exact int64 denominator, Kendall's W rides along.
+    Every block is complete by construction (the three scores derive
+    from the same row) — the oracle states the same doubled-rank
+    algebra with k=4−1... k=3 folded into literals."""
+    from hadron_spark.functions.text import token_count
+    from hadron_spark.operators.robust import friedman
+
+    docs = load(spark, sf_dir, "documents")
+    lf = (
+        docs.select(
+            F.col("doc_id").alias("b"),
+            F.lit("chars").alias("t"),
+            F.col("n_chars").cast("long").alias("y"),
+        )
+        .unionByName(
+            docs.select(
+                F.col("doc_id").alias("b"),
+                F.lit("tokens").alias("t"),
+                (token_count(F.col("text")) * 6).cast("long").alias("y"),
+            )
+        )
+        .unionByName(
+            docs.select(
+                F.col("doc_id").alias("b"),
+                F.lit("lines").alias("t"),
+                (
+                    (
+                        F.length("text")
+                        - F.length(F.replace(F.col("text"), F.lit(".")))
+                    )
+                    * 40
+                ).cast("long").alias("y"),
+            )
+        )
+    )
+    return friedman(lf, "b", "t", "y")

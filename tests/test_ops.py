@@ -1477,3 +1477,66 @@ def test_brown_forsythe_reference(spark):
         "g",
     ).collect()[0]
     assert h["f"] is not None and h["f"] < 1e-9
+
+
+def test_friedman_reference(spark):
+    """Friedman chi2 + Kendall's W vs a pure-python mirror (doubled
+    within-block average ranks, tie-corrected denominator), the
+    classic no-tie formula cross-check, incomplete-block dropping,
+    and the all-tied NULL guard."""
+    from hadron_spark.operators.robust import friedman
+
+    # 5 blocks x 3 treatments, with ties inside blocks 4 and 5
+    scores = {
+        1: {"A": 10, "B": 20, "C": 30},
+        2: {"A": 15, "B": 25, "C": 20},
+        3: {"A": 12, "B": 28, "C": 31},
+        4: {"A": 7, "B": 7, "C": 9},
+        5: {"A": 5, "B": 6, "C": 6},
+    }
+    rows = [(b, t, v) for b, d in scores.items() for t, v in d.items()]
+    rows.append((6, "A", 1))  # incomplete block -> dropped
+    df = spark.createDataFrame(rows, "b long, t string, y long")
+    got = friedman(df, "b", "t", "y").collect()[0]
+
+    # python mirror in doubled ranks
+    k, n = 3, 5
+    r2 = {t: 0 for t in "ABC"}
+    a2 = 0
+    for d in scores.values():
+        vals = sorted(d.values())
+        for t, v in d.items():
+            lt = sum(1 for x in vals if x < v)
+            eq = sum(1 for x in vals if x == v)
+            rho = 2 * lt + eq + 1
+            r2[t] += rho
+            a2 += rho * rho
+    num = sum((r2[t] - n * (k + 1)) ** 2 for t in r2)
+    den = a2 - n * k * (k + 1) ** 2
+    chi2 = (k - 1) * float(num) / float(den)
+    assert got["k"] == 3 and got["n"] == 5 and got["n_blocks_dropped"] == 1
+    assert got["chi2"] == chi2
+    assert got["kendall_w"] == chi2 / float(n * (k - 1))
+
+    # no ties: classic 12/(nk(k+1)) SUM R_j^2 - 3n(k+1) must agree
+    nt = {b: d for b, d in scores.items() if b <= 3}
+    rows2 = [(b, t, v) for b, d in nt.items() for t, v in d.items()]
+    g2 = friedman(
+        spark.createDataFrame(rows2, "b long, t string, y long"), "b", "t", "y"
+    ).collect()[0]
+    rj = {t: 0 for t in "ABC"}
+    for d in nt.values():
+        order = sorted(d, key=lambda t: d[t])
+        for r, t in enumerate(order, 1):
+            rj[t] += r
+    classic = 12.0 / (3 * 3 * 4) * sum(v * v for v in rj.values()) - 3 * 3 * 4
+    assert abs(g2["chi2"] - classic) < 1e-9
+
+    # all-tied design: zero denominator -> NULL
+    flat = friedman(
+        spark.createDataFrame(
+            [(b, t, 5) for b in (1, 2) for t in "AB"], "b long, t string, y long"
+        ),
+        "b", "t", "y",
+    ).collect()[0]
+    assert flat["chi2"] is None and flat["kendall_w"] is None
