@@ -26,6 +26,46 @@ def test_no_transcendentals_or_nondeterminism_in_oracles():
             assert pat not in low, (name, pat)
 
 
+def test_verify_oracle_rejects_unknown_names():
+    """A typo'd query name must fail loudly (exit 2), never produce a
+    vacuous 'all queries match' by silently skipping every name."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "tools/verify_oracle.py",
+         "/root/testdata/sf0.001", "q01_pricing_summary", "q_no_such_query"],
+        capture_output=True, text=True, cwd=".",
+    )
+    assert proc.returncode == 2, proc.stdout + proc.stderr
+    assert "UNKNOWN" in proc.stdout
+    assert "q_no_such_query" in proc.stdout
+    assert "all queries match" not in proc.stdout
+
+
+def test_driver_window_rotates_by_round():
+    """__spark_entry__.queries() must order the oracle-backed block by
+    md5(name+round) so the driver's 50-slot hash window samples a fresh
+    subset each round (rounds 3-5 all hashed the same 50)."""
+    import hashlib
+
+    import __spark_entry__ as entry
+
+    q = entry.queries()
+    names = list(q)
+    backed = [n for n in names if n in ORACLES]
+    # oracle-backed block still leads
+    assert names[: len(backed)] == backed
+    rnd = str(entry._current_round())
+    expect = sorted(backed, key=lambda n: hashlib.md5((n + rnd).encode()).hexdigest())
+    assert backed == expect
+    # rotation actually changes the window between rounds
+    other = sorted(
+        backed, key=lambda n: hashlib.md5((n + str(int(rnd) + 1)).encode()).hexdigest()
+    )
+    assert other[:50] != backed[:50]
+
+
 def test_no_hugeint_output_columns():
     """The q50 failure class, checked PRECISELY: DuckDB binds every
     oracle (DESCRIBE — no execution) and no OUTPUT column may be

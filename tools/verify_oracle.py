@@ -63,6 +63,15 @@ def main() -> int:
     from hadron_spark import get_spark
     from hadron_spark.queries import ORACLES, QUERIES
 
+    # A typo'd name must NOT silently skip and report "all queries match"
+    # (a verifier that can vacuously pass is a defect): reject unknowns
+    # up front with exit 2 before any Spark work.
+    unknown = sorted(only - set(QUERIES))
+    if unknown:
+        print(f"UNKNOWN query names (not in registry): {unknown}")
+        print(f"ran 0/requested {len(only)}")
+        return 2
+
     # no console progress bar: its \r rewrites swallow OK/FAIL lines
     spark = get_spark(
         "verify_oracle", extra_conf={"spark.ui.showConsoleProgress": "false"}
@@ -126,6 +135,8 @@ def main() -> int:
             print(f"OK    {name}: {len(s)} rows [{elapsed:.1f}s]")
 
     print()
+    ran = len(only) if only else len(QUERIES)
+    print(f"ran {ran}/requested {len(only) if only else len(QUERIES)}")
     if failures:
         print(f"{len(failures)} FAILURES: {failures}")
         return 1
