@@ -969,8 +969,18 @@ def mcnemar(
     NULL statistics (the models are indistinguishable on this data,
     not infinitely different — and ANSI would raise on the bare
     division).  One partial-agg'd shuffle onto |groups| rows.
+
+    Rows where either prediction or the label is NULL are EXCLUDED up
+    front (the spearman/kendall pairwise-complete convention): a NULL
+    equality term would be skipped by the b/c/concordant sums while
+    still counting in n, silently breaking n = n_concordant + b + c.
     Returns (group_cols..., n, n_concordant, b, c, chi2, chi2_cc)."""
     gc = list(group_cols or [])
+    df = df.filter(
+        F.col(pred_a_col).isNotNull()
+        & F.col(pred_b_col).isNotNull()
+        & F.col(label_col).isNotNull()
+    )
     a_ok = (F.col(pred_a_col) == F.col(label_col)).cast("long")
     b_ok = (F.col(pred_b_col) == F.col(label_col)).cast("long")
     agg = df.groupBy(*gc).agg(

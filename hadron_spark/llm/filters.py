@@ -357,6 +357,16 @@ def blockword_filter(
                 lambda t: t.isin(wl_set),
             )
         )
-        out = df.withColumn("n_blockword_hits", hits_expr.cast("long"))
+        # NULL text must count as 0 hits in BOTH modes (the DataFrame
+        # mode coalesces missing hits to 0): bare size(filter(NULL))
+        # is −1 under legacy sizeOfNull and NULL under ANSI — the
+        # latter silently DROPS the row at the `<= max_hits` gate,
+        # breaking the modes' decision-identity contract
+        out = df.withColumn(
+            "n_blockword_hits",
+            F.when(F.col(text_col).isNotNull(), hits_expr)
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
     kept = out.filter(F.col("n_blockword_hits") <= max_hits)
     return kept if keep_counts else kept.drop("n_blockword_hits")

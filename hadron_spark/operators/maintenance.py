@@ -334,8 +334,15 @@ def compaction_execute(
             fmt
         ).mode("overwrite").save(tmp)
         if not keep_originals:
-            for p in paths:
+            # paths[0] LAST: the heal predicate above is `tmp exists AND
+            # paths[0] missing`, so it must only become true once EVERY
+            # original is gone.  Deleting in list order would open a crash
+            # window (paths[0] gone, paths[1:] present) where the next run
+            # promotes the compact file while leftovers silently duplicate
+            # their rows in the store.
+            for p in paths[1:]:
                 fs.delete(spark, p)
+            fs.delete(spark, paths[0])
         _promote_compact(spark, fs, tmp, target)
         out.append((*[r[c] for c in pc], r["bin"], len(paths),
                     int(r["total_bytes"]), "compacted"))

@@ -835,8 +835,11 @@ def kruskal_wallis(
     Integer-exact core: values pre-quantized to integers (the
     spearman contract); average ranks scale ×2 into exact int64 over
     the distinct-value spine (tie-run average is a half-integer);
-    per-group doubled-rank totals R2_g and tie terms Σ(t³−t) are
-    exact int64.  With A = Σ_g R2_g²/n_g — folded over the
+    per-group doubled-rank totals R2_g are exact int64; the cubic
+    terms Σ(t³−t), n³−n and n(n+1) run in DECIMAL(38,0) (int64 t³
+    would silently wrap at t ≥ 2,097,152 — below the N bound, so
+    int64 was never safe there).  With A = Σ_g R2_g²/n_g — folded
+    over the
     group-key-SORTED struct array (the anova_oneway fixed IEEE-order
     rule; R2_g casts to double exactly below 2^53, i.e.
     N < 6.7·10⁷ rows per partition) —
@@ -900,10 +903,12 @@ def kruskal_wallis(
         F.sum("_c").alias("_n"),
         F.sum(F.col("_c") * F.col("_r2")).alias("_R2"),
     )
+    # t³ in int64 silently wraps at t ≥ 2,097,152 (2^63 < t³) — far below
+    # the docstring's N bound — so the tie sum runs in DECIMAL(38,0)
+    # (exact to 10^38; the final cast to double is correctly rounded)
+    t_dec = F.col("_t").cast("decimal(38,0)")
     ties = spine.groupBy(*pc).agg(
-        F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")).alias(
-            "_tsum"
-        )
+        F.sum(t_dec * t_dec * t_dec - t_dec).alias("_tsum")
     )
     agg = grp.groupBy(*pc).agg(
         F.count(F.lit(1)).alias("k"),
@@ -925,7 +930,12 @@ def kruskal_wallis(
         / x["_n"].cast("double"),
     )
     nd = F.col("n").cast("double")
-    h = F.lit(3.0) * a / (F.col("n") * (F.col("n") + 1)).cast("double") - (
+    # n(n+1) and n³−n likewise run in DECIMAL(38,0): int64 n³ wraps at
+    # n ≥ 2,097,152 rows per partition (silently with ANSI off), n(n+1)
+    # at n ≥ ~3·10⁹ — both far below the R2→double 2^53 bound that
+    # actually limits hash-exactness (N < 6.7·10⁷)
+    n_dec = F.col("n").cast("decimal(38,0)")
+    h = F.lit(3.0) * a / (n_dec * (n_dec + 1)).cast("double") - (
         F.lit(3.0) * (nd + F.lit(1.0))
     )
     # N = 1 makes N³−N zero — ANSI raises on double zero-division,
@@ -934,7 +944,7 @@ def kruskal_wallis(
         F.col("n") > 1,
         F.lit(1.0)
         - F.col("_tsum").cast("double")
-        / (F.col("n") * F.col("n") * F.col("n") - F.col("n")).cast("double"),
+        / (n_dec * n_dec * n_dec - n_dec).cast("double"),
     )
     return agg.select(
         *pc,

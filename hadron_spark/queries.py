@@ -13591,19 +13591,22 @@ def q307(spark, sf_dir):
                (acc, x) -> acc + x) AS a
       FROM grp),
     ties AS (
-      SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tsum FROM spine)
+      -- HUGEINT intermediates mirror the Spark side's DECIMAL(38,0):
+      -- int64 t*t*t would overflow at t >= 2,097,152
+      SELECT SUM(CAST(t AS HUGEINT) * t * t - t) AS tsum FROM spine)
     SELECT k, n,
-           3.0 * a / CAST(n * (n + 1) AS DOUBLE)
+           3.0 * a / CAST(CAST(n AS HUGEINT) * (n + 1) AS DOUBLE)
              - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h,
            1.0 - CAST(tsum AS DOUBLE)
-               / CAST(n * n * n - n AS DOUBLE) AS tie_correction,
+               / CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE)
+             AS tie_correction,
            CASE WHEN k > 1 AND
                      1.0 - CAST(tsum AS DOUBLE)
-                         / CAST(n * n * n - n AS DOUBLE) > 0
-                THEN (3.0 * a / CAST(n * (n + 1) AS DOUBLE)
+                         / CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE) > 0
+                THEN (3.0 * a / CAST(CAST(n AS HUGEINT) * (n + 1) AS DOUBLE)
                         - 3.0 * (CAST(n AS DOUBLE) + 1.0))
                      / (1.0 - CAST(tsum AS DOUBLE)
-                            / CAST(n * n * n - n AS DOUBLE))
+                            / CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE))
                 END AS h_corrected
     FROM agg, ties
     """,

@@ -558,3 +558,11 @@ def test_mcnemar_reference(spark):
     g2 = got["g2"]
     assert g2["b"] == 0 and g2["c"] == 0
     assert g2["chi2"] is None and g2["chi2_cc"] is None
+
+    # NULL pred/label rows are excluded up front (pairwise-complete):
+    # n must stay = n_concordant + b + c, never silently diverge
+    nrows = rows + [("g1", None, 1, 0), ("g1", 1, None, 1), ("g1", 1, 1, None)]
+    ndf = spark.createDataFrame(nrows, "g string, y int, pa int, pb int")
+    ng1 = {r["g"]: r for r in mcnemar(ndf, "pa", "pb", "y", ["g"]).collect()}["g1"]
+    assert (ng1["b"], ng1["c"], ng1["n"], ng1["n_concordant"]) == (5, 2, 14, 7)
+    assert ng1["n"] == ng1["n_concordant"] + ng1["b"] + ng1["c"]

@@ -2493,3 +2493,20 @@ def test_blockword_filter_modes_agree(spark):
         ).collect()
     }
     assert audit == {1: 0, 2: 1, 3: 3, 4: 0, 5: 1}
+
+    # NULL text = 0 hits in BOTH modes (the literal mode's bare
+    # size(filter(NULL)) was −1 legacy / NULL ANSI — row silently
+    # dropped under ANSI, breaking decision-identity)
+    ndf = spark.createDataFrame(
+        [(10, None), (11, "darn")], "doc_id long, text string"
+    )
+    for wl in (bad, wdf):
+        got = {
+            r["doc_id"]: r["n_blockword_hits"]
+            for r in blockword_filter(
+                ndf, wl, max_hits=99, keep_counts=True
+            ).collect()
+        }
+        assert got == {10: 0, 11: 1}, got
+        kept0 = {r["doc_id"] for r in blockword_filter(ndf, wl).collect()}
+        assert kept0 == {10}

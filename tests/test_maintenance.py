@@ -486,6 +486,49 @@ def test_compaction_execute_roundtrip(spark, tmp_path):
     assert back.count() == 1000
     assert back.agg(F.sum("id")).collect()[0][0] == sum(range(1000))
 
+    # crash-safety ordering: the heal predicate is `tmp exists AND
+    # paths[0] missing`, so paths[0] must be deleted LAST — a crash
+    # mid-delete-loop must leave paths[0] present (re-plan path), never
+    # the promotable state with leftover originals (silent duplication).
+    import hadron_spark.sources.fs as fs_mod
+
+    root3 = tmp_path / "store3"
+    root3.mkdir()
+    for i in range(3):
+        p = str(root3 / f"c{i}.parquet")
+        df.filter((F.col("id") % 3) == i).coalesce(1).write.parquet(p + ".d")
+        part = [
+            e.path for e in fs.ls(spark, p + ".d")
+            if "part-" in e.path.rsplit("/", 1)[1] and not e.path.endswith("_SUCCESS")
+        ]
+        fs.mv(spark, part[0], p)
+        fs.delete(spark, p + ".d")
+    l3 = [(str(root3 / f"c{i}.parquet"),
+           fs.ls(spark, str(root3 / f"c{i}.parquet"))[0].size) for i in range(3)]
+    f3 = spark.createDataFrame(l3, "path string, bytes long")
+    plan3 = compaction_plan(f3, "bytes", 10**9, order_col="path")
+    [bin3] = plan3.collect()
+    deletes = []
+    real_delete = fs_mod.delete
+
+    def recording_delete(spark_, path):
+        deletes.append(path)
+        return real_delete(spark_, path)
+
+    monkeypatch_ok = False
+    try:
+        fs_mod.delete = recording_delete
+        compaction_execute(spark, plan3)
+        monkeypatch_ok = True
+    finally:
+        fs_mod.delete = real_delete
+    assert monkeypatch_ok
+    originals3 = list(bin3["files"])
+    order = [deletes.index(p) for p in originals3 if p in deletes]
+    assert len(order) == 3
+    # first-listed original deleted strictly after every other original
+    assert order[0] == max(order)
+
     # keep_originals: dry-run-with-artifacts
     root2 = tmp_path / "store2"
     root2.mkdir()
