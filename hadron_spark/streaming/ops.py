@@ -1378,13 +1378,14 @@ def neardup_apply_fn(
     shingle_k: int = 5,
     max_bucket_size: int | None = 500,
     compact_every: int | None = None,
+    store_buckets: int = 64,
+    probe_key_limit: int = 65536,
 ):
     """The foreachBatch merge behind `incremental_near_dup` (call with
     (batch_df, batch_id) to unit-test replay/recovery): a streaming
     INGEST DEDUP GATE — each micro-batch is MinHash-LSH-deduped
-    against everything already admitted (`llm.dedup.
-    minhash_dedup_incremental` against the persisted signature
-    store), then self-deduped; survivors are admitted.
+    against everything already admitted, then self-deduped; survivors
+    are admitted.
 
     Layout under `state_path` — designed so the store is NEVER
     rewritten (unlike the scalar incremental_* states, the signature
@@ -1396,65 +1397,98 @@ def neardup_apply_fn(
                       files (idempotent) instead of duplicating;
       kept/batch=N/   the admitted documents (the gate's output),
                       same idempotent-partition rule;
-      sigs_base=B/,
-      kept_base=B/    everything at or below batch B folded into one
-                      dir by `compact_neardup_state` — reads stay
-                      O(1) dirs + O(batches since last compact)
-                      instead of O(all batches);
-      _hwm            tiny marker (tmp-then-rename + `_recover_swap`
-                      healing) carrying (hwm, base) — commit POINT:
+      sigs_base=B/pk=K/
+                      everything at or below batch B folded by
+                      `compact_neardup_state` into the PRE-BANDED,
+                      BUCKET-PARTITIONED probe layout (the IVF
+                      cell-partition pattern, similarity.py ivf
+                      index): one row per (band, doc) with bucket
+                      dir pk = band·P + crc32(bkey) mod P
+                      (P = `store_buckets`), rows SORTED by bkey
+                      inside each file, and `_bn` = bucket size
+                      precomputed at fold time;
+      kept_base=B/    the folded admitted docs (one flat dir);
+      hwm_marker      tiny marker (tmp-then-rename + `_recover_swap`
+                      healing) carrying (hwm, base, num_hashes,
+                      bands, store_buckets) — commit POINT:
                       kept/sigs partitions for a batch are visible
                       only after its HWM lands, a crash before it
                       replays into the same dirs, and the base field
                       moves only when a compact's fold is complete.
+                      The banding params ride along so compaction
+                      and later sessions can never silently band a
+                      store two different ways (drift raises).
+
+    Probe plan per batch (the 100 TB shape — the store is NEVER
+    shuffled): the batch's banded keys are a bounded set
+    (≤ bands·|batch|), so the base probe is
+      scan sigs_base pruned by pk.isin(batch pks)     [partition dirs]
+      .filter(bkey.isin(batch bkeys))                 [row-group stats
+                                                       — files are
+                                                       bkey-sorted]
+      .join(broadcast(batch banded), on=(pk, bkey))
+    — partition pruning is the bucket lookup, parquet min/max prunes
+    inside the touched dirs, and the broadcast keeps the join
+    entirely map-side.  Batches too wide for a literal key list
+    (> `probe_key_limit` distinct band keys) degrade to the plain
+    shuffled equi-join — correct, just not pruned.  Delta dirs since
+    the last compact are O(compact_every) batches and probe through
+    the same broadcast join.
 
     Keeper semantics: FIRST ARRIVAL WINS across batches (a new doc
     near-duplicating an admitted one is dropped; the batch operator
     `minhash_dedup` keeps min-id WITHIN a batch).  Approximate by
     construction (LSH banding) — registered rows-only, with the
     planted-duplicate exactness pinned in test_streaming."""
-    from hadron_spark.llm.dedup import minhash_dedup, minhash_dedup_incremental
-    from hadron_spark.llm.dedup import minhash_signature
+    from hadron_spark.llm.dedup import minhash_dedup, minhash_signature
     from hadron_spark.sources import fs
-
-    marker = state_path.rstrip("/") + "/_hwm"
 
     def apply(batch_df, batch_id):
         spark = batch_df.sparkSession
+        marker = _neardup_marker(spark, state_path)
         _recover_swap(spark, marker)
         hwm, base = None, -1
         if fs.exists(spark, marker):
-            m = spark.read.parquet(marker).collect()[0]
-            hwm, base = int(m["hwm"]), int(m["base"])
+            md = spark.read.parquet(marker).collect()[0].asDict()
+            hwm, base = int(md["hwm"]), int(md["base"])
+            _neardup_check_params(md, num_hashes, bands, store_buckets)
             if batch_id <= hwm:
                 return  # replayed batch: partitions already committed
         batch = batch_df.localCheckpoint(eager=True)
-        kw = dict(
-            threshold=threshold,
-            num_hashes=num_hashes,
-            bands=bands,
-            shingle_k=shingle_k,
+        new_sigs = minhash_signature(
+            batch, text_col, num_hashes, shingle_k, id_col
+        ).select(F.col(id_col).alias("_id"), "sig")
+        from hadron_spark.operators.ops import pin
+
+        new_sigs = pin(new_sigs)
+        dup_ids = _neardup_probe(
+            spark, state_path, new_sigs, hwm, base,
+            threshold=threshold, num_hashes=num_hashes, bands=bands,
+            max_bucket_size=max_bucket_size, store_buckets=store_buckets,
+            probe_key_limit=probe_key_limit,
+        )
+        survivors = batch.join(
+            dup_ids.withColumnRenamed("_id", id_col), on=id_col,
+            how="left_anti",
+        )
+        kept = minhash_dedup(
+            survivors, id_col, text_col, threshold,
+            num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
             max_bucket_size=max_bucket_size,
         )
-        store = _neardup_read(spark, state_path, "sigs", hwm, base)
-        if store is not None:
-            kept = minhash_dedup_incremental(
-                batch, store.select("_id", "sig"), id_col, text_col, **kw
-            )
-        else:
-            kept = minhash_dedup(batch, id_col, text_col, **kw)
         kept = kept.localCheckpoint(eager=True)
         kept.write.mode("overwrite").parquet(
             state_path.rstrip("/") + f"/kept/batch={batch_id}"
         )
-        minhash_signature(kept, text_col, num_hashes, shingle_k, id_col).select(
-            F.col(id_col).alias("_id"), "sig"
+        # the kept docs' signatures were already computed above —
+        # semi-join instead of a second shingle pass over the text
+        new_sigs.join(
+            kept.select(F.col(id_col).alias("_id")), "_id", "left_semi"
         ).write.mode("overwrite").parquet(
             state_path.rstrip("/") + f"/sigs/batch={batch_id}"
         )
-        hwm_df = spark.range(1).select(
-            F.lit(int(batch_id)).cast("long").alias("hwm"),
-            F.lit(int(base)).cast("long").alias("base"),
+        hwm_df = _neardup_marker_df(
+            spark, batch_id, base, num_hashes, bands, store_buckets
         )
         _commit_swap(spark, hwm_df, marker, batch_id)
         if compact_every and (batch_id + 1) % compact_every == 0:
@@ -1465,6 +1499,124 @@ def neardup_apply_fn(
             compact_neardup_state(spark, state_path)
 
     return apply
+
+
+def _neardup_marker_df(spark, hwm, base, num_hashes, bands, store_buckets):
+    return spark.range(1).select(
+        F.lit(int(hwm)).cast("long").alias("hwm"),
+        F.lit(int(base)).cast("long").alias("base"),
+        F.lit(int(num_hashes)).cast("long").alias("num_hashes"),
+        F.lit(int(bands)).cast("long").alias("bands"),
+        F.lit(int(store_buckets)).cast("long").alias("store_buckets"),
+    )
+
+
+def _neardup_check_params(md: dict, num_hashes, bands, store_buckets) -> None:
+    """A store banded one way probed another silently admits every
+    duplicate (bkeys never collide) — config drift must raise."""
+    for k, v in (("num_hashes", num_hashes), ("bands", bands),
+                 ("store_buckets", store_buckets)):
+        if k in md and md[k] is not None and int(md[k]) != int(v):
+            raise ValueError(
+                f"near-dup state was built with {k}={int(md[k])}, "
+                f"probed with {k}={int(v)} — banding params are part "
+                "of the store layout and cannot change mid-stream"
+            )
+
+
+def _neardup_pk(bands_col, bkey_col, store_buckets: int):
+    """Bucket dir of a banded signature row: band·P + crc32(bkey) mod
+    P — the partition-pruning key of the compacted base."""
+    return (
+        bands_col.cast("long") * store_buckets
+        + F.pmod(F.crc32(bkey_col), F.lit(store_buckets))
+    ).cast("int")
+
+
+def _neardup_probe(
+    spark,
+    state_path: str,
+    new_sigs,
+    hwm,
+    base: int,
+    *,
+    threshold: float,
+    num_hashes: int,
+    bands: int,
+    max_bucket_size: int | None,
+    store_buckets: int,
+    probe_key_limit: int,
+):
+    """ids (`_id`) of new docs near-duplicating the committed store —
+    the shuffle-free probe described in `neardup_apply_fn`.  Returns
+    an empty-safe DataFrame with column `_id`."""
+    from hadron_spark.llm.dedup import _drop_oversized_buckets, band_signatures
+
+    est = (
+        F.expr(
+            "size(filter(zip_with(n.sig, c.sig, (x, y) -> x = y), m -> m))"
+        ).cast("double")
+        / F.lit(num_hashes)
+    )
+    nb = band_signatures(new_sigs, num_hashes, bands).withColumn(
+        "pk", _neardup_pk(F.col("band"), F.col("bkey"), store_buckets)
+    )
+    parts = []
+    if hwm is not None and base >= 0:
+        bdir = state_path.rstrip("/") + f"/sigs_base={base}"
+        base_df = spark.read.parquet(bdir)
+        if "bkey" not in base_df.columns:
+            # legacy unbanded base (pre-bucketed-layout states): band
+            # on the fly — no pruning, but still broadcast-probed
+            base_df = band_signatures(
+                base_df.select("_id", "sig"), num_hashes, bands
+            )
+            if max_bucket_size:
+                base_df = _drop_oversized_buckets(
+                    base_df, ["band", "bkey"], max_bucket_size
+                )
+            parts.append(
+                base_df.alias("c")
+                .join(F.broadcast(nb.alias("n")), on=["band", "bkey"])
+                .select(F.col("n._id").alias("_id"), est.alias("_est"))
+            )
+        else:
+            keys = nb.select("pk", "bkey").distinct().collect()
+            if max_bucket_size:
+                base_df = base_df.filter(F.col("_bn") <= max_bucket_size)
+            if len(keys) <= probe_key_limit:
+                pks = sorted({r["pk"] for r in keys})
+                bkeys = sorted({r["bkey"] for r in keys})
+                base_df = base_df.filter(
+                    F.col("pk").isin(pks) & F.col("bkey").isin(bkeys)
+                )
+            parts.append(
+                base_df.alias("c")
+                .join(F.broadcast(nb.alias("n")), on=["pk", "bkey"])
+                .select(F.col("n._id").alias("_id"), est.alias("_est"))
+            )
+    if hwm is not None and hwm > base:
+        root = state_path.rstrip("/") + "/sigs"
+        dpaths = [f"{root}/batch={b}" for b in range(base + 1, int(hwm) + 1)]
+        delta = (
+            spark.read.option("basePath", root).parquet(*dpaths).drop("batch")
+        )
+        db = band_signatures(delta.select("_id", "sig"), num_hashes, bands)
+        if max_bucket_size:
+            db = _drop_oversized_buckets(db, ["band", "bkey"], max_bucket_size)
+        parts.append(
+            db.alias("c")
+            .join(F.broadcast(nb.alias("n")), on=["band", "bkey"])
+            .select(F.col("n._id").alias("_id"), est.alias("_est"))
+        )
+    if not parts:
+        return new_sigs.select("_id").limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.filter(F.col("_est") >= threshold).select("_id").distinct()
+    )
 
 
 def incremental_near_dup(
@@ -1479,20 +1631,25 @@ def incremental_near_dup(
     max_bucket_size: int | None = 500,
     compact_every: int | None = 64,
     checkpoint: str | None = None,
+    store_buckets: int = 64,
+    probe_key_limit: int = 65536,
 ):
     """Streaming MinHash-LSH ingest dedup (see `neardup_apply_fn` for
-    the state layout, idempotency, and first-arrival-wins keeper
-    contract): the missing streaming member of the dedup tier — the
-    batch `minhash_dedup_incremental` pattern driven by micro-batches
-    with the exactly-once trio.  `compact_every` folds the per-batch
-    state partitions into a versioned base every N batches (default
-    64), bounding state reads at O(compact_every) dirs forever; pass
-    None to manage compaction externally via `compact_neardup_state`.
+    the state layout, the shuffle-free bucketed probe plan, the
+    idempotency story, and the first-arrival-wins keeper contract):
+    the missing streaming member of the dedup tier — the batch
+    `minhash_dedup_incremental` pattern driven by micro-batches with
+    the exactly-once trio.  `compact_every` folds the per-batch state
+    partitions into a versioned pre-banded base every N batches
+    (default 64), bounding state reads at O(compact_every) dirs
+    forever AND giving probes their pruned map-side layout; pass None
+    to manage compaction externally via `compact_neardup_state`.
     Read the admitted corpus back with `read_neardup_kept`.  Returns
     the started StreamingQuery (availableNow trigger)."""
     apply = neardup_apply_fn(
         state_path, id_col, text_col, threshold, num_hashes, bands,
         shingle_k, max_bucket_size, compact_every,
+        store_buckets=store_buckets, probe_key_limit=probe_key_limit,
     )
     writer = (
         stream.writeStream.foreachBatch(apply)
@@ -1504,11 +1661,32 @@ def incremental_near_dup(
     return writer.start()
 
 
+def _neardup_marker(spark, state_path: str) -> str:
+    """Path of a near-dup state's HWM marker dir: `hwm_marker` — NOT
+    underscore-prefixed, because Hadoop's path filter treats `_*` as
+    metadata and every `spark.read.parquet(marker)` then logs a
+    spurious "All paths were ignored" WARN per batch (the read still
+    succeeds via direct listing — noise, not breakage).  States
+    written before the rename carry `_hwm`; migrate it once."""
+    from hadron_spark.sources import fs
+
+    root = state_path.rstrip("/")
+    marker = root + "/hwm_marker"
+    legacy = root + "/_hwm"
+    try:
+        if fs.exists(spark, legacy) and not fs.exists(spark, marker):
+            fs.mv(spark, legacy, marker)
+    except Exception:  # noqa: BLE001 — state root may not exist yet
+        pass
+    return marker
+
+
 def _neardup_read(spark, state_path: str, kind: str, hwm, base: int):
-    """Committed `sigs`/`kept` rows of a near-dup state: the folded
-    `<kind>_base=<base>` dir (everything at or below `base`) plus the
+    """Committed `kept` rows of a near-dup state: the folded
+    `kept_base=<base>` dir (everything at or below `base`) plus the
     per-batch partitions in (base, hwm].  Returns None when nothing
-    is committed yet."""
+    is committed yet.  (The sigs side has its own bucketed layout —
+    see `_neardup_probe` / `compact_neardup_state`.)"""
     if hwm is None:
         return None
     root = state_path.rstrip("/") + f"/{kind}"
@@ -1530,7 +1708,13 @@ def _neardup_read(spark, state_path: str, kind: str, hwm, base: int):
     return out
 
 
-def compact_neardup_state(spark, state_path: str) -> int:
+def compact_neardup_state(
+    spark,
+    state_path: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    store_buckets: int = 64,
+) -> int:
     """Fold an `incremental_near_dup` state's per-batch partitions
     into one consolidated base per kind — the maintenance pass that
     keeps state READS O(1) dirs instead of O(#batches) (the same
@@ -1538,8 +1722,15 @@ def compact_neardup_state(spark, state_path: str) -> int:
     handles for data stores; here the dirs double as the exactly-once
     ledger, so the fold must move the commit point atomically):
 
-      1. write `sigs_base=<hwm>` / `kept_base=<hwm>` from the current
-         committed view (old base + batch dirs) — invisible until…
+      1. write `kept_base=<hwm>` from the current committed view, and
+         `sigs_base=<hwm>` in the PRE-BANDED probe layout — banded
+         rows (band, bkey, _id, sig, _bn=bucket size) partitioned by
+         the pk bucket dir, bkey-SORTED within files, so every later
+         batch probe is a pruned map-side scan (`_neardup_probe`).
+         This ONE shuffle per compaction (the _bn bucket-count
+         window) is the amortized cost that buys shuffle-free probes
+         for all `compact_every` batches in between — invisible
+         until…
       2. the marker swaps to (hwm, base=hwm) — THE commit point: a
          crash before it leaves the old base+batches authoritative,
          the orphan new dirs are overwritten by the next compact;
@@ -1547,34 +1738,80 @@ def compact_neardup_state(spark, state_path: str) -> int:
          (crash here leaves ignorable garbage — reads consult only
          the marker's base).
 
-    Single-writer contract (same as the apply fn: one stream drives a
-    state).  Returns the number of batch partitions folded."""
+    Banding params come from the marker when present (every state
+    written since the bucketed layout carries them; drift raises);
+    the keyword args only cover legacy markers.  Single-writer
+    contract (same as the apply fn: one stream drives a state).
+    Returns the number of batch partitions folded."""
+    from hadron_spark.llm.dedup import band_signatures
     from hadron_spark.sources import fs
 
-    marker = state_path.rstrip("/") + "/_hwm"
+    marker = _neardup_marker(spark, state_path)
     _recover_swap(spark, marker)
     if not fs.exists(spark, marker):
         raise FileNotFoundError(f"no committed near-dup state at {state_path}")
-    m = spark.read.parquet(marker).collect()[0]
-    hwm, base = int(m["hwm"]), int(m["base"])
+    md = spark.read.parquet(marker).collect()[0].asDict()
+    hwm, base = int(md["hwm"]), int(md["base"])
+    num_hashes = int(md.get("num_hashes") or num_hashes)
+    bands = int(md.get("bands") or bands)
+    store_buckets = int(md.get("store_buckets") or store_buckets)
     if base >= hwm:
         return 0
-    for kind in ("sigs", "kept"):
-        cur = _neardup_read(spark, state_path, kind, hwm, base)
-        cur.write.mode("overwrite").parquet(
-            state_path.rstrip("/") + f"/{kind}_base={hwm}"
+    root = state_path.rstrip("/")
+
+    kept = _neardup_read(spark, state_path, "kept", hwm, base)
+    kept.write.mode("overwrite").parquet(root + f"/kept_base={hwm}")
+
+    # sigs: old base is already banded (legacy: plain (_id, sig) —
+    # band it); batch deltas band here, once, at fold time
+    frames = []
+    if base >= 0:
+        old = spark.read.parquet(root + f"/sigs_base={base}")
+        if "bkey" in old.columns:
+            frames.append(old.select("band", "bkey", "_id", "sig"))
+        else:
+            frames.append(
+                band_signatures(old.select("_id", "sig"), num_hashes, bands)
+                .select("band", "bkey", "_id", "sig")
+            )
+    from pyspark.sql import Window
+
+    dpaths = [f"{root}/sigs/batch={b}" for b in range(base + 1, hwm + 1)]
+    if dpaths:
+        delta = (
+            spark.read.option("basePath", root + "/sigs")
+            .parquet(*dpaths).drop("batch")
         )
-    mdf = spark.range(1).select(
-        F.lit(hwm).cast("long").alias("hwm"),
-        F.lit(hwm).cast("long").alias("base"),
+        frames.append(
+            band_signatures(delta.select("_id", "sig"), num_hashes, bands)
+            .select("band", "bkey", "_id", "sig")
+        )
+    merged = frames[0]
+    for f in frames[1:]:
+        merged = merged.unionByName(f)
+    w = Window.partitionBy("band", "bkey")
+    banded = (
+        merged.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "pk", _neardup_pk(F.col("band"), F.col("bkey"), store_buckets)
+        )
     )
+    (
+        banded.repartition("pk")
+        .sortWithinPartitions("pk", "bkey")
+        .write.mode("overwrite")
+        .partitionBy("pk")
+        .parquet(root + f"/sigs_base={hwm}")
+    )
+
+    mdf = _neardup_marker_df(spark, hwm, hwm, num_hashes, bands, store_buckets)
     _commit_swap(spark, mdf, marker, f"compact_{hwm}")
     # 3. cleanup — safe to fail partway; reads never consult these
     for kind in ("sigs", "kept"):
         if base >= 0:
-            fs.delete(spark, state_path.rstrip("/") + f"/{kind}_base={base}")
+            fs.delete(spark, root + f"/{kind}_base={base}")
         for b in range(base + 1, hwm + 1):
-            fs.delete(spark, state_path.rstrip("/") + f"/{kind}/batch={b}")
+            fs.delete(spark, root + f"/{kind}/batch={b}")
     return hwm - base
 
 
@@ -1586,7 +1823,7 @@ def read_neardup_kept(spark, state_path: str) -> DataFrame:
     replay overwrites it)."""
     from hadron_spark.sources import fs
 
-    marker = state_path.rstrip("/") + "/_hwm"
+    marker = _neardup_marker(spark, state_path)
     _recover_swap(spark, marker)
     if not fs.exists(spark, marker):
         raise FileNotFoundError(f"no committed near-dup state at {state_path}")

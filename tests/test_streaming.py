@@ -810,7 +810,8 @@ def test_incremental_near_dup_gate_replay_recovery(spark, tmp_path):
     apply(df.filter(F.col("b") == 0), 0)
     apply(df.filter(F.col("b") == 0), 0)  # replay: no-op
     apply(df.filter(F.col("b") == 1), 1)
-    fs.mv(spark, state + "/_hwm", state + "/_hwm._old_2")  # crash heal
+    fs.mv(spark, state + "/hwm_marker",
+          state + "/hwm_marker._old_2")  # crash heal
     apply(df.filter(F.col("b") == 2), 2)
     kept = {r["doc_id"] for r in read_neardup_kept(spark, state).collect()}
     assert {0, 1, 2, 3, 12}.issubset(kept)      # originals + fresh admitted
@@ -835,3 +836,58 @@ def test_incremental_near_dup_gate_replay_recovery(spark, tmp_path):
     apply(late, 3)  # same fixed schema as every stream batch
     kept3 = {r["doc_id"] for r in read_neardup_kept(spark, state).collect()}
     assert 30 not in kept3 and kept3 == kept
+
+    # banding params are part of the store layout: probing with
+    # different ones must raise, not silently admit every duplicate
+    import pytest
+
+    from hadron_spark.streaming.ops import neardup_apply_fn as mk
+
+    drifted = mk(state, threshold=0.7, num_hashes=32, bands=16)
+    with pytest.raises(ValueError, match="bands"):
+        drifted(late, 4)
+
+
+def test_neardup_probe_plan_is_pruned_broadcast(spark, tmp_path):
+    """The 100 TB contract of the bucketed signature store: a batch
+    probe against the compacted base must (a) partition-prune to the
+    batch's pk buckets, (b) push the bkey key set down to the parquet
+    scan, and (c) broadcast the batch side — the store side is never
+    shuffled (no SortMergeJoin / no Exchange on the scan)."""
+    from hadron_spark.llm.dedup import minhash_signature
+    from hadron_spark.operators.ops import pin
+    from hadron_spark.streaming.ops import (
+        _neardup_probe,
+        compact_neardup_state,
+        neardup_apply_fn,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} carries words {i * 7} and {i * 13} tail")
+         for i in range(120)],
+        "doc_id long, text string",
+    )
+    state = str(tmp_path / "ndp_state")
+    apply = neardup_apply_fn(state, threshold=0.7)
+    apply(docs.filter(F.col("doc_id") < 100), 0)
+    compact_neardup_state(spark, state)
+
+    probe = docs.filter(F.col("doc_id") == 110)  # 1 doc -> bands keys
+    ns = pin(
+        minhash_signature(probe, "text", 16, 5, "doc_id")
+        .select(F.col("doc_id").alias("_id"), "sig")
+    )
+    dup = _neardup_probe(
+        spark, state, ns, 0, 0, threshold=0.7, num_hashes=16, bands=4,
+        max_bucket_size=500, store_buckets=64, probe_key_limit=65536,
+    )
+    plan = dup._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and re.search(r"pk#\d+ IN \(", pf.group(1)), plan[:2000]
+    # bkey key set reaches the parquet scan (<=10 keys plans as In,
+    # more as InSet — both push down to row-group stats)
+    assert re.search(r"PushedFilters: \[[^\]]*In\(bkey", plan), plan[:2000]
