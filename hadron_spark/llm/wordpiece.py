@@ -202,6 +202,7 @@ def wordpiece_train(
     floor_frac: float = 0.5,
     cont: str = "##",
     stats: dict | None = None,
+    word_table: DataFrame | None = None,
 ):
     """Learn `num_merges` WordPiece merges from a document frame.
 
@@ -235,7 +236,12 @@ def wordpiece_train(
       6. ONE fold rewriting every word's symbol array; the vocab
          frame re-pins each round (lineage stays one round deep).
 
-    Training stops early when no pair repeats (cnt >= 2)."""
+    Training stops early when no pair repeats (cnt >= 2).
+
+    `word_table` substitutes a prebuilt/prefiltered
+    `wordpiece_word_table` frame for the corpus pass (the
+    `wordpiece_train_to_vocab` alphabet-limited path); `df`/
+    `text_col` are ignored when it is given."""
     from hadron_spark.llm.bpe import select_disjoint_batch
     from hadron_spark.operators.ops import pin
 
@@ -246,7 +252,9 @@ def wordpiece_train(
         )
     if not 0.0 < floor_frac <= 1.0:
         raise ValueError(f"floor_frac must be in (0, 1], got {floor_frac!r}")
-    vocab = pin(wordpiece_word_table(df, text_col, cont))
+    if word_table is None:
+        word_table = wordpiece_word_table(df, text_col, cont)
+    vocab = pin(word_table)
     merges: list[tuple[str, str, str, int, float]] = []
     rounds = 0
     while len(merges) < num_merges:
@@ -319,6 +327,118 @@ def wordpiece_train(
     if stats is not None:
         stats["rounds"] = rounds
     return merges, vocab
+
+
+def wordpiece_train_to_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 8000,
+    limit_alphabet: int | None = None,
+    special_tokens: list[str] | None = None,
+    merge_batch: int | str = "adaptive",
+    floor_frac: float = 0.5,
+    cont: str = "##",
+    stats: dict | None = None,
+):
+    """Train WordPiece to a TARGET VOCAB SIZE — the HuggingFace
+    `WordPieceTrainer` contract (vocab_size / limit_alphabet /
+    special_tokens; Schuster & Nakajima 2012 scoring underneath),
+    the interface anyone reproducing a BERT vocabulary reaches for.
+    `wordpiece_train`'s `num_merges` stays the low-level knob; this
+    wrapper derives it from the budget.
+
+    HF semantics mirrored (reference: the public `tokenizers`
+    BpeTrainer/WordPieceTrainer behavior):
+      - the ALPHABET counts toward `vocab_size`: every distinct
+        initial symbol that appears in the corpus (plain first-char
+        and `##`-continuation forms count separately, exactly the
+        symbols the trainer would insert into the vocab) plus the
+        special tokens; merges fill the remainder —
+        num_merges = vocab_size − |specials| − |alphabet symbols|,
+        clamped at 0 (an alphabet larger than vocab_size trains zero
+        merges, it does not truncate the alphabet);
+      - `limit_alphabet` keeps only the N most frequent CHARACTERS
+        (weighted by word frequency, ties broken char-asc for
+        determinism — HF leaves ties unspecified); symbols whose
+        base char was dropped are REMOVED from the training words,
+        and the surviving symbols close ranks (pairs may form across
+        the gap — HF's tokenize_words skip behavior);
+      - piece order: special_tokens, then alphabet symbols sorted,
+        then merge products in learned order (HF's alphabet block is
+        sorted; its continuation-form insertion order is
+        map-iteration nondeterministic, so we pin sorted —
+        documented deviation affecting only piece IDS, never the
+        piece SET or the merges).
+
+    Returns (merges, pieces, vocab):
+      merges — as `wordpiece_train`;
+      pieces — the encode-ready ordered vocab list (length ≤
+               vocab_size; feed to `wordpiece_encode` after dropping
+               specials that must not match, e.g. keep [UNK] out);
+      vocab  — the final training segmentation frame.
+
+    Driver state: |charset| char frequencies + the piece list —
+    character/vocab-bounded, never corpus-bounded."""
+    from hadron_spark.operators.ops import pin
+
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    if limit_alphabet is not None and limit_alphabet < 1:
+        raise ValueError(
+            f"limit_alphabet must be >= 1 or None, got {limit_alphabet}"
+        )
+    specials = list(special_tokens or [])
+    wt = pin(wordpiece_word_table(df, text_col, cont))
+
+    if limit_alphabet is not None:
+        # weighted char frequencies (HF compute_alphabet: every char
+        # occurrence in a word contributes the word's count)
+        char_freq = (
+            wt.select(
+                "freq",
+                F.explode(
+                    F.filter(F.split(F.col("word"), ""), lambda c: c != "")
+                ).alias("c"),
+            )
+            .groupBy("c")
+            .agg(F.sum("freq").alias("n"))
+            .collect()
+        )
+        ranked = sorted(char_freq, key=lambda r: (-r["n"], r["c"]))
+        kept = sorted(r["c"] for r in ranked[:limit_alphabet])
+        pos = len(cont) + 1
+        wt = wt.withColumn(
+            "syms",
+            F.filter(
+                F.col("syms"),
+                lambda s: F.when(
+                    s.startswith(cont), F.substring(s, pos, 1)
+                ).otherwise(F.substring(s, 1, 1)).isin(kept),
+            ),
+        ).filter(F.size("syms") > 0)
+        wt = pin(wt)
+
+    alphabet = sorted(
+        r["s"]
+        for r in wt.select(F.explode("syms").alias("s")).distinct().collect()
+    )
+    budget = max(0, vocab_size - len(specials) - len(alphabet))
+    merges, vocab = wordpiece_train(
+        df=None,
+        num_merges=budget,
+        merge_batch=merge_batch,
+        floor_frac=floor_frac,
+        cont=cont,
+        stats=stats,
+        word_table=wt,
+    )
+    pieces: list[str] = []
+    seen: set[str] = set()
+    for p in specials + alphabet + [m[2] for m in merges]:
+        if p not in seen:
+            seen.add(p)
+            pieces.append(p)
+    return merges, pieces, vocab
 
 
 def wordpiece_alphabet(

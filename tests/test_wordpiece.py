@@ -230,6 +230,136 @@ def test_wordpiece_train_validation(spark):
     assert merges == [] and stats["rounds"] == 1
 
 
+def _ref_train_to_vocab(texts, vocab_size, limit_alphabet=None,
+                        special_tokens=(), cont="##"):
+    """Pure-Python mirror of wordpiece_train_to_vocab's HF-contract
+    bookkeeping: weighted char frequencies, limit_alphabet truncation
+    (count desc, char asc), symbol filtering with rank-closing, the
+    alphabet-counts-toward-vocab_size budget, and the pieces order."""
+    freq = Counter(w for t in texts for w in t.lower().split())
+    cf = Counter()
+    for w, n in freq.items():
+        for c in w:
+            cf[c] += n
+    kept = set(cf)
+    if limit_alphabet is not None:
+        ranked = sorted(cf.items(), key=lambda kv: (-kv[1], kv[0]))
+        kept = {c for c, _ in ranked[:limit_alphabet]}
+    words = {}
+    for w, n in freq.items():
+        syms = [
+            (c if i == 0 else cont + c)
+            for i, c in enumerate(w)
+            if c in kept
+        ]
+        if syms:
+            words[w] = syms
+    alphabet = sorted({s for syms in words.values() for s in syms})
+    budget = max(0, vocab_size - len(special_tokens) - len(alphabet))
+    # reuse _ref_train's merge loop on the FILTERED words: rebuild a
+    # synthetic corpus is wrong (rank-closing isn't splittable), so
+    # inline the same loop seeded with `words`
+    merges = []
+    vocab = dict(words)
+    while len(merges) < budget:
+        pc, sc = Counter(), Counter()
+        for w, syms in vocab.items():
+            f = freq[w]
+            for s in syms:
+                sc[s] += f
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        cands = [
+            (a, b, n, n / (float(sc[a]) * float(sc[b])))
+            for (a, b), n in pc.items()
+            if n >= 2
+        ]
+        cands.sort(key=lambda t: (-t[3], t[0], t[1]))
+        if cands:
+            floor = cands[0][3] * 0.5
+            cands = [c for c in cands if c[3] >= floor]
+        used, batch = set(), []
+        for a, b, n, s in cands:
+            if len(batch) >= budget - len(merges):
+                break
+            if a in used or b in used:
+                continue
+            batch.append((a, b, n, s))
+            used.update((a, b))
+        if not batch:
+            break
+        bmap = {
+            (a, b): a + (b[len(cont):] if b.startswith(cont) else b)
+            for a, b, _, _ in batch
+        }
+        merges.extend((a, b, bmap[(a, b)], n, s) for a, b, n, s in batch)
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) in bmap:
+                    out.append(bmap[(syms[i], syms[i + 1])])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    pieces, seen = [], set()
+    for p in list(special_tokens) + alphabet + [m[2] for m in merges]:
+        if p not in seen:
+            seen.add(p)
+            pieces.append(p)
+    return merges, pieces, vocab
+
+
+def test_wordpiece_train_to_vocab_hf_contract(spark):
+    """vocab_size/limit_alphabet/special_tokens semantics (the HF
+    WordPieceTrainer contract) against the pure-Python mirror:
+    alphabet + specials count toward the budget, limit_alphabet drops
+    the rarest chars with rank-closing symbol removal, pieces come
+    out specials → sorted alphabet → merges-in-order, and the whole
+    run caps at vocab_size."""
+    from hadron_spark.llm.wordpiece import wordpiece_train_to_vocab
+
+    df = spark.createDataFrame(
+        list(enumerate(CORPUS * 2)), "doc_id long, text string"
+    )
+    specials = ["[PAD]", "[UNK]"]
+    merges, pieces, vocab = wordpiece_train_to_vocab(
+        df, vocab_size=40, special_tokens=specials
+    )
+    wm, wp, wv = _ref_train_to_vocab(CORPUS * 2, 40, special_tokens=specials)
+    assert pieces == wp
+    assert merges == wm
+    assert len(pieces) <= 40
+    assert pieces[:2] == specials
+    got_vocab = {r["word"]: list(r["syms"]) for r in vocab.collect()}
+    assert got_vocab == wv
+
+    # limit_alphabet: drop rare chars; words shed those symbols but
+    # keep training on the survivors
+    m2, p2, v2 = wordpiece_train_to_vocab(
+        df, vocab_size=40, limit_alphabet=8, special_tokens=specials
+    )
+    wm2, wp2, wv2 = _ref_train_to_vocab(
+        CORPUS * 2, 40, limit_alphabet=8, special_tokens=specials
+    )
+    assert p2 == wp2 and m2 == wm2
+    assert {r["word"]: list(r["syms"]) for r in v2.collect()} == wv2
+    # the limited alphabet is genuinely smaller
+    alpha_full = [p for p in pieces if len(p.replace("##", "")) == 1]
+    alpha_lim = [p for p in p2 if len(p.replace("##", "")) == 1]
+    assert len(alpha_lim) < len(alpha_full)
+
+    # alphabet larger than the budget -> zero merges, not truncation
+    m3, p3, _ = wordpiece_train_to_vocab(df, vocab_size=3)
+    assert m3 == [] and len(p3) > 3
+
+    with pytest.raises(ValueError):
+        wordpiece_train_to_vocab(df, vocab_size=0)
+    with pytest.raises(ValueError):
+        wordpiece_train_to_vocab(df, vocab_size=10, limit_alphabet=0)
+
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
