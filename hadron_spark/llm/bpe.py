@@ -144,15 +144,39 @@ def select_disjoint_batch(
     return out
 
 
-def word_freq_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+def word_freq_table(
+    df: DataFrame, text_col: str = "text", mode: str = "char"
+) -> DataFrame:
     """The one corpus pass: distinct words with frequencies and their
-    initial character-symbol arrays. Everything downstream of this
-    frame is |vocab|-bounded."""
+    initial symbol arrays. Everything downstream of this frame is
+    |vocab|-bounded.
+
+    `mode="char"` — character symbols (classic Sennrich; unseen-word
+    chars are the fallback floor).  `mode="byte"` — BYTE-LEVEL
+    symbols: the word's UTF-8 bytes as 2-char hex pairs (the
+    GPT-family production mode, where no [UNK] is reachable by
+    construction — any text is a byte sequence and the 256 one-byte
+    symbols are the alphabet floor; GPT-2 maps bytes to printable
+    unicode for its vocab files, hex pairs are the engine-portable
+    equivalent domain — decode any piece with `unhex`/
+    `bytes.fromhex`).  The hex split is one regexp over ONE hex()
+    evaluation per row (a transform-lambda over substring would
+    re-evaluate the outer hex per element)."""
+    if mode not in ("char", "byte"):
+        raise ValueError(f"mode must be 'char' or 'byte', got {mode!r}")
+    syms = (
+        F.split(F.col("word"), "")
+        if mode == "char"
+        else F.expr(
+            "filter(split(regexp_replace(hex(encode(word, 'UTF-8')), "
+            "'(..)', '$1,'), ','), x -> x != '')"
+        )
+    )
     return (
         df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .withColumn("syms", F.split(F.col("word"), ""))
+        .withColumn("syms", syms)
     )
 
 
@@ -163,6 +187,7 @@ def bpe_train(
     merge_batch: int | str = "adaptive",
     floor_frac: float = 0.5,
     stats: dict | None = None,
+    mode: str = "char",
 ):
     """Learn `num_merges` BPE merges from a document frame.
 
@@ -196,7 +221,12 @@ def bpe_train(
 
     Determinism: the candidate order is (count desc, left asc,
     right asc) via TakeOrdered — stable under any partitioning, so
-    retraining on reshuffled data yields byte-identical merges."""
+    retraining on reshuffled data yields byte-identical merges.
+
+    `mode="byte"` trains BYTE-LEVEL BPE (see `word_freq_table`):
+    symbols are UTF-8 byte hex pairs, merges concatenate them, and
+    the merge machinery is unchanged — the only difference is the
+    initial alphabet, which makes [UNK] unreachable at encode time."""
     adaptive = merge_batch == "adaptive"
     if not adaptive and (
         not isinstance(merge_batch, int) or merge_batch < 1
@@ -206,7 +236,7 @@ def bpe_train(
         )
     if not 0.0 < floor_frac <= 1.0:
         raise ValueError(f"floor_frac must be in (0, 1], got {floor_frac!r}")
-    vocab = pin(word_freq_table(df, text_col))
+    vocab = pin(word_freq_table(df, text_col, mode))
     merges: list[tuple[str, str, int]] = []
     rounds = 0
     while len(merges) < num_merges:
@@ -264,14 +294,25 @@ def bpe_train(
     return merges, vocab
 
 
-def _encode_word(word: str, ranks: dict) -> list[str]:
+def _initial_syms(word: str, mode: str) -> list[str]:
+    """Initial symbol sequence of a word: chars, or UTF-8 byte hex
+    pairs (uppercase, matching Spark's hex())."""
+    if mode == "byte":
+        h = word.encode("utf-8").hex().upper()
+        return [h[i : i + 2] for i in range(0, len(h), 2)]
+    return list(word)
+
+
+def _encode_word(word: str, ranks: dict, mode: str = "char") -> list[str]:
     """Classic BPE encode of ONE word under a trained merge-rank
     table: repeatedly apply the best-ranked (earliest-learned) pair
     present, merging all its occurrences greedy left-to-right — the
     exact apply-side mirror of the training fold, so in-vocab words
     reproduce their training segmentation byte-for-byte and unseen
-    words get proper subword pieces instead of a fallback."""
-    syms = list(word)
+    words get proper subword pieces instead of a fallback.  In byte
+    mode the floor is the 256 one-byte symbols — NO input can fail
+    to encode."""
+    syms = _initial_syms(word, mode)
     while len(syms) > 1:
         best_rank = None
         for a, b in zip(syms, syms[1:]):
@@ -301,6 +342,7 @@ def bpe_encode_table(
     df: DataFrame,
     merges: list[tuple],
     text_col: str = "text",
+    mode: str = "char",
 ) -> DataFrame:
     """(word, n, toks) — segment every DISTINCT word of `df` under a
     trained merge list (from `bpe_train`), including words the
@@ -311,7 +353,12 @@ def bpe_encode_table(
     |vocab|-bounded distinct-word table with the merge-rank dict
     broadcast — the corpus text itself never enters Python.  The
     result is the broadcastable word→tokens map for any downstream
-    counter/segmenter."""
+    counter/segmenter.  `mode` must match the training mode ("byte"
+    segments over hex-pair byte symbols — lossless and [UNK]-free on
+    ANY input by construction, pinned by the hypothesis round-trip
+    property in test_bpe)."""
+    if mode not in ("char", "byte"):
+        raise ValueError(f"mode must be 'char' or 'byte', got {mode!r}")
     ranks = {(a, b): i for i, (a, b, *_rest) in enumerate(merges)}
     bc = df.sparkSession.sparkContext.broadcast(ranks)
     words = (
@@ -329,11 +376,17 @@ def bpe_encode_table(
                 {
                     "word": pdf["word"],
                     "n": pdf["n"],
-                    "toks": [_encode_word(w, r) for w in pdf["word"]],
+                    "toks": [_encode_word(w, r, mode) for w in pdf["word"]],
                 }
             )
 
     return words.mapInPandas(enc, "word string, n long, toks array<string>")
+
+
+def bytelevel_decode(piece: str) -> bytes:
+    """Raw bytes of a byte-mode piece (hex pairs → bytes); join a
+    word's pieces and `.decode('utf-8')` to recover the text."""
+    return bytes.fromhex(piece)
 
 
 def bpe_apply(
@@ -342,19 +395,28 @@ def bpe_apply(
     key_cols: list[str],
     text_col: str = "text",
     out_col: str = "n_bpe_tokens",
+    mode: str = "char",
 ) -> DataFrame:
     """Per-key BPE token count under a trained vocab: tokenize, join
     each word against the broadcast word→tokens map, sum per
     `key_cols` (small grouping keys — never the text itself). Words
-    unseen in training fall back to their character count (the
-    untrained-symbol floor). One narrow corpus pass + one broadcast
-    join + one partial-agg'd shuffle on the keys — the corpus text
-    never shuffles."""
+    unseen in training fall back to the untrained-symbol floor —
+    character count in char mode, UTF-8 BYTE count in byte mode
+    (`mode` must match training). One narrow corpus pass + one
+    broadcast join + one partial-agg'd shuffle on the keys — the
+    corpus text never shuffles."""
+    if mode not in ("char", "byte"):
+        raise ValueError(f"mode must be 'char' or 'byte', got {mode!r}")
+    floor = (
+        F.length("_w")
+        if mode == "char"
+        else F.octet_length(F.encode(F.col("_w"), "UTF-8"))
+    )
     wl = F.broadcast(vocab.select("word", F.size("syms").alias("_nt")))
     toks = df.select(*key_cols, F.explode(tokenize(F.col(text_col))).alias("_w"))
     return (
         toks.join(wl, toks["_w"] == wl["word"], "left")
-        .withColumn("_nt", F.coalesce(F.col("_nt"), F.length("_w")))
+        .withColumn("_nt", F.coalesce(F.col("_nt"), floor.cast("int")))
         .groupBy(*key_cols)
         .agg(F.sum("_nt").cast("long").alias(out_col))
     )

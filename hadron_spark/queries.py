@@ -13861,3 +13861,36 @@ def q312(spark, sf_dir):
         )
     )
     return friedman(lf, "b", "t", "y")
+
+
+@_register("q314_bpe_bytelevel", None)
+def q314(spark, sf_dir):
+    """Byte-level BPE (llm.bpe mode='byte'): train on the documents
+    corpus over the UTF-8 hex-pair byte alphabet (the GPT-family
+    production mode — no [UNK] reachable by construction, any input
+    is a byte sequence), then re-encode the corpus words and return
+    per-source totals plus the decoded-roundtrip check column.
+    Rows-only (iterative training); the lossless/no-UNK property and
+    pure-Python merge parity are pinned in test_bpe (hypothesis
+    round-trip over arbitrary unicode)."""
+    from hadron_spark.llm import bpe
+
+    docs = load(spark, sf_dir, "documents")
+    merges, _ = bpe.bpe_train(docs, num_merges=16, mode="byte")
+    enc = bpe.bpe_encode_table(docs, merges, mode="byte")
+    # decode-roundtrip inside the engine: unhex(concat(toks)) == word
+    return (
+        enc.withColumn(
+            "roundtrip_ok",
+            F.decode(
+                F.unhex(F.concat_ws("", F.col("toks"))), "UTF-8"
+            ) == F.col("word"),
+        )
+        .groupBy("roundtrip_ok")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.size("toks")).cast("long").alias("n_pieces"),
+            F.sum("n").cast("long").alias("n_occurrences"),
+        )
+        .orderBy("roundtrip_ok")
+    )

@@ -289,3 +289,142 @@ def test_bpe_train_adaptive_matches_reference_and_collapses_rounds(spark):
         bpe.bpe_train(df, num_merges=4, merge_batch="bogus")
     with pytest.raises(ValueError, match="floor_frac"):
         bpe.bpe_train(df, num_merges=4, floor_frac=0.0)
+
+
+def ref_bpe_byte(texts: list[str], num_merges: int):
+    """Pure-Python byte-level sequential BPE: initial symbols are
+    uppercase UTF-8 hex pairs (matching Spark's hex())."""
+    freq = Counter()
+    for t in texts:
+        for w in t.split():
+            if w:
+                freq[w] += 1
+
+    def init(w):
+        h = w.encode("utf-8").hex().upper()
+        return [h[i:i + 2] for i in range(0, len(h), 2)]
+
+    vocab = {w: init(w) for w in freq}
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for x, y in zip(syms, syms[1:]):
+                pairs[(x, y)] += freq[w]
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        if cnt < 2:
+            break
+        merges.append((a, b, cnt))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+BYTE_TEXTS = [
+    "héllo héllo wörld wörld wörld",
+    "naïve café café héllo",
+    "日本 日本 data data",
+]
+
+
+def test_bpe_bytelevel_matches_reference(spark):
+    """Byte-mode training: same merge machinery over the hex-pair
+    byte alphabet, pinned against the pure-Python mirror on
+    multi-byte (accented + CJK) text."""
+    df = spark.createDataFrame([(t,) for t in BYTE_TEXTS], "text string")
+    merges, vocab = bpe.bpe_train(df, num_merges=10, merge_batch=1, mode="byte")
+    ref_merges, ref_vocab = ref_bpe_byte(BYTE_TEXTS, 10)
+    assert [(a, b, c) for a, b, c in merges] == ref_merges
+    got = {r.word: list(r.syms) for r in vocab.collect()}
+    assert got == ref_vocab
+    # every symbol is a hex string of full bytes
+    for syms in got.values():
+        for s in syms:
+            assert len(s) % 2 == 0 and set(s) <= set("0123456789ABCDEF")
+
+
+def test_bpe_bytelevel_lossless_and_unkfree_on_unseen(spark):
+    """The byte-mode contract: ANY word — including ones whose
+    characters training never saw — encodes without a fallback and
+    decodes back byte-exactly (no UNK reachable by construction)."""
+    from hadron_spark.llm.bpe import bytelevel_decode
+
+    df = spark.createDataFrame([(t,) for t in BYTE_TEXTS], "text string")
+    merges, _ = bpe.bpe_train(df, num_merges=10, mode="byte")
+    unseen = ["zebra", "Ω≈ç√∫", "héllo", "мир", "👋🌍"]
+    udf_ = spark.createDataFrame([(" ".join(unseen),)], "text string")
+    enc = {
+        r["word"]: list(r["toks"])
+        for r in bpe.bpe_encode_table(udf_, merges, mode="byte").collect()
+    }
+    for w in unseen:
+        toks = enc[w]
+        assert toks, w
+        raw = b"".join(bytelevel_decode(t) for t in toks)
+        assert raw.decode("utf-8") == w
+
+
+def test_bpe_bytelevel_apply_floor_is_bytes(spark):
+    """bpe_apply byte-mode fallback for unseen words is the UTF-8
+    BYTE count, not the char count."""
+    df = spark.createDataFrame([(t,) for t in BYTE_TEXTS], "text string")
+    _, vocab = bpe.bpe_train(df, num_merges=4, mode="byte")
+    probe = spark.createDataFrame([(1, "мир")], "k long, text string")
+    got = bpe.bpe_apply(probe, vocab, ["k"], mode="byte").collect()[0]
+    assert got["n_bpe_tokens"] == len("мир".encode("utf-8"))  # 6, not 3
+
+    import pytest
+
+    with pytest.raises(ValueError, match="mode"):
+        bpe.bpe_train(df, num_merges=2, mode="bytes")
+    with pytest.raises(ValueError, match="mode"):
+        bpe.bpe_encode_table(df, [], mode="hex")
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs", "Zs", "Cc"), min_codepoint=33
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_bpe_bytelevel_roundtrip_property(spark, words):
+    """Hypothesis: train byte-level BPE on ANY unicode corpus, encode
+    every distinct word, and the concatenated decoded pieces equal the
+    word byte-for-byte — the lossless/no-UNK property of byte BPE."""
+    from hadron_spark.llm.bpe import bytelevel_decode
+
+    texts = [" ".join(words)]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    merges, _ = bpe.bpe_train(df, num_merges=8, mode="byte")
+    enc = {
+        r["word"]: list(r["toks"])
+        for r in bpe.bpe_encode_table(df, merges, mode="byte").collect()
+    }
+    for w in set(words):
+        raw = b"".join(bytelevel_decode(t) for t in enc[w])
+        assert raw.decode("utf-8") == w
