@@ -1095,3 +1095,122 @@ def friedman(
         ).alias("kendall_w"),
     )
     return out
+
+
+def page_trend(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    order: list | None = None,
+) -> DataFrame:
+    """Page's trend test (Page 1963): the ORDERED-ALTERNATIVE member
+    of the repeated-measures kit — `friedman` asks "do k treatments
+    differ at all"; Page asks "do they increase in THIS hypothesized
+    order", which is the usual question for dose levels, model sizes,
+    or checkpoint sequences, and has far more power against it.
+
+        L = Σ_j c_j · R_j      (c_j = hypothesized position 1..k,
+                                R_j = treatment j's within-block
+                                rank total)
+        z = (L − E[L]) / sqrt(Var[L]),
+        E[L] = n·k(k+1)²/4,  Var[L] = n·k²(k+1)(k²−1)/144
+        (the classic untied null moments — Page's original form;
+        large positive z supports the hypothesized ascending order).
+
+    `order` lists the treatments in hypothesized ASCENDING order
+    (c_1 smallest); rows whose treatment is not listed are EXCLUDED
+    (subset analysis), and block completeness is judged on the
+    listed set.  `order=None` uses the natural ascending sort of the
+    treatment labels.
+
+    Exactness (`friedman`'s doubled-rank machinery verbatim): ranks
+    double to exact integers, L2 = Σ c·ρ sums in DECIMAL(38,0), and
+    with both sides scaled by 6 the z-score is
+        z = (6·L2 − 3·n·k(k+1)²) / sqrt(n·k²(k+1)(k²−1))
+    — an all-integer numerator and radicand, ONE sqrt (bit-stable
+    per IEEE-754, unlike exp/ln) and ONE division: hash-exact
+    cross-engine.  Degenerate designs (k < 2 or n = 0) yield NULL
+    l/z.  Returns one row: (k, n, n_blocks_dropped, l, z) with
+    l = L in ordinary (undoubled) rank units."""
+    from pyspark.sql import Window
+
+    base = (
+        df.filter(
+            F.col(block_col).isNotNull()
+            & F.col(treatment_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(block_col).alias("_b"),
+            F.col(treatment_col).alias("_t"),
+            F.col(value_col).cast("long").alias("_y"),
+        )
+    )
+    if order is not None:
+        if len(set(order)) != len(order):
+            raise ValueError(f"order has duplicate treatments: {order}")
+        cmap = F.create_map(
+            *[x for i, t in enumerate(order) for x in (F.lit(t), F.lit(i + 1))]
+        )
+        base = base.withColumn("_c", F.element_at(cmap, F.col("_t"))).filter(
+            F.col("_c").isNotNull()
+        )
+    else:
+        # natural label order: position over the k-row distinct
+        # treatment set (single-partition window over a k-bounded
+        # frame — the PLANLINT bounded-aggregate class)
+        tpos = (
+            base.select("_t")
+            .distinct()
+            .withColumn("_c", F.row_number().over(Window.orderBy("_t")))
+        )
+        base = base.join(F.broadcast(tpos), "_t")
+    k_row = base.agg(F.count_distinct("_t").alias("k"))
+    per = base.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_nrow"),
+        F.count_distinct("_t").alias("_ntr"),
+    )
+    per = per.crossJoin(F.broadcast(k_row))
+    good = per.filter(
+        (F.col("_nrow") == F.col("k")) & (F.col("_ntr") == F.col("k"))
+    ).select("_b")
+    dropped = per.filter(
+        (F.col("_nrow") != F.col("k")) | (F.col("_ntr") != F.col("k"))
+    ).agg(F.count(F.lit(1)).alias("n_blocks_dropped"))
+    kept = base.join(good, "_b")
+    wb = Window.partitionBy("_b").orderBy("_y")
+    we = Window.partitionBy("_b", "_y")
+    ranked = kept.select(
+        "_b",
+        "_c",
+        (2 * F.rank().over(wb) + F.count(F.lit(1)).over(we) - 1).alias("_r2"),
+    )
+    tot = ranked.agg(
+        F.count_distinct("_b").alias("n"),
+        F.sum(
+            F.col("_c").cast("decimal(38,0)")
+            * F.col("_r2").cast("decimal(38,0)")
+        ).alias("_L2"),
+    )
+    j = tot.crossJoin(F.broadcast(k_row)).crossJoin(F.broadcast(dropped))
+    n_dec = F.col("n").cast("decimal(38,0)")
+    k_dec = F.col("k").cast("decimal(38,0)")
+    num = (
+        F.lit(6).cast("decimal(38,0)") * F.col("_L2")
+        - F.lit(3).cast("decimal(38,0)")
+        * n_dec * k_dec * (k_dec + 1) * (k_dec + 1)
+    )
+    rad = (n_dec * k_dec * k_dec * (k_dec + 1) * (k_dec * k_dec - 1)).cast(
+        "double"
+    )
+    ok = (F.col("k") > 1) & (F.col("n") > 0)
+    return j.select(
+        "k",
+        "n",
+        F.coalesce(F.col("n_blocks_dropped"), F.lit(0)).alias(
+            "n_blocks_dropped"
+        ),
+        F.when(ok, F.col("_L2").cast("double") / F.lit(2.0)).alias("l"),
+        F.when(ok & (rad > 0), num.cast("double") / F.sqrt(rad)).alias("z"),
+    )

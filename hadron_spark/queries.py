@@ -13863,6 +13863,85 @@ def q312(spark, sf_dir):
     return friedman(lf, "b", "t", "y")
 
 
+@_register(
+    "q313_page_trend",
+    r"""
+    WITH long_form AS (
+      SELECT doc_id AS b, 'chars' AS t, CAST(n_chars AS BIGINT) AS y
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 'tokens',
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) * 6 AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 'lines',
+             CAST((length(text) - length(replace(text, '.', '')))
+                  * 40 AS BIGINT)
+      FROM documents),
+    pos AS (
+      SELECT t, CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS c
+      FROM (SELECT DISTINCT t FROM long_form)),
+    ranked AS (
+      SELECT b, t,
+             2 * RANK() OVER (PARTITION BY b ORDER BY y)
+               + COUNT(*) OVER (PARTITION BY b, y) - 1 AS r2
+      FROM long_form),
+    tot AS (
+      SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n,
+             SUM(CAST(c AS HUGEINT) * r2) AS l2
+      FROM ranked JOIN pos USING (t))
+    SELECT CAST(3 AS BIGINT) AS k, n,
+           CAST(0 AS BIGINT) AS n_blocks_dropped,
+           CAST(l2 AS DOUBLE) / 2.0 AS l,
+           CAST(6 * l2 - 144 * n AS DOUBLE)
+             / sqrt(CAST(288 * n AS DOUBLE)) AS z
+    FROM tot
+    """,
+)
+def q313(spark, sf_dir):
+    """Page's trend test (operators.robust.page_trend): do the q312
+    scorers' values rise in the HYPOTHESIZED (alphabetical) treatment
+    order — the ordered-alternative repeated-measures question
+    friedman can't answer with power.  Doubled within-block ranks are
+    exact integers, L2 sums in DECIMAL(38,0), and the z-score is the
+    6x-scaled all-integer form (6·L2 − 3nk(k+1)²)/sqrt(nk²(k+1)(k²−1))
+    — one bit-stable sqrt + one IEEE division, hash-exact FULL oracle
+    (constants folded for k=3: 144n and 288n)."""
+    from hadron_spark.functions.text import token_count
+    from hadron_spark.operators.robust import page_trend
+
+    docs = load(spark, sf_dir, "documents")
+    lf = (
+        docs.select(
+            F.col("doc_id").alias("b"),
+            F.lit("chars").alias("t"),
+            F.col("n_chars").cast("long").alias("y"),
+        )
+        .unionByName(
+            docs.select(
+                F.col("doc_id").alias("b"),
+                F.lit("tokens").alias("t"),
+                (token_count(F.col("text")) * 6).cast("long").alias("y"),
+            )
+        )
+        .unionByName(
+            docs.select(
+                F.col("doc_id").alias("b"),
+                F.lit("lines").alias("t"),
+                (
+                    (
+                        F.length("text")
+                        - F.length(F.replace(F.col("text"), F.lit(".")))
+                    )
+                    * 40
+                ).cast("long").alias("y"),
+            )
+        )
+    )
+    return page_trend(lf, "b", "t", "y")
+
+
 @_register("q314_bpe_bytelevel", None)
 def q314(spark, sf_dir):
     """Byte-level BPE (llm.bpe mode='byte'): train on the documents

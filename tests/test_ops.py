@@ -1540,3 +1540,74 @@ def test_friedman_reference(spark):
         "b", "t", "y",
     ).collect()[0]
     assert flat["chi2"] is None and flat["kendall_w"] is None
+
+def test_page_trend_reference(spark):
+    """Page's L + z vs a pure-python mirror (doubled within-block
+    ranks, the 6x-scaled all-integer z form), the classic no-tie
+    formula cross-check, order reversal antisymmetry, subset
+    analysis, incomplete-block dropping, and validation."""
+    import math
+
+    from hadron_spark.operators.robust import page_trend
+
+    # 5 blocks x 4 treatments with a real upward trend + ties
+    scores = {
+        1: {"t1": 10, "t2": 20, "t3": 30, "t4": 40},
+        2: {"t1": 12, "t2": 12, "t3": 25, "t4": 30},   # tie in t1/t2
+        3: {"t1": 5, "t2": 15, "t3": 10, "t4": 20},    # one inversion
+        4: {"t1": 8, "t2": 18, "t3": 28, "t4": 28},    # tie t3/t4
+        5: {"t1": 1, "t2": 2, "t3": 3, "t4": 4},
+    }
+    rows = [(b, t, v) for b, d in scores.items() for t, v in d.items()]
+    rows.append((6, "t1", 7))  # incomplete block -> dropped
+    df = spark.createDataFrame(rows, "b long, t string, y long")
+    got = page_trend(df, "b", "t", "y").collect()[0]
+
+    # python mirror: midranks, L = sum c_j R_j with c from label sort
+    k, n = 4, 5
+    order = ["t1", "t2", "t3", "t4"]
+    L2 = 0
+    for d in scores.values():
+        vals = sorted(d.values())
+        for t, v in d.items():
+            lt = sum(1 for x in vals if x < v)
+            eq = sum(1 for x in vals if x == v)
+            rho = 2 * lt + eq + 1
+            L2 += (order.index(t) + 1) * rho
+    num = 6 * L2 - 3 * n * k * (k + 1) ** 2
+    rad = n * k * k * (k + 1) * (k * k - 1)
+    assert got["k"] == 4 and got["n"] == 5 and got["n_blocks_dropped"] == 1
+    assert got["l"] == L2 / 2.0
+    assert got["z"] == float(num) / math.sqrt(float(rad))
+    assert got["z"] > 2.0  # the planted trend is detected
+
+    # no ties: classic L = sum c_j R_j must agree with the doubled form
+    nt_rows = [(b, t, v) for b, d in scores.items() if b in (1, 3, 5)
+               for t, v in d.items()]
+    g2 = page_trend(
+        spark.createDataFrame(nt_rows, "b long, t string, y long"),
+        "b", "t", "y",
+    ).collect()[0]
+    L_classic = 0
+    for b in (1, 3, 5):
+        ranks = {t: r for r, t in enumerate(
+            sorted(scores[b], key=lambda t: scores[b][t]), 1)}
+        L_classic += sum((order.index(t) + 1) * ranks[t] for t in order)
+    assert g2["l"] == float(L_classic)
+
+    # explicit order: reversing the hypothesis flips z exactly
+    rev = page_trend(df, "b", "t", "y", order=list(reversed(order))).collect()[0]
+    assert rev["z"] == -got["z"]
+
+    # subset analysis: only the listed treatments count
+    sub = page_trend(df, "b", "t", "y", order=["t1", "t3"]).collect()[0]
+    assert sub["k"] == 2
+
+    import pytest
+
+    with pytest.raises(ValueError, match="duplicate"):
+        page_trend(df, "b", "t", "y", order=["t1", "t1"])
+
+    # k < 2 -> NULL statistics
+    one = page_trend(df.filter(F.col("t") == "t1"), "b", "t", "y").collect()[0]
+    assert one["l"] is None and one["z"] is None

@@ -99,6 +99,9 @@ EXPLAIN_SINGLE_PARTITION = {
     "aggregate (O(#weeks))",
     "q160_bollinger_bands": "rolling stats window over the per-day price "
     "aggregate (O(#days))",
+    "q313_page_trend": "row_number window over the DISTINCT-TREATMENT set "
+    "(k rows — 3 here; treatments are the repeated-measures arms, never "
+    "corpus-scale) deriving the hypothesized positions when order=None",
 }
 
 
