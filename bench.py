@@ -96,6 +96,12 @@ HEADLINE = [
     # range join and the token-budget gains curve (range_rank ntile)
     "q302_bucketize_range_join",
     "q304_token_budget_curve",
+    # set change #10 (round 6, BASELINE.md / VERDICT r5 #8): the
+    # inferential-stats and filter tiers get regression coverage —
+    # the window-heavy friedman cell and the blockword broadcast
+    # gate are the cells most likely to regress silently
+    "q311_blockword_filter",
+    "q312_friedman",
 ]
 
 
