@@ -188,6 +188,7 @@ def bpe_train(
     floor_frac: float = 0.5,
     stats: dict | None = None,
     mode: str = "char",
+    word_table: DataFrame | None = None,
 ):
     """Learn `num_merges` BPE merges from a document frame.
 
@@ -236,7 +237,9 @@ def bpe_train(
         )
     if not 0.0 < floor_frac <= 1.0:
         raise ValueError(f"floor_frac must be in (0, 1], got {floor_frac!r}")
-    vocab = pin(word_freq_table(df, text_col, mode))
+    if word_table is None:
+        word_table = word_freq_table(df, text_col, mode)
+    vocab = pin(word_table)
     merges: list[tuple[str, str, int]] = []
     rounds = 0
     while len(merges) < num_merges:
@@ -301,6 +304,107 @@ def _initial_syms(word: str, mode: str) -> list[str]:
         h = word.encode("utf-8").hex().upper()
         return [h[i : i + 2] for i in range(0, len(h), 2)]
     return list(word)
+
+
+def bpe_train_to_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 8000,
+    limit_alphabet: int | None = None,
+    special_tokens: list[str] | None = None,
+    merge_batch: int | str = "adaptive",
+    floor_frac: float = 0.5,
+    mode: str = "char",
+    stats: dict | None = None,
+):
+    """Train BPE to a TARGET VOCAB SIZE — the HuggingFace `BpeTrainer`
+    contract (vocab_size / limit_alphabet / special_tokens), the
+    companion to `llm.wordpiece.wordpiece_train_to_vocab` for the
+    merge-rank family.  `num_merges` stays the low-level knob; this
+    wrapper derives it from the budget.
+
+    Semantics (mirroring the public `tokenizers` BpeTrainer):
+      - the alphabet counts toward `vocab_size`: specials + distinct
+        initial symbols, merges fill the remainder (clamped at 0 —
+        an over-budget alphabet trains zero merges, never truncates);
+      - `limit_alphabet` (char mode only) keeps the N most frequent
+        characters weighted by word frequency (ties char-asc); words
+        shed dropped symbols and close ranks (HF's tokenize_words
+        skip behavior);
+      - BYTE mode counts the alphabet as ALL 256 one-byte symbols
+        (GPT-2 ships the full byte alphabet so no input can fall
+        outside the vocab — `initial_alphabet=ByteLevel.alphabet()`
+        in HF terms); `limit_alphabet` is rejected there, since
+        dropping bytes would reintroduce unencodable input;
+      - pieces: specials, then the alphabet sorted, then merge
+        products in learned order.
+
+    Returns (merges, pieces, vocab) — shapes as `bpe_train` plus the
+    ordered piece list (length ≤ vocab_size in char mode; byte mode
+    can exceed it only if vocab_size < 256 + |specials|)."""
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    if mode not in ("char", "byte"):
+        raise ValueError(f"mode must be 'char' or 'byte', got {mode!r}")
+    if limit_alphabet is not None:
+        if mode == "byte":
+            raise ValueError(
+                "limit_alphabet is char-mode only: dropping bytes would "
+                "make some inputs unencodable, defeating byte-level BPE"
+            )
+        if limit_alphabet < 1:
+            raise ValueError(
+                f"limit_alphabet must be >= 1 or None, got {limit_alphabet}"
+            )
+    specials = list(special_tokens or [])
+    wt = pin(word_freq_table(df, text_col, mode))
+
+    if limit_alphabet is not None:
+        char_freq = (
+            wt.select(
+                "freq",
+                F.explode(
+                    F.filter(F.split(F.col("word"), ""), lambda c: c != "")
+                ).alias("c"),
+            )
+            .groupBy("c")
+            .agg(F.sum("freq").alias("n"))
+            .collect()
+        )
+        ranked = sorted(char_freq, key=lambda r: (-r["n"], r["c"]))
+        kept = sorted(r["c"] for r in ranked[:limit_alphabet])
+        wt = pin(
+            wt.withColumn(
+                "syms", F.filter(F.col("syms"), lambda s: s.isin(kept))
+            ).filter(F.size("syms") > 0)
+        )
+
+    if mode == "byte":
+        alphabet = [f"{b:02X}" for b in range(256)]
+    else:
+        alphabet = sorted(
+            r["s"]
+            for r in wt.select(F.explode("syms").alias("s"))
+            .distinct()
+            .collect()
+        )
+    budget = max(0, vocab_size - len(specials) - len(alphabet))
+    merges, vocab = bpe_train(
+        df=None,
+        num_merges=budget,
+        merge_batch=merge_batch,
+        floor_frac=floor_frac,
+        stats=stats,
+        mode=mode,
+        word_table=wt,
+    )
+    pieces: list[str] = []
+    seen: set[str] = set()
+    for p in specials + alphabet + [a + b for a, b, _ in merges]:
+        if p not in seen:
+            seen.add(p)
+            pieces.append(p)
+    return merges, pieces, vocab
 
 
 def _encode_word(word: str, ranks: dict, mode: str = "char") -> list[str]:

@@ -1214,3 +1214,148 @@ def page_trend(
         F.when(ok, F.col("_L2").cast("double") / F.lit(2.0)).alias("l"),
         F.when(ok & (rad > 0), num.cast("double") / F.sqrt(rad)).alias("z"),
     )
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    order: list | None = None,
+) -> DataFrame:
+    """Jonckheere–Terpstra trend test (Jonckheere 1954, Terpstra
+    1952): the ordered-alternative test for k INDEPENDENT samples —
+    `page_trend`'s sibling (Page needs the same blocks scored under
+    every treatment; JT compares disjoint groups, the "do values rise
+    with dose level / model size / date bucket" question
+    `kruskal_wallis` answers only non-directionally).
+
+        JT = Σ_{i<j} U_ij    (Mann–Whitney count of group-i values
+                              below group-j values, ties half)
+        z  = (JT − E) / sqrt(Var),  E = (N² − Σ n_i²)/4,
+        Var = the Hollander–Wolfe tie-corrected three-term form.
+
+    `order` lists the groups in hypothesized ASCENDING order; rows
+    in unlisted groups are EXCLUDED (subset analysis).  `order=None`
+    uses the natural ascending sort of group labels.
+
+    Exactness: values integer (the spearman contract).  Doubled
+    statistic JT2 = Σ_cells n·(2·below + eq) over the (group, value)
+    CELL table — `below`/`eq` come from per-group cumulative windows
+    on the shared value spine (windows partition by group: parallel
+    across groups, |distinct values|-bounded within, the
+    kruskal_wallis spine argument) joined cell-to-earlier-groups on
+    the value key.  Every term (JT2, E2 = 2E, the three variance
+    numerators/denominators) is an exact DECIMAL(38,0) integer; z is
+    three correctly-rounded divisions summed in fixed written order,
+    one bit-stable sqrt, one final division of the all-integer
+    4-scaled numerator 2·JT2 − (N²−Σn²) — hash-exact cross-engine.
+    Degenerate designs yield NULL statistics (jt for k < 2; z for
+    k < 2, N < 3, or Var ≤ 0).  Returns one row: (k, n, jt, z)."""
+    from pyspark.sql import Window
+
+    base = (
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("_g"),
+            F.col(value_col).cast("long").alias("_y"),
+        )
+    )
+    if order is not None:
+        if len(set(order)) != len(order):
+            raise ValueError(f"order has duplicate groups: {order}")
+        cmap = F.create_map(
+            *[x for i, g in enumerate(order) for x in (F.lit(g), F.lit(i + 1))]
+        )
+        base = base.withColumn("_c", F.element_at(cmap, F.col("_g"))).filter(
+            F.col("_c").isNotNull()
+        )
+    else:
+        gpos = (
+            base.select("_g")
+            .distinct()
+            .withColumn("_c", F.row_number().over(Window.orderBy("_g")))
+        )
+        base = base.join(F.broadcast(gpos), "_g")
+    cells = base.groupBy("_c", "_y").agg(F.count(F.lit(1)).alias("_n"))
+    from hadron_spark.operators.ops import pin
+
+    cells = pin(cells)
+    # every (group, spine value) cell, zero-filled, with the strictly-
+    # below cumulative per group
+    spine = cells.groupBy("_y").agg(F.sum("_n").alias("_t"))
+    groups = cells.select("_c").distinct()
+    grid = spine.select("_y").crossJoin(F.broadcast(groups))
+    gcells = grid.join(cells, ["_c", "_y"], "left").select(
+        "_c", "_y", F.coalesce(F.col("_n"), F.lit(0)).alias("_n")
+    )
+    wg = (
+        Window.partitionBy("_c")
+        .orderBy("_y")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gcum = gcells.select(
+        "_c",
+        "_y",
+        "_n",
+        F.coalesce(F.sum("_n").over(wg), F.lit(0)).alias("_below"),
+    )
+    pair = (
+        cells.alias("a")
+        .join(gcum.alias("e"), on=[F.col("a._y") == F.col("e._y"),
+                                   F.col("e._c") < F.col("a._c")])
+        .select(
+            (
+                F.col("a._n").cast("decimal(38,0)")
+                * (2 * F.col("e._below") + F.col("e._n")).cast("decimal(38,0)")
+            ).alias("_term")
+        )
+    )
+    jt2 = pair.agg(F.coalesce(F.sum("_term"),
+                              F.lit(0).cast("decimal(38,0)")).alias("_jt2"))
+    gtot = cells.groupBy("_c").agg(F.sum("_n").alias("_ni"))
+    ni_dec = F.col("_ni").cast("decimal(38,0)")
+    gm = gtot.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("_ni").alias("n"),
+        F.sum(ni_dec * ni_dec).alias("_sn2"),
+        F.sum(ni_dec * (ni_dec - 1) * (2 * ni_dec + 5)).alias("_sn_a"),
+        F.sum(ni_dec * (ni_dec - 1) * (ni_dec - 2)).alias("_sn_b"),
+        F.sum(ni_dec * (ni_dec - 1)).alias("_sn_c"),
+    )
+    t_dec = F.col("_t").cast("decimal(38,0)")
+    tm = spine.agg(
+        F.sum(t_dec * (t_dec - 1) * (2 * t_dec + 5)).alias("_st_a"),
+        F.sum(t_dec * (t_dec - 1) * (t_dec - 2)).alias("_st_b"),
+        F.sum(t_dec * (t_dec - 1)).alias("_st_c"),
+    )
+    j = jt2.crossJoin(F.broadcast(gm)).crossJoin(F.broadcast(tm))
+    n_dec = F.col("n").cast("decimal(38,0)")
+    term1 = (
+        (n_dec * (n_dec - 1) * (2 * n_dec + 5) - F.col("_sn_a")
+         - F.col("_st_a")).cast("double")
+        / F.lit(72.0)
+    )
+    term2 = (F.col("_sn_b") * F.col("_st_b")).cast("double") / (
+        F.lit(36).cast("decimal(38,0)")
+        * n_dec * (n_dec - 1) * (n_dec - 2)
+    ).cast("double")
+    term3 = (F.col("_sn_c") * F.col("_st_c")).cast("double") / (
+        F.lit(8).cast("decimal(38,0)") * n_dec * (n_dec - 1)
+    ).cast("double")
+    var = term1 + term2 + term3
+    # scale by 4: z = (JT − E)/sqrt(V) = (2·JT2 − (N²−Σn²)) / (4·sqrt(V))
+    # — an ALL-INTEGER numerator (JT2 = 2·JT, E = (N²−Σn²)/4), so no
+    # decimal division enters the chain
+    num4 = (
+        2 * F.col("_jt2") - (n_dec * n_dec - F.col("_sn2"))
+    ).cast("double")
+    ok = (F.col("k") > 1) & (F.col("n") >= 3)
+    return j.select(
+        "k",
+        "n",
+        F.when(F.col("k") > 1,
+               F.col("_jt2").cast("double") / F.lit(2.0)).alias("jt"),
+        F.when(ok & (var > 0), num4 / (F.lit(4.0) * F.sqrt(var))).alias("z"),
+    )

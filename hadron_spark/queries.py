@@ -13973,3 +13973,73 @@ def q314(spark, sf_dir):
         )
         .orderBy("roundtrip_ok")
     )
+
+
+@_register(
+    "q315_jonckheere_terpstra",
+    """
+    WITH v AS (SELECT event_type AS g,
+                      CAST(round(value * 100) AS BIGINT) AS y
+               FROM events WHERE value IS NOT NULL),
+    pos AS (SELECT g, CAST(row_number() OVER (ORDER BY g) AS BIGINT) AS c
+            FROM (SELECT DISTINCT g FROM v)),
+    cells AS (SELECT c, y, CAST(COUNT(*) AS BIGINT) AS n
+              FROM v JOIN pos USING (g) GROUP BY 1, 2),
+    spine AS (SELECT y, CAST(SUM(n) AS BIGINT) AS t FROM cells GROUP BY 1),
+    grid AS (SELECT s.y, p.c
+             FROM spine s CROSS JOIN (SELECT DISTINCT c FROM cells) p),
+    gcells AS (SELECT g.c, g.y, COALESCE(cl.n, 0) AS n
+               FROM grid g LEFT JOIN cells cl
+                 ON g.c = cl.c AND g.y = cl.y),
+    gcum AS (SELECT c, y, n,
+                    COALESCE(SUM(n) OVER (PARTITION BY c ORDER BY y
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS below
+             FROM gcells),
+    jt AS (SELECT COALESCE(SUM(CAST(a.n AS HUGEINT)
+                               * (2 * e.below + e.n)), 0) AS jt2
+           FROM cells a JOIN gcum e ON a.y = e.y AND e.c < a.c),
+    gtot AS (SELECT c, CAST(SUM(n) AS BIGINT) AS ni FROM cells GROUP BY 1),
+    gm AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                  CAST(SUM(ni) AS BIGINT) AS n,
+                  SUM(CAST(ni AS HUGEINT) * ni) AS sn2,
+                  SUM(CAST(ni AS HUGEINT) * (ni - 1) * (2 * ni + 5)) AS sn_a,
+                  SUM(CAST(ni AS HUGEINT) * (ni - 1) * (ni - 2)) AS sn_b,
+                  SUM(CAST(ni AS HUGEINT) * (ni - 1)) AS sn_c
+           FROM gtot),
+    tm AS (SELECT SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS st_a,
+                  SUM(CAST(t AS HUGEINT) * (t - 1) * (t - 2)) AS st_b,
+                  SUM(CAST(t AS HUGEINT) * (t - 1)) AS st_c
+           FROM spine)
+    SELECT k, n,
+           CAST(jt2 AS DOUBLE) / 2.0 AS jt,
+           CAST(2 * jt2 - (CAST(n AS HUGEINT) * n - sn2) AS DOUBLE)
+             / (4.0 * sqrt(
+                 CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5)
+                      - sn_a - st_a AS DOUBLE) / 72.0
+                 + CAST(sn_b * st_b AS DOUBLE)
+                   / CAST(36 * CAST(n AS HUGEINT) * (n - 1) * (n - 2)
+                          AS DOUBLE)
+                 + CAST(sn_c * st_c AS DOUBLE)
+                   / CAST(8 * CAST(n AS HUGEINT) * (n - 1) AS DOUBLE))) AS z
+    FROM jt, gm, tm
+    """,
+)
+def q315(spark, sf_dir):
+    """Jonckheere-Terpstra ordered-alternative test (operators.robust
+    .jonckheere_terpstra): do event values RISE across event types in
+    their natural label order - page_trend's independent-samples
+    sibling (kruskal_wallis answers the same design only
+    non-directionally).  Doubled statistic JT2 over the (group,
+    value) cell table with per-group spine cumulatives, exact
+    DECIMAL/HUGEINT integer terms everywhere, the Hollander-Wolfe
+    tie-corrected variance as three correctly-rounded divisions
+    summed in fixed order, one bit-stable sqrt - hash-exact FULL
+    oracle."""
+    from hadron_spark.operators.robust import jonckheere_terpstra
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return jonckheere_terpstra(ev, "cents", "event_type")

@@ -428,3 +428,55 @@ def test_bpe_bytelevel_roundtrip_property(spark, words):
     for w in set(words):
         raw = b"".join(bytelevel_decode(t) for t in enc[w])
         assert raw.decode("utf-8") == w
+
+
+def test_bpe_train_to_vocab_hf_contract(spark):
+    """vocab_size/limit_alphabet/special_tokens semantics (the HF
+    BpeTrainer contract): alphabet + specials count toward the
+    budget; limit_alphabet drops the rarest chars with rank-closing;
+    byte mode ships the full 256-byte alphabet and rejects
+    limit_alphabet; pieces come out specials -> sorted alphabet ->
+    merges-in-order."""
+    import pytest
+
+    from hadron_spark.llm.bpe import bpe_train_to_vocab
+
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    specials = ["<pad>", "<unk>"]
+    merges, pieces, vocab = bpe_train_to_vocab(
+        df, vocab_size=30, special_tokens=specials
+    )
+    alphabet = sorted({c for t in TEXTS for w in t.split() for c in w})
+    budget = 30 - len(specials) - len(alphabet)
+    assert len(merges) <= budget
+    assert pieces[:2] == specials
+    assert pieces[2:2 + len(alphabet)] == alphabet
+    assert pieces[2 + len(alphabet):] == [a + b for a, b, _ in merges]
+    assert len(pieces) <= 30
+    # merges equal a plain bpe_train run with the derived budget
+    want, _ = bpe.bpe_train(df, num_merges=budget)
+    assert merges == want
+
+    # limit_alphabet: keep the 6 most frequent chars; words shed the
+    # dropped symbols and training continues on the survivors
+    m2, p2, v2 = bpe_train_to_vocab(df, vocab_size=30, limit_alphabet=6)
+    alpha2 = [p for p in p2 if len(p) == 1]
+    assert len(alpha2) == 6
+    got_syms = {r.word: list(r.syms) for r in v2.collect()}
+    kept = set(alpha2)
+    for w, syms in got_syms.items():
+        assert set("".join(syms)) <= kept
+
+    # byte mode: full 256-symbol alphabet, limit_alphabet rejected
+    mb, pb, _ = bpe_train_to_vocab(
+        df, vocab_size=260, mode="byte", special_tokens=["<unk>"]
+    )
+    assert len([p for p in pb if len(p) == 2 and p != "<unk>"]) >= 256
+    assert len(mb) <= 260 - 1 - 256
+    with pytest.raises(ValueError, match="byte"):
+        bpe_train_to_vocab(df, vocab_size=300, mode="byte", limit_alphabet=10)
+    # alphabet larger than budget -> zero merges
+    m0, p0, _ = bpe_train_to_vocab(df, vocab_size=3)
+    assert m0 == [] and len(p0) > 3
+    with pytest.raises(ValueError, match="vocab_size"):
+        bpe_train_to_vocab(df, vocab_size=0)

@@ -1611,3 +1611,92 @@ def test_page_trend_reference(spark):
     # k < 2 -> NULL statistics
     one = page_trend(df.filter(F.col("t") == "t1"), "b", "t", "y").collect()[0]
     assert one["l"] is None and one["z"] is None
+
+def test_jonckheere_terpstra_reference(spark):
+    """JT statistic + tie-corrected z vs a brute-force pure-python
+    mirror (pairwise cross-group counts, Hollander-Wolfe variance),
+    order reversal antisymmetry on tie-free data, subset analysis,
+    and degenerate guards."""
+    import math
+
+    from hadron_spark.operators.robust import jonckheere_terpstra
+
+    data = {
+        "a": [1, 3, 3, 5, 7],
+        "b": [2, 3, 6, 8, 8, 9],
+        "c": [5, 9, 10, 12],
+    }
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, y long")
+    got = jonckheere_terpstra(df, "y", "g").collect()[0]
+
+    order = ["a", "b", "c"]
+
+    def brute(groups):
+        jt = 0.0
+        names = [g for g in order if g in groups]
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                for x in groups[names[i]]:
+                    for y in groups[names[j]]:
+                        jt += 1.0 if x < y else (0.5 if x == y else 0.0)
+        ns = [len(groups[g]) for g in names]
+        N = sum(ns)
+        vals = [v for g in names for v in groups[g]]
+        from collections import Counter
+
+        ties = Counter(vals).values()
+        E = (N * N - sum(n * n for n in ns)) / 4.0
+        t1 = (
+            N * (N - 1) * (2 * N + 5)
+            - sum(n * (n - 1) * (2 * n + 5) for n in ns)
+            - sum(t * (t - 1) * (2 * t + 5) for t in ties)
+        ) / 72.0
+        t2 = (
+            sum(n * (n - 1) * (n - 2) for n in ns)
+            * sum(t * (t - 1) * (t - 2) for t in ties)
+        ) / (36.0 * N * (N - 1) * (N - 2))
+        t3 = (
+            sum(n * (n - 1) for n in ns) * sum(t * (t - 1) for t in ties)
+        ) / (8.0 * N * (N - 1))
+        var = t1 + t2 + t3
+        return jt, (jt - E) / math.sqrt(var)
+
+    jt_ref, z_ref = brute(data)
+    assert got["k"] == 3 and got["n"] == 15
+    assert got["jt"] == jt_ref
+    assert abs(got["z"] - z_ref) < 1e-12
+    assert got["z"] > 1.5  # planted upward trend detected
+
+    # tie-free data: reversing the order flips z exactly
+    nf = {"a": [1, 4, 7], "b": [2, 5, 8], "c": [3, 6, 9]}
+    ndf = spark.createDataFrame(
+        [(g, v) for g, vs in nf.items() for v in vs], "g string, y long"
+    )
+    fwd = jonckheere_terpstra(ndf, "y", "g").collect()[0]
+    rev = jonckheere_terpstra(
+        ndf, "y", "g", order=["c", "b", "a"]
+    ).collect()[0]
+    assert rev["z"] == -fwd["z"]
+
+    # subset analysis: only listed groups count
+    sub = jonckheere_terpstra(df, "y", "g", order=["a", "c"]).collect()[0]
+    jt_sub, z_sub = brute({"a": data["a"], "c": data["c"]})
+    assert sub["k"] == 2 and sub["jt"] == jt_sub
+    assert abs(sub["z"] - z_sub) < 1e-12
+
+    import pytest
+
+    with pytest.raises(ValueError, match="duplicate"):
+        jonckheere_terpstra(df, "y", "g", order=["a", "a"])
+    one = jonckheere_terpstra(
+        df.filter(F.col("g") == "a"), "y", "g"
+    ).collect()[0]
+    assert one["jt"] is None and one["z"] is None
+    # all-tied: var == 0 -> NULL z, jt still defined
+    flat = jonckheere_terpstra(
+        spark.createDataFrame([("a", 5), ("b", 5), ("c", 5)],
+                              "g string, y long"),
+        "y", "g",
+    ).collect()[0]
+    assert flat["z"] is None and flat["jt"] == 1.5

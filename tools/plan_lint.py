@@ -76,6 +76,9 @@ EXPLAIN_BNLJ = {
     "against the per-bucket offset table (O(#buckets))",
     "q195_group_percentiles": "broadcasts the O(#groups x #percentiles) rank targets; "
     "groups = returnflag/linestatus (cardinality 6)",
+    "q315_jonckheere_terpstra": "deliberate value-spine x group-set grid: the "
+    "broadcast side is the DISTINCT GROUP list (k rows — the test's arms, never "
+    "corpus-scale); the spine side is |distinct quantized values|-bounded",
 }
 EXPLAIN_SINGLE_PARTITION = {
     "q79_share_of_total": "global share window over the per-nation aggregate "
