@@ -274,16 +274,44 @@ def minhash_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    transitive: bool = False,
     **kw,
 ) -> DataFrame:
     """Drop near-duplicates: any doc matched (est_jaccard ≥ threshold)
-    with a lower-id doc is removed. Single-link union is approximated
-    by one anti-join round (sufficient when dup clusters are pairs /
-    stars, the common crawl-dedup case; run to fixpoint for chains)."""
+    with a lower-id doc is removed.
+
+    `transitive=False` (default): single-link union approximated by
+    ONE anti-join round — every doc appearing as the higher id of any
+    matched pair is dropped.  Exact for pair/star clusters (the
+    common crawl-dedup shape) and cheapest; on CHAINS it can both
+    over-delete (b≈c dropped though its only match was itself
+    dropped) and under-merge relative to true single-link.
+
+    `transitive=True`: TRUE single-link clustering — candidate pairs
+    feed `operators.graph.connected_components` (the two-phase
+    large-star/small-star rounds, lineage-truncated) and exactly one
+    doc survives per component: the minimum id.  This is the
+    union-find-over-LSH-matches semantics of production web-dedup
+    pipelines; costs O(log n) extra bounded rounds over the
+    PAIR table (candidate-pair-sized, not corpus-sized)."""
     pairs = minhash_lsh_pairs(df, id_col, text_col, **kw).filter(
         F.col("est_jaccard") >= threshold
     )
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if transitive:
+        from hadron_spark.operators.graph import connected_components
+
+        comp = connected_components(
+            pairs.select(
+                F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+            )
+        )
+        losers = (
+            comp.filter(F.col("node") != F.col("component"))
+            .select(F.col("node").alias(id_col))
+            .distinct()
+        )
+    else:
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
 
 

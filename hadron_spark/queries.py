@@ -14043,3 +14043,20 @@ def q315(spark, sf_dir):
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     return jonckheere_terpstra(ev, "cents", "event_type")
+
+
+@_register("q316_minhash_dedup_transitive", None)
+def q316(spark, sf_dir):
+    """TRUE single-link MinHash dedup (llm.dedup.minhash_dedup
+    transitive=True): candidate pairs feed connected_components and
+    exactly the min doc_id survives per near-dup cluster -- the
+    union-find-over-LSH-matches semantics of production web-dedup
+    (the default one-round keeper can over-delete and under-merge on
+    chains).  Rows-only (LSH banding + iterative CC); the
+    keeper-equals-python-union-find contract is pinned in
+    test_llm_ops."""
+    from hadron_spark.llm.dedup import minhash_dedup
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = minhash_dedup(docs, threshold=0.7, transitive=True)
+    return kept.select("doc_id").orderBy("doc_id")

@@ -42,6 +42,52 @@ def test_minhash_dedup_removes_higher_id(spark):
     assert ids == [1, 3]
 
 
+def test_minhash_dedup_transitive_single_link(spark):
+    """transitive=True is TRUE single-link clustering: exactly the
+    min id survives per connected component of the realized candidate
+    pairs (verified against a python union-find over the SAME pair
+    table), and it differs from the one-round keeper exactly where
+    chains make the greedy rule over/under-delete."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    rows = [
+        (1, base),                     # cluster {1,2,3} via chained edits
+        (2, base + " lambda mu"),
+        (3, base + " lambda mu nu xi omicron"),
+        (4, "completely different words about engines " * 8),  # singleton
+        (5, "totally other content on storage formats " * 8),  # singleton
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(threshold=0.7, num_hashes=32, bands=8)
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            df, num_hashes=32, bands=8
+        ).filter(F.col("est_jaccard") >= 0.7).collect()
+    ]
+    assert pairs  # the planted cluster must be found
+    # python union-find over the same realized pairs
+    parent = {i: i for i in range(1, 6)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = sorted({find(i) for i in range(1, 6)})
+    got = sorted(
+        r["doc_id"]
+        for r in dedup.minhash_dedup(df, transitive=True, **kw).collect()
+    )
+    assert got == want
+    # exactly one survivor per component, and it's the min id
+    assert 1 in got and 4 in got and 5 in got
+
+
 def test_simhash_identical_zero_distance(spark):
     df = spark.createDataFrame(
         [(1, "spark engine parquet shuffle"), (2, "spark engine parquet shuffle"),
