@@ -30,6 +30,75 @@ from pyspark.sql import functions as F
 from hadron_spark.operators import ops
 
 
+def chunk_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 256,
+    overlap_tokens: int = 0,
+) -> DataFrame:
+    """Per-document sliding-window chunking — the retrieval/RAG prep
+    step (`pack_sequences` concatenates ACROSS documents for
+    pretraining; retrieval corpora need chunks that respect document
+    boundaries, usually with overlap so no answer span is cut).
+
+    Chunks start every `chunk_tokens − overlap_tokens` whitespace
+    tokens; the last chunk is the remainder (shorter, never empty);
+    a document with ≤ chunk_tokens tokens yields itself as one chunk;
+    token-less documents emit NO rows (join semantics — filter
+    upstream if the empty row matters).
+
+    Plan: one narrow per-row `sequence()` explode over the token
+    array — zero shuffle, all Catalyst (split/slice/concat_ws), and
+    every output is exact integer arithmetic on token positions, so
+    the whole op carries a FULL SQL oracle.  Returns (id_col,
+    chunk_id, start_token, n_tokens, chunk) with `chunk` the
+    re-joined text (single-space joined — the tokenizer's whitespace
+    collapse, byte-lossless only for single-space corpora)."""
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError(
+            f"overlap_tokens must be in [0, chunk_tokens), got {overlap_tokens}"
+        )
+    stride = chunk_tokens - overlap_tokens
+    from hadron_spark.functions.text import tokenize
+
+    toks = df.select(
+        F.col(id_col),
+        tokenize(F.col(text_col)).alias("_toks"),
+    ).withColumn("_n", F.size("_toks")).filter(F.col("_n") > 0)
+    # chunk starts: 0, stride, 2·stride, …; chunk j ≥ 1 exists iff the
+    # previous one stopped short of the end ((j−1)·stride + chunk < n),
+    # so n_chunks = 1 + ceil((n − chunk)/stride) for n > chunk, else 1
+    # — stated in INTEGER div (ceil(a/b) = (a−1) div b + 1) so the
+    # oracle mirrors without any float ceil
+    n_chunks = F.when(
+        F.col("_n") <= chunk_tokens, F.lit(1)
+    ).otherwise(
+        F.expr(f"2 + ((_n - {chunk_tokens} - 1) div {stride})").cast("int")
+    )
+    out = toks.withColumn(
+        "chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    ).select(
+        id_col,
+        "chunk_id",
+        (F.col("chunk_id") * stride).alias("start_token"),
+        F.least(
+            F.lit(chunk_tokens), F.col("_n") - F.col("chunk_id") * stride
+        ).alias("n_tokens"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("_toks"),
+                F.col("chunk_id") * stride + 1,
+                F.lit(chunk_tokens),
+            ),
+        ).alias("chunk"),
+    )
+    return out
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

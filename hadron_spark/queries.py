@@ -14060,3 +14060,39 @@ def q316(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     kept = minhash_dedup(docs, threshold=0.7, transitive=True)
     return kept.select("doc_id").orderBy("doc_id")
+
+
+@_register(
+    "q317_chunk_text",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents),
+    t2 AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+    ch AS (
+      SELECT doc_id, tk, n,
+             unnest(range(0, CASE WHEN n <= 16 THEN 1
+                                  ELSE 2 + (n - 16 - 1) // 12 END)) AS j
+      FROM t2)
+    SELECT doc_id, CAST(j AS INT) AS chunk_id,
+           CAST(j * 12 AS INT) AS start_token,
+           CAST(least(16, n - j * 12) AS INT) AS n_tokens,
+           array_to_string(list_slice(tk, j * 12 + 1, j * 12 + 16),
+                           ' ') AS chunk
+    FROM ch
+    """,
+)
+def q317(spark, sf_dir):
+    """Sliding-window document chunking (llm.packing.chunk_text): the
+    retrieval/RAG prep step -- 16-token windows every 12 tokens (4
+    overlapping) per document, boundaries respected (pack_sequences
+    is the cross-document pretraining packer; retrieval chunks must
+    not straddle documents).  One narrow per-row sequence() explode,
+    zero shuffle, all integer position arithmetic (ceil stated as
+    integer div) -- hash-exact FULL oracle."""
+    from hadron_spark.llm.packing import chunk_text
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_text(docs, chunk_tokens=16, overlap_tokens=4)

@@ -161,3 +161,68 @@ def test_preference_pairs(spark):
     tied = {r["prompt_id"]: r for r in preference_pairs(df).collect()}
     assert (tied[1]["chosen_id"], tied[1]["rejected_id"]) == (12, 10)
     assert 2 not in tied  # single response never pairs
+
+
+def test_chunk_text_reference(spark):
+    """Sliding-window chunking vs a python mirror: coverage (every
+    token appears in some chunk), overlap stride, short-doc identity,
+    exact-multiple boundary, token-less docs emit nothing, and
+    validation."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hadron_spark.llm.packing import chunk_text
+
+    texts = {
+        1: "a b c d e f g h i j",            # 10 tokens
+        2: "one two three",                   # short -> single chunk
+        3: " ".join(f"w{i}" for i in range(8)),  # exact 2x stride case
+        4: "   ",                             # token-less -> no rows
+        5: "x",                               # single token
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+
+    def ref(text, c, o):
+        toks = [w for w in text.split() if w]
+        if not toks:
+            return []
+        s = c - o
+        n = len(toks)
+        m = 1 if n <= c else 2 + (n - c - 1) // s
+        return [
+            (j, j * s, min(c, n - j * s), " ".join(toks[j * s: j * s + c]))
+            for j in range(m)
+        ]
+
+    for c, o in [(4, 1), (4, 0), (3, 2), (10, 0), (1, 0)]:
+        got = {
+            (r["doc_id"], r["chunk_id"]):
+                (r["start_token"], r["n_tokens"], r["chunk"])
+            for r in chunk_text(
+                df, chunk_tokens=c, overlap_tokens=o
+            ).collect()
+        }
+        want = {
+            (d, j): (st, nt, ch)
+            for d, t in texts.items()
+            for j, st, nt, ch in ref(t, c, o)
+        }
+        assert got == want, (c, o)
+        # coverage: concatenating stride-slices reconstructs the doc
+        for d, t in texts.items():
+            toks = t.split()
+            toks = [w for w in toks if w]
+            if not toks:
+                assert not any(k[0] == d for k in got)
+                continue
+            s = c - o
+            rebuilt = []
+            for j in range(len([k for k in got if k[0] == d])):
+                chunk = got[(d, j)][2].split()
+                rebuilt.extend(chunk if j == 0 else chunk[o:])
+            assert rebuilt == toks, (d, c, o)
+
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_text(df, chunk_tokens=0)
+    with pytest.raises(ValueError, match="overlap_tokens"):
+        chunk_text(df, chunk_tokens=4, overlap_tokens=4)
