@@ -8,7 +8,11 @@ sorted-fold discipline):
 3. `kruskal_wallis` — the rank-based read that survives outliers
    and non-normality (report both; disagreement IS information);
 4. `mcnemar` — two models scored on the SAME rows (paired, so a
-   two-proportion z would overstate certainty).
+   two-proportion z would overstate certainty);
+5. `jonckheere_terpstra` — when the arms are ORDERED (dose levels,
+   model sizes), the directional follow-up with real power;
+6. `friedman` + 7. `page_trend` — the repeated-measures pair: k
+   scorers on the SAME documents, unordered then ordered.
 
 Run: python examples/ab_analysis.py [sf_dir]
 """
@@ -27,7 +31,10 @@ from hadron_spark.llm.evaluation import mcnemar
 from hadron_spark.operators.robust import (
     anova_oneway,
     brown_forsythe,
+    friedman,
+    jonckheere_terpstra,
     kruskal_wallis,
+    page_trend,
 )
 from hadron_spark.sources.taps import Tap
 
@@ -66,6 +73,35 @@ def main() -> None:
           f"  chi2={mc['chi2']:.4f}  chi2_cc={mc['chi2_cc']:.4f}"
           f"  ({mc['n_concordant']}/{mc['n']} rows concordant"
           " — the information a two-proportion z throws away)")
+
+    print("[5] Jonckheere-Terpstra: arms ORDERED by label — do values"
+          " rise with the order?")
+    jt = jonckheere_terpstra(ev, "cents", "event_type").collect()[0]
+    print(f"    JT={jt['jt']:.1f}  z={jt['z']:.4f}"
+          "  (directional: sign says which way the trend runs)")
+
+    print("[6]+[7] repeated measures: three doc scorers on the SAME"
+          " documents")
+    docs2 = Tap([f"{sf_dir}/documents.parquet"], "parquet").read(spark)
+    lf = (
+        docs2.select(
+            F.col("doc_id").alias("b"), F.lit("chars").alias("t"),
+            F.col("n_chars").cast("long").alias("y"))
+        .unionByName(docs2.select(
+            F.col("doc_id").alias("b"), F.lit("tokens").alias("t"),
+            (token_count(F.col("text")) * 6).cast("long").alias("y")))
+        .unionByName(docs2.select(
+            F.col("doc_id").alias("b"), F.lit("lines").alias("t"),
+            ((F.length("text")
+              - F.length(F.replace(F.col("text"), F.lit("."))))
+             * 40).cast("long").alias("y")))
+    )
+    fr = friedman(lf, "b", "t", "y").collect()[0]
+    print(f"    friedman: chi2={fr['chi2']:.4f}  W={fr['kendall_w']:.4f}"
+          "  (do the scorers rank docs differently AT ALL?)")
+    pg = page_trend(lf, "b", "t", "y").collect()[0]
+    print(f"    page:     L={pg['l']:.1f}  z={pg['z']:.4f}"
+          "  (do they rise in the hypothesized order?)")
     print("all steps ran")
     spark.stop()
 
