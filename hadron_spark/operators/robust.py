@@ -1359,3 +1359,110 @@ def jonckheere_terpstra(
                F.col("_jt2").cast("double") / F.lit(2.0)).alias("jt"),
         F.when(ok & (var > 0), num4 / (F.lit(4.0) * F.sqrt(var))).alias("z"),
     )
+
+
+def dunn_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Dunn's post-hoc test (Dunn 1964): WHICH group pairs differ,
+    once `kruskal_wallis` has rejected "no difference anywhere" —
+    the standard pairwise follow-up on the same pooled midranks
+    (re-running mann_whitney per pair uses pair-local ranks and the
+    wrong variance; Dunn's z uses the POOLED ranking and the
+    KW tie correction).
+
+        z_ij = (R̄_i − R̄_j) / sqrt((N(N+1)/12 − T/(12(N−1)))
+                                     · (1/n_i + 1/n_j)),
+        T = Σ(t³−t) over pooled tie runs.
+
+    Exactness (the kruskal_wallis spine verbatim): doubled midranks
+    exact, and with Δ = R2_i·n_j − R2_j·n_i the z collapses to
+        z = Δ · sqrt(3(N−1) / (n_i·n_j·(n_i+n_j)·A)),
+        A = N(N+1)(N−1) − T
+    — all-integer Δ and radicand terms in DECIMAL(38,0), ONE inner
+    division, ONE bit-stable sqrt, ONE multiply: hash-exact
+    cross-engine.  Positive z means group_a ranks higher.  A = 0
+    (all values tied) yields NULL z.  One row per unordered pair
+    (group_a < group_b) — k(k−1)/2 rows, k-bounded.  Apply your own
+    multiple-comparison correction downstream (Bonferroni = compare
+    |z| against the k(k−1)/2-adjusted critical value; p-values are
+    deliberately not emitted — no erf/exp in the hash-exact tier).
+    Returns (group_a, group_b, n_a, n_b, mean_rank_a, mean_rank_b,
+    z)."""
+    from pyspark.sql import Window
+
+    base = (
+        df.filter(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("_g"),
+            F.col(value_col).cast("long").alias("_v"),
+        )
+    )
+    cells = base.groupBy("_g", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    from hadron_spark.operators.ops import pin, range_cumsum
+
+    cells = pin(cells)
+    spine = cells.groupBy("_v").agg(F.sum("_c").alias("_t"))
+    spine = range_cumsum(
+        spine,
+        key=F.col("_v"),
+        val=F.col("_t"),
+        order=[F.col("_v")],
+        out_col="_cum",
+        inclusive=True,
+    ).withColumn(
+        "_r2", 2 * (F.col("_cum") - F.col("_t")) + F.col("_t") + 1
+    )
+    grp = (
+        cells.join(spine.select("_v", "_r2"), "_v")
+        .groupBy("_g")
+        .agg(
+            F.sum("_c").alias("_n"),
+            F.sum(F.col("_c") * F.col("_r2")).alias("_R2"),
+        )
+    )
+    t_dec = F.col("_t").cast("decimal(38,0)")
+    tot = spine.agg(
+        F.sum("_t").alias("n"),
+        F.sum(t_dec * t_dec * t_dec - t_dec).alias("_T"),
+    )
+    a = grp.select(
+        F.col("_g").alias("group_a"),
+        F.col("_n").alias("n_a"),
+        F.col("_R2").alias("_R2a"),
+    )
+    b = grp.select(
+        F.col("_g").alias("group_b"),
+        F.col("_n").alias("n_b"),
+        F.col("_R2").alias("_R2b"),
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("group_a") < F.col("group_b")
+    ).crossJoin(F.broadcast(tot))
+    n_dec = F.col("n").cast("decimal(38,0)")
+    na = F.col("n_a").cast("decimal(38,0)")
+    nb = F.col("n_b").cast("decimal(38,0)")
+    delta = (
+        F.col("_R2a").cast("decimal(38,0)") * nb
+        - F.col("_R2b").cast("decimal(38,0)") * na
+    )
+    big_a = n_dec * (n_dec + 1) * (n_dec - 1) - F.col("_T")
+    rad = (
+        (F.lit(3).cast("decimal(38,0)") * (n_dec - 1)).cast("double")
+        / (na * nb * (na + nb) * big_a).cast("double")
+    )
+    return pairs.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        (F.col("_R2a").cast("double")
+         / (F.lit(2.0) * F.col("n_a").cast("double"))).alias("mean_rank_a"),
+        (F.col("_R2b").cast("double")
+         / (F.lit(2.0) * F.col("n_b").cast("double"))).alias("mean_rank_b"),
+        F.when(
+            big_a > 0, delta.cast("double") * F.sqrt(rad)
+        ).alias("z"),
+    )

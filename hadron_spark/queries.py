@@ -14096,3 +14096,58 @@ def q317(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return chunk_text(docs, chunk_tokens=16, overlap_tokens=4)
+
+
+@_register(
+    "q318_dunn_posthoc",
+    """
+    WITH v AS (SELECT event_type AS g,
+                      CAST(round(value * 100) AS BIGINT) AS y
+               FROM events WHERE value IS NOT NULL),
+    cells AS (SELECT g, y, CAST(COUNT(*) AS BIGINT) AS c
+              FROM v GROUP BY 1, 2),
+    spine AS (SELECT y, CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY 1),
+    rk AS (
+      SELECT y, t,
+             2 * (SUM(t) OVER (ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t)
+               + t + 1 AS r2
+      FROM spine),
+    grp AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(SUM(c * r2) AS BIGINT) AS r2g
+            FROM cells JOIN rk USING (y) GROUP BY 1),
+    tot AS (SELECT CAST(SUM(t) AS BIGINT) AS nn,
+                   SUM(CAST(t AS HUGEINT) * t * t - t) AS tt
+            FROM spine)
+    SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, b.n AS n_b,
+           CAST(a.r2g AS DOUBLE) / (2.0 * CAST(a.n AS DOUBLE))
+             AS mean_rank_a,
+           CAST(b.r2g AS DOUBLE) / (2.0 * CAST(b.n AS DOUBLE))
+             AS mean_rank_b,
+           CASE WHEN CAST(nn AS HUGEINT) * (nn + 1) * (nn - 1) - tt > 0
+                THEN CAST(CAST(a.r2g AS HUGEINT) * b.n
+                          - CAST(b.r2g AS HUGEINT) * a.n AS DOUBLE)
+                     * sqrt(CAST(3 * (CAST(nn AS HUGEINT) - 1) AS DOUBLE)
+                            / CAST(CAST(a.n AS HUGEINT) * b.n
+                                   * (a.n + b.n)
+                                   * (CAST(nn AS HUGEINT) * (nn + 1)
+                                      * (nn - 1) - tt) AS DOUBLE))
+                END AS z
+    FROM grp a JOIN grp b ON a.g < b.g, tot
+    """,
+)
+def q318(spark, sf_dir):
+    """Dunn's post-hoc pairwise test (operators.robust.dunn_test):
+    WHICH event-type pairs differ once q308's Kruskal-Wallis rejects
+    -- pooled-midrank z per pair with the KW tie correction (pairwise
+    mann_whitney would use the wrong ranks AND the wrong variance).
+    All-integer Delta = R2_a*n_b - R2_b*n_a and radicand terms, one
+    inner division, one bit-stable sqrt, one multiply -- hash-exact
+    FULL oracle over k(k-1)/2 bounded pair rows."""
+    from hadron_spark.operators.robust import dunn_test
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return dunn_test(ev, "cents", "event_type")

@@ -1700,3 +1700,60 @@ def test_jonckheere_terpstra_reference(spark):
         "y", "g",
     ).collect()[0]
     assert flat["z"] is None and flat["jt"] == 1.5
+
+def test_dunn_test_reference(spark):
+    """Dunn's pairwise z vs a pure-python mirror (pooled midranks,
+    KW tie correction), sign convention, all-pairs coverage, and the
+    all-tied NULL guard."""
+    import math
+    from collections import Counter
+
+    from hadron_spark.operators.robust import dunn_test
+
+    data = {
+        "a": [1, 3, 3, 5],
+        "b": [2, 3, 6, 8, 8],
+        "c": [5, 9, 10, 12, 12, 14],
+    }
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, y long")
+    got = {
+        (r["group_a"], r["group_b"]): r
+        for r in dunn_test(df, "y", "g").collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+
+    # python mirror: pooled midranks
+    pooled = sorted(v for vs in data.values() for v in vs)
+    N = len(pooled)
+    tie = Counter(pooled)
+    first = {}
+    pos = 1
+    for v in sorted(tie):
+        first[v] = pos
+        pos += tie[v]
+    midrank = {v: first[v] + (tie[v] - 1) / 2.0 for v in tie}
+    T = sum(t ** 3 - t for t in tie.values())
+    var_base = N * (N + 1) / 12.0 - T / (12.0 * (N - 1))
+    for ga, gb in got:
+        ra = sum(midrank[v] for v in data[ga]) / len(data[ga])
+        rb = sum(midrank[v] for v in data[gb]) / len(data[gb])
+        z = (ra - rb) / math.sqrt(
+            var_base * (1.0 / len(data[ga]) + 1.0 / len(data[gb]))
+        )
+        r = got[(ga, gb)]
+        assert abs(r["z"] - z) < 1e-12, (ga, gb, r["z"], z)
+        assert abs(r["mean_rank_a"] - ra) < 1e-12
+        assert abs(r["mean_rank_b"] - rb) < 1e-12
+        assert (r["n_a"], r["n_b"]) == (len(data[ga]), len(data[gb]))
+    # the planted c-dominates ordering shows in the signs
+    assert got[("a", "c")]["z"] < 0 and got[("b", "c")]["z"] < 0
+
+    # all-tied -> A = 0 -> NULL z
+    flat = dunn_test(
+        spark.createDataFrame(
+            [("a", 5), ("a", 5), ("b", 5)], "g string, y long"
+        ),
+        "y", "g",
+    ).collect()[0]
+    assert flat["z"] is None

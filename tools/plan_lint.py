@@ -79,6 +79,9 @@ EXPLAIN_BNLJ = {
     "q315_jonckheere_terpstra": "deliberate value-spine x group-set grid: the "
     "broadcast side is the DISTINCT GROUP list (k rows — the test's arms, never "
     "corpus-scale); the spine side is |distinct quantized values|-bounded",
+    "q318_dunn_posthoc": "pairwise theta self-join over the PER-GROUP rank "
+    "aggregate: both sides are k rows (the test's arms), broadcast side "
+    "explicit; output k(k-1)/2 pair rows",
 }
 EXPLAIN_SINGLE_PARTITION = {
     "q79_share_of_total": "global share window over the per-nation aggregate "
