@@ -1466,3 +1466,96 @@ def dunn_test(
             big_a > 0, delta.cast("double") * F.sqrt(rad)
         ).alias("z"),
     )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Cliff's delta per group pair (Cliff 1993): the EFFECT SIZE the
+    rank tests deliberately don't report — δ = P(y_b > y_a) −
+    P(y_a > y_b) over all cross-group pairs, in [−1, 1], reading
+    "how often does a b-draw beat an a-draw" (δ for two groups is
+    the rank-biserial correlation; |δ| ≳ 0.33/0.47 are the
+    conventional medium/large lines).  Significance says a
+    difference EXISTS (`mann_whitney_u`/`dunn_test`); δ says whether
+    it's big enough to matter — at corpus-scale n everything is
+    significant, so this is the number that actually gates
+    decisions.
+
+    Exactness: with GT = #(y_b > y_a) and EQ = #(y_b = y_a) cross
+    pairs — both exact integers off the (group, value) cell table
+    via per-group spine cumulatives (the jonckheere_terpstra
+    machinery; never an all-pairs join) —
+        δ = (2·GT + EQ − n_a·n_b) / (n_a·n_b)
+    is ONE IEEE division of exact DECIMAL(38,0) integers:
+    hash-exact.  Positive δ means group_b (the later label)
+    stochastically dominates.  Returns one row per unordered pair
+    (group_a < group_b): (group_a, group_b, n_a, n_b, delta)."""
+    from pyspark.sql import Window
+
+    base = (
+        df.filter(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("_g"),
+            F.col(value_col).cast("long").alias("_y"),
+        )
+    )
+    cells = base.groupBy("_g", "_y").agg(F.count(F.lit(1)).alias("_n"))
+    from hadron_spark.operators.ops import pin
+
+    cells = pin(cells)
+    spine = cells.select("_y").distinct()
+    groups = cells.select("_g").distinct()
+    grid = spine.crossJoin(F.broadcast(groups))
+    gcells = grid.join(cells, ["_g", "_y"], "left").select(
+        "_g", "_y", F.coalesce(F.col("_n"), F.lit(0)).alias("_n")
+    )
+    wg = (
+        Window.partitionBy("_g")
+        .orderBy("_y")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gcum = gcells.select(
+        F.col("_g").alias("_ga"),
+        "_y",
+        F.col("_n").alias("_eq"),
+        F.coalesce(F.sum("_n").over(wg), F.lit(0)).alias("_below"),
+    )
+    # direction: b-side cells against a-side cumulatives, a < b by label
+    terms = (
+        cells.alias("b")
+        .join(gcum.alias("a"), on=[F.col("b._y") == F.col("a._y"),
+                                   F.col("a._ga") < F.col("b._g")])
+        .groupBy(
+            F.col("a._ga").alias("group_a"), F.col("b._g").alias("group_b")
+        )
+        .agg(
+            F.sum(
+                F.col("b._n").cast("decimal(38,0)")
+                * F.col("a._below").cast("decimal(38,0)")
+            ).alias("_gt"),
+            F.sum(
+                F.col("b._n").cast("decimal(38,0)")
+                * F.col("a._eq").cast("decimal(38,0)")
+            ).alias("_eqs"),
+        )
+    )
+    gtot = cells.groupBy("_g").agg(F.sum("_n").alias("_ng"))
+    na = gtot.select(F.col("_g").alias("group_a"), F.col("_ng").alias("n_a"))
+    nb = gtot.select(F.col("_g").alias("group_b"), F.col("_ng").alias("n_b"))
+    out = terms.join(F.broadcast(na), "group_a").join(F.broadcast(nb), "group_b")
+    prod = (
+        F.col("n_a").cast("decimal(38,0)") * F.col("n_b").cast("decimal(38,0)")
+    )
+    return out.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        (
+            (2 * F.col("_gt") + F.col("_eqs") - prod).cast("double")
+            / prod.cast("double")
+        ).alias("delta"),
+    )

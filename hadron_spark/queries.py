@@ -14151,3 +14151,54 @@ def q318(spark, sf_dir):
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     return dunn_test(ev, "cents", "event_type")
+
+
+@_register(
+    "q319_cliffs_delta",
+    """
+    WITH v AS (SELECT event_type AS g,
+                      CAST(round(value * 100) AS BIGINT) AS y
+               FROM events WHERE value IS NOT NULL),
+    cells AS (SELECT g, y, CAST(COUNT(*) AS BIGINT) AS n
+              FROM v GROUP BY 1, 2),
+    spine AS (SELECT DISTINCT y FROM cells),
+    grid AS (SELECT s.y, p.g
+             FROM spine s CROSS JOIN (SELECT DISTINCT g FROM cells) p),
+    gcells AS (SELECT g.g, g.y, COALESCE(c.n, 0) AS n
+               FROM grid g LEFT JOIN cells c
+                 ON g.g = c.g AND g.y = c.y),
+    gcum AS (SELECT g AS ga, y, n AS eq,
+                    COALESCE(SUM(n) OVER (PARTITION BY g ORDER BY y
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS below
+             FROM gcells),
+    terms AS (
+      SELECT a.ga AS group_a, b.g AS group_b,
+             SUM(CAST(b.n AS HUGEINT) * a.below) AS gt,
+             SUM(CAST(b.n AS HUGEINT) * a.eq) AS eqs
+      FROM cells b JOIN gcum a ON b.y = a.y AND a.ga < b.g
+      GROUP BY 1, 2),
+    gtot AS (SELECT g, CAST(SUM(n) AS BIGINT) AS ng FROM cells GROUP BY 1)
+    SELECT t.group_a, t.group_b, na.ng AS n_a, nb.ng AS n_b,
+           CAST(2 * gt + eqs - CAST(na.ng AS HUGEINT) * nb.ng AS DOUBLE)
+             / CAST(CAST(na.ng AS HUGEINT) * nb.ng AS DOUBLE) AS delta
+    FROM terms t
+    JOIN gtot na ON na.g = t.group_a
+    JOIN gtot nb ON nb.g = t.group_b
+    """,
+)
+def q319(spark, sf_dir):
+    """Cliff's delta effect size per event-type pair (operators
+    .robust.cliffs_delta): HOW MUCH one arm's values dominate
+    another's -- the number that gates decisions at corpus scale,
+    where every difference is 'significant'.  GT/EQ cross-pair counts
+    exact off the (group, value) cell table via per-group spine
+    cumulatives (never an all-pairs join), delta = ONE IEEE division
+    -- hash-exact FULL oracle over bounded pair rows."""
+    from hadron_spark.operators.robust import cliffs_delta
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return cliffs_delta(ev, "cents", "event_type")

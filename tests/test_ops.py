@@ -1757,3 +1757,44 @@ def test_dunn_test_reference(spark):
         "y", "g",
     ).collect()[0]
     assert flat["z"] is None
+
+def test_cliffs_delta_reference(spark):
+    """Cliff's delta vs brute-force cross-pair counting: sign
+    convention (positive = later label dominates), complete
+    dominance = +/-1, identical groups = 0, tie handling."""
+    from hadron_spark.operators.robust import cliffs_delta
+
+    data = {
+        "a": [1, 2, 3, 3],
+        "b": [2, 3, 5, 6, 6],
+        "c": [10, 11, 12],          # completely above a and b
+    }
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, y long")
+    got = {
+        (r["group_a"], r["group_b"]): r
+        for r in cliffs_delta(df, "y", "g").collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+
+    def brute(xa, xb):
+        gt = sum(1 for x in xa for y in xb if y > x)
+        lt = sum(1 for x in xa for y in xb if y < x)
+        return (gt - lt) / (len(xa) * len(xb))
+
+    for ga, gb in got:
+        want = brute(data[ga], data[gb])
+        r = got[(ga, gb)]
+        assert r["delta"] == want, (ga, gb, r["delta"], want)
+        assert (r["n_a"], r["n_b"]) == (len(data[ga]), len(data[gb]))
+    assert got[("a", "c")]["delta"] == 1.0   # complete dominance
+    assert got[("b", "c")]["delta"] == 1.0
+
+    # identical distributions -> 0
+    same = cliffs_delta(
+        spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 1), ("b", 2)], "g string, y long"
+        ),
+        "y", "g",
+    ).collect()[0]
+    assert same["delta"] == 0.0

@@ -82,6 +82,9 @@ EXPLAIN_BNLJ = {
     "q318_dunn_posthoc": "pairwise theta self-join over the PER-GROUP rank "
     "aggregate: both sides are k rows (the test's arms), broadcast side "
     "explicit; output k(k-1)/2 pair rows",
+    "q319_cliffs_delta": "the q315 value-spine x group-set grid: broadcast "
+    "side is the DISTINCT GROUP list (k rows), spine side |distinct "
+    "quantized values|-bounded — never an all-pairs value join",
 }
 EXPLAIN_SINGLE_PARTITION = {
     "q79_share_of_total": "global share window over the per-nation aggregate "
