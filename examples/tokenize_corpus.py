@@ -16,8 +16,8 @@ sys.path.insert(0, ".")
 from pyspark.sql import functions as F
 
 from hadron_spark import get_spark
-from hadron_spark.llm.bpe import bpe_encode_table, bpe_train
-from hadron_spark.llm.packing import pack_sequences, packing_stats
+from hadron_spark.llm.bpe import bpe_encode_table, bpe_train, bpe_train_to_vocab
+from hadron_spark.llm.packing import chunk_text, pack_sequences, packing_stats
 from hadron_spark.llm.wordpiece import wordpiece_encode
 from hadron_spark.queries import _WP_VOCAB
 from hadron_spark.sources.taps import Tap
@@ -74,6 +74,37 @@ def main() -> None:
     print(
         f"[3] packed into {agg['n_seq']} sequences of 512 "
         f"(fill {agg['fill'] / agg['cap']:.3f}, {packed.count()} spans)"
+    )
+
+    # byte-level BPE: the production GPT-family mode — no [UNK]
+    # reachable, any input round-trips through unhex
+    bmerges, bpieces, _ = bpe_train_to_vocab(
+        docs, vocab_size=256 + 64, mode="byte"
+    )
+    benc = bpe_encode_table(docs, bmerges, mode="byte")
+    ok = benc.withColumn(
+        "rt",
+        F.decode(F.unhex(F.concat_ws("", "toks")), "UTF-8") == F.col("word"),
+    ).agg(
+        F.sum(F.when(F.col("rt"), 1).otherwise(0)).alias("ok"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    print(
+        f"[4] byte-level BPE: {len(bmerges)} merges over the 256-byte "
+        f"alphabet ({len(bpieces)} pieces); lossless round-trip "
+        f"{ok['ok']}/{ok['n']} distinct words"
+    )
+
+    # retrieval prep: sliding-window chunks with overlap (boundaries
+    # respected — pack_sequences above is the cross-document packer)
+    ch = chunk_text(docs, chunk_tokens=32, overlap_tokens=8)
+    cagg = ch.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.avg("n_tokens").alias("avg_tokens"),
+    ).collect()[0]
+    print(
+        f"[5] RAG chunks: {cagg['n_chunks']} windows of <=32 tokens "
+        f"(stride 24, avg {cagg['avg_tokens']:.1f} tokens)"
     )
 
     spark.stop()
