@@ -1798,3 +1798,70 @@ def test_cliffs_delta_reference(spark):
         "y", "g",
     ).collect()[0]
     assert same["delta"] == 0.0
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["g1", "g2", "g3"]),
+                  st.integers(min_value=0, max_value=6)),
+        min_size=6,
+        max_size=40,
+    )
+)
+def test_ordered_rank_stats_property(spark, rows):
+    """Hypothesis: on ANY small tied dataset, jonckheere_terpstra and
+    cliffs_delta match brute-force cross-pair counting exactly (the
+    tie-handling edge cases fixed fixtures can miss)."""
+    import math
+    from collections import Counter
+
+    from hadron_spark.operators.robust import cliffs_delta, jonckheere_terpstra
+
+    groups = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(v)
+    df = spark.createDataFrame(rows, "g string, y long")
+    names = sorted(groups)
+
+    # brute-force JT
+    jt = 0.0
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            for x in groups[names[i]]:
+                for y in groups[names[j]]:
+                    jt += 1.0 if x < y else (0.5 if x == y else 0.0)
+    got = jonckheere_terpstra(df, "y", "g").collect()[0]
+    if len(names) > 1:
+        assert got["jt"] == jt
+    else:
+        assert got["jt"] is None
+    if got["z"] is not None:
+        ns = [len(groups[g]) for g in names]
+        N = sum(ns)
+        ties = Counter(v for vs in groups.values() for v in vs).values()
+        E = (N * N - sum(n * n for n in ns)) / 4.0
+        t1 = (N * (N - 1) * (2 * N + 5)
+              - sum(n * (n - 1) * (2 * n + 5) for n in ns)
+              - sum(t * (t - 1) * (2 * t + 5) for t in ties)) / 72.0
+        t2 = (sum(n * (n - 1) * (n - 2) for n in ns)
+              * sum(t * (t - 1) * (t - 2) for t in ties)) / (
+                  36.0 * N * (N - 1) * (N - 2))
+        t3 = (sum(n * (n - 1) for n in ns)
+              * sum(t * (t - 1) for t in ties)) / (8.0 * N * (N - 1))
+        var = t1 + t2 + t3
+        assert abs(got["z"] - (jt - E) / math.sqrt(var)) < 1e-9
+
+    # brute-force Cliff's delta per pair
+    deltas = {
+        (r["group_a"], r["group_b"]): r["delta"]
+        for r in cliffs_delta(df, "y", "g").collect()
+    }
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            xa, xb = groups[names[i]], groups[names[j]]
+            gt = sum(1 for x in xa for y in xb if y > x)
+            lt = sum(1 for x in xa for y in xb if y < x)
+            want = (gt - lt) / (len(xa) * len(xb))
+            assert deltas[(names[i], names[j])] == want
