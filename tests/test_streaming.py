@@ -891,3 +891,15 @@ def test_neardup_probe_plan_is_pruned_broadcast(spark, tmp_path):
     # bkey key set reaches the parquet scan (<=10 keys plans as In,
     # more as InSet — both push down to row-group stats)
     assert re.search(r"PushedFilters: \[[^\]]*In\(bkey", plan), plan[:2000]
+    dups_pruned = {r["_id"] for r in dup.collect()}
+
+    # wide-batch fallback (probe_key_limit exceeded): no literal key
+    # filters, but decisions must be IDENTICAL to the pruned path
+    wide = _neardup_probe(
+        spark, state, ns, 0, 0, threshold=0.7, num_hashes=16, bands=4,
+        max_bucket_size=500, store_buckets=64, probe_key_limit=1,
+    )
+    wplan = wide._jdf.queryExecution().executedPlan().toString()
+    wpf = re.search(r"PartitionFilters: \[([^\]]*)\]", wplan)
+    assert not (wpf and "IN (" in wpf.group(1))  # pruning genuinely off
+    assert {r["_id"] for r in wide.collect()} == dups_pruned
