@@ -1561,13 +1561,32 @@ def _neardup_probe(
     nb = band_signatures(new_sigs, num_hashes, bands).withColumn(
         "pk", _neardup_pk(F.col("band"), F.col("bkey"), store_buckets)
     )
+    # bound the driver-side key collect BEFORE collecting: a huge batch
+    # must neither ship its key set to the driver nor broadcast itself
+    # — count first (one tiny aggregate), then pick the physical plan
+    n_keys = nb.select("pk", "bkey").distinct().count()
+    small = n_keys <= probe_key_limit
+
+    def probe_join(corpus, on):
+        """corpus-side scan joined against the batch: broadcast the
+        batch only when it is provably small; wide batches take the
+        plain shuffled equi-join (correct, just not map-side)."""
+        n_side = nb.alias("n")
+        if small:
+            n_side = F.broadcast(n_side)
+        return (
+            corpus.alias("c")
+            .join(n_side, on=on)
+            .select(F.col("n._id").alias("_id"), est.alias("_est"))
+        )
+
     parts = []
     if hwm is not None and base >= 0:
         bdir = state_path.rstrip("/") + f"/sigs_base={base}"
         base_df = spark.read.parquet(bdir)
         if "bkey" not in base_df.columns:
             # legacy unbanded base (pre-bucketed-layout states): band
-            # on the fly — no pruning, but still broadcast-probed
+            # on the fly — no pruning
             base_df = band_signatures(
                 base_df.select("_id", "sig"), num_hashes, bands
             )
@@ -1575,26 +1594,18 @@ def _neardup_probe(
                 base_df = _drop_oversized_buckets(
                     base_df, ["band", "bkey"], max_bucket_size
                 )
-            parts.append(
-                base_df.alias("c")
-                .join(F.broadcast(nb.alias("n")), on=["band", "bkey"])
-                .select(F.col("n._id").alias("_id"), est.alias("_est"))
-            )
+            parts.append(probe_join(base_df, ["band", "bkey"]))
         else:
-            keys = nb.select("pk", "bkey").distinct().collect()
             if max_bucket_size:
                 base_df = base_df.filter(F.col("_bn") <= max_bucket_size)
-            if len(keys) <= probe_key_limit:
+            if small:
+                keys = nb.select("pk", "bkey").distinct().collect()
                 pks = sorted({r["pk"] for r in keys})
                 bkeys = sorted({r["bkey"] for r in keys})
                 base_df = base_df.filter(
                     F.col("pk").isin(pks) & F.col("bkey").isin(bkeys)
                 )
-            parts.append(
-                base_df.alias("c")
-                .join(F.broadcast(nb.alias("n")), on=["pk", "bkey"])
-                .select(F.col("n._id").alias("_id"), est.alias("_est"))
-            )
+            parts.append(probe_join(base_df, ["pk", "bkey"]))
     if hwm is not None and hwm > base:
         root = state_path.rstrip("/") + "/sigs"
         dpaths = [f"{root}/batch={b}" for b in range(base + 1, int(hwm) + 1)]
@@ -1604,11 +1615,7 @@ def _neardup_probe(
         db = band_signatures(delta.select("_id", "sig"), num_hashes, bands)
         if max_bucket_size:
             db = _drop_oversized_buckets(db, ["band", "bkey"], max_bucket_size)
-        parts.append(
-            db.alias("c")
-            .join(F.broadcast(nb.alias("n")), on=["band", "bkey"])
-            .select(F.col("n._id").alias("_id"), est.alias("_est"))
-        )
+        parts.append(probe_join(db, ["band", "bkey"]))
     if not parts:
         return new_sigs.select("_id").limit(0)
     out = parts[0]
