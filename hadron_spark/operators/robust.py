@@ -1559,3 +1559,146 @@ def cliffs_delta(
             / prod.cast("double")
         ).alias("delta"),
     )
+
+
+def poisson1_cdf_thresholds(max_k: int = 13) -> list[float]:
+    """Poisson(1) CDF values P(X ≤ k) for k = 0..max_k−1 — the
+    literal inverse-CDF table `bootstrap_ci_mean` compares its hash
+    uniforms against.  Exposed so oracle SQL can embed the IDENTICAL
+    double literals (repr round-trips)."""
+    import math
+
+    out, acc, term = [], 0.0, math.exp(-1.0)
+    for k in range(max_k):
+        acc += term
+        out.append(acc)
+        term = term / (k + 1)
+    return out
+
+
+def bootstrap_ci_mean(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_boot: int = 200,
+    alpha: float = 0.05,
+    seed: int = 42,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Percentile bootstrap CI for the mean — the POISSON bootstrap
+    (Chamandy et al. 2012, Google's resampling-at-scale form):
+    classic resampling indexes rows with replacement, which cannot be
+    expressed as a scan; instead every row enters replicate r with an
+    independent Poisson(1) weight, which preserves the bootstrap
+    distribution at corpus scale and is one partial-agg'd pass.
+
+    Fully DETERMINISTIC and hash-exact, no RNG state:
+      u  = first 13 md5 hex digits of (id, replicate, seed) / 2^52
+           (52 uniform bits, exactly representable);
+      w  = Poisson(1) inverse CDF at u via LITERAL thresholds
+           (`poisson1_cdf_thresholds` — the e^{-1}Σ1/i! constants are
+           compile-time literals, so no exp() runs anywhere);
+      per replicate: mean_r = Σw·y / Σw — both exact int64 (values
+           integer, the spearman contract), ONE division;
+      CI = percentile_disc over the ≤ n_boot sorted replicate means,
+           indices computed as INTEGER ceil((B·num)/den) with
+           alpha/2 pre-converted to a fraction on the driver (a
+           float 0.025·B product can round the wrong side).
+
+    Cost: n_boot × the scan (the explode), collapsed map-side to
+    |groups|·n_boot rows — linear in n_boot by design; 100–200
+    replicates is standard.  Replicates whose total weight is 0
+    (only possible for tiny groups) are dropped from the percentile
+    (B_eff < n_boot).  Returns (group_cols..., n, mean, n_boot_eff,
+    ci_lo, ci_hi)."""
+    from fractions import Fraction
+
+    if n_boot < 1:
+        raise ValueError(f"n_boot must be >= 1, got {n_boot}")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    gc = list(group_cols or [])
+    frac = Fraction(alpha / 2).limit_denominator(10**6)
+    lo_num, lo_den = frac.numerator, frac.denominator
+
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        *gc,
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(value_col).cast("long").alias("_y"),
+    )
+    overall = base.groupBy(*gc).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("_y").cast("double") / F.count(F.lit(1)).cast("double")
+         ).alias("mean"),
+    )
+    rep = base.withColumn(
+        "_r", F.explode(F.sequence(F.lit(1), F.lit(int(n_boot))))
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("_id"), F.col("_r").cast("string"),
+                        F.lit(str(int(seed))),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long").cast("double")
+        / F.lit(4503599627370496.0)  # 2^52
+    )
+    thresholds = poisson1_cdf_thresholds()
+    w = F.lit(len(thresholds))
+    for k in range(len(thresholds) - 1, -1, -1):
+        w = F.when(u < F.lit(thresholds[k]), F.lit(k)).otherwise(w)
+    reps = (
+        rep.withColumn("_w", w.cast("long"))
+        .groupBy(*gc, "_r")
+        .agg(
+            F.sum("_w").alias("_sw"),
+            F.sum(F.col("_w") * F.col("_y")).alias("_swy"),
+        )
+        .filter(F.col("_sw") > 0)
+        .select(
+            *gc,
+            (F.col("_swy").cast("double") / F.col("_sw").cast("double")
+             ).alias("_m"),
+        )
+    )
+    agg = reps.groupBy(*gc).agg(
+        F.count(F.lit(1)).alias("n_boot_eff"),
+        F.sort_array(F.collect_list("_m")).alias("_ms"),
+    )
+    # ceil((B·num)/den) in INTEGER div — a float 0.025·B can land on
+    # the wrong side of an integer boundary
+    lo_i = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr(
+            f"(n_boot_eff * {lo_num} + {lo_den - 1}) div {lo_den}"
+        ),
+    )
+    hi_i = F.least(
+        F.col("n_boot_eff").cast("long"),
+        F.expr(
+            f"(n_boot_eff * {lo_den - lo_num} + {lo_den - 1}) div {lo_den}"
+        ),
+    )
+    ci = agg.select(
+        *gc,
+        "n_boot_eff",
+        F.element_at("_ms", lo_i.cast("int")).alias("ci_lo"),
+        F.element_at("_ms", hi_i.cast("int")).alias("ci_hi"),
+    )
+    if gc:
+        return overall.join(ci, gc).select(
+            *gc, "n", "mean", "n_boot_eff", "ci_lo", "ci_hi"
+        )
+    return overall.crossJoin(F.broadcast(ci)).select(
+        "n", "mean", "n_boot_eff", "ci_lo", "ci_hi"
+    )

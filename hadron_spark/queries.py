@@ -14202,3 +14202,66 @@ def q319(spark, sf_dir):
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     return cliffs_delta(ev, "cents", "event_type")
+
+
+def _poisson_case_sql() -> str:
+    from hadron_spark.operators.robust import poisson1_cdf_thresholds
+
+    th = poisson1_cdf_thresholds()
+    whens = " ".join(f"WHEN u < {t!r} THEN {k}" for k, t in enumerate(th))
+    return f"CASE {whens} ELSE {len(th)} END"
+
+
+@_register(
+    "q320_bootstrap_ci",
+    f"""
+    WITH base AS (
+      SELECT CAST(doc_id AS VARCHAR) AS id, source AS g,
+             CAST(n_chars AS BIGINT) AS y
+      FROM documents),
+    overall AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean
+      FROM base GROUP BY 1),
+    drawn AS (
+      SELECT g, y, r,
+             (('0x' || substr(md5(id || ':' || CAST(r AS VARCHAR)
+                                  || ':5'), 1, 13))::BIGINT)
+               / 4503599627370496.0 AS u
+      FROM base, range(1, 65) t(r)),
+    weighted AS (
+      SELECT g, r, {{PCASE}} AS w, y FROM drawn),
+    reps AS (
+      SELECT g, r, CAST(SUM(w) AS BIGINT) AS sw,
+             CAST(SUM(w * y) AS BIGINT) AS swy
+      FROM weighted GROUP BY 1, 2 HAVING SUM(w) > 0),
+    means AS (
+      SELECT g, CAST(swy AS DOUBLE) / CAST(sw AS DOUBLE) AS m FROM reps),
+    agg AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_boot_eff,
+             list_sort(list(m)) AS ms
+      FROM means GROUP BY 1)
+    SELECT a.g AS source, o.n, o.mean, a.n_boot_eff,
+           ms[CAST(greatest(1, (n_boot_eff + 19) // 20) AS INT)] AS ci_lo,
+           ms[CAST(least(n_boot_eff, (n_boot_eff * 19 + 19) // 20) AS INT)]
+             AS ci_hi
+    FROM agg a JOIN overall o ON a.g = o.g
+    """.replace("{PCASE}", _poisson_case_sql()),
+)
+def q320(spark, sf_dir):
+    """Deterministic Poisson-bootstrap CI for the mean doc length per
+    source (operators.robust.bootstrap_ci_mean, Chamandy et al. 2012):
+    every row enters replicate r with a Poisson(1) weight derived
+    from md5(id, r, seed) -- 52 uniform bits against LITERAL inverse-
+    CDF thresholds (no exp() at runtime, the oracle embeds the
+    identical double literals via the shared threshold function),
+    replicate means = one int64/int64 division each, percentile picks
+    by INTEGER index math.  Hash-exact FULL oracle for a resampling
+    procedure -- no RNG state anywhere."""
+    from hadron_spark.operators.robust import bootstrap_ci_mean
+
+    docs = load(spark, sf_dir, "documents")
+    return bootstrap_ci_mean(
+        docs, "n_chars", "doc_id", n_boot=64, alpha=0.1, seed=5,
+        group_cols=["source"],
+    )

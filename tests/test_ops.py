@@ -1865,3 +1865,67 @@ def test_ordered_rank_stats_property(spark, rows):
             lt = sum(1 for x in xa for y in xb if y < x)
             want = (gt - lt) / (len(xa) * len(xb))
             assert deltas[(names[i], names[j])] == want
+
+def test_bootstrap_ci_mean_reference(spark):
+    """Deterministic Poisson bootstrap vs a hashlib mirror: identical
+    md5 uniforms -> identical Poisson(1) weights -> identical
+    replicate means -> identical percentile picks (exact equality,
+    no tolerance); grouping; CI brackets the mean; validation."""
+    import hashlib
+
+    from hadron_spark.operators.robust import (
+        bootstrap_ci_mean,
+        poisson1_cdf_thresholds,
+    )
+
+    rows = [(f"d{i}", "g1" if i % 2 else "g2", (i * 7) % 23)
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "id string, g string, y long")
+    got = {
+        r["g"]: r
+        for r in bootstrap_ci_mean(
+            df, "y", "id", n_boot=50, alpha=0.1, seed=7, group_cols=["g"]
+        ).collect()
+    }
+
+    th = poisson1_cdf_thresholds()
+
+    def weight(u):
+        for k, t in enumerate(th):
+            if u < t:
+                return k
+        return len(th)
+
+    data = {}
+    for i, g, y in rows:
+        data.setdefault(g, []).append((i, y))
+    for g, pairs in data.items():
+        means = []
+        for r in range(1, 51):
+            sw = swy = 0
+            for i, y in pairs:
+                h = hashlib.md5(f"{i}:{r}:7".encode()).hexdigest()
+                u = int(h[:13], 16) / 2 ** 52
+                w = weight(u)
+                sw += w
+                swy += w * y
+            if sw > 0:
+                means.append(swy / sw)
+        means.sort()
+        b = len(means)
+        lo_i = max(1, (b * 1 + 19) // 20)    # alpha/2 = 0.05 = 1/20
+        hi_i = min(b, (b * 19 + 19) // 20)
+        r = got[g]
+        assert r["n_boot_eff"] == b
+        assert r["ci_lo"] == means[lo_i - 1]
+        assert r["ci_hi"] == means[hi_i - 1]
+        ys = [y for _, y in pairs]
+        assert r["mean"] == sum(ys) / len(ys)
+        assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n_boot"):
+        bootstrap_ci_mean(df, "y", "id", n_boot=0)
+    with pytest.raises(ValueError, match="alpha"):
+        bootstrap_ci_mean(df, "y", "id", alpha=1.5)
