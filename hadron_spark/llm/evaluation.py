@@ -670,6 +670,49 @@ def expected_calibration_error(
     )
 
 
+def brier_score(
+    df: DataFrame,
+    prob_units_col: str,
+    label_col: str,
+    scale: int = 100,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Brier score per group (Brier 1950) — the PROPER scoring rule
+    companion to `expected_calibration_error`: ECE measures
+    calibration alone (a constant base-rate predictor has ECE ≈ 0),
+    Brier = mean (p − y)² decomposes into calibration + refinement,
+    so it also punishes uninformative confidence.  Report both.
+
+    Integer-unit probabilities (the calibration_bins contract,
+    p_units ∈ [0, scale]) make it exact:
+        brier = Σ (units − y·scale)² / (N·scale²)
+    — the squared terms sum in DECIMAL(38,0) and the result is ONE
+    IEEE division: hash-exact.  NULL prob/label rows are excluded
+    (pairwise-complete).  Returns (group_cols..., n, brier_num,
+    brier)."""
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1: {scale}")
+    gc = list(group_cols or [])
+    u = F.col(prob_units_col).cast("long")
+    y = F.col(label_col).cast("long")
+    base = df.filter(u.isNotNull() & y.isNotNull()).select(
+        *gc, (u - y * scale).cast("decimal(38,0)").alias("_d")
+    )
+    agg = base.groupBy(*gc).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_d") * F.col("_d")).alias("brier_num"),
+    )
+    return agg.select(
+        *gc,
+        "n",
+        F.col("brier_num").cast("long").alias("brier_num"),
+        (
+            F.col("brier_num").cast("double")
+            / (F.col("n").cast("double") * F.lit(float(scale) * float(scale)))
+        ).alias("brier"),
+    )
+
+
 def lift_table(
     df: DataFrame,
     score_col: str,

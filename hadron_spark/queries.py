@@ -14265,3 +14265,34 @@ def q320(spark, sf_dir):
         docs, "n_chars", "doc_id", n_boot=64, alpha=0.1, seed=5,
         group_cols=["source"],
     )
+
+
+@_register(
+    "q321_brier_score",
+    """
+    WITH p AS (
+      SELECT source,
+             least(100, CAST(n_chars // 10 AS BIGINT)) AS u,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM((u - y * 100) * (u - y * 100)) AS BIGINT) AS brier_num,
+           CAST(SUM((u - y * 100) * (u - y * 100)) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 10000.0) AS brier
+    FROM p GROUP BY 1
+    """,
+)
+def q321(spark, sf_dir):
+    """Brier score per source (llm.evaluation.brier_score): the
+    proper-scoring-rule companion to q-ECE -- a length-derived
+    'is it English' confidence in integer percent units scored
+    against the label; squared terms sum in DECIMAL(38,0), ONE IEEE
+    division -- hash-exact FULL oracle."""
+    from hadron_spark.llm.evaluation import brier_score
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source",
+        F.least(F.lit(100), F.expr("n_chars div 10")).alias("u"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    return brier_score(docs, "u", "y", scale=100, group_cols=["source"])

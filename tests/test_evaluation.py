@@ -566,3 +566,33 @@ def test_mcnemar_reference(spark):
     ng1 = {r["g"]: r for r in mcnemar(ndf, "pa", "pb", "y", ["g"]).collect()}["g1"]
     assert (ng1["b"], ng1["c"], ng1["n"], ng1["n_concordant"]) == (5, 2, 14, 7)
     assert ng1["n"] == ng1["n_concordant"] + ng1["b"] + ng1["c"]
+
+
+def test_brier_score_reference(spark):
+    """Brier vs hand math; perfect predictor -> 0; constant-base-rate
+    predictor has nonzero Brier even where ECE is ~0 (the proper-
+    scoring-rule distinction); NULL exclusion; grouping."""
+    import pytest
+
+    from hadron_spark.llm.evaluation import brier_score
+
+    rows = [("a", 90, 1), ("a", 10, 0), ("a", 70, 0), ("a", 40, 1),
+            ("b", 100, 1), ("b", 0, 0), ("b", None, 1), ("b", 50, None)]
+    df = spark.createDataFrame(rows, "g string, p int, y int")
+    got = {r["g"]: r for r in
+           brier_score(df, "p", "y", group_cols=["g"]).collect()}
+    num_a = (90 - 100) ** 2 + 10 ** 2 + 70 ** 2 + (40 - 100) ** 2
+    assert got["a"]["n"] == 4 and got["a"]["brier_num"] == num_a
+    assert got["a"]["brier"] == num_a / (4 * 100.0 ** 2)
+    assert got["b"]["n"] == 2 and got["b"]["brier"] == 0.0  # perfect
+
+    # constant 50% predictor on a balanced set: ECE-style gap is 0
+    # but Brier = 0.25 — the refinement term
+    flat = spark.createDataFrame(
+        [(50, 1), (50, 0), (50, 1), (50, 0)], "p int, y int"
+    )
+    r = brier_score(flat, "p", "y").collect()[0]
+    assert r["brier"] == 0.25
+
+    with pytest.raises(ValueError, match="scale"):
+        brier_score(df, "p", "y", scale=0)
