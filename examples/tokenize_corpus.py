@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from hadron_spark import get_spark
 from hadron_spark.llm.bpe import bpe_encode_table, bpe_train, bpe_train_to_vocab
-from hadron_spark.llm.packing import chunk_text, pack_sequences, packing_stats
+from hadron_spark.llm.packing import chunk_text_tokens, pack_sequences, packing_stats
 from hadron_spark.llm.wordpiece import wordpiece_encode
 from hadron_spark.queries import _WP_VOCAB
 from hadron_spark.sources.taps import Tap
@@ -97,7 +97,7 @@ def main() -> None:
 
     # retrieval prep: sliding-window chunks with overlap (boundaries
     # respected — pack_sequences above is the cross-document packer)
-    ch = chunk_text(docs, chunk_tokens=32, overlap_tokens=8)
+    ch = chunk_text_tokens(docs, chunk_tokens=32, overlap_tokens=8)
     cagg = ch.agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.avg("n_tokens").alias("avg_tokens"),

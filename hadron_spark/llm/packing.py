@@ -30,17 +30,19 @@ from pyspark.sql import functions as F
 from hadron_spark.operators import ops
 
 
-def chunk_text(
+def chunk_text_tokens(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     chunk_tokens: int = 256,
     overlap_tokens: int = 0,
 ) -> DataFrame:
-    """Per-document sliding-window chunking — the retrieval/RAG prep
-    step (`pack_sequences` concatenates ACROSS documents for
-    pretraining; retrieval corpora need chunks that respect document
-    boundaries, usually with overlap so no answer span is cut).
+    """Per-document sliding-window chunking in TOKEN units — the
+    retrieval/RAG prep step (`pack_sequences` concatenates ACROSS
+    documents for pretraining; `llm.textstats.chunk_text` is the
+    CHARACTER-width variant; retrieval corpora need token-budgeted
+    chunks that respect document boundaries, usually with overlap so
+    no answer span is cut).
 
     Chunks start every `chunk_tokens − overlap_tokens` whitespace
     tokens; the last chunk is the remainder (shorter, never empty);

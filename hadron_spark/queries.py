@@ -14085,17 +14085,17 @@ def q316(spark, sf_dir):
     """,
 )
 def q317(spark, sf_dir):
-    """Sliding-window document chunking (llm.packing.chunk_text): the
+    """Sliding-window document chunking (llm.packing.chunk_text_tokens): the
     retrieval/RAG prep step -- 16-token windows every 12 tokens (4
     overlapping) per document, boundaries respected (pack_sequences
     is the cross-document pretraining packer; retrieval chunks must
     not straddle documents).  One narrow per-row sequence() explode,
     zero shuffle, all integer position arithmetic (ceil stated as
     integer div) -- hash-exact FULL oracle."""
-    from hadron_spark.llm.packing import chunk_text
+    from hadron_spark.llm.packing import chunk_text_tokens
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    return chunk_text(docs, chunk_tokens=16, overlap_tokens=4)
+    return chunk_text_tokens(docs, chunk_tokens=16, overlap_tokens=4)
 
 
 @_register(

@@ -163,7 +163,7 @@ def test_preference_pairs(spark):
     assert 2 not in tied  # single response never pairs
 
 
-def test_chunk_text_reference(spark):
+def test_chunk_text_tokens_reference(spark):
     """Sliding-window chunking vs a python mirror: coverage (every
     token appears in some chunk), overlap stride, short-doc identity,
     exact-multiple boundary, token-less docs emit nothing, and
@@ -171,7 +171,7 @@ def test_chunk_text_reference(spark):
     import pytest
     from pyspark.sql import functions as F
 
-    from hadron_spark.llm.packing import chunk_text
+    from hadron_spark.llm.packing import chunk_text_tokens
 
     texts = {
         1: "a b c d e f g h i j",            # 10 tokens
@@ -198,7 +198,7 @@ def test_chunk_text_reference(spark):
         got = {
             (r["doc_id"], r["chunk_id"]):
                 (r["start_token"], r["n_tokens"], r["chunk"])
-            for r in chunk_text(
+            for r in chunk_text_tokens(
                 df, chunk_tokens=c, overlap_tokens=o
             ).collect()
         }
@@ -223,6 +223,6 @@ def test_chunk_text_reference(spark):
             assert rebuilt == toks, (d, c, o)
 
     with pytest.raises(ValueError, match="chunk_tokens"):
-        chunk_text(df, chunk_tokens=0)
+        chunk_text_tokens(df, chunk_tokens=0)
     with pytest.raises(ValueError, match="overlap_tokens"):
-        chunk_text(df, chunk_tokens=4, overlap_tokens=4)
+        chunk_text_tokens(df, chunk_tokens=4, overlap_tokens=4)
