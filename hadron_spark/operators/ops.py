@@ -1493,3 +1493,111 @@ def transition_matrix(
             "prob"
         ),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    period: int,
+    partition_cols: list[str] | None = None,
+    trend_window: int | None = None,
+) -> DataFrame:
+    """Classical additive seasonal decomposition per series
+    (moving-average method, the `decompose` of every stats package):
+    y = trend + seasonal + resid — the triage view for "is this
+    metric drifting, or is it just Tuesday" over per-key daily/hourly
+    series.
+
+    trend    — centered moving average over `trend_window` rows
+               (odd, default period rounded up to odd); NULL on the
+               warm-up/cool-down edge rows whose frame is short
+               (exact COUNT gate, the q160 rule).
+    seasonal — per phase (row index mod period) over the FULL-frame
+               rows: mean(y − trend), then phase-means are centered
+               to sum ≈ 0 (the textbook normalization).
+    resid    — y − trend − seasonal.
+
+    Exactness with integer values (the spearman contract): trend_i =
+    S_i/W is a ratio of exact int64 (S_i the window sum, W the odd
+    window length), so a phase's raw effect telescopes EXACTLY —
+        raw_j = Σ_j(y·W − S) / (n_j·W)
+    one division per phase, no per-row float accumulation.  The
+    centering mean folds the ≤ `period` phase effects in PHASE order
+    (sorted fold — fixed IEEE sequence, the q307 rule), and the
+    per-row resid is a fixed 2-subtraction chain: every output
+    hash-exact cross-engine.
+
+    Plan: ONE window pass over (partition, order) — parallel across
+    partitions; within one, the frame is the series length (use
+    partition_cols; a single global series concentrates on one task
+    — fine for the usual ≤ ~10^5-point per-key series, and exactly
+    the q160-class bounded aggregate when the series is a daily
+    rollup).  Returns (partition_cols..., order_col, y, phase,
+    trend, seasonal, resid)."""
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    tw = trend_window if trend_window is not None else period | 1
+    if tw % 2 == 0 or tw < 3:
+        raise ValueError(f"trend_window must be odd >= 3, got {tw}")
+    pc = list(partition_cols or [])
+    k = (tw - 1) // 2
+    w = Window.partitionBy(*pc).orderBy(order_col)
+    frame = w.rowsBetween(-k, k)
+    base = df.select(
+        *pc,
+        F.col(order_col),
+        F.col(value_col).cast("long").alias("y"),
+    ).withColumn("phase", F.pmod(F.row_number().over(w) - 1, F.lit(period)))
+    base = base.withColumn("_S", F.sum("y").over(frame)).withColumn(
+        "_cnt", F.count(F.lit(1)).over(frame)
+    )
+    valid = base.filter(F.col("_cnt") == tw)
+    raws = valid.groupBy(*pc, "phase").agg(
+        F.count(F.lit(1)).alias("_nj"),
+        F.sum(F.col("y") * tw - F.col("_S")).alias("_num"),
+    ).select(
+        *pc,
+        "phase",
+        (
+            F.col("_num").cast("double")
+            / (F.col("_nj") * tw).cast("double")
+        ).alias("_raw"),
+    )
+    centered = raws.groupBy(*pc).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("phase"), F.col("_raw")))
+        ).alias("_ps")
+    ).select(
+        *pc,
+        F.explode("_ps").alias("_p"),
+        (
+            F.expr(
+                "aggregate(_ps, cast(0.0 as double), (a, x) -> a + x._raw)"
+            )
+            / F.size("_ps").cast("double")
+        ).alias("_mean"),
+    ).select(
+        *pc,
+        F.col("_p.phase").alias("phase"),
+        (F.col("_p._raw") - F.col("_mean")).alias("seasonal"),
+    )
+    out = base.join(centered, [*pc, "phase"], "left")
+    trend = F.when(
+        F.col("_cnt") == tw,
+        F.col("_S").cast("double") / F.lit(float(tw)),
+    )
+    return out.select(
+        *pc,
+        order_col,
+        "y",
+        "phase",
+        trend.alias("trend"),
+        "seasonal",
+        F.when(
+            (F.col("_cnt") == tw) & F.col("seasonal").isNotNull(),
+            F.col("y").cast("double")
+            - trend
+            - F.col("seasonal"),
+        ).alias("resid"),
+    )

@@ -14296,3 +14296,71 @@ def q321(spark, sf_dir):
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
     )
     return brier_score(docs, "u", "y", scale=100, group_cols=["source"])
+
+
+@_register(
+    "q322_seasonal_decompose",
+    """
+    WITH d AS (
+      SELECT event_type AS g,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    b AS (
+      SELECT g, day, y,
+             CAST((row_number() OVER (PARTITION BY g ORDER BY day) - 1) % 7
+                  AS INT) AS phase,
+             CAST(SUM(y) OVER fr AS BIGINT) AS s,
+             CAST(COUNT(*) OVER fr AS BIGINT) AS cnt
+      FROM d
+      WINDOW fr AS (PARTITION BY g ORDER BY day
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    raws AS (
+      SELECT g, phase, CAST(COUNT(*) AS BIGINT) AS nj,
+             CAST(SUM(y * 7 - s) AS BIGINT) AS num
+      FROM b WHERE cnt = 7 GROUP BY 1, 2),
+    r2 AS (
+      SELECT g, phase,
+             CAST(num AS DOUBLE) / CAST(nj * 7 AS DOUBLE) AS raw
+      FROM raws),
+    cent AS (
+      SELECT g,
+             list_sort(list(struct_pack(phase := phase, raw := raw))) AS ps
+      FROM r2 GROUP BY 1),
+    seas AS (
+      SELECT g, u.phase AS phase, u.raw - m AS seasonal
+      FROM (SELECT g, unnest(ps) AS u,
+                   list_reduce(list_transform(ps, x -> x.raw),
+                               (a, x) -> a + x) / len(ps) AS m
+            FROM cent) t)
+    SELECT b.g AS event_type, b.day, b.y, b.phase,
+           CASE WHEN cnt = 7 THEN CAST(s AS DOUBLE) / 7.0 END AS trend,
+           seasonal,
+           CASE WHEN cnt = 7 AND seasonal IS NOT NULL
+                THEN CAST(b.y AS DOUBLE) - CAST(s AS DOUBLE) / 7.0
+                     - seasonal END AS resid
+    FROM b LEFT JOIN seas ON b.g = seas.g AND b.phase = seas.phase
+    """,
+)
+def q322(spark, sf_dir):
+    """Classical additive seasonal decomposition (operators.ops
+    .seasonal_decompose) of the per-type daily event-count series,
+    weekly period: y = trend + seasonal + resid, the 'is it drifting
+    or is it just Tuesday' triage view.  Centered-MA trend is a ratio
+    of exact int64 window sums; phase effects telescope to one
+    division each; the centering mean folds phase-sorted (fixed IEEE
+    order); resid is a fixed 2-subtraction chain -- hash-exact FULL
+    oracle, windows partitioned per event type."""
+    from hadron_spark.operators.ops import seasonal_decompose
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("cnt_day")
+    )
+    return seasonal_decompose(
+        daily, "day", "cnt_day", period=7,
+        partition_cols=["event_type"], trend_window=7,
+    )

@@ -1929,3 +1929,67 @@ def test_bootstrap_ci_mean_reference(spark):
         bootstrap_ci_mean(df, "y", "id", n_boot=0)
     with pytest.raises(ValueError, match="alpha"):
         bootstrap_ci_mean(df, "y", "id", alpha=1.5)
+
+def test_seasonal_decompose_reference(spark):
+    """Classical additive decomposition vs an exact python mirror
+    (same telescoped phase formula, same fold order, same resid
+    chain — exact float equality); planted weekly pattern recovered;
+    edge-row NULL trend; seasonal centering; validation."""
+    import pytest
+
+    from hadron_spark.operators.ops import seasonal_decompose
+
+    # two series: trend 3/day + weekly additive pattern
+    pattern = [40, -10, -30, 0, 20, 50, -70]
+    rows = []
+    for g, base_lvl in (("s1", 100), ("s2", 500)):
+        for d in range(28):
+            rows.append((g, d, base_lvl + 3 * d + pattern[d % 7]))
+    df = spark.createDataFrame(rows, "g string, day int, v long")
+    got = {
+        (r["g"], r["day"]): r
+        for r in seasonal_decompose(
+            df, "day", "v", period=7, partition_cols=["g"]
+        ).collect()
+    }
+
+    W = 7
+    k = 3
+    for g, base_lvl in (("s1", 100), ("s2", 500)):
+        ys = [base_lvl + 3 * d + pattern[d % 7] for d in range(28)]
+        S = {
+            i: sum(ys[i - k: i + k + 1])
+            for i in range(k, 28 - k)
+        }
+        # telescoped phase effects over full-frame rows
+        raw = {}
+        for j in range(7):
+            idx = [i for i in range(k, 28 - k) if i % 7 == j]
+            num = sum(ys[i] * W - S[i] for i in idx)
+            raw[j] = num / (len(idx) * W)
+        mean = 0.0
+        for j in sorted(raw):
+            mean = mean + raw[j]
+        mean = mean / len(raw)
+        seas = {j: raw[j] - mean for j in raw}
+        for d in range(28):
+            r = got[(g, d)]
+            assert r["phase"] == d % 7
+            if k <= d < 28 - k:
+                assert r["trend"] == S[d] / float(W)
+                assert r["seasonal"] == seas[d % 7]
+                assert r["resid"] == ys[d] - S[d] / float(W) - seas[d % 7]
+            else:
+                assert r["trend"] is None and r["resid"] is None
+        # the planted pattern is recovered up to the trend slope's
+        # within-week tilt: seasonal ordering matches the pattern's
+        order_got = sorted(range(7), key=lambda j: seas[j])
+        order_want = sorted(range(7), key=lambda j: pattern[j])
+        assert order_got == order_want
+        # centering: phase effects sum to ~0
+        assert abs(sum(seas.values())) < 1e-9
+
+    with pytest.raises(ValueError, match="period"):
+        seasonal_decompose(df, "day", "v", period=1)
+    with pytest.raises(ValueError, match="trend_window"):
+        seasonal_decompose(df, "day", "v", period=7, trend_window=4)
