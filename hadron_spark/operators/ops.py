@@ -1601,3 +1601,65 @@ def seasonal_decompose(
             - F.col("seasonal"),
         ).alias("resid"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    alpha: float,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exponentially weighted moving average per series —
+    e_t = α·y_t + (1−α)·e_{t−1}, seeded e_1 = y_1 (the adjust=False
+    pandas convention): the smoother behind alert thresholds and
+    drift monitors where `seasonal_decompose`'s symmetric window
+    can't run (it needs the future; EWMA is causal).
+
+    A running recurrence is the one shape Spark windows cannot state
+    (each output feeds the next), so the series folds ONCE inside a
+    JVM `aggregate` over its (order)-sorted struct array — per-key
+    arrays, parallel across keys, bounded by series length (use
+    partition_cols; this is for metric series, not corpus rows).
+    The fold is a FIXED left-to-right IEEE chain (one multiply-add
+    pair per step), so outputs are deterministic and hash-exact
+    against any engine stating the same walk (the oracle replays it
+    with a recursive CTE).  Prefer dyadic α (0.25, 0.5, …) when the
+    cross-engine literal must be bit-identical.  NULL values are
+    rejected up front (a NULL would poison every later step
+    silently).  Returns (partition_cols..., order_col, y, ewma)."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    pc = list(partition_cols or [])
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *pc,
+        F.col(order_col).alias("_o"),
+        F.col(value_col).cast("double").alias("_y"),
+    )
+    arr = base.groupBy(*pc).agg(
+        F.sort_array(F.collect_list(F.struct("_o", "_y"))).alias("_s")
+    )
+    a, b = repr(float(alpha)), repr(1.0 - float(alpha))
+    fold = (
+        "aggregate(_s, "
+        "named_struct('arr', cast(array() as array<double>), "
+        "'prev', cast(null as double)), "
+        "(acc, x) -> named_struct("
+        f"'arr', array_append(acc.arr, IF(acc.prev IS NULL, x._y, "
+        f"{a} * x._y + {b} * acc.prev)), "
+        f"'prev', IF(acc.prev IS NULL, x._y, "
+        f"{a} * x._y + {b} * acc.prev)), "
+        "acc -> acc.arr)"
+    )
+    out = arr.select(
+        *pc,
+        F.posexplode(
+            F.arrays_zip(F.col("_s"), F.expr(fold).alias("_e"))
+        ).alias("_i", "_z"),
+    )
+    return out.select(
+        *pc,
+        F.col("_z._s._o").alias(order_col),
+        F.col("_z._s._y").alias("y"),
+        F.col("_z._e").alias("ewma"),
+    )

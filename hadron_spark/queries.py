@@ -14364,3 +14364,44 @@ def q322(spark, sf_dir):
         daily, "day", "cnt_day", period=7,
         partition_cols=["event_type"], trend_window=7,
     )
+
+
+@_register(
+    "q323_ewma",
+    """
+    WITH RECURSIVE d AS (
+      SELECT event_type AS g,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    srt AS (
+      SELECT g, day, CAST(y AS DOUBLE) AS y,
+             row_number() OVER (PARTITION BY g ORDER BY day) AS rn
+      FROM d),
+    walk AS (
+      SELECT g, day, rn, y, y AS e FROM srt WHERE rn = 1
+      UNION ALL
+      SELECT s.g, s.day, s.rn, s.y, 0.25 * s.y + 0.75 * w.e
+      FROM walk w JOIN srt s ON s.g = w.g AND s.rn = w.rn + 1)
+    SELECT g AS event_type, day, y, e AS ewma FROM walk
+    """,
+)
+def q323(spark, sf_dir):
+    """EWMA of the per-type daily event-count series (operators.ops
+    .ewma, alpha = 0.25 -- dyadic, so the literal is bit-identical in
+    both engines): the causal smoother behind drift alerts, stated as
+    ONE JVM aggregate fold over each series' sorted array (running
+    recurrences are the shape windows cannot express).  The oracle
+    replays the identical multiply-add walk with a recursive CTE --
+    hash-exact FULL oracle."""
+    from hadron_spark.operators.ops import ewma
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt_day")
+    )
+    return ewma(daily, "day", "cnt_day", alpha=0.25,
+                partition_cols=["event_type"])

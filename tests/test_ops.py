@@ -1993,3 +1993,31 @@ def test_seasonal_decompose_reference(spark):
         seasonal_decompose(df, "day", "v", period=1)
     with pytest.raises(ValueError, match="trend_window"):
         seasonal_decompose(df, "day", "v", period=7, trend_window=4)
+
+def test_ewma_reference(spark):
+    """EWMA fold vs the exact python recurrence (same multiply-add
+    chain, exact float equality), per-key independence, NULL
+    rejection, validation."""
+    import pytest
+
+    from hadron_spark.operators.ops import ewma
+
+    rows = [("a", i, float(v)) for i, v in enumerate([10, 20, 5, 5, 40])]
+    rows += [("b", i, float(v)) for i, v in enumerate([100, 0, 50])]
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    got = {
+        (r["g"], r["t"]): (r["y"], r["ewma"])
+        for r in ewma(df, "t", "v", alpha=0.25, partition_cols=["g"]).collect()
+    }
+    for g, vals in (("a", [10, 20, 5, 5, 40]), ("b", [100, 0, 50])):
+        e = None
+        for t, v in enumerate(vals):
+            e = float(v) if e is None else 0.25 * v + 0.75 * e
+            assert got[(g, t)] == (float(v), e), (g, t)
+
+    # alpha=1 degenerates to the series itself
+    ident = ewma(df, "t", "v", alpha=1.0, partition_cols=["g"]).collect()
+    assert all(r["ewma"] == r["y"] for r in ident)
+
+    with pytest.raises(ValueError, match="alpha"):
+        ewma(df, "t", "v", alpha=0.0)
