@@ -2,6 +2,16 @@
 (§2.3-2.4), the join family (§2.5), graph resolution, and table
 maintenance (merge/CDC)."""
 
-from hadron_spark.operators import graph, joins, maintenance, mapreduce, ops
+from hadron_spark.operators import (
+    graph,
+    joins,
+    maintenance,
+    mapreduce,
+    ops,
+    robust,
+    sketch,
+)
 
-__all__ = ["graph", "joins", "maintenance", "mapreduce", "ops"]
+__all__ = [
+    "graph", "joins", "maintenance", "mapreduce", "ops", "robust", "sketch",
+]
