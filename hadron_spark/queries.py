@@ -14405,3 +14405,60 @@ def q323(spark, sf_dir):
     )
     return ewma(daily, "day", "cnt_day", alpha=0.25,
                 partition_cols=["event_type"])
+
+
+@_register(
+    "q324_streaming_ewma",
+    """
+    WITH RECURSIVE d AS (
+      SELECT event_type AS g,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    srt AS (
+      SELECT g, day, CAST(y AS DOUBLE) AS y,
+             row_number() OVER (PARTITION BY g ORDER BY day) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS total
+      FROM d),
+    walk AS (
+      SELECT g, day, rn, total, y AS e FROM srt WHERE rn = 1
+      UNION ALL
+      SELECT s.g, s.day, s.rn, s.total, 0.25 * s.y + 0.75 * w.e
+      FROM walk w JOIN srt s ON s.g = w.g AND s.rn = w.rn + 1)
+    SELECT g AS key, e AS ewma, day AS last_ord,
+           CAST(total AS BIGINT) AS n_points
+    FROM walk WHERE rn = total
+    """,
+)
+def q324(spark, sf_dir):
+    """Streaming per-key EWMA (streaming.ops.incremental_ewma): the
+    per-type daily series delivered as THREE chronological
+    micro-batches, each batch's fold seeded with the stored state --
+    chop-equivalence makes the drained state BIT-IDENTICAL to the
+    one-shot recurrence, so this streaming state op carries a FULL
+    oracle (the q323 recursive walk's final row per key)."""
+    import shutil
+    import tempfile
+
+    from hadron_spark.streaming.ops import ewma_apply_fn, read_ewma_state
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt_day")
+    )
+    lo, hi = daily.agg(F.min("day"), F.max("day")).collect()[0]
+    cut1 = lo + (hi - lo) // 3
+    cut2 = lo + 2 * (hi - lo) // 3
+    work = tempfile.mkdtemp(prefix="q324_")
+    state = f"{work}/state"
+    apply = ewma_apply_fn(state, "event_type", "day", "cnt_day", alpha=0.25)
+    apply(daily.filter(F.col("day") <= cut1), 0)
+    apply(daily.filter((F.col("day") > cut1) & (F.col("day") <= cut2)), 1)
+    apply(daily.filter(F.col("day") > cut2), 2)
+    out = read_ewma_state(spark, state)
+    result = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(work, ignore_errors=True)
+    return result

@@ -1368,6 +1368,146 @@ def read_transitions_state(spark, state_path: str) -> DataFrame:
     )
 
 
+def ewma_apply_fn(
+    state_path: str,
+    key_col: str,
+    ord_col: str,
+    value_col: str,
+    alpha: float,
+):
+    """The foreachBatch merge behind `incremental_ewma` (call with
+    (batch_df, batch_id) to unit-test replay/recovery): per-key EWMA
+    kept live.  The recurrence e_t = α·y_t + (1−α)·e_{t−1} is
+    sequential, so chopping a series into micro-batches and seeding
+    each batch's fold with the stored e is BIT-IDENTICAL to the
+    one-shot `operators.ops.ewma` over every delivered row (pinned
+    in test_streaming) — provided per-key deliveries are
+    non-decreasing in `ord_col` across batches (the
+    `incremental_transitions` ordering contract; rows may arrive
+    unordered WITHIN a batch — the sorted-array fold handles that).
+
+    State is ONE parquet frame with a `kind` discriminator — 'k'
+    rows (k, e, o, n) = (key, current ewma, last order key, points
+    seen) and the 'm' batch high-water marker — |keys| rows total
+    regardless of stream volume, so the whole-frame tmp-then-rename
+    swap of the scalar incremental_* states applies (HWM replay
+    no-op, `_recover_swap` healing)."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    from hadron_spark.sources import fs
+
+    a, b = repr(float(alpha)), repr(1.0 - float(alpha))
+    fold = (
+        "aggregate(_s, named_struct('prev', _e0), "
+        "(acc, x) -> named_struct('prev', "
+        f"IF(acc.prev IS NULL, x._y, {a} * x._y + {b} * acc.prev)), "
+        "acc -> acc.prev)"
+    )
+    schema = "kind string, k string, e double, o long, n long"
+
+    def apply(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        _recover_swap(spark, state_path)
+        prev = None
+        if fs.exists(spark, state_path):
+            prev = spark.read.parquet(state_path)
+            hwm = prev.filter(F.col("kind") == "m").select("n").collect()
+            if hwm and batch_id <= int(hwm[0]["n"]):
+                return  # replayed batch: already merged exactly once
+        rows = (
+            batch_df.localCheckpoint(eager=True)
+            .filter(
+                F.col(key_col).isNotNull() & F.col(value_col).isNotNull()
+            )
+            .select(
+                F.col(key_col).cast("string").alias("k"),
+                F.col(ord_col).cast("long").alias("_o"),
+                F.col(value_col).cast("double").alias("_y"),
+            )
+        )
+        arrs = rows.groupBy("k").agg(
+            F.sort_array(F.collect_list(F.struct("_o", "_y"))).alias("_s"),
+            F.max("_o").alias("_ob"),
+            F.count(F.lit(1)).alias("_nb"),
+        )
+        state_k = (
+            prev.filter(F.col("kind") == "k").select("k", "e", "o", "n")
+            if prev is not None
+            else spark.createDataFrame([], schema).select("k", "e", "o", "n")
+        )
+        touched = (
+            arrs.join(
+                state_k.select(
+                    "k",
+                    F.col("e").alias("_e0"),
+                    F.col("n").alias("_n0"),
+                ),
+                "k",
+                "left",
+            )
+            .select(
+                F.lit("k").alias("kind"),
+                "k",
+                F.expr(fold).alias("e"),
+                F.col("_ob").alias("o"),
+                (F.coalesce(F.col("_n0"), F.lit(0)) + F.col("_nb")).alias(
+                    "n"
+                ),
+            )
+        )
+        untouched = state_k.join(arrs.select("k"), "k", "left_anti").select(
+            F.lit("k").alias("kind"), "k", "e", "o", "n"
+        )
+        marker = spark.createDataFrame(
+            [("m", None, None, None, int(batch_id))], schema
+        )
+        merged = touched.unionByName(untouched).unionByName(marker)
+        _commit_swap(spark, merged, state_path, batch_id)
+
+    return apply
+
+
+def incremental_ewma(
+    stream: DataFrame,
+    state_path: str,
+    key_col: str,
+    ord_col: str,
+    value_col: str,
+    alpha: float = 0.25,
+    checkpoint: str | None = None,
+):
+    """Streaming per-key EWMA (`operators.ops.ewma` kept live — the
+    causal smoother behind drift alerts, maintained over an unbounded
+    stream with |keys|-bounded state).  See `ewma_apply_fn` for the
+    chop-equivalence contract and the exactly-once trio; read back
+    with `read_ewma_state`.  Returns the started StreamingQuery
+    (availableNow trigger)."""
+    apply = ewma_apply_fn(state_path, key_col, ord_col, value_col, alpha)
+    writer = (
+        stream.writeStream.foreachBatch(apply)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def read_ewma_state(spark, state_path: str) -> DataFrame:
+    """Queryable surface of `incremental_ewma`: (key, ewma, last_ord,
+    n_points) — the bookkeeping marker stripped."""
+    return (
+        spark.read.parquet(state_path)
+        .filter(F.col("kind") == "k")
+        .select(
+            F.col("k").alias("key"),
+            F.col("e").alias("ewma"),
+            F.col("o").alias("last_ord"),
+            F.col("n").alias("n_points"),
+        )
+    )
+
+
 def neardup_apply_fn(
     state_path: str,
     id_col: str = "doc_id",

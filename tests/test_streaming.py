@@ -903,3 +903,73 @@ def test_neardup_probe_plan_is_pruned_broadcast(spark, tmp_path):
     wpf = re.search(r"PartitionFilters: \[([^\]]*)\]", wplan)
     assert not (wpf and "IN (" in wpf.group(1))  # pruning genuinely off
     assert {r["_id"] for r in wide.collect()} == dups_pruned
+
+
+def test_incremental_ewma_chop_equivalence(spark, tmp_path):
+    """Per-key streaming EWMA: ANY batch chopping with seeded folds
+    is bit-identical to the one-shot ops.ewma over all delivered
+    rows; at-least-once replay no-op; mid-swap crash heal; real
+    writeStream drive; validation."""
+    import pytest
+
+    from hadron_spark.operators.ops import ewma
+    from hadron_spark.sources import fs
+    from hadron_spark.streaming.ops import (
+        ewma_apply_fn,
+        incremental_ewma,
+        read_ewma_state,
+    )
+
+    rows = [
+        ("u1", t, float(v))
+        for t, v in enumerate([10, 30, 20, 50, 5, 80, 80, 1])
+    ] + [
+        ("u2", t, float(v)) for t, v in enumerate([100, 0, 0, 40, 60])
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    # one-shot reference: final ewma per key
+    from pyspark.sql import Window
+
+    one = {
+        r["k"]: r
+        for r in ewma(df, "t", "v", alpha=0.25, partition_cols=["k"])
+        .withColumn(
+            "_last",
+            F.row_number().over(
+                Window.partitionBy("k").orderBy(F.col("t").desc())
+            ),
+        )
+        .filter("_last = 1")
+        .collect()
+    }
+
+    state = str(tmp_path / "ewma_state")
+    apply = ewma_apply_fn(state, "k", "t", "v", alpha=0.25)
+    # chop at uneven boundaries, per-key ord non-decreasing
+    apply(df.filter(F.col("t") < 3), 0)
+    apply(df.filter(F.col("t") < 3), 0)          # replay: no-op
+    apply(df.filter((F.col("t") >= 3) & (F.col("t") < 4)), 1)
+    fs.mv(spark, state, state + "._old_2")       # crash mid-swap: heal
+    apply(df.filter(F.col("t") >= 4), 2)
+    got = {r["key"]: r for r in read_ewma_state(spark, state).collect()}
+    for k in ("u1", "u2"):
+        assert got[k]["ewma"] == one[k]["ewma"], k   # bit-identical
+        n_k = sum(1 for kk, _, _ in rows if kk == k)
+        assert got[k]["n_points"] == n_k
+        assert got[k]["last_ord"] == max(t for kk, t, _ in rows if kk == k)
+
+    # end-to-end writeStream drive over one micro-batch
+    src = str(tmp_path / "ewma_src")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("k string, t long, v double").parquet(src)
+    state2 = str(tmp_path / "ewma_state2")
+    q = incremental_ewma(
+        stream, state2, "k", "t", "v", alpha=0.25,
+        checkpoint=str(tmp_path / "ewma_ckpt"),
+    )
+    q.awaitTermination(300)
+    got2 = {r["key"]: r["ewma"] for r in read_ewma_state(spark, state2).collect()}
+    assert got2 == {k: one[k]["ewma"] for k in ("u1", "u2")}
+
+    with pytest.raises(ValueError, match="alpha"):
+        ewma_apply_fn(state, "k", "t", "v", alpha=0.0)
