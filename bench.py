@@ -172,8 +172,19 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     out.update(regression_verdicts(timings))
-    print(json.dumps(out))
+    # the main session must be DOWN before adjudication subprocesses
+    # spin their own (two live local[32] JVMs contend and the A/B is
+    # garbage — the documented never-bench-while-busy rule)
     spark.stop()
+    regs = out.get("regressions") or {}
+    if regs and os.environ.get("SPARK_GRAFT_NO_ADJUDICATE") != "1":
+        names = sorted(regs)[:8]
+        try:
+            for q, v in adjudicate(names, sf_dir).items():
+                regs[q].update(v)
+        except Exception as e:  # noqa: BLE001 — adjudication is advisory
+            out["adjudication_error"] = str(e)[-300:]
+    print(json.dumps(out))
 
 
 def regression_verdicts(
@@ -234,5 +245,154 @@ def regression_verdicts(
     }
 
 
+# one timing side of the A/B: runs in a SUBPROCESS with cwd = the
+# side's repo root, so `import hadron_spark` resolves to that side's
+# code; mirrors bench's discipline (untimed warm-up, min of 2)
+_AB_RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, os.getcwd())
+sf_dir = sys.argv[1]; names = sys.argv[2:]
+from hadron_spark import get_spark
+from hadron_spark.queries import QUERIES
+spark = get_spark("ab_adjudicate")
+out = {}
+for n in names:
+    fn = QUERIES.get(n)
+    if fn is None:
+        out[n] = None
+        continue
+    try:
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        spark._jvm.System.gc()
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[n] = round(best, 3)
+    except Exception:
+        out[n] = None
+    spark._jvm.System.gc()
+spark.stop()
+print("ABJSON:" + json.dumps(out))
+"""
+
+
+def _ab_side_run(side_dir: str, sf_dir: str, names: list[str]) -> dict:
+    import subprocess
+
+    p = subprocess.run(
+        [sys.executable, "-c", _AB_RUNNER, sf_dir] + list(names),
+        cwd=side_dir,
+        env=dict(os.environ),
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    for line in p.stdout.splitlines():
+        if line.startswith("ABJSON:"):
+            return json.loads(line[len("ABJSON:"):])
+    raise RuntimeError(
+        f"A/B side run failed in {side_dir}: {p.stderr[-2000:]}"
+    )
+
+
+def adjudicate(
+    names: list[str],
+    sf_dir: str,
+    pairs: int = 2,
+    code_threshold: float = 1.3,
+) -> dict:
+    """Automatic box-vs-code adjudication of flagged bench cells
+    (VERDICT r6 #8): the manual BASELINE.md worktree ritual, wired in.
+
+    The box drifts up to ~1.4× intra-day, so a cell that regressed
+    against a PRIOR-DAY recording proves nothing about the code.  The
+    discriminating experiment is like-for-like and INTERLEAVED: check
+    out the previous sealed commit (the one that added the newest
+    BENCH_r*.json — the exact code those cells were recorded on) into
+    a detached git worktree, then alternate old-code / new-code
+    subprocess timings of the flagged queries on TODAY's box,
+    old→new→old→new.  Interleaving cancels slow machine drift; min
+    over a side's runs drops GC/compile spikes.  ratio = new_min /
+    old_min; > `code_threshold` (1.3, inside the drift band every
+    manual adjudication used) stamps `adjudicated: "code"` — a real
+    regression — else `"box"`.  Each side runs in its own subprocess
+    (fresh JVM, own mkdtemp staging — streaming cells don't collide)
+    with the caller's Spark session already stopped.  Advisory: the
+    fields ride on the regression entries; errors never fail the
+    bench run."""
+    import glob
+    import re
+    import shutil
+    import subprocess
+    import tempfile
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    benches = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if not benches:
+        return {}
+    sealed = os.path.basename(benches[-1])
+    commit = subprocess.run(
+        ["git", "log", "--diff-filter=A", "--format=%H", "-n", "1",
+         "--", sealed],
+        cwd=here,
+        capture_output=True,
+        text=True,
+    ).stdout.strip()
+    if not commit:
+        return {}
+    root = tempfile.mkdtemp(prefix="hadron_ab_")
+    wt = os.path.join(root, "wt")
+    subprocess.run(
+        ["git", "worktree", "add", "--detach", wt, commit],
+        cwd=here,
+        check=True,
+        capture_output=True,
+    )
+    try:
+        old_best: dict[str, float] = {}
+        new_best: dict[str, float] = {}
+        for _ in range(pairs):
+            for side_dir, best in ((wt, old_best), (here, new_best)):
+                got = _ab_side_run(side_dir, sf_dir, names)
+                for q, v in got.items():
+                    if v is not None:
+                        best[q] = min(best.get(q, float("inf")), v)
+        out = {}
+        for q in names:
+            if q in old_best and q in new_best and old_best[q] > 0:
+                r = new_best[q] / old_best[q]
+                out[q] = {
+                    "ab_old": old_best[q],
+                    "ab_new": new_best[q],
+                    "ab_ratio": round(r, 3),
+                    "adjudicated": (
+                        "code" if r > code_threshold else "box"
+                    ),
+                    "ab_commit": commit[:12],
+                }
+            else:
+                out[q] = {"adjudicated": "error", "ab_commit": commit[:12]}
+        return out
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=here,
+            capture_output=True,
+        )
+        shutil.rmtree(root, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--adjudicate":
+        _sf_dir = os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+        )
+        print(json.dumps(adjudicate(sys.argv[2:], _sf_dir)))
+    else:
+        main()

@@ -1617,19 +1617,29 @@ def ewma(
     can't run (it needs the future; EWMA is causal).
 
     A running recurrence is the one shape Spark windows cannot state
-    (each output feeds the next), so the series folds ONCE inside a
-    JVM `aggregate` over its (order)-sorted struct array — per-key
-    arrays, parallel across keys, bounded by series length (use
-    partition_cols; this is for metric series, not corpus rows).
-    The fold is a FIXED left-to-right IEEE chain (one multiply-add
-    pair per step), so outputs are deterministic and hash-exact
+    (each output feeds the next), and a JVM `aggregate` that
+    array_appends every intermediate onto an immutable accumulator
+    copies the whole array per step — O(n²) element copies per
+    series, ~10¹⁰ at the 10⁵-points-per-key bound.  So the series
+    scans ONCE inside an Arrow-batched pandas UDF over its
+    (order)-sorted value array — O(n) per series, parallel across
+    keys, bounded by series length (use partition_cols; this is for
+    metric series, not corpus rows).  The scan is the same FIXED
+    left-to-right IEEE-754 double chain the JVM fold would run (one
+    multiply each side + one add per step, a/b literals from
+    repr(float)), so outputs are deterministic and hash-exact
     against any engine stating the same walk (the oracle replays it
-    with a recursive CTE).  Prefer dyadic α (0.25, 0.5, …) when the
-    cross-engine literal must be bit-identical.  NULL values are
-    rejected up front (a NULL would poison every later step
-    silently).  Returns (partition_cols..., order_col, y, ewma)."""
+    with a recursive CTE; `streaming.incremental_ewma`'s chopped
+    fold is pinned bit-identical to this in test_streaming).
+    Prefer dyadic α (0.25, 0.5, …) when the cross-engine literal
+    must be bit-identical.  NULL values are rejected up front (a
+    NULL would poison every later step silently).  Returns
+    (partition_cols..., order_col, y, ewma)."""
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    import numpy as np
+    import pandas as pd
+
     pc = list(partition_cols or [])
     base = df.filter(F.col(value_col).isNotNull()).select(
         *pc,
@@ -1639,22 +1649,27 @@ def ewma(
     arr = base.groupBy(*pc).agg(
         F.sort_array(F.collect_list(F.struct("_o", "_y"))).alias("_s")
     )
-    a, b = repr(float(alpha)), repr(1.0 - float(alpha))
-    fold = (
-        "aggregate(_s, "
-        "named_struct('arr', cast(array() as array<double>), "
-        "'prev', cast(null as double)), "
-        "(acc, x) -> named_struct("
-        f"'arr', array_append(acc.arr, IF(acc.prev IS NULL, x._y, "
-        f"{a} * x._y + {b} * acc.prev)), "
-        f"'prev', IF(acc.prev IS NULL, x._y, "
-        f"{a} * x._y + {b} * acc.prev)), "
-        "acc -> acc.arr)"
-    )
+    a, b = float(alpha), 1.0 - float(alpha)
+
+    @F.pandas_udf("array<double>")
+    def _ewma_scan(ys):
+        out = []
+        for series in ys:
+            res = np.empty(len(series), dtype=np.float64)
+            prev = None
+            for i, y in enumerate(series):
+                # exact chain the oracle replays: (a*y) + (b*prev)
+                prev = y if prev is None else a * y + b * prev
+                res[i] = prev
+            out.append(res)
+        return pd.Series(out)
+
     out = arr.select(
         *pc,
         F.posexplode(
-            F.arrays_zip(F.col("_s"), F.expr(fold).alias("_e"))
+            F.arrays_zip(
+                F.col("_s"), _ewma_scan(F.col("_s._y")).alias("_e")
+            )
         ).alias("_i", "_z"),
     )
     return out.select(

@@ -1121,8 +1121,14 @@ def page_trend(
     `order` lists the treatments in hypothesized ASCENDING order
     (c_1 smallest); rows whose treatment is not listed are EXCLUDED
     (subset analysis), and block completeness is judged on the
-    listed set.  `order=None` uses the natural ascending sort of the
-    treatment labels.
+    listed set.  Treatments listed in `order` but ABSENT from the
+    data are dropped and the remaining positions renumbered densely
+    (1..k over the treatments actually present) — the null moments
+    E[L] = n·k(k+1)²/4 and Var[L] assume positions are exactly 1..k,
+    so a gapped position set (e.g. order=[a,b,c] with b absent
+    giving c∈{1,3}) would silently bias the z statistic.
+    `order=None` uses the natural ascending sort of the treatment
+    labels.
 
     Exactness (`friedman`'s doubled-rank machinery verbatim): ranks
     double to exact integers, L2 = Σ c·ρ sums in DECIMAL(38,0), and
@@ -1153,9 +1159,19 @@ def page_trend(
         cmap = F.create_map(
             *[x for i, t in enumerate(order) for x in (F.lit(t), F.lit(i + 1))]
         )
-        base = base.withColumn("_c", F.element_at(cmap, F.col("_t"))).filter(
-            F.col("_c").isNotNull()
+        base = base.withColumn("_c0", F.element_at(cmap, F.col("_t"))).filter(
+            F.col("_c0").isNotNull()
         )
+        # densify: a treatment listed in `order` but absent from the
+        # data must not leave a gap in the position set (the null
+        # moments assume positions are exactly 1..k) — renumber over
+        # the positions actually present (k-bounded distinct)
+        cpos = (
+            base.select("_c0")
+            .distinct()
+            .withColumn("_c", F.row_number().over(Window.orderBy("_c0")))
+        )
+        base = base.join(F.broadcast(cpos), "_c0").drop("_c0")
     else:
         # natural label order: position over the k-row distinct
         # treatment set (single-partition window over a k-bounded
@@ -1344,7 +1360,11 @@ def jonckheere_terpstra(
     term3 = (F.col("_sn_c") * F.col("_st_c")).cast("double") / (
         F.lit(8).cast("decimal(38,0)") * n_dec * (n_dec - 1)
     ).cast("double")
-    var = term1 + term2 + term3
+    # term2/term3 denominators are 0 for n < 3; guard INSIDE the when
+    # VALUE branch (kruskal_wallis discipline) so ANSI mode never
+    # evaluates the zero-denominator division for degenerate designs —
+    # `var > 0` in a predicate would otherwise force term2 eagerly
+    var = F.when(F.col("n") >= 3, term1 + term2 + term3)
     # scale by 4: z = (JT − E)/sqrt(V) = (2·JT2 − (N²−Σn²)) / (4·sqrt(V))
     # — an ALL-INTEGER numerator (JT2 = 2·JT, E = (N²−Σn²)/4), so no
     # decimal division enters the chain

@@ -1,5 +1,38 @@
 """Streaming operators: file-source taps, watermarked windows,
-session windows, and memory-sink test drivers.
+session windows, memory-sink test drivers, and the incremental
+stateful tier (foreachBatch + a parquet state store with the
+exactly-once HWM/swap-heal trio).
+
+State-size contract (VERDICT r6 #9) — what each `incremental_*` op
+keeps on disk and what it REWRITES per micro-batch.  "swap" = the
+whole state frame is rewritten via tmp-then-rename every batch
+(fine when state is small — the listed bound is the whole cost);
+"append" = committed `batch=N` partitions are immutable (pinned in
+test_streaming) and only the new batch dir is written, with a
+versioned-base compaction folding old dirs periodically.
+
+| op                         | state contents            | size bound          | per-batch write |
+|----------------------------|---------------------------|---------------------|-----------------|
+| incremental_gram           | Gram matrix partials      | O(d²)               | swap            |
+| incremental_cms            | count-min counters        | O(depth·width)      | swap            |
+| incremental_hll            | HLL registers             | O(2^p)              | swap            |
+| incremental_moments        | per-key moment tuples     | O(keys)             | swap            |
+| incremental_topk           | per-key top-k heads       | O(keys·k)           | swap            |
+| incremental_histogram      | per-key bin counts        | O(keys·bins)        | swap            |
+| incremental_transitions    | matrix + per-entity tails | O(states²+entities) | swap            |
+| incremental_ewma           | per-key (e, o, n)         | O(keys)             | swap            |
+| incremental_near_dup       | banded MinHash signatures | O(docs·bands)       | append          |
+| streaming_substring_dedup  | window fingerprints       | O(corpus windows)   | swap (†)        |
+
+(†) the fingerprint store is corpus-sized AND whole-frame-swapped:
+per-batch cost grows with the admitted corpus.  Use it for bounded
+corpora / bounded retention; the near-dup store shows the append +
+pre-banded-base layout that removes exactly this rewrite, and is the
+pattern a fingerprint-store compaction would follow.
+
+Every swap-class op is safe at any stream LENGTH (state never grows
+with volume, only with the listed dimensions); the two corpus-sized
+stores are the ones whose layout matters at 100 TB.
 """
 
 from __future__ import annotations
@@ -1673,6 +1706,13 @@ def _neardup_pk(bands_col, bkey_col, store_buckets: int):
     ).cast("int")
 
 
+# cap on the bkey LITERAL pushdown in `_neardup_probe` — deliberately
+# far below probe_key_limit (the broadcast-decision bound): beyond a
+# few thousand string literals the In/InSet bloats plan serialization
+# while the broadcast join already filters exactly
+_BKEY_PUSHDOWN_LIMIT = 4096
+
+
 def _neardup_probe(
     spark,
     state_path: str,
@@ -1706,6 +1746,12 @@ def _neardup_probe(
     # — count first (one tiny aggregate), then pick the physical plan
     n_keys = nb.select("pk", "bkey").distinct().count()
     small = n_keys <= probe_key_limit
+    # the bkey LITERAL pushdown gets a much tighter cap than the
+    # broadcast decision: a 65k-element In over strings bloats plan
+    # serialization/codegen for marginal benefit (the broadcast
+    # equi-join already filters exactly; row-group stats only pay
+    # when the literal set is genuinely narrow)
+    bkey_push = n_keys <= min(probe_key_limit, _BKEY_PUSHDOWN_LIMIT)
 
     def probe_join(corpus, on):
         """corpus-side scan joined against the batch: broadcast the
@@ -1738,13 +1784,19 @@ def _neardup_probe(
         else:
             if max_bucket_size:
                 base_df = base_df.filter(F.col("_bn") <= max_bucket_size)
-            if small:
-                keys = nb.select("pk", "bkey").distinct().collect()
-                pks = sorted({r["pk"] for r in keys})
-                bkeys = sorted({r["bkey"] for r in keys})
-                base_df = base_df.filter(
-                    F.col("pk").isin(pks) & F.col("bkey").isin(bkeys)
+            # pk distinct is bounded by bands·store_buckets regardless
+            # of batch width — ALWAYS safe to collect, and the small
+            # pk literal set is what prunes partition dirs (the whole
+            # point of the bucketed layout), so wide batches keep it
+            pks = sorted(
+                r["pk"] for r in nb.select("pk").distinct().collect()
+            )
+            base_df = base_df.filter(F.col("pk").isin(pks))
+            if bkey_push:
+                bkeys = sorted(
+                    r["bkey"] for r in nb.select("bkey").distinct().collect()
                 )
+                base_df = base_df.filter(F.col("bkey").isin(bkeys))
             parts.append(probe_join(base_df, ["pk", "bkey"]))
     if hwm is not None and hwm > base:
         root = state_path.rstrip("/") + "/sigs"

@@ -1701,6 +1701,41 @@ def test_jonckheere_terpstra_reference(spark):
     ).collect()[0]
     assert flat["z"] is None and flat["jt"] == 1.5
 
+def test_jonckheere_terpstra_degenerate_n2(spark):
+    """ADVICE r6: n=2 (two groups of one row) makes term2's
+    denominator 36·n(n−1)(n−2) = 0 — the division must never be
+    evaluated (ANSI DIVIDE_BY_ZERO), and z must be NULL."""
+    from hadron_spark.operators.robust import jonckheere_terpstra
+
+    two = jonckheere_terpstra(
+        spark.createDataFrame([("a", 1), ("b", 2)], "g string, y long"),
+        "y", "g",
+    ).collect()[0]
+    assert two["n"] == 2 and two["z"] is None
+    assert two["jt"] == 1.0  # the one cross-pair counts
+
+
+def test_page_trend_gapped_order(spark):
+    """ADVICE r6: a treatment listed in `order` but absent from the
+    data must not leave a gap in the position set — positions are
+    renumbered densely over present treatments, so the result equals
+    the order with the absent entry removed (the null moments assume
+    positions exactly 1..k)."""
+    from hadron_spark.operators.robust import page_trend
+
+    scores = {1: {"t1": 3, "t3": 9}, 2: {"t1": 4, "t3": 7},
+              3: {"t1": 2, "t3": 8}, 4: {"t1": 5, "t3": 6}}
+    rows = [(b, t, v) for b, d in scores.items() for t, v in d.items()]
+    df = spark.createDataFrame(rows, "b long, t string, y long")
+    gapped = page_trend(df, "b", "t", "y",
+                        order=["t1", "absent", "t3"]).collect()[0]
+    dense = page_trend(df, "b", "t", "y", order=["t1", "t3"]).collect()[0]
+    assert gapped["k"] == 2 == dense["k"]
+    assert gapped["l"] == dense["l"] and gapped["z"] == dense["z"]
+    # and the hypothesized direction survives renumbering
+    assert gapped["z"] > 0
+
+
 def test_dunn_test_reference(spark):
     """Dunn's pairwise z vs a pure-python mirror (pooled midranks,
     KW tie correction), sign convention, all-pairs coverage, and the

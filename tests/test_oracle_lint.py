@@ -66,6 +66,40 @@ def test_driver_window_rotates_by_round():
     assert other[:50] != backed[:50]
 
 
+def test_current_round_advances_on_new_correctness_file(monkeypatch):
+    """VERDICT r6 #7: _current_round() must equal 1 + the highest
+    CORRECTNESS_r*.json on disk, and ADVANCE as soon as a new file
+    lands — the rotation's freshness depends on it."""
+    import glob as glob_mod
+    import os
+    import re
+
+    import __spark_entry__ as entry
+
+    on_disk = [
+        int(re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1))
+        for p in glob_mod.glob(
+            os.path.join(os.path.dirname(entry.__file__),
+                         "CORRECTNESS_r*.json")
+        )
+    ]
+    base = entry._current_round()
+    assert base == (max(on_disk) if on_disk else 0) + 1
+
+    real_glob = glob_mod.glob
+    fake = os.path.join(
+        os.path.dirname(entry.__file__), f"CORRECTNESS_r{base}.json"
+    )
+
+    def with_new(pattern, *a, **kw):
+        return real_glob(pattern, *a, **kw) + (
+            [fake] if "CORRECTNESS_r" in pattern else []
+        )
+
+    monkeypatch.setattr(glob_mod, "glob", with_new)
+    assert entry._current_round() == base + 1
+
+
 def test_no_hugeint_output_columns():
     """The q50 failure class, checked PRECISELY: DuckDB binds every
     oracle (DESCRIBE — no execution) and no OUTPUT column may be

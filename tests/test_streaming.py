@@ -848,6 +848,41 @@ def test_incremental_near_dup_gate_replay_recovery(spark, tmp_path):
         drifted(late, 4)
 
 
+def test_neardup_committed_partitions_immutable(spark, tmp_path):
+    """The append-only contract of the near-dup state (streaming/ops
+    module docstring table, VERDICT r6 #9): a later batch must write
+    ONLY its own sigs/kept batch=N dirs — committed partitions are
+    never rewritten (same files, same bytes, same mtimes)."""
+    import glob
+    import os
+
+    from hadron_spark.streaming.ops import neardup_apply_fn
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} carries words {i * 7} and {i * 13} tail")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    state = str(tmp_path / "ndp_imm")
+    apply = neardup_apply_fn(state, threshold=0.7, compact_every=None)
+    apply(docs.filter(F.col("doc_id") < 20), 0)
+
+    def snapshot():
+        files = sorted(
+            p
+            for pat in ("sigs/batch=0/*", "kept/batch=0/*")
+            for p in glob.glob(os.path.join(state, pat))
+        )
+        return {p: (os.path.getmtime(p), os.path.getsize(p)) for p in files}
+
+    before = snapshot()
+    assert before  # batch 0 committed something
+    apply(docs.filter(F.col("doc_id") >= 20), 1)
+    assert snapshot() == before
+    # and batch 1 landed in its OWN dirs
+    assert glob.glob(os.path.join(state, "sigs/batch=1/*"))
+
+
 def test_neardup_probe_plan_is_pruned_broadcast(spark, tmp_path):
     """The 100 TB contract of the bucketed signature store: a batch
     probe against the compacted base must (a) partition-prune to the
@@ -893,15 +928,18 @@ def test_neardup_probe_plan_is_pruned_broadcast(spark, tmp_path):
     assert re.search(r"PushedFilters: \[[^\]]*In\(bkey", plan), plan[:2000]
     dups_pruned = {r["_id"] for r in dup.collect()}
 
-    # wide-batch fallback (probe_key_limit exceeded): no literal key
-    # filters, but decisions must be IDENTICAL to the pruned path
+    # wide-batch fallback (probe_key_limit exceeded): the bkey
+    # LITERAL pushdown and the broadcast turn off, but pk dir-pruning
+    # stays ON (pk distinct is bounded by bands·store_buckets, safe
+    # at any batch width) and decisions must be IDENTICAL
     wide = _neardup_probe(
         spark, state, ns, 0, 0, threshold=0.7, num_hashes=16, bands=4,
         max_bucket_size=500, store_buckets=64, probe_key_limit=1,
     )
     wplan = wide._jdf.queryExecution().executedPlan().toString()
     wpf = re.search(r"PartitionFilters: \[([^\]]*)\]", wplan)
-    assert not (wpf and "IN (" in wpf.group(1))  # pruning genuinely off
+    assert wpf and re.search(r"pk#\d+ IN \(", wpf.group(1)), wplan[:2000]
+    assert not re.search(r"PushedFilters: \[[^\]]*In\(bkey", wplan)
     assert {r["_id"] for r in wide.collect()} == dups_pruned
 
 
