@@ -1678,3 +1678,126 @@ def ewma(
         F.col("_z._s._y").alias("y"),
         F.col("_z._e").alias("ewma"),
     )
+
+
+def holt_winters(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    period: int,
+    alpha: float,
+    beta: float,
+    gamma: float,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Additive Holt–Winters smoothing (Holt 1957, Winters 1960) —
+    the trend + seasonal member of the exponential-smoothing family:
+    `ewma` smooths a level, `seasonal_decompose` explains a finished
+    series; Holt–Winters is what a metrics user reaches for when the
+    question is "where is this heading", because the running state
+    (level l, trend b, seasonal indices s) doubles as a one-step
+    forecast ŷ_t = l_{t−1} + b_{t−1} + s_{t−m}.
+
+        l_t = α·(y_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        s_t = γ·(y_t − l_{t−1} − b_{t−1}) + (1−γ)·s_{t−m}
+
+    Initialization (the classical two-season heuristic, documented so
+    the oracle can replay it): with m = `period`,
+        l_m = mean(y_1..y_m),
+        b_m = (mean(y_{m+1}..y_{2m}) − mean(y_1..y_m)) / m,
+        s_i = y_i − l_m  for i = 1..m,
+    recurrences run from t = m+1; series shorter than 2m rows are
+    DROPPED (not enough data to seat the trend estimate).  Output
+    rows cover the recurrence region t = m+1..n only.
+
+    Like `ewma`, a running recurrence with a seasonal ring buffer is
+    the shape Spark windows cannot state, so each series scans ONCE
+    inside an Arrow-batched pandas UDF over its (order)-sorted value
+    array — O(n) per series, parallel across keys, bounded by series
+    length (metric series, not corpus rows).  Every float step is a
+    FIXED left-to-right IEEE-754 double chain (init means are
+    left-fold sums divided once; each recurrence is two multiplies +
+    one add with literal coefficients), so outputs are hash-exact
+    against any engine replaying the same walk (the oracle carries
+    the ring in a recursive-CTE list).  Prefer dyadic α/β/γ when the
+    cross-engine literals must be bit-identical.  NULL values are
+    rejected up front.  Returns (partition_cols..., order_col, y,
+    level, trend, seasonal, fitted) where `fitted` is the one-step
+    forecast made BEFORE observing y_t."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    for nm, v in (("beta", beta), ("gamma", gamma)):
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"{nm} must be in [0, 1], got {v}")
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    import pandas as pd
+
+    m = int(period)
+    a, one_a = float(alpha), 1.0 - float(alpha)
+    bq, one_b = float(beta), 1.0 - float(beta)
+    g, one_g = float(gamma), 1.0 - float(gamma)
+    pc = list(partition_cols or [])
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *pc,
+        F.col(order_col).alias("_o"),
+        F.col(value_col).cast("double").alias("_y"),
+    )
+    arr = base.groupBy(*pc).agg(
+        F.sort_array(F.collect_list(F.struct("_o", "_y"))).alias("_s")
+    )
+
+    @F.pandas_udf(
+        "array<struct<l: double, b: double, s: double, f: double>>"
+    )
+    def _hw_scan(ys):
+        out = []
+        for series in ys:
+            n = len(series)
+            if n < 2 * m:
+                out.append([])
+                continue
+            s1 = 0.0
+            for i in range(m):          # left-fold: ((y1+y2)+y3)...
+                s1 += series[i]
+            lvl = s1 / m
+            s2 = 0.0
+            for i in range(m, 2 * m):
+                s2 += series[i]
+            b = (s2 / m - s1 / m) / m
+            ring = [series[i] - lvl for i in range(m)]
+            rows = []
+            for t in range(m, n):
+                y = series[t]
+                s_old = ring[0]
+                f = lvl + b + s_old
+                l_new = a * (y - s_old) + one_a * (lvl + b)
+                b_new = bq * (l_new - lvl) + one_b * b
+                s_new = g * (y - lvl - b) + one_g * s_old
+                rows.append({"l": l_new, "b": b_new,
+                             "s": s_new, "f": f})
+                ring.pop(0)
+                ring.append(s_new)
+                lvl, b = l_new, b_new
+            out.append(rows)
+        return pd.Series(out)
+
+    out = arr.filter(F.size("_s") >= 2 * m).select(
+        *pc,
+        F.posexplode(
+            F.arrays_zip(
+                F.slice(F.col("_s"), m + 1, F.size("_s") - m).alias("_s"),
+                _hw_scan(F.col("_s._y")).alias("_e"),
+            )
+        ).alias("_i", "_z"),
+    )
+    return out.select(
+        *pc,
+        F.col("_z._s._o").alias(order_col),
+        F.col("_z._s._y").alias("y"),
+        F.col("_z._e.l").alias("level"),
+        F.col("_z._e.b").alias("trend"),
+        F.col("_z._e.s").alias("seasonal"),
+        F.col("_z._e.f").alias("fitted"),
+    )

@@ -14462,3 +14462,79 @@ def q324(spark, sf_dir):
     result = spark.createDataFrame(out.collect(), out.schema)
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+@_register(
+    "q325_holt_winters",
+    """
+    WITH RECURSIVE d AS (
+      SELECT event_type AS g,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2),
+    srt AS (
+      SELECT g, day, y,
+             CAST(row_number() OVER (PARTITION BY g ORDER BY day)
+                  AS BIGINT) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS n
+      FROM d),
+    arrs AS (
+      SELECT g, n, list(y ORDER BY day) AS ys
+      FROM srt GROUP BY g, n
+      HAVING n >= 14),
+    init AS (
+      SELECT g, n, ys,
+             list_reduce(ys[1:7], (p, q) -> p + q) / 7 AS l0,
+             (list_reduce(ys[8:14], (p, q) -> p + q) / 7
+              - list_reduce(ys[1:7], (p, q) -> p + q) / 7) / 7 AS b0
+      FROM arrs),
+    init2 AS (
+      SELECT g, n, l0, b0,
+             list_transform(ys[1:7], v -> v - l0) AS ring0
+      FROM init),
+    walk AS (
+      SELECT g, n, CAST(7 AS BIGINT) AS t,
+             CAST(NULL AS BIGINT) AS day, CAST(NULL AS DOUBLE) AS y,
+             l0 AS l, b0 AS b, ring0 AS ring,
+             CAST(NULL AS DOUBLE) AS s_t, CAST(NULL AS DOUBLE) AS f
+      FROM init2
+      UNION ALL
+      SELECT w.g, w.n, s.rn, s.day, s.y,
+             0.25 * (s.y - w.ring[1]) + 0.75 * (w.l + w.b),
+             0.125 * ((0.25 * (s.y - w.ring[1]) + 0.75 * (w.l + w.b))
+                      - w.l) + 0.875 * w.b,
+             w.ring[2:] || [0.25 * (s.y - w.l - w.b) + 0.75 * w.ring[1]],
+             0.25 * (s.y - w.l - w.b) + 0.75 * w.ring[1],
+             w.l + w.b + w.ring[1]
+      FROM walk w JOIN srt s ON s.g = w.g AND s.rn = w.t + 1)
+    SELECT g AS event_type, day, y,
+           l AS level, b AS trend, s_t AS seasonal, f AS fitted
+    FROM walk WHERE t > 7
+    """,
+)
+def q325(spark, sf_dir):
+    """Additive Holt-Winters (operators.ops.holt_winters, m=7 weekly
+    season, alpha/beta/gamma = 0.25/0.125/0.25 -- all dyadic) over the
+    per-type daily event-count series: the forecasting-shaped
+    completion of the ewma (q323) -> seasonal_decompose (q322) arc.
+    One Arrow scan per series runs the documented two-season init +
+    ring-buffer recurrences; the oracle replays the identical IEEE
+    walk with a recursive CTE whose rows CARRY the m-slot seasonal
+    ring as a list -- level, trend, seasonal AND the one-step fitted
+    forecast are hash-exact FULL-oracle columns."""
+    from hadron_spark.operators.ops import holt_winters
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt_day")
+    )
+    return holt_winters(
+        daily, "day", "cnt_day", period=7,
+        alpha=0.25, beta=0.125, gamma=0.25,
+        partition_cols=["event_type"],
+    ).select(
+        "event_type", "day", "y", "level", "trend", "seasonal", "fitted"
+    )

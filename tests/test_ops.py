@@ -2056,3 +2056,69 @@ def test_ewma_reference(spark):
 
     with pytest.raises(ValueError, match="alpha"):
         ewma(df, "t", "v", alpha=0.0)
+
+def test_holt_winters_reference(spark):
+    """Holt-Winters vs a pure-python mirror of the documented walk
+    (two-season init, ring-buffer recurrences), bit-exact; short
+    series dropped; param validation."""
+    from hadron_spark.operators.ops import holt_winters
+
+    m, a, b, g = 4, 0.25, 0.125, 0.25
+
+    def synth(key, n, amp):
+        # level + trend + seasonal + deterministic jitter
+        return [
+            (key, t, 10.0 * amp + 0.5 * t + amp * (t % m) + ((t * 7) % 3))
+            for t in range(1, n + 1)
+        ]
+
+    rows = synth("x", 20, 1.0) + synth("y", 17, 3.0) + synth("z", 7, 2.0)
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    got = {
+        (r["k"], r["t"]): (r["level"], r["trend"], r["seasonal"],
+                           r["fitted"])
+        for r in holt_winters(
+            df, "t", "v", period=m, alpha=a, beta=b, gamma=g,
+            partition_cols=["k"],
+        ).collect()
+    }
+
+    def mirror(ys):
+        s1 = 0.0
+        for i in range(m):
+            s1 += ys[i]
+        lvl = s1 / m
+        s2 = 0.0
+        for i in range(m, 2 * m):
+            s2 += ys[i]
+        tr = (s2 / m - s1 / m) / m
+        ring = [ys[i] - lvl for i in range(m)]
+        out = {}
+        for t in range(m, len(ys)):
+            y, s_old = ys[t], ring[0]
+            f = lvl + tr + s_old
+            l_new = a * (y - s_old) + (1 - a) * (lvl + tr)
+            b_new = b * (l_new - lvl) + (1 - b) * tr
+            s_new = g * (y - lvl - tr) + (1 - g) * s_old
+            out[t + 1] = (l_new, b_new, s_new, f)
+            ring = ring[1:] + [s_new]
+            lvl, tr = l_new, b_new
+        return out
+
+    expect = {}
+    for key, n, amp in (("x", 20, 1.0), ("y", 17, 3.0)):
+        ys = [v for _, _, v in synth(key, n, amp)]
+        for t, vals in mirror(ys).items():
+            expect[(key, t)] = vals
+    assert got == expect  # bit-exact, including the fitted forecasts
+    # series z has 7 < 2m rows: dropped entirely
+    assert not any(k == "z" for k, _ in got)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="alpha"):
+        holt_winters(df, "t", "v", period=m, alpha=0.0, beta=b, gamma=g)
+    with pytest.raises(ValueError, match="period"):
+        holt_winters(df, "t", "v", period=1, alpha=a, beta=b, gamma=g)
+    with pytest.raises(ValueError, match="gamma"):
+        holt_winters(df, "t", "v", period=m, alpha=a, beta=b, gamma=1.5)
