@@ -1656,29 +1656,8 @@ def bootstrap_ci_mean(
     rep = base.withColumn(
         "_r", F.explode(F.sequence(F.lit(1), F.lit(int(n_boot))))
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":", F.col("_id"), F.col("_r").cast("string"),
-                        F.lit(str(int(seed))),
-                    )
-                ),
-                1,
-                13,
-            ),
-            16,
-            10,
-        ).cast("long").cast("double")
-        / F.lit(4503599627370496.0)  # 2^52
-    )
-    thresholds = poisson1_cdf_thresholds()
-    w = F.lit(len(thresholds))
-    for k in range(len(thresholds) - 1, -1, -1):
-        w = F.when(u < F.lit(thresholds[k]), F.lit(k)).otherwise(w)
     reps = (
-        rep.withColumn("_w", w.cast("long"))
+        rep.withColumn("_w", _poisson_bootstrap_weight("_id", "_r", seed))
         .groupBy(*gc, "_r")
         .agg(
             F.sum("_w").alias("_sw"),
@@ -1721,4 +1700,273 @@ def bootstrap_ci_mean(
         )
     return overall.crossJoin(F.broadcast(ci)).select(
         "n", "mean", "n_boot_eff", "ci_lo", "ci_hi"
+    )
+
+
+def _poisson_bootstrap_weight(id_col: str, r_col: str, seed: int):
+    """The deterministic Poisson(1) replicate weight shared by the
+    bootstrap_ci_* family: u = first 13 md5 hex digits of
+    (id, replicate, seed) / 2^52 (52 exactly-representable uniform
+    bits), then the inverse CDF via the LITERAL thresholds of
+    `poisson1_cdf_thresholds` — no exp() or RNG state anywhere, so
+    any engine embedding the same literals replays the same weights."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col(id_col), F.col(r_col).cast("string"),
+                        F.lit(str(int(seed))),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long").cast("double")
+        / F.lit(4503599627370496.0)  # 2^52
+    )
+    thresholds = poisson1_cdf_thresholds()
+    w = F.lit(len(thresholds))
+    for k in range(len(thresholds) - 1, -1, -1):
+        w = F.when(u < F.lit(thresholds[k]), F.lit(k)).otherwise(w)
+    return w.cast("long")
+
+
+def bootstrap_ci_median(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_boot: int = 200,
+    alpha: float = 0.05,
+    seed: int = 42,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Percentile bootstrap CI for the MEDIAN — the robust tier's own
+    preferred location finally gets an interval (`bootstrap_ci_mean`
+    covers means; `mad_outliers` / winsorized_mean center on medians
+    with no uncertainty statement).  Same deterministic Poisson(1)
+    machinery (Chamandy et al. 2012; see `bootstrap_ci_mean` for the
+    md5-uniform + literal-threshold construction), different
+    per-replicate statistic:
+
+        median_r = weighted LOWER median of the value CELLS under
+                   the replicate's Poisson weights — the smallest
+                   value v with 2·cumweight(≤ v) ≥ Σw
+
+    computed entirely on (group, replicate, value)-cell counts: the
+    value-cell contract (`theil_sen_slope` / q282's) bounds the
+    frame at |groups| · n_boot · |distinct values|, so nothing here
+    scans row-level data more than the ONE weighted-cell pass.  The
+    lower-median convention keeps every statistic an actual data
+    value — all outputs are exact BIGINTs, hash-exact cross-engine
+    with zero float steps (the mean variant needs one division; the
+    median needs none).  Zero-total-weight replicates (tiny groups
+    only) are dropped (n_boot_eff < n_boot).  CI indices are the
+    same integer ceil((B·num)/den) percentile_disc discipline.
+    Returns (group_cols..., n, median, n_boot_eff, ci_lo, ci_hi)."""
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
+    if n_boot < 1:
+        raise ValueError(f"n_boot must be >= 1, got {n_boot}")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    gc = list(group_cols or [])
+    frac = Fraction(alpha / 2).limit_denominator(10**6)
+    lo_num, lo_den = frac.numerator, frac.denominator
+
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        *gc,
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(value_col).cast("long").alias("_y"),
+    )
+    # overall lower median per group via the same cumulative trick
+    # (weight 1 per row), on value cells
+    ocells = base.groupBy(*gc, "_y").agg(F.count(F.lit(1)).alias("_c"))
+    wo = (
+        Window.partitionBy(*gc).orderBy("_y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ocum = ocells.select(
+        *gc, "_y",
+        F.sum("_c").over(wo).alias("_cum"),
+        F.sum("_c").over(Window.partitionBy(*gc)).alias("_n"),
+    )
+    overall = ocum.filter(2 * F.col("_cum") >= F.col("_n")).groupBy(*gc).agg(
+        F.max("_n").alias("n"),
+        F.min("_y").alias("median"),
+    )
+    rep = base.withColumn(
+        "_r", F.explode(F.sequence(F.lit(1), F.lit(int(n_boot))))
+    ).withColumn("_w", _poisson_bootstrap_weight("_id", "_r", seed))
+    cells = rep.groupBy(*gc, "_r", "_y").agg(F.sum("_w").alias("_cw"))
+    wr = (
+        Window.partitionBy(*gc, "_r").orderBy("_y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.select(
+        *gc, "_r", "_y",
+        F.sum("_cw").over(wr).alias("_cum"),
+        F.sum("_cw").over(Window.partitionBy(*gc, "_r")).alias("_sw"),
+    )
+    meds = (
+        cum.filter((F.col("_sw") > 0) & (2 * F.col("_cum") >= F.col("_sw")))
+        .groupBy(*gc, "_r")
+        .agg(F.min("_y").alias("_m"))
+    )
+    agg = meds.groupBy(*gc).agg(
+        F.count(F.lit(1)).alias("n_boot_eff"),
+        F.sort_array(F.collect_list("_m")).alias("_ms"),
+    )
+    lo_i = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr(f"(n_boot_eff * {lo_num} + {lo_den - 1}) div {lo_den}"),
+    )
+    hi_i = F.least(
+        F.col("n_boot_eff").cast("long"),
+        F.expr(
+            f"(n_boot_eff * {lo_den - lo_num} + {lo_den - 1}) div {lo_den}"
+        ),
+    )
+    ci = agg.select(
+        *gc,
+        "n_boot_eff",
+        F.element_at("_ms", lo_i.cast("int")).alias("ci_lo"),
+        F.element_at("_ms", hi_i.cast("int")).alias("ci_hi"),
+    )
+    if gc:
+        return overall.join(ci, gc).select(
+            *gc, "n", "median", "n_boot_eff", "ci_lo", "ci_hi"
+        )
+    return overall.crossJoin(F.broadcast(ci)).select(
+        "n", "median", "n_boot_eff", "ci_lo", "ci_hi"
+    )
+
+
+def conover_iman(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Conover-Iman post-hoc test (Conover & Iman 1979; Conover 1999
+    §5.2): `dunn_test`'s t-distributed companion — the pairwise
+    follow-up the standard Kruskal-Wallis workflow reaches for when
+    Dunn's normal approximation is too conservative (the t form
+    conditions on the realized rank variance, giving uniformly more
+    power at the same familywise level).
+
+        t_ij = (R̄_i − R̄_j) / sqrt(S²·(N−1−H)/(N−k)·(1/n_i + 1/n_j)),
+        S² = (ΣR(x)² − N(N+1)²/4)/(N−1),  H = the tie-corrected KW
+        statistic on the same pooled midranks.
+
+    Exactness: the (N−1−H) and S² factors CANCEL algebraically
+    against each other — with doubled midranks ρ = 2R (exact
+    integers), Δ = R2_i·n_j − R2_j·n_i, Q2 = Σρ² and
+    G2 = Σ_g R2_g²/n_g, the statistic collapses to
+
+        t = Δ · sqrt((N − k) / (n_i·n_j·(n_i+n_j)·(Q2 − G2)))
+
+    — Δ, Q2 and every n product exact integers in DECIMAL(38,0);
+    G2 is the ONE float sum, computed as the kruskal_wallis
+    sorted-fold (deterministic order, mirrored verbatim by the
+    oracle's list_reduce(list_sort)); then one subtraction, one
+    division, one bit-stable sqrt, one multiply: hash-exact
+    cross-engine.  Positive t means group_a ranks higher.  Degenerate
+    designs (N ≤ k — every group a single row — or Q2 = G2, all
+    values tied) yield NULL t.  One row per unordered pair
+    (group_a < group_b), k-bounded.  Compare |t| against the
+    t_{N−k} critical value downstream (p-values deliberately not
+    emitted — no incomplete-beta in the hash-exact tier).  Returns
+    (group_a, group_b, n_a, n_b, mean_rank_a, mean_rank_b, t)."""
+    base = (
+        df.filter(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("_g"),
+            F.col(value_col).cast("long").alias("_v"),
+        )
+    )
+    cells = base.groupBy("_g", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    from hadron_spark.operators.ops import pin, range_cumsum
+
+    cells = pin(cells)
+    spine = cells.groupBy("_v").agg(F.sum("_c").alias("_t"))
+    spine = range_cumsum(
+        spine,
+        key=F.col("_v"),
+        val=F.col("_t"),
+        order=[F.col("_v")],
+        out_col="_cum",
+        inclusive=True,
+    ).withColumn(
+        "_r2", 2 * (F.col("_cum") - F.col("_t")) + F.col("_t") + 1
+    )
+    ranked = cells.join(spine.select("_v", "_r2"), "_v")
+    grp = ranked.groupBy("_g").agg(
+        F.sum("_c").alias("_n"),
+        F.sum(F.col("_c") * F.col("_r2")).alias("_R2"),
+    )
+    c_dec = F.col("_c").cast("decimal(38,0)")
+    r2_dec = F.col("_r2").cast("decimal(38,0)")
+    q2 = ranked.agg(F.sum(c_dec * r2_dec * r2_dec).alias("_Q2"))
+    g2_fold = F.aggregate(
+        F.col("_ga"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + x["_R2"].cast("double")
+        * x["_R2"].cast("double")
+        / x["_n"].cast("double"),
+    )
+    tot = (
+        grp.groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum("_n").alias("n"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("_g"), F.col("_R2"), F.col("_n"))
+                )
+            ).alias("_ga"),
+        )
+        .select("k", "n", g2_fold.alias("_G2"))
+        .crossJoin(F.broadcast(q2))
+    )
+    a = grp.select(
+        F.col("_g").alias("group_a"),
+        F.col("_n").alias("n_a"),
+        F.col("_R2").alias("_R2a"),
+    )
+    b = grp.select(
+        F.col("_g").alias("group_b"),
+        F.col("_n").alias("n_b"),
+        F.col("_R2").alias("_R2b"),
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("group_a") < F.col("group_b")
+    ).crossJoin(F.broadcast(tot))
+    na = F.col("n_a").cast("decimal(38,0)")
+    nb = F.col("n_b").cast("decimal(38,0)")
+    delta = (
+        F.col("_R2a").cast("decimal(38,0)") * nb
+        - F.col("_R2b").cast("decimal(38,0)") * na
+    )
+    diff = F.col("_Q2").cast("double") - F.col("_G2")
+    rad = (F.col("n") - F.col("k")).cast("double") / (
+        (na * nb * (na + nb)).cast("double") * diff
+    )
+    ok = (F.col("k") > 1) & (F.col("n") > F.col("k")) & (diff > 0)
+    return pairs.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        (F.col("_R2a").cast("double")
+         / (F.lit(2.0) * F.col("n_a").cast("double"))).alias("mean_rank_a"),
+        (F.col("_R2b").cast("double")
+         / (F.lit(2.0) * F.col("n_b").cast("double"))).alias("mean_rank_b"),
+        F.when(ok, delta.cast("double") * F.sqrt(rad)).alias("t"),
     )

@@ -14538,3 +14538,135 @@ def q325(spark, sf_dir):
     ).select(
         "event_type", "day", "y", "level", "trend", "seasonal", "fitted"
     )
+
+
+@_register(
+    "q326_bootstrap_ci_median",
+    """
+    WITH base AS (
+      SELECT CAST(doc_id AS VARCHAR) AS id, source AS g,
+             CAST(n_chars AS BIGINT) AS y
+      FROM documents),
+    ocells AS (
+      SELECT g, y, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1, 2),
+    ocum AS (
+      SELECT g, y,
+             SUM(c) OVER (PARTITION BY g ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(c) OVER (PARTITION BY g) AS n
+      FROM ocells),
+    overall AS (
+      SELECT g, CAST(MAX(n) AS BIGINT) AS n,
+             CAST(MIN(y) AS BIGINT) AS median
+      FROM ocum WHERE 2 * cum >= n GROUP BY g),
+    drawn AS (
+      SELECT g, y, r,
+             (('0x' || substr(md5(id || ':' || CAST(r AS VARCHAR)
+                                  || ':9'), 1, 13))::BIGINT)
+               / 4503599627370496.0 AS u
+      FROM base, range(1, 65) t(r)),
+    weighted AS (
+      SELECT g, r, y, {PCASE} AS w FROM drawn),
+    cells AS (
+      SELECT g, r, y, CAST(SUM(w) AS BIGINT) AS cw
+      FROM weighted GROUP BY 1, 2, 3),
+    cum AS (
+      SELECT g, r, y,
+             SUM(cw) OVER (PARTITION BY g, r ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+             SUM(cw) OVER (PARTITION BY g, r) AS sw
+      FROM cells),
+    meds AS (
+      SELECT g, r, CAST(MIN(y) AS BIGINT) AS m
+      FROM cum WHERE sw > 0 AND 2 * cm >= sw GROUP BY 1, 2),
+    agg AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_boot_eff,
+             list_sort(list(m)) AS ms
+      FROM meds GROUP BY 1)
+    SELECT a.g AS source, o.n, o.median, a.n_boot_eff,
+           ms[CAST(greatest(1, (n_boot_eff + 19) // 20) AS INT)] AS ci_lo,
+           ms[CAST(least(n_boot_eff, (n_boot_eff * 19 + 19) // 20) AS INT)]
+             AS ci_hi
+    FROM agg a JOIN overall o ON a.g = o.g
+    """.replace("{PCASE}", _poisson_case_sql()),
+)
+def q326(spark, sf_dir):
+    """Deterministic Poisson-bootstrap CI for the MEDIAN doc length
+    per source (operators.robust.bootstrap_ci_median): q320's md5-
+    uniform + literal-threshold machinery with the weighted LOWER
+    median per replicate computed on (group, replicate, value) CELLS
+    -- every statistic is an actual data value, so the whole chain is
+    exact BIGINTs with ZERO float steps (the mean variant needs one
+    division per replicate; the median needs none).  Hash-exact FULL
+    oracle."""
+    from hadron_spark.operators.robust import bootstrap_ci_median
+
+    docs = load(spark, sf_dir, "documents")
+    return bootstrap_ci_median(
+        docs, "n_chars", "doc_id", n_boot=64, alpha=0.1, seed=9,
+        group_cols=["source"],
+    )
+
+
+@_register(
+    "q327_conover_iman",
+    """
+    WITH v AS (SELECT event_type AS g,
+                      CAST(round(value * 100) AS BIGINT) AS y
+               FROM events WHERE value IS NOT NULL),
+    cells AS (SELECT g, y, CAST(COUNT(*) AS BIGINT) AS c
+              FROM v GROUP BY 1, 2),
+    spine AS (SELECT y, CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY 1),
+    rk AS (
+      SELECT y, t,
+             2 * (SUM(t) OVER (ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t)
+               + t + 1 AS r2
+      FROM spine),
+    grp AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(SUM(c * r2) AS BIGINT) AS r2g
+            FROM cells JOIN rk USING (y) GROUP BY 1),
+    q2t AS (SELECT SUM(CAST(c AS HUGEINT) * r2 * r2) AS q2
+            FROM cells JOIN rk USING (y)),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nn,
+             list_reduce(
+               list_transform(
+                 list_sort(list(struct_pack(g := g, r2g := r2g, n := n))),
+                 x -> CAST(x.r2g AS DOUBLE) * CAST(x.r2g AS DOUBLE)
+                      / CAST(x.n AS DOUBLE)),
+               (acc, x) -> acc + x) AS g2
+      FROM grp)
+    SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, b.n AS n_b,
+           CAST(a.r2g AS DOUBLE) / (2.0 * CAST(a.n AS DOUBLE))
+             AS mean_rank_a,
+           CAST(b.r2g AS DOUBLE) / (2.0 * CAST(b.n AS DOUBLE))
+             AS mean_rank_b,
+           CASE WHEN k > 1 AND nn > k AND CAST(q2 AS DOUBLE) - g2 > 0
+                THEN CAST(CAST(a.r2g AS HUGEINT) * b.n
+                          - CAST(b.r2g AS HUGEINT) * a.n AS DOUBLE)
+                     * sqrt(CAST(nn - k AS DOUBLE)
+                            / (CAST(CAST(a.n AS HUGEINT) * b.n
+                                    * (a.n + b.n) AS DOUBLE)
+                               * (CAST(q2 AS DOUBLE) - g2)))
+                END AS t
+    FROM grp a JOIN grp b ON a.g < b.g, agg, q2t
+    """,
+)
+def q327(spark, sf_dir):
+    """Conover-Iman post-hoc pairwise test (operators.robust
+    .conover_iman): the t-distributed companion to q318's Dunn z on
+    the SAME pooled midranks -- the S^2 and (N-1-H) factors cancel
+    algebraically, collapsing the statistic to
+    Delta*sqrt((N-k)/(n_a*n_b*(n_a+n_b)*(Q2-G2))) with Delta and Q2
+    exact integers and G2 the kruskal sorted-fold float sum the
+    oracle replays verbatim (list_reduce over list_sort) -- one
+    subtraction, one division, one sqrt, one multiply: hash-exact
+    FULL oracle over k(k-1)/2 bounded pair rows."""
+    from hadron_spark.operators.robust import conover_iman
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return conover_iman(ev, "cents", "event_type")

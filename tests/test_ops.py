@@ -2122,3 +2122,140 @@ def test_holt_winters_reference(spark):
         holt_winters(df, "t", "v", period=1, alpha=a, beta=b, gamma=g)
     with pytest.raises(ValueError, match="gamma"):
         holt_winters(df, "t", "v", period=m, alpha=a, beta=b, gamma=1.5)
+
+def test_bootstrap_ci_median_reference(spark):
+    """Weighted-lower-median Poisson bootstrap vs a hashlib mirror:
+    identical uniforms -> identical weights -> identical per-replicate
+    weighted medians -> identical percentile picks (exact longs end
+    to end); overall lower median; validation."""
+    import hashlib
+
+    from hadron_spark.operators.robust import (
+        bootstrap_ci_median,
+        poisson1_cdf_thresholds,
+    )
+
+    rows = [(f"d{i}", "g1" if i % 2 else "g2", (i * 7) % 23)
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "id string, g string, y long")
+    got = {
+        r["g"]: r
+        for r in bootstrap_ci_median(
+            df, "y", "id", n_boot=50, alpha=0.1, seed=7, group_cols=["g"]
+        ).collect()
+    }
+
+    th = poisson1_cdf_thresholds()
+
+    def weight(u):
+        for k, t in enumerate(th):
+            if u < t:
+                return k
+        return len(th)
+
+    def wmedian(pairs_wy):
+        """lower weighted median: min y with 2*cum >= total."""
+        total = sum(w for w, _ in pairs_wy)
+        if total == 0:
+            return None
+        cum = 0
+        for w, y in sorted(pairs_wy, key=lambda p: p[1]):
+            cum += w
+            if 2 * cum >= total:
+                return y
+
+    data = {}
+    for i, g, y in rows:
+        data.setdefault(g, []).append((i, y))
+    for g, pairs in data.items():
+        meds = []
+        for r in range(1, 51):
+            wy = []
+            for i, y in pairs:
+                h = hashlib.md5(f"{i}:{r}:7".encode()).hexdigest()
+                u = int(h[:13], 16) / 2 ** 52
+                wy.append((weight(u), y))
+            m = wmedian(wy)
+            if m is not None:
+                meds.append(m)
+        meds.sort()
+        b = len(meds)
+        lo_i = max(1, (b + 19) // 20)
+        hi_i = min(b, (b * 19 + 19) // 20)
+        r = got[g]
+        assert r["n_boot_eff"] == b
+        assert r["ci_lo"] == meds[lo_i - 1]
+        assert r["ci_hi"] == meds[hi_i - 1]
+        assert r["median"] == wmedian([(1, y) for _, y in pairs])
+        assert r["ci_lo"] <= r["median"] <= r["ci_hi"]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n_boot"):
+        bootstrap_ci_median(df, "y", "id", n_boot=0)
+    with pytest.raises(ValueError, match="alpha"):
+        bootstrap_ci_median(df, "y", "id", alpha=0.0)
+
+
+def test_conover_iman_reference(spark):
+    """Conover-Iman pairwise t vs a pure-python mirror of the FULL
+    textbook formula (S^2, tie-corrected H, (N-1-H)/(N-k) factor) --
+    proving the collapsed Delta*sqrt((N-k)/(prod*(Q2-G2))) form
+    implemented is algebraically the same statistic; sign convention;
+    degenerate guards."""
+    import math
+    from collections import Counter
+
+    from hadron_spark.operators.robust import conover_iman
+
+    data = {
+        "a": [1, 3, 3, 5, 7],
+        "b": [2, 3, 6, 8, 8, 9],
+        "c": [5, 9, 10, 12],
+    }
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, y long")
+    got = {
+        (r["group_a"], r["group_b"]): r
+        for r in conover_iman(df, "y", "g").collect()
+    }
+
+    # pooled midranks
+    vals = sorted(v for vs in data.values() for v in vs)
+    N = len(vals)
+    ranks = {}
+    for v, cnt in Counter(vals).items():
+        lo = sum(1 for x in vals if x < v)
+        ranks[v] = lo + (cnt + 1) / 2.0
+    rsum = {g: sum(ranks[v] for v in vs) for g, vs in data.items()}
+    ns = {g: len(vs) for g, vs in data.items()}
+    s2 = (sum(ranks[v] ** 2 for vs in data.values() for v in vs)
+          - N * (N + 1) ** 2 / 4.0) / (N - 1)
+    h = (sum(rsum[g] ** 2 / ns[g] for g in data)
+         - N * (N + 1) ** 2 / 4.0) / s2
+    k = len(data)
+    for ga, gb in (("a", "b"), ("a", "c"), ("b", "c")):
+        t_ref = (rsum[ga] / ns[ga] - rsum[gb] / ns[gb]) / math.sqrt(
+            s2 * ((N - 1 - h) / (N - k)) * (1.0 / ns[ga] + 1.0 / ns[gb])
+        )
+        r = got[(ga, gb)]
+        assert abs(r["t"] - t_ref) < 1e-12
+        assert r["n_a"] == ns[ga] and r["n_b"] == ns[gb]
+        assert r["mean_rank_a"] == rsum[ga] / ns[ga]
+    # planted order a < b < c: every pair trends negative
+    assert all(r["t"] < 0 for r in got.values())
+
+    # degenerate: every group one row (N == k) -> NULL t
+    one = conover_iman(
+        spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)],
+                              "g string, y long"),
+        "y", "g",
+    ).collect()
+    assert all(r["t"] is None for r in one)
+    # all-tied: Q2 == G2 -> NULL t
+    flat = conover_iman(
+        spark.createDataFrame([("a", 5), ("a", 5), ("b", 5), ("b", 5)],
+                              "g string, y long"),
+        "y", "g",
+    ).collect()
+    assert all(r["t"] is None for r in flat)
