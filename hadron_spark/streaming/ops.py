@@ -22,17 +22,14 @@ versioned-base compaction folding old dirs periodically.
 | incremental_transitions    | matrix + per-entity tails | O(states²+entities) | swap            |
 | incremental_ewma           | per-key (e, o, n)         | O(keys)             | swap            |
 | incremental_near_dup       | banded MinHash signatures | O(docs·bands)       | append          |
-| streaming_substring_dedup  | window fingerprints       | O(corpus windows)   | swap (†)        |
-
-(†) the fingerprint store is corpus-sized AND whole-frame-swapped:
-per-batch cost grows with the admitted corpus.  Use it for bounded
-corpora / bounded retention; the near-dup store shows the append +
-pre-banded-base layout that removes exactly this rewrite, and is the
-pattern a fingerprint-store compaction would follow.
+| streaming_substring_dedup  | window fingerprints       | O(corpus windows)   | append          |
 
 Every swap-class op is safe at any stream LENGTH (state never grows
 with volume, only with the listed dimensions); the two corpus-sized
-stores are the ones whose layout matters at 100 TB.
+stores (near-dup signatures, substring fingerprints) are append-only
+segment layouts with incremental compaction — per-batch cost never
+re-reads or rewrites the committed corpus, which is the property
+that matters at 100 TB.
 """
 
 from __future__ import annotations
@@ -470,36 +467,116 @@ def gram_apply_fn(
     return apply
 
 
+def _substring_marker_df(spark, hwm, base, window, segs=None):
+    if segs is None:
+        segs = [int(base)] if int(base) >= 0 else []
+    seg_col = (
+        F.array(*[F.lit(int(s)).cast("long") for s in segs])
+        if segs
+        else F.array().cast("array<long>")
+    )
+    return spark.range(1).select(
+        F.lit(int(hwm)).cast("long").alias("hwm"),
+        F.lit(int(base)).cast("long").alias("base"),
+        F.lit(int(window)).cast("long").alias("window"),
+        seg_col.alias("segs"),
+    )
+
+
+def _substring_read_fps(spark, state_path: str, hwm, base, segs):
+    """Committed fingerprint rows (fp binary) of a substring-dedup
+    state: the immutable `fps_base=<v>` segments plus the per-batch
+    dirs in (base, hwm].  Duplicate fps across segments are harmless
+    — the probe is a left-semi join (set semantics)."""
+    if hwm is None:
+        return None
+    root = state_path.rstrip("/")
+    frames = [
+        spark.read.parquet(root + f"/fps_base={sv}").select("fp")
+        for sv in segs
+    ]
+    paths = [f"{root}/fps/batch={b}" for b in range(base + 1, int(hwm) + 1)]
+    if paths:
+        frames.append(
+            spark.read.option("basePath", root + "/fps")
+            .parquet(*paths).drop("batch").select("fp")
+        )
+    if not frames:
+        return None
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _migrate_substring_state(spark, state_path: str, window: int) -> None:
+    """One-time migration of a pre-segment substring state (ONE
+    parquet frame with kind/fp/bid rows, whole-frame swapped per
+    batch) into the segmented layout: its fp set becomes the first
+    committed segment, its meta bid the marker's hwm."""
+    from hadron_spark.sources import fs
+
+    root = state_path.rstrip("/")
+    marker = root + "/hwm_marker"
+    if not fs.exists(spark, root) or fs.exists(spark, marker):
+        return
+    legacy_files = [
+        e.path for e in fs.ls(spark, root)
+        if not e.is_dir and not e.path.endswith("_SUCCESS")
+    ]
+    if not legacy_files:
+        return
+    store = spark.read.parquet(*legacy_files)
+    if "kind" not in store.columns:
+        return
+    row = store.filter(F.col("kind") == "meta").select("bid").collect()
+    hwm = int(row[0]["bid"]) if row else -1
+    if hwm >= 0:
+        store.filter(F.col("kind") == "fp").select("fp").write.mode(
+            "overwrite"
+        ).parquet(root + f"/fps_base={hwm}")
+        _substring_marker_df(
+            spark, hwm, hwm, window, segs=[hwm]
+        ).write.mode("overwrite").parquet(marker)
+    for p in legacy_files + [root + "/_SUCCESS"]:
+        fs.delete(spark, p)
+
+
 def substring_dedup_apply_fn(
     state_path: str,
     out_path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
     window: int = 8,
+    compact_every: int | None = 64,
 ):
     """foreachBatch function for STREAMING exact-substring curation:
     each micro-batch is cleaned against the corpus fingerprint store
     (`llm.dedup.exact_substring_dedup_incremental`), the cleaned
     documents land in `out_path/batch=<id>/`, and the KEPT text's
-    fingerprints are merged into the store so later batches dedup
-    against everything already admitted.
+    fingerprints are APPENDED as the batch's own immutable
+    `fps/batch=<id>` dir — the near-dup store's segment layout, not
+    the old whole-frame swap (which re-wrote the corpus-sized fp set
+    every batch: O(corpus windows) per micro-batch).  Per-batch cost
+    is now O(batch); `compact_every` folds batch dirs into
+    `fps_base=<v>` segments (see `compact_substring_state`).
+    Duplicate fps across segments are possible by design and
+    harmless: the probe is a left-semi join (set semantics); full
+    rebases re-distinct.
 
-    Exactly-once discipline (the incremental_gram trio):
-      - REPLAY: the store carries the last-applied batch_id in a
-        marker row (kind='meta'); batches at or below it are
-        skipped.
-      - OUTPUT: each batch owns `out_path/batch=<id>/` and writes it
-        with overwrite, so a replayed batch rewrites its own
-        directory instead of appending duplicates.
-      - CRASH MID-SWAP: `_recover_swap` heals the store before every
-        merge.  Output-then-state ordering means a crash between the
-        output write and the store commit replays the batch: the
-        output overwrite is idempotent, and the store still reflects
-        exactly the admitted batches.
+    Exactly-once discipline (the near-dup trio):
+      - REPLAY: the `hwm_marker` dir carries the last-applied
+        batch_id; batches at or below it are skipped.
+      - OUTPUT: each batch owns `out_path/batch=<id>/` and
+        `fps/batch=<id>/`, written with overwrite, so a replayed
+        batch rewrites its own dirs instead of appending duplicates.
+      - CRASH MID-SWAP: `_recover_swap` heals the MARKER before
+        every merge; the fp dirs themselves are never swapped.
 
-    Store schema: (kind string, fp binary, bid long) — 'fp' rows are
-    the distinct 16-byte window fingerprints, the single 'meta' row
-    is the high-water mark.  Returns the apply(batch_df, batch_id)
+    The `window` rides in the marker — a store fingerprinted with
+    one window probed with another silently admits every repeat, so
+    drift raises.  States written by the pre-segment layout migrate
+    in place on first touch.  Returns the apply(batch_df, batch_id)
     callable (use with `stream.writeStream.foreachBatch(...)`)."""
     from hadron_spark.llm.dedup import (
         exact_substring_dedup_incremental,
@@ -509,17 +586,26 @@ def substring_dedup_apply_fn(
 
     def apply(batch_df, batch_id):
         spark = batch_df.sparkSession
-        _recover_swap(spark, state_path)
-        store_fps = None
-        hwm = -1
-        if fs.exists(spark, state_path):
-            store = spark.read.parquet(state_path)
-            row = store.filter(F.col("kind") == "meta").select("bid").collect()
-            if row:
-                hwm = int(row[0]["bid"])
+        _migrate_substring_state(spark, state_path, window)
+        marker = state_path.rstrip("/") + "/hwm_marker"
+        _recover_swap(spark, marker)
+        hwm, base, segs = None, -1, []
+        if fs.exists(spark, marker):
+            md = spark.read.parquet(marker).collect()[0].asDict()
+            hwm, base = int(md["hwm"]), int(md["base"])
+            segs = _marker_segs(md)
+            if "window" in md and md["window"] is not None and int(
+                md["window"]
+            ) != int(window):
+                raise ValueError(
+                    f"substring state was fingerprinted with window="
+                    f"{int(md['window'])}, probed with window="
+                    f"{int(window)} — the window is part of the store "
+                    "layout and cannot change mid-stream"
+                )
             if batch_id <= hwm:
                 return
-            store_fps = store.filter(F.col("kind") == "fp").select("fp")
+        store_fps = _substring_read_fps(spark, state_path, hwm, base, segs)
         batch = batch_df.localCheckpoint(eager=True)
         if store_fps is not None:
             cleaned = exact_substring_dedup_incremental(
@@ -538,30 +624,83 @@ def substring_dedup_apply_fn(
         cleaned.write.mode("overwrite").parquet(
             f"{out_path}/batch={int(batch_id)}"
         )
-        new_fps = span_fingerprint_store(
+        span_fingerprint_store(
             cleaned.select(F.col("clean_text").alias(text_col)),
             text_col,
             window,
+        ).write.mode("overwrite").parquet(
+            state_path.rstrip("/") + f"/fps/batch={int(batch_id)}"
         )
-        all_fps = (
-            store_fps.unionByName(new_fps).distinct()
-            if store_fps is not None
-            else new_fps
-        )
-        merged = all_fps.select(
-            F.lit("fp").alias("kind"),
-            "fp",
-            F.lit(None).cast("long").alias("bid"),
-        ).unionByName(
-            batch.sparkSession.range(1).select(
-                F.lit("meta").alias("kind"),
-                F.lit(None).cast("binary").alias("fp"),
-                F.lit(int(batch_id)).alias("bid"),
-            )
-        )
-        _commit_swap(spark, merged, state_path, batch_id)
+        mdf = _substring_marker_df(spark, batch_id, base, window, segs=segs)
+        _commit_swap(spark, mdf, marker, batch_id)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_substring_state(spark, state_path)
 
     return apply
+
+
+def compact_substring_state(
+    spark,
+    state_path: str,
+    mode: str = "auto",
+    max_segments: int = 8,
+) -> int:
+    """Fold a substring-dedup state's per-batch fp dirs into
+    consolidated segments — `compact_neardup_state`'s discipline on
+    the fingerprint store:
+
+    - `incremental`: distinct the batch dirs in (base, hwm] into ONE
+      new `fps_base=<hwm>` segment (fold cost tracks the delta;
+      committed segments never re-read).  Fps already present in
+      older segments may repeat — harmless (semi-join probe).
+    - `full`: re-distinct ALL segments + batches into one segment,
+      reclaiming cross-segment duplicate storage.
+    - `auto`: incremental until the fold would exceed `max_segments`,
+      then full.
+
+    Marker swap is the commit point; a crash before it leaves the old
+    segs+batches authoritative, after it the folded batch dirs (and
+    on `full` the superseded segments) are ignorable garbage.
+    Returns the number of batch partitions folded."""
+    from hadron_spark.sources import fs
+
+    if mode not in ("auto", "incremental", "full"):
+        raise ValueError(f"mode must be auto|incremental|full, got {mode!r}")
+    root = state_path.rstrip("/")
+    marker = root + "/hwm_marker"
+    _recover_swap(spark, marker)
+    if not fs.exists(spark, marker):
+        raise FileNotFoundError(
+            f"no committed substring state at {state_path}"
+        )
+    md = spark.read.parquet(marker).collect()[0].asDict()
+    hwm, base = int(md["hwm"]), int(md["base"])
+    window = int(md["window"])
+    segs = _marker_segs(md)
+    if base >= hwm:
+        return 0
+    if mode == "auto":
+        mode = "incremental" if len(segs) + 1 <= max_segments else "full"
+    if mode == "incremental":
+        delta = _substring_read_fps(spark, state_path, hwm, base, segs=[])
+        delta.distinct().write.mode("overwrite").parquet(
+            root + f"/fps_base={hwm}"
+        )
+        new_segs = segs + [hwm]
+    else:
+        allfps = _substring_read_fps(spark, state_path, hwm, base, segs=segs)
+        allfps.distinct().write.mode("overwrite").parquet(
+            root + f"/fps_base={hwm}"
+        )
+        new_segs = [hwm]
+    mdf = _substring_marker_df(spark, hwm, hwm, window, segs=new_segs)
+    _commit_swap(spark, mdf, marker, f"compact_{hwm}")
+    if mode == "full":
+        for sv in segs:
+            fs.delete(spark, root + f"/fps_base={sv}")
+    for b in range(base + 1, hwm + 1):
+        fs.delete(spark, root + f"/fps/batch={b}")
+    return hwm - base
 
 
 def streaming_substring_dedup(
@@ -572,12 +711,14 @@ def streaming_substring_dedup(
     text_col: str = "text",
     window: int = 8,
     checkpoint: str | None = None,
+    compact_every: int | None = 64,
 ):
     """Streaming exact-substring curation sink — see
     `substring_dedup_apply_fn`. Returns the started StreamingQuery
     (availableNow trigger)."""
     apply = substring_dedup_apply_fn(
-        state_path, out_path, id_col, text_col, window
+        state_path, out_path, id_col, text_col, window,
+        compact_every=compact_every,
     )
     writer = stream.writeStream.foreachBatch(apply).outputMode("append").trigger(
         availableNow=True

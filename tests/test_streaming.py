@@ -336,9 +336,9 @@ def test_streaming_substring_dedup_curation(spark, tmp_path):
     got3 = spark.read.parquet(f"{out}/batch=2").collect()
     assert got3[0].clean_text == "again and again"
 
-    # crash-window heal: simulate mv(state->old) crash, next batch
+    # crash-window heal: simulate a marker mid-swap crash, next batch
     # must restore and still skip nothing it shouldn't
-    fs.mv(spark, state, state + "._old_9")
+    fs.mv(spark, state + "/hwm_marker", state + "/hwm_marker._old_9")
     b4 = spark.createDataFrame(
         [(30, "one two three four closing words")],
         "doc_id long, text string",
@@ -1108,3 +1108,91 @@ def test_incremental_ewma_chop_equivalence(spark, tmp_path):
 
     with pytest.raises(ValueError, match="alpha"):
         ewma_apply_fn(state, "k", "t", "v", alpha=0.0)
+
+def test_substring_state_segments_migration_drift(spark, tmp_path):
+    """The substring fp store's segment layout: incremental folds
+    write delta-only segments and never touch committed ones;
+    decisions match a never-folded twin; full rebase collapses to one
+    segment; window drift raises; a legacy single-frame state
+    migrates in place."""
+    import pytest
+
+    from hadron_spark.sources import fs
+    from hadron_spark.streaming.ops import (
+        _substring_marker_df,
+        compact_substring_state,
+        substring_dedup_apply_fn,
+    )
+
+    batches = [
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        [(10, "alpha beta gamma delta fresh tail words"),
+         (11, "wholly novel content right here today")],
+        [(20, "wholly novel content right again and again")],
+    ]
+
+    def mk(name, compact_every=None):
+        st = str(tmp_path / name)
+        return st, str(tmp_path / (name + "_out")), substring_dedup_apply_fn(
+            st, str(tmp_path / (name + "_out")), window=4,
+            compact_every=compact_every,
+        )
+
+    sa, oa, apply_a = mk("seg")
+    sb, ob, apply_b = mk("flat")
+
+    def push(i):
+        df = spark.createDataFrame(batches[i], "doc_id long, text string")
+        apply_a(df, i)
+        apply_b(df, i)
+
+    push(0)
+    assert compact_substring_state(spark, sa) == 1   # fold batch 0
+    push(1)
+    assert compact_substring_state(spark, sa, mode="incremental") == 1
+    names = {e.path.rsplit("/", 1)[1] for e in fs.ls(spark, sa)}
+    assert {"fps_base=0", "fps_base=1"} <= names
+    push(2)
+    for out in (oa, ob):
+        got = spark.read.parquet(f"{out}/batch=2").collect()
+        assert got[0].clean_text == "again and again"
+    # full rebase via max_segments
+    assert compact_substring_state(spark, sa, max_segments=1) == 1
+    names = {e.path.rsplit("/", 1)[1] for e in fs.ls(spark, sa)}
+    assert "fps_base=2" in names
+    assert not {"fps_base=0", "fps_base=1"} & names
+    md = spark.read.parquet(sa + "/hwm_marker").collect()[0].asDict()
+    assert list(md["segs"]) == [2] and md["window"] == 4
+
+    # window drift raises instead of silently admitting repeats
+    drifted = substring_dedup_apply_fn(sa, oa, window=6)
+    late = spark.createDataFrame([(30, "alpha beta gamma delta close")],
+                                 "doc_id long, text string")
+    with pytest.raises(ValueError, match="window"):
+        drifted(late, 3)
+
+    # legacy single-frame state migrates in place on first touch
+    from hadron_spark.llm.dedup import span_fingerprint_store
+
+    legacy = str(tmp_path / "legacy")
+    fps = span_fingerprint_store(
+        spark.createDataFrame([("alpha beta gamma delta epsilon zeta",)],
+                              "text string"), "text", 4)
+    fps.select(
+        F.lit("fp").alias("kind"), "fp", F.lit(None).cast("long").alias("bid")
+    ).unionByName(
+        spark.range(1).select(
+            F.lit("meta").alias("kind"),
+            F.lit(None).cast("binary").alias("fp"),
+            F.lit(0).cast("long").alias("bid"),
+        )
+    ).write.mode("overwrite").parquet(legacy)
+    lout = str(tmp_path / "legacy_out")
+    apply_l = substring_dedup_apply_fn(legacy, lout, window=4)
+    apply_l(spark.createDataFrame(
+        [(40, "alpha beta gamma delta postfix here")],
+        "doc_id long, text string"), 1)
+    got = spark.read.parquet(f"{lout}/batch=1").collect()
+    assert got[0].clean_text == "postfix here"   # legacy fps honored
+    md = spark.read.parquet(legacy + "/hwm_marker").collect()[0].asDict()
+    assert md["hwm"] == 1 and list(md["segs"]) == [0]
