@@ -1970,3 +1970,434 @@ def conover_iman(
          / (F.lit(2.0) * F.col("n_b").cast("double"))).alias("mean_rank_b"),
         F.when(ok, delta.cast("double") * F.sqrt(rad)).alias("t"),
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Mann–Kendall trend test per group (Mann 1945, Kendall 1975)
+    — the nonparametric "is this series drifting" companion to
+    `theil_sen_slope`'s "by how much": S = Σ_{t<t'} sgn(y'−y) over
+    time-ordered pairs, with the FULL tie-corrected variance for
+    ties on BOTH axes (Kendall's §5 formula — the common
+    implementation that drops the time-tie terms silently inflates
+    z on fixture-resolution timestamps, the page_trend bias class):
+
+        18·n(n−1)(n−2)·Var(S) =
+            n(n−1)(n−2)·[n(n−1)(2n+5) − Σt(t−1)(2t+5) − Σu(u−1)(2u+5)]
+          + 2·Σt(t−1)(t−2)·Σu(u−1)(u−2)
+          + 9(n−2)·Σt(t−1)·Σu(u−1)
+
+    with t over TIME-tie run sizes and u over VALUE-tie run sizes —
+    every term an exact integer, run in DECIMAL(38,0) (n⁶ wraps
+    int64 at n ≈ 1300; decimal is exact to n < 2·10⁶ rows per
+    group).  z carries the continuity correction
+    z = (S − sgn(S))/√Var, a fixed IEEE chain (one division of two
+    correctly-rounded decimal→double casts, one sqrt) — hash-exact
+    cross-engine.
+
+    Same bounded-cell contract as `kendall_tau_b` (which shares the
+    pair spine — S here IS its P−Q with x = time): both axes
+    quantized, the corpus collapses to (time, value) cells in one
+    partial-agg'd shuffle, the pair algebra runs on the bounded
+    cell self-join.  Degenerate designs (n < 3, or Var ≤ 0 from an
+    all-tied axis) yield z NULL, never a raised division.
+
+    Returns (group_cols..., n, s, tie_time, tie_value, z)."""
+    from hadron_spark.operators.ops import pin
+
+    gc = list(group_cols or [])
+    cells = pin(
+        df.filter(
+            F.col(time_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .select(
+            *gc,
+            F.col(time_col).cast("long").alias("_x"),
+            F.col(value_col).cast("long").alias("_y"),
+        )
+        .groupBy(*gc, "_x", "_y")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    cond = F.col("a._x") < F.col("b._x")
+    for g in gc:
+        cond = cond & (F.col(f"a.{g}") == F.col(f"b.{g}"))
+    prod = F.col("a._c") * F.col("b._c")
+    s = (
+        a.join(b, cond)
+        .groupBy(*[F.col(f"a.{g}").alias(g) for g in gc])
+        .agg(
+            F.sum(
+                F.when(F.col("b._y") > F.col("a._y"), prod)
+                .when(F.col("b._y") < F.col("a._y"), -prod)
+                .otherwise(0)
+            ).alias("s")
+        )
+    )
+
+    def tie_terms(axis: str, pre: str) -> DataFrame:
+        t = F.col("_t").cast("decimal(38,0)")
+        return (
+            cells.groupBy(*gc, axis)
+            .agg(F.sum("_c").alias("_t"))
+            .groupBy(*gc)
+            .agg(
+                F.sum(t * (t - 1) * (2 * t + 5)).alias(f"_{pre}25"),
+                F.sum(t * (t - 1) * (t - 2)).alias(f"_{pre}3"),
+                F.sum(t * (t - 1)).alias(f"_{pre}2"),
+                F.sum(
+                    F.expr("_t * (_t - 1) div 2").cast("long")
+                ).alias(f"tie_{pre}"),
+            )
+        )
+
+    n_tot = cells.groupBy(*gc).agg(F.sum("_c").alias("n"))
+    tx, ty = tie_terms("_x", "t"), tie_terms("_y", "u")
+    if gc:
+        j = n_tot.join(s, gc, "left").join(tx, gc).join(ty, gc)
+    else:
+        j = (
+            n_tot.crossJoin(F.broadcast(s))
+            .crossJoin(F.broadcast(tx))
+            .crossJoin(F.broadcast(ty))
+        )
+    j = j.withColumn("s", F.coalesce("s", F.lit(0)))
+    n = F.col("n").cast("decimal(38,0)")
+    var_num = (
+        n * (n - 1) * (n - 2)
+        * (n * (n - 1) * (2 * n + 5) - F.col("_t25") - F.col("_u25"))
+        + 2 * F.col("_t3") * F.col("_u3")
+        + 9 * (n - 2) * F.col("_t2") * F.col("_u2")
+    )
+    var_den = 18 * n * (n - 1) * (n - 2)
+    # the when VALUE must own the division (JT n<3 guard class): at
+    # n < 3 var_den is 0 and ANSI would raise before the predicate
+    var = F.when(
+        F.col("n") >= 3,
+        var_num.cast("double") / var_den.cast("double"),
+    )
+    sd = F.col("s").cast("double")
+    z = F.when(
+        var > 0,
+        (sd - F.signum(sd)) / F.sqrt(var),
+    )
+    return j.select(
+        *gc,
+        "n",
+        "s",
+        F.col("tie_t").alias("tie_time"),
+        F.col("tie_u").alias("tie_value"),
+        z.alias("z"),
+    )
+
+
+def cochran_q(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    flag_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Cochran's Q test per group (Cochran 1950) — k related BINARY
+    treatments over matched blocks: "did the same eval prompts
+    pass/fail differently across k model checkpoints", the k-way
+    generalization of `mcnemar` exactly as `friedman` generalizes
+    the paired sign test.  Blocks missing any treatment are dropped
+    whole (complete-block design, the McNemar NULL-row discipline);
+    all-0 and all-k blocks carry no signal and cancel algebraically
+    but are retained in the counts the formula uses.
+
+        Q = (k−1)·(k·ΣG_j² − T²) / (k·T − ΣL_i²)
+
+    with G_j the treatment column sums, L_i the block row sums and
+    T = ΣG = ΣL — every term an exact int64 (the numerator's
+    k·ΣG² ≤ k·T² wraps only past T ≈ 2·10⁹ rows of successes), so Q
+    is ONE division of two correctly-rounded casts: hash-exact.
+    Under H₀, Q ~ χ²(k−1).  Degenerate designs (k < 2, or every
+    block all-0/all-k making the denominator 0) yield q NULL.
+
+    Plan: one partial-agg'd shuffle onto blocks (row sums + the
+    completeness count), treatment sums as a second agg off the
+    complete-block frame, both collapsing onto |groups| rows.
+    Returns (group_cols..., k, n_blocks, q)."""
+    gc = list(group_cols or [])
+    base = df.filter(
+        F.col(block_col).isNotNull()
+        & F.col(treatment_col).isNotNull()
+        & F.col(flag_col).isNotNull()
+    ).select(
+        *gc,
+        F.col(block_col).alias("_b"),
+        F.col(treatment_col).alias("_t"),
+        F.col(flag_col).cast("long").alias("_y"),
+    )
+    k_df = base.groupBy(*gc).agg(
+        F.countDistinct("_t").alias("k")
+    )
+    rows_ = base.groupBy(*gc, "_b").agg(
+        F.count(F.lit(1)).alias("_m"), F.sum("_y").alias("_l")
+    )
+    complete = (
+        rows_.join(k_df, gc)
+        if gc
+        else rows_.crossJoin(F.broadcast(k_df))
+    ).filter(F.col("_m") == F.col("k"))
+    blocks = complete.groupBy(*gc).agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("_l").alias("_T"),
+        F.sum(F.col("_l") * F.col("_l")).alias("_L2"),
+    )
+    kept = complete.select(*gc, "_b")
+    g = (
+        base.join(kept, [*gc, "_b"])
+        .groupBy(*gc, "_t")
+        .agg(F.sum("_y").alias("_g"))
+        .groupBy(*gc)
+        .agg(F.sum(F.col("_g") * F.col("_g")).alias("_G2"))
+    )
+    j = blocks.join(g, gc) if gc else blocks.crossJoin(F.broadcast(g))
+    j = j.join(k_df, gc) if gc else j.crossJoin(F.broadcast(k_df))
+    num = (F.col("k") - 1) * (
+        F.col("k") * F.col("_G2") - F.col("_T") * F.col("_T")
+    )
+    den = F.col("k") * F.col("_T") - F.col("_L2")
+    q = F.when(
+        (F.col("k") > 1) & (den > 0),
+        num.cast("double") / den.cast("double"),
+    )
+    return j.select(*gc, "k", "n_blocks", q.alias("q"))
+
+
+def mood_median_test(
+    df: DataFrame,
+    value_col: str,
+    treatment_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Mood's median test per group (Mood 1950) — k-sample location
+    test on counts above/not-above the POOLED grand median: cruder
+    than `kruskal_wallis` (it bins each observation to one bit) but
+    immune to unequal spreads and the right sanity check when the
+    KW rank assumptions are in doubt.
+
+    The grand median is the LOWER weighted median over value CELLS
+    (smallest value with 2·cum ≥ n — an actual data value, the
+    q298/q326 convention, so the split is exact integers with zero
+    float steps).  The statistic is the Pearson χ² over the k×2
+    table of (above, not-above) counts:
+
+        chi2 = Σ_j (a_j − n_j·A/N)²/(n_j·A/N)
+             + (b_j − n_j·B/N)²/(n_j·B/N)
+             = N²/(A·B) · Σ_j (a_j − n_j·A/N)²/n_j
+             = N/(A·B) · [ N·Σ_j a_j²/n_j − A² ] ... kept in the
+    exact-integer form N·(N·Σa²·/n_j − A²)/(A·B) with the Σ over
+    a sorted fold of per-treatment exact terms — the j-sum divides
+    by n_j so each term is ONE IEEE division, summed in sorted
+    treatment order (the kruskal G2 discipline): hash-exact.
+    Under H₀, chi2 ~ χ²(k−1).  Degenerate splits (A = 0 or B = 0 —
+    every value on one side of the median) yield chi2 NULL.
+
+    Plan: one shuffle to value cells, one bounded cumulative window
+    for the median, one partial-agg'd shuffle onto treatments.
+    Returns (group_cols..., k, n, grand_median, chi2)."""
+    from pyspark.sql import Window
+
+    gc = list(group_cols or [])
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(treatment_col).isNotNull()
+    ).select(
+        *gc,
+        F.col(treatment_col).alias("_t"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    cells = base.groupBy(*gc, "_v").agg(F.count(F.lit(1)).alias("_c"))
+    w = (
+        Window.partitionBy(*gc)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = cells.groupBy(*gc).agg(F.sum("_c").alias("n"))
+    cum = cells.withColumn("_cum", F.sum("_c").over(w))
+    cum = cum.join(tot, gc) if gc else cum.crossJoin(F.broadcast(tot))
+    med = (
+        cum.filter(2 * F.col("_cum") >= F.col("n"))
+        .groupBy(*gc, "n")
+        .agg(F.min("_v").alias("grand_median"))
+    )
+    base_m = (
+        base.join(med, gc) if gc else base.crossJoin(F.broadcast(med))
+    )
+    per_t = base_m.groupBy(*gc, "n", "grand_median", "_t").agg(
+        F.count(F.lit(1)).alias("_nj"),
+        F.sum(
+            F.when(F.col("_v") > F.col("grand_median"), 1).otherwise(0)
+        ).alias("_aj"),
+    )
+    agg = per_t.groupBy(*gc, "n", "grand_median").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("_aj").alias("_A"),
+        F.sort_array(
+            F.collect_list(F.struct("_t", "_aj", "_nj"))
+        ).alias("_ta"),
+    )
+    # Σ_j a_j²/n_j in sorted treatment order — each term one IEEE
+    # division over exact longs, folded deterministically (the
+    # kruskal G2 sorted-fold discipline)
+    sa2 = F.aggregate(
+        F.col("_ta"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + x["_aj"].cast("double")
+        * x["_aj"].cast("double")
+        / x["_nj"].cast("double"),
+    )
+    nd = F.col("n").cast("double")
+    ad = F.col("_A").cast("double")
+    bd = (F.col("n") - F.col("_A")).cast("double")
+    chi2 = F.when(
+        (F.col("_A") > 0) & (F.col("_A") < F.col("n")) & (F.col("k") > 1),
+        nd * (nd * sa2 - ad * ad) / (ad * bd),
+    )
+    return agg.select(
+        *gc, "k", "n", "grand_median", chi2.alias("chi2")
+    )
+
+
+def benjamini_hochberg(
+    df: DataFrame,
+    p_col: str,
+    id_cols: list[str],
+    family_cols: list[str] | None = None,
+    out_col: str = "p_adj",
+) -> DataFrame:
+    """Benjamini–Hochberg FDR adjustment per family (Benjamini &
+    Hochberg 1995) — the multiple-testing step the post-hoc tier
+    (dunn_test / conover_iman / pairwise two_proportion sweeps)
+    feeds: rank the family's m p-values ascending, then
+
+        p_adj(i) = min(1, min_{j ≥ i} p(j)·m/j)
+
+    — the step-up running minimum from the largest rank down.
+    Each p·m/j is ONE IEEE multiply + divide over the exact rank
+    integers; the reverse cumulative MIN and the final cap are
+    order-operations, so the whole column is hash-exact given a
+    deterministic rank order — ties on p break by `id_cols` (the
+    adjusted SET is invariant to tie order, but per-row attribution
+    needs the total order pinned for cross-engine identity).
+
+    NULL p-values pass through with NULL p_adj and do NOT count
+    toward m (the pairwise-complete discipline).
+
+    Plan: one window pass per family (rank + reverse running min
+    over the same sort), no joins; families are independent so the
+    window partitions by them — bounded frames, no SinglePartition
+    when `family_cols` is set.  With no families the single window
+    is over m = |tests| rows — the post-hoc tables this adjusts are
+    k(k−1)/2-bounded, which is the documented frame contract.
+    Returns df's columns + (rank, m, out_col)."""
+    from pyspark.sql import Window
+
+    fc = list(family_cols or [])
+    ok = df.filter(F.col(p_col).isNotNull())
+    nulls = df.filter(F.col(p_col).isNull())
+    part = Window.partitionBy(*fc) if fc else Window.partitionBy(F.lit(1))
+    order = [F.col(p_col)] + [F.col(c) for c in id_cols]
+    w_rank = part.orderBy(*order)
+    w_min = part.orderBy(*[o.desc() for o in order]).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = ok.withColumn("rank", F.row_number().over(w_rank)).withColumn(
+        "m", F.count(F.lit(1)).over(part.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        ))
+    )
+    stepped = ranked.withColumn(
+        out_col,
+        F.least(
+            F.lit(1.0),
+            F.min(
+                F.col(p_col)
+                * F.col("m").cast("double")
+                / F.col("rank").cast("double")
+            ).over(w_min),
+        ),
+    )
+    padded = nulls.select(
+        "*",
+        F.lit(None).cast("int").alias("rank"),
+        F.lit(None).cast("long").alias("m"),
+        F.lit(None).cast("double").alias(out_col),
+    )
+    return stepped.unionByName(padded)
+
+
+def sign_test(
+    df: DataFrame,
+    diff_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact two-sided sign test per group (Arbuthnott 1710; the
+    oldest test there is) — the sign of `diff_col` is the evidence:
+    n_pos ups vs n_neg downs, zeros dropped (the standard
+    convention), and the p-value is the EXACT binomial tail
+
+        p = min(1, 2·P(Bin(n, ½) ≤ min(n_pos, n_neg)))
+
+    — no normal approximation.  The tail is a per-row fold over
+    i = 1..m: c_i = c_{i−1}·(n−i+1)/i starting from c_0 = 2^{−n}
+    (pow(2, −n) is exact — a power of two), each step two
+    correctly-rounded IEEE ops in a FIXED order, so the p column is
+    hash-exact cross-engine (DuckDB replays the identical fold via
+    list_reduce).  For n ≤ 52 every term is a dyadic rational and p
+    is EXACT, not just reproducible.  n ≳ 1000 underflows c_0 to
+    subnormals — at that size the evidence is overwhelming anyway
+    and p degrades gracefully toward 0.
+
+    Feeds `benjamini_hochberg` directly: run one sign test per
+    stratum, then adjust the family.
+
+    Plan: one partial-agg'd shuffle onto |groups| rows; the fold is
+    a scalar expression over a ≤ min(n_pos,n_neg)-element sequence
+    per OUTPUT row, never over data rows.  Returns (group_cols...,
+    n, n_pos, n_neg, p); empty groups (all zero diffs) yield p
+    NULL."""
+    gc = list(group_cols or [])
+    agg = (
+        df.filter(F.col(diff_col).isNotNull() & (F.col(diff_col) != 0))
+        .groupBy(*gc)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col(diff_col) > 0, 1).otherwise(0)
+            ).alias("n_pos"),
+        )
+    )
+    m = F.least(F.col("n_pos"), F.col("n") - F.col("n_pos"))
+    c0 = F.pow(F.lit(2.0), (-F.col("n")).cast("double"))
+    nd = F.col("n").cast("double")
+    # fold state [c_i, tail_i]; the c-term is recomputed in both
+    # slots — identical expression, identical rounding
+    step = lambda acc, i: F.array(  # noqa: E731
+        acc[0] * (nd - i.cast("double") + 1) / i.cast("double"),
+        acc[1] + acc[0] * (nd - i.cast("double") + 1) / i.cast("double"),
+    )
+    tail = F.when(
+        m >= 1,
+        F.aggregate(
+            F.sequence(F.lit(1), m.cast("int")),
+            F.array(c0, c0),
+            step,
+        )[1],
+    ).otherwise(c0)
+    p = F.when(F.col("n") > 0, F.least(F.lit(1.0), 2 * tail))
+    return agg.select(
+        *gc,
+        "n",
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).alias("n_neg"),
+        p.alias("p"),
+    )

@@ -14670,3 +14670,312 @@ def q327(spark, sf_dir):
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     return conover_iman(ev, "cents", "event_type")
+
+
+@_register(
+    "q328_mann_kendall",
+    """
+    WITH b AS (SELECT event_type AS g,
+                      CAST(date_diff('day', DATE '2024-01-01',
+                                     CAST(ts AS DATE)) AS BIGINT) AS x,
+                      CAST(round(value) AS BIGINT) // 10 AS y
+               FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    cells AS (SELECT g, x, y, CAST(COUNT(*) AS BIGINT) AS c
+              FROM b GROUP BY 1, 2, 3),
+    s AS (SELECT a.g,
+                 CAST(SUM(CASE WHEN bb.y > a.y THEN a.c * bb.c
+                               WHEN bb.y < a.y THEN -(a.c * bb.c)
+                               ELSE 0 END) AS BIGINT) AS s
+          FROM cells a JOIN cells bb ON a.g = bb.g AND a.x < bb.x
+          GROUP BY 1),
+    nt AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY 1),
+    tx AS (SELECT g,
+                  SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS t25,
+                  SUM(CAST(t AS HUGEINT) * (t - 1) * (t - 2)) AS t3,
+                  SUM(CAST(t AS HUGEINT) * (t - 1)) AS t2,
+                  CAST(SUM((t * (t - 1)) // 2) AS BIGINT) AS tie_time
+           FROM (SELECT g, x, CAST(SUM(c) AS BIGINT) AS t
+                 FROM cells GROUP BY 1, 2) q GROUP BY 1),
+    ty AS (SELECT g,
+                  SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS u25,
+                  SUM(CAST(t AS HUGEINT) * (t - 1) * (t - 2)) AS u3,
+                  SUM(CAST(t AS HUGEINT) * (t - 1)) AS u2,
+                  CAST(SUM((t * (t - 1)) // 2) AS BIGINT) AS tie_value
+           FROM (SELECT g, y, CAST(SUM(c) AS BIGINT) AS t
+                 FROM cells GROUP BY 1, 2) q GROUP BY 1),
+    j AS (SELECT nt.g, n, COALESCE(s.s, 0) AS s,
+                 t25, t3, t2, tie_time, u25, u3, u2, tie_value,
+                 CAST(n AS HUGEINT) * (n - 1) * (n - 2)
+                   * (CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5)
+                      - t25 - u25)
+                 + 2 * t3 * u3
+                 + 9 * (CAST(n AS HUGEINT) - 2) * t2 * u2 AS var_num,
+                 18 * CAST(n AS HUGEINT) * (n - 1) * (n - 2) AS var_den
+          FROM nt LEFT JOIN s ON nt.g = s.g
+                  JOIN tx ON nt.g = tx.g JOIN ty ON nt.g = ty.g)
+    SELECT g AS event_type, n, s, tie_time, tie_value,
+           CASE WHEN n >= 3
+                 AND CAST(var_num AS DOUBLE) / CAST(var_den AS DOUBLE) > 0
+                THEN (CAST(s AS DOUBLE) - CAST(sign(s) AS DOUBLE))
+                     / sqrt(CAST(var_num AS DOUBLE)
+                            / CAST(var_den AS DOUBLE))
+                END AS z
+    FROM j
+    """,
+)
+def q328(spark, sf_dir):
+    """Mann-Kendall trend test (operators.robust.mann_kendall) of
+    $10 value band against event day per event_type: the corpus
+    collapses to bounded (day, band) CELLS in one partial-agg'd
+    shuffle (30 days x ~50 bands -- the kendall_tau_b contract that
+    keeps the pair algebra off raw rows at 100 TB), S comes off the
+    cell self-join as an exact int64, and the variance carries
+    Kendall's FULL two-axis tie correction (many events share a day
+    -- the time-tie terms are load-bearing here, not decoration) in
+    DECIMAL(38,0)/HUGEINT.  z is one division + one sqrt over
+    correctly-rounded casts: hash-exact FULL oracle."""
+    from hadron_spark.operators.robust import mann_kendall
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "day"
+        ),
+        F.expr("cast(round(value) as bigint) div 10").alias("band"),
+    )
+    return mann_kendall(ev, "day", "band", ["event_type"])
+
+
+@_register(
+    "q329_cochran_q",
+    """
+    WITH cell AS (SELECT user_id AS b, event_type AS t,
+                         CAST(MAX(CASE WHEN value > 50 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS y
+                  FROM events
+                  WHERE value IS NOT NULL AND user_id IS NOT NULL
+                    AND event_type IS NOT NULL
+                  GROUP BY 1, 2),
+    kk AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS k FROM cell),
+    rows_ AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS m,
+                     CAST(SUM(y) AS BIGINT) AS l
+              FROM cell GROUP BY 1),
+    complete AS (SELECT b, l FROM rows_, kk WHERE m = kk.k),
+    blocks AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                      CAST(SUM(l) AS BIGINT) AS tt,
+                      CAST(SUM(l * l) AS BIGINT) AS l2
+               FROM complete),
+    g2t AS (SELECT CAST(SUM(gg * gg) AS BIGINT) AS g2 FROM
+            (SELECT t, SUM(y) AS gg
+             FROM cell JOIN complete USING (b) GROUP BY 1) q)
+    SELECT kk.k, n_blocks,
+           CASE WHEN kk.k > 1 AND kk.k * tt - l2 > 0
+                THEN CAST((kk.k - 1) * (kk.k * g2 - tt * tt) AS DOUBLE)
+                     / CAST(kk.k * tt - l2 AS DOUBLE) END AS q
+    FROM blocks, g2t, kk
+    """,
+)
+def q329(spark, sf_dir):
+    """Cochran's Q test (operators.robust.cochran_q): did users'
+    propensity to exceed $50 differ across the five event types,
+    blocked by user -- each (user, type) cell binarized to "ever
+    exceeded", incomplete users dropped whole (the complete-block
+    design).  Every term (column sums G_j, row sums L_i, T) is an
+    exact int64; Q is ONE division of two correctly-rounded casts:
+    hash-exact FULL oracle."""
+    from hadron_spark.operators.robust import cochran_q
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    cell = ev.groupBy("user_id", "event_type").agg(
+        F.max(F.when(F.col("value") > 50, 1).otherwise(0))
+        .cast("long")
+        .alias("y")
+    )
+    return cochran_q(cell, "user_id", "event_type", "y")
+
+
+@_register(
+    "q330_mood_median",
+    """
+    WITH base AS (SELECT source AS t, n_chars AS v FROM documents
+                  WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+    cells AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+    cum AS (SELECT v, SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS cm FROM cells),
+    med AS (SELECT CAST(MIN(v) AS BIGINT) AS gm FROM cum, tot
+            WHERE 2 * cm >= n),
+    per_t AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS nj,
+                     CAST(SUM(CASE WHEN v > gm THEN 1 ELSE 0 END)
+                          AS BIGINT) AS aj
+              FROM base, med GROUP BY 1),
+    agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(aj) AS BIGINT) AS a,
+                   list_reduce(
+                     list_transform(
+                       list_sort(list(struct_pack(t := t, aj := aj,
+                                                  nj := nj))),
+                       x -> CAST(x.aj AS DOUBLE) * CAST(x.aj AS DOUBLE)
+                            / CAST(x.nj AS DOUBLE)),
+                     (acc, x) -> acc + x) AS sa2
+            FROM per_t)
+    SELECT k, n, gm AS grand_median,
+           CASE WHEN a > 0 AND a < n AND k > 1
+                THEN CAST(n AS DOUBLE)
+                     * (CAST(n AS DOUBLE) * sa2
+                        - CAST(a AS DOUBLE) * CAST(a AS DOUBLE))
+                     / (CAST(a AS DOUBLE) * CAST(n - a AS DOUBLE))
+                END AS chi2
+    FROM agg, tot, med
+    """,
+)
+def q330(spark, sf_dir):
+    """Mood's median test (operators.robust.mood_median_test) of doc
+    length across the 20 sources: pooled LOWER median over n_chars
+    value cells (an actual data value, exact integers, the q298/q326
+    convention), k x 2 above/not-above counts, and the Pearson chi2
+    in the exact-integer form N(N*sum(a^2/n_j) - A^2)/(A*B) with the
+    j-sum a sorted fold of one-division terms (the kruskal G2
+    discipline).  Hash-exact FULL oracle."""
+    from hadron_spark.operators.robust import mood_median_test
+
+    docs = load(spark, sf_dir, "documents")
+    return mood_median_test(docs, "n_chars", "source")
+
+
+@_register(
+    "q331_sign_test",
+    """
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+                          CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                               AS BIGINT) AS cents
+                   FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    deltas AS (SELECT event_type,
+                      cents - lag(cents) OVER (PARTITION BY event_type
+                                               ORDER BY d) AS delta
+               FROM daily),
+    agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pos
+            FROM deltas WHERE delta IS NOT NULL AND delta <> 0
+            GROUP BY 1),
+    folded AS (SELECT event_type, n, n_pos, n - n_pos AS n_neg,
+                      least(n_pos, n - n_pos) AS m,
+                      pow(2.0, -CAST(n AS DOUBLE)) AS c0
+               FROM agg)
+    SELECT event_type, n, n_pos, n_neg,
+           least(1.0, 2 * CASE WHEN m >= 1 THEN
+             list_reduce(
+               [[c0, c0]] || [[CAST(i AS DOUBLE), 0.0]
+                              FOR i IN range(1, CAST(m AS INT) + 1)],
+               (acc, x) -> [acc[1] * (CAST(n AS DOUBLE) - x[1] + 1)
+                              / x[1],
+                            acc[2] + acc[1]
+                              * (CAST(n AS DOUBLE) - x[1] + 1) / x[1]]
+             )[2]
+             ELSE c0 END) AS p
+    FROM folded
+    """,
+)
+def q331(spark, sf_dir):
+    """Exact two-sided sign test (operators.robust.sign_test) on
+    day-over-day movement of total event value per event type: daily
+    totals in exact cents, consecutive deltas off a per-type lag
+    window (30-day bounded frame), then the EXACT binomial tail --
+    no normal approximation; the tail is a fixed-order fold
+    c_i = c_{i-1}(n-i+1)/i from c0 = 2^-n, every step two
+    correctly-rounded IEEE ops the oracle replays verbatim via
+    list_reduce.  For n <= 52 the p-values are dyadic rationals --
+    EXACT, not just reproducible.  Hash-exact FULL oracle."""
+    from hadron_spark.operators.robust import sign_test
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    deltas = daily.select(
+        "event_type",
+        (F.col("cents") - F.lag("cents").over(w)).alias("delta"),
+    )
+    return sign_test(deltas, "delta", ["event_type"])
+
+
+@_register(
+    "q332_bh_fdr",
+    """
+    WITH daily AS (SELECT event_type, user_id % 10 AS bucket,
+                          CAST(ts AS DATE) AS d,
+                          CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                               AS BIGINT) AS cents
+                   FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+    deltas AS (SELECT event_type, bucket,
+                      cents - lag(cents) OVER (PARTITION BY event_type,
+                        bucket ORDER BY d) AS delta
+               FROM daily),
+    agg AS (SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pos
+            FROM deltas WHERE delta IS NOT NULL AND delta <> 0
+            GROUP BY 1, 2),
+    folded AS (SELECT event_type, bucket, n, n_pos, n - n_pos AS n_neg,
+                      least(n_pos, n - n_pos) AS m,
+                      pow(2.0, -CAST(n AS DOUBLE)) AS c0
+               FROM agg),
+    tests AS (SELECT event_type, bucket, n, n_pos, n_neg,
+                     least(1.0, 2 * CASE WHEN m >= 1 THEN
+                       list_reduce(
+                         [[c0, c0]] || [[CAST(i AS DOUBLE), 0.0]
+                            FOR i IN range(1, CAST(m AS INT) + 1)],
+                         (acc, x) -> [acc[1]
+                              * (CAST(n AS DOUBLE) - x[1] + 1) / x[1],
+                            acc[2] + acc[1]
+                              * (CAST(n AS DOUBLE) - x[1] + 1) / x[1]]
+                       )[2]
+                       ELSE c0 END) AS p
+              FROM folded),
+    ranked AS (SELECT *,
+                      CAST(row_number() OVER (ORDER BY p, event_type,
+                        bucket) AS INT) AS rank,
+                      CAST(COUNT(*) OVER () AS BIGINT) AS m
+               FROM tests)
+    SELECT event_type, bucket, n, n_pos, n_neg, p, rank, m,
+           least(1.0, MIN(p * CAST(m AS DOUBLE) / CAST(rank AS DOUBLE))
+                 OVER (ORDER BY p DESC, event_type DESC, bucket DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             AS p_adj
+    FROM ranked
+    """,
+)
+def q332(spark, sf_dir):
+    """Benjamini-Hochberg FDR sweep (operators.robust
+    .benjamini_hochberg) over a FAMILY of 50 exact sign tests -- one
+    per (event_type, user-bucket) stratum, the multiple-testing
+    composition the post-hoc tier exists for: every raw p is the
+    q331 dyadic-exact binomial tail, ranks break p-ties on the id
+    columns (pinned total order, cross-engine identical), and
+    p_adj(i) = min(1, min_{j>=i} p(j)*m/j) is a reverse running min
+    over one window pass -- one IEEE multiply + divide per row.
+    Hash-exact FULL oracle."""
+    from hadron_spark.operators.robust import benjamini_hochberg, sign_test
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        (F.col("user_id") % 10).alias("bucket"),
+        F.to_date("ts").alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    w = Window.partitionBy("event_type", "bucket").orderBy("d")
+    deltas = daily.select(
+        "event_type",
+        "bucket",
+        (F.col("cents") - F.lag("cents").over(w)).alias("delta"),
+    )
+    st = sign_test(deltas, "delta", ["event_type", "bucket"])
+    return benjamini_hochberg(st, "p", ["event_type", "bucket"])

@@ -2259,3 +2259,220 @@ def test_conover_iman_reference(spark):
         "y", "g",
     ).collect()
     assert all(r["t"] is None for r in flat)
+
+
+def test_mann_kendall_reference(spark):
+    """Mann-Kendall S / tie-corrected variance / continuity-corrected
+    z vs a pure-python mirror of Kendall's full two-axis tie formula;
+    degenerate guards (n < 3, all-tied values)."""
+    import math
+    from collections import Counter
+
+    from hadron_spark.operators.robust import mann_kendall
+
+    # ties on both axes: times [1,1,2,3,4,5], values with a tie run
+    data = [(1, 5), (1, 7), (2, 5), (3, 9), (4, 9), (5, 12)]
+    df = spark.createDataFrame(data, "t long, y long")
+    r = mann_kendall(df, "t", "y").collect()[0]
+
+    n = len(data)
+    s_ref = 0
+    for i in range(n):
+        for j in range(n):
+            if data[i][0] < data[j][0]:
+                d = data[j][1] - data[i][1]
+                s_ref += (d > 0) - (d < 0)
+    tt = Counter(t for t, _ in data).values()
+    uu = Counter(y for _, y in data).values()
+
+    def k25(sizes):
+        return sum(x * (x - 1) * (2 * x + 5) for x in sizes)
+
+    def k3(sizes):
+        return sum(x * (x - 1) * (x - 2) for x in sizes)
+
+    def k2(sizes):
+        return sum(x * (x - 1) for x in sizes)
+
+    var_num = (
+        n * (n - 1) * (n - 2)
+        * (n * (n - 1) * (2 * n + 5) - k25(tt) - k25(uu))
+        + 2 * k3(tt) * k3(uu)
+        + 9 * (n - 2) * k2(tt) * k2(uu)
+    )
+    var = var_num / (18 * n * (n - 1) * (n - 2))
+    z_ref = (s_ref - (s_ref > 0) + (s_ref < 0)) / math.sqrt(var)
+    assert r["n"] == n and r["s"] == s_ref
+    assert r["tie_time"] == sum(x * (x - 1) // 2 for x in tt)
+    assert r["tie_value"] == sum(x * (x - 1) // 2 for x in uu)
+    assert abs(r["z"] - z_ref) < 1e-12
+
+    # no-ties sanity: reduces to the textbook variance n(n-1)(2n+5)/18
+    clean = [(i, v) for i, v in enumerate([3, 1, 4, 1 + 10, 5, 9, 2, 6])]
+    rc = mann_kendall(
+        spark.createDataFrame(clean, "t long, y long"), "t", "y"
+    ).collect()[0]
+    s2 = sum(
+        (b[1] > a[1]) - (b[1] < a[1])
+        for i, a in enumerate(clean)
+        for b in clean[i + 1:]
+    )
+    m = len(clean)
+    vref = m * (m - 1) * (2 * m + 5) / 18.0
+    zref = (s2 - (s2 > 0) + (s2 < 0)) / math.sqrt(vref)
+    assert rc["s"] == s2 and abs(rc["z"] - zref) < 1e-12
+
+    # degenerate: n < 3 -> z NULL; all-tied values -> var 0 -> NULL
+    small = mann_kendall(
+        spark.createDataFrame([(1, 2), (2, 3)], "t long, y long"), "t", "y"
+    ).collect()[0]
+    assert small["z"] is None
+    flat = mann_kendall(
+        spark.createDataFrame([(1, 5), (2, 5), (3, 5)], "t long, y long"),
+        "t", "y",
+    ).collect()[0]
+    assert flat["s"] == 0 and flat["z"] is None
+
+
+def test_cochran_q_reference(spark):
+    """Cochran's Q vs the textbook formula on a planted 3-treatment
+    design; incomplete blocks dropped whole; degenerate guard."""
+    # blocks x treatments (binary), block 'b9' incomplete -> dropped
+    grid = {
+        "b1": (1, 1, 0), "b2": (1, 0, 0), "b3": (1, 1, 1),
+        "b4": (0, 0, 0), "b5": (1, 1, 0), "b6": (1, 0, 1),
+        "b7": (1, 1, 0), "b8": (0, 1, 0),
+    }
+    from hadron_spark.operators.robust import cochran_q
+
+    rows = [
+        (b, f"t{j}", v)
+        for b, vs in grid.items()
+        for j, v in enumerate(vs)
+    ] + [("b9", "t0", 1)]
+    df = spark.createDataFrame(rows, "blk string, trt string, y int")
+    r = cochran_q(df, "blk", "trt", "y").collect()[0]
+
+    k = 3
+    gj = [sum(vs[j] for vs in grid.values()) for j in range(k)]
+    li = [sum(vs) for vs in grid.values()]
+    t = sum(gj)
+    q_ref = (k - 1) * (k * sum(g * g for g in gj) - t * t) / (
+        k * t - sum(x * x for x in li)
+    )
+    assert r["k"] == 3 and r["n_blocks"] == 8
+    assert abs(r["q"] - q_ref) < 1e-12
+
+    # degenerate: every block all-1 -> denominator 0 -> NULL
+    flat = cochran_q(
+        spark.createDataFrame(
+            [(b, t_, 1) for b in ("x", "y") for t_ in ("a", "b")],
+            "blk string, trt string, y int",
+        ),
+        "blk", "trt", "y",
+    ).collect()[0]
+    assert flat["q"] is None
+
+
+def test_mood_median_reference(spark):
+    """Mood's median test vs a pure-python k x 2 Pearson chi2 on the
+    pooled lower-median split; degenerate guard (one-sided split)."""
+    data = {
+        "a": [1, 3, 3, 5, 7, 2],
+        "b": [2, 3, 6, 8, 8, 9],
+        "c": [5, 9, 10, 12, 4],
+    }
+    from hadron_spark.operators.robust import mood_median_test
+
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, y long")
+    r = mood_median_test(df, "y", "g").collect()[0]
+
+    pooled = sorted(v for vs in data.values() for v in vs)
+    n = len(pooled)
+    # lower weighted median: smallest value with 2*cum >= n
+    cum = 0
+    for v in pooled:
+        cum += 1
+        if 2 * cum >= n:
+            med = v
+            break
+    aj = {g: sum(1 for v in vs if v > med) for g, vs in data.items()}
+    nj = {g: len(vs) for g, vs in data.items()}
+    a_tot = sum(aj.values())
+    b_tot = n - a_tot
+    chi2_ref = 0.0
+    for g in data:
+        ea = nj[g] * a_tot / n
+        eb = nj[g] * b_tot / n
+        chi2_ref += (aj[g] - ea) ** 2 / ea + (nj[g] - aj[g] - eb) ** 2 / eb
+    assert r["grand_median"] == med and r["n"] == n and r["k"] == 3
+    assert abs(r["chi2"] - chi2_ref) < 1e-10
+
+    # degenerate: all values equal -> A == 0 -> NULL
+    flat = mood_median_test(
+        spark.createDataFrame(
+            [("a", 5), ("a", 5), ("b", 5)], "g string, y long"
+        ),
+        "y", "g",
+    ).collect()[0]
+    assert flat["chi2"] is None
+
+
+def test_benjamini_hochberg_reference(spark):
+    """BH step-up adjusted p-values vs the statsmodels-definition
+    python mirror; monotonicity; cap at 1; NULL pass-through."""
+    ps = [0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205, 0.5, 0.99]
+    from hadron_spark.operators.robust import benjamini_hochberg
+
+    rows = [(f"t{i:02d}", p) for i, p in enumerate(ps)] + [("tnull", None)]
+    df = spark.createDataFrame(rows, "test_id string, p double")
+    got = {
+        r["test_id"]: r
+        for r in benjamini_hochberg(df, "p", ["test_id"]).collect()
+    }
+
+    m = len(ps)
+    ref = [p * m / (i + 1) for i, p in enumerate(sorted(ps))]
+    for i in range(m - 2, -1, -1):
+        ref[i] = min(ref[i], ref[i + 1])
+    ref = [min(1.0, x) for x in ref]
+    order = sorted(range(m), key=lambda i: ps[i])
+    for rank0, idx in enumerate(order):
+        r = got[f"t{idx:02d}"]
+        assert r["rank"] == rank0 + 1 and r["m"] == m
+        assert abs(r["p_adj"] - ref[rank0]) < 1e-15
+    # adjusted values are monotone in rank and never below raw p
+    adj = [got[f"t{idx:02d}"]["p_adj"] for idx in order]
+    assert adj == sorted(adj)
+    assert all(a >= p - 1e-15 for a, p in zip(adj, sorted(ps)))
+    nul = got["tnull"]
+    assert nul["p_adj"] is None and nul["rank"] is None and nul["m"] is None
+
+
+def test_sign_test_reference(spark):
+    """Exact two-sided sign test vs scipy-definition python mirror
+    (exact binomial tail, zeros dropped); dyadic exactness for small
+    n; degenerate all-zero group."""
+    from math import comb
+
+    from hadron_spark.operators.robust import sign_test
+
+    cases = {"a": [1, 1, 1, -1, 1, 1, 0, 1], "b": [1, -1, 1, -1, 0, 0]}
+    rows = [(g, float(v)) for g, vs in cases.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, d double")
+    got = {r["g"]: r for r in sign_test(df, "d", ["g"]).collect()}
+    for g, vs in cases.items():
+        nz = [v for v in vs if v != 0]
+        n, pos = len(nz), sum(1 for v in nz if v > 0)
+        m = min(pos, n - pos)
+        p_ref = min(1.0, 2 * sum(comb(n, i) for i in range(m + 1)) / 2**n)
+        r = got[g]
+        assert r["n"] == n and r["n_pos"] == pos and r["n_neg"] == n - pos
+        # dyadic for n <= 52: equality is EXACT
+        assert r["p"] == p_ref
+    # all-zero diffs: the group vanishes (no evidence either way)
+    empty = sign_test(
+        spark.createDataFrame([("z", 0.0)], "g string, d double"), "d", ["g"]
+    ).collect()
+    assert empty == []
