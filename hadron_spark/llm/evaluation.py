@@ -1046,3 +1046,267 @@ def mcnemar(
         F.when(F.col("b") + F.col("c") > 0, d * d / tot).alias("chi2"),
         F.when(F.col("b") + F.col("c") > 0, cc * cc / tot).alias("chi2_cc"),
     )
+
+
+def pass_at_k(
+    df: DataFrame,
+    task_col: str,
+    passed_col: str,
+    ks: list[int],
+    group_cols: list[str] | None = None,
+    summarize: bool = False,
+) -> DataFrame:
+    """pass@k per task — the UNBIASED estimator of Chen et al. 2021
+    (Codex, eq. 2): given n samples per task with c passing,
+
+        pass@k = 1 − C(n−c, k)/C(n, k)
+
+    — NOT the naive "fraction of tasks with a pass in the first k",
+    which is biased low and sample-order-dependent.  The ratio is
+    the Codex paper's own numerically-stable product form,
+    Π_{i<k} (n−c−i)/(n−i), folded as k fixed-order multiply-divide
+    steps over exact small-int casts — every intermediate ≤ 1, no
+    big-integer cast anywhere (a falling-factorial DECIMAL→double
+    cast is NOT correctly rounded in every engine — measured 1-ulp
+    drift at n ≈ 660, k = 10), so the column is hash-exact with NO
+    size bound on n.  k > n yields NULL (undefined — fewer samples
+    than draws); c = 0 gives exactly 0.0, n − c < k exactly 1.0, by
+    construction (a zero factor) rather than by clamping.
+
+    With `summarize=True` the per-task rows collapse to the
+    benchmark score: mean pass@k per k over tasks, summed via the
+    task-sorted fold (the kruskal G2 discipline) so the mean is
+    hash-exact too.
+
+    Plan: one partial-agg'd shuffle onto tasks, a |ks|-way literal
+    explode, scalar folds per output row; the summary adds one more
+    shuffle onto |ks| rows.  Returns (group_cols..., task, n, c, k,
+    pass_at_k) or, summarized, (group_cols..., k, n_tasks,
+    mean_pass_at_k)."""
+    if not ks or any(k < 1 for k in ks):
+        raise ValueError(f"ks must be non-empty positive ints: {ks}")
+    gc = list(group_cols or [])
+    per_task = (
+        df.filter(
+            F.col(task_col).isNotNull() & F.col(passed_col).isNotNull()
+        )
+        .groupBy(*gc, F.col(task_col).alias("task"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(passed_col).cast("long")).alias("c"),
+        )
+    )
+    ked = per_task.select(
+        *gc,
+        "task",
+        "n",
+        "c",
+        F.explode(F.array(*[F.lit(int(k)) for k in sorted(set(ks))])).alias(
+            "k"
+        ),
+    )
+
+    ratio = F.aggregate(
+        F.sequence(F.lit(0), F.col("k") - 1),
+        F.lit(1.0),
+        lambda acc, i: acc
+        * (F.col("n") - F.col("c") - i).cast("double")
+        / (F.col("n") - i).cast("double"),
+    )
+    p = F.when(F.col("k") <= F.col("n"), F.lit(1.0) - ratio)
+    out = ked.select(*gc, "task", "n", "c", "k", p.alias("pass_at_k"))
+    if not summarize:
+        return out
+    agg = (
+        out.filter(F.col("pass_at_k").isNotNull())
+        .groupBy(*gc, "k")
+        .agg(
+            F.count(F.lit(1)).alias("n_tasks"),
+            F.sort_array(
+                F.collect_list(F.struct("task", "pass_at_k"))
+            ).alias("_ta"),
+        )
+    )
+    mean = (
+        F.aggregate(
+            F.col("_ta"),
+            F.lit(0.0),
+            lambda acc, x: acc + x["pass_at_k"],
+        )
+        / F.col("n_tasks").cast("double")
+    )
+    return agg.select(*gc, "k", "n_tasks", mean.alias("mean_pass_at_k"))
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    max_raters: int = 16,
+) -> DataFrame:
+    """Krippendorff's alpha per group, NOMINAL metric (Krippendorff
+    2004) — the annotation-agreement number that, unlike
+    `cohens_kappa` (exactly 2 raters) and `fleiss_kappa` (complete
+    rectangular design), is built for the real shape of labeling
+    jobs: any number of raters per unit, missing ratings ignored per
+    unit rather than dropping the unit.
+
+    Computed EXACTLY: units with m_u ≥ 2 ratings contribute the
+    within-unit disagreement A_u = Σ_c n_uc(m_u − n_uc) weighted
+    1/(m_u − 1); multiplying through by L = lcm(1..max_raters−1)
+    clears every denominator, so
+
+        alpha = 1 − (n−1)·S_L / (L·Σ_c n_c(n − n_c)),
+
+    with S_L = Σ_u A_u·L/(m_u − 1) — ALL integer terms (DECIMAL(38,0);
+    with the default max_raters=16, L = 360360 and the bound is
+    n < 10¹⁵ ratings) and ONE final division: hash-exact, no sorted
+    fold needed.  Units with more than `max_raters` ratings RAISE
+    (silently mis-weighting them is the page_trend bias class —
+    widen the parameter instead; max_raters ≤ 42 keeps L in int64,
+    ≤ 96 in decimal).
+
+    Plan: one shuffle onto (unit, value) cells, one onto units, one
+    onto values, all partial-agg'd; joins collapse onto |groups|
+    rows.  Returns (group_cols..., n_units, n_ratings, alpha);
+    all-one-category groups (zero expected disagreement) yield alpha
+    NULL."""
+    from math import lcm
+
+    if not 2 <= max_raters <= 42:
+        raise ValueError(f"max_raters must be in [2, 42]: {max_raters}")
+    L = lcm(*range(1, max_raters))
+    gc = list(group_cols or [])
+    base = df.filter(
+        F.col(unit_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        *gc, F.col(unit_col).alias("_u"), F.col(value_col).alias("_v")
+    )
+    cells = base.groupBy(*gc, "_u", "_v").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    units = cells.groupBy(*gc, "_u").agg(
+        F.sum("_c").alias("_m"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_c2"),
+    )
+    over = units.filter(F.col("_m") > max_raters)
+    if over.limit(1).count() > 0:
+        raise ValueError(
+            f"a unit has more than max_raters={max_raters} ratings; "
+            f"widen max_raters (<= 96)"
+        )
+    # A_u = Σ_c n_uc(m_u − n_uc) = m_u² − Σ n_uc²; the weight
+    # L/(m_u−1) is an exact integer by construction of L, emitted
+    # as a LITERAL per possible m (a double division of L would
+    # round past 2^53; a decimal division would force a scale)
+    usable = units.filter(F.col("_m") >= 2)
+    weight = F.coalesce(
+        *[
+            F.when(
+                F.col("_m") == m,
+                F.lit(str(L // (m - 1))).cast("decimal(38,0)"),
+            )
+            for m in range(2, max_raters + 1)
+        ]
+    )
+    s = usable.groupBy(*gc).agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("_m").alias("n_ratings"),
+        F.sum(
+            (F.col("_m") * F.col("_m") - F.col("_c2")).cast("decimal(38,0)")
+            * weight
+        ).alias("_sl"),
+    )
+    keep = usable.select(*gc, "_u")
+    nc = (
+        cells.join(keep, [*gc, "_u"])
+        .groupBy(*gc, "_v")
+        .agg(F.sum("_c").alias("_nc"))
+    )
+    d = nc.join(
+        s.select(*gc, F.col("n_ratings").alias("_n")), gc
+    ) if gc else nc.crossJoin(
+        F.broadcast(s.select(F.col("n_ratings").alias("_n")))
+    )
+    d = d.groupBy(*gc).agg(
+        F.sum(
+            F.col("_nc").cast("decimal(38,0)")
+            * (F.col("_n") - F.col("_nc")).cast("decimal(38,0)")
+        ).alias("_d")
+    )
+    j = s.join(d, gc) if gc else s.crossJoin(F.broadcast(d))
+    alpha = F.when(
+        F.col("_d") > 0,
+        F.lit(1.0)
+        - (
+            (F.col("n_ratings") - 1).cast("decimal(38,0)") * F.col("_sl")
+        ).cast("double")
+        / (F.lit(L).cast("decimal(38,0)") * F.col("_d")).cast("double"),
+    )
+    return j.select(*gc, "n_units", "n_ratings", alpha.alias("alpha"))
+
+
+def reciprocal_rank_fusion(
+    df: DataFrame,
+    query_col: str,
+    doc_col: str,
+    ranker_col: str,
+    rank_col: str,
+    k0: int = 60,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) —
+    the zero-training way to merge N retrieval runs (BM25 + dense
+    ANN + recency, the standard RAG hybrid):
+
+        score(q, d) = Σ_rankers 1/(k0 + rank_r(q, d))
+
+    with the canonical k0 = 60.  Each term is ONE correctly-rounded
+    IEEE division over exact integers; the per-document sum folds in
+    RANKER-SORTED order (collect_list → sort_array → aggregate, the
+    kruskal G2 discipline — the list is |rankers| long, a handful),
+    so the fused score is hash-exact cross-engine.  Ties on score
+    break by doc id — the output rank is a pinned total order.
+
+    Plan: one partial-agg'd shuffle onto (query, doc) — the fold
+    happens inside the agg, no join per ranker — then one
+    query-partitioned window for the fused rank (frame bounded by
+    per-query candidate count).  Returns (query_col, doc_col,
+    n_rankers, score, fused_rank), optionally cut to top_n."""
+    fused = (
+        df.filter(
+            F.col(query_col).isNotNull()
+            & F.col(doc_col).isNotNull()
+            & F.col(rank_col).isNotNull()
+        )
+        .groupBy(F.col(query_col), F.col(doc_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_rankers"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(ranker_col).alias("r"),
+                        F.col(rank_col).cast("long").alias("rk"),
+                    )
+                )
+            ).alias("_rr"),
+        )
+        .withColumn(
+            "score",
+            F.aggregate(
+                F.col("_rr"),
+                F.lit(0.0),
+                lambda acc, x: acc
+                + F.lit(1.0) / (F.lit(float(k0)) + x["rk"].cast("double")),
+            ),
+        )
+        .drop("_rr")
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("score").desc(), F.col(doc_col)
+    )
+    out = fused.withColumn("fused_rank", F.row_number().over(w))
+    if top_n is not None:
+        out = out.filter(F.col("fused_rank") <= top_n)
+    return out

@@ -14979,3 +14979,160 @@ def q332(spark, sf_dir):
     )
     st = sign_test(deltas, "delta", ["event_type", "bucket"])
     return benjamini_hochberg(st, "p", ["event_type", "bucket"])
+
+
+@_register(
+    "q333_pass_at_k",
+    """
+    WITH per_task AS (
+      SELECT user_id AS task, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1),
+    ked AS (SELECT task, n, c, CAST(k AS BIGINT) AS k
+            FROM per_task, (VALUES (1), (5), (10)) ks(k))
+    SELECT task, n, c, CAST(k AS INTEGER) AS k,
+           CASE WHEN k <= n THEN
+             1.0 - list_reduce(
+                     [1.0] || [CAST(i AS DOUBLE) FOR i IN range(0, k)],
+                     (acc, i) -> acc * (CAST(n - c AS DOUBLE) - i)
+                                     / (CAST(n AS DOUBLE) - i))
+           END AS pass_at_k
+    FROM ked
+    """,
+)
+def q333(spark, sf_dir):
+    """pass@k (llm.evaluation.pass_at_k), the Chen et al. 2021
+    unbiased estimator: each user's events are the n samples, "value
+    exceeded 100" the pass signal, k in {1,5,10} -- pass@k =
+    1 - C(n-c,k)/C(n,k) computed as two falling factorials folded in
+    DECIMAL(38,0) (exact integers; the oracle replays them in
+    HUGEINT) then ONE division.  The naive first-k fraction is
+    biased low and sample-order-dependent; this is the estimator
+    eval harnesses actually publish.  Hash-exact FULL oracle."""
+    from hadron_spark.llm.evaluation import pass_at_k
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("task_id"),
+        (F.col("value") > 100).cast("int").alias("passed"),
+    )
+    return pass_at_k(ev, "task_id", "passed", ks=[1, 5, 10])
+
+
+@_register(
+    "q334_krippendorff_alpha",
+    """
+    WITH base AS (SELECT user_id, CAST(ts AS DATE) AS d, event_type AS v
+                  FROM events WHERE user_id IS NOT NULL
+                    AND ts IS NOT NULL AND event_type IS NOT NULL),
+    cells AS (SELECT user_id, d, v, CAST(COUNT(*) AS BIGINT) AS c
+              FROM base GROUP BY 1, 2, 3),
+    units AS (SELECT user_id, d, CAST(SUM(c) AS BIGINT) AS m,
+                     CAST(SUM(c * c) AS BIGINT) AS c2
+              FROM cells GROUP BY 1, 2),
+    usable AS (SELECT * FROM units WHERE m >= 2),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+                 CAST(SUM(m) AS BIGINT) AS n_ratings,
+                 SUM(CAST(m * m - c2 AS HUGEINT) * (360360 // (m - 1)))
+                   AS sl
+          FROM usable),
+    nc AS (SELECT v, CAST(SUM(c) AS BIGINT) AS ncv
+           FROM cells JOIN usable USING (user_id, d) GROUP BY 1),
+    dd AS (SELECT SUM(CAST(ncv AS HUGEINT) * (n_ratings - ncv)) AS d
+           FROM nc, s)
+    SELECT n_units, n_ratings,
+           CASE WHEN d > 0 THEN
+             1.0 - CAST(CAST(n_ratings - 1 AS HUGEINT) * sl AS DOUBLE)
+                   / CAST(360360 * d AS DOUBLE) END AS alpha
+    FROM s, dd
+    """,
+)
+def q334(spark, sf_dir):
+    """Krippendorff's alpha (llm.evaluation.krippendorff_alpha),
+    nominal: units = (user, day), ratings = that day's event types
+    (1-11 per unit across all SFs -- the ragged shape cohens/fleiss
+    can't take; single-rating units ignored per the metric).  The
+    1/(m_u-1) disagreement weights are cleared EXACTLY by
+    L = lcm(1..15) = 360360, making every term an integer and alpha
+    ONE division -- no sorted fold, no float sum anywhere.
+    Hash-exact FULL oracle."""
+    from hadron_spark.llm.evaluation import krippendorff_alpha
+
+    ev = load(spark, sf_dir, "events").select(
+        F.struct(F.col("user_id"), F.to_date("ts").alias("d")).alias(
+            "unit"
+        ),
+        F.col("event_type").alias("v"),
+    )
+    return krippendorff_alpha(ev, "unit", "v")
+
+
+@_register(
+    "q335_rrf_fusion",
+    """
+    WITH d AS (SELECT lang, doc_id, n_chars FROM documents
+               WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+                 AND n_chars IS NOT NULL),
+    ra AS (SELECT lang, doc_id, 'bylen' AS rname,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY n_chars DESC, doc_id) AS rk FROM d),
+    rb AS (SELECT lang, doc_id, 'byid' AS rname,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY doc_id) AS rk FROM d),
+    rc AS (SELECT lang, doc_id, 'byhash' AS rname,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY n_chars % 97, doc_id) AS rk FROM d),
+    runs AS (SELECT * FROM ra WHERE rk <= 20
+             UNION ALL SELECT * FROM rb WHERE rk <= 20
+             UNION ALL SELECT * FROM rc WHERE rk <= 20),
+    fused AS (SELECT lang, doc_id, CAST(COUNT(*) AS BIGINT) AS n_rankers,
+                     list_reduce(
+                       list_transform(
+                         list_sort(list(struct_pack(r := rname,
+                           rk := CAST(rk AS BIGINT)))),
+                         x -> 1.0 / (60.0 + CAST(x.rk AS DOUBLE))),
+                       (a, b) -> a + b) AS score
+              FROM runs GROUP BY 1, 2)
+    SELECT lang, doc_id, n_rankers, score,
+           CAST(row_number() OVER (PARTITION BY lang
+             ORDER BY score DESC, doc_id) AS INT) AS fused_rank
+    FROM fused QUALIFY fused_rank <= 10
+    """,
+)
+def q335(spark, sf_dir):
+    """Reciprocal-rank fusion (llm.evaluation
+    .reciprocal_rank_fusion) of three retrieval runs per language --
+    by-length, by-id, by-hash top-20s standing in for the BM25 +
+    dense + recency hybrid: score = sum over rankers of 1/(60+rank),
+    each term one IEEE division over exact integers, folded in
+    RANKER-SORTED order (the kruskal G2 discipline), fused rank tie-
+    broken by doc id.  Zero training, bounded per-query frames.
+    Hash-exact FULL oracle."""
+    from hadron_spark.llm.evaluation import reciprocal_rank_fusion
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+        & F.col("doc_id").isNotNull()
+        & F.col("n_chars").isNotNull()
+    )
+
+    def run(name, *order):
+        w = Window.partitionBy("lang").orderBy(*order)
+        return docs.select(
+            "lang",
+            "doc_id",
+            F.lit(name).alias("ranker"),
+            F.row_number().over(w).alias("rank"),
+        ).filter(F.col("rank") <= 20)
+
+    runs = (
+        run("bylen", F.col("n_chars").desc(), F.col("doc_id"))
+        .unionByName(run("byid", F.col("doc_id")))
+        .unionByName(
+            run("byhash", (F.col("n_chars") % 97).asc(), F.col("doc_id"))
+        )
+    )
+    return reciprocal_rank_fusion(
+        runs, "lang", "doc_id", "ranker", "rank", top_n=10
+    )

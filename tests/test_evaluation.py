@@ -596,3 +596,158 @@ def test_brier_score_reference(spark):
 
     with pytest.raises(ValueError, match="scale"):
         brier_score(df, "p", "y", scale=0)
+
+
+def test_pass_at_k_reference(spark):
+    """pass@k vs the Codex-paper comb() estimator; k > n NULL; exact
+    0/1 endpoints; summarized mean via sorted fold."""
+    from math import comb
+
+    from hadron_spark.llm.evaluation import pass_at_k
+
+    tasks = {"t1": (10, 3), "t2": (10, 0), "t3": (10, 10), "t4": (5, 2)}
+    rows = [
+        (t, 1 if i < c else 0)
+        for t, (n, c) in tasks.items()
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "task string, ok int")
+    got = {
+        (r["task"], r["k"]): r
+        for r in pass_at_k(df, "task", "ok", ks=[1, 5, 10]).collect()
+    }
+    for t, (n, c) in tasks.items():
+        for k in (1, 5, 10):
+            r = got[(t, k)]
+            assert r["n"] == n and r["c"] == c
+            if k > n:
+                assert r["pass_at_k"] is None
+            else:
+                ref = 1.0 - comb(n - c, k) / comb(n, k)
+                assert abs(r["pass_at_k"] - ref) < 1e-15
+                if c == 0:
+                    assert r["pass_at_k"] == 0.0
+                if n - c < k:
+                    assert r["pass_at_k"] == 1.0
+
+    summ = {
+        r["k"]: r
+        for r in pass_at_k(
+            df, "task", "ok", ks=[1, 5], summarize=True
+        ).collect()
+    }
+    for k in (1, 5):
+        vals = sorted(
+            (t, 1.0 - comb(n - c, k) / comb(n, k))
+            for t, (n, c) in tasks.items()
+            if k <= n
+        )
+        acc = 0.0
+        for _, v in vals:
+            acc += v
+        assert summ[k]["n_tasks"] == len(vals)
+        assert summ[k]["mean_pass_at_k"] == acc / len(vals)
+
+
+def test_krippendorff_alpha_reference(spark):
+    """Nominal Krippendorff alpha vs the coincidence-matrix python
+    mirror on the textbook example with missing ratings; perfect
+    agreement -> 1; single-category guard -> NULL; max_raters
+    raise."""
+    import pytest
+
+    from hadron_spark.llm.evaluation import krippendorff_alpha
+
+    # Krippendorff's canonical example (4 coders, 12 units, missing):
+    # unit: list of ratings present
+    units = {
+        1: [1, 1, 1], 2: [2, 2, 2], 3: [3, 3, 3, 3], 4: [3, 3, 3, 3],
+        5: [2, 2, 2, 2], 6: [1, 2, 3, 4], 7: [4, 4, 4, 4],
+        8: [1, 1, 2, 2], 9: [2, 2, 2, 2], 10: [5, 5, 5],
+        11: [1, 1, 1], 12: [3, 3, 3],
+    }
+    rows = [(u, v) for u, vs in units.items() for v in vs]
+    df = spark.createDataFrame(rows, "u long, v long")
+    r = krippendorff_alpha(df, "u", "v").collect()[0]
+
+    from collections import Counter
+
+    n = sum(len(vs) for vs in units.values())
+    s = sum(
+        sum(c * (m - c) for c in Counter(vs).values()) / (len(vs) - 1)
+        for vs, m in ((vs, len(vs)) for vs in units.values())
+    )
+    ncat = Counter(v for vs in units.values() for v in vs)
+    d = sum(c * (n - c) for c in ncat.values())
+    alpha_ref = 1.0 - (n - 1) * s / d
+    assert r["n_units"] == 12 and r["n_ratings"] == n
+    assert abs(r["alpha"] - alpha_ref) < 1e-12
+
+    # perfect agreement -> alpha == 1 exactly (S_L == 0)
+    perf = krippendorff_alpha(
+        spark.createDataFrame(
+            [(u, u % 2) for u in range(6) for _ in range(3)],
+            "u long, v long",
+        ),
+        "u", "v",
+    ).collect()[0]
+    assert perf["alpha"] == 1.0
+
+    # one category everywhere: D_e == 0 -> NULL
+    flat = krippendorff_alpha(
+        spark.createDataFrame(
+            [(u, 7) for u in range(4) for _ in range(2)], "u long, v long"
+        ),
+        "u", "v",
+    ).collect()[0]
+    assert flat["alpha"] is None
+
+    # unit wider than max_raters raises
+    with pytest.raises(ValueError, match="max_raters"):
+        krippendorff_alpha(
+            spark.createDataFrame(
+                [(1, v) for v in range(5)], "u long, v long"
+            ),
+            "u", "v", max_raters=4,
+        )
+
+
+def test_reciprocal_rank_fusion_reference(spark):
+    """RRF fused scores vs the 1/(k0+rank) python mirror in ranker-
+    sorted fold order; tie-break by doc; top_n cut."""
+    from hadron_spark.llm.evaluation import reciprocal_rank_fusion
+
+    runs = {
+        "bm25": ["d1", "d2", "d3", "d4"],
+        "dense": ["d3", "d1", "d5", "d2"],
+        "recency": ["d5", "d4", "d1", "d2"],
+    }
+    rows = [
+        ("q1", d, rname, i + 1)
+        for rname, docs in runs.items()
+        for i, d in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "q string, doc string, rr string, rank int")
+    got = {
+        r["doc"]: r
+        for r in reciprocal_rank_fusion(df, "q", "doc", "rr", "rank").collect()
+    }
+    docs = sorted({d for docs in runs.values() for d in docs})
+    for d in docs:
+        terms = sorted(
+            (rname, docs_.index(d) + 1)
+            for rname, docs_ in runs.items()
+            if d in docs_
+        )
+        acc = 0.0
+        for _, rk in terms:
+            acc += 1.0 / (60.0 + rk)
+        assert got[d]["score"] == acc
+        assert got[d]["n_rankers"] == len(terms)
+    ordered = sorted(docs, key=lambda d: (-got[d]["score"], d))
+    for i, d in enumerate(ordered):
+        assert got[d]["fused_rank"] == i + 1
+    top2 = reciprocal_rank_fusion(
+        df, "q", "doc", "rr", "rank", top_n=2
+    ).collect()
+    assert sorted(r["doc"] for r in top2) == sorted(ordered[:2])
