@@ -1801,3 +1801,114 @@ def holt_winters(
         F.col("_z._e.s").alias("seasonal"),
         F.col("_z._e.f").alias("fitted"),
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    partition_cols: list[str] | None = None,
+    min_segment: int = 1,
+) -> DataFrame:
+    """Single changepoint per series by the CUSUM statistic (Page
+    1954; the Taylor-style offline form): the split i maximizing
+    |C_i| where C_i = Σ_{j≤i}(y_j − ȳ) — "WHEN did this metric's
+    level shift", the follow-up question to `mann_kendall`'s "is it
+    drifting" and `ewma`'s live smoothing.
+
+    Kept EXACTLY integral: with quantized values, n·C_i = n·P_i −
+    i·T (P the prefix sum, T the total) — the argmax over i of
+    |n·C_i| equals the argmax of |C_i| and is computed in
+    DECIMAL(38,0) with NO float anywhere until the reported
+    statistics, each ONE division of exact integers (cusum_max =
+    |D|/n, segment means, their delta): hash-exact.  Ties on |D|
+    break to the EARLIEST split; row order is pinned by
+    (order, value) so duplicate order keys stay deterministic —
+    quantize and de-duplicate order keys upstream when the series
+    has a real total order.
+
+    `min_segment` keeps degenerate one-row segments from winning
+    (both sides must hold ≥ min_segment rows); series shorter than
+    2·min_segment produce no row.
+
+    Plan: one per-series window pass (prefix + position — frames
+    bounded by series length: this is for metric series, not corpus
+    rows; use partition_cols), one partial-agg'd argmax onto
+    |series| rows.  Returns (partition_cols..., n, cp_index — rows
+    in the LEFT segment, cp_order — order key of the last left row,
+    cusum_max, mean_left, mean_right, delta)."""
+    from pyspark.sql import Window
+
+    if min_segment < 1:
+        raise ValueError(f"min_segment must be >= 1: {min_segment}")
+    pc = list(partition_cols or [])
+    base = df.filter(
+        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        *pc,
+        F.col(order_col).cast("long").alias("_o"),
+        F.col(value_col).cast("long").alias("_y"),
+    )
+    w = (
+        Window.partitionBy(*(pc or [F.lit(1)]))
+        .orderBy("_o", "_y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(*(pc or [F.lit(1)]))
+    stepped = base.select(
+        *pc,
+        "_o",
+        F.row_number()
+        .over(
+            Window.partitionBy(*(pc or [F.lit(1)])).orderBy("_o", "_y")
+        )
+        .alias("_i"),
+        F.sum("_y").over(w).alias("_p"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.sum("_y").over(wn).alias("_t"),
+    )
+    d = (
+        F.col("n").cast("decimal(38,0)") * F.col("_p").cast("decimal(38,0)")
+        - F.col("_i").cast("decimal(38,0)") * F.col("_t").cast("decimal(38,0)")
+    )
+    cand = stepped.filter(
+        (F.col("_i") >= min_segment)
+        & (F.col("_i") <= F.col("n") - min_segment)
+        & (F.col("n") >= 2 * min_segment)
+    ).select(
+        *pc,
+        "n",
+        "_t",
+        F.abs(d).alias("_ad"),
+        (-F.col("_i").cast("long")).alias("_ni"),
+        F.col("_i").cast("long").alias("_ci"),
+        F.col("_o").alias("_co"),
+        F.col("_p").alias("_cp"),
+    )
+    picked = cand.groupBy(*pc, "n", "_t").agg(
+        F.max(
+            F.struct(
+                F.col("_ad").alias("ad"),
+                F.col("_ni").alias("ni"),
+                F.col("_ci").alias("ci"),
+                F.col("_co").alias("co"),
+                F.col("_cp").alias("cp"),
+            )
+        ).alias("_m")
+    )
+    i = F.col("_m.ci").cast("double")
+    n = F.col("n").cast("double")
+    p = F.col("_m.cp").cast("double")
+    t = F.col("_t").cast("double")
+    ml = p / i
+    mr = (t - p) / (n - i)
+    return picked.select(
+        *pc,
+        "n",
+        F.col("_m.ci").alias("cp_index"),
+        F.col("_m.co").alias("cp_order"),
+        (F.col("_m.ad").cast("double") / n).alias("cusum_max"),
+        ml.alias("mean_left"),
+        mr.alias("mean_right"),
+        (mr - ml).alias("delta"),
+    )

@@ -15136,3 +15136,58 @@ def q335(spark, sf_dir):
     return reciprocal_rank_fusion(
         runs, "lang", "doc_id", "ranker", "rank", top_n=10
     )
+
+
+@_register(
+    "q336_cusum_changepoint",
+    """
+    WITH daily AS (SELECT event_type AS g,
+                          CAST(date_diff('day', DATE '2024-01-01',
+                            CAST(ts AS DATE)) AS BIGINT) AS o,
+                          CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                               AS BIGINT) AS y
+                   FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    st AS (SELECT g, o,
+                  CAST(row_number() OVER (PARTITION BY g ORDER BY o, y)
+                       AS BIGINT) AS i,
+                  SUM(y) OVER (PARTITION BY g ORDER BY o, y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+                  CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n,
+                  SUM(y) OVER (PARTITION BY g) AS t
+           FROM daily),
+    cand AS (SELECT g, n, t,
+                    abs(CAST(n AS HUGEINT) * p - CAST(i AS HUGEINT) * t)
+                      AS ad, i, o, p
+             FROM st WHERE i >= 1 AND i <= n - 1 AND n >= 2),
+    pick AS (SELECT *, row_number() OVER (PARTITION BY g
+               ORDER BY ad DESC, i ASC) AS rn FROM cand)
+    SELECT g AS event_type, n, i AS cp_index, CAST(o AS BIGINT) AS cp_order,
+           CAST(ad AS DOUBLE) / CAST(n AS DOUBLE) AS cusum_max,
+           CAST(p AS DOUBLE) / CAST(i AS DOUBLE) AS mean_left,
+           CAST(t - p AS DOUBLE) / CAST(n - i AS DOUBLE) AS mean_right,
+           CAST(t - p AS DOUBLE) / CAST(n - i AS DOUBLE)
+             - CAST(p AS DOUBLE) / CAST(i AS DOUBLE) AS delta
+    FROM pick WHERE rn = 1
+    """,
+)
+def q336(spark, sf_dir):
+    """CUSUM changepoint (operators.ops.cusum_changepoint) on each
+    event type's 30-day daily-revenue series: WHEN did the level
+    shift -- the argmax over splits of |n*P_i - i*T| kept entirely in
+    exact integers (DECIMAL(38,0)/HUGEINT; no float until the
+    reported statistics, each ONE division), ties to the earliest
+    split.  Completes the drift arc: mann_kendall says WHETHER,
+    theil_sen says HOW FAST, this says WHEN.  Hash-exact FULL
+    oracle."""
+    from hadron_spark.operators.ops import cusum_changepoint
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("o"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    return cusum_changepoint(daily, "o", "cents", ["event_type"])

@@ -2476,3 +2476,57 @@ def test_sign_test_reference(spark):
         spark.createDataFrame([("z", 0.0)], "g string, d double"), "d", ["g"]
     ).collect()
     assert empty == []
+
+
+def test_cusum_changepoint_reference(spark):
+    """CUSUM argmax vs a brute-force python mirror on a planted level
+    shift; tie-to-earliest; min_segment; short-series absence."""
+    from hadron_spark.operators.ops import cusum_changepoint
+
+    # planted shift after index 6: mean 10 -> mean 30
+    ys = [10, 11, 9, 10, 12, 8, 10, 30, 29, 31, 30, 28, 32]
+    rows = [("s1", i, y) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "g string, t long, y long")
+    r = cusum_changepoint(df, "t", "y", ["g"]).collect()[0]
+
+    n, tot = len(ys), sum(ys)
+    best = max(
+        (
+            (abs(n * sum(ys[:i]) - i * tot), -i, i)
+            for i in range(1, n)
+        ),
+    )
+    i_ref = best[2]
+    assert r["n"] == n
+    assert r["cp_index"] == i_ref == 7
+    assert r["cp_order"] == i_ref - 1
+    assert r["cusum_max"] == best[0] / n
+    assert r["mean_left"] == sum(ys[:i_ref]) / i_ref
+    assert r["mean_right"] == sum(ys[i_ref:]) / (n - i_ref)
+    assert abs(r["delta"] - (r["mean_right"] - r["mean_left"])) == 0.0
+
+    # constant series: every D == 0, tie -> earliest split (i=1)
+    flat = cusum_changepoint(
+        spark.createDataFrame(
+            [("f", i, 5) for i in range(6)], "g string, t long, y long"
+        ),
+        "t", "y", ["g"],
+    ).collect()[0]
+    assert flat["cp_index"] == 1 and flat["cusum_max"] == 0.0
+
+    # min_segment trims the edges; 3-row series with min_segment=2 vanishes
+    got = cusum_changepoint(
+        spark.createDataFrame(
+            [("m", i, y) for i, y in enumerate([1, 100, 1, 1])],
+            "g string, t long, y long",
+        ),
+        "t", "y", ["g"], min_segment=2,
+    ).collect()[0]
+    assert 2 <= got["cp_index"] <= 2
+    short = cusum_changepoint(
+        spark.createDataFrame(
+            [("x", i, i) for i in range(3)], "g string, t long, y long"
+        ),
+        "t", "y", ["g"], min_segment=2,
+    ).collect()
+    assert short == []
