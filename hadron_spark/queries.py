@@ -15191,3 +15191,88 @@ def q336(spark, sf_dir):
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
     )
     return cusum_changepoint(daily, "o", "cents", ["event_type"])
+
+
+@_register(
+    "q337_streaming_cusum",
+    """
+    WITH RECURSIVE d AS (
+      SELECT event_type AS g,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    srt AS (
+      SELECT g, day, y,
+             CAST(row_number() OVER (PARTITION BY g ORDER BY day)
+                  AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS total,
+             MAX(day) OVER (PARTITION BY g) AS last_day
+      FROM d),
+    walk AS (
+      SELECT g, CAST(0 AS BIGINT) AS rn, 0.0 AS sp, 0.0 AS sm,
+             CAST(0 AS BIGINT) AS al
+      FROM (SELECT DISTINCT g FROM srt)
+      UNION ALL
+      SELECT s.g, s.rn,
+             CASE WHEN greatest(0.0, w.sp + (s.y - 25000.0)) > 10000.0
+                  THEN 0.0
+                  ELSE greatest(0.0, w.sp + (s.y - 25000.0)) END,
+             CASE WHEN greatest(0.0, w.sm + (24000.0 - s.y)) > 10000.0
+                  THEN 0.0
+                  ELSE greatest(0.0, w.sm + (24000.0 - s.y)) END,
+             w.al
+               + CASE WHEN greatest(0.0, w.sp + (s.y - 25000.0))
+                           > 10000.0 THEN 1 ELSE 0 END
+               + CASE WHEN greatest(0.0, w.sm + (24000.0 - s.y))
+                           > 10000.0 THEN 1 ELSE 0 END
+      FROM walk w JOIN srt s ON s.g = w.g AND s.rn = w.rn + 1),
+    stats AS (SELECT g, total, last_day FROM srt WHERE rn = 1)
+    SELECT w.g AS key, w.sp AS s_pos, w.sm AS s_neg,
+           st.last_day AS last_ord, st.total AS n_points,
+           w.al AS n_alarms
+    FROM walk w JOIN stats st ON w.g = st.g AND w.rn = st.total
+    """,
+)
+def q337(spark, sf_dir):
+    """Streaming tabular CUSUM control chart (streaming.ops
+    .incremental_cusum): each event type's daily mean value (cents)
+    monitored against target 24500 +/- 500 slack, alarm + restart at
+    h = 10000 -- delivered as THREE chronological micro-batches with
+    seeded folds.  The sequential recurrence makes any chopping
+    bit-identical to the one-shot walk, so this STREAMING state op
+    carries a FULL oracle (recursive-CTE replay of the identical
+    greatest/compare chain -- the q324 chop-equivalence pattern).
+    Completes the q336 pair: offline argmax says WHEN it shifted,
+    this raises the flag live."""
+    import shutil
+    import tempfile
+
+    from hadron_spark.streaming.ops import cusum_apply_fn, read_cusum_state
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).agg(
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_cents")
+    )
+    lo, hi = daily.agg(F.min("day"), F.max("day")).collect()[0]
+    cut1 = lo + (hi - lo) // 3
+    cut2 = lo + 2 * (hi - lo) // 3
+    work = tempfile.mkdtemp(prefix="q337_")
+    state = f"{work}/state"
+    apply = cusum_apply_fn(
+        state, "event_type", "day", "mean_cents",
+        target=24500.0, slack=500.0, threshold=10000.0,
+    )
+    apply(daily.filter(F.col("day") <= cut1), 0)
+    apply(daily.filter((F.col("day") > cut1) & (F.col("day") <= cut2)), 1)
+    apply(daily.filter(F.col("day") > cut2), 2)
+    out = read_cusum_state(spark, state)
+    result = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(work, ignore_errors=True)
+    return result

@@ -21,6 +21,7 @@ versioned-base compaction folding old dirs periodically.
 | incremental_histogram      | per-key bin counts        | O(keys·bins)        | swap            |
 | incremental_transitions    | matrix + per-entity tails | O(states²+entities) | swap            |
 | incremental_ewma           | per-key (e, o, n)         | O(keys)             | swap            |
+| incremental_cusum          | per-key (S⁺, S⁻, alarms)  | O(keys)             | swap            |
 | incremental_near_dup       | banded MinHash signatures | O(docs·bands)       | append          |
 | streaming_substring_dedup  | window fingerprints       | O(corpus windows)   | append          |
 
@@ -2257,3 +2258,182 @@ def read_neardup_kept(spark, state_path: str) -> DataFrame:
     if out is None:
         raise FileNotFoundError(f"no committed near-dup state at {state_path}")
     return out
+
+
+def cusum_apply_fn(
+    state_path: str,
+    key_col: str,
+    ord_col: str,
+    value_col: str,
+    target: float,
+    slack: float = 0.0,
+    threshold: float = 5.0,
+):
+    """The foreachBatch merge behind `incremental_cusum` (call with
+    (batch_df, batch_id) to unit-test replay/recovery): the TABULAR
+    CUSUM control chart (Page 1954) kept live per key — the online
+    companion to `operators.ops.cusum_changepoint`'s offline argmax:
+
+        S⁺_t = max(0, S⁺_{t−1} + (y_t − (target+slack)))
+        S⁻_t = max(0, S⁻_{t−1} + ((target−slack) − y_t))
+
+    with an alarm counted and the breaching side reset to 0 whenever
+    either sum exceeds `threshold` (the classic restart-after-signal
+    discipline; `slack` is the usual δ/2 deadband).
+
+    The recurrence is sequential, so chopping a series into
+    micro-batches and seeding each batch's fold with the stored
+    (S⁺, S⁻) is BIT-IDENTICAL to the one-shot walk over every
+    delivered row — the `incremental_ewma` chop-equivalence
+    contract, same ordering requirement (per-key deliveries
+    non-decreasing in `ord_col` across batches; unordered within a
+    batch is fine, the sorted-array fold handles it).  The upper and
+    lower edges (target±slack) are folded in as PRE-COMPUTED python
+    literals via repr(), so both engines parse the identical
+    double; every step is a fixed add/compare chain — hash-exact.
+
+    State is ONE parquet frame, 'k' rows (k, sp, sm, o, n, al) +
+    the 'm' high-water marker — |keys| rows regardless of volume
+    (swap class in the module table; whole-frame tmp-then-rename,
+    HWM replay no-op, `_recover_swap` healing)."""
+    from hadron_spark.sources import fs
+
+    up = repr(float(target) + float(slack))
+    lo = repr(float(target) - float(slack))
+    h = repr(float(threshold))
+    sp1 = f"greatest(0.0d, acc.sp + (x._y - {up}))"
+    sm1 = f"greatest(0.0d, acc.sm + ({lo} - x._y))"
+    fold = (
+        "aggregate(_s, named_struct("
+        "'sp', coalesce(_sp0, 0.0d), 'sm', coalesce(_sm0, 0.0d), "
+        "'al', cast(0 as bigint)), "
+        "(acc, x) -> named_struct("
+        f"'sp', IF({sp1} > {h}, 0.0d, {sp1}), "
+        f"'sm', IF({sm1} > {h}, 0.0d, {sm1}), "
+        f"'al', acc.al + IF({sp1} > {h}, 1, 0) + IF({sm1} > {h}, 1, 0)))"
+    )
+    schema = (
+        "kind string, k string, sp double, sm double, o long, n long, "
+        "al long"
+    )
+
+    def apply(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        _recover_swap(spark, state_path)
+        prev = None
+        if fs.exists(spark, state_path):
+            prev = spark.read.parquet(state_path)
+            hwm = prev.filter(F.col("kind") == "m").select("n").collect()
+            if hwm and batch_id <= int(hwm[0]["n"]):
+                return  # replayed batch: already merged exactly once
+        rows = (
+            batch_df.localCheckpoint(eager=True)
+            .filter(
+                F.col(key_col).isNotNull() & F.col(value_col).isNotNull()
+            )
+            .select(
+                F.col(key_col).cast("string").alias("k"),
+                F.col(ord_col).cast("long").alias("_o"),
+                F.col(value_col).cast("double").alias("_y"),
+            )
+        )
+        arrs = rows.groupBy("k").agg(
+            F.sort_array(F.collect_list(F.struct("_o", "_y"))).alias("_s"),
+            F.max("_o").alias("_ob"),
+            F.count(F.lit(1)).alias("_nb"),
+        )
+        state_k = (
+            prev.filter(F.col("kind") == "k").select(
+                "k", "sp", "sm", "o", "n", "al"
+            )
+            if prev is not None
+            else spark.createDataFrame([], schema).select(
+                "k", "sp", "sm", "o", "n", "al"
+            )
+        )
+        touched = (
+            arrs.join(
+                state_k.select(
+                    "k",
+                    F.col("sp").alias("_sp0"),
+                    F.col("sm").alias("_sm0"),
+                    F.col("n").alias("_n0"),
+                    F.col("al").alias("_al0"),
+                ),
+                "k",
+                "left",
+            )
+            .withColumn("_f", F.expr(fold))
+            .select(
+                F.lit("k").alias("kind"),
+                "k",
+                F.col("_f.sp").alias("sp"),
+                F.col("_f.sm").alias("sm"),
+                F.col("_ob").alias("o"),
+                (F.coalesce(F.col("_n0"), F.lit(0)) + F.col("_nb")).alias(
+                    "n"
+                ),
+                (F.coalesce(F.col("_al0"), F.lit(0)) + F.col("_f.al")).alias(
+                    "al"
+                ),
+            )
+        )
+        untouched = state_k.join(arrs.select("k"), "k", "left_anti").select(
+            F.lit("k").alias("kind"), "k", "sp", "sm", "o", "n", "al"
+        )
+        marker = spark.createDataFrame(
+            [("m", None, None, None, None, int(batch_id), None)], schema
+        )
+        merged = touched.unionByName(untouched).unionByName(marker)
+        _commit_swap(spark, merged, state_path, batch_id)
+
+    return apply
+
+
+def incremental_cusum(
+    stream: DataFrame,
+    state_path: str,
+    key_col: str,
+    ord_col: str,
+    value_col: str,
+    target: float,
+    slack: float = 0.0,
+    threshold: float = 5.0,
+    checkpoint: str | None = None,
+):
+    """Streaming per-key tabular CUSUM control chart (Page 1954) —
+    `operators.ops.cusum_changepoint` answers WHEN a finished series
+    shifted; this one raises the flag LIVE as the stream drifts off
+    `target`.  See `cusum_apply_fn` for the chop-equivalence
+    contract and the exactly-once trio; read back with
+    `read_cusum_state`.  Returns the started StreamingQuery
+    (availableNow trigger)."""
+    apply = cusum_apply_fn(
+        state_path, key_col, ord_col, value_col, target, slack, threshold
+    )
+    writer = (
+        stream.writeStream.foreachBatch(apply)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def read_cusum_state(spark, state_path: str) -> DataFrame:
+    """Queryable surface of `incremental_cusum`: (key, s_pos, s_neg,
+    last_ord, n_points, n_alarms) — the bookkeeping marker
+    stripped."""
+    return (
+        spark.read.parquet(state_path)
+        .filter(F.col("kind") == "k")
+        .select(
+            F.col("k").alias("key"),
+            F.col("sp").alias("s_pos"),
+            F.col("sm").alias("s_neg"),
+            F.col("o").alias("last_ord"),
+            F.col("n").alias("n_points"),
+            F.col("al").alias("n_alarms"),
+        )
+    )

@@ -1196,3 +1196,74 @@ def test_substring_state_segments_migration_drift(spark, tmp_path):
     assert got[0].clean_text == "postfix here"   # legacy fps honored
     md = spark.read.parquet(legacy + "/hwm_marker").collect()[0].asDict()
     assert md["hwm"] == 1 and list(md["segs"]) == [0]
+
+
+def test_incremental_cusum_chop_equivalence(spark, tmp_path):
+    """Per-key streaming tabular CUSUM: chopped seeded folds are
+    bit-identical to a pure-python one-shot walk; alarm counting +
+    restart-after-signal; replay no-op; mid-swap crash heal; real
+    writeStream drive."""
+    from hadron_spark.sources import fs
+    from hadron_spark.streaming.ops import (
+        cusum_apply_fn,
+        incremental_cusum,
+        read_cusum_state,
+    )
+
+    series = {
+        "m1": [10, 10, 11, 30, 32, 31, 9, 10, 10, 10],   # up-shift then back
+        "m2": [10, 9, 10, 11, 10, 9, 10, 11, 10, 9],     # in control
+        "m3": [10, 2, 1, 0, 3, 2, 10, 10, 1, 1],         # down-shifts
+    }
+    target, slack, h = 10.0, 1.0, 8.0
+    rows = [
+        (k, t, float(v)) for k, vs in series.items() for t, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+
+    def mirror(vs):
+        sp = sm = 0.0
+        al = 0
+        for v in vs:
+            sp1 = max(0.0, sp + (v - (target + slack)))
+            sm1 = max(0.0, sm + ((target - slack) - v))
+            al += (sp1 > h) + (sm1 > h)
+            sp = 0.0 if sp1 > h else sp1
+            sm = 0.0 if sm1 > h else sm1
+        return sp, sm, al
+
+    state = str(tmp_path / "cusum_state")
+    apply = cusum_apply_fn(state, "k", "t", "v", target, slack, h)
+    apply(df.filter(F.col("t") < 4), 0)
+    apply(df.filter(F.col("t") < 4), 0)              # replay: no-op
+    apply(df.filter((F.col("t") >= 4) & (F.col("t") < 7)), 1)
+    fs.mv(spark, state, state + "._old_2")           # crash mid-swap: heal
+    apply(df.filter(F.col("t") >= 7), 2)
+    got = {r["key"]: r for r in read_cusum_state(spark, state).collect()}
+    for k, vs in series.items():
+        sp, sm, al = mirror(vs)
+        assert got[k]["s_pos"] == sp, k              # bit-identical
+        assert got[k]["s_neg"] == sm, k
+        assert got[k]["n_alarms"] == al, k
+        assert got[k]["n_points"] == len(vs)
+        assert got[k]["last_ord"] == len(vs) - 1
+    assert got["m1"]["n_alarms"] >= 1 and got["m3"]["n_alarms"] >= 1
+    assert got["m2"]["n_alarms"] == 0
+
+    # end-to-end writeStream drive over one micro-batch
+    src = str(tmp_path / "cusum_src")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("k string, t long, v double").parquet(
+        src
+    )
+    state2 = str(tmp_path / "cusum_state2")
+    q = incremental_cusum(
+        stream, state2, "k", "t", "v", target, slack, h,
+        checkpoint=str(tmp_path / "cusum_ckpt"),
+    )
+    q.awaitTermination(300)
+    got2 = {
+        r["key"]: (r["s_pos"], r["s_neg"], r["n_alarms"])
+        for r in read_cusum_state(spark, state2).collect()
+    }
+    assert got2 == {k: mirror(vs) for k, vs in series.items()}
