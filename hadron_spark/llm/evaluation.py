@@ -360,17 +360,24 @@ def bradley_terry(
     then mean-normalized to 1.  Strengths are floored at `eps` so an
     item that never wins cannot zero a shared denominator.
 
-    Iterative and float-accumulating, so NOT in the hash-exact tier
-    (registry entry is rows-only); pure-python parity lives in
-    test_evaluation.
+    HASH-EXACT despite being iterative: each item's denominator
+    Σ_j n_ij/(p_i+p_j) folds its opponents in OPPONENT-SORTED order
+    (collect_list → sort_array → aggregate, the kruskal G2
+    discipline), and the per-round normalization total folds the
+    item-sorted strengths the same way — every float op in the whole
+    fit is a FIXED chain, so given the same `iters` any engine
+    replaying the walk (the q272 oracle unrolls it CTE-per-round)
+    reproduces the strengths bit-for-bit; pure-python parity lives
+    in test_evaluation.
 
     100 TB shape: outcomes partial-aggregate once to the undirected
     pair-count spine n_ij and the win vector W_i; each MM round is
-    two spine-sized hash joins + one partial-agg'd shuffle onto
+    one spine-sized hash join + one partial-agg'd shuffle onto
     items — raw outcome rows are never revisited, and per-round
-    state (the strengths frame) is |items| rows, joined (never
-    collected into plan literals).  Strengths are pinned per round —
-    the kmeans-style iterative-consumer discipline.
+    state is |items| rows carrying ≤ |items|-long opponent lists
+    (leaderboard-scale: fine to ~10⁴ items; the raw corpus never
+    re-enters).  Strengths are pinned per round — the kmeans-style
+    iterative-consumer discipline.
 
     Returns (item, wins, losses, strength)."""
     if iters < 1:
@@ -409,28 +416,46 @@ def bradley_terry(
         .distinct(),
         materialize,
     )
+    dirs = pin(
+        und.select(
+            F.col("_a").alias("item"), F.col("_b").alias("_other"), "_nab"
+        ).unionByName(
+            und.select(
+                F.col("_b").alias("item"), F.col("_a").alias("_other"), "_nab"
+            )
+        ),
+        materialize,
+    )
     strengths = items.withColumn("p", F.lit(1.0))
     for _ in range(iters):
-        sa = strengths.select(F.col("item").alias("_a"), F.col("p").alias("_pa"))
-        sb = strengths.select(F.col("item").alias("_b"), F.col("p").alias("_pb"))
-        d = (
-            und.join(sa, "_a")
-            .join(sb, "_b")
-            .select(
-                F.explode(
-                    F.array(
-                        F.struct(F.col("_a").alias("item")),
-                        F.struct(F.col("_b").alias("item")),
-                    )
-                ).alias("_s"),
-                (
-                    F.col("_nab").cast("double")
-                    / (F.col("_pa") + F.col("_pb"))
-                ).alias("_d"),
-            )
-            .select(F.col("_s.item").alias("item"), "_d")
+        po = strengths.select(
+            F.col("item").alias("_other"), F.col("p").alias("_po")
+        )
+        # opponent-sorted fold: the denominator's float sum runs in a
+        # FIXED order so the whole fit replays bit-identically
+        lst = (
+            dirs.join(po, "_other")
             .groupBy("item")
-            .agg(F.sum("_d").alias("_denom"))
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("_other").alias("o"),
+                            F.col("_nab").alias("nab"),
+                            F.col("_po").alias("po"),
+                        )
+                    )
+                ).alias("_l")
+            )
+        )
+        d = lst.join(strengths, "item").select(
+            "item",
+            F.aggregate(
+                F.col("_l"),
+                F.lit(0.0),
+                lambda acc, x: acc
+                + x["nab"].cast("double") / (F.col("p") + x["po"]),
+            ).alias("_denom"),
         )
         raw = d.join(wins, "item", "left").select(
             "item",
@@ -445,7 +470,14 @@ def bradley_terry(
         # projection off it (re-running that per branch is free)
         raw = pin(raw, materialize)
         tot = raw.agg(
-            F.sum("_praw").alias("_t"), F.count(F.lit(1)).alias("_c")
+            F.count(F.lit(1)).alias("_c"),
+            F.aggregate(
+                F.sort_array(
+                    F.collect_list(F.struct("item", "_praw"))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["_praw"],
+            ).alias("_t"),
         )
         strengths = raw.crossJoin(F.broadcast(tot)).select(
             "item",

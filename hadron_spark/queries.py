@@ -11819,14 +11819,86 @@ def q271(spark, sf_dir):
     return join_cardinality(o, li, ["k"])
 
 
-@_register("q272_bradley_terry", None)
+def _bt_oracle_sql(iters: int) -> str:
+    """Unrolled-CTE replay of bradley_terry's MM fit: one CTE pair
+    per round, every float op in the same fixed order as the Spark
+    fold (opponent-sorted denominators, item-sorted totals)."""
+    head = """
+    WITH resp AS (
+      SELECT doc_id % 97 AS prompt, doc_id, source,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                 x -> x <> '')) AS score
+      FROM documents),
+    ext AS (
+      SELECT prompt,
+             max(struct_pack(s := score, i := doc_id, src := source)) AS hi,
+             min(struct_pack(s := score, i := doc_id, src := source)) AS lo
+      FROM resp GROUP BY prompt),
+    outcomes AS MATERIALIZED (SELECT hi.src AS w, lo.src AS l FROM ext
+                 WHERE hi.src <> lo.src),
+    und AS MATERIALIZED (SELECT least(w, l) AS a, greatest(w, l) AS b,
+                   CAST(COUNT(*) AS BIGINT) AS nab
+            FROM outcomes GROUP BY 1, 2),
+    wins AS (SELECT w AS item, CAST(COUNT(*) AS BIGINT) AS wins
+             FROM outcomes GROUP BY 1),
+    losses AS (SELECT l AS item, CAST(COUNT(*) AS BIGINT) AS losses
+               FROM outcomes GROUP BY 1),
+    items AS (SELECT a AS item FROM und UNION SELECT b FROM und),
+    dirs AS MATERIALIZED (SELECT a AS item, b AS other, nab FROM und
+             UNION ALL SELECT b, a, nab FROM und),
+    p0 AS MATERIALIZED (SELECT item, 1.0 AS p FROM items)"""
+    rounds = []
+    for n in range(1, iters + 1):
+        rounds.append(f""",
+    d{n} AS MATERIALIZED (
+      SELECT s.item,
+             list_reduce(
+               [0.0] || list_transform(
+                 list_sort(list(struct_pack(o := dd.other, nab := dd.nab,
+                                            po := po.p))),
+                 x -> CAST(x.nab AS DOUBLE) / (s.p + x.po)),
+               (acc, t) -> acc + t) AS denom
+      FROM dirs dd JOIN p{n - 1} po ON dd.other = po.item
+                   JOIN p{n - 1} s ON dd.item = s.item
+      GROUP BY s.item, s.p),
+    r{n} AS MATERIALIZED (
+      SELECT d.item,
+             greatest(CAST(COALESCE(w.wins, 0) AS DOUBLE) / d.denom,
+                      1e-12) AS praw
+      FROM d{n} d LEFT JOIN wins w ON d.item = w.item),
+    t{n} AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS c,
+             list_reduce(
+               [0.0] || list_transform(
+                 list_sort(list(struct_pack(i := item, pr := praw))),
+                 x -> x.pr),
+               (acc, t) -> acc + t) AS tot
+      FROM r{n}),
+    p{n} AS MATERIALIZED (SELECT item, praw * c / tot AS p
+             FROM r{n}, t{n})""")
+    tail = f"""
+    SELECT p.item, COALESCE(w.wins, 0) AS wins,
+           COALESCE(l.losses, 0) AS losses, p.p AS strength
+    FROM p{iters} p LEFT JOIN wins w ON p.item = w.item
+                    LEFT JOIN losses l ON p.item = l.item
+    """
+    return head + "".join(rounds) + tail
+
+
+@_register("q272_bradley_terry", _bt_oracle_sql(10))
 def q272(spark, sf_dir):
     """Source-vs-source Bradley-Terry strengths (llm.evaluation
     .bradley_terry) from per-prompt preference outcomes: in each of
     the 97 synthetic prompt buckets the longest doc (q244's struct-
     extrema tie-break) beats the shortest when their sources differ.
-    Rows-only BY DESIGN — the MM fit is iterative float arithmetic;
-    pure-python parity + weighted≡expanded equivalence live in
+    FULL oracle despite the iterative MM fit: every denominator
+    folds opponents in sorted order and every normalization total
+    folds items in sorted order (fixed IEEE chains), so the oracle
+    simply UNROLLS the 10 rounds CTE-for-round and lands on the
+    bit-identical strengths -- the first iterative-fixed-point op in
+    the hash-exact tier (the q323/q337 recursive walks are per-row
+    recurrences; this one is a whole-frame fixed point).  Python
+    parity + weighted==expanded equivalence live in
     test_evaluation."""
     from hadron_spark.functions.text import tokenize
     from hadron_spark.llm.evaluation import bradley_terry

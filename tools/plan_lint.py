@@ -85,6 +85,9 @@ EXPLAIN_BNLJ = {
     "q319_cliffs_delta": "the q315 value-spine x group-set grid: broadcast "
     "side is the DISTINCT GROUP list (k rows), spine side |distinct "
     "quantized values|-bounded — never an all-pairs value join",
+    "q327_conover_iman": "the q318 pairwise shape: a.g < b.g self-join over "
+    "the PER-GROUP rank aggregate (k rows both sides — the test's arms), "
+    "output k(k-1)/2 pair rows",
 }
 EXPLAIN_SINGLE_PARTITION = {
     "q79_share_of_total": "global share window over the per-nation aggregate "
@@ -111,6 +114,13 @@ EXPLAIN_SINGLE_PARTITION = {
     "q313_page_trend": "row_number window over the DISTINCT-TREATMENT set "
     "(k rows — 3 here; treatments are the repeated-measures arms, never "
     "corpus-scale) deriving the hypothesized positions when order=None",
+    "q330_mood_median": "grand-median cumulative window over the "
+    "DISTINCT-VALUE cell spine (|distinct n_chars| rows — the quantization "
+    "contract), never corpus rows; group_cols partitions it when set",
+    "q332_bh_fdr": "BH rank + reverse-running-min windows over the TEST "
+    "FAMILY (50 strata here; the post-hoc tables this adjusts are "
+    "k(k-1)/2-bounded by contract), never corpus rows; family_cols "
+    "partitions when set",
 }
 
 
