@@ -311,24 +311,59 @@ def ndcg(
     doc ASC) ranking, IDCG from the ideal ordering (rel DESC with
     the same tie-break), ndcg = DCG/IDCG (NULL when IDCG = 0).
 
-    log2 makes the scalars transcendental — no integer form exists,
-    so this operator is deliberately NOT in the hash-exact tier
-    (registry entry is rows-only); `ranking_metrics` carries the
-    exact metrics.  Same one-shuffle shape: both rankings are
-    windows over the query partition.
+    HASH-EXACT despite the transcendental discounts: only k
+    distinct discount values exist at cutoff k, so 1/log2(i+1) is
+    PRE-COMPUTED in python and shipped as a k-element LITERAL array
+    both engines index identically — no engine ever evaluates a
+    log; each gain is ONE multiply, and the ≤ k gains per query
+    fold in RANK-SORTED order (the kruskal G2 discipline).
+    `ranking_metrics` remains the all-integer tier.  Same
+    one-shuffle shape: both rankings are windows over the query
+    partition; the collected fold lists are ≤ k structs per query.
 
     Returns (query_col, n_rel, dcg, idcg, ndcg)."""
+    import math
+
+    darr = F.array(
+        *[F.lit(1.0 / math.log2(i + 1)) for i in range(1, k + 1)]
+    )
     ranked = _ranked(df, query_col, doc_col, score_col, label_col)
     w_ideal = Window.partitionBy("_q").orderBy(
         F.col("_y").desc(), F.col("_s").desc(), F.col("_d").asc()
     )
     ranked = ranked.withColumn("_irank", F.row_number().over(w_ideal))
-    gain = F.col("_y").cast("double") / F.log2(F.col("_rank") + 1)
-    igain = F.col("_y").cast("double") / F.log2(F.col("_irank") + 1)
+    gain = F.col("_y").cast("double") * F.element_at(
+        darr, F.col("_rank").cast("int")
+    )
+    igain = F.col("_y").cast("double") * F.element_at(
+        darr, F.col("_irank").cast("int")
+    )
     per_q = ranked.groupBy("_q").agg(
         F.sum("_y").alias("n_rel"),
-        F.sum(F.when(F.col("_rank") <= k, gain).otherwise(0.0)).alias("dcg"),
-        F.sum(F.when(F.col("_irank") <= k, igain).otherwise(0.0)).alias("idcg"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("_rank") <= k,
+                    F.struct(F.col("_rank").alias("r"), gain.alias("g")),
+                )
+            )
+        ).alias("_dl"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("_irank") <= k,
+                    F.struct(F.col("_irank").alias("r"), igain.alias("g")),
+                )
+            )
+        ).alias("_il"),
+    )
+
+    def fold(c):
+        return F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x["g"])
+
+    per_q = per_q.select(
+        "_q", "n_rel", fold(F.col("_dl")).alias("dcg"),
+        fold(F.col("_il")).alias("idcg"),
     )
     return per_q.select(
         F.col("_q").alias(query_col),

@@ -11733,12 +11733,75 @@ def q268(spark, sf_dir):
     )
 
 
-@_register("q269_ndcg", None)
+def _ndcg_oracle_sql(k: int = 10) -> str:
+    """q269's oracle: the SAME python-computed 1/log2(i+1) literals
+    the Spark op ships (no engine evaluates a log), rank-sorted
+    folds via list_sort/list_reduce."""
+    import math
+
+    # DuckDB's decimal-string -> DOUBLE conversion is NOT correctly
+    # rounded (measured 1 ulp off on 1/log2(6)), so a repr() literal
+    # cannot ship an arbitrary double.  as_integer_ratio() can:
+    # d = n / 2^k with n < 2^53 -- CAST(n AS DOUBLE) is exact
+    # (integer), pow(2, k) is exact (power of two), the division is
+    # exact, so BOTH engines land on the bit-identical double.
+    def _dlit(x: float) -> str:
+        n, den = float(x).as_integer_ratio()
+        return f"(CAST({n} AS DOUBLE) / pow(2.0, {den.bit_length() - 1}))"
+
+    discs = ", ".join(
+        _dlit(1.0 / math.log2(i + 1)) for i in range(1, k + 1)
+    )
+    return f"""
+    WITH pairs AS (
+      SELECT o_custkey AS cust, l_partkey AS part,
+             CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1999-01-01'
+                           THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS score,
+             MAX(CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01'
+                      THEN 1 ELSE 0 END) AS y
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    rr AS (
+      SELECT cust, part, score, y,
+             row_number() OVER (PARTITION BY cust
+               ORDER BY score DESC, part ASC) AS rnk,
+             row_number() OVER (PARTITION BY cust
+               ORDER BY y DESC, score DESC, part ASC) AS irnk
+      FROM pairs),
+    perq AS (
+      SELECT cust, CAST(SUM(y) AS BIGINT) AS n_rel,
+             list_reduce(
+               [0.0] || list_transform(
+                 list_sort(list(struct_pack(r := rnk,
+                   g := CAST(y AS DOUBLE) * ([{discs}])[rnk]))
+                   FILTER (WHERE rnk <= {k})),
+                 x -> x.g),
+               (a, b) -> a + b) AS dcg,
+             list_reduce(
+               [0.0] || list_transform(
+                 list_sort(list(struct_pack(r := irnk,
+                   g := CAST(y AS DOUBLE) * ([{discs}])[irnk]))
+                   FILTER (WHERE irnk <= {k})),
+                 x -> x.g),
+               (a, b) -> a + b) AS idcg
+      FROM rr GROUP BY cust)
+    SELECT cust, n_rel, dcg, idcg,
+           CASE WHEN idcg > 0 THEN dcg / idcg END AS ndcg
+    FROM perq
+    """
+
+
+@_register("q269_ndcg", _ndcg_oracle_sql(10))
 def q269(spark, sf_dir):
     """Per-query nDCG@10 (llm.evaluation.ndcg) over the same eval
-    frame.  Rows-only BY DESIGN: log2 discounts are transcendental
-    (no integer form — the exact tier is q267/q268); the python
-    reference parity lives in test_evaluation."""
+    frame.  FULL oracle despite transcendental discounts: at cutoff
+    k only k discount values exist, so 1/log2(i+1) ships as the SAME
+    python-computed literal array to BOTH engines (neither evaluates
+    a log at runtime), gains fold in rank-sorted order -- the q272
+    trick applied to ranking.  q267/q268 remain the all-integer
+    tier; python parity lives in test_evaluation."""
     from hadron_spark.llm.evaluation import ndcg
 
     return ndcg(_purchase_ranking(spark, sf_dir), "cust", "part", "score", "y", k=10)
