@@ -1912,3 +1912,141 @@ def cusum_changepoint(
         mr.alias("mean_right"),
         (mr - ml).alias("delta"),
     )
+
+
+def gini(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gini concentration coefficient per group (Gini 1912, the
+    mean-absolute-difference form) — "how concentrated is token
+    mass / revenue / doc count across sources", the scalar the
+    Lorenz-curve queries (q94 Pareto) summarize to:
+
+        G = Σ_i Σ_j |x_i − x_j| / (2 n² x̄) = S / (n·T)
+
+    with S = Σ_{v<v'} (v'−v)·c·c' over the DISTINCT-VALUE cell
+    spine (the kendall_tau_b bounded-cell contract — the corpus
+    collapses to cells in one partial-agg'd shuffle and the pair
+    algebra never touches raw rows) and T = Σx.  S and T are exact
+    integers (DECIMAL(38,0) — S ≤ n²·max|Δ| wraps int64 early); G
+    is ONE division: hash-exact.  Values must be NON-NEGATIVE
+    (Gini's domain) and quantized; T = 0 (all zeros) yields NULL.
+
+    Returns (group_cols..., n, total, gini)."""
+    gc = list(group_cols or [])
+    cells = pin(
+        df.filter(F.col(value_col).isNotNull())
+        .select(*gc, F.col(value_col).cast("long").alias("_v"))
+        .groupBy(*gc, "_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    cond = F.col("a._v") < F.col("b._v")
+    for g in gc:
+        cond = cond & (F.col(f"a.{g}") == F.col(f"b.{g}"))
+    s = (
+        a.join(b, cond)
+        .groupBy(*[F.col(f"a.{g}").alias(g) for g in gc])
+        .agg(
+            F.sum(
+                (F.col("b._v") - F.col("a._v")).cast("decimal(38,0)")
+                * F.col("a._c")
+                * F.col("b._c")
+            ).alias("_s")
+        )
+    )
+    tot = cells.groupBy(*gc).agg(
+        F.sum("_c").alias("n"),
+        F.sum(F.col("_v").cast("decimal(38,0)") * F.col("_c")).alias("_t"),
+    )
+    j = (
+        tot.join(s, gc, "left")
+        if gc
+        else tot.crossJoin(F.broadcast(s))
+    )
+    j = j.withColumn(
+        "_s", F.coalesce(F.col("_s"), F.lit(0).cast("decimal(38,0)"))
+    )
+    g_ = F.when(
+        F.col("_t") > 0,
+        F.col("_s").cast("double")
+        / (F.col("n").cast("decimal(38,0)") * F.col("_t")).cast("double"),
+    )
+    return j.select(
+        *gc,
+        "n",
+        F.col("_t").cast("long").alias("total"),
+        g_.alias("gini"),
+    )
+
+
+def forecast_accuracy(
+    df: DataFrame,
+    order_col: str,
+    actual_col: str,
+    forecast_col: str,
+    group_cols: list[str] | None = None,
+    naive_lag: int = 1,
+) -> DataFrame:
+    """Forecast error summary per series — MAE, RMSE and MASE
+    (Hyndman & Koehler 2006; the scale-free one that doesn't blow
+    up at zero like MAPE): closes the forecasting arc that `ewma` /
+    `holt_winters` open.
+
+        MASE = MAE(forecast) / MAE(naive-`naive_lag`)
+
+    where the naive error is |y_t − y_{t−naive_lag}| over the same
+    series.  With quantized integer actuals/forecasts every error
+    sum is an exact int64/DECIMAL (Σe² ≤ n·max²); each reported
+    number is ONE division (+ one sqrt for RMSE) — hash-exact.
+    Degenerate series (no naive pairs, or a constant series making
+    the naive MAE 0) yield MASE NULL.
+
+    Plan: one lag window per series (bounded per-key frames), one
+    partial-agg'd shuffle onto |groups| rows — no collects.
+    Returns (group_cols..., n, mae, rmse, n_naive, mae_naive,
+    mase)."""
+    from pyspark.sql import Window
+
+    if naive_lag < 1:
+        raise ValueError(f"naive_lag must be >= 1: {naive_lag}")
+    gc = list(group_cols or [])
+    base = df.filter(
+        F.col(actual_col).isNotNull() & F.col(forecast_col).isNotNull()
+    ).select(
+        *gc,
+        F.col(order_col).alias("_o"),
+        F.col(actual_col).cast("long").alias("_y"),
+        F.col(forecast_col).cast("long").alias("_f"),
+    )
+    w = Window.partitionBy(*(gc or [F.lit(1)])).orderBy("_o")
+    lagged = base.withColumn("_yl", F.lag("_y", naive_lag).over(w))
+    agg = lagged.groupBy(*gc).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.abs(F.col("_y") - F.col("_f"))).alias("_ae"),
+        F.sum(
+            (F.col("_y") - F.col("_f")).cast("decimal(38,0)")
+            * (F.col("_y") - F.col("_f"))
+        ).alias("_se"),
+        F.count("_yl").alias("n_naive"),
+        F.sum(F.abs(F.col("_y") - F.col("_yl"))).alias("_nae"),
+    )
+    nd = F.col("n").cast("double")
+    mae = F.col("_ae").cast("double") / nd
+    rmse = F.sqrt(F.col("_se").cast("double") / nd)
+    mae_naive = F.when(
+        F.col("n_naive") > 0,
+        F.col("_nae").cast("double") / F.col("n_naive").cast("double"),
+    )
+    mase = F.when(mae_naive > 0, mae / mae_naive)
+    return agg.select(
+        *gc,
+        "n",
+        mae.alias("mae"),
+        rmse.alias("rmse"),
+        "n_naive",
+        mae_naive.alias("mae_naive"),
+        mase.alias("mase"),
+    )

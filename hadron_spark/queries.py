@@ -15411,3 +15411,161 @@ def q337(spark, sf_dir):
     result = spark.createDataFrame(out.collect(), out.schema)
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+@_register(
+    "q338_gini",
+    """
+    WITH spend AS (SELECT event_type AS g, user_id,
+                          CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                               AS BIGINT) AS v
+                   FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    cells AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c
+              FROM spend GROUP BY 1, 2),
+    s AS (SELECT a.g,
+                 SUM(CAST(b.v - a.v AS HUGEINT) * a.c * b.c) AS s
+          FROM cells a JOIN cells b ON a.g = b.g AND a.v < b.v
+          GROUP BY 1),
+    tot AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+                   SUM(CAST(v AS HUGEINT) * c) AS t
+            FROM cells GROUP BY 1)
+    SELECT tot.g AS event_type, n, CAST(t AS BIGINT) AS total,
+           CASE WHEN t > 0 THEN CAST(COALESCE(s.s, 0) AS DOUBLE)
+                / CAST(CAST(n AS HUGEINT) * t AS DOUBLE) END AS gini
+    FROM tot LEFT JOIN s ON tot.g = s.g
+    """,
+)
+def q338(spark, sf_dir):
+    """Gini concentration (operators.ops.gini) of per-user spend
+    within each event type -- "is purchase revenue concentrated in
+    whales": per-user cent totals collapse to value CELLS (the
+    kendall bounded-cell contract), the mean absolute difference
+    comes off the cell self-join as an exact DECIMAL(38,0)/HUGEINT,
+    and G = S/(n*T) is ONE division.  Hash-exact FULL oracle."""
+    from hadron_spark.operators.ops import gini
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    spend = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    return gini(spend, "cents", ["event_type"])
+
+
+@_register(
+    "q339_cohens_d",
+    """
+    WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a,
+                      CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                           AS BIGINT) AS sa,
+                      SUM(CAST(CAST(round(value * 100) AS BIGINT)
+                               AS HUGEINT)
+                          * CAST(round(value * 100) AS BIGINT)) AS qa
+               FROM events WHERE event_type = 'click'
+                 AND value IS NOT NULL),
+    b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b,
+                 CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                      AS BIGINT) AS sb,
+                 SUM(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+                     * CAST(round(value * 100) AS BIGINT)) AS qb
+          FROM events WHERE event_type = 'purchase'
+            AND value IS NOT NULL),
+    j AS (SELECT *,
+                 CAST(n_a AS HUGEINT) * qa - CAST(sa AS HUGEINT) * sa
+                   AS aa,
+                 CAST(n_b AS HUGEINT) * qb - CAST(sb AS HUGEINT) * sb
+                   AS ab,
+                 CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+                 CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+                 n_a + n_b - 2 AS df
+          FROM a, b),
+    k AS (SELECT *,
+                 (CAST(aa AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  + CAST(ab AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 / CAST(df AS DOUBLE) AS sp2
+          FROM j)
+    SELECT n_a, n_b, ma AS mean_a, mb AS mean_b,
+           CASE WHEN df > 0 AND sp2 > 0
+                THEN (ma - mb) / sqrt(sp2) END AS d,
+           CASE WHEN df > 0 AND sp2 > 0
+                THEN ((ma - mb) / sqrt(sp2))
+                     * (1.0 - 3.0 / CAST(4 * df - 1 AS DOUBLE)) END AS g
+    FROM k
+    """,
+)
+def q339(spark, sf_dir):
+    """Cohen's d + Hedges' g (operators.robust.cohens_d) for click
+    vs purchase cent values -- the effect-size companion to q115's
+    Welch t (WHETHER vs BY HOW MUCH): exact integer moments in
+    DECIMAL(38,0)/HUGEINT, a fixed chain of five IEEE ops.
+    Hash-exact FULL oracle."""
+    from hadron_spark.operators.robust import cohens_d
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return cohens_d(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "cents",
+    )
+
+
+@_register(
+    "q340_forecast_accuracy",
+    """
+    WITH daily AS (SELECT event_type AS g,
+                          CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+                          CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                               AS BIGINT) AS y
+                   FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    fc AS (SELECT g, d, y,
+                  lag(y, 7) OVER (PARTITION BY g ORDER BY d) AS f
+           FROM daily),
+    kept AS (SELECT g, d, y, f,
+                    lag(y) OVER (PARTITION BY g ORDER BY d) AS yl
+             FROM (SELECT * FROM fc WHERE f IS NOT NULL) q),
+    agg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(abs(y - f)) AS BIGINT) AS ae,
+                   SUM(CAST(y - f AS HUGEINT) * (y - f)) AS se,
+                   CAST(COUNT(yl) AS BIGINT) AS n_naive,
+                   CAST(SUM(abs(y - yl)) AS BIGINT) AS nae
+            FROM kept GROUP BY 1)
+    SELECT g AS event_type, n,
+           CAST(ae AS DOUBLE) / CAST(n AS DOUBLE) AS mae,
+           sqrt(CAST(se AS DOUBLE) / CAST(n AS DOUBLE)) AS rmse,
+           n_naive,
+           CASE WHEN n_naive > 0 THEN CAST(nae AS DOUBLE)
+                / CAST(n_naive AS DOUBLE) END AS mae_naive,
+           CASE WHEN n_naive > 0
+                 AND CAST(nae AS DOUBLE) / CAST(n_naive AS DOUBLE) > 0
+                THEN (CAST(ae AS DOUBLE) / CAST(n AS DOUBLE))
+                     / (CAST(nae AS DOUBLE) / CAST(n_naive AS DOUBLE))
+                END AS mase
+    FROM agg
+    """,
+)
+def q340(spark, sf_dir):
+    """Forecast accuracy (operators.ops.forecast_accuracy) of the
+    seasonal-naive predictor (y_{t-7}) on each type's daily revenue:
+    MAE / RMSE / MASE with every error sum an exact integer and one
+    division (plus RMSE's sqrt) per reported number -- MASE < 1
+    means weekly seasonality beats yesterday's value.  Closes the
+    ewma -> holt_winters -> evaluate forecasting arc.  Hash-exact
+    FULL oracle."""
+    from hadron_spark.operators.ops import forecast_accuracy
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    fc = daily.withColumn("f", F.lag("y", 7).over(w)).filter(
+        F.col("f").isNotNull()
+    )
+    return forecast_accuracy(fc, "d", "y", "f", ["event_type"])

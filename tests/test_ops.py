@@ -2530,3 +2530,109 @@ def test_cusum_changepoint_reference(spark):
         "t", "y", ["g"], min_segment=2,
     ).collect()
     assert short == []
+
+
+def test_gini_reference(spark):
+    """Gini coefficient vs the pairwise |xi-xj|/(2 n^2 mean) python
+    mirror; 0 for constant, known value for extreme concentration;
+    all-zero NULL."""
+    from hadron_spark.operators.ops import gini
+
+    data = {"a": [1, 2, 3, 4, 10], "b": [5, 5, 5, 5], "c": [0, 0, 0, 12]}
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r["g"]: r for r in gini(df, "v", ["g"]).collect()}
+    for g, vs in data.items():
+        n = len(vs)
+        s = sum(abs(x - y) for x in vs for y in vs)
+        ref = s / (2 * n * sum(vs)) if sum(vs) else None
+        r = got[g]
+        assert r["n"] == n and r["total"] == sum(vs)
+        if ref is None:
+            assert r["gini"] is None
+        else:
+            assert abs(r["gini"] - ref) < 1e-15
+    assert got["b"]["gini"] == 0.0
+    # 3 zeros + all mass on one of 4: G = (n-1)/n = 0.75
+    assert got["c"]["gini"] == 0.75
+    zero = gini(
+        spark.createDataFrame([("z", 0), ("z", 0)], "g string, v long"),
+        "v", ["g"],
+    ).collect()[0]
+    assert zero["gini"] is None
+
+
+def test_forecast_accuracy_reference(spark):
+    """MAE/RMSE/MASE vs python mirror; constant series -> NULL MASE;
+    seasonal naive_lag; validation."""
+    import math
+
+    import pytest
+
+    from hadron_spark.operators.ops import forecast_accuracy
+
+    ys = [10, 12, 9, 14, 13, 8, 15, 11]
+    fs = [11, 10, 10, 12, 14, 9, 13, 12]
+    rows = [("s", t, y, f) for t, (y, f) in enumerate(zip(ys, fs))]
+    df = spark.createDataFrame(rows, "g string, t long, y long, f long")
+    r = forecast_accuracy(df, "t", "y", "f", ["g"]).collect()[0]
+    n = len(ys)
+    mae = sum(abs(y - f) for y, f in zip(ys, fs)) / n
+    rmse = math.sqrt(sum((y - f) ** 2 for y, f in zip(ys, fs)) / n)
+    nae = [abs(ys[i] - ys[i - 1]) for i in range(1, n)]
+    mase = mae / (sum(nae) / len(nae))
+    assert r["n"] == n and r["mae"] == mae and r["rmse"] == rmse
+    assert r["n_naive"] == n - 1
+    assert abs(r["mase"] - mase) < 1e-15
+
+    # seasonal naive (lag 2)
+    r2 = forecast_accuracy(df, "t", "y", "f", ["g"], naive_lag=2).collect()[0]
+    nae2 = [abs(ys[i] - ys[i - 2]) for i in range(2, n)]
+    assert r2["n_naive"] == n - 2
+    assert abs(r2["mase"] - mae / (sum(nae2) / len(nae2))) < 1e-15
+
+    # constant actuals: naive MAE 0 -> MASE NULL
+    flat = forecast_accuracy(
+        spark.createDataFrame(
+            [("c", t, 5, 6) for t in range(4)], "g string, t long, y long, f long"
+        ),
+        "t", "y", "f", ["g"],
+    ).collect()[0]
+    assert flat["mase"] is None and flat["mae"] == 1.0
+
+    with pytest.raises(ValueError, match="naive_lag"):
+        forecast_accuracy(df, "t", "y", "f", ["g"], naive_lag=0)
+
+
+def test_cohens_d_reference(spark):
+    """Cohen's d + Hedges' g vs the textbook pooled-SD python mirror;
+    sign convention; degenerate guards (zero variance, df <= 0)."""
+    import math
+
+    from hadron_spark.operators.robust import cohens_d
+
+    xa = [12, 15, 11, 14, 13, 16]
+    xb = [9, 10, 8, 11, 10]
+    da = spark.createDataFrame([(v,) for v in xa], "v long")
+    db = spark.createDataFrame([(v,) for v in xb], "v long")
+    r = cohens_d(da, db, "v").collect()[0]
+    na, nb = len(xa), len(xb)
+    ma, mb = sum(xa) / na, sum(xb) / nb
+    va = sum((x - ma) ** 2 for x in xa) / (na - 1)
+    vb = sum((x - mb) ** 2 for x in xb) / (nb - 1)
+    sp = math.sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2))
+    d_ref = (ma - mb) / sp
+    g_ref = d_ref * (1 - 3 / (4 * (na + nb - 2) - 1))
+    assert r["n_a"] == na and r["n_b"] == nb
+    assert r["mean_a"] == ma and r["mean_b"] == mb
+    assert abs(r["d"] - d_ref) < 1e-12
+    assert abs(r["g"] - g_ref) < 1e-12
+    assert r["d"] > 0  # a's mean is higher
+
+    # zero pooled variance -> NULL
+    flat = cohens_d(
+        spark.createDataFrame([(5,), (5,)], "v long"),
+        spark.createDataFrame([(7,), (7,)], "v long"),
+        "v",
+    ).collect()[0]
+    assert flat["d"] is None and flat["g"] is None
