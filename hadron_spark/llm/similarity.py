@@ -1122,3 +1122,106 @@ def ivf_append(
         "max_cell_fill": int(stats["max_cell_fill"] or 0),
         "cells": int(stats["cells"] or 0),
     }
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query_col: str,
+    doc_col: str,
+    rel_col: str,
+    emb_col: str,
+    lam: float = 0.5,
+    top_n: int = 10,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversity pass between retrieval and the context
+    window: greedily pick
+
+        argmax_d  λ·rel(d) − (1−λ)·max_{s∈S} cos(d, s)
+
+    so near-duplicate passages don't crowd out coverage (the RAG
+    failure `reciprocal_rank_fusion` can't fix — fused ranks still
+    reward redundancy).
+
+    CONTRACT: `df` is the per-query CANDIDATE set (the top-k of
+    `brute_force_topk`/`ivf_topk`, ≤ ~10³ rows per query), NOT the
+    corpus — the greedy loop is quadratic in candidates and runs
+    inside one Arrow batch per query (`applyInPandas` keyed on the
+    query — parallel across queries, bounded per query).
+    Deterministic: candidates process in (−rel, doc) order, ties
+    break to the smaller doc id, embeddings L2-normalize once in
+    float64.  Approximate tier (BLAS dot-product ordering is
+    machine-local), so rows-only in the registry; the pure-python
+    mirror is pinned in test_llm_ops.
+
+    Returns (query_col, doc_col, rel_col, mmr_score, mmr_rank),
+    `top_n` rows per query in pick order."""
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1]: {lam}")
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    base = df.select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rel_col).cast("double").alias("_r"),
+        F.col(emb_col).alias("_e"),
+    )
+    out_schema = StructType(
+        [
+            base.schema["_q"],
+            base.schema["_d"],
+            StructField("_r", DoubleType()),
+            StructField("mmr_score", DoubleType()),
+            StructField("mmr_rank", IntegerType()),
+        ]
+    )
+    l_, o_ = float(lam), 1.0 - float(lam)
+    n_ = int(top_n)
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["_r", "_d"], ascending=[False, True]
+        ).reset_index(drop=True)
+        embs = np.stack(
+            [np.asarray(e, dtype=np.float64) for e in pdf["_e"]]
+        )
+        norms = np.sqrt((embs * embs).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        embs = embs / norms[:, None]
+        rel = pdf["_r"].to_numpy()
+        m = len(pdf)
+        chosen: list[int] = []
+        scores: list[float] = []
+        max_sim = np.zeros(m)
+        avail = np.ones(m, dtype=bool)
+        for _ in range(min(n_, m)):
+            cand = l_ * rel - o_ * (max_sim if chosen else 0.0)
+            cand = np.where(avail, cand, -np.inf)
+            best = int(np.argmax(cand))  # argmax: first (lowest
+            # index = highest rel, smallest doc) wins ties
+            chosen.append(best)
+            scores.append(float(cand[best]))
+            avail[best] = False
+            sims = embs @ embs[best]
+            max_sim = np.maximum(max_sim, sims)
+        out = pdf.iloc[chosen][["_q", "_d", "_r"]].copy()
+        out["mmr_score"] = scores
+        out["mmr_rank"] = np.arange(1, len(chosen) + 1, dtype=np.int32)
+        return out
+
+    picked = base.groupBy("_q").applyInPandas(pick, out_schema)
+    return picked.select(
+        F.col("_q").alias(query_col),
+        F.col("_d").alias(doc_col),
+        F.col("_r").alias(rel_col),
+        "mmr_score",
+        "mmr_rank",
+    )

@@ -15569,3 +15569,33 @@ def q340(spark, sf_dir):
         F.col("f").isNotNull()
     )
     return forecast_accuracy(fc, "d", "y", "f", ["event_type"])
+
+
+@_register("q341_mmr_rerank", None)
+def q341(spark, sf_dir):
+    """Retrieval -> diversity pipeline: brute-force cosine top-50
+    per probe (llm.similarity.brute_force_topk, the exact baseline
+    tier) re-ranked by Maximal Marginal Relevance (llm.similarity
+    .mmr_rerank, lam=0.7) to 10 diverse passages per probe -- the
+    standard RAG post-retrieval pass.  Rows-only BY DESIGN (BLAS
+    dot ordering is machine-local, the greedy loop is inherently
+    sequential); the python-mirror greedy parity is pinned in
+    test_llm_ops.  Returns per-probe picked docs with ranks."""
+    from hadron_spark.llm.similarity import brute_force_topk, mmr_rerank
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    cands = brute_force_topk(emb, probes, k=50).select(
+        F.col("query_id"), F.col("neighbor_id"), F.col("cosine")
+    )
+    with_emb = cands.join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding"),
+        ),
+        "neighbor_id",
+    )
+    return mmr_rerank(
+        with_emb, "query_id", "neighbor_id", "cosine", "embedding",
+        lam=0.7, top_n=10,
+    ).orderBy("query_id", "mmr_rank")

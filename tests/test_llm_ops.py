@@ -2556,3 +2556,69 @@ def test_blockword_filter_modes_agree(spark):
         assert got == {10: 0, 11: 1}, got
         kept0 = {r["doc_id"] for r in blockword_filter(ndf, wl).collect()}
         assert kept0 == {10}
+
+
+def test_mmr_rerank_reference(spark):
+    """MMR greedy picks vs a pure-python mirror; lam=1 reduces to
+    relevance order; diversity actually displaces a near-duplicate;
+    validation."""
+    import math
+
+    import pytest
+
+    from hadron_spark.llm.similarity import mmr_rerank
+
+    # d1/d2 near-identical high-rel, d3 orthogonal medium-rel
+    cands = {
+        "d1": (0.95, [1.0, 0.0, 0.0]),
+        "d2": (0.94, [0.999, 0.04, 0.0]),
+        "d3": (0.60, [0.0, 1.0, 0.0]),
+        "d4": (0.50, [0.0, 0.0, 1.0]),
+    }
+    rows = [("q1", d, r, e) for d, (r, e) in cands.items()]
+    df = spark.createDataFrame(
+        rows, "q string, d string, rel double, emb array<double>"
+    )
+
+    def mirror(lam, top_n):
+        import numpy as np
+
+        items = sorted(cands.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        embs = np.stack([np.asarray(e, dtype=np.float64) for _, (_, e) in items])
+        embs = embs / np.sqrt((embs * embs).sum(axis=1))[:, None]
+        rel = np.array([r for _, (r, _) in items])
+        chosen, max_sim = [], np.zeros(len(items))
+        avail = np.ones(len(items), dtype=bool)
+        out = []
+        for _ in range(min(top_n, len(items))):
+            cand = lam * rel - (1 - lam) * (max_sim if chosen else 0.0)
+            cand = np.where(avail, cand, -np.inf)
+            b = int(np.argmax(cand))
+            chosen.append(b)
+            out.append((items[b][0], float(cand[b])))
+            avail[b] = False
+            max_sim = np.maximum(max_sim, embs @ embs[b])
+        return out
+
+    got = sorted(
+        mmr_rerank(df, "q", "d", "rel", "emb", lam=0.5, top_n=3).collect(),
+        key=lambda r: r["mmr_rank"],
+    )
+    ref = mirror(0.5, 3)
+    assert [(r["d"], r["mmr_rank"]) for r in got] == [
+        (d, i + 1) for i, (d, _) in enumerate(ref)
+    ]
+    for r, (_, s) in zip(got, ref):
+        assert math.isclose(r["mmr_score"], s, rel_tol=1e-12)
+    # diversity: the near-dup d2 is displaced from rank 2 by d3
+    assert got[0]["d"] == "d1" and got[1]["d"] == "d3"
+
+    # lam=1: pure relevance order
+    got1 = sorted(
+        mmr_rerank(df, "q", "d", "rel", "emb", lam=1.0, top_n=4).collect(),
+        key=lambda r: r["mmr_rank"],
+    )
+    assert [r["d"] for r in got1] == ["d1", "d2", "d3", "d4"]
+
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank(df, "q", "d", "rel", "emb", lam=1.5)
