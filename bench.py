@@ -102,6 +102,13 @@ HEADLINE = [
     # gate are the cells most likely to regress silently
     "q311_blockword_filter",
     "q312_friedman",
+    # set change #11 (round 7, BASELINE.md): the time-series/eval
+    # tier — the kendall-grid pair join behind mann_kendall and the
+    # per-series all-integer CUSUM argmax; both are cell-bounded
+    # shapes whose plans would degrade silently if the quantization
+    # contract regressed
+    "q328_mann_kendall",
+    "q336_cusum_changepoint",
 ]
 
 

@@ -2474,3 +2474,98 @@ def cohens_d(
         d.alias("d"),
         g.alias("g"),
     )
+
+
+def fisher_exact(
+    new: DataFrame,
+    old: DataFrame,
+    flag_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fisher's EXACT test per group (Fisher 1935) on the 2x2 table
+    the two frames induce (successes/failures in `new` vs `old`) —
+    the small-sample companion to `two_proportion_test`: when cells
+    are single digits the pooled-z normal approximation is folklore,
+    the hypergeometric tail is the answer.
+
+        p = Σ_{tables as or more extreme} P(table | margins)
+
+    two-sided by the standard "probability at most that of the
+    observed table" rule.  Computed with ZERO factorials: the
+    support walks k = kmin..kmax with the pmf RECURRENCE
+    u(k+1) = u(k)·(K−k)(n−k)/((k+1)(N−K−n+k+1)) from u(kmin) = 1
+    (unnormalized — the comparison and the normalizing sum use the
+    same scale, so the normalization constant never appears except
+    in the final division).  Every u is a fixed left-to-right
+    multiply/divide chain over exact small-int casts, the tail sum
+    adds in k order, and p is ONE final division: hash-exact (the
+    oracle replays the identical walk via nested list folds).
+
+    SMALL-SAMPLE CONTRACT: the unnormalized weights peak near
+    C(N/2, ·) — keep per-group N ≲ 700 (beyond ~10^308 they
+    overflow to inf; that regime belongs to `two_proportion_test`
+    anyway).  Support size ≤ min(margins), so the per-row fold is
+    O(min(margin)²) scalar flops — output-row work, never data-row
+    work.
+
+    Returns (group_cols..., k_new, n_new, k_old, n_old, odds_ratio
+    — NULL on a zero off-diagonal — and p)."""
+    gc = list(group_cols or [])
+
+    def side(df: DataFrame, n: str, k: str) -> DataFrame:
+        return (
+            df.filter(F.col(flag_col).isNotNull())
+            .groupBy(*gc)
+            .agg(
+                F.count(F.lit(1)).alias(n),
+                F.sum(F.col(flag_col).cast("long")).alias(k),
+            )
+        )
+
+    a_ = side(new, "n_new", "k_new")
+    b_ = side(old, "n_old", "k_old")
+    j = a_.join(b_, gc) if gc else a_.crossJoin(F.broadcast(b_))
+    # hypergeometric frame: N total, K total successes, n draws
+    # (= |new|), observed k = k_new
+    N = F.col("n_new") + F.col("n_old")
+    K = F.col("k_new") + F.col("k_old")
+    n = F.col("n_new")
+    kmin = F.greatest(F.lit(0).cast("long"), n + K - N)
+    kmax = F.least(K, n)
+    num = lambda jj: ((K - jj) * (n - jj)).cast("double")  # noqa: E731
+    den = lambda jj: (  # noqa: E731
+        (jj + 1) * (N - K - n + jj + 1)
+    ).cast("double")
+    u_at = lambda k: F.when(k == kmin, F.lit(1.0)).otherwise(  # noqa: E731
+        F.aggregate(
+            F.sequence(kmin, k - 1),
+            F.lit(1.0),
+            lambda acc, jj: acc * num(jj) / den(jj),
+        )
+    )
+    us = F.transform(F.sequence(kmin, kmax), lambda k: u_at(k))
+    j = j.withColumn("_us", us).withColumn(
+        "_ua", F.element_at(F.col("_us"), (F.col("k_new") - kmin + 1).cast("int"))
+    )
+    s = F.aggregate(F.col("_us"), F.lit(0.0), lambda acc, u: acc + u)
+    tail = F.aggregate(
+        F.col("_us"),
+        F.lit(0.0),
+        lambda acc, u: acc + F.when(u <= F.col("_ua"), u).otherwise(F.lit(0.0)),
+    )
+    bq = F.col("n_new") - F.col("k_new")
+    cq = F.col("k_old")
+    dq = F.col("n_old") - F.col("k_old")
+    orat = F.when(
+        (bq > 0) & (cq > 0),
+        (F.col("k_new") * dq).cast("double") / (bq * cq).cast("double"),
+    )
+    return j.select(
+        *gc,
+        "k_new",
+        "n_new",
+        "k_old",
+        "n_old",
+        orat.alias("odds_ratio"),
+        (tail / s).alias("p"),
+    )

@@ -15599,3 +15599,71 @@ def q341(spark, sf_dir):
         with_emb, "query_id", "neighbor_id", "cosine", "embedding",
         lam=0.7, top_n=10,
     ).orderBy("query_id", "mmr_rank")
+
+
+@_register(
+    "q342_fisher_exact",
+    """
+    WITH s1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_new,
+                       CAST(SUM(CASE WHEN value > 400 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS k_new
+                FROM events WHERE event_type = 'purchase'
+                  AND user_id < 30 AND value IS NOT NULL
+                  AND CAST(ts AS DATE) = DATE '2024-01-01'),
+    s2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_old,
+                  CAST(SUM(CASE WHEN value > 400 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS k_old
+           FROM events WHERE event_type = 'purchase'
+             AND user_id < 30 AND value IS NOT NULL
+             AND CAST(ts AS DATE) = DATE '2024-01-30'),
+    j AS (SELECT *, n_new + n_old AS nn, k_new + k_old AS kk,
+                 n_new AS nd FROM s1, s2),
+    k AS (SELECT *, greatest(CAST(0 AS BIGINT), nd + kk - nn) AS kmin,
+                 least(kk, nd) AS kmax FROM j),
+    u AS (SELECT *,
+            list_transform(range(kmin, kmax + 1),
+              kx -> list_reduce(
+                      [[1.0, 0.0]]
+                      || [[CAST((kk - jj) * (nd - jj) AS DOUBLE),
+                           CAST((jj + 1) * (nn - kk - nd + jj + 1)
+                                AS DOUBLE)]
+                          FOR jj IN range(kmin, kx)],
+                      (acc, x) -> [acc[1] * x[1] / x[2], 0.0])[1]) AS us
+          FROM k),
+    ua AS (SELECT *, us[CAST(k_new - kmin + 1 AS INT)] AS uav FROM u)
+    SELECT k_new, n_new, k_old, n_old,
+           CASE WHEN n_new - k_new > 0 AND k_old > 0
+                THEN CAST(k_new * (n_old - k_old) AS DOUBLE)
+                     / CAST((n_new - k_new) * k_old AS DOUBLE) END
+             AS odds_ratio,
+           list_reduce([0.0] || list_transform(us,
+             uu -> CASE WHEN uu <= uav THEN uu ELSE 0.0 END),
+             (a, b) -> a + b)
+           / list_reduce([0.0] || us, (a, b) -> a + b) AS p
+    FROM ua
+    """,
+)
+def q342(spark, sf_dir):
+    """Fisher's exact test (operators.robust.fisher_exact): did the
+    rate of >$400 purchases move between the first and last day (a
+    30-user cohort -- single-digit cells, exactly where the q115/
+    two_proportion z approximation is folklore and the
+    hypergeometric tail is the answer).  ZERO factorials: the
+    unnormalized pmf recurrence walks the support as fixed
+    multiply/divide chains the oracle replays with nested list
+    folds; p is ONE final division.  Hash-exact FULL oracle."""
+    from hadron_spark.operators.robust import fisher_exact
+
+    ev = load(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("user_id") < 30)
+        & F.col("value").isNotNull()
+    ).select(
+        F.to_date("ts").alias("d"),
+        (F.col("value") > 400).cast("int").alias("big"),
+    )
+    return fisher_exact(
+        ev.filter(F.col("d") == F.lit("2024-01-01").cast("date")),
+        ev.filter(F.col("d") == F.lit("2024-01-30").cast("date")),
+        "big",
+    )

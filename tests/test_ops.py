@@ -2636,3 +2636,47 @@ def test_cohens_d_reference(spark):
         "v",
     ).collect()[0]
     assert flat["d"] is None and flat["g"] is None
+
+
+def test_fisher_exact_reference(spark):
+    """Fisher exact two-sided p vs the comb() hypergeometric python
+    mirror (scipy convention: sum of tables with pmf <= observed);
+    classic tea-tasting table; odds ratio; zero-cell guard."""
+    from math import comb
+
+    from hadron_spark.operators.robust import fisher_exact
+
+    def mirror(a, b, c, d):
+        n1, K, N = a + b, a + c, a + b + c + d
+        kmin, kmax = max(0, n1 + K - N), min(K, n1)
+        pmf = {
+            k: comb(K, k) * comb(N - K, n1 - k) / comb(N, n1)
+            for k in range(kmin, kmax + 1)
+        }
+        return sum(p for k, p in pmf.items() if p <= pmf[a] * (1 + 1e-9))
+
+    cases = [(3, 1, 1, 3), (1, 9, 11, 3), (7, 2, 3, 8), (5, 0, 2, 6)]
+    for a, b, c, d in cases:
+        new = spark.createDataFrame(
+            [(1,)] * a + [(0,)] * b, "f int"
+        )
+        old = spark.createDataFrame(
+            [(1,)] * c + [(0,)] * d, "f int"
+        )
+        r = fisher_exact(new, old, "f").collect()[0]
+        assert (r["k_new"], r["n_new"], r["k_old"], r["n_old"]) == (
+            a, a + b, c, c + d,
+        )
+        p_ref = mirror(a, b, c, d)
+        assert abs(r["p"] - p_ref) < 1e-12, (a, b, c, d, r["p"], p_ref)
+        if b > 0 and c > 0:
+            assert r["odds_ratio"] == (a * d) / (b * c)
+        else:
+            assert r["odds_ratio"] is None
+    # scipy cross-check values: fisher_exact([[1,9],[11,3]]) ~ 0.002759
+    r = fisher_exact(
+        spark.createDataFrame([(1,)] * 1 + [(0,)] * 9, "f int"),
+        spark.createDataFrame([(1,)] * 11 + [(0,)] * 3, "f int"),
+        "f",
+    ).collect()[0]
+    assert abs(r["p"] - 0.0027594561852200836) < 1e-12
