@@ -2050,3 +2050,49 @@ def forecast_accuracy(
         mae_naive.alias("mae_naive"),
         mase.alias("mase"),
     )
+
+
+def durbin_watson(
+    df: DataFrame,
+    order_col: str,
+    resid_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Durbin–Watson statistic per series (1950) — first-order
+    autocorrelation of residuals, DW = Σ(e_t − e_{t−1})² / Σe² —
+    the "are these errors independent" gate before trusting any of
+    the time-series tier's variance formulas (DW ≈ 2 means clean;
+    → 0 positive, → 4 negative autocorrelation).
+
+    With quantized integer residuals both sums are exact
+    (DECIMAL(38,0): Σe² ≤ n·max²) and DW is ONE division:
+    hash-exact.  All-zero-residual series yield NULL; ties in
+    `order_col` are pinned by the residual value.
+
+    Plan: one per-series lag window (bounded series contract), one
+    partial-agg'd collapse.  Returns (group_cols..., n, dw)."""
+    from pyspark.sql import Window
+
+    gc = list(group_cols or [])
+    base = df.filter(
+        F.col(resid_col).isNotNull() & F.col(order_col).isNotNull()
+    ).select(
+        *gc,
+        F.col(order_col).alias("_o"),
+        F.col(resid_col).cast("long").alias("_e"),
+    )
+    w = Window.partitionBy(*(gc or [F.lit(1)])).orderBy("_o", "_e")
+    stepped = base.withColumn("_el", F.lag("_e").over(w))
+    d = (F.col("_e") - F.col("_el")).cast("decimal(38,0)")
+    e = F.col("_e").cast("decimal(38,0)")
+    agg = stepped.groupBy(*gc).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d * d).alias("_num"),
+        F.sum(e * e).alias("_den"),
+    )
+    dw = F.when(
+        F.col("_den") > 0,
+        F.col("_num").cast("double") / F.col("_den").cast("double"),
+    )
+    agg = agg.filter(F.col("n") > 0)  # empty global agg leaves a 0 row
+    return agg.select(*gc, "n", dw.alias("dw"))

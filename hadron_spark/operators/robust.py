@@ -2569,3 +2569,151 @@ def fisher_exact(
         orat.alias("odds_ratio"),
         (tail / s).alias("p"),
     )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    diff_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Wilcoxon signed-rank test per group (Wilcoxon 1945) — the
+    paired nonparametric workhorse between `sign_test` (signs only,
+    throws away magnitude) and the paired t (needs normality): rank
+    the |differences|, sum the ranks of the positive side, ask if
+    the split is lopsided.  Zeros dropped (Wilcoxon's original
+    convention, matching `sign_test`).
+
+    Rank algebra exact by the ×2 midrank lift (the mann_whitney_u
+    spine): W⁺×2 = Σ_{d>0} cnt·r2 over |d| CELLS is an exact int64,
+    and the tie-corrected normal z uses
+
+        z = (W⁺×2 − n(n+1)/2) / √((2n(n+1)(2n+1) − Σ(t³−t)) / 12)
+
+    — numerator and radicand all exact integers (DECIMAL(38,0);
+    t³ wraps int64 at 2.1·10⁶ — the kruskal discipline), one
+    division + one sqrt: hash-exact.  The radicand is
+    3n(n+1)²/12 > 0 even fully tied, so z exists whenever n ≥ 1;
+    all-zero-diff groups vanish (no evidence).
+
+    Plan: one shuffle onto |d| cells, one bounded cumulative window
+    per group, one partial-agg'd collapse.  Returns (group_cols...,
+    n, w_pos_x2, w_neg_x2, tie_term, z)."""
+    from pyspark.sql import Window
+
+    gc = list(group_cols or [])
+    base = df.filter(
+        F.col(diff_col).isNotNull() & (F.col(diff_col) != 0)
+    ).select(
+        *gc,
+        F.abs(F.col(diff_col).cast("long")).alias("_a"),
+        (F.col(diff_col) > 0).cast("long").alias("_p"),
+    )
+    cells = base.groupBy(*gc, "_a").agg(
+        F.count(F.lit(1)).alias("_c"), F.sum("_p").alias("_cp")
+    )
+    w = (
+        Window.partitionBy(*(gc or [F.lit(1)]))
+        .orderBy("_a")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r2 = 2 * (F.sum("_c").over(w) - F.col("_c")) + F.col("_c") + 1
+    ranked = cells.withColumn("_r2", r2)
+    t_dec = F.col("_c").cast("decimal(38,0)")
+    agg = ranked.groupBy(*gc).agg(
+        F.sum("_c").alias("n"),
+        F.sum(F.col("_cp") * F.col("_r2")).alias("w_pos_x2"),
+        F.sum((F.col("_c") - F.col("_cp")) * F.col("_r2")).alias(
+            "w_neg_x2"
+        ),
+        F.sum(t_dec * t_dec * t_dec - t_dec).alias("_t"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    rad = (2 * n * (n + 1) * (2 * n + 1) - F.col("_t")).cast("double") / F.lit(
+        12.0
+    )
+    e2 = (n * (n + 1)).cast("double") / F.lit(2.0)
+    z = F.when(
+        rad > 0,
+        (F.col("w_pos_x2").cast("double") - e2) / F.sqrt(rad),
+    )
+    agg = agg.filter(F.col("n") > 0)  # empty global agg leaves a NULL row
+    return agg.select(
+        *gc,
+        "n",
+        "w_pos_x2",
+        "w_neg_x2",
+        F.col("_t").cast("long").alias("tie_term"),
+        z.alias("z"),
+    )
+
+
+def runs_test(
+    df: DataFrame,
+    order_col: str,
+    sign_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Wald–Wolfowitz runs test per series (1940) — "is this
+    sequence of ups/downs RANDOM, or does it streak/alternate":
+    the residual-diagnostics companion to `mann_kendall` (which
+    asks for monotone drift; this asks for serial dependence of
+    ANY sign).  The evidence is the run count R of the ±sequence
+    ordered by `order_col` (zeros dropped):
+
+        E[R] = 1 + 2·n₁n₂/n,
+        Var  = 2n₁n₂(2n₁n₂ − n) / (n²(n−1))
+
+    — R, n₁, n₂ exact integers off one lag window; z = (R − E)/√Var
+    is a fixed chain (two divisions, one sqrt) over DECIMAL(38,0)
+    casts: hash-exact.  One-sided-sign or n < 2 series yield z NULL
+    (no randomness question to ask).
+
+    Plan: one per-series lag window (bounded series contract — this
+    is for residual/metric series), one partial-agg'd collapse.
+    Ties in `order_col` are pinned by the sign value.  Returns
+    (group_cols..., n, n_pos, n_neg, runs, z)."""
+    from pyspark.sql import Window
+
+    gc = list(group_cols or [])
+    base = df.filter(
+        F.col(sign_col).isNotNull()
+        & (F.col(sign_col) != 0)
+        & F.col(order_col).isNotNull()
+    ).select(
+        *gc,
+        F.col(order_col).alias("_o"),
+        F.signum(F.col(sign_col).cast("double")).cast("int").alias("_s"),
+    )
+    w = Window.partitionBy(*(gc or [F.lit(1)])).orderBy("_o", "_s")
+    stepped = base.withColumn("_prev", F.lag("_s").over(w))
+    agg = stepped.groupBy(*gc).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("_s") > 0, 1).otherwise(0)).alias("n_pos"),
+        F.sum(
+            F.when(
+                F.col("_prev").isNull() | (F.col("_s") != F.col("_prev")), 1
+            ).otherwise(0)
+        ).alias("runs"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    n1 = F.col("n_pos").cast("decimal(38,0)")
+    n2 = (F.col("n") - F.col("n_pos")).cast("decimal(38,0)")
+    two12 = 2 * n1 * n2
+    e = F.lit(1.0) + two12.cast("double") / F.col("n").cast("double")
+    var = F.when(
+        (F.col("n") >= 2)
+        & (F.col("n_pos") > 0)
+        & (F.col("n_pos") < F.col("n")),
+        (two12 * (two12 - n)).cast("double")
+        / (n * n * (n - 1)).cast("double"),
+    )
+    z = F.when(var > 0, (F.col("runs").cast("double") - e) / F.sqrt(var))
+    agg = agg.filter(F.col("n") > 0)  # empty global agg leaves a 0 row
+    return agg.select(
+        *gc,
+        "n",
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).alias("n_neg"),
+        "runs",
+        z.alias("z"),
+    )

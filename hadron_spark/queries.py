@@ -15667,3 +15667,193 @@ def q342(spark, sf_dir):
         ev.filter(F.col("d") == F.lit("2024-01-30").cast("date")),
         "big",
     )
+
+
+@_register(
+    "q343_wilcoxon_signed_rank",
+    """
+    WITH per_user AS (
+      SELECT event_type AS g, user_id,
+             CAST(SUM(CASE WHEN date_part('day', ts) <= 15
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT)
+             - CAST(SUM(CASE WHEN date_part('day', ts) > 15
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS d
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    nz AS (SELECT g, abs(d) AS a,
+                  CASE WHEN d > 0 THEN 1 ELSE 0 END AS p
+           FROM per_user WHERE d <> 0),
+    cells AS (SELECT g, a, CAST(COUNT(*) AS BIGINT) AS c,
+                     CAST(SUM(p) AS BIGINT) AS cp
+              FROM nz GROUP BY 1, 2),
+    rk AS (SELECT g, a, c, cp,
+                  2 * (SUM(c) OVER (PARTITION BY g ORDER BY a
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                         ROW) - c) + c + 1 AS r2
+           FROM cells),
+    agg AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(SUM(cp * r2) AS BIGINT) AS w_pos_x2,
+                   CAST(SUM((c - cp) * r2) AS BIGINT) AS w_neg_x2,
+                   SUM(CAST(c AS HUGEINT) * c * c - c) AS t
+            FROM rk GROUP BY 1)
+    SELECT g AS event_type, n, w_pos_x2, w_neg_x2,
+           CAST(t AS BIGINT) AS tie_term,
+           CASE WHEN CAST(2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1)
+                          - t AS DOUBLE) / 12.0 > 0
+                THEN (CAST(w_pos_x2 AS DOUBLE)
+                      - CAST(CAST(n AS HUGEINT) * (n + 1) AS DOUBLE)
+                        / 2.0)
+                     / sqrt(CAST(2 * CAST(n AS HUGEINT) * (n + 1)
+                                 * (2 * n + 1) - t AS DOUBLE) / 12.0)
+                END AS z
+    FROM agg
+    """,
+)
+def q343(spark, sf_dir):
+    """Wilcoxon signed-rank test (operators.robust
+    .wilcoxon_signed_rank): did each user's spend shift between the
+    first and second half of the month, per event type -- the paired
+    nonparametric workhorse between q331's sign test (signs only)
+    and the paired t (needs normality).  x2-midrank ranks over |d|
+    cells, all-integer radicand 2n(n+1)(2n+1) - tie term in
+    DECIMAL(38,0)/HUGEINT, one division + one sqrt.  Hash-exact
+    FULL oracle."""
+    from hadron_spark.operators.robust import wilcoxon_signed_rank
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = ev.groupBy(
+        F.col("event_type"), F.col("user_id")
+    ).agg(
+        (
+            F.sum(F.when(F.dayofmonth("ts") <= 15, cents).otherwise(0))
+            - F.sum(F.when(F.dayofmonth("ts") > 15, cents).otherwise(0))
+        ).alias("d")
+    )
+    return wilcoxon_signed_rank(per_user, "d", ["event_type"])
+
+
+@_register(
+    "q344_runs_test",
+    """
+    WITH daily AS (SELECT event_type AS g,
+                          CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+                          CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                               AS BIGINT) AS y
+                   FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS nn,
+                   CAST(SUM(y) AS BIGINT) AS t FROM daily GROUP BY 1),
+    resid AS (SELECT daily.g, d,
+                     CAST(sign(CAST(nn AS HUGEINT) * y
+                               - CAST(t AS HUGEINT) * 1) AS INT) AS s
+              FROM daily JOIN tot ON daily.g = tot.g),
+    nz AS (SELECT g, d, s,
+                  lag(s) OVER (PARTITION BY g ORDER BY d, s) AS prev
+           FROM resid WHERE s <> 0),
+    agg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pos,
+                   CAST(SUM(CASE WHEN prev IS NULL OR s <> prev
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS runs
+            FROM nz GROUP BY 1),
+    stats AS (SELECT *,
+                     2 * CAST(n_pos AS HUGEINT) * (n - n_pos) AS two12
+              FROM agg)
+    SELECT g AS event_type, n, n_pos, n - n_pos AS n_neg, runs,
+           CASE WHEN n >= 2 AND n_pos > 0 AND n_pos < n
+                 AND CAST(two12 * (two12 - n) AS DOUBLE)
+                     / CAST(CAST(n AS HUGEINT) * n * (n - 1) AS DOUBLE)
+                     > 0
+                THEN (CAST(runs AS DOUBLE)
+                      - (1.0 + CAST(two12 AS DOUBLE)
+                               / CAST(n AS DOUBLE)))
+                     / sqrt(CAST(two12 * (two12 - n) AS DOUBLE)
+                            / CAST(CAST(n AS HUGEINT) * n * (n - 1)
+                                   AS DOUBLE))
+                END AS z
+    FROM stats
+    """,
+)
+def q344(spark, sf_dir):
+    """Wald-Wolfowitz runs test (operators.robust.runs_test) on each
+    type's daily-revenue deviations from its own monthly mean (sign
+    of n*y_t - T -- integer-exact, no float mean anywhere): is the
+    up/down sequence random, or does revenue streak?  The serial-
+    dependence companion to q328's monotone-drift question.  R and
+    the margins are exact; z is two divisions + one sqrt.
+    Hash-exact FULL oracle."""
+    from hadron_spark.operators.robust import runs_test
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("y")
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nn"), F.sum("y").alias("t")
+    )
+    resid = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "d",
+        (
+            F.col("nn").cast("decimal(38,0)") * F.col("y")
+            - F.col("t").cast("decimal(38,0)")
+        ).alias("e"),
+    )
+    return runs_test(resid, "d", "e", ["event_type"])
+
+
+@_register(
+    "q345_durbin_watson",
+    """
+    WITH daily AS (SELECT event_type AS g,
+                          CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+                          CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                               AS BIGINT) AS y
+                   FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS nn,
+                   CAST(SUM(y) AS BIGINT) AS t FROM daily GROUP BY 1),
+    resid AS (SELECT daily.g, d,
+                     CAST(nn AS BIGINT) * y - t AS e
+              FROM daily JOIN tot ON daily.g = tot.g),
+    lagged AS (SELECT g, e,
+                      lag(e) OVER (PARTITION BY g ORDER BY d, e) AS el
+               FROM resid),
+    agg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(e - el AS HUGEINT) * (e - el)) AS num,
+                   SUM(CAST(e AS HUGEINT) * e) AS den
+            FROM lagged GROUP BY 1)
+    SELECT g AS event_type, n,
+           CASE WHEN den > 0 THEN CAST(num AS DOUBLE)
+                / CAST(den AS DOUBLE) END AS dw
+    FROM agg
+    """,
+)
+def q345(spark, sf_dir):
+    """Durbin-Watson statistic (operators.ops.durbin_watson) of each
+    type's daily-revenue deviations (e = n*y - T, integer-exact and
+    DW-scale-invariant): first-order autocorrelation -- the "can I
+    trust the variance formulas" gate for the whole time-series
+    tier.  Both sums exact HUGEINT/DECIMAL, DW is ONE division.
+    Hash-exact FULL oracle."""
+    from hadron_spark.operators.ops import durbin_watson
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("y")
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nn"), F.sum("y").alias("t")
+    )
+    resid = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "d",
+        (F.col("nn") * F.col("y") - F.col("t")).alias("e"),
+    )
+    return durbin_watson(resid, "d", "e", ["event_type"])

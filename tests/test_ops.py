@@ -2680,3 +2680,116 @@ def test_fisher_exact_reference(spark):
         "f",
     ).collect()[0]
     assert abs(r["p"] - 0.0027594561852200836) < 1e-12
+
+
+def test_wilcoxon_signed_rank_reference(spark):
+    """Wilcoxon signed-rank W+/z vs a pure-python midrank mirror
+    (scipy 'wilcox' zero handling, tie-corrected normal z); zeros
+    dropped; all-zero group vanishes."""
+    import math
+    from collections import Counter
+
+    from hadron_spark.operators.robust import wilcoxon_signed_rank
+
+    diffs = [5, -3, 8, 8, -2, 12, 3, -8, 7, 0, 4, -4, 15]
+    df = spark.createDataFrame([(float(d),) for d in diffs], "d double")
+    r = wilcoxon_signed_rank(df, "d").collect()[0]
+
+    nz = [d for d in diffs if d != 0]
+    n = len(nz)
+    ads = sorted(abs(d) for d in nz)
+    # midranks x2
+    cnt = Counter(ads)
+    r2 = {}
+    before = 0
+    for v in sorted(cnt):
+        r2[v] = 2 * before + cnt[v] + 1
+        before += cnt[v]
+    wp2 = sum(r2[abs(d)] for d in nz if d > 0)
+    wn2 = sum(r2[abs(d)] for d in nz if d < 0)
+    t_term = sum(t**3 - t for t in cnt.values())
+    z_ref = (wp2 - n * (n + 1) / 2) / math.sqrt(
+        (2 * n * (n + 1) * (2 * n + 1) - t_term) / 12
+    )
+    assert r["n"] == n
+    assert r["w_pos_x2"] == wp2 and r["w_neg_x2"] == wn2
+    assert r["tie_term"] == t_term
+    assert abs(r["z"] - z_ref) < 1e-12
+    # identity: W+ + W- = n(n+1)/2 (x2 scale: n(n+1))
+    assert r["w_pos_x2"] + r["w_neg_x2"] == n * (n + 1)
+
+    empty = wilcoxon_signed_rank(
+        spark.createDataFrame([(0.0,), (0.0,)], "d double"), "d"
+    ).collect()
+    assert empty == []
+
+
+def test_runs_test_reference(spark):
+    """Runs count + z vs the textbook Wald-Wolfowitz formulas;
+    perfect alternation z > 0, single streak z < 0; one-sided
+    guard."""
+    import math
+
+    from hadron_spark.operators.robust import runs_test
+
+    def mirror(signs):
+        nz = [s for s in signs if s != 0]
+        n, n1 = len(nz), sum(1 for s in nz if s > 0)
+        n2 = n - n1
+        runs = 1 + sum(
+            1 for i in range(1, len(nz)) if (nz[i] > 0) != (nz[i - 1] > 0)
+        )
+        e = 1 + 2 * n1 * n2 / n
+        var = 2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1))
+        return runs, (runs - e) / math.sqrt(var)
+
+    seqs = {
+        "alt": [1, -1, 1, -1, 1, -1, 1, -1],
+        "streak": [1, 1, 1, 1, -1, -1, -1, -1],
+        "mixed": [1, 1, -1, 1, -1, -1, 1, -1, 1, 1, 0],
+    }
+    rows = [
+        (g, t, float(s)) for g, ss in seqs.items() for t, s in enumerate(ss)
+    ]
+    df = spark.createDataFrame(rows, "g string, t long, s double")
+    got = {r["g"]: r for r in runs_test(df, "t", "s", ["g"]).collect()}
+    for g, ss in seqs.items():
+        runs, z = mirror(ss)
+        assert got[g]["runs"] == runs, g
+        assert abs(got[g]["z"] - z) < 1e-12, g
+    assert got["alt"]["z"] > 0 and got["streak"]["z"] < 0
+
+    one = runs_test(
+        spark.createDataFrame(
+            [("o", t, 1.0) for t in range(5)], "g string, t long, s double"
+        ),
+        "t", "s", ["g"],
+    ).collect()[0]
+    assert one["z"] is None
+
+
+def test_durbin_watson_reference(spark):
+    """DW vs the ratio-of-sums python mirror; white-noise-ish ~2,
+    perfectly trending -> small; all-zero NULL."""
+    from hadron_spark.operators.ops import durbin_watson
+
+    series = {
+        "noisy": [3, -5, 4, -2, 6, -7, 1, -3],
+        "trend": [1, 2, 3, 4, 5, 6, 7, 8],
+        "zero": [0, 0, 0],
+    }
+    rows = [
+        (g, t, e) for g, es in series.items() for t, e in enumerate(es)
+    ]
+    df = spark.createDataFrame(rows, "g string, t long, e long")
+    got = {r["g"]: r for r in durbin_watson(df, "t", "e", ["g"]).collect()}
+    for g, es in series.items():
+        den = sum(x * x for x in es)
+        if den == 0:
+            assert got[g]["dw"] is None
+            continue
+        num = sum(
+            (es[i] - es[i - 1]) ** 2 for i in range(1, len(es))
+        )
+        assert got[g]["dw"] == num / den, g
+    assert got["noisy"]["dw"] > 2.5 and got["trend"]["dw"] < 0.5

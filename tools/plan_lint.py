@@ -88,6 +88,9 @@ EXPLAIN_BNLJ = {
     "q327_conover_iman": "the q318 pairwise shape: a.g < b.g self-join over "
     "the PER-GROUP rank aggregate (k rows both sides — the test's arms), "
     "output k(k-1)/2 pair rows",
+    "q341_mmr_rerank": "the q25 brute-force baseline feeding MMR: broadcasts "
+    "the bounded probe set (5 rows); candidates are top-50 per probe by "
+    "contract — the corpus side streams",
 }
 EXPLAIN_SINGLE_PARTITION = {
     "q79_share_of_total": "global share window over the per-nation aggregate "
