@@ -10,8 +10,10 @@ from hadron_spark.operators import (
     ops,
     robust,
     sketch,
+    survival,
 )
 
 __all__ = [
-    "graph", "joins", "maintenance", "mapreduce", "ops", "robust", "sketch",
+    "graph", "joins", "maintenance", "mapreduce", "ops", "robust",
+    "sketch", "survival",
 ]

@@ -15857,3 +15857,170 @@ def q345(spark, sf_dir):
         (F.col("nn") * F.col("y") - F.col("t")).alias("e"),
     )
     return durbin_watson(resid, "d", "e", ["event_type"])
+
+
+_SURV_SUBJ_SQL = """
+    first_ev AS (SELECT user_id, MIN(ts) AS t0 FROM events
+                 WHERE user_id IS NOT NULL GROUP BY 1),
+    first_err AS (SELECT user_id, MIN(ts) AS te FROM events
+                  WHERE event_type = 'error' GROUP BY 1),
+    subj AS (
+      SELECT f.user_id,
+             CASE WHEN e.te IS NOT NULL
+                  THEN CAST(date_diff('day', CAST(f.t0 AS DATE),
+                                      CAST(e.te AS DATE)) AS BIGINT)
+                  ELSE CAST(date_diff('day', CAST(f.t0 AS DATE),
+                                      DATE '2024-01-30') AS BIGINT)
+             END AS dur,
+             CASE WHEN e.te IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM first_ev f LEFT JOIN first_err e ON f.user_id = e.user_id)
+"""
+
+
+def _surv_subjects(spark, sf_dir):
+    """(user_id, dur, ev): days from a user's first event to their
+    first 'error' (ev = 1), censored at 2024-01-30 if none (ev = 0)
+    — the shared frame of q346/q347."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    first_ev = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    first_err = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("te"))
+    )
+    j = first_ev.join(first_err, "user_id", "left")
+    dur = F.when(
+        F.col("te").isNotNull(),
+        F.datediff(F.to_date("te"), F.to_date("t0")),
+    ).otherwise(
+        F.datediff(F.lit("2024-01-30").cast("date"), F.to_date("t0"))
+    )
+    return j.select(
+        "user_id",
+        dur.cast("long").alias("dur"),
+        F.col("te").isNotNull().cast("int").alias("ev"),
+    )
+
+
+@_register(
+    "q346_kaplan_meier",
+    "WITH " + _SURV_SUBJ_SQL + """,
+    cells AS (SELECT dur AS t, CAST(SUM(ev) AS BIGINT) AS d,
+                     CAST(SUM(1 - ev) AS BIGINT) AS c
+              FROM subj GROUP BY 1),
+    spine AS (SELECT list_sort(list(struct_pack(t := t, d := d,
+                c := c))) AS s,
+                     CAST(SUM(d + c) AS BIGINT) AS n
+              FROM cells),
+    walked AS (
+      SELECT n, s,
+             [CASE WHEN i = 1 THEN CAST(0 AS BIGINT)
+                   ELSE list_reduce(
+                          [CAST(0 AS BIGINT)]
+                          || [s[x].d + s[x].c FOR x IN range(1, i)],
+                          (a, b) -> a + b) END
+              FOR i IN range(1, len(s) + 1)] AS pre
+      FROM spine),
+    surv AS (
+      SELECT n, s, pre,
+             [list_reduce(
+                [1.0] || [CASE WHEN s[j].d > 0
+                               THEN 1.0 - CAST(s[j].d AS DOUBLE)
+                                    / CAST(n - pre[j] AS DOUBLE)
+                               ELSE 1.0 END
+                          FOR j IN range(1, i + 1)],
+                (a, b) -> a * b)
+              FOR i IN range(1, len(s) + 1)] AS sv
+      FROM walked)
+    SELECT s[i].t AS t, n - pre[i] AS n_risk, s[i].d AS d, s[i].c AS c,
+           sv[i] AS survival
+    FROM surv, unnest([x FOR x IN range(1, len(s) + 1)]) AS u(i)
+    """,
+)
+def q346(spark, sf_dir):
+    """Kaplan-Meier curve (operators.survival.kaplan_meier) of
+    time-to-first-error per user, right-censored at month end --
+    the estimate a naive mean-of-observed-failures gets wrong by
+    dropping the censored majority.  Every survival factor is ONE
+    division of exact at-risk/event counts off the bounded
+    distinct-day spine, the product folds in time order (a x1.0
+    multiply for censor-only steps -- exact no-op, so the skip-vs-
+    multiply chains agree bit-for-bit).  Hash-exact FULL oracle."""
+    from hadron_spark.operators.survival import kaplan_meier
+
+    return kaplan_meier(_surv_subjects(spark, sf_dir), "dur", "ev")
+
+
+@_register(
+    "q347_logrank",
+    "WITH " + _SURV_SUBJ_SQL + """,
+    arm_a AS (SELECT dur, ev FROM subj WHERE user_id % 2 = 0),
+    arm_b AS (SELECT dur, ev FROM subj WHERE user_id % 2 = 1),
+    ca AS (SELECT dur AS t, CAST(SUM(ev) AS BIGINT) AS da,
+                  CAST(COUNT(*) AS BIGINT) AS ma
+           FROM arm_a GROUP BY 1),
+    cb AS (SELECT dur AS t, CAST(SUM(ev) AS BIGINT) AS db,
+                  CAST(COUNT(*) AS BIGINT) AS mb
+           FROM arm_b GROUP BY 1),
+    spine AS (SELECT COALESCE(ca.t, cb.t) AS t,
+                     COALESCE(da, 0) AS da, COALESCE(ma, 0) AS ma,
+                     COALESCE(db, 0) AS db, COALESCE(mb, 0) AS mb
+              FROM ca FULL OUTER JOIN cb ON ca.t = cb.t),
+    g AS (SELECT list_sort(list(struct_pack(t := t, da := da,
+                 ma := ma, db := db, mb := mb))) AS s,
+                 CAST(SUM(ma) AS BIGINT) AS n_a,
+                 CAST(SUM(mb) AS BIGINT) AS n_b,
+                 CAST(SUM(da) AS BIGINT) AS events_a,
+                 CAST(SUM(db) AS BIGINT) AS events_b
+          FROM spine),
+    folded AS (
+      SELECT *, list_reduce(
+        [[0.0, 0.0, 0.0, 0.0]]
+        || [[CAST(x.da AS DOUBLE), CAST(x.ma AS DOUBLE),
+             CAST(x.db AS DOUBLE), CAST(x.mb AS DOUBLE)]
+            FOR x IN s],
+        (acc, x) -> [
+          acc[1] + (x[1] - (x[1] + x[3])
+                    * (CAST(n_a AS DOUBLE) - acc[3])
+                    / ((CAST(n_a AS DOUBLE) - acc[3])
+                       + (CAST(n_b AS DOUBLE) - acc[4]))),
+          acc[2] + CASE WHEN (CAST(n_a AS DOUBLE) - acc[3])
+                             + (CAST(n_b AS DOUBLE) - acc[4]) > 1
+            THEN (x[1] + x[3])
+                 * ((CAST(n_a AS DOUBLE) - acc[3])
+                    / ((CAST(n_a AS DOUBLE) - acc[3])
+                       + (CAST(n_b AS DOUBLE) - acc[4])))
+                 * (1.0 - (CAST(n_a AS DOUBLE) - acc[3])
+                    / ((CAST(n_a AS DOUBLE) - acc[3])
+                       + (CAST(n_b AS DOUBLE) - acc[4])))
+                 * (((CAST(n_a AS DOUBLE) - acc[3])
+                     + (CAST(n_b AS DOUBLE) - acc[4]))
+                    - (x[1] + x[3]))
+                 / (((CAST(n_a AS DOUBLE) - acc[3])
+                     + (CAST(n_b AS DOUBLE) - acc[4])) - 1.0)
+            ELSE 0.0 END,
+          acc[3] + x[2],
+          acc[4] + x[4]]) AS f
+      FROM g)
+    SELECT n_a, n_b, events_a, events_b,
+           f[1] AS o_minus_e, f[2] AS v,
+           CASE WHEN f[2] > 0 THEN f[1] / sqrt(f[2]) END AS z
+    FROM folded
+    """,
+)
+def q347(spark, sf_dir):
+    """Log-rank test (operators.survival.logrank_test): do even- and
+    odd-id user cohorts fail (first error) at different rates, with
+    censoring handled honestly -- the hypergeometric O-E fold over
+    the pooled time spine, every term three divisions in a FIXED
+    time-ordered chain the oracle replays verbatim.  Hash-exact
+    FULL oracle."""
+    from hadron_spark.operators.survival import logrank_test
+
+    subj = _surv_subjects(spark, sf_dir)
+    return logrank_test(
+        subj.filter(F.col("user_id") % 2 == 0),
+        subj.filter(F.col("user_id") % 2 == 1),
+        "dur",
+        "ev",
+    )

@@ -2793,3 +2793,96 @@ def test_durbin_watson_reference(spark):
         )
         assert got[g]["dw"] == num / den, g
     assert got["noisy"]["dw"] > 2.5 and got["trend"]["dw"] < 0.5
+
+
+def test_kaplan_meier_reference(spark):
+    """KM product-limit curve vs a lifelines-definition python
+    mirror on censored data; censor-only steps keep survival flat;
+    uncensored reduces to the empirical survivor function."""
+    import pytest
+
+    from hadron_spark.operators.survival import kaplan_meier
+
+    # (duration, event): censored rows have event=0
+    data = [(2, 1), (3, 1), (3, 0), (5, 1), (5, 1), (7, 0), (8, 1),
+            (8, 1), (8, 0), (10, 0), (12, 1), (4, 0)]
+    df = spark.createDataFrame(data, "t long, e int")
+    rows = {r["t"]: r for r in kaplan_meier(df, "t", "e").collect()}
+
+    # python mirror
+    from collections import Counter
+
+    times = sorted({t for t, _ in data})
+    d = Counter(t for t, e in data if e == 1)
+    c = Counter(t for t, e in data if e == 0)
+    n = len(data)
+    at_risk, s, ref = n, 1.0, {}
+    for t in times:
+        if d[t] > 0:
+            s = s * (1.0 - d[t] / at_risk)
+        ref[t] = (at_risk, d[t], c[t], s)
+        at_risk -= d[t] + c[t]
+    assert set(rows) == set(times)
+    for t in times:
+        r = rows[t]
+        nr, dd, cc, sv = ref[t]
+        assert (r["n_risk"], r["d"], r["c"]) == (nr, dd, cc), t
+        assert r["survival"] == sv, t
+    # censor-only time keeps survival flat
+    assert rows[4]["survival"] == rows[3]["survival"]
+    assert rows[7]["survival"] == rows[5]["survival"]
+
+    # no censoring: KM == empirical survivor function
+    unc = [(t, 1) for t in (1, 2, 2, 3, 4)]
+    got = {
+        r["t"]: r["survival"]
+        for r in kaplan_meier(
+            spark.createDataFrame(unc, "t long, e int"), "t", "e"
+        ).collect()
+    }
+    assert got[1] == 0.8 and got[2] == pytest.approx(0.4) and got[4] == 0.0
+
+
+def test_logrank_reference(spark):
+    """Log-rank O-E/V/z vs a pure-python pooled-spine mirror;
+    identical arms give z ~ 0; a separated pair gives |z| large;
+    degenerate V guard."""
+    import math
+    from collections import Counter
+
+    from hadron_spark.operators.survival import logrank_test
+
+    arm_a = [(2, 1), (4, 1), (5, 0), (7, 1), (9, 1), (11, 0)]
+    arm_b = [(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (6, 0)]
+    da = spark.createDataFrame(arm_a, "t long, e int")
+    db = spark.createDataFrame(arm_b, "t long, e int")
+    r = logrank_test(da, db, "t", "e").collect()[0]
+
+    def mirror(a, b):
+        times = sorted({t for t, _ in a + b})
+        la = lb = 0
+        oe = v = 0.0
+        for t in times:
+            r1, r2 = len(a) - la, len(b) - lb
+            rt = r1 + r2
+            d1 = sum(1 for tt, e in a if tt == t and e == 1)
+            d2 = sum(1 for tt, e in b if tt == t and e == 1)
+            dt = d1 + d2
+            oe += d1 - dt * r1 / rt
+            if rt > 1:
+                v += dt * (r1 / rt) * (1 - r1 / rt) * (rt - dt) / (rt - 1)
+            la += sum(1 for tt, _ in a if tt == t)
+            lb += sum(1 for tt, _ in b if tt == t)
+        return oe, v
+    oe, v = mirror(arm_a, arm_b)
+    assert r["n_a"] == 6 and r["n_b"] == 6
+    assert r["events_a"] == 4 and r["events_b"] == 5
+    assert abs(r["o_minus_e"] - oe) < 1e-12
+    assert abs(r["v"] - v) < 1e-12
+    assert abs(r["z"] - oe / math.sqrt(v)) < 1e-12
+    # b's events are earlier -> a survives longer -> O_a < E_a
+    assert r["z"] < 0
+
+    # identical arms: z == 0 exactly (O-E telescopes to 0)
+    same = logrank_test(da, da, "t", "e").collect()[0]
+    assert abs(same["z"]) < 1e-12
