@@ -1377,3 +1377,102 @@ def reciprocal_rank_fusion(
     if top_n is not None:
         out = out.filter(F.col("fused_rank") <= top_n)
     return out
+
+
+def isotonic_calibrate(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Isotonic-regression calibration map per group (pool-adjacent
+    -violators; Zadrozny & Elkan 2002 for the classifier use) — the
+    nonparametric step between `calibration_bins`' diagnosis and a
+    fixed model: the monotone function closest (L2) to the
+    empirical per-score pass rates.  Fit via the MINIMAX identity
+    (Robertson/Wright/Dykstra 1988, eq. 1.9–1.13)
+
+        ŷ_k = max_{i ≤ k} min_{j ≥ k} avg(y on scores i..j)
+
+    which needs no sequential pooling loop: every block average is
+    (Py_j − Py_{i−1})/(Pw_j − Pw_{i−1}) — ONE division of exact
+    int64 prefix sums — and the min/max are order-free aggregates,
+    so the whole fit is window algebra on the DISTINCT-SCORE spine
+    (the _score_spine contract: |spine| bounded by quantization,
+    pair frame |spine|²/2 — never label rows) and hash-exact
+    cross-engine.  The textbook identity uses min over j ≥ i inside
+    max over i ≤ k; on doubles both engines compute identical
+    division results, so argmin ties cannot diverge the VALUE.
+
+    Returns (group_cols..., score, n, pos, rate, calibrated) — one
+    row per distinct score, `calibrated` non-decreasing in score
+    (the lookup table to join against new scores)."""
+    from pyspark.sql import Window
+
+    gc = list(group_cols or [])
+    spine = (
+        df.filter(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .groupBy(*gc, F.col(score_col).alias("_s"))
+        .agg(
+            F.count(F.lit(1)).alias("_w"),
+            F.sum(F.col(label_col).cast("long")).alias("_y"),
+        )
+    )
+    w_ord = (
+        Window.partitionBy(*(gc or [F.lit(1)]))
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = spine.select(
+        *gc,
+        "_s",
+        "_w",
+        "_y",
+        F.sum("_w").over(w_ord).alias("_pw"),
+        F.sum("_y").over(w_ord).alias("_py"),
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    cond = F.col("a._s") <= F.col("b._s")
+    for g in gc:
+        cond = cond & (F.col(f"a.{g}") == F.col(f"b.{g}"))
+    # block average over scores a.._s .. b._s (inclusive): prefix
+    # diffs; a's EXCLUSIVE prefix = pw − w
+    num = (F.col("b._py") - (F.col("a._py") - F.col("a._y"))).cast(
+        "double"
+    )
+    den = (F.col("b._pw") - (F.col("a._pw") - F.col("a._w"))).cast(
+        "double"
+    )
+    blocks = a.join(b, cond).select(
+        *[F.col(f"a.{g}").alias(g) for g in gc],
+        F.col("a._s").alias("_i"),
+        F.col("b._s").alias("_j"),
+        (num / den).alias("_avg"),
+    )
+    # m(i, k) = min over j >= k of avg(i..j): for each start i, a
+    # suffix min over j — then y(k) = max over i <= k of m(i, k).
+    # Two passes of window algebra on the pair frame:
+    w_suffix = (
+        Window.partitionBy(*gc, "_i")
+        .orderBy(F.col("_j").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    suff = blocks.withColumn("_m", F.min("_avg").over(w_suffix))
+    # row (i, k) now carries min_{j >= k} avg(i..j); keep pairs with
+    # i <= k (already the frame) and take max over i per k
+    fitted = suff.groupBy(*gc, F.col("_j").alias("_s")).agg(
+        F.max("_m").alias("calibrated")
+    )
+    out = pre.join(fitted, [*gc, "_s"])
+    return out.select(
+        *gc,
+        F.col("_s").alias("score"),
+        F.col("_w").alias("n"),
+        F.col("_y").alias("pos"),
+        (F.col("_y").cast("double") / F.col("_w").cast("double")).alias(
+            "rate"
+        ),
+        "calibrated",
+    )

@@ -16024,3 +16024,52 @@ def q347(spark, sf_dir):
         "dur",
         "ev",
     )
+
+
+@_register(
+    "q348_isotonic_calibrate",
+    """
+    WITH base AS (SELECT CAST(round(value) AS BIGINT) // 10 AS s,
+                         CASE WHEN event_type = 'purchase' THEN 1
+                              ELSE 0 END AS y
+                  FROM events WHERE value IS NOT NULL),
+    spine AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS w,
+                     CAST(SUM(y) AS BIGINT) AS ys
+              FROM base GROUP BY 1),
+    pre AS (SELECT *,
+                   SUM(w) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) AS pw,
+                   SUM(ys) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) AS py
+            FROM spine),
+    blocks AS (SELECT a.s AS i, b.s AS j,
+                      CAST(b.py - (a.py - a.ys) AS DOUBLE)
+                      / CAST(b.pw - (a.pw - a.w) AS DOUBLE) AS avg
+               FROM pre a JOIN pre b ON a.s <= b.s),
+    suff AS (SELECT *, MIN(avg) OVER (PARTITION BY i ORDER BY j DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+             FROM blocks),
+    fitted AS (SELECT j AS s, MAX(m) AS calibrated FROM suff GROUP BY 1)
+    SELECT p.s AS score, w AS n, ys AS pos,
+           CAST(ys AS DOUBLE) / CAST(w AS DOUBLE) AS rate, calibrated
+    FROM pre p JOIN fitted USING (s)
+    """,
+)
+def q348(spark, sf_dir):
+    """Isotonic calibration (llm.evaluation.isotonic_calibrate) of
+    purchase rate against the $10 value band -- the monotone lookup
+    table a calibrated quality filter joins against, fit WITHOUT a
+    sequential PAV loop via the minimax identity y_k = max_{i<=k}
+    min_{j>=k} avg(i..j): block averages are single divisions of
+    exact prefix sums on the bounded score spine, min/max are
+    order-free aggregates -- pure window algebra, hash-exact FULL
+    oracle."""
+    from hadron_spark.llm.evaluation import isotonic_calibrate
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        F.expr("cast(round(value) as bigint) div 10").alias("band"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return isotonic_calibrate(ev, "band", "y")

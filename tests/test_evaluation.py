@@ -751,3 +751,77 @@ def test_reciprocal_rank_fusion_reference(spark):
         df, "q", "doc", "rr", "rank", top_n=2
     ).collect()
     assert sorted(r["doc"] for r in top2) == sorted(ordered[:2])
+
+
+def test_isotonic_calibrate_reference(spark):
+    """Minimax isotonic fit vs a sequential PAV python mirror on a
+    non-monotone empirical rate curve; monotonicity; perfect
+    separation passthrough; grouped fit independence."""
+    import pytest
+
+    from hadron_spark.llm.evaluation import isotonic_calibrate
+
+    # scores with deliberately non-monotone pass rates
+    cfg = {  # score: (n, pos)
+        1: (4, 0), 2: (4, 3), 3: (4, 1), 4: (4, 2), 5: (4, 4),
+    }
+    rows = [
+        (s, 1 if i < p else 0)
+        for s, (n, p) in cfg.items()
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "score long, y int")
+    got = {
+        r["score"]: r for r in isotonic_calibrate(df, "score", "y").collect()
+    }
+
+    def pav(points):  # [(w, y_sum)] in score order -> fitted per point
+        blocks = [[w, y, 1] for w, y in points]  # weight, ysum, span
+        out = []
+        stack = []
+        for b in blocks:
+            stack.append(b)
+            while len(stack) >= 2 and (
+                stack[-2][1] * stack[-1][0] >= stack[-1][1] * stack[-2][0]
+            ):
+                w2, y2, s2 = stack.pop()
+                stack[-1][0] += w2
+                stack[-1][1] += y2
+                stack[-1][2] += s2
+            pass
+        for w, y, s in stack:
+            out.extend([y / w] * s)
+        return out
+
+    fitted = pav([(n, p) for _, (n, p) in sorted(cfg.items())])
+    for (s, (n, p)), f in zip(sorted(cfg.items()), fitted):
+        r = got[s]
+        assert r["n"] == n and r["pos"] == p and r["rate"] == p / n
+        assert r["calibrated"] == pytest.approx(f, abs=1e-12), s
+    cal = [got[s]["calibrated"] for s in sorted(cfg)]
+    assert cal == sorted(cal)  # monotone
+
+    # already-monotone rates pass through unchanged
+    mono = {1: (2, 0), 2: (2, 1), 3: (2, 2)}
+    rows2 = [
+        (s, 1 if i < p else 0)
+        for s, (n, p) in mono.items()
+        for i in range(n)
+    ]
+    got2 = {
+        r["score"]: r["calibrated"]
+        for r in isotonic_calibrate(
+            spark.createDataFrame(rows2, "score long, y int"), "score", "y"
+        ).collect()
+    }
+    assert got2 == {1: 0.0, 2: 0.5, 3: 1.0}
+
+    # groups fit independently
+    both = spark.createDataFrame(
+        [("g1", s, y) for s, y in rows] + [("g2", s, y) for s, y in rows2],
+        "g string, score long, y int",
+    )
+    gg = isotonic_calibrate(both, "score", "y", ["g"]).collect()
+    g1 = {r["score"]: r["calibrated"] for r in gg if r["g"] == "g1"}
+    for (s, _), f in zip(sorted(cfg.items()), fitted):
+        assert g1[s] == pytest.approx(f, abs=1e-12)
