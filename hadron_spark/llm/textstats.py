@@ -935,3 +935,54 @@ def vocab_coverage(
             / F.col("n_types").cast("double")
         ).alias("type_coverage"),
     )
+
+
+def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode-script composition per document — the multilingual
+    curation columns `language_id` (which assumes Latin-alphabet
+    languages) needs as its gate: fractions of characters in the
+    major script blocks, plus digits and whitespace.  A document
+    claiming lang='en' with cjk_frac 0.6 is mislabeled; a
+    latin_frac < 0.5 corpus shouldn't go through a Latin-ngram
+    quality model at all.
+
+    Scripts are matched by EXPLICIT CODEPOINT RANGES (BMP core
+    blocks), not named classes — Java regex says \\p{IsCyrillic},
+    RE2 says \\p{Cyrillic}, so named classes can never be
+    oracle-portable; literal ranges mean both engines compile the
+    identical automaton.  Counts are exact ints off regexp_count;
+    each fraction is ONE division by the non-space char count:
+    hash-exact, zero shuffle (pure narrow projection).
+
+    Returns df + (n_chars_nonspace, latin_frac, cyrillic_frac,
+    cjk_frac, arabic_frac, devanagari_frac, hangul_frac, kana_frac,
+    greek_frac, digit_frac, other_frac)."""
+    blocks = {
+        "latin": r"[A-Za-zÀ-ɏ]",
+        "cyrillic": r"[Ѐ-ӿ]",
+        "cjk": r"[一-鿿㐀-䶿]",
+        "arabic": r"[؀-ۿݐ-ݿ]",
+        "devanagari": r"[ऀ-ॿ]",
+        "hangul": r"[가-힯ᄀ-ᇿ]",
+        "kana": r"[぀-ヿ]",
+        "greek": r"[Ͱ-Ͽ]",
+        "digit": r"[0-9]",
+    }
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    nonspace = F.regexp_count(t, F.lit(r"\S"))
+    out = df.withColumn("n_chars_nonspace", nonspace)
+    nz = F.when(
+        F.col("n_chars_nonspace") > 0,
+        F.col("n_chars_nonspace").cast("double"),
+    )
+    covered = None
+    for name, pat in blocks.items():
+        cnt = F.regexp_count(t, F.lit(pat))
+        out = out.withColumn(f"_c_{name}", cnt)
+        covered = cnt if covered is None else covered + cnt
+    out = out.withColumn("_c_other", F.col("n_chars_nonspace") - covered)
+    for name in [*blocks, "other"]:
+        out = out.withColumn(
+            f"{name}_frac", F.col(f"_c_{name}").cast("double") / nz
+        ).drop(f"_c_{name}")
+    return out

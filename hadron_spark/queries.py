@@ -16073,3 +16073,64 @@ def q348(spark, sf_dir):
         (F.col("event_type") == "purchase").cast("int").alias("y"),
     )
     return isotonic_calibrate(ev, "band", "y")
+
+
+@_register(
+    "q349_script_profile",
+    """
+    WITH sel AS (SELECT doc_id, source, COALESCE(text, '') AS t
+                 FROM documents WHERE doc_id % 37 = 0),
+    cnt AS (SELECT doc_id, source,
+                   CAST(len(regexp_extract_all(t, '\\S')) AS INT)
+                     AS n_chars_nonspace,
+                   CAST(len(regexp_extract_all(t, '[A-Za-zÀ-ɏ]'))
+                        AS INT) AS c_latin,
+                   CAST(len(regexp_extract_all(t, '[Ѐ-ӿ]')) AS INT)
+                     AS c_cyr,
+                   CAST(len(regexp_extract_all(t, '[一-鿿㐀-䶿]'))
+                        AS INT) AS c_cjk,
+                   CAST(len(regexp_extract_all(t, '[؀-ۿݐ-ݿ]'))
+                        AS INT) AS c_ar,
+                   CAST(len(regexp_extract_all(t, '[ऀ-ॿ]')) AS INT)
+                     AS c_dev,
+                   CAST(len(regexp_extract_all(t, '[가-힯ᄀ-ᇿ]'))
+                        AS INT) AS c_han,
+                   CAST(len(regexp_extract_all(t, '[぀-ヿ]')) AS INT)
+                     AS c_kana,
+                   CAST(len(regexp_extract_all(t, '[Ͱ-Ͽ]')) AS INT)
+                     AS c_el,
+                   CAST(len(regexp_extract_all(t, '[0-9]')) AS INT)
+                     AS c_dig
+            FROM sel)
+    SELECT doc_id, source, n_chars_nonspace,
+           CAST(c_latin AS DOUBLE) / nz AS latin_frac,
+           CAST(c_cyr AS DOUBLE) / nz AS cyrillic_frac,
+           CAST(c_cjk AS DOUBLE) / nz AS cjk_frac,
+           CAST(c_ar AS DOUBLE) / nz AS arabic_frac,
+           CAST(c_dev AS DOUBLE) / nz AS devanagari_frac,
+           CAST(c_han AS DOUBLE) / nz AS hangul_frac,
+           CAST(c_kana AS DOUBLE) / nz AS kana_frac,
+           CAST(c_el AS DOUBLE) / nz AS greek_frac,
+           CAST(c_dig AS DOUBLE) / nz AS digit_frac,
+           CAST(n_chars_nonspace - (c_latin + c_cyr + c_cjk + c_ar
+                + c_dev + c_han + c_kana + c_el + c_dig) AS DOUBLE)
+             / nz AS other_frac
+    FROM (SELECT *, CASE WHEN n_chars_nonspace > 0
+                         THEN CAST(n_chars_nonspace AS DOUBLE) END AS nz
+          FROM cnt) q
+    """,
+)
+def q349(spark, sf_dir):
+    """Unicode-script composition (llm.textstats.script_profile) of
+    a deterministic 1-in-37 document sample: the multilingual gate
+    in front of language_id's Latin-ngram assumption.  Scripts
+    matched by explicit CODEPOINT RANGES (named classes spell
+    differently in Java regex vs RE2 -- ranges compile identically
+    in both engines); counts exact, each fraction ONE division,
+    zero shuffle.  Hash-exact FULL oracle."""
+    from hadron_spark.llm.textstats import script_profile
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 37 == 0
+    ).select("doc_id", "source", "text")
+    return script_profile(docs, "text").drop("text")

@@ -2622,3 +2622,46 @@ def test_mmr_rerank_reference(spark):
 
     with pytest.raises(ValueError, match="lam"):
         mmr_rerank(df, "q", "d", "rel", "emb", lam=1.5)
+
+
+def test_script_profile_reference(spark):
+    """Script fractions vs hand counts on mixed-script fixtures;
+    fractions sum to 1; empty text yields NULL fractions."""
+    import pytest
+
+    from hadron_spark.llm.textstats import script_profile
+
+    rows = [
+        (1, "hello мир 世界 123"),
+        (2, "السلام عليكم"),
+        (3, "こんにちは 한글"),
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r for r in script_profile(df, "text").collect()}
+
+    r1 = got[1]
+    # "hello мир 世界 123": 5 latin, 3 cyrillic, 2 cjk, 3 digit = 13
+    assert r1["n_chars_nonspace"] == 13
+    assert r1["latin_frac"] == 5 / 13
+    assert r1["cyrillic_frac"] == 3 / 13
+    assert r1["cjk_frac"] == 2 / 13
+    assert r1["digit_frac"] == 3 / 13
+    assert r1["other_frac"] == 0.0
+    total = sum(
+        r1[f]
+        for f in (
+            "latin_frac", "cyrillic_frac", "cjk_frac", "arabic_frac",
+            "devanagari_frac", "hangul_frac", "kana_frac", "greek_frac",
+            "digit_frac", "other_frac",
+        )
+    )
+    assert total == pytest.approx(1.0, abs=1e-12)
+
+    assert got[2]["arabic_frac"] == 1.0
+    assert got[3]["kana_frac"] == pytest.approx(5 / 7)
+    assert got[3]["hangul_frac"] == pytest.approx(2 / 7)
+    for i in (4, 5):
+        assert got[i]["n_chars_nonspace"] == 0
+        assert got[i]["latin_frac"] is None
