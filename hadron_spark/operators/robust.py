@@ -2717,3 +2717,50 @@ def runs_test(
         "runs",
         z.alias("z"),
     )
+
+
+def paired_t(
+    df: DataFrame,
+    diff_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Paired t-test per group — the parametric member of the paired
+    kit (sign_test uses signs, wilcoxon_signed_rank uses ranks, this
+    uses the magnitudes under normality): t = d̄ / (s_d/√n) over the
+    paired differences, df = n − 1.
+
+    With quantized integer diffs the moments are exact
+    (DECIMAL(38,0): n·Σd² − (Σd)² is the n·(n−1)·s² integer), and t
+    is a FIXED chain — one mean division, one variance division,
+    one sqrt, one final division: hash-exact.  NULL diffs are
+    excluded; zero-variance or n < 2 groups yield t NULL.
+
+    Plan: one partial-agg'd shuffle onto |groups| rows.  Returns
+    (group_cols..., n, mean_diff, t)."""
+    gc = list(group_cols or [])
+    d = F.col(diff_col).cast("long")
+    dd = d.cast("decimal(38,0)")
+    agg = (
+        df.filter(F.col(diff_col).isNotNull())
+        .groupBy(*gc)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(d).alias("_s"),
+            F.sum(dd * dd).alias("_q"),
+        )
+    )
+    n = F.col("n")
+    nd = n.cast("double")
+    mean = F.col("_s").cast("double") / nd
+    # n(n−1)s² = n·Σd² − (Σd)², exact
+    a = (
+        n.cast("decimal(38,0)") * F.col("_q")
+        - F.col("_s").cast("decimal(38,0)") * F.col("_s")
+    )
+    se = F.sqrt(a.cast("double") / (n.cast("decimal(38,0)") * (n - 1)).cast(
+        "double"
+    ) / nd)
+    t = F.when((n >= 2) & (a > 0), mean / se)
+    return agg.filter(F.col("n") > 0).select(
+        *gc, "n", mean.alias("mean_diff"), t.alias("t")
+    )

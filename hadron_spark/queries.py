@@ -16134,3 +16134,53 @@ def q349(spark, sf_dir):
         F.col("doc_id") % 37 == 0
     ).select("doc_id", "source", "text")
     return script_profile(docs, "text").drop("text")
+
+
+@_register(
+    "q350_paired_t",
+    """
+    WITH per_user AS (
+      SELECT event_type AS g, user_id,
+             CAST(SUM(CASE WHEN date_part('day', ts) <= 15
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT)
+             - CAST(SUM(CASE WHEN date_part('day', ts) > 15
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS d
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    agg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(d) AS BIGINT) AS s,
+                   SUM(CAST(d AS HUGEINT) * d) AS q
+            FROM per_user GROUP BY 1),
+    k AS (SELECT *,
+                 CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s AS a
+          FROM agg)
+    SELECT g AS event_type, n,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_diff,
+           CASE WHEN n >= 2 AND a > 0
+                THEN (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                     / sqrt(CAST(a AS DOUBLE)
+                            / CAST(CAST(n AS HUGEINT) * (n - 1)
+                                   AS DOUBLE)
+                            / CAST(n AS DOUBLE)) END AS t
+    FROM k
+    """,
+)
+def q350(spark, sf_dir):
+    """Paired t-test (operators.robust.paired_t) on the q343 frame
+    (per-user first-half minus second-half spend, per event type) --
+    the parametric member completing the paired kit: q331 signs,
+    q343 ranks, this the magnitudes.  Exact integer moments in
+    DECIMAL(38,0)/HUGEINT, four fixed IEEE ops.  Hash-exact FULL
+    oracle."""
+    from hadron_spark.operators.robust import paired_t
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        (
+            F.sum(F.when(F.dayofmonth("ts") <= 15, cents).otherwise(0))
+            - F.sum(F.when(F.dayofmonth("ts") > 15, cents).otherwise(0))
+        ).alias("d")
+    )
+    return paired_t(per_user, "d", ["event_type"])

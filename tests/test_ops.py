@@ -2886,3 +2886,30 @@ def test_logrank_reference(spark):
     # identical arms: z == 0 exactly (O-E telescopes to 0)
     same = logrank_test(da, da, "t", "e").collect()[0]
     assert abs(same["z"]) < 1e-12
+
+
+def test_paired_t_reference(spark):
+    """Paired t vs the textbook python mirror; zero-variance and
+    n < 2 guards."""
+    import math
+
+    from hadron_spark.operators.robust import paired_t
+
+    ds = [5, -3, 8, 2, -1, 7, 4, -2, 6, 3]
+    df = spark.createDataFrame([(d,) for d in ds], "d long")
+    r = paired_t(df, "d").collect()[0]
+    n = len(ds)
+    m = sum(ds) / n
+    s2 = sum((x - m) ** 2 for x in ds) / (n - 1)
+    t_ref = m / math.sqrt(s2 / n)
+    assert r["n"] == n and r["mean_diff"] == m
+    assert abs(r["t"] - t_ref) < 1e-12
+
+    flat = paired_t(
+        spark.createDataFrame([(4,), (4,), (4,)], "d long"), "d"
+    ).collect()[0]
+    assert flat["t"] is None and flat["mean_diff"] == 4.0
+    single = paired_t(
+        spark.createDataFrame([(4,)], "d long"), "d"
+    ).collect()[0]
+    assert single["t"] is None
