@@ -224,3 +224,71 @@ def logrank_test(
         F.col("_f")[1].alias("v"),
         z.alias("z"),
     )
+
+
+def restricted_mean_survival(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    tau: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Restricted mean survival time per group (RMST; Royston &
+    Parmar 2013 for the modern case) — the area under the
+    Kaplan–Meier curve up to horizon `tau`: "expected days alive
+    within the first tau days", the honest scalar summary when
+    median survival is undefined (curve never crosses 0.5) or
+    censoring is heavy.
+
+        RMST(τ) = ∫₀^τ S(t) dt
+                = Σ segments S(t_i)·(min(t_{i+1}, τ) − t_i)
+
+    over the KM step function (S = 1 before the first event time).
+    Every S value is the `kaplan_meier` product (fixed chains), the
+    segment widths are exact integers, and the area accumulates in
+    TIME order (one fold over the bounded spine): hash-exact.
+
+    Plan: the kaplan_meier spine fold plus one more pass over the
+    same collected spine.  Returns (group_cols..., tau, n, rmst)."""
+    if tau <= 0:
+        raise ValueError(f"tau must be positive: {tau}")
+    gc = list(group_cols or [])
+    km = kaplan_meier(df, duration_col, event_col, gc)
+    spine = km.groupBy(*gc).agg(
+        F.sort_array(
+            F.collect_list(F.struct("t", "survival"))
+        ).alias("_s"),
+        F.sum(F.col("d") + F.col("c")).alias("n"),
+    )
+    sz = F.size(F.col("_s"))
+    tau_l = F.lit(int(tau)).cast("long")
+    # segment i spans [t_i, min(t_{i+1}, tau)) at S(t_i); the lead-in
+    # [0, min(t_1, tau)) contributes at S = 1
+    lead_in = F.least(
+        F.element_at(F.col("_s"), 1)["t"], tau_l
+    ).cast("double")
+    segs = F.aggregate(
+        F.sequence(F.lit(1), sz),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(F.col("_s"), i)["survival"]
+        * (
+            F.greatest(
+                F.least(
+                    F.when(
+                        i < sz,
+                        F.element_at(F.col("_s"), (i + 1).cast("int"))["t"],
+                    ).otherwise(tau_l),
+                    tau_l,
+                )
+                - F.least(F.element_at(F.col("_s"), i)["t"], tau_l),
+                F.lit(0).cast("long"),
+            )
+        ).cast("double"),
+    )
+    return spine.select(
+        *gc,
+        F.lit(int(tau)).alias("tau"),
+        "n",
+        (F.greatest(lead_in, F.lit(0.0)) + segs).alias("rmst"),
+    )

@@ -16184,3 +16184,61 @@ def q350(spark, sf_dir):
         ).alias("d")
     )
     return paired_t(per_user, "d", ["event_type"])
+
+
+@_register(
+    "q351_rmst",
+    "WITH " + _SURV_SUBJ_SQL + """,
+    cells AS (SELECT dur AS t, CAST(SUM(ev) AS BIGINT) AS d,
+                     CAST(SUM(1 - ev) AS BIGINT) AS c
+              FROM subj GROUP BY 1),
+    spine AS (SELECT list_sort(list(struct_pack(t := t, d := d,
+                c := c))) AS s,
+                     CAST(SUM(d + c) AS BIGINT) AS n
+              FROM cells),
+    walked AS (
+      SELECT n, s,
+             [CASE WHEN i = 1 THEN CAST(0 AS BIGINT)
+                   ELSE list_reduce(
+                          [CAST(0 AS BIGINT)]
+                          || [s[x].d + s[x].c FOR x IN range(1, i)],
+                          (a, b) -> a + b) END
+              FOR i IN range(1, len(s) + 1)] AS pre
+      FROM spine),
+    surv AS (
+      SELECT n, s, pre,
+             [list_reduce(
+                [1.0] || [CASE WHEN s[j].d > 0
+                               THEN 1.0 - CAST(s[j].d AS DOUBLE)
+                                    / CAST(n - pre[j] AS DOUBLE)
+                               ELSE 1.0 END
+                          FOR j IN range(1, i + 1)],
+                (a, b) -> a * b)
+              FOR i IN range(1, len(s) + 1)] AS sv
+      FROM walked)
+    SELECT CAST(15 AS BIGINT) AS tau, n,
+           greatest(CAST(least(s[1].t, 15) AS DOUBLE), 0.0)
+           + list_reduce(
+               [0.0] || [sv[i] * CAST(greatest(
+                   least(CASE WHEN i < len(s) THEN s[i + 1].t
+                              ELSE CAST(15 AS BIGINT) END,
+                         15)
+                   - least(s[i].t, 15), 0) AS DOUBLE)
+                 FOR i IN range(1, len(s) + 1)],
+               (a, b) -> a + b) AS rmst
+    FROM surv
+    """,
+)
+def q351(spark, sf_dir):
+    """Restricted mean survival time (operators.survival
+    .restricted_mean_survival, tau = 15 days) over the q346
+    time-to-first-error frame -- "expected error-free days within
+    the first 15", the honest scalar when the KM curve never
+    crosses 0.5 (heavy censoring).  Area under the step function:
+    exact integer segment widths x the q346 fixed-chain survival
+    values, folded in time order.  Hash-exact FULL oracle."""
+    from hadron_spark.operators.survival import restricted_mean_survival
+
+    return restricted_mean_survival(
+        _surv_subjects(spark, sf_dir), "dur", "ev", tau=15
+    )

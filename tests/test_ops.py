@@ -2913,3 +2913,52 @@ def test_paired_t_reference(spark):
         spark.createDataFrame([(4,)], "d long"), "d"
     ).collect()[0]
     assert single["t"] is None
+
+
+def test_restricted_mean_survival_reference(spark):
+    """RMST vs a python step-integral mirror; tau inside and beyond
+    the last event; uncensored sanity (tau past max = plain mean);
+    validation."""
+    import pytest
+
+    from hadron_spark.operators.survival import restricted_mean_survival
+
+    data = [(2, 1), (3, 1), (3, 0), (5, 1), (5, 1), (7, 0), (8, 1),
+            (8, 1), (8, 0), (10, 0), (12, 1), (4, 0)]
+    df = spark.createDataFrame(data, "t long, e int")
+
+    def mirror(tau):
+        from collections import Counter
+
+        times = sorted({t for t, _ in data})
+        d = Counter(t for t, e in data if e == 1)
+        c = Counter(t for t, e in data if e == 0)
+        n = len(data)
+        at_risk, s = n, 1.0
+        curve = []  # (t, S(t))
+        for t in times:
+            if d[t] > 0:
+                s = s * (1.0 - d[t] / at_risk)
+            curve.append((t, s))
+            at_risk -= d[t] + c[t]
+        area = min(times[0], tau) * 1.0
+        for i, (t, sv) in enumerate(curve):
+            t_next = curve[i + 1][0] if i + 1 < len(curve) else tau
+            width = max(min(t_next, tau) - min(t, tau), 0)
+            area += sv * width
+        return area
+
+    for tau in (6, 9, 20):
+        r = restricted_mean_survival(df, "t", "e", tau).collect()[0]
+        assert r["tau"] == tau and r["n"] == len(data)
+        assert r["rmst"] == pytest.approx(mirror(tau), abs=1e-12), tau
+
+    # no censoring, tau beyond max: RMST == plain mean duration
+    unc = [(t, 1) for t in (1, 2, 2, 3, 4)]
+    r = restricted_mean_survival(
+        spark.createDataFrame(unc, "t long, e int"), "t", "e", 100
+    ).collect()[0]
+    assert r["rmst"] == pytest.approx(sum(t for t, _ in unc) / len(unc))
+
+    with pytest.raises(ValueError, match="tau"):
+        restricted_mean_survival(df, "t", "e", 0)
