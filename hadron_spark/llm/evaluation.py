@@ -1476,3 +1476,187 @@ def isotonic_calibrate(
         ),
         "calibrated",
     )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    subject_col: str,
+    item_col: str,
+    score_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Cronbach's alpha per group (Cronbach 1951) — internal
+    consistency of a k-item instrument: do an eval suite's items
+    pull in the same direction, or is the "overall score" averaging
+    noise?  The reliability gate before trusting a composite metric
+    (rubric-scored generations, multi-probe benchmarks):
+
+        α = k/(k−1) · (1 − Σᵢ s²ᵢ / s²_total)
+
+    with s²ᵢ the per-item variance over subjects and s²_total the
+    variance of per-subject TOTAL scores.  Subjects missing any
+    item are dropped whole (complete-design, the fleiss/cochran_q
+    discipline).  With quantized integer scores every variance
+    numerator n·Σx² − (Σx)² is an exact DECIMAL(38,0) integer and
+    the per-item Σ folds item-sorted (the kruskal G2 discipline):
+    α is a fixed IEEE chain — hash-exact.  Degenerate designs
+    (k < 2, n < 2, zero total variance) yield alpha NULL.
+
+    Plan: one shuffle onto (subject, item) cells, one onto
+    subjects, one onto items, all partial-agg'd.  Returns
+    (group_cols..., k, n_subjects, alpha)."""
+    gc = list(group_cols or [])
+    base = df.filter(
+        F.col(subject_col).isNotNull()
+        & F.col(item_col).isNotNull()
+        & F.col(score_col).isNotNull()
+    ).select(
+        *gc,
+        F.col(subject_col).alias("_u"),
+        F.col(item_col).alias("_i"),
+        F.col(score_col).cast("long").alias("_x"),
+    )
+    k_df = base.groupBy(*gc).agg(F.countDistinct("_i").alias("k"))
+    per_subj = base.groupBy(*gc, "_u").agg(
+        F.count(F.lit(1)).alias("_m"), F.sum("_x").alias("_tot")
+    )
+    complete = (
+        per_subj.join(k_df, gc)
+        if gc
+        else per_subj.crossJoin(F.broadcast(k_df))
+    ).filter(F.col("_m") == F.col("k"))
+    n_tot = complete.groupBy(*gc).agg(
+        F.count(F.lit(1)).alias("n_subjects"),
+        F.sum("_tot").alias("_ts"),
+        F.sum(
+            F.col("_tot").cast("decimal(38,0)") * F.col("_tot")
+        ).alias("_tq"),
+    )
+    kept = complete.select(*gc, "_u")
+    items = (
+        base.join(kept, [*gc, "_u"])
+        .groupBy(*gc, "_i")
+        .agg(
+            F.sum("_x").alias("_s"),
+            F.sum(
+                F.col("_x").cast("decimal(38,0)") * F.col("_x")
+            ).alias("_q"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    # per-item variance numerator n·Σx² − (Σx)² shares the n across
+    # items (complete design); fold item-sorted for the float sum
+    ivars = items.groupBy(*gc).agg(
+        F.sort_array(
+            F.collect_list(F.struct("_i", "_s", "_q", "_n"))
+        ).alias("_ia")
+    )
+    j = n_tot.join(ivars, gc) if gc else n_tot.crossJoin(
+        F.broadcast(ivars)
+    )
+    j = j.join(k_df, gc) if gc else j.crossJoin(F.broadcast(k_df))
+    nd = F.col("n_subjects").cast("double")
+    sum_ivar = F.aggregate(
+        F.col("_ia"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + (
+            x["_n"].cast("decimal(38,0)") * x["_q"]
+            - x["_s"].cast("decimal(38,0)") * x["_s"]
+        ).cast("double"),
+    )
+    tot_var_num = (
+        F.col("n_subjects").cast("decimal(38,0)") * F.col("_tq")
+        - F.col("_ts").cast("decimal(38,0)") * F.col("_ts")
+    ).cast("double")
+    kd = F.col("k").cast("double")
+    alpha = F.when(
+        (F.col("k") >= 2) & (F.col("n_subjects") >= 2) & (tot_var_num > 0),
+        kd / (kd - 1) * (F.lit(1.0) - sum_ivar / tot_var_num),
+    )
+    return j.select(*gc, "k", "n_subjects", alpha.alias("alpha"))
+
+
+def icc_oneway(
+    df: DataFrame,
+    subject_col: str,
+    score_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """One-way random-effects intraclass correlation per group —
+    ICC(1,1) of Shrout & Fleiss 1979: how much of a CONTINUOUS
+    rating's variance is the subject rather than the rater draw
+    (the graded-score companion to `krippendorff_alpha`'s
+    categorical agreement; each subject may have any number ≥ 2 of
+    ratings — raters need not be identified):
+
+        ICC = (MSB − MSW) / (MSB + (k̄₀ − 1)·MSW)
+
+    with MSB/MSW the between/within mean squares and k̄₀ the
+    ANOVA-balanced average group size n₀ = (N − Σkᵢ²/N)/(n − 1).
+    Sums of squares are exact rationals over quantized scores:
+    SSW·N = Σᵢ (kᵢΣx² − (Σx)²)·(N/kᵢ)... kept exact by computing
+    per-subject (kᵢΣᵢx² − (Σᵢx)²)/kᵢ terms as ONE division each,
+    folded subject-sorted (the kruskal G2 discipline); everything
+    else is exact integers.  Hash-exact.  Degenerate designs
+    (n < 2 subjects, all singleton subjects, zero variance) yield
+    icc NULL.
+
+    Plan: one shuffle onto subjects, one collapse.  Returns
+    (group_cols..., n_subjects, n_ratings, icc)."""
+    gc = list(group_cols or [])
+    base = df.filter(
+        F.col(subject_col).isNotNull() & F.col(score_col).isNotNull()
+    ).select(
+        *gc,
+        F.col(subject_col).alias("_u"),
+        F.col(score_col).cast("long").alias("_x"),
+    )
+    subj = base.groupBy(*gc, "_u").agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum("_x").alias("_s"),
+        F.sum(F.col("_x").cast("decimal(38,0)") * F.col("_x")).alias("_q"),
+    )
+    subj = subj.filter(F.col("_k") >= 2)
+    agg = subj.groupBy(*gc).agg(
+        F.count(F.lit(1)).alias("n_subjects"),
+        F.sum("_k").alias("n_ratings"),
+        F.sum("_s").alias("_ts"),
+        F.sum("_q").alias("_tq"),
+        F.sum(F.col("_k").cast("decimal(38,0)") * F.col("_k")).alias(
+            "_k2"
+        ),
+        F.sort_array(
+            F.collect_list(F.struct("_u", "_k", "_s", "_q"))
+        ).alias("_ua"),
+    )
+    agg = agg.filter(F.col("n_subjects") > 0)
+    nn = F.col("n_ratings").cast("double")
+    n = F.col("n_subjects").cast("double")
+    # SSW = Σ_i (Σx² − (Σx)²/kᵢ): per-subject one-division terms,
+    # subject-sorted fold
+    ssw = F.aggregate(
+        F.col("_ua"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + (
+            x["_q"].cast("double")
+            - x["_s"].cast("double")
+            * x["_s"].cast("double")
+            / x["_k"].cast("double")
+        ),
+    )
+    # SST = Σx² − (Σx)²/N ; SSB = SST − SSW
+    sst = F.col("_tq").cast("double") - F.col("_ts").cast(
+        "double"
+    ) * F.col("_ts").cast("double") / nn
+    msb = (sst - ssw) / (n - 1)
+    msw = ssw / (nn - n)
+    k0 = (nn - F.col("_k2").cast("double") / nn) / (n - 1)
+    icc = F.when(
+        (F.col("n_subjects") >= 2)
+        & (F.col("n_ratings") > F.col("n_subjects"))
+        & ((msb + (k0 - 1) * msw) > 0),
+        (msb - msw) / (msb + (k0 - 1) * msw),
+    )
+    return agg.select(*gc, "n_subjects", "n_ratings", icc.alias("icc"))

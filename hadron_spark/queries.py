@@ -16242,3 +16242,133 @@ def q351(spark, sf_dir):
     return restricted_mean_survival(
         _surv_subjects(spark, sf_dir), "dur", "ev", tau=15
     )
+
+
+@_register(
+    "q352_cronbach_alpha",
+    """
+    WITH base AS (SELECT user_id AS u, event_type AS i,
+                         CAST(COUNT(*) AS BIGINT) AS x
+                  FROM events
+                  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                  GROUP BY 1, 2),
+    kk AS (SELECT CAST(COUNT(DISTINCT i) AS BIGINT) AS k FROM base),
+    per_subj AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS m,
+                        CAST(SUM(x) AS BIGINT) AS tot
+                 FROM base GROUP BY 1),
+    complete AS (SELECT u, tot FROM per_subj, kk WHERE m = kk.k),
+    n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(tot) AS BIGINT) AS ts,
+                     SUM(CAST(tot AS HUGEINT) * tot) AS tq
+              FROM complete),
+    items AS (SELECT i, CAST(SUM(x) AS BIGINT) AS s,
+                     SUM(CAST(x AS HUGEINT) * x) AS q,
+                     CAST(COUNT(*) AS BIGINT) AS nn
+              FROM base JOIN complete USING (u) GROUP BY 1),
+    folded AS (SELECT list_reduce(
+                 [0.0] || list_transform(
+                   list_sort(list(struct_pack(i := i, s := s, q := q,
+                                              nn := nn))),
+                   x -> CAST(CAST(x.nn AS HUGEINT) * x.q
+                             - CAST(x.s AS HUGEINT) * x.s AS DOUBLE)),
+                 (a, b) -> a + b) AS sum_ivar
+               FROM items)
+    SELECT kk.k, n AS n_subjects,
+           CASE WHEN kk.k >= 2 AND n >= 2
+                 AND CAST(CAST(n AS HUGEINT) * tq
+                          - CAST(ts AS HUGEINT) * ts AS DOUBLE) > 0
+                THEN CAST(kk.k AS DOUBLE) / (CAST(kk.k AS DOUBLE) - 1)
+                     * (1.0 - sum_ivar
+                        / CAST(CAST(n AS HUGEINT) * tq
+                               - CAST(ts AS HUGEINT) * ts AS DOUBLE))
+                END AS alpha
+    FROM n_tot, folded, kk
+    """,
+)
+def q352(spark, sf_dir):
+    """Cronbach's alpha (llm.evaluation.cronbach_alpha): are the
+    five per-user event-type activity counts an internally
+    consistent "engagement instrument" -- the reliability gate
+    before averaging rubric items into one score.  Incomplete users
+    dropped whole; every variance numerator n*Sum(x^2) - (Sum x)^2 an
+    exact DECIMAL(38,0)/HUGEINT integer, the per-item sum folded
+    item-sorted.  Hash-exact FULL oracle."""
+    from hadron_spark.llm.evaluation import cronbach_alpha
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    scores = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    return cronbach_alpha(scores, "user_id", "event_type", "x")
+
+
+@_register(
+    "q353_icc",
+    """
+    WITH base AS (SELECT struct_pack(u := user_id,
+                                     d := CAST(ts AS DATE)) AS subj,
+                         CAST(round(value) AS BIGINT) AS x
+                  FROM events
+                  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                    AND value IS NOT NULL),
+    subj AS (SELECT subj, CAST(COUNT(*) AS BIGINT) AS k,
+                    CAST(SUM(x) AS BIGINT) AS s,
+                    SUM(CAST(x AS HUGEINT) * x) AS q
+             FROM base GROUP BY 1
+             HAVING COUNT(*) >= 2),
+    agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(k) AS BIGINT) AS nn,
+                   CAST(SUM(s) AS BIGINT) AS ts,
+                   SUM(q) AS tq,
+                   SUM(CAST(k AS HUGEINT) * k) AS k2,
+                   list_reduce(
+                     [0.0] || list_transform(
+                       list_sort(list(struct_pack(u := subj, k := k,
+                                                  s := s, q := q))),
+                       x -> CAST(x.q AS DOUBLE)
+                            - CAST(x.s AS DOUBLE) * CAST(x.s AS DOUBLE)
+                              / CAST(x.k AS DOUBLE)),
+                     (a, b) -> a + b) AS ssw
+            FROM subj),
+    k AS (SELECT *,
+                 CAST(tq AS DOUBLE)
+                 - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE)
+                   / CAST(nn AS DOUBLE) AS sst,
+                 (CAST(nn AS DOUBLE)
+                  - CAST(k2 AS DOUBLE) / CAST(nn AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1) AS k0
+          FROM agg),
+    m AS (SELECT *,
+                 (sst - ssw) / (CAST(n AS DOUBLE) - 1) AS msb,
+                 ssw / (CAST(nn AS DOUBLE) - CAST(n AS DOUBLE)) AS msw
+          FROM k)
+    SELECT n AS n_subjects, nn AS n_ratings,
+           CASE WHEN n >= 2 AND nn > n
+                 AND msb + (k0 - 1) * msw > 0
+                THEN (msb - msw) / (msb + (k0 - 1) * msw) END AS icc
+    FROM m
+    """,
+)
+def q353(spark, sf_dir):
+    """One-way intraclass correlation ICC(1,1) (llm.evaluation
+    .icc_oneway): how much of event value variance is the (user,
+    day) unit rather than the within-day draw -- the graded-score
+    companion to q334's categorical Krippendorff, unbalanced design
+    handled by the ANOVA n0.  Exact integer moments; SSW folds
+    subject-sorted with one division per subject.  Hash-exact FULL
+    oracle."""
+    from hadron_spark.llm.evaluation import icc_oneway
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        F.struct(
+            F.col("user_id").alias("u"), F.to_date("ts").alias("d")
+        ).alias("subj"),
+        F.round("value").cast("long").alias("x"),
+    )
+    return icc_oneway(ev, "subj", "x")

@@ -825,3 +825,93 @@ def test_isotonic_calibrate_reference(spark):
     g1 = {r["score"]: r["calibrated"] for r in gg if r["g"] == "g1"}
     for (s, _), f in zip(sorted(cfg.items()), fitted):
         assert g1[s] == pytest.approx(f, abs=1e-12)
+
+
+def test_cronbach_alpha_reference(spark):
+    """Cronbach alpha vs the textbook python mirror; incomplete
+    subjects dropped; perfectly parallel items -> alpha == 1;
+    degenerate guards."""
+    import pytest
+
+    # 6 subjects x 3 items, correlated scores
+    grid = {
+        "s1": (4, 5, 4), "s2": (2, 2, 3), "s3": (5, 5, 5),
+        "s4": (1, 2, 1), "s5": (3, 3, 4), "s6": (4, 4, 4),
+    }
+    from hadron_spark.llm.evaluation import cronbach_alpha
+
+    rows = [
+        (s, f"i{j}", v)
+        for s, vs in grid.items()
+        for j, v in enumerate(vs)
+    ] + [("s7", "i0", 3)]  # incomplete: dropped
+    df = spark.createDataFrame(rows, "subj string, item string, x long")
+    r = cronbach_alpha(df, "subj", "item", "x").collect()[0]
+
+    k = 3
+    subs = list(grid.values())
+    n = len(subs)
+
+    def var(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+
+    item_vars = [var([vs[j] for vs in subs]) for j in range(k)]
+    tot_var = var([sum(vs) for vs in subs])
+    a_ref = k / (k - 1) * (1 - sum(item_vars) / tot_var)
+    assert r["k"] == k and r["n_subjects"] == n
+    assert abs(r["alpha"] - a_ref) < 1e-12
+
+    # perfectly parallel items (identical columns): alpha == 1
+    par = [
+        (s, f"i{j}", v)
+        for s, v in (("a", 1), ("b", 3), ("c", 5))
+        for j in range(3)
+    ]
+    rp = cronbach_alpha(
+        spark.createDataFrame(par, "subj string, item string, x long"),
+        "subj", "item", "x",
+    ).collect()[0]
+    assert rp["alpha"] == pytest.approx(1.0, abs=1e-12)
+
+    # zero total variance -> NULL
+    flat = cronbach_alpha(
+        spark.createDataFrame(
+            [(s, i, 2) for s in ("a", "b") for i in ("x", "y")],
+            "subj string, item string, x long",
+        ),
+        "subj", "item", "x",
+    ).collect()[0]
+    assert flat["alpha"] is None
+
+
+def test_icc_oneway_reference(spark):
+    """ICC(1,1) vs the Shrout-Fleiss ANOVA python mirror on an
+    unbalanced design; near-1 on subject-dominated variance;
+    singleton subjects excluded."""
+    import pytest
+
+    from hadron_spark.llm.evaluation import icc_oneway
+
+    grid = {
+        1: [10, 11, 9], 2: [20, 21], 3: [30, 29, 31, 30], 4: [15, 16],
+        5: [25],  # singleton: excluded
+    }
+    rows = [(s, v) for s, vs in grid.items() for v in vs]
+    df = spark.createDataFrame(rows, "subj long, x long")
+    r = icc_oneway(df, "subj", "x").collect()[0]
+
+    kept = {s: vs for s, vs in grid.items() if len(vs) >= 2}
+    nn = sum(len(vs) for vs in kept.values())
+    n = len(kept)
+    gm = sum(sum(vs) for vs in kept.values()) / nn
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - gm) ** 2 for vs in kept.values())
+    ssw = sum(
+        (x - sum(vs) / len(vs)) ** 2 for vs in kept.values() for x in vs
+    )
+    msb, msw = ssb / (n - 1), ssw / (nn - n)
+    k0 = (nn - sum(len(vs) ** 2 for vs in kept.values()) / nn) / (n - 1)
+    icc_ref = (msb - msw) / (msb + (k0 - 1) * msw)
+    assert r["n_subjects"] == n and r["n_ratings"] == nn
+    assert abs(r["icc"] - icc_ref) < 1e-12
+    assert r["icc"] > 0.9  # subject-dominated by construction
