@@ -2962,3 +2962,82 @@ def test_restricted_mean_survival_reference(spark):
 
     with pytest.raises(ValueError, match="tau"):
         restricted_mean_survival(df, "t", "e", 0)
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=5),
+                  st.integers(min_value=-4, max_value=4)),
+        min_size=4,
+        max_size=36,
+    )
+)
+def test_trend_and_paired_rank_property(spark, rows):
+    """Hypothesis: on ANY small tied dataset, mann_kendall's S and
+    two-axis tie-corrected z match brute force, and
+    wilcoxon_signed_rank's W+/z match the midrank mirror — the tie
+    interactions fixed fixtures can miss."""
+    import math
+    from collections import Counter
+
+    from hadron_spark.operators.robust import (
+        mann_kendall,
+        wilcoxon_signed_rank,
+    )
+
+    df = spark.createDataFrame(rows, "t long, y long")
+
+    # --- mann_kendall brute force (ties on both axes) ---
+    n = len(rows)
+    s_ref = 0
+    for i in range(n):
+        for j in range(n):
+            if rows[i][0] < rows[j][0]:
+                d = rows[j][1] - rows[i][1]
+                s_ref += (d > 0) - (d < 0)
+    r = mann_kendall(df, "t", "y").collect()[0]
+    assert r["s"] == s_ref and r["n"] == n
+    if r["z"] is not None:
+        tt = Counter(t for t, _ in rows).values()
+        uu = Counter(y for _, y in rows).values()
+
+        def k(f, sizes):
+            return sum(f(x) for x in sizes)
+
+        vn = (
+            n * (n - 1) * (n - 2)
+            * (n * (n - 1) * (2 * n + 5)
+               - k(lambda x: x * (x - 1) * (2 * x + 5), tt)
+               - k(lambda x: x * (x - 1) * (2 * x + 5), uu))
+            + 2 * k(lambda x: x * (x - 1) * (x - 2), tt)
+            * k(lambda x: x * (x - 1) * (x - 2), uu)
+            + 9 * (n - 2) * k(lambda x: x * (x - 1), tt)
+            * k(lambda x: x * (x - 1), uu)
+        )
+        var = vn / (18 * n * (n - 1) * (n - 2))
+        z_ref = (s_ref - (s_ref > 0) + (s_ref < 0)) / math.sqrt(var)
+        assert abs(r["z"] - z_ref) < 1e-9
+
+    # --- wilcoxon on the value column as paired diffs ---
+    nz = [y for _, y in rows if y != 0]
+    got = wilcoxon_signed_rank(df, "y").collect()
+    if not nz:
+        assert got == []
+        return
+    w = got[0]
+    cnt = Counter(abs(d) for d in nz)
+    r2, before = {}, 0
+    for v in sorted(cnt):
+        r2[v] = 2 * before + cnt[v] + 1
+        before += cnt[v]
+    wp2 = sum(r2[abs(d)] for d in nz if d > 0)
+    m = len(nz)
+    t_term = sum(t**3 - t for t in cnt.values())
+    assert w["n"] == m and w["w_pos_x2"] == wp2
+    assert w["w_pos_x2"] + w["w_neg_x2"] == m * (m + 1)
+    rad = (2 * m * (m + 1) * (2 * m + 1) - t_term) / 12
+    z_ref = (wp2 - m * (m + 1) / 2) / math.sqrt(rad)
+    assert abs(w["z"] - z_ref) < 1e-9
