@@ -16372,3 +16372,92 @@ def q353(spark, sf_dir):
         F.round("value").cast("long").alias("x"),
     )
     return icc_oneway(ev, "subj", "x")
+
+
+@_register(
+    "q354_streaming_holt_winters",
+    """
+    WITH RECURSIVE d AS (
+      SELECT event_type AS g,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2),
+    srt AS (
+      SELECT g, day, y,
+             CAST(row_number() OVER (PARTITION BY g ORDER BY day)
+                  AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n,
+             MAX(day) OVER (PARTITION BY g) AS last_day
+      FROM d),
+    arrs AS (
+      SELECT g, n, last_day, list(y ORDER BY day) AS ys
+      FROM srt GROUP BY g, n, last_day
+      HAVING n >= 14),
+    init AS (
+      SELECT g, n, last_day, ys,
+             list_reduce(ys[1:7], (p, q) -> p + q) / 7 AS l0,
+             (list_reduce(ys[8:14], (p, q) -> p + q) / 7
+              - list_reduce(ys[1:7], (p, q) -> p + q) / 7) / 7 AS b0
+      FROM arrs),
+    init2 AS (
+      SELECT g, n, last_day, l0, b0,
+             list_transform(ys[1:7], v -> v - l0) AS ring0
+      FROM init),
+    walk AS (
+      SELECT g, n, last_day, CAST(7 AS BIGINT) AS t,
+             l0 AS l, b0 AS b, ring0 AS ring
+      FROM init2
+      UNION ALL
+      SELECT w.g, w.n, w.last_day, s.rn,
+             0.25 * (s.y - w.ring[1]) + 0.75 * (w.l + w.b),
+             0.125 * ((0.25 * (s.y - w.ring[1]) + 0.75 * (w.l + w.b))
+                      - w.l) + 0.875 * w.b,
+             w.ring[2:] || [0.25 * (s.y - w.l - w.b) + 0.75 * w.ring[1]]
+      FROM walk w JOIN srt s ON s.g = w.g AND s.rn = w.t + 1)
+    SELECT g AS key, l AS level, b AS trend,
+           l + b + ring[1] AS forecast, last_day AS last_ord,
+           n AS n_points, CAST(0 AS BIGINT) AS warming
+    FROM walk WHERE t = n
+    """,
+)
+def q354(spark, sf_dir):
+    """Streaming Holt-Winters (streaming.ops
+    .incremental_holt_winters): the q325 weekly-seasonal smoother
+    kept LIVE -- the per-type daily series delivered as THREE
+    chronological micro-batches, the first cut INSIDE the 2m-point
+    warm-up window (the case the 'w' buffer rows exist for).
+    Warm-up buffering + the sequential recurrence make any chopping
+    bit-identical to the one-shot scan, so the drained state
+    (level, trend, one-step forecast) carries a FULL oracle: the
+    q325 recursive ring-walk's FINAL row per key."""
+    import shutil
+    import tempfile
+
+    from hadron_spark.streaming.ops import (
+        holt_winters_apply_fn,
+        read_hw_state,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt_day")
+    )
+    lo, hi = daily.agg(F.min("day"), F.max("day")).collect()[0]
+    cut1 = lo + 9            # inside the 14-point warm-up
+    cut2 = lo + 2 * (hi - lo) // 3
+    work = tempfile.mkdtemp(prefix="q354_")
+    state = f"{work}/state"
+    apply = holt_winters_apply_fn(
+        state, "event_type", "day", "cnt_day",
+        period=7, alpha=0.25, beta=0.125, gamma=0.25,
+    )
+    apply(daily.filter(F.col("day") <= cut1), 0)
+    apply(daily.filter((F.col("day") > cut1) & (F.col("day") <= cut2)), 1)
+    apply(daily.filter(F.col("day") > cut2), 2)
+    out = read_hw_state(spark, state)
+    result = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(work, ignore_errors=True)
+    return result

@@ -22,6 +22,7 @@ versioned-base compaction folding old dirs periodically.
 | incremental_transitions    | matrix + per-entity tails | O(states²+entities) | swap            |
 | incremental_ewma           | per-key (e, o, n)         | O(keys)             | swap            |
 | incremental_cusum          | per-key (S⁺, S⁻, alarms)  | O(keys)             | swap            |
+| incremental_holt_winters   | per-key (l, b, ring) + warm-up buffer | O(keys·period) | swap      |
 | incremental_near_dup       | banded MinHash signatures | O(docs·bands)       | append          |
 | streaming_substring_dedup  | window fingerprints       | O(corpus windows)   | append          |
 
@@ -2437,3 +2438,276 @@ def read_cusum_state(spark, state_path: str) -> DataFrame:
             F.col("al").alias("n_alarms"),
         )
     )
+
+
+def holt_winters_apply_fn(
+    state_path: str,
+    key_col: str,
+    ord_col: str,
+    value_col: str,
+    period: int,
+    alpha: float,
+    beta: float,
+    gamma: float,
+):
+    """The foreachBatch merge behind `incremental_holt_winters`
+    (call with (batch_df, batch_id) to unit-test replay/recovery):
+    additive Holt–Winters kept live per key — `operators.ops
+    .holt_winters`'s (level, trend, m-slot seasonal ring) state
+    advanced batch by batch, so the one-step forecast
+    ŷ = l + b + ring[0] is always current.
+
+    WARM-UP BUFFERING is what makes chopping exact: the classical
+    init needs the first 2m points, and a micro-batch boundary can
+    fall anywhere inside them — so keys without seated state buffer
+    their raw rows ('w' rows, ≤ 2m−1 per key) until 2m arrive, then
+    run the IDENTICAL init + recurrence the batch operator runs.
+    After seating, each batch folds its sorted rows through the
+    recurrence seeded from stored state.  Every float step is the
+    same fixed IEEE chain (literal dyadic-preferred coefficients
+    via repr()), so ANY chopping is bit-identical to the one-shot
+    scan — the `incremental_ewma` contract, same per-key
+    non-decreasing `ord_col` requirement across batches.
+
+    State is ONE parquet frame: 'k' rows (k, l, b, ring, o, n),
+    'w' warm-up rows (k, o, y), the 'm' HWM marker —
+    O(keys·period) regardless of volume (swap class: whole-frame
+    tmp-then-rename, HWM replay no-op, `_recover_swap` healing)."""
+    from hadron_spark.sources import fs
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    for nm, v in (("beta", beta), ("gamma", gamma)):
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"{nm} must be in [0, 1], got {v}")
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    m = int(period)
+    a, one_a = repr(float(alpha)), repr(1.0 - float(alpha))
+    bf, one_b = repr(float(beta)), repr(1.0 - float(beta))
+    g, one_g = repr(float(gamma)), repr(1.0 - float(gamma))
+    l_new = (
+        f"{a} * (x._y - element_at(acc.ring, 1)) "
+        f"+ {one_a} * (acc.l + acc.b)"
+    )
+    s_new = (
+        f"{g} * (x._y - acc.l - acc.b) "
+        f"+ {one_g} * element_at(acc.ring, 1)"
+    )
+    step = (
+        "(acc, x) -> named_struct("
+        f"'l', {l_new}, "
+        f"'b', {bf} * (({l_new}) - acc.l) + {one_b} * acc.b, "
+        f"'ring', concat(slice(acc.ring, 2, {m - 1}), array({s_new})))"
+    )
+    seeded_fold = (
+        "aggregate(_s, named_struct("
+        "'l', _l0, 'b', _b0, 'ring', _ring0), "
+        f"{step})"
+    )
+    init_l0 = (
+        f"aggregate(slice(_arr, 1, {m}), cast(0.0 as double), "
+        f"(p, q) -> p + q._y) / {m}"
+    )
+    init_b0 = (
+        f"(aggregate(slice(_arr, {m + 1}, {m}), cast(0.0 as double), "
+        f"(p, q) -> p + q._y) / {m} - ({init_l0})) / {m}"
+    )
+    init_ring = (
+        f"transform(slice(_arr, 1, {m}), v -> v._y - ({init_l0}))"
+    )
+    init_fold = (
+        f"aggregate(slice(_arr, {m + 1}, size(_arr) - {m}), "
+        f"named_struct('l', {init_l0}, 'b', {init_b0}, "
+        f"'ring', {init_ring}), {step})"
+    )
+    schema = (
+        "kind string, k string, l double, b double, "
+        "ring array<double>, o long, n long, y double"
+    )
+
+    def apply(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        _recover_swap(spark, state_path)
+        prev = None
+        if fs.exists(spark, state_path):
+            prev = spark.read.parquet(state_path)
+            hwm = prev.filter(F.col("kind") == "m").select("n").collect()
+            if hwm and batch_id <= int(hwm[0]["n"]):
+                return  # replayed batch: already merged exactly once
+        rows = (
+            batch_df.localCheckpoint(eager=True)
+            .filter(
+                F.col(key_col).isNotNull() & F.col(value_col).isNotNull()
+            )
+            .select(
+                F.col(key_col).cast("string").alias("k"),
+                F.col(ord_col).cast("long").alias("_o"),
+                F.col(value_col).cast("double").alias("_y"),
+            )
+        )
+        empty = spark.createDataFrame([], schema)
+        state_k = (
+            prev.filter(F.col("kind") == "k")
+            if prev is not None
+            else empty
+        ).select("k", "l", "b", "ring", "o", "n")
+        state_w = (
+            prev.filter(F.col("kind") == "w")
+            if prev is not None
+            else empty
+        ).select("k", F.col("o").alias("_o"), F.col("y").alias("_y"))
+
+        # seated keys: fold the batch's sorted rows from stored state
+        seated_batch = rows.join(state_k.select("k"), "k", "left_semi")
+        adv = (
+            seated_batch.groupBy("k")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("_o", "_y"))
+                ).alias("_s"),
+                F.max("_o").alias("_ob"),
+                F.count(F.lit(1)).alias("_nb"),
+            )
+            .join(
+                state_k.select(
+                    "k",
+                    F.col("l").alias("_l0"),
+                    F.col("b").alias("_b0"),
+                    F.col("ring").alias("_ring0"),
+                    F.col("n").alias("_n0"),
+                ),
+                "k",
+            )
+            .withColumn("_f", F.expr(seeded_fold))
+            .select(
+                F.lit("k").alias("kind"),
+                "k",
+                F.col("_f.l").alias("l"),
+                F.col("_f.b").alias("b"),
+                F.col("_f.ring").alias("ring"),
+                F.col("_ob").alias("o"),
+                (F.col("_n0") + F.col("_nb")).alias("n"),
+                F.lit(None).cast("double").alias("y"),
+            )
+        )
+        untouched_k = state_k.join(
+            rows.select("k").distinct(), "k", "left_anti"
+        ).select(
+            F.lit("k").alias("kind"), "k", "l", "b", "ring", "o", "n",
+            F.lit(None).cast("double").alias("y"),
+        )
+        # unseated keys: pooled warm-up rows decide seat-now vs buffer
+        unseated = rows.join(state_k.select("k"), "k", "left_anti")
+        pooled = state_w.unionByName(unseated)
+        pool = pooled.groupBy("k").agg(
+            F.sort_array(F.collect_list(F.struct("_o", "_y"))).alias(
+                "_arr"
+            ),
+            F.count(F.lit(1)).alias("_cnt"),
+            F.max("_o").alias("_om"),
+        )
+        seat = (
+            pool.filter(F.col("_cnt") >= 2 * m)
+            .withColumn("_f", F.expr(init_fold))
+            .select(
+                F.lit("k").alias("kind"),
+                "k",
+                F.col("_f.l").alias("l"),
+                F.col("_f.b").alias("b"),
+                F.col("_f.ring").alias("ring"),
+                F.col("_om").alias("o"),
+                F.col("_cnt").alias("n"),
+                F.lit(None).cast("double").alias("y"),
+            )
+        )
+        buffer = (
+            pool.filter(F.col("_cnt") < 2 * m)
+            .select("k", F.explode("_arr").alias("_z"))
+            .select(
+                F.lit("w").alias("kind"),
+                "k",
+                F.lit(None).cast("double").alias("l"),
+                F.lit(None).cast("double").alias("b"),
+                F.lit(None).cast("array<double>").alias("ring"),
+                F.col("_z._o").alias("o"),
+                F.lit(None).cast("long").alias("n"),
+                F.col("_z._y").alias("y"),
+            )
+        )
+        marker = spark.createDataFrame(
+            [("m", None, None, None, None, None, int(batch_id), None)],
+            schema,
+        )
+        merged = (
+            adv.unionByName(untouched_k)
+            .unionByName(seat)
+            .unionByName(buffer)
+            .unionByName(marker)
+        )
+        _commit_swap(spark, merged, state_path, batch_id)
+
+    return apply
+
+
+def incremental_holt_winters(
+    stream: DataFrame,
+    state_path: str,
+    key_col: str,
+    ord_col: str,
+    value_col: str,
+    period: int,
+    alpha: float,
+    beta: float,
+    gamma: float,
+    checkpoint: str | None = None,
+):
+    """Streaming additive Holt–Winters per key — `operators.ops
+    .holt_winters` kept live, warm-up buffered so ANY micro-batch
+    chopping is bit-identical to the one-shot scan.  See
+    `holt_winters_apply_fn`; read back with `read_hw_state`.
+    Returns the started StreamingQuery (availableNow trigger)."""
+    apply = holt_winters_apply_fn(
+        state_path, key_col, ord_col, value_col, period, alpha, beta,
+        gamma,
+    )
+    writer = (
+        stream.writeStream.foreachBatch(apply)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def read_hw_state(spark, state_path: str) -> DataFrame:
+    """Queryable surface of `incremental_holt_winters`: (key, level,
+    trend, forecast — the one-step-ahead l + b + ring[0] — last_ord,
+    n_points, warming — count of still-buffered warm-up rows for
+    keys not yet seated)."""
+    st = spark.read.parquet(state_path)
+    k = st.filter(F.col("kind") == "k").select(
+        F.col("k").alias("key"),
+        F.col("l").alias("level"),
+        F.col("b").alias("trend"),
+        (
+            F.col("l") + F.col("b") + F.element_at(F.col("ring"), 1)
+        ).alias("forecast"),
+        F.col("o").alias("last_ord"),
+        F.col("n").alias("n_points"),
+        F.lit(0).cast("long").alias("warming"),
+    )
+    w = (
+        st.filter(F.col("kind") == "w")
+        .groupBy(F.col("k").alias("key"))
+        .agg(
+            F.lit(None).cast("double").alias("level"),
+            F.lit(None).cast("double").alias("trend"),
+            F.lit(None).cast("double").alias("forecast"),
+            F.max("o").alias("last_ord"),
+            F.lit(None).cast("long").alias("n_points"),
+            F.count(F.lit(1)).alias("warming"),
+        )
+    )
+    return k.unionByName(w)

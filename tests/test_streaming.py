@@ -1267,3 +1267,101 @@ def test_incremental_cusum_chop_equivalence(spark, tmp_path):
         for r in read_cusum_state(spark, state2).collect()
     }
     assert got2 == {k: mirror(vs) for k, vs in series.items()}
+
+
+def test_incremental_holt_winters_chop_equivalence(spark, tmp_path):
+    """Streaming HW: chop boundaries INSIDE the warm-up window and
+    after seating are all bit-identical to the one-shot batch scan;
+    warming keys visible; replay no-op; crash heal; writeStream
+    drive; validation."""
+    import pytest
+
+    from hadron_spark.operators.ops import holt_winters
+    from hadron_spark.sources import fs
+    from hadron_spark.streaming.ops import (
+        holt_winters_apply_fn,
+        incremental_holt_winters,
+        read_hw_state,
+    )
+
+    m = 3
+    series = {
+        "s1": [10, 20, 12, 11, 22, 13, 12, 24, 15, 13, 26, 16, 14, 28,
+               17, 15, 30, 18, 16, 32],
+        "s2": [5, 6, 7, 8, 9, 10, 11, 12, 13, 14],
+        "s3": [1, 2, 3, 4],  # never seats: 4 < 2m
+    }
+    rows = [
+        (k, t, float(v)) for k, vs in series.items() for t, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+
+    # one-shot references: final level/trend + ring head from the
+    # batch operator's trailing rows
+    ref = {}
+    for k in ("s1", "s2"):
+        sub = df.filter(F.col("k") == k)
+        out = sorted(
+            holt_winters(
+                sub, "t", "v", period=m, alpha=0.25, beta=0.125,
+                gamma=0.25,
+            ).collect(),
+            key=lambda r: r["t"],
+        )
+        last = out[-1]
+        n = len(series[k])
+        ring_head = next(
+            r["seasonal"] for r in out if r["t"] == n - m  # 0-indexed
+        )
+        ref[k] = (
+            last["level"],
+            last["trend"],
+            last["level"] + last["trend"] + ring_head,
+        )
+
+    state = str(tmp_path / "hw_state")
+    apply = holt_winters_apply_fn(
+        state, "k", "t", "v", period=m, alpha=0.25, beta=0.125, gamma=0.25
+    )
+    # chop 1 ends INSIDE warm-up for every key (4 points < 2m = 6)
+    apply(df.filter(F.col("t") < 4), 0)
+    mid = {r["key"]: r for r in read_hw_state(spark, state).collect()}
+    for k in ("s1", "s2", "s3"):
+        assert mid[k]["warming"] == 4 and mid[k]["level"] is None, k
+    apply(df.filter(F.col("t") < 4), 0)              # replay: no-op
+    apply(df.filter((F.col("t") >= 4) & (F.col("t") < 9)), 1)
+    fs.mv(spark, state, state + "._old_2")           # crash mid-swap: heal
+    apply(df.filter(F.col("t") >= 9), 2)
+
+    got = {r["key"]: r for r in read_hw_state(spark, state).collect()}
+    for k in ("s1", "s2"):
+        lv, tr, fc = ref[k]
+        assert got[k]["level"] == lv, k              # bit-identical
+        assert got[k]["trend"] == tr, k
+        assert got[k]["forecast"] == fc, k
+        assert got[k]["n_points"] == len(series[k])
+        assert got[k]["last_ord"] == len(series[k]) - 1
+    assert got["s3"]["warming"] == 4 and got["s3"]["level"] is None
+
+    # end-to-end writeStream drive (single micro-batch == one-shot)
+    src = str(tmp_path / "hw_src")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("k string, t long, v double").parquet(
+        src
+    )
+    state2 = str(tmp_path / "hw_state2")
+    q = incremental_holt_winters(
+        stream, state2, "k", "t", "v", period=m,
+        alpha=0.25, beta=0.125, gamma=0.25,
+        checkpoint=str(tmp_path / "hw_ckpt"),
+    )
+    q.awaitTermination(300)
+    got2 = {
+        r["key"]: (r["level"], r["trend"], r["forecast"])
+        for r in read_hw_state(spark, state2).collect()
+        if r["level"] is not None
+    }
+    assert got2 == {k: ref[k] for k in ("s1", "s2")}
+
+    with pytest.raises(ValueError, match="period"):
+        holt_winters_apply_fn(state, "k", "t", "v", 1, 0.25, 0.1, 0.1)
