@@ -3,6 +3,7 @@
 maintenance (merge/CDC)."""
 
 from hadron_spark.operators import (
+    expectations,
     graph,
     joins,
     maintenance,
@@ -14,6 +15,6 @@ from hadron_spark.operators import (
 )
 
 __all__ = [
-    "graph", "joins", "maintenance", "mapreduce", "ops", "robust",
-    "sketch", "survival",
+    "expectations", "graph", "joins", "maintenance", "mapreduce", "ops",
+    "robust", "sketch", "survival",
 ]

@@ -16461,3 +16461,81 @@ def q354(spark, sf_dir):
     result = spark.createDataFrame(out.collect(), out.schema)
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+@_register(
+    "q355_expectations",
+    """
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders),
+    checks AS (
+      SELECT 'not_null(o_custkey)' AS "check", 'o_custkey' AS "column",
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_violations
+      FROM orders
+      UNION ALL
+      SELECT 'unique(o_orderkey)', 'o_orderkey',
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'in_range(o_totalprice,0,600000)', 'o_totalprice',
+             CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                            AND (o_totalprice < 0
+                                 OR o_totalprice > 600000)
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'accepted_values(o_orderstatus)', 'o_orderstatus',
+             CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                            AND o_orderstatus NOT IN ('O', 'F', 'P')
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'matches(o_orderpriority)', 'o_orderpriority',
+             CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                            AND NOT regexp_matches(o_orderpriority,
+                                                   '^[1-5]-')
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'future_orders', 'o_orderdate',
+             CAST(SUM(CASE WHEN o_orderdate
+                                >= TIMESTAMP '2000-01-01'
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders)
+    SELECT "check", "column", n_rows, n_violations,
+           n_violations = 0 AS pass
+    FROM checks, n
+    """,
+)
+def q355(spark, sf_dir):
+    """Data-quality expectation suite (operators.expectations
+    .expect): the contract check a pipeline runs before publishing a
+    snapshot -- six expectations over orders (null, uniqueness,
+    range, enum, regex, custom freshness) compiled to conditional
+    aggregates over ONE scan (one shuffle of one combined row per
+    partition; the 20-check suite costs one pass, not 20).  Every
+    number an exact count: hash-exact FULL oracle."""
+    from hadron_spark.operators.expectations import (
+        accepted_values,
+        custom,
+        expect,
+        in_range,
+        matches,
+        not_null,
+        unique,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    suite = [
+        not_null("o_custkey"),
+        unique("o_orderkey"),
+        in_range("o_totalprice", 0, 600000),
+        accepted_values("o_orderstatus", ["O", "F", "P"]),
+        matches("o_orderpriority", "^[1-5]-"),
+        custom(
+            "future_orders",
+            "o_orderdate",
+            F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"),
+        ),
+    ]
+    return expect(o, suite)

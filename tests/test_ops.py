@@ -3041,3 +3041,66 @@ def test_trend_and_paired_rank_property(spark, rows):
     rad = (2 * m * (m + 1) * (2 * m + 1) - t_term) / 12
     z_ref = (wp2 - m * (m + 1) / 2) / math.sqrt(rad)
     assert abs(w["z"] - z_ref) < 1e-9
+
+
+def test_expectations_suite(spark):
+    """Expectation suite: one-pass conditional aggregates vs hand
+    counts; unique via exact distinct; grouped run; gate raises with
+    the failing checks named; validation."""
+    import pytest
+
+    from hadron_spark.operators.expectations import (
+        accepted_values,
+        custom,
+        expect,
+        fail_on_violations,
+        in_range,
+        matches,
+        not_null,
+        unique,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "a@x.com", 10, "US"),
+        (2, None, 500, "US"),
+        (3, "bad-email", -5, "ZZ"),
+        (3, "c@y.org", 20, "DE"),
+    ]
+    df = spark.createDataFrame(rows, "id long, email string, v long, cc string")
+    suite = [
+        not_null("email"),
+        unique("id"),
+        in_range("v", 0, 100),
+        accepted_values("cc", ["US", "DE", "FR"]),
+        matches("email", r"^[^@]+@[^@]+\.[a-z]+$"),
+        custom("v_even", "v", F.col("v") % 2 != 0),
+    ]
+    rep = {r["check"]: r for r in expect(df, suite).collect()}
+    assert all(r["n_rows"] == 4 for r in rep.values())
+    assert rep["not_null(email)"]["n_violations"] == 1
+    assert rep["unique(id)"]["n_violations"] == 1  # one surplus dup
+    assert rep["in_range(v,0,100)"]["n_violations"] == 2  # 500, -5
+    assert rep["accepted_values(cc)"]["n_violations"] == 1  # ZZ
+    assert rep["matches(email)"]["n_violations"] == 1  # bad-email
+    assert rep["v_even"]["n_violations"] == 1  # -5
+    assert not rep["unique(id)"]["pass"]
+
+    # grouped: per-country violation counts
+    g = {
+        (r["cc"], r["check"]): r["n_violations"]
+        for r in expect(df, [in_range("v", 0, 100)], ["cc"]).collect()
+    }
+    assert g[("US", "in_range(v,0,100)")] == 1
+    assert g[("ZZ", "in_range(v,0,100)")] == 1
+    assert g[("DE", "in_range(v,0,100)")] == 0
+
+    with pytest.raises(AssertionError, match="unique"):
+        fail_on_violations(expect(df, suite))
+    # a clean suite passes silently
+    fail_on_violations(expect(df, [not_null("id")]))
+
+    with pytest.raises(ValueError, match="empty"):
+        expect(df, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        expect(df, [not_null("id"), not_null("id")])
