@@ -138,3 +138,37 @@ def fail_on_violations(report: DataFrame) -> None:
             f"{r['check']}: {r['n_violations']}/{r['n_rows']}" for r in bad
         )
         raise AssertionError(f"expectation failures: {lines}")
+
+
+def foreign_key(
+    child: DataFrame,
+    col: str,
+    parent: DataFrame,
+    parent_col: str,
+    name: str | None = None,
+) -> DataFrame:
+    """Referential-integrity expectation across tables: count child
+    rows whose non-null `col` has no match in `parent.parent_col`.
+    Same report row shape as `expect` (check, column, n_rows,
+    n_violations, pass) so suites union cleanly.
+
+    Plan: one broadcast-or-shuffle LEFT ANTI join (Catalyst picks by
+    parent size) + one count pass — orphans are counted, never
+    collected."""
+    nm = name or f"foreign_key({col})"
+    n_rows = child.count()
+    orphans = (
+        child.filter(F.col(col).isNotNull())
+        .join(
+            parent.select(F.col(parent_col).alias(col)).distinct(),
+            col,
+            "left_anti",
+        )
+        .count()
+    )
+    spark = child.sparkSession
+    return spark.createDataFrame(
+        [(nm, col, n_rows, orphans, orphans == 0)],
+        "check string, column string, n_rows long, n_violations long, "
+        "pass boolean",
+    )

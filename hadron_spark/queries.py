@@ -16539,3 +16539,48 @@ def q355(spark, sf_dir):
         ),
     ]
     return expect(o, suite)
+
+
+@_register(
+    "q356_fk_integrity",
+    """
+    SELECT 'foreign_key(o_custkey)' AS "check", 'o_custkey' AS "column",
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+            WHERE o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+             AS n_violations,
+           (SELECT COUNT(*) FROM orders o
+            WHERE o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) = 0
+             AS pass
+    UNION ALL
+    SELECT 'foreign_key(l_orderkey)', 'l_orderkey',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+            WHERE l_orderkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE l_orderkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) = 0
+    """,
+)
+def q356(spark, sf_dir):
+    """Cross-table referential integrity (operators.expectations
+    .foreign_key): orders.custkey within customer, lineitem.orderkey
+    within orders -- the relations leg of the q355 suite, one LEFT
+    ANTI join each (Catalyst broadcasts the distinct parent-key side
+    when small), orphans counted never collected.  Hash-exact FULL
+    oracle."""
+    from hadron_spark.operators.expectations import foreign_key
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    return foreign_key(o, "o_custkey", c, "c_custkey").unionByName(
+        foreign_key(li, "l_orderkey", o, "o_orderkey")
+    )

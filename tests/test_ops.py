@@ -3104,3 +3104,26 @@ def test_expectations_suite(spark):
         expect(df, [])
     with pytest.raises(ValueError, match="duplicate"):
         expect(df, [not_null("id"), not_null("id")])
+
+
+def test_expectations_foreign_key(spark):
+    """FK expectation: orphan counting, null child keys ignored,
+    report unions with expect()'s rows."""
+    from hadron_spark.operators.expectations import (
+        expect,
+        foreign_key,
+        not_null,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,), (30,)], "pk long")
+    rep = foreign_key(child, "fk", parent, "pk").collect()[0]
+    assert rep["n_rows"] == 4 and rep["n_violations"] == 1  # 99 only
+    assert not rep["pass"]
+
+    combined = expect(child, [not_null("fk")]).unionByName(
+        foreign_key(child, "fk", parent, "pk")
+    )
+    assert combined.count() == 2

@@ -124,6 +124,10 @@ EXPLAIN_SINGLE_PARTITION = {
     "FAMILY (50 strata here; the post-hoc tables this adjusts are "
     "k(k-1)/2-bounded by contract), never corpus rows; family_cols "
     "partitions when set",
+    "q348_isotonic_calibrate": "prefix-sum window over the DISTINCT-SCORE "
+    "spine (~50 value bands — the quantization contract), never label "
+    "rows; the pair frame and suffix-min window partition by (group, "
+    "start-score)",
 }
 
 
