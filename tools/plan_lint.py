@@ -91,6 +91,9 @@ EXPLAIN_BNLJ = {
     "q341_mmr_rerank": "the q25 brute-force baseline feeding MMR: broadcasts "
     "the bounded probe set (5 rows); candidates are top-50 per probe by "
     "contract — the corpus side streams",
+    "q348_isotonic_calibrate": "the minimax PAV block triangle: i <= j "
+    "self-join of the DISTINCT-SCORE spine (~50 value bands both sides — "
+    "the quantization contract), |spine|²/2 block rows, never label rows",
 }
 EXPLAIN_SINGLE_PARTITION = {
     "q79_share_of_total": "global share window over the per-nation aggregate "
