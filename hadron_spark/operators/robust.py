@@ -2764,3 +2764,104 @@ def paired_t(
     return agg.filter(F.col("n") > 0).select(
         *gc, "n", mean.alias("mean_diff"), t.alias("t")
     )
+
+
+def ols_fit(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Least-squares fit per group, y ~ 1 + x1 [+ x2] — the
+    multiple-regression step beyond `theil_sen_slope`'s single
+    robust slope, solved EXACTLY by Cramer's rule on the normal
+    equations: every entry of X'X and X'y is an exact integer
+    moment (quantize predictors and response — the house contract),
+    every determinant is exact DECIMAL(38,0) cofactor algebra, and
+    each coefficient is ONE division of two exact determinants:
+    hash-exact with zero iterative fitting.
+
+    R² comes from the fixed chain SSE = Σy² − (β₀Σy + β₁Σx₁y
+    [+ β₂Σx₂y]) and SST = Σy² − (Σy)²/n (each β-product one IEEE
+    multiply, summed in fixed order).  Bounds: determinant terms
+    are products of three moments ≈ (n·max|x|²)³ — keep
+    n·max(x²) < 10¹² per group (DECIMAL(38,0) headroom), i.e.
+    quantize to modest ranges, which is also what keeps the normal
+    equations well-conditioned.  Singular designs (det = 0 —
+    collinear or constant predictors) yield NULL coefficients.
+
+    Plan: one partial-agg'd shuffle onto |groups| rows; the solve
+    is scalar expressions per output row.  Supports 1 or 2
+    predictors (the 3×3 Cramer expansion; beyond that use an
+    iterative solver, which leaves the hash-exact tier).  Returns
+    (group_cols..., n, b0, b1[, b2], r2)."""
+    if not 1 <= len(x_cols) <= 2:
+        raise ValueError(
+            f"ols_fit supports 1 or 2 predictors: {x_cols}"
+        )
+    gc = list(group_cols or [])
+    p = len(x_cols)
+    cols = [F.col(c).cast("long") for c in x_cols]
+    y = F.col(y_col).cast("long")
+    cond = F.col(y_col).isNotNull()
+    for c in x_cols:
+        cond = cond & F.col(c).isNotNull()
+    base = df.filter(cond)
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).alias("_sy"),
+        F.sum(d(y) * y).alias("_syy"),
+    ]
+    for i, xi in enumerate(cols):
+        aggs.append(F.sum(xi).alias(f"_s{i}"))
+        aggs.append(F.sum(d(xi) * y).alias(f"_s{i}y"))
+        for j, xj in enumerate(cols[: i + 1]):
+            aggs.append(F.sum(d(xi) * xj).alias(f"_s{i}{j}"))
+    agg = base.groupBy(*gc).agg(*aggs)
+    n = F.col("n").cast("decimal(38,0)")
+    sy = F.col("_sy").cast("decimal(38,0)")
+    if p == 1:
+        s1, s11 = F.col("_s0").cast("decimal(38,0)"), F.col("_s00")
+        s1y = F.col("_s0y")
+        det = n * s11 - s1 * s1
+        det0 = sy * s11 - s1 * s1y
+        det1 = n * s1y - s1 * sy
+        b0 = F.when(det != 0, det0.cast("double") / det.cast("double"))
+        b1 = F.when(det != 0, det1.cast("double") / det.cast("double"))
+        fit_dot = (
+            b0 * F.col("_sy").cast("double")
+            + b1 * F.col("_s0y").cast("double")
+        )
+        betas = [b0.alias("b0"), b1.alias("b1")]
+    else:
+        s1 = F.col("_s0").cast("decimal(38,0)")
+        s2 = F.col("_s1").cast("decimal(38,0)")
+        s11, s12, s22 = F.col("_s00"), F.col("_s10"), F.col("_s11")
+        s1y, s2y = F.col("_s0y"), F.col("_s1y")
+
+        def det3(a, b_, c, dd, e, f_, g_, h, i_):
+            return a * (e * i_ - f_ * h) - b_ * (dd * i_ - f_ * g_) + c * (
+                dd * h - e * g_
+            )
+
+        det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+        det0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+        det1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+        det2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
+        b0 = F.when(det != 0, det0.cast("double") / det.cast("double"))
+        b1 = F.when(det != 0, det1.cast("double") / det.cast("double"))
+        b2 = F.when(det != 0, det2.cast("double") / det.cast("double"))
+        fit_dot = (
+            b0 * F.col("_sy").cast("double")
+            + b1 * F.col("_s0y").cast("double")
+            + b2 * F.col("_s1y").cast("double")
+        )
+        betas = [b0.alias("b0"), b1.alias("b1"), b2.alias("b2")]
+    syy = F.col("_syy").cast("double")
+    sse = syy - fit_dot
+    sst = syy - F.col("_sy").cast("double") * F.col("_sy").cast(
+        "double"
+    ) / F.col("n").cast("double")
+    r2 = F.when(sst > 0, F.lit(1.0) - sse / sst)
+    return agg.select(*gc, "n", *betas, r2.alias("r2"))

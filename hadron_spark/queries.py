@@ -16584,3 +16584,80 @@ def q356(spark, sf_dir):
     return foreign_key(o, "o_custkey", c, "c_custkey").unionByName(
         foreign_key(li, "l_orderkey", o, "o_orderkey")
     )
+
+
+@_register(
+    "q357_ols_fit",
+    """
+    WITH b AS (SELECT l_returnflag AS g,
+                      CAST(round(l_quantity) AS BIGINT) AS x1,
+                      CAST(round(l_discount * 100) AS BIGINT) AS x2,
+                      CAST(round(l_extendedprice) AS BIGINT) AS y
+               FROM lineitem
+               WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+                 AND l_extendedprice IS NOT NULL),
+    m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 SUM(CAST(y AS HUGEINT) * y) AS syy,
+                 CAST(SUM(x1) AS BIGINT) AS s1,
+                 CAST(SUM(x2) AS BIGINT) AS s2,
+                 SUM(CAST(x1 AS HUGEINT) * x1) AS s11,
+                 SUM(CAST(x2 AS HUGEINT) * x1) AS s12,
+                 SUM(CAST(x2 AS HUGEINT) * x2) AS s22,
+                 SUM(CAST(x1 AS HUGEINT) * y) AS s1y,
+                 SUM(CAST(x2 AS HUGEINT) * y) AS s2y
+          FROM b GROUP BY 1),
+    dets AS (SELECT *,
+        CAST(n AS HUGEINT) * (s11 * s22 - s12 * s12)
+          - CAST(s1 AS HUGEINT) * (s1 * s22 - s12 * s2)
+          + CAST(s2 AS HUGEINT) * (s1 * s12 - s11 * s2) AS det,
+        CAST(sy AS HUGEINT) * (s11 * s22 - s12 * s12)
+          - CAST(s1 AS HUGEINT) * (s1y * s22 - s12 * s2y)
+          + CAST(s2 AS HUGEINT) * (s1y * s12 - s11 * s2y) AS det0,
+        CAST(n AS HUGEINT) * (s1y * s22 - s12 * s2y)
+          - CAST(sy AS HUGEINT) * (s1 * s22 - s12 * s2)
+          + CAST(s2 AS HUGEINT) * (s1 * s2y - s1y * s2) AS det1,
+        CAST(n AS HUGEINT) * (s11 * s2y - s1y * s12)
+          - CAST(s1 AS HUGEINT) * (s1 * s2y - s1y * s2)
+          + CAST(sy AS HUGEINT) * (s1 * s12 - s11 * s2) AS det2
+      FROM m),
+    beta AS (SELECT *,
+        CASE WHEN det <> 0 THEN CAST(det0 AS DOUBLE)
+             / CAST(det AS DOUBLE) END AS b0,
+        CASE WHEN det <> 0 THEN CAST(det1 AS DOUBLE)
+             / CAST(det AS DOUBLE) END AS b1,
+        CASE WHEN det <> 0 THEN CAST(det2 AS DOUBLE)
+             / CAST(det AS DOUBLE) END AS b2
+      FROM dets)
+    SELECT g AS l_returnflag, n, b0, b1, b2,
+           CASE WHEN CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                       / CAST(n AS DOUBLE) > 0
+                THEN 1.0 - (CAST(syy AS DOUBLE)
+                            - (b0 * CAST(sy AS DOUBLE)
+                               + b1 * CAST(s1y AS DOUBLE)
+                               + b2 * CAST(s2y AS DOUBLE)))
+                     / (CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                          / CAST(n AS DOUBLE)) END AS r2
+    FROM beta
+    """,
+)
+def q357(spark, sf_dir):
+    """Two-predictor least squares (operators.robust.ols_fit):
+    price ~ 1 + quantity + discount%, per returnflag -- solved
+    EXACTLY by Cramer's rule on the normal equations (every X'X /
+    X'y entry an exact integer moment, every determinant exact
+    DECIMAL(38,0)/HUGEINT cofactor algebra, one division per
+    coefficient; zero iterative fitting).  R^2 off the fixed
+    SSE/SST chain.  Hash-exact FULL oracle -- the multiple-
+    regression step beyond q298's robust single slope."""
+    from hadron_spark.operators.robust import ols_fit
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.round("l_extendedprice").cast("long").alias("y"),
+    )
+    return ols_fit(li, "y", ["x1", "x2"], ["l_returnflag"])

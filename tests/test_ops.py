@@ -3127,3 +3127,60 @@ def test_expectations_foreign_key(spark):
         foreign_key(child, "fk", parent, "pk")
     )
     assert combined.count() == 2
+
+
+def test_ols_fit_reference(spark):
+    """Cramer-rule OLS vs numpy lstsq on 1- and 2-predictor designs;
+    exact fit recovers planted coefficients; collinear design NULL;
+    validation."""
+    import numpy as np
+    import pytest
+
+    from hadron_spark.operators.robust import ols_fit
+
+    rng = np.random.RandomState(5)
+    x1 = rng.randint(0, 50, 40)
+    x2 = rng.randint(-20, 20, 40)
+    noise = rng.randint(-3, 4, 40)
+    yy = 7 + 3 * x1 - 2 * x2 + noise
+    rows = [
+        (int(a), int(b), int(c)) for a, b, c in zip(x1, x2, yy)
+    ]
+    df = spark.createDataFrame(rows, "x1 long, x2 long, y long")
+
+    r = ols_fit(df, "y", ["x1", "x2"]).collect()[0]
+    X = np.column_stack([np.ones(len(x1)), x1, x2])
+    beta, *_ = np.linalg.lstsq(X, yy.astype(float), rcond=None)
+    assert r["n"] == 40
+    for got, want in zip((r["b0"], r["b1"], r["b2"]), beta):
+        assert abs(got - want) < 1e-9
+    resid = yy - X @ beta
+    sst = ((yy - yy.mean()) ** 2).sum()
+    assert abs(r["r2"] - (1 - (resid**2).sum() / sst)) < 1e-9
+
+    # single predictor
+    r1 = ols_fit(df, "y", ["x1"]).collect()[0]
+    X1 = np.column_stack([np.ones(len(x1)), x1])
+    beta1, *_ = np.linalg.lstsq(X1, yy.astype(float), rcond=None)
+    assert abs(r1["b0"] - beta1[0]) < 1e-9
+    assert abs(r1["b1"] - beta1[1]) < 1e-9
+
+    # exact noiseless fit: r2 == 1 (up to the two divisions)
+    exact = spark.createDataFrame(
+        [(int(x), int(5 + 2 * x)) for x in range(10)], "x long, y long"
+    )
+    re = ols_fit(exact, "y", ["x"]).collect()[0]
+    assert re["b0"] == pytest.approx(5.0, abs=1e-12)
+    assert re["b1"] == pytest.approx(2.0, abs=1e-12)
+    assert re["r2"] == pytest.approx(1.0, abs=1e-12)
+
+    # collinear: x2 = 2*x1 -> singular -> NULL betas
+    col = spark.createDataFrame(
+        [(int(x), int(2 * x), int(x + 1)) for x in range(8)],
+        "x1 long, x2 long, y long",
+    )
+    rc = ols_fit(col, "y", ["x1", "x2"]).collect()[0]
+    assert rc["b0"] is None and rc["b1"] is None and rc["b2"] is None
+
+    with pytest.raises(ValueError, match="predictors"):
+        ols_fit(df, "y", ["x1", "x2", "x1"])
