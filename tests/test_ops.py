@@ -3184,3 +3184,45 @@ def test_ols_fit_reference(spark):
 
     with pytest.raises(ValueError, match="predictors"):
         ols_fit(df, "y", ["x1", "x2", "x1"])
+
+
+def test_survival_group_cols(spark):
+    """KM and log-rank honor group_cols: per-group curves equal the
+    separately-computed ungrouped runs."""
+    from hadron_spark.operators.survival import kaplan_meier, logrank_test
+
+    d1 = [(2, 1), (3, 0), (5, 1), (7, 1), (9, 0)]
+    d2 = [(1, 1), (2, 1), (4, 0), (6, 1), (8, 1), (9, 0)]
+    both = spark.createDataFrame(
+        [("g1", t, e) for t, e in d1] + [("g2", t, e) for t, e in d2],
+        "g string, t long, e int",
+    )
+    grouped = {
+        (r["g"], r["t"]): r["survival"]
+        for r in kaplan_meier(both, "t", "e", ["g"]).collect()
+    }
+    for g, data in (("g1", d1), ("g2", d2)):
+        solo = {
+            r["t"]: r["survival"]
+            for r in kaplan_meier(
+                spark.createDataFrame(data, "t long, e int"), "t", "e"
+            ).collect()
+        }
+        for t, s in solo.items():
+            assert grouped[(g, t)] == s, (g, t)
+
+    # grouped log-rank: each group compares its own arms
+    arms = both.withColumn("arm", (F.col("t") % 2 == 0).cast("int"))
+    gl = {
+        r["g"]: r
+        for r in logrank_test(
+            arms.filter("arm = 0"), arms.filter("arm = 1"), "t", "e", ["g"]
+        ).collect()
+    }
+    for g, data in (("g1", d1), ("g2", d2)):
+        solo_df = spark.createDataFrame(data, "t long, e int")
+        a = solo_df.filter(F.col("t") % 2 != 0)
+        b = solo_df.filter(F.col("t") % 2 == 0)
+        solo = logrank_test(a, b, "t", "e").collect()[0]
+        assert gl[g]["o_minus_e"] == solo["o_minus_e"], g
+        assert gl[g]["v"] == solo["v"], g
