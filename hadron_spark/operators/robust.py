@@ -2865,3 +2865,53 @@ def ols_fit(
     ) / F.col("n").cast("double")
     r2 = F.when(sst > 0, F.lit(1.0) - sse / sst)
     return agg.select(*gc, "n", *betas, r2.alias("r2"))
+
+
+def dispersion_test(
+    df: DataFrame,
+    count_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Poisson dispersion test per group (Fisher's index of
+    dispersion) — "are these event counts Poisson, or bursty":
+    vmr = s²/x̄ (≈ 1 under Poisson; > 1 overdispersed — the gate
+    before trusting any Poisson-rate model on the data), with the
+    exact statistic
+
+        chi2 = (n−1)·s²/x̄ = (n·Σx² − (Σx)²) / Σx  ~  χ²(n−1)
+
+    — an EXACT RATIO of integers (DECIMAL(38,0)), one division;
+    vmr = chi2/(n−1) one more.  Hash-exact.  Degenerate groups
+    (Σx = 0 or n < 2) yield NULLs.
+
+    Plan: one partial-agg'd shuffle onto |groups| rows.  Returns
+    (group_cols..., n, mean, vmr, chi2)."""
+    gc = list(group_cols or [])
+    x = F.col(count_col).cast("long")
+    xd = x.cast("decimal(38,0)")
+    agg = (
+        df.filter(F.col(count_col).isNotNull())
+        .groupBy(*gc)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("_s"),
+            F.sum(xd * xd).alias("_q"),
+        )
+    )
+    num = (
+        F.col("n").cast("decimal(38,0)") * F.col("_q")
+        - F.col("_s").cast("decimal(38,0)") * F.col("_s")
+    )
+    chi2 = F.when(
+        (F.col("_s") > 0) & (F.col("n") >= 2),
+        num.cast("double") / F.col("_s").cast("double"),
+    )
+    return agg.filter(F.col("n") > 0).select(
+        *gc,
+        "n",
+        (F.col("_s").cast("double") / F.col("n").cast("double")).alias(
+            "mean"
+        ),
+        (chi2 / (F.col("n") - 1).cast("double")).alias("vmr"),
+        chi2.alias("chi2"),
+    )

@@ -16661,3 +16661,44 @@ def q357(spark, sf_dir):
         F.round("l_extendedprice").cast("long").alias("y"),
     )
     return ols_fit(li, "y", ["x1", "x2"], ["l_returnflag"])
+
+
+@_register(
+    "q358_dispersion",
+    """
+    WITH hourly AS (SELECT event_type AS g,
+                           date_trunc('hour', ts) AS h,
+                           CAST(COUNT(*) AS BIGINT) AS x
+                    FROM events GROUP BY 1, 2),
+    agg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s,
+                   SUM(CAST(x AS HUGEINT) * x) AS q
+            FROM hourly GROUP BY 1)
+    SELECT g AS event_type, n,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+           CASE WHEN s > 0 AND n >= 2
+                THEN (CAST(CAST(n AS HUGEINT) * q
+                           - CAST(s AS HUGEINT) * s AS DOUBLE)
+                      / CAST(s AS DOUBLE)) / CAST(n - 1 AS DOUBLE)
+                END AS vmr,
+           CASE WHEN s > 0 AND n >= 2
+                THEN CAST(CAST(n AS HUGEINT) * q
+                          - CAST(s AS HUGEINT) * s AS DOUBLE)
+                     / CAST(s AS DOUBLE) END AS chi2
+    FROM agg
+    """,
+)
+def q358(spark, sf_dir):
+    """Poisson dispersion test (operators.robust.dispersion_test) on
+    hourly event counts per type: vmr ~= 1 means arrivals are
+    Poisson, >> 1 means bursty -- the gate before trusting any
+    Poisson-rate model (q337's control chart, q342's exact test).
+    chi2 = (n*Sum(x^2) - (Sum x)^2)/Sum(x) is an EXACT integer ratio,
+    ONE division.  Hash-exact FULL oracle."""
+    from hadron_spark.operators.robust import dispersion_test
+
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    return dispersion_test(hourly, "x", ["event_type"])

@@ -3226,3 +3226,31 @@ def test_survival_group_cols(spark):
         solo = logrank_test(a, b, "t", "e").collect()[0]
         assert gl[g]["o_minus_e"] == solo["o_minus_e"], g
         assert gl[g]["v"] == solo["v"], g
+
+
+def test_dispersion_test_reference(spark):
+    """Index of dispersion vs the python mirror; Poisson-ish ~ 1,
+    constant -> 0, bursty >> 1; zero-sum guard."""
+    from hadron_spark.operators.robust import dispersion_test
+
+    series = {
+        "flat": [4, 4, 4, 4, 4],
+        "bursty": [0, 0, 20, 0, 0, 18, 0],
+        "mixed": [3, 5, 4, 6, 2, 4, 5],
+        "zero": [0, 0, 0],
+    }
+    rows = [(g, v) for g, vs in series.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, x long")
+    got = {r["g"]: r for r in dispersion_test(df, "x", ["g"]).collect()}
+    for g, vs in series.items():
+        n, s = len(vs), sum(vs)
+        r = got[g]
+        assert r["n"] == n and r["mean"] == s / n
+        if s == 0:
+            assert r["chi2"] is None and r["vmr"] is None
+            continue
+        chi2 = (n * sum(v * v for v in vs) - s * s) / s
+        assert r["chi2"] == chi2 and r["vmr"] == chi2 / (n - 1)
+    assert got["flat"]["vmr"] == 0.0
+    assert got["bursty"]["vmr"] > 10
+    assert 0.3 < got["mixed"]["vmr"] < 3

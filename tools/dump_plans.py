@@ -41,6 +41,12 @@ SHOWCASE = {
     "q204_quality_classifier": "model-based quality scoring is FULLY NARROW: exact-int-ratio features + literal-weight linear score fused into the scan, no exp(), zero exchanges before the ordering",
     "q208_repeated_spans": "exact-substring dedup: fingerprint partial-agg count and the position re-join share the fp key (exchange reuse); island merge is a doc-partitioned window — no SinglePartition anywhere",
     "q202_dsir_scores": "DSIR scoring: n-gram explode partial-aggregates onto (doc,bucket); the B-bounded log-ratio map is BroadcastHashJoin'd — the corpus-side per-doc sum is the only real exchange",
+    "q272_bradley_terry": "iterative MM fit: outcomes partial-aggregate ONCE to the pair spine; each round is one spine join + one items-keyed exchange over localCheckpoint'd (lineage-truncated) strengths — the corpus never re-enters",
+    "q328_mann_kendall": "kendall cell-grid shape: corpus partial-aggregates to bounded (day,band) cells; the pair algebra is a cell self-join keyed on the group — S never touches raw rows",
+    "q336_cusum_changepoint": "per-series window prefix + all-integer argmax via partial-agg'd struct-max — frames bounded by series length, no SinglePartition",
+    "q348_isotonic_calibrate": "loop-free PAV: spine prefix window + i<=j spine triangle + suffix-min window partitioned by (start score) — label rows touched exactly once at the spine aggregate",
+    "q355_expectations": "six-check suite compiled to ONE scan: every predicate a conditional sum in a single partial-agg'd aggregate (plus the exact count-distinct), then a literal-array explode of the report rows",
+    "q357_ols_fit": "Cramer-exact OLS: all X'X / X'y moments in ONE codegen'd aggregate (one exchange onto |groups| rows); the 3×3 determinant solve is scalar expressions on the output rows",
 }
 
 
