@@ -109,36 +109,47 @@ def ngram_lm_train(
         raise ValueError(f"order must be >= 1, got {order}")
     if not 0.0 < alpha < 1.0:
         raise ValueError(f"alpha must be in (0, 1), got {alpha!r}")
-    from hadron_spark.functions.text import ngrams
     from hadron_spark.operators.ops import pin
 
     # projection boundary: evaluate tokenize once per row (see
     # _position_frame — per-order references would re-split)
     base = ref_df.select(tokenize(F.col(text_col)).alias("__toks"))
-    toks = F.col("__toks")
 
-    def tag(g, n):
-        # closure capture, NOT a default-arg 2-param lambda — PySpark
-        # passes the array index as a second lambda arg (see verify
-        # gotchas), which would clobber a `_n=n` default
-        return F.transform(
-            g, lambda s: F.struct(F.lit(n).alias("n"), s.alias("g"))
-        )
+    # posexplode positions FIRST, then derive every order's gram key
+    # as a plain codegen projection — the previous shape (per-order
+    # transform lambdas tagged in-row, one explode of the concat)
+    # evaluated the gram expressions through the interpreted HOF
+    # lambda path inside GenerateExec; same gram multiset, measured
+    # 3x slower (guide §4.1: built-ins over interpreted lambdas).
+    # Grams of order n ending at 1-based position p exist when
+    # p >= n — exactly the len-n+1 grams per document the tagged
+    # shape produced.
+    pe = base.select(
+        "__toks", F.posexplode(F.col("__toks")).alias("_i", "_t")
+    )
+    p = F.col("_i") + 1
+    xtoks = F.col("__toks")
 
-    tagged = None
-    for n in range(1, order + 1):
-        g = toks if n == 1 else ngrams(toks, n)
-        t = tag(g, n)
-        tagged = t if tagged is None else F.concat(tagged, t)
+    def key_at(n):
+        s = F.concat_ws(" ", F.slice(xtoks, p - n + 1, n))
+        return F.when(p >= n, _gram_key(s, n_buckets))
+
+    key_name = "bucket" if n_buckets is not None else "gram"
+    stacked = pe.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("n"), key_at(n).alias("k")
+                    )
+                    for n in range(1, order + 1)
+                ]
+            )
+        ).alias("t")
+    ).select(F.col("t.n").alias("n"), F.col("t.k").alias(key_name))
     counts = (
-        base.select(F.explode(tagged).alias("t"))
-        .select(
-            F.col("t.n").alias("n"),
-            _gram_key(F.col("t.g"), n_buckets).alias(
-                "bucket" if n_buckets is not None else "gram"
-            ),
-        )
-        .groupBy("n", "bucket" if n_buckets is not None else "gram")
+        stacked.filter(F.col(key_name).isNotNull())
+        .groupBy("n", key_name)
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     counts = pin(counts)  # feeds the scalar jobs AND every score join
@@ -166,40 +177,41 @@ def _position_frame(
     both the float scorer and the integer oracle summary derive
     from this frame.
 
-    Shape: in-row gram/context keys for every order (array
-    expressions over the token array — no window, no per-order
-    scan), ONE explode, then 2N-1 broadcast joins against the
-    order-sliced model and a when-chain.  Hashed mode explodes
-    longs, not gram strings.  The token array is materialized
-    behind a PROJECTION boundary first (the repeated_spans
-    pattern): inlining tokenize() into the position lambda makes
-    Catalyst re-split the text once per slice reference per
-    position — measured 12s vs <2s on 270k positions at sf0.1."""
+    Shape: posexplode the token array, then derive every order's
+    gram/context key as a plain codegen projection over the carried
+    array (the posexplode+project pair fuses into one codegen span,
+    so the array is referenced, not copied, per position), then
+    2N-1 broadcast joins against the order-sliced model and a
+    when-chain.  Hashed mode joins on longs, not gram strings.  The
+    token array is materialized behind a PROJECTION boundary first
+    (the repeated_spans pattern): inlining tokenize() into the
+    position expressions makes Catalyst re-split the text once per
+    slice reference per position — measured 12s vs <2s on 270k
+    positions at sf0.1.  An earlier shape built the keys inside a
+    transform() lambda and exploded the struct array — same values,
+    but GenerateExec evaluates HOF lambdas interpreted, measured 3x
+    slower than this codegen projection (optimization r07)."""
     N, B = lm.order, lm.n_buckets
     base = df.select(
         F.col(id_col).alias("_id"), tokenize(F.col(text_col)).alias("__toks")
     )
-    toks = F.col("__toks")
+    pe = base.select(
+        "_id", "__toks", F.posexplode(F.col("__toks")).alias("_i", "_t")
+    )
+    pcol = F.col("_i") + 1
+    xtoks = F.col("__toks")
 
     def key_at(p, n):
         # gram of order n ending at 1-based position p (NULL if p<n)
-        s = F.concat_ws(" ", F.slice(toks, p - n + 1, n))
+        s = F.concat_ws(" ", F.slice(xtoks, p - n + 1, n))
         return F.when(p >= n, _gram_key(s, B))
 
-    # sequence(1, 0) yields a DESCENDING [1, 0] — an empty token
-    # array must produce a NULL (explode drops it), not two positions
-    idx = F.when(F.size(toks) >= 1, F.sequence(F.lit(1), F.size(toks)))
-    pos_struct = F.transform(
-        idx,
-        lambda p: F.struct(
-            p.alias("p"),
-            *[key_at(p, n).alias(f"g{n}") for n in range(1, N + 1)],
-            # context of order-n gram ending at p = (n-1)-gram at p-1
-            *[key_at(p - 1, n - 1).alias(f"x{n}") for n in range(2, N + 1)],
-        ),
-    )
-    pos = base.select("_id", F.explode(pos_struct).alias("s")).select(
-        "_id", "s.*"
+    pos = pe.select(
+        "_id",
+        pcol.cast("int").alias("p"),
+        *[key_at(pcol, n).alias(f"g{n}") for n in range(1, N + 1)],
+        # context of order-n gram ending at p = (n-1)-gram at p-1
+        *[key_at(pcol - 1, n - 1).alias(f"x{n}") for n in range(2, N + 1)],
     )
 
     key = lm.key_col
