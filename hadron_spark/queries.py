@@ -3236,11 +3236,16 @@ def q100(spark, sf_dir):
     kept = docs.filter(
         (feats["n_chars"] >= 200) & (feats["n_tokens"] >= 30)
     )
-    wdup = Window.partitionBy(F.md5("text"))
+    # min-id dedup as groupBy + min(struct) instead of a hash window
+    # (optimization r07, guide §2.2): the window shuffled every kept
+    # row's full text AND sorted each hash partition; the aggregate
+    # gets map-side partial aggregation (duplicate texts collapse
+    # before the shuffle) and no sort.  Keeper row identical: doc_id
+    # is unique, so min(struct(doc_id, text)) is the min-doc_id row.
     deduped = (
-        kept.withColumn("keeper", F.min("doc_id").over(wdup))
-        .filter(F.col("doc_id") == F.col("keeper"))
-        .drop("keeper")
+        kept.groupBy(F.md5("text").alias("_h"))
+        .agg(F.min(F.struct("doc_id", "text")).alias("_s"))
+        .select(F.col("_s.doc_id").alias("doc_id"), F.col("_s.text").alias("text"))
     )
     lang = textstats.language_id(deduped)
     split = hash_split(
