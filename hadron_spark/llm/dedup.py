@@ -21,6 +21,32 @@ from hadron_spark.functions.text import ngrams, tokenize
 
 _LOG = logging.getLogger(__name__)
 
+#: default pin budget for `materialize="auto"` paths: an input whose
+#: optimizer-estimated size is below this trivially fits one
+#: executor's storage, so pinning the derived position table (one
+#: evaluation) beats recomputing it per consumer.  Override with
+#: spark conf `spark.hadron.substr.pinBytes`; set 0 to force the
+#: 100 TB recompute mode everywhere.
+_PIN_BYTES_DEFAULT = 8 * 1024**3
+
+
+def _fits_pin_budget(df: DataFrame) -> bool:
+    """True when Catalyst's optimized-plan size estimate of `df`
+    (parquet footer metadata — no job runs) is under the pin budget.
+    Unknown/unbounded estimates count as NOT fitting: at real scale
+    the estimate saturates, and the safe answer is the recompute
+    plan."""
+    try:
+        budget = int(
+            df.sparkSession.conf.get(
+                "spark.hadron.substr.pinBytes", str(_PIN_BYTES_DEFAULT)
+            )
+        )
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # py4j/stats estimation failure → scale-safe mode
+        return False
+    return 0 <= size < budget
+
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -996,7 +1022,7 @@ def repeated_spans(
     text_col: str = "text",
     window: int = 8,
     min_count: int = 2,
-    materialize: str = "recompute",
+    materialize: str = "auto",
 ) -> DataFrame:
     """Corpus-level EXACT-SUBSTRING duplication report (the
     ExactSubstr pass of Lee et al. 2022, arXiv:2107.06499, token
@@ -1039,12 +1065,29 @@ def repeated_spans(
     - "local_checkpoint" / "checkpoint": pin the position table
       (ops.pin) — one scan total; right when the corpus fits
       executor storage comfortably (bench scale) or the scan is
-      expensive (remote object store), wrong at 100 TB."""
+      expensive (remote object store), wrong at 100 TB.
+    - "auto" (optimization r07, the scale-adaptive default): pick
+      between the two honest modes from the MEASURED input size —
+      Catalyst's optimized-plan size estimate of `df` (parquet
+      footer metadata; no job runs).  Below
+      `spark.hadron.substr.pinBytes` (default 8 GiB — a corpus that
+      trivially fits one executor's storage, where one pinned scan
+      beats two evaluations) the position table is pinned; at or
+      above it, recompute — the 100 TB mode — is kept.  Every mode
+      computes the identical output; the knob only picks the
+      physical plan, and the threshold is a conf, not a local-core
+      constant."""
     from pyspark.sql import Window as _W
 
-    _MODES = ("recompute", "bloom", "local_checkpoint", "checkpoint")
+    _MODES = ("auto", "recompute", "bloom", "local_checkpoint", "checkpoint")
     if materialize not in _MODES:
         raise ValueError(f"materialize must be one of {_MODES}: {materialize!r}")
+    if materialize == "auto":
+        materialize = (
+            "local_checkpoint"
+            if _fits_pin_budget(df)
+            else "recompute"
+        )
 
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     # (pos, fingerprint-of-window-at-pos) pairs built inside the row
@@ -1117,7 +1160,7 @@ def exact_substring_dedup(
     window: int = 8,
     min_count: int = 2,
     out_col: str = "clean_text",
-    materialize: str = "recompute",
+    materialize: str = "auto",
 ) -> DataFrame:
     """Remove every repeated island's tokens from each document
     (keeping the FIRST window of each island is a policy variant;
