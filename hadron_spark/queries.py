@@ -13973,33 +13973,35 @@ def q312(spark, sf_dir):
     from hadron_spark.operators.robust import friedman
 
     docs = load(spark, sf_dir, "documents")
-    lf = (
-        docs.select(
-            F.col("doc_id").alias("b"),
-            F.lit("chars").alias("t"),
-            F.col("n_chars").cast("long").alias("y"),
-        )
-        .unionByName(
-            docs.select(
-                F.col("doc_id").alias("b"),
-                F.lit("tokens").alias("t"),
-                (token_count(F.col("text")) * 6).cast("long").alias("y"),
-            )
-        )
-        .unionByName(
-            docs.select(
-                F.col("doc_id").alias("b"),
-                F.lit("lines").alias("t"),
-                (
+    # one scan, not three (optimization r07, guide §6.1): the
+    # long-form used a 3-branch union that re-scanned documents per
+    # scorer; an in-row explode of the 3 (t, y) structs emits the
+    # identical rows off a single pass
+    lf = docs.select(
+        F.col("doc_id").alias("b"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("chars").alias("t"),
+                    F.col("n_chars").cast("long").alias("y"),
+                ),
+                F.struct(
+                    F.lit("tokens").alias("t"),
+                    (token_count(F.col("text")) * 6).cast("long").alias("y"),
+                ),
+                F.struct(
+                    F.lit("lines").alias("t"),
                     (
-                        F.length("text")
-                        - F.length(F.replace(F.col("text"), F.lit(".")))
-                    )
-                    * 40
-                ).cast("long").alias("y"),
+                        (
+                            F.length("text")
+                            - F.length(F.replace(F.col("text"), F.lit(".")))
+                        )
+                        * 40
+                    ).cast("long").alias("y"),
+                ),
             )
-        )
-    )
+        ).alias("_ty"),
+    ).select("b", F.col("_ty.t").alias("t"), F.col("_ty.y").alias("y"))
     return friedman(lf, "b", "t", "y")
 
 
@@ -14052,33 +14054,32 @@ def q313(spark, sf_dir):
     from hadron_spark.operators.robust import page_trend
 
     docs = load(spark, sf_dir, "documents")
-    lf = (
-        docs.select(
-            F.col("doc_id").alias("b"),
-            F.lit("chars").alias("t"),
-            F.col("n_chars").cast("long").alias("y"),
-        )
-        .unionByName(
-            docs.select(
-                F.col("doc_id").alias("b"),
-                F.lit("tokens").alias("t"),
-                (token_count(F.col("text")) * 6).cast("long").alias("y"),
-            )
-        )
-        .unionByName(
-            docs.select(
-                F.col("doc_id").alias("b"),
-                F.lit("lines").alias("t"),
-                (
+    # one scan, not three — same in-row explode as q312 (r07)
+    lf = docs.select(
+        F.col("doc_id").alias("b"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("chars").alias("t"),
+                    F.col("n_chars").cast("long").alias("y"),
+                ),
+                F.struct(
+                    F.lit("tokens").alias("t"),
+                    (token_count(F.col("text")) * 6).cast("long").alias("y"),
+                ),
+                F.struct(
+                    F.lit("lines").alias("t"),
                     (
-                        F.length("text")
-                        - F.length(F.replace(F.col("text"), F.lit(".")))
-                    )
-                    * 40
-                ).cast("long").alias("y"),
+                        (
+                            F.length("text")
+                            - F.length(F.replace(F.col("text"), F.lit(".")))
+                        )
+                        * 40
+                    ).cast("long").alias("y"),
+                ),
             )
-        )
-    )
+        ).alias("_ty"),
+    ).select("b", F.col("_ty.t").alias("t"), F.col("_ty.y").alias("y"))
     return page_trend(lf, "b", "t", "y")
 
 
