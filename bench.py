@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -112,6 +113,25 @@ HEADLINE = [
 ]
 
 
+def release_pins(spark) -> None:
+    """Blocking-unpersist every leftover persistent RDD (eager
+    localCheckpoint pins from ops.pin / materialize modes).  The
+    ContextCleaner releases these asynchronously AFTER the owning
+    plan is garbage — too late for back-to-back bench cells, where a
+    prior query's pinned corpus table sits in the unified memory
+    region and forces the NEXT query's joins to spill (measured:
+    q245 9.9 s after q208/q209's pins vs 5.8 s clean — a 1.7x
+    phantom regression on an untouched query).  Runs only in the
+    UNTIMED gap between cells: every timed iteration still computes
+    from parquet; this removes cross-query state, it never adds any."""
+    try:
+        it = spark.sparkContext._jsc.getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(True)
+    except Exception:
+        pass  # advisory hygiene — never fail the bench over it
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -136,6 +156,7 @@ def main() -> None:
         except Exception:
             pass
     spark.catalog.clearCache()  # drop warm-up persists; keep JIT/codegen
+    release_pins(spark)  # drop warm-up localCheckpoint pins too
     # settle before the timed pass so warm-up garbage isn't collected
     # in the middle of the first timed query
     spark._jvm.System.gc()
@@ -168,6 +189,7 @@ def main() -> None:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        release_pins(spark)  # untimed: clear pins before the next cell
         spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
@@ -223,7 +245,25 @@ def regression_verdicts(
     try:
         with open(prior_path) as f:
             raw = json.load(f)
-        prior = (raw.get("parsed") or raw)["queries"]
+        src = raw.get("parsed") or raw
+        if "queries" not in src and isinstance(raw.get("tail"), str):
+            # driver-recorded BENCH_r*.json (r6+) wraps the bench's
+            # JSON line inside a "tail" log string with parsed=null,
+            # and the tail may be TRUNCATED at the front (mid-line) —
+            # recover the per-query cells pairwise.  Only the queries
+            # dict maps q-names to bare floats (the trailing
+            # `regressions` block maps them to objects), so the
+            # float-valued pattern is unambiguous; a front-truncated
+            # first cell simply drops out of the common subset.
+            cells = {
+                name: float(val)
+                for name, val in re.findall(
+                    r'"(q\w+)":\s*([0-9][0-9.eE+-]*)[,}]', raw["tail"]
+                )
+            }
+            if cells:
+                src = {"queries": cells}
+        prior = src["queries"]
     except Exception:
         return {"prior_bench": os.path.basename(prior_path), "regressions": {}}
     common = {
@@ -262,6 +302,13 @@ sf_dir = sys.argv[1]; names = sys.argv[2:]
 from hadron_spark import get_spark
 from hadron_spark.queries import QUERIES
 spark = get_spark("ab_adjudicate")
+def _release_pins():
+    try:
+        it = spark.sparkContext._jsc.getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(True)
+    except Exception:
+        pass
 out = {}
 for n in names:
     fn = QUERIES.get(n)
@@ -270,6 +317,7 @@ for n in names:
         continue
     try:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        _release_pins()
         spark._jvm.System.gc()
         best = None
         for _ in range(2):
@@ -280,6 +328,7 @@ for n in names:
         out[n] = round(best, 3)
     except Exception:
         out[n] = None
+    _release_pins()
     spark._jvm.System.gc()
 spark.stop()
 print("ABJSON:" + json.dumps(out))

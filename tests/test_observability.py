@@ -115,3 +115,34 @@ def test_bench_regression_verdicts(tmp_path, monkeypatch):
     assert v["regressions"]["qb"]["normalized"] == 2.0
     clean = bench.regression_verdicts({q: v * 1.3 for q, v in prior.items()})
     assert clean["regressions"] == {}
+
+
+def test_bench_regression_verdicts_tail_recovery(tmp_path, monkeypatch):
+    """Driver-recorded BENCH_r*.json (r6+) carries parsed=null and the
+    bench JSON line inside a front-TRUNCATED "tail" log string; the
+    gate must recover the float-valued query cells pairwise (dropping
+    the cut-off first cell) and ignore the regressions block, whose
+    q-name keys map to objects."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    tail = (
+        'opk": 0.2, "q1_a": 1.0, "q2_b": 2.0, "q3_c": 0.5, "q4_d": 4.0}, '
+        '"sf": 0.1, "regressions": {"q2_b": {"prior": 1.0, "sec": 2.0, '
+        '"ratio": 2.0, "normalized": 1.8}}}\n'
+    )
+    (tmp_path / "BENCH_r07.json").write_text(
+        json.dumps({"parsed": None, "tail": tail})
+    )
+    monkeypatch.setattr(bench.os.path, "dirname", lambda p: str(tmp_path))
+    cur = {"q1_a": 1.0, "q2_b": 4.0, "q3_c": 0.5, "q4_d": 4.0}
+    v = bench.regression_verdicts(cur)
+    assert v["median_ratio"] == 1.0
+    assert list(v["regressions"]) == ["q2_b"]
+    # the regressions block's own "sec": 2.0 must NOT have shadowed
+    # the queries-dict cell (both are 2.0 here by construction, but
+    # the prior recorded must be the queries value)
+    assert v["regressions"]["q2_b"]["prior"] == 2.0

@@ -27,11 +27,28 @@ def main() -> None:
     from hadron_spark.queries import QUERIES
 
     spark = get_spark("time_queries")
+
+    def release_pins() -> None:
+        # blocking-unpersist leftover localCheckpoint pins in the
+        # UNTIMED gaps — same hygiene as bench.release_pins: a prior
+        # cell's pinned table must not squeeze the next cell's joins
+        try:
+            it = (
+                spark.sparkContext._jsc.getPersistentRDDs()
+                .values()
+                .iterator()
+            )
+            while it.hasNext():
+                it.next().unpersist(True)
+        except Exception:
+            pass
+
     out = {}
     for name in args:
         fn = QUERIES[name]
         spark.sparkContext.setJobDescription(f"warmup:{name}")
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        release_pins()
         spark._jvm.System.gc()
         best = None
         for i in range(iters):
@@ -42,6 +59,7 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         out[name] = round(best, 3)
         print(f"{name}: {best:.3f} s", flush=True)
+        release_pins()
         spark._jvm.System.gc()
     spark.stop()
     print("TIMEJSON:" + json.dumps(out))
