@@ -125,9 +125,11 @@ def release_pins(spark) -> None:
     UNTIMED gap between cells: every timed iteration still computes
     from parquet; this removes cross-query state, it never adds any."""
     try:
-        it = spark.sparkContext._jsc.getPersistentRDDs().values().iterator()
-        while it.hasNext():
-            it.next().unpersist(True)
+        # py4j wraps the java.util.Map as a Python MutableMapping, so
+        # .values() is a plain Python ValuesView — iterate it directly
+        # (calling .iterator() on it raises and would no-op the hygiene)
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist(True)
     except Exception:
         pass  # advisory hygiene — never fail the bench over it
 
@@ -304,9 +306,8 @@ from hadron_spark.queries import QUERIES
 spark = get_spark("ab_adjudicate")
 def _release_pins():
     try:
-        it = spark.sparkContext._jsc.getPersistentRDDs().values().iterator()
-        while it.hasNext():
-            it.next().unpersist(True)
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist(True)
     except Exception:
         pass
 out = {}

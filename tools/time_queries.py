@@ -33,13 +33,11 @@ def main() -> None:
         # UNTIMED gaps — same hygiene as bench.release_pins: a prior
         # cell's pinned table must not squeeze the next cell's joins
         try:
-            it = (
-                spark.sparkContext._jsc.getPersistentRDDs()
-                .values()
-                .iterator()
-            )
-            while it.hasNext():
-                it.next().unpersist(True)
+            # .values() is a Python ValuesView (py4j MutableMapping)
+            for rdd in list(
+                spark.sparkContext._jsc.getPersistentRDDs().values()
+            ):
+                rdd.unpersist(True)
         except Exception:
             pass
 
