@@ -140,9 +140,37 @@ def reduce_stream_sorted(
     sorted_df = secondary_sort(df, pkeys, list(sort_keys), num_partitions)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        yield from _stream_sorted_groups(batches, pkeys, fn)
+        yield from _coalesce_frames(
+            _stream_sorted_groups(batches, pkeys, fn)
+        )
 
     return sorted_df.mapInPandas(run, schema=schema)
+
+
+def _coalesce_frames(
+    frames: Iterator[pd.DataFrame], target_rows: int = 8192
+) -> Iterator[pd.DataFrame]:
+    """Merge a stream of small pandas frames into ~target_rows chunks,
+    preserving row order exactly.  Per-key reducers typically yield one
+    tiny frame per key; unmerged, EACH becomes its own Arrow batch on
+    the worker->JVM wire (per-batch schema + flush overhead dominates
+    with thousands of single-row frames).  A frame already at/above the
+    target passes through untouched, so memory stays bounded by
+    max(incoming frame, target) — the constant-space contract of the
+    group splitter is preserved."""
+    buf: list[pd.DataFrame] = []
+    buffered = 0
+    for pdf in frames:
+        if len(pdf) >= target_rows and not buf:
+            yield pdf
+            continue
+        buf.append(pdf)
+        buffered += len(pdf)
+        if buffered >= target_rows:
+            yield pd.concat(buf, ignore_index=True)
+            buf, buffered = [], 0
+    if buf:
+        yield pd.concat(buf, ignore_index=True)
 
 
 def _stream_sorted_groups(

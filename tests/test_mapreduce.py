@@ -209,6 +209,37 @@ def test_stream_sorted_groups_constant_space():
     assert len(out2) == 1  # remainder drained, no crash, no dup group
 
 
+def test_coalesce_frames_order_and_bounds():
+    """Optimization r07: reduce_stream_sorted merges per-key output
+    frames into ~target_rows Arrow batches.  Rows and order must be
+    IDENTICAL to the unmerged stream; memory stays bounded (an
+    at/above-target frame passes through untouched); the tail is
+    flushed."""
+    import pandas as pd
+
+    from hadron_spark.operators.mapreduce import _coalesce_frames
+
+    # 1000 single-row frames -> few frames, identical concatenation
+    frames = [pd.DataFrame({"k": [i], "v": [i * 2]}) for i in range(1000)]
+    out = list(_coalesce_frames(iter(frames), target_rows=256))
+    assert len(out) == 4  # ceil(1000/256) with exact-boundary flushes
+    merged = pd.concat(out, ignore_index=True)
+    expect = pd.concat(frames, ignore_index=True)
+    assert merged.equals(expect)
+
+    # a big frame flushes promptly (never re-buffered past the
+    # target), interleaved order preserved around it
+    big = pd.DataFrame({"k": range(500), "v": range(500)})
+    mix = [pd.DataFrame({"k": [-1], "v": [-1]}), big,
+           pd.DataFrame({"k": [-2], "v": [-2]})]
+    out2 = list(_coalesce_frames(iter(mix), target_rows=256))
+    merged2 = pd.concat(out2, ignore_index=True)
+    assert merged2["k"].tolist() == [-1] + list(range(500)) + [-2]
+    # empty frames are tolerated
+    out3 = list(_coalesce_frames(iter([pd.DataFrame({"k": []})]), 16))
+    assert sum(len(f) for f in out3) == 0
+
+
 def test_perform_every_fires_executor_side(spark):
     """performEvery parity (Utils.hs:23-38): callback every n rows
     with the running count, executor-side — observed through a Spark
