@@ -1529,27 +1529,15 @@ def test_repeated_spans_materialize_modes_identical(spark, tmp_path):
     base = spans("recompute")
     assert base  # fixture has repeats
     spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
-    for mode in ("bloom", "local_checkpoint", "checkpoint", "auto"):
+    for mode in ("bloom", "window", "local_checkpoint", "checkpoint", "auto"):
         assert spans(mode) == base, mode
 
-    # auto resolves from the measured plan-size estimate: a
-    # parquet-backed frame has footer-metadata stats and fits the
-    # default budget (pin); an Arrow-local frame reports the
-    # saturated Long.MaxValue estimate and a 0-byte budget forces
-    # the 100 TB recompute answer — both unknown-and-over cases
-    # resolve to the scale-safe mode
-    from hadron_spark.llm.dedup import _fits_pin_budget
-
-    pq = str(tmp_path / "docs.parquet")
-    df.write.mode("overwrite").parquet(pq)
-    assert _fits_pin_budget(spark.read.parquet(pq))
-    assert not _fits_pin_budget(df)  # LogicalRDD: unknown stats
-    spark.conf.set("spark.hadron.substr.pinBytes", "0")
-    try:
-        assert not _fits_pin_budget(spark.read.parquet(pq))
-        assert spans("auto") == base  # recompute path, same bytes
-    finally:
-        spark.conf.unset("spark.hadron.substr.pinBytes")
+    # auto resolves to the one-pass window plan (optimization r07);
+    # the plan must contain a Window node and no second evaluation
+    # of the position table (no join back)
+    auto_plan = repeated_spans(df, window=4)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in auto_plan
+    assert "Join" not in auto_plan
     clean = sorted(
         (r.doc_id, r.clean_text)
         for r in exact_substring_dedup(
