@@ -43,9 +43,21 @@ def exact_dedup_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep exactly one row per distinct text (deterministic winner =
     lowest id, the reference's firstBy semantics
-    Controller.hs:1257-1274)."""
-    w = Window.partitionBy(F.md5(F.col(text_col).cast("binary"))).orderBy(F.col(id_col))
-    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    Controller.hs:1257-1274).
+
+    Shape (optimization r07, guide §2.3): groupBy the text hash with
+    min_by(full row, id) instead of a row_number hash window — the
+    aggregate gets map-side partial aggregation (duplicate texts
+    collapse BEFORE the shuffle; the window shipped every row) and no
+    per-partition sort. Keeper identical: min_by picks the lowest-id
+    row, the same row rn=1 selected (ties on id were
+    arbitrary-but-single in both shapes)."""
+    row = F.struct(*[F.col(c) for c in df.columns])
+    return (
+        df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("_h"))
+        .agg(F.min_by(row, F.col(id_col)).alias("_r"))
+        .select("_r.*")
+    )
 
 
 # ---------------------------------------------------------------------------

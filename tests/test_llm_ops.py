@@ -16,6 +16,13 @@ def test_exact_dedup_drops_copies(spark):
     kept = dedup.exact_dedup(df)
     ids = sorted(r["doc_id"] for r in kept.collect())
     assert ids == [1, 3]  # keeper = lowest id
+    # full rows survive with the original schema and values
+    assert kept.columns == ["doc_id", "text"]
+    rows = {r["doc_id"]: r["text"] for r in kept.collect()}
+    assert rows == {1: "same text", 3: "other"}
+    # r07 shape: a partial-aggregating HashAggregate, no Window/sort
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "min_by" in plan
 
 
 def test_minhash_detects_near_dup(spark):
