@@ -60,12 +60,31 @@ def distinct_rows(df: DataFrame, subset: Sequence[str] | None = None) -> DataFra
 
 
 def first_by(
-    df: DataFrame, keys: Sequence[str], order: Sequence[Column]
+    df: DataFrame, keys: Sequence[str], order: Sequence[Column | str]
 ) -> DataFrame:
     """Deterministic 'first object per key wins' — the exact semantics
-    of the reference's firstBy (Controller.hs:1257-1274): one shuffle,
-    per-key sort, row_number()==1. Prefer over dropDuplicates when the
-    winner must be deterministic."""
+    of the reference's firstBy (Controller.hs:1257-1274).
+
+    When every order entry is a plain column NAME (ascending,
+    nulls-first — the window default), the winner is computed as
+    min_by(full row, struct(order)) instead of a row_number window
+    (optimization r07, guide §2.3 'aggregate before you shuffle'):
+    the aggregate gets map-side partial aggregation — each map task
+    ships ONE candidate row per key instead of every row — and the
+    per-partition sort disappears.  Struct comparison is
+    field-lexicographic with nulls first, identical to the window's
+    asc-nulls-first order (pinned by test_first_by_agg_matches_window,
+    including NULL order keys).  Column expressions (e.g. .desc())
+    keep the window shape — SortOrder directions don't embed in a
+    struct."""
+    if all(isinstance(c, str) for c in order):
+        row = F.struct(*[F.col(c) for c in df.columns])
+        okey = F.struct(*[F.col(c) for c in order])
+        return (
+            df.groupBy(*[F.col(k) for k in keys])
+            .agg(F.min_by(row, okey).alias("_r"))
+            .select("_r.*")
+        )
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w))

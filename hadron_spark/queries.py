@@ -234,7 +234,9 @@ def q06(spark, sf_dir):
     """firstBy 'first object per key wins' (Controller.hs:1257-1274)
     with a deterministic winner."""
     o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
-    return ops.first_by(o, ["o_custkey"], [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()])
+    # plain-name order = ascending nulls-first, which routes first_by
+    # through its partial-aggregating min_by shape (optimization r07)
+    return ops.first_by(o, ["o_custkey"], ["o_orderdate", "o_orderkey"])
 
 
 # ---------------------------------------------------------------------------

@@ -26,6 +26,26 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     assert "ReadSchema" in plan
 
 
+def test_first_by_agg_matches_window(spark):
+    """first_by's r07 min_by fast path (plain-name order) must pick
+    the exact row the row_number window picked — including NULL order
+    keys (struct comparison is nulls-first like asc) — and must plan
+    as a partial-aggregating HashAggregate, not a Window."""
+    rows = [
+        (1, None, 5, "w"), (1, "b", 1, "x"), (1, "a", None, "y"),
+        (2, None, None, "z"), (2, None, 3, "q"), (3, "c", 9, "r"),
+    ]
+    df = spark.createDataFrame(rows, "k int, a string, b int, payload string")
+    fast = ops.first_by(df, ["k"], ["a", "b"])
+    slow = ops.first_by(df, ["k"], [F.col("a").asc(), F.col("b").asc()])
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+    assert fast.columns == df.columns
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "min_by" in plan
+    slow_plan = slow._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in slow_plan  # expression order keeps the window
+
+
 def test_top_k_uses_take_ordered(spark, sf_dir):
     o = tap(f"{sf_dir}/orders.parquet").read(spark)
     q = ops.top_k(o, [F.col("o_totalprice").desc()], 5)
