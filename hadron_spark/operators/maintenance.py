@@ -57,13 +57,18 @@ def cdc_apply(
     Ties on (key, seq) break on op descending so a delete-then-insert
     at the same seq resolves deterministically (insert wins: 'D' < 'I'
     < 'U' lexicographically, we take the max op)."""
-    w = Window.partitionBy(*keys).orderBy(
-        F.col(seq_col).desc(), F.col(op_col).desc()
-    )
+    # latest change per key = max_by(row, (seq, op)) — struct
+    # comparison is (seq, op) lexicographic, exactly the
+    # seq-desc/op-desc row_number()==1 winner, but as an aggregate it
+    # partial-aggregates map-side (each task ships one candidate per
+    # key) and needs no per-partition sort (optimization r07)
+    row = F.struct(*[F.col(c) for c in changes.columns])
     latest = (
-        changes.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        changes.groupBy(*[F.col(k) for k in keys])
+        .agg(
+            F.max_by(row, F.struct(F.col(seq_col), F.col(op_col))).alias("_r")
+        )
+        .select("_r.*")
     )
     ch = F.broadcast(latest) if broadcast_changes else latest
     kept = target.join(ch.select(*keys), list(keys), "left_anti")

@@ -50,6 +50,13 @@ def test_cdc_same_seq_tiebreak(spark):
     )
     out = cdc_apply(target, changes, ["k"]).collect()
     assert [(r.k, r.v) for r in out] == [(1, "re")]
+    # r07 shape: latest-change is a partial-aggregating max_by, no
+    # row_number window / per-partition sort in the plan
+    plan = (
+        cdc_apply(target, changes, ["k"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan and "max_by" in plan
 
 
 def test_scd2_close_out(spark):
