@@ -65,6 +65,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 _STREAM_STAGING: dict[str, str] = {}
+_STREAM_SCHEMA: dict[tuple, object] = {}
 
 
 def events_stream(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
@@ -95,7 +96,14 @@ def events_stream(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
         os.symlink(f"{sf_dir}/events.parquet", os.path.join(d, "events.parquet"))
         _STREAM_STAGING[sf_dir] = d
         atexit.register(shutil.rmtree, d, ignore_errors=True)
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # footer-probe once per (sf_dir, session): the probe spins a small
+    # driver-side job per call otherwise — repeated streaming queries
+    # in one session paid it every invocation (optimization r07)
+    skey = (sf_dir, id(spark))
+    schema = _STREAM_SCHEMA.get(skey)
+    if schema is None:
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        _STREAM_SCHEMA[skey] = schema
     raw = stream_tap(spark, d, schema)
     if isinstance(schema["ts"].dataType, LongType):
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
