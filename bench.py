@@ -195,19 +195,28 @@ def main() -> None:
         spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
+    # Field ORDER is load-bearing (optimization r08, VERDICT r07 #2):
+    # the round driver records the END of stdout, so a too-long line
+    # is truncated at the FRONT — r6's recording lost metric/value and
+    # parsed as null.  The scalar summary comes first, the per-query
+    # dict goes LAST (a front-truncated line still keeps every cell
+    # for the pairwise recovery parser), and the fat regressions/
+    # adjudication detail moves OFF the line into a sidecar file —
+    # that detail is what outgrew the tail buffer in the first place.
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    out.update(regression_verdicts(timings))
+    verdicts = regression_verdicts(timings)
+    regs = verdicts.pop("regressions", {})
+    out.update(verdicts)  # prior_bench, median_ratio
+    out["n_regressions"] = len(regs)
     # the main session must be DOWN before adjudication subprocesses
     # spin their own (two live local[32] JVMs contend and the A/B is
     # garbage — the documented never-bench-while-busy rule)
     spark.stop()
-    regs = out.get("regressions") or {}
     if regs and os.environ.get("SPARK_GRAFT_NO_ADJUDICATE") != "1":
         names = sorted(regs)[:8]
         try:
@@ -215,6 +224,16 @@ def main() -> None:
                 regs[q].update(v)
         except Exception as e:  # noqa: BLE001 — adjudication is advisory
             out["adjudication_error"] = str(e)[-300:]
+    if regs:
+        side = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "bench_regressions.json",
+        )
+        with open(side, "w") as f:
+            json.dump({"prior_bench": out.get("prior_bench"),
+                       "regressions": regs}, f, indent=1)
+        out["regressions_file"] = os.path.basename(side)
+    out["queries"] = timings
     print(json.dumps(out))
 
 
@@ -257,10 +276,20 @@ def regression_verdicts(
             # `regressions` block maps them to objects), so the
             # float-valued pattern is unambiguous; a front-truncated
             # first cell simply drops out of the common subset.
+            # Anchored (r08, ADVICE r07): if the tail carries any
+            # intact '"queries": {' marker (e.g. two appended bench
+            # lines), parse only from the LAST one so the newest
+            # run's cells win instead of whichever duplicate the
+            # regex met last; a front-truncated tail with no marker
+            # falls back to the whole string as before.
+            hay = raw["tail"]
+            marker = hay.rfind('"queries": {')
+            if marker >= 0:
+                hay = hay[marker:]
             cells = {
                 name: float(val)
                 for name, val in re.findall(
-                    r'"(q\w+)":\s*([0-9][0-9.eE+-]*)[,}]', raw["tail"]
+                    r'"(q\w+)":\s*([0-9][0-9.eE+-]*)[,}]', hay
                 )
             }
             if cells:

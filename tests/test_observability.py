@@ -146,3 +146,29 @@ def test_bench_regression_verdicts_tail_recovery(tmp_path, monkeypatch):
     # the queries-dict cell (both are 2.0 here by construction, but
     # the prior recorded must be the queries value)
     assert v["regressions"]["q2_b"]["prior"] == 2.0
+
+
+def test_bench_tail_recovery_anchors_last_queries_block(tmp_path, monkeypatch):
+    """A tail holding TWO appended bench lines must recover the newest
+    run's cells — the parser anchors at the last '"queries": {' marker
+    instead of letting whichever duplicate key the regex met last win
+    (ADVICE r07, fixed r08)."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    tail = (
+        '{"metric": "m", "value": 9.0, "queries": {"q1_a": 9.0, "q2_b": 9.0, "q3_c": 9.0}, "sf": 0.1}\n'
+        '{"metric": "m", "value": 3.0, "queries": {"q1_a": 1.0, "q2_b": 2.0, "q3_c": 0.5}, "sf": 0.1}\n'
+    )
+    (tmp_path / "BENCH_r07.json").write_text(
+        json.dumps({"parsed": None, "tail": tail})
+    )
+    monkeypatch.setattr(bench.os.path, "dirname", lambda p: str(tmp_path))
+    cur = {"q1_a": 1.0, "q2_b": 2.0, "q3_c": 0.5}
+    v = bench.regression_verdicts(cur)
+    # priors come from the SECOND (newest) line: ratios are all 1.0
+    assert v["median_ratio"] == 1.0
+    assert v["regressions"] == {}
