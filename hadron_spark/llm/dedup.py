@@ -51,11 +51,20 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     collapse BEFORE the shuffle; the window shipped every row) and no
     per-partition sort. Keeper identical: min_by picks the lowest-id
     row, the same row rn=1 selected (ties on id were
-    arbitrary-but-single in both shapes)."""
+    arbitrary-but-single in both shapes).
+
+    The ordering key is wrapped in a struct (optimization r08, ADVICE
+    r07): min_by SKIPS rows whose ordering value is NULL, so ordering
+    on the bare id column fabricated an all-NULL winner for a
+    duplicate group whose every id is NULL and picked the lowest
+    non-null id over the window's nulls-first row on mixed groups.  A
+    single-field struct is never NULL and its field comparison is
+    nulls-first — exactly the old row_number window's asc_nulls_first
+    order (pinned by test_exact_dedup_null_ids)."""
     row = F.struct(*[F.col(c) for c in df.columns])
     return (
         df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("_h"))
-        .agg(F.min_by(row, F.col(id_col)).alias("_r"))
+        .agg(F.min_by(row, F.struct(F.col(id_col))).alias("_r"))
         .select("_r.*")
     )
 

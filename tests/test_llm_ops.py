@@ -25,6 +25,25 @@ def test_exact_dedup_drops_copies(spark):
     assert "Window" not in plan and "min_by" in plan
 
 
+def test_exact_dedup_null_ids(spark):
+    """NULL ids participate in keeper election with nulls-first order
+    (the old row_number window's asc_nulls_first semantics) — min_by
+    on a bare column would skip them (ADVICE r07, fixed r08)."""
+    df = spark.createDataFrame(
+        [(None, "all null grp"), (None, "all null grp"),
+         (None, "mixed grp"), (7, "mixed grp"),
+         (5, "plain grp"), (9, "plain grp")],
+        "doc_id long, text string",
+    )
+    kept = {r["text"]: r["doc_id"] for r in dedup.exact_dedup(df).collect()}
+    # all-NULL group: a REAL row survives (text intact), id NULL
+    assert kept["all null grp"] is None
+    # mixed group: nulls-first — the NULL-id row wins, not id=7
+    assert kept["mixed grp"] is None
+    assert kept["plain grp"] == 5
+    assert len(kept) == 3
+
+
 def test_minhash_detects_near_dup(spark):
     base = "the quick brown fox jumps over the lazy dog again and again " * 5
     near = base.replace("lazy", "sleepy")
