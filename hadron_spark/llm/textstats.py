@@ -541,24 +541,38 @@ def hashed_tfidf_vectors(
 
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     slot = F.crc32(F.col("_w").cast("binary")) % dim
+    # explode_OUTER (optimization r08, VERDICT r07 #10): token-less
+    # documents keep one (id, NULL-slot) row, so the pinned tf table
+    # covers EVERY document and n_docs is a tiny aggregate over the
+    # pin instead of a second full corpus scan (df.count() re-read
+    # the whole text column just to count rows).  EAGER CONTRACT:
+    # building this DataFrame runs Spark jobs at call time (the pin
+    # materializes the tf pass; the idf snapshot below is collected
+    # from it) — the idf model state is taken when the frame is
+    # BUILT, not when it is acted on.  Requires id_col unique per
+    # document (the documents-table invariant); dim stays closure-
+    # sized (the idf list ships with the task closure).
     tf = pin(
-        df.select(F.col(id_col), F.explode(toks).alias("_w"))
+        df.select(F.col(id_col), F.explode_outer(toks).alias("_w"))
         .select(id_col, slot.alias("slot"))
         .groupBy(id_col, "slot")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    n_docs = df.count()
+    n_docs = tf.agg(F.count_distinct(F.col(id_col))).first()[0]
     # max_df cut: slots present in more than max_df_frac of documents
     # are function-word noise that dominates the L2 norm and washes
     # out topical signal (the standard max_df vectorizer knob).
     # idf[slot] = 1 + ln(N/df), 0.0 marks a cut (or absent) slot —
     # weights are strictly positive when kept (df <= N/2 => ln >= ln 2)
     idf = [0.0] * dim
-    for r in tf.groupBy("slot").agg(F.count(F.lit(1)).alias("df")).collect():
+    slotdf = tf.filter(F.col("slot").isNotNull()).groupBy("slot").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    for r in slotdf.collect():
         if r["df"] <= n_docs * float(max_df_frac):
             idf[int(r["slot"])] = 1.0 + math.log(float(n_docs) / float(r["df"]))
 
-    entries = tf.groupBy(id_col).agg(
+    entries = tf.filter(F.col("slot").isNotNull()).groupBy(id_col).agg(
         F.collect_list(
             F.struct(
                 F.col("slot").cast("int").alias("slot"), F.col("tf").alias("tf")

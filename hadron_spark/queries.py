@@ -65,7 +65,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 _STREAM_STAGING: dict[str, str] = {}
-_STREAM_SCHEMA: dict[tuple, object] = {}
+_STREAM_SCHEMA: dict[str, object] = {}
 
 
 def events_stream(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
@@ -96,14 +96,17 @@ def events_stream(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
         os.symlink(f"{sf_dir}/events.parquet", os.path.join(d, "events.parquet"))
         _STREAM_STAGING[sf_dir] = d
         atexit.register(shutil.rmtree, d, ignore_errors=True)
-    # footer-probe once per (sf_dir, session): the probe spins a small
-    # driver-side job per call otherwise — repeated streaming queries
-    # in one session paid it every invocation (optimization r07)
-    skey = (sf_dir, id(spark))
-    schema = _STREAM_SCHEMA.get(skey)
+    # footer-probe once per sf_dir: the probe spins a small driver-side
+    # job per call otherwise — repeated streaming queries in one
+    # session paid it every invocation (optimization r07).  Keyed on
+    # sf_dir ALONE (r08, ADVICE r07): the parquet footer schema is a
+    # session-independent StructType, and the old (sf_dir, id(spark))
+    # key both leaked per-session entries and could alias a recycled
+    # id() after a stopped session was garbage-collected.
+    schema = _STREAM_SCHEMA.get(sf_dir)
     if schema is None:
         schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        _STREAM_SCHEMA[skey] = schema
+        _STREAM_SCHEMA[sf_dir] = schema
     raw = stream_tap(spark, d, schema)
     if isinstance(schema["ts"].dataType, LongType):
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -119,9 +122,123 @@ def _dec(c) -> F.Column:
     return col.cast("decimal(18,4)")
 
 
+# --- exact decimal-sum fast path (optimization r08, guide §2.3/§5) ---------
+#
+# SUM(CAST(x AS DECIMAL(18,4))) carries a DECIMAL(28,4) buffer whose
+# per-row update allocates BigDecimal objects (the >18-digit buffer is
+# non-compact); measured ~0.5 s/cell at sf0.1 on every dsum query.  The
+# fast path quantizes each double to its scaled-long unscaled value
+# (rint(x·10⁴) — bit-identical to the decimal cast under the invariant
+# below), splits it into three overlap-free 21-bit components, sums each
+# in a PRIMITIVE long buffer (codegen, no allocation), and recombines
+# exactly in DECIMAL(38,0) once per group.  Long addition of the
+# components is exact and associative, so the result is bit-identical
+# to the decimal accumulation for every row order and partitioning.
+#
+# INVARIANT (holds for every money/value column in the star schema and
+# is the documented precondition of dsum/dsum_dec/dprodsum):
+#  - inputs are finite doubles exactly representing ≤4-decimal values
+#    (x·10⁴ is an integer; all generator money columns are 2-decimal),
+#  - |x| < 9·10⁸ (then ulp(x) < 2·10⁻⁴, so the 4-decimal value is the
+#    ONLY ≤4-decimal value in x's rounding interval: Spark's decimal
+#    cast — HALF_UP of the shortest round-trip repr — and rint(x·10⁴)
+#    both recover the exact scaled integer; beyond the bound the two
+#    quantizations can legitimately differ by 1 unit, so the fast path
+#    fails CLOSED to NULL there, as it does for NaN and ±Inf),
+#  - fewer than 2⁴¹ ≈ 2.2·10¹² accepted rows per group (component sums
+#    stay under 2⁶³; ~10¹² rows per group at the 100 TB target).
+# Equivalence is pinned by tests/test_queries_dsum_fast.py (property
+# test over the invariant class incl. NULLs/negatives/extremes) and by
+# the full-registry oracle sweeps at sf0.001/0.01/0.1.
+
+_SPLIT_MASK = (1 << 21) - 1
+
+
+def _scaled4(c) -> F.Column:
+    """Unscaled BIGINT of CAST(x AS DECIMAL(18,4)) under the dsum
+    invariant: rint(x·10⁴); NULL for NULL/NaN/±Inf/|x| ≥ 9·10⁸."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.when(
+        F.abs(col) < F.lit(9.0e8), F.rint(col * F.lit(1.0e4))
+    ).cast("bigint")
+
+
+def _split_sum(s: F.Column) -> F.Column:
+    """Exact Σs as DECIMAL(38,0) via three primitive long sums of
+    overlap-free 21-bit components (s = hi·2⁴² + mid·2²¹ + lo with
+    lo, mid ∈ [0, 2²¹), hi sign-carrying — the two's-complement
+    shift/mask identity, exact for negatives)."""
+    lo = F.sum(s.bitwiseAND(F.lit(_SPLIT_MASK)))
+    mid = F.sum(F.shiftright(s, 21).bitwiseAND(F.lit(_SPLIT_MASK)))
+    hi = F.sum(F.shiftright(s, 42))
+    return (
+        hi.cast("decimal(38,0)") * F.lit(1 << 42)
+        + mid.cast("decimal(38,0)") * F.lit(1 << 21)
+        + lo.cast("decimal(38,0)")
+    )
+
+
+def _unscale4(total: F.Column) -> F.Column:
+    """DECIMAL(38,0) count of 10⁻⁴ units → exact DECIMAL(18,4) value
+    (the division by 10⁴ of a scale-4 total is exact at result scale 6;
+    the (18,4) cast nulls >18-digit totals exactly like the decimal
+    sum's overflow path)."""
+    return (total / F.lit(10**4)).cast("decimal(18,4)")
+
+
+def dsum_dec(c) -> F.Column:
+    """Exact DECIMAL(18,4) sum of a ≤4-decimal double column — the
+    split-long fast path (see invariant above); bit-identical to
+    SUM(CAST(c AS DECIMAL(18,4))) re-rounded to DECIMAL(18,4)."""
+    return _unscale4(_split_sum(_scaled4(c)))
+
+
 def dsum(c, alias: str) -> F.Column:
-    """Deterministic double sum via exact decimal accumulation."""
-    return F.sum(_dec(c)).cast("decimal(18,4)").cast("double").alias(alias)
+    """Deterministic double sum via exact decimal accumulation
+    (split-long fast path, optimization r08)."""
+    return dsum_dec(c).cast("double").alias(alias)
+
+
+def _split4_partials(c, prefix: str) -> list[F.Column]:
+    """Two-level form of dsum: the three long component sums as named
+    partial-aggregate columns (merge with _split4_merge, read the exact
+    DECIMAL(18,4) value with _split4_value) — long partials are exact +
+    associative, so any re-aggregation tree is bit-identical to the
+    one-level sum (same invariant as dsum)."""
+    s = _scaled4(c)
+    return [
+        F.sum(s.bitwiseAND(F.lit(_SPLIT_MASK))).alias(f"{prefix}0"),
+        F.sum(F.shiftright(s, 21).bitwiseAND(F.lit(_SPLIT_MASK))).alias(f"{prefix}1"),
+        F.sum(F.shiftright(s, 42)).alias(f"{prefix}2"),
+    ]
+
+
+def _split4_merge(prefix: str) -> list[F.Column]:
+    return [F.sum(f"{prefix}{i}").alias(f"{prefix}{i}") for i in range(3)]
+
+
+def _split4_value(prefix: str) -> F.Column:
+    """Exact DECIMAL(18,4) total from merged split components."""
+    return _unscale4(
+        F.col(f"{prefix}2").cast("decimal(38,0)") * F.lit(1 << 42)
+        + F.col(f"{prefix}1").cast("decimal(38,0)") * F.lit(1 << 21)
+        + F.col(f"{prefix}0").cast("decimal(38,0)")
+    )
+
+
+def dprodsum(price, frac_unscaled: F.Column, alias: str) -> F.Column:
+    """Exact double sum of price·frac where frac arrives as its scale-4
+    unscaled long (e.g. 10⁴ − scaled4(discount) for price·(1−disc)):
+    per-row product is a scale-8 long (|price| ≤ 10⁸ and |frac| ≤ 10⁵
+    keep it < 2⁶³), split-summed exactly, then HALF_UP-rounded from
+    scale 8 to scale 4 in pure DECIMAL(38,0) integer arithmetic —
+    bit-identical to CAST(SUM(dec·dec) AS DECIMAL(18,4)) (q76 lesson:
+    pmod-based half-away rounding, pinned by the dsum property test)."""
+    total = _split_sum(_scaled4(price) * frac_unscaled)  # scale-8 units
+    sign = F.when(total < 0, F.lit(-1)).otherwise(F.lit(1))
+    a = F.abs(total) + F.lit(5000)
+    u4 = sign * ((a - F.pmod(a, F.lit(10**4))) / F.lit(10**4))
+    return _unscale4(u4).cast("double").alias(alias)
 
 
 # ---------------------------------------------------------------------------
@@ -154,15 +271,15 @@ def q01(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     from hadron_spark.operators.mapreduce import monoid_reduce
 
-    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    one_minus_disc = F.lit(10**4) - _scaled4("l_discount")  # scale-4 unscaled
     return monoid_reduce(
         li.filter(F.col("l_shipdate") <= "1998-09-02"),
         ["l_returnflag", "l_linestatus"],
         [
             dsum("l_quantity", "sum_qty"),
             dsum("l_extendedprice", "sum_base_price"),
-            F.sum(disc_price).cast("decimal(18,4)").cast("double").alias("sum_disc_price"),
-            (F.sum(_dec("l_quantity")).cast("decimal(18,4)").cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            dprodsum("l_extendedprice", one_minus_disc, "sum_disc_price"),
+            (dsum_dec("l_quantity").cast("double") / F.count(F.lit(1))).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         ],
     )
@@ -281,9 +398,9 @@ def q07(spark, sf_dir):
     )
     ol = joins.monoidal_join(["orderkey"], [joins.JoinSide(o), joins.JoinSide(li)])
     col = joins.monoidal_join(["custkey"], [joins.JoinSide(c), joins.JoinSide(ol)])
-    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    one_minus_disc = F.lit(10**4) - _scaled4("l_discount")  # scale-4 unscaled
     return col.groupBy(F.col("custkey").alias("c_custkey"), "c_name").agg(
-        F.sum(disc_price).cast("decimal(18,4)").cast("double").alias("revenue"),
+        dprodsum("l_extendedprice", one_minus_disc, "revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -427,7 +544,7 @@ def q13(spark, sf_dir):
     bal = F.coalesce(F.col("c_acctbal"), F.col("s_acctbal"))
     return m.groupBy(F.col("_side").alias("side")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(bal.cast("decimal(18,4)")).cast("decimal(18,4)").cast("double").alias("total_bal"),
+        dsum(bal, "total_bal"),
     )
 
 
@@ -459,10 +576,10 @@ def q14(spark, sf_dir):
     return ops.grouping_sets_from_cells(
         li,
         ["l_returnflag", "l_linestatus"],
-        [F.sum(_dec("l_quantity")).alias("_q"), F.count(F.lit(1)).alias("_n")],
-        [F.sum("_q").alias("_q"), F.sum("_n").alias("_n")],
+        [*_split4_partials("l_quantity", "_q"), F.count(F.lit(1)).alias("_n")],
+        [*_split4_merge("_q"), F.sum("_n").alias("_n")],
         {
-            "sum_qty": F.col("_q").cast("decimal(18,4)").cast("double"),
+            "sum_qty": _split4_value("_q").cast("double"),
             "n": F.col("_n"),
         },
         mode="rollup",
@@ -937,10 +1054,10 @@ def q33(spark, sf_dir):
     return ops.grouping_sets_from_cells(
         li,
         ["l_returnflag", "l_linestatus"],
-        [F.sum(_dec("l_quantity")).alias("_q"), F.count(F.lit(1)).alias("_n")],
-        [F.sum("_q").alias("_q"), F.sum("_n").alias("_n")],
+        [*_split4_partials("l_quantity", "_q"), F.count(F.lit(1)).alias("_n")],
+        [*_split4_merge("_q"), F.sum("_n").alias("_n")],
         {
-            "sum_qty": F.col("_q").cast("decimal(18,4)").cast("double"),
+            "sum_qty": _split4_value("_q").cast("double"),
             "n": F.col("_n"),
         },
         mode="cube",
@@ -963,7 +1080,7 @@ def q34(spark, sf_dir):
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
-        .agg(F.sum(_dec("l_quantity")).cast("decimal(18,4)").cast("double"))
+        .agg(dsum_dec("l_quantity").cast("double"))
     )
 
 
@@ -1631,11 +1748,15 @@ def q57(spark, sf_dir):
         li,
         ["l_returnflag"],
         [
-            F.sum(_dec("l_quantity")).alias("_q"),
+            *_split4_partials("l_quantity", "_q"),
             F.count(F.lit(1)).alias("_n"),
         ],
         [
-            F.sum("_q").cast("decimal(18,4)").cast("double").alias("sum_qty"),
+            _unscale4(
+                F.sum("_q2").cast("decimal(38,0)") * F.lit(1 << 42)
+                + F.sum("_q1").cast("decimal(38,0)") * F.lit(1 << 21)
+                + F.sum("_q0").cast("decimal(38,0)")
+            ).cast("double").alias("sum_qty"),
             F.sum("_n").alias("n"),
         ],
         salt_buckets=8,
@@ -2097,7 +2218,7 @@ def q70(spark, sf_dir):
             F.date_trunc("month", "o_orderdate").alias("month")
         ).agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(_dec("o_totalprice")).alias("rev_partial"),
+            *_split4_partials("o_totalprice", "_r"),
         )
 
     prev = partial(o.filter(F.col("o_orderdate") < cutoff))
@@ -2108,13 +2229,13 @@ def q70(spark, sf_dir):
         ["month"],
         [
             F.sum("n_orders").alias("n_orders"),
-            F.sum("rev_partial").alias("rev_partial"),
+            *_split4_merge("_r"),
         ],
     )
     return merged.select(
         "month",
         "n_orders",
-        F.col("rev_partial").cast("decimal(18,4)").cast("double").alias("revenue"),
+        _split4_value("_r").cast("double").alias("revenue"),
     )
 
 
@@ -2398,7 +2519,7 @@ def q79(spark, sf_dir):
     nat = (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_nationkey").alias("nationkey"))
-        .agg(F.sum(_dec("o_totalprice")).cast("decimal(18,4)").alias("rev"))
+        .agg(dsum_dec("o_totalprice").alias("rev"))
     )
     w = Window.partitionBy()
     return nat.select(
@@ -2788,7 +2909,7 @@ def q90(spark, sf_dir):
     both engines, so the ratio doubles hash-match."""
     o = load(spark, sf_dir, "orders")
     m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
-        F.sum(_dec("o_totalprice")).cast("decimal(18,4)").alias("rev")
+        dsum_dec("o_totalprice").alias("rev")
     )
     w = Window.partitionBy().orderBy("month")
     rev_d = F.col("rev").cast("double")
@@ -3001,7 +3122,7 @@ def q94(spark, sf_dir):
             li.l_partkey == p.p_partkey,
         )
         .groupBy("p_brand")
-        .agg(F.sum(_dec("l_extendedprice")).cast("decimal(18,4)").alias("rev"))
+        .agg(dsum_dec("l_extendedprice").alias("rev"))
     )
     wo = Window.partitionBy().orderBy(F.col("rev").desc(), "p_brand")
     wcum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -3175,7 +3296,7 @@ def q99(spark, sf_dir):
             F.col("x.l_partkey").alias("src"),
             F.col("y.l_partkey").alias("dst"),
         )
-        .distinct()
+        # no .distinct(): triangle_count _canon-dedups (r08)
     )
     return triangle_count(edges)
 
@@ -3390,7 +3511,7 @@ def q103(spark, sf_dir):
         .join(F.broadcast(nt), c.c_nationkey == nt.n_nationkey)
         .join(F.broadcast(r), nt.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
-        .agg(F.sum(_dec("o_totalprice")).cast("decimal(18,4)").alias("rev"))
+        .agg(dsum_dec("o_totalprice").alias("rev"))
     )
     wr = Window.partitionBy("r_name")
     wt = Window.partitionBy()
@@ -4124,7 +4245,7 @@ def q118(spark, sf_dir):
     spend = (
         load(spark, sf_dir, "orders")
         .groupBy("o_custkey")
-        .agg(_dec(F.sum(_dec("o_totalprice"))).alias("s"))
+        .agg(dsum_dec("o_totalprice").alias("s"))
     )
     d = range_rank(
         spend,
@@ -4247,7 +4368,7 @@ def q120(spark, sf_dir):
     rev = (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_nationkey", "o_custkey")
-        .agg(_dec(F.sum(_dec("o_totalprice"))).alias("r"))
+        .agg(dsum_dec("o_totalprice").alias("r"))
     )
     w = Window.partitionBy("c_nationkey").orderBy(
         F.col("r").desc(), F.col("o_custkey")
@@ -4389,7 +4510,7 @@ def q123(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(
             F.count(F.lit(1)).alias("n_small"),
-            _dec(F.sum(_dec("l_extendedprice"))).cast("double").alias("small_revenue"),
+            dsum_dec("l_extendedprice").cast("double").alias("small_revenue"),
         )
     )
 
@@ -4637,7 +4758,7 @@ def q129(spark, sf_dir):
     j = joins.bloom_prefilter_join(li, p, "l_partkey", "p_partkey")
     return j.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_items"),
-        _dec(F.sum(_dec("l_extendedprice"))).cast("double").alias("revenue"),
+        dsum_dec("l_extendedprice").cast("double").alias("revenue"),
     )
 
 
@@ -10671,7 +10792,10 @@ def q245(spark, sf_dir):
         .select(
             F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
         )
-        .distinct()
+        # no .distinct() here (optimization r08): the operator's
+        # _canon dedups the pair stream anyway — the query-side
+        # distinct was a SECOND full exchange+aggregate of the same
+        # O(orders·pairs) stream for an already-distinct input
     )
     return node_triangle_counts(edges)
 
@@ -10899,7 +11023,7 @@ def q250(spark, sf_dir):
         .select(
             F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
         )
-        .distinct()
+        # no .distinct(): clustering_coefficient _canon-dedups (r08)
     )
     return clustering_coefficient(edges)
 
