@@ -394,6 +394,16 @@ def _triangle_frame(e: DataFrame) -> DataFrame:
     keyed = (
         e.join(deg.select(F.col("node").alias("src"), F.col("deg").alias("ds")), "src")
         .join(deg.select(F.col("node").alias("dst"), F.col("deg").alias("dd")), "dst")
+        # degree-<2 peel (optimization r08, guide §2.2/§3.4): every
+        # vertex of a triangle has degree >= 2, so an edge with a
+        # degree-1 endpoint can appear in NO wedge or closing edge —
+        # drop it here, where the degree values are already joined
+        # for the orientation key (zero extra shuffles; shrinks the
+        # pinned oriented set, both wedge sides, and the closer
+        # build).  One pass only — the full 2-core needs recomputed
+        # degrees per round; the first pass takes most of the benefit
+        # at zero cost.
+        .filter((F.col("ds") >= 2) & (F.col("dd") >= 2))
         .select(
             F.col("src"), F.col("dst"),
             F.struct(F.col("ds").alias("d"), F.col("src").alias("n")).alias("ks"),
@@ -435,6 +445,13 @@ def node_triangle_counts(
     duplicate cliques from accidental chains; see _triangle_frame
     for the skew-bounded algorithm and plan shape."""
     e = _canon(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    return _node_counts_from_canonical(e)
+
+
+def _node_counts_from_canonical(e: DataFrame) -> DataFrame:
+    """node_triangle_counts core for an ALREADY-canonical edge set
+    (split out r08 so clustering_coefficient doesn't pay a second
+    _canon distinct over edges it just canonicalized)."""
     tri = _triangle_frame(e)
     # ONE downstream pass: explode each triangle to its 3 members
     # in-row — a 3-branch union would re-run the wedge join per
@@ -467,7 +484,7 @@ def clustering_coefficient(
     deg = _sym(e).groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
-    tri = node_triangle_counts(e)
+    tri = _node_counts_from_canonical(e)
     return (
         deg.join(tri, "node", "left")
         .select(
