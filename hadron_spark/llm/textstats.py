@@ -307,31 +307,49 @@ def collocations_topk(
     are exact integers (< 2^53), so the score is one correctly-rounded
     IEEE division and bit-identical across engines (oracle-checkable).
 
-    Scale: unigram and bigram counts are two hash aggregations over
-    the exploded token stream (partial agg bounds shuffle at |vocab| /
-    |bigram vocab|); min_count prunes the bigram tail BEFORE the two
-    dictionary joins; the global top-k is orderBy+limit =
-    TakeOrderedAndProject (per-partition heaps, no single-partition
-    window)."""
+    Scale: ONE corpus scan+tokenize (optimization r08, VERDICT r07 #6
+    / guide §2.3-2.4): unigrams and bigrams are tagged in-row —
+    explode of concat(structs(1, w), structs(2, bigram)) — and counted
+    in a single hash aggregation, where the old two-branch shape
+    re-scanned and re-tokenized the whole corpus for the bigram pass.
+    Partial agg still bounds the shuffle at |vocab| + |bigram vocab|
+    (the same cells the two old shuffles carried, one exchange).
+    min_count prunes the bigram tail BEFORE the pin and the two
+    dictionary joins, so the pinned table is unigram vocab + HAVING
+    survivors — never the unbounded raw bigram vocab; the global
+    top-k is orderBy+limit = TakeOrderedAndProject (per-partition
+    heaps, no single-partition window)."""
     from pyspark.sql import Window
 
     toks = df.select(tokenize(F.col(text_col)).alias("toks"))
-    uni = (
-        toks.select(F.explode("toks").alias("w"))
-        .groupBy("w")
+    tagged = F.concat(
+        F.transform(
+            F.col("toks"),
+            lambda t: F.struct(F.lit(1).alias("n"), t.alias("g")),
+        ),
+        F.transform(
+            ngrams(F.col("toks"), 2),
+            lambda b: F.struct(F.lit(2).alias("n"), b.alias("g")),
+        ),
+    )
+    counts = (
+        toks.select(F.explode(tagged).alias("x"))
+        .groupBy(F.col("x.n").alias("n"), F.col("x.g").alias("g"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
     # feeds the total and both sides of the dictionary join — eager
     # pin for the same once-only guarantee as tfidf_topk's tf table
     from hadron_spark.operators.ops import pin as _pin
 
-    uni = _pin(uni)
+    counts = _pin(
+        counts.filter((F.col("n") == 1) | (F.col("c") >= min_count))
+    )
+    uni = counts.filter(F.col("n") == 1).select(
+        F.col("g").alias("w"), F.col("c")
+    )
     total = uni.agg(F.sum("c").alias("t"))
-    bg = (
-        toks.select(F.explode(ngrams(F.col("toks"), 2)).alias("bigram"))
-        .groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .filter(F.col("n_ab") >= min_count)
+    bg = counts.filter(F.col("n") == 2).select(
+        F.col("g").alias("bigram"), F.col("c").alias("n_ab")
     )
     parts = F.split(F.col("bigram"), " ")
     u1 = uni.select(F.col("w").alias("_w1"), F.col("c").alias("c1"))
