@@ -372,21 +372,30 @@ def _triangle_frame(e: DataFrame) -> DataFrame:
     WWW'11): every edge points from its lower-(degree, id) endpoint
     to the higher one, so the oriented out-degree of ANY node is
     O(sqrt(m)) — a hub of degree d only keeps out-edges to neighbors
-    of degree >= d — and the wedge self-join is skew-bounded by
-    construction, where a naive id-ordered orientation lets one
-    celebrity node generate d^2 wedges.  A wedge (u -> v, u -> w)
-    closes into a triangle iff the oriented edge (v -> w) exists;
-    orientation is a total order, so each triangle is found exactly
-    once, at its lowest-order apex.  Orientation only affects HOW
-    triangles are found, never which — the frame is a pure function
-    of the edge set, and a plain id-ordered 3-way self-join states
-    the same triangles in SQL.
+    of degree >= d — and the per-node adjacency work is skew-bounded
+    by construction, where a naive id-ordered orientation lets one
+    celebrity node own d² candidate pairs.  A triangle {a, b, c}
+    ordered ka < kb < kc appears as oriented edges a→b, a→c, b→c, so
+    it is found exactly once, at its lowest edge (a, b), as the third
+    vertex c ∈ N⁺(a) ∩ N⁺(b).  Orientation only affects HOW triangles
+    are found, never which — the frame is a pure function of the edge
+    set, and a plain id-ordered 3-way self-join states the same
+    triangles in SQL.
 
-    Plan: two equi-join shuffles (wedge build on the apex; closing
-    join on the (v, w) pair, shuffle-hash — hashing the m-row edge
-    side beats sort-merging the O(m^1.5) wedge stream).  No
-    adjacency lists are ever collected; every reducer sees a
-    stream."""
+    Plan (edge-iterator over oriented adjacency — the compact-forward
+    shape of Chiba–Nishizeki 1985 / Latapy 2008; optimization r08):
+    build the oriented out-adjacency lists (one groupBy shuffle of the
+    m-row edge set, list length capped at the orientation's O(√m)
+    out-degree bound), join them back to the edges on BOTH endpoints
+    (two m-row shuffles), and intersect IN-ROW.  This replaced the
+    r07 wedge self-join + closing join: the wedge stream is
+    O(Σ outdeg²) ROWS — measured 36M rows for the 1.2M-edge sf0.1
+    graph, a 30× row blowup materialized and shuffled into the
+    closing join — where array_intersect does the same probe work
+    inside one expression and only actual triangles (1.9M here) ever
+    become rows.  Per-row memory stays O(√m); AQE skew-join covers
+    hot in-degree keys on the second join.  Interleaved A/B vs the
+    wedge shape recorded in OPTIMIZATION_r08.md."""
     deg = _sym(e).groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
@@ -413,25 +422,34 @@ def _triangle_frame(e: DataFrame) -> DataFrame:
     oriented = keyed.select(
         F.when(F.col("ks") < F.col("kd"), F.col("src")).otherwise(F.col("dst")).alias("u"),
         F.when(F.col("ks") < F.col("kd"), F.col("dst")).otherwise(F.col("src")).alias("v"),
-        F.least("ks", "kd").alias("ku"),
-        F.greatest("ks", "kd").alias("kv"),
     )
-    # oriented feeds THREE branches (both wedge sides + the closing
-    # join); unpinned, each branch re-derives the canon/degree joins
-    # from the raw edge scan (fan-out pin discipline, ops.pin).
+    # oriented feeds THREE branches (the adjacency build + both sides
+    # of the edge stream); unpinned, each branch re-derives the
+    # canon/degree joins from the raw edge scan (fan-out pin
+    # discipline, ops.pin).  Pinned two columns only — the r07 shape
+    # also pinned both (deg, id) struct keys; the intersection needs
+    # none of them (orientation already encodes the order).
     oriented = oriented.localCheckpoint(eager=True)
-    a = oriented.select("u", F.col("v").alias("v1"), F.col("kv").alias("k1"))
-    b = oriented.select("u", F.col("v").alias("v2"), F.col("kv").alias("k2"))
-    wedges = a.join(b, "u").filter(F.col("k1") < F.col("k2")).select(
-        "u", "v1", "v2"
+    adj = oriented.groupBy(F.col("u").alias("n")).agg(
+        F.collect_list("v").alias("nbrs")
     )
-    # SHJ hint: the closer side is the edge list (m rows) while the
-    # wedge side is O(m^1.5) — hashing the edges per partition beats
-    # sort-merge's full sort of the wedge stream, at any scale
-    closers = oriented.select(
-        F.col("u").alias("v1"), F.col("v").alias("v2")
-    ).hint("shuffle_hash")
-    return wedges.join(closers, ["v1", "v2"])
+    # inner joins are exact: every edge's u has an out-edge (v itself),
+    # and an edge whose v has NO out-edges closes no triangle — the
+    # compact-forward rule drops it correctly.
+    ea = oriented.join(
+        adj.select(F.col("n").alias("u"), F.col("nbrs").alias("_na")), "u"
+    )
+    eab = ea.join(
+        adj.select(F.col("n").alias("v"), F.col("nbrs").alias("_nb")), "v"
+    )
+    # explode order within a row follows _na's collect_list order
+    # (nondeterministic), but the SET of (u, v1, v2) tuples is a pure
+    # function of the edge set — all consumers aggregate.
+    return eab.select(
+        F.col("u"),
+        F.col("v").alias("v1"),
+        F.explode(F.array_intersect("_na", "_nb")).alias("v2"),
+    )
 
 
 def node_triangle_counts(
