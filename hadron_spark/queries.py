@@ -3374,7 +3374,10 @@ def q100(spark, sf_dir):
     # row's full text AND sorted each hash partition; the aggregate
     # gets map-side partial aggregation (duplicate texts collapse
     # before the shuffle) and no sort.  Keeper row identical: doc_id
-    # is unique, so min(struct(doc_id, text)) is the min-doc_id row.
+    # is unique AND non-null in the documents table (generator
+    # invariant, ADVICE r07 — a NULL doc_id would sort first in the
+    # struct min where the old window+filter dropped it), so
+    # min(struct(doc_id, text)) is the min-doc_id row.
     deduped = (
         kept.groupBy(F.md5("text").alias("_h"))
         .agg(F.min(F.struct("doc_id", "text")).alias("_s"))
